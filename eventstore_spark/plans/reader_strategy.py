@@ -1,0 +1,47 @@
+"""Source planner: projection spec -> Catalyst predicate (SURVEY §3.3).
+
+The reference's ReaderStrategy (/root/reference/src/EventStore.Projections
+.Core/Services/Processing/Strategies/ReaderStrategy.cs:179-240) is its
+physical planner: it picks StreamEventReader / MultiStreamEventReader /
+$ce-reader / TransactionFileEventReader / EventByTypeIndexEventReader.
+
+On a columnar log all five collapse into one pruned scan: the "reader
+choice" becomes a predicate (stream_id ∈ ..., category = ..., event_type ∈
+...) that Catalyst pushes into parquet. The EventByTypeIndex dual-mode
+trick (read $et- index streams until caught up, then switch to the raw log,
+EventByTypeIndexEventReader.cs:57-116) is subsumed by min/max + dictionary
+pruning on event_type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import category_of
+
+
+def source_predicate(proj) -> Column:
+    """Build the scan predicate for a Projection spec."""
+    pred = F.lit(True)
+    if proj.streams:
+        pred = (
+            F.col("stream_id") == proj.streams[0]
+            if len(proj.streams) == 1
+            else F.col("stream_id").isin(*proj.streams)
+        )
+    elif proj.categories:
+        cat = F.coalesce(F.col("category"), category_of(F.col("stream_id")))
+        pred = cat == proj.categories[0] if len(proj.categories) == 1 else cat.isin(
+            *proj.categories
+        )
+    # typed-handler pushdown (P5): only events with registered handlers are
+    # read when there is no $any/$deleted catch-all.
+    handlers = getattr(proj, "handlers", {})
+    if proj.event_types_hint and "$any" not in handlers and "$deleted" not in handlers:
+        pred = pred & F.col("event_type").isin(*proj.event_types_hint)
+    return pred
+
+
+def select_source(events: DataFrame, proj) -> DataFrame:
+    return events.where(source_predicate(proj))

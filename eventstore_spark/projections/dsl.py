@@ -1,0 +1,151 @@
+"""Projection definition DSL (SURVEY §2.3, P1-P21).
+
+The reference's user-facing dataflow language is JavaScript
+(fromStream/fromCategory/fromAll → when({...}) → partitionBy/foreachStream →
+transformBy/filterBy → outputState/emit/linkTo), interpreted by Jint
+(/root/reference/src/EventStore.Projections.Core/Services/Interpreted/
+JintProjectionStateHandler.cs; chaining grammar at lines 461-471). Here the
+same chain is a Python builder; handlers are Python callables
+``handler(state, event, ctx) -> state`` (``ctx.emit``/``ctx.link_to``
+collect output events), executed by the batch runtime (runtime.py) as an
+ordered Arrow-batched fold, or by the streaming runtime.
+
+Executing the definition once to extract sources — what the reference calls
+GetSourceDefinition (JintProjectionStateHandler.cs:81) — is unnecessary: the
+builder IS the source definition (the logical plan), which the planner maps
+straight to a Catalyst filter (plans/reader_strategy.py).
+"""
+
+from __future__ import annotations
+
+import inspect
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import Column
+
+Handler = Callable[..., Any]  # (state, event[, ctx]) -> state
+
+INIT = "$init"
+INIT_SHARED = "$initShared"
+ANY = "$any"
+DELETED = "$deleted"
+
+
+def _arity(fn: Callable) -> int:
+    try:
+        params = [
+            p for p in inspect.signature(fn).parameters.values()
+            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        ]
+        return len(params)
+    except (TypeError, ValueError):
+        return 3
+
+
+@dataclass
+class Projection:
+    """A projection spec: sources + fold + output chain."""
+
+    name: str = "unnamed"
+    # -- sources (exactly one family; mirrors ReaderStrategy inputs) --
+    all_streams: bool = False
+    streams: tuple[str, ...] = ()
+    categories: tuple[str, ...] = ()
+    event_types_hint: tuple[str, ...] = field(default=(), init=False)
+    # -- fold --
+    handlers: dict[str, Handler] = field(default_factory=dict)
+    handler_arity: dict[str, int] = field(default_factory=dict)
+    # -- partitioning --
+    by_stream: bool = False
+    partition_fn: Callable[[dict], str] | None = None
+    partition_col: Column | None = None
+    # -- state output chain (applied in declaration order) --
+    state_chain: list[tuple[str, Callable]] = field(default_factory=list)
+    output_state_: bool = False
+    result_stream_name: str | None = None
+    include_links: bool = False
+    options_: dict = field(default_factory=dict)
+
+    # ---- selectors ----
+    @staticmethod
+    def from_stream(stream: str, name: str = "unnamed") -> "Projection":
+        return Projection(name=name, streams=(stream,))
+
+    @staticmethod
+    def from_streams(*streams: str, name: str = "unnamed") -> "Projection":
+        return Projection(name=name, streams=tuple(streams))
+
+    @staticmethod
+    def from_category(category: str, name: str = "unnamed") -> "Projection":
+        return Projection(name=name, categories=(category,))
+
+    @staticmethod
+    def from_categories(*categories: str, name: str = "unnamed") -> "Projection":
+        return Projection(name=name, categories=tuple(categories))
+
+    @staticmethod
+    def from_all(name: str = "unnamed") -> "Projection":
+        p = Projection(name=name)
+        p.all_streams = True
+        return p
+
+    # ---- fold ----
+    def when(self, handlers: dict[str, Handler]) -> "Projection":
+        """Register the fold. Keys: '$init', '$initShared', '$any',
+        '$deleted', or concrete event types (JintProjectionStateHandler.cs:
+        642-692). Typed handlers double as an event-type pushdown hint
+        (replaces the reference's $et index switching, P5)."""
+        self.handlers.update(handlers)
+        for k, fn in handlers.items():
+            if callable(fn):
+                self.handler_arity[k] = _arity(fn)
+        self.event_types_hint = tuple(
+            k for k in self.handlers if not k.startswith("$")
+        )
+        return self
+
+    # ---- partitioning ----
+    def foreach_stream(self) -> "Projection":
+        self.by_stream = True
+        return self
+
+    def partition_by(self, fn_or_col) -> "Projection":
+        """Custom partition key: a Catalyst Column (fast, JVM-side — the
+        scale path) or a Python callable event->key (parity with the JS
+        partitionBy, runs row-wise)."""
+        if isinstance(fn_or_col, Column):
+            self.partition_col = fn_or_col
+        else:
+            self.partition_fn = fn_or_col
+        return self
+
+    # ---- state output chain ----
+    def transform_by(self, fn: Callable[[Any], Any]) -> "Projection":
+        self.state_chain.append(("transform", fn))
+        return self
+
+    def filter_by(self, fn: Callable[[Any], bool]) -> "Projection":
+        self.state_chain.append(("filter", fn))
+        return self
+
+    def output_state(self) -> "Projection":
+        self.output_state_ = True
+        return self
+
+    def output_to(self, result_stream: str) -> "Projection":
+        self.output_state_ = True
+        self.result_stream_name = result_stream
+        return self
+
+    def options(self, **opts) -> "Projection":
+        """resultStreamName / $includeLinks / reorderEvents / processingLag.
+        reorderEvents is accepted for parity but a no-op: the batch runtime
+        always folds in exact log_position order, which is the semantics the
+        reorder buffer (P19) approximates."""
+        self.options_.update(opts)
+        if "resultStreamName" in opts:
+            self.result_stream_name = opts["resultStreamName"]
+        if "$includeLinks" in opts:
+            self.include_links = bool(opts["$includeLinks"])
+        return self

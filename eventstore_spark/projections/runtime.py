@@ -1,0 +1,231 @@
+"""Batch ("OneTime query") projection runtime (SURVEY §2.3 P6-P18, §3.3).
+
+Semantics contract (mirrors CoreProjection + JintProjectionStateHandler
+execution: events are applied to per-partition state in EXACT log order;
+handlers may emit new events; the final state flows through
+transformBy/filterBy before being output — WriteQueryResultProjection
+ProcessingPhase for one-time queries).
+
+Spark-first execution:
+  * source selection = one pruned scan (plans/reader_strategy.py);
+  * partitioning = groupBy on a key column (stream_id, a Column expression,
+    or a row-wise Python key for parity with JS partitionBy);
+  * the fold itself = ``applyInPandas`` over each partition group, sorted
+    by log_position inside the group — Arrow-batched, one pass, no
+    driver-side loop. State is an arbitrary JSON-serializable Python value.
+  * emitted events (emit/linkTo) come back as extra rows from the same
+    pass with deterministic event ids (xxhash of projection, partition,
+    source position, seq) so re-runs are idempotent — the analog of the
+    reference's expected-version emission tracking
+    (Emitting/EmittedStream.cs:24-183) without coordination.
+
+Scale notes: one shuffle on the partition key (the same key the state is
+defined over — unavoidable and minimal); per-group data streams through
+Arrow batches; a single-partition projection (fromAll without
+partitionBy) is inherently sequential — same as the reference, which runs
+every projection single-threaded per partition.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Any, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.reader_strategy import select_source
+from ..schema import STREAM_DELETED_EVENT_TYPE
+from .dsl import ANY, DELETED, INIT, Projection
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("partition", T.StringType()),
+        T.StructField("kind", T.StringType()),  # 'state' | 'emit' | 'link'
+        T.StructField("state", T.StringType()),
+        T.StructField("emit_stream", T.StringType()),
+        T.StructField("emit_event_type", T.StringType()),
+        T.StructField("emit_data", T.StringType()),
+        T.StructField("emit_metadata", T.StringType()),
+        T.StructField("emit_event_id", T.StringType()),
+        T.StructField("source_log_position", T.LongType()),
+        T.StructField("emit_seq", T.LongType()),
+    ]
+)
+
+
+class EmitContext:
+    """Passed to handlers as ``ctx``: collects emit/linkTo output
+    (JintProjectionStateHandler.cs:239-326)."""
+
+    __slots__ = ("rows", "partition", "projection_name", "_pos", "_seq")
+
+    def __init__(self, projection_name: str, partition: str):
+        self.rows: list[tuple] = []
+        self.partition = partition
+        self.projection_name = projection_name
+        self._pos = -1
+        self._seq = 0
+
+    def _id(self) -> str:
+        import hashlib
+
+        h = hashlib.sha1(
+            f"{self.projection_name}|{self.partition}|{self._pos}|{self._seq}".encode()
+        ).hexdigest()
+        return h[:32]
+
+    def emit(self, stream: str, event_type: str, body: Any, metadata: Any = None):
+        self.rows.append(
+            (
+                self.partition, "emit", None, stream, event_type,
+                json.dumps(body, sort_keys=True) if not isinstance(body, str) else body,
+                json.dumps(metadata, sort_keys=True) if metadata is not None else None,
+                self._id(), self._pos, self._seq,
+            )
+        )
+        self._seq += 1
+
+    def link_to(self, stream: str, event: dict, metadata: Any = None):
+        body = f"{event['event_number']}@{event['stream_id']}"
+        self.rows.append(
+            (
+                self.partition, "link", None, stream, "$>", body,
+                json.dumps(metadata, sort_keys=True) if metadata is not None else None,
+                self._id(), self._pos, self._seq,
+            )
+        )
+        self._seq += 1
+
+
+def _event_dict(row: dict) -> dict:
+    ev = dict(row)
+    if ev.get("is_json") and isinstance(ev.get("data"), str):
+        try:
+            ev["body"] = json.loads(ev["data"])
+        except (ValueError, TypeError):
+            ev["body"] = None
+    else:
+        ev["body"] = ev.get("data")
+    md = ev.get("metadata")
+    if isinstance(md, str):
+        try:
+            ev["meta"] = json.loads(md)
+        except (ValueError, TypeError):
+            ev["meta"] = None
+    else:
+        ev["meta"] = None
+    return ev
+
+
+def _make_fold(proj: Projection):
+    """Build the applyInPandas fold closure for one projection."""
+    handlers = dict(proj.handlers)
+    arity = dict(proj.handler_arity)
+    chain = list(proj.state_chain)
+    name = proj.name
+
+    def call(fn, key, state, ev, ctx):
+        n = arity.get(key, 3)
+        out = fn(state, ev) if n == 2 else fn(state, ev, ctx)
+        return state if out is None else out  # undefined return keeps state
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("log_position", kind="mergesort")
+        partition = str(pdf["_partition"].iloc[0]) if len(pdf) else ""
+        ctx = EmitContext(name, partition)
+        init = handlers.get(INIT)
+        state = init() if init is not None else {}
+        any_h = handlers.get(ANY)
+        del_h = handlers.get(DELETED)
+        cols = [c for c in pdf.columns if c != "_partition"]
+        for row in pdf[cols].itertuples(index=False):
+            ev = _event_dict(dict(zip(cols, row)))
+            ctx._pos = int(ev["log_position"])
+            et = ev["event_type"]
+            if et == STREAM_DELETED_EVENT_TYPE:
+                if del_h is not None:
+                    state = call(del_h, DELETED, state, ev, ctx)
+                continue
+            h = handlers.get(et)
+            if h is not None:
+                state = call(h, et, state, ev, ctx)
+            elif any_h is not None:
+                state = call(any_h, ANY, state, ev, ctx)
+        # transformBy/filterBy chain on the final state (TransformStateToResult,
+        # JintProjectionStateHandler.cs:730-752)
+        keep = True
+        for op, fn in chain:
+            if op == "transform":
+                state = fn(state)
+            elif op == "filter" and not fn(state):
+                keep = False
+                break
+        rows = list(ctx.rows)
+        if keep:
+            rows.append(
+                (partition, "state", json.dumps(state, sort_keys=True, default=str),
+                 None, None, None, None, None, None, None)
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in _OUT_SCHEMA.fields])
+
+    return fold
+
+
+@dataclass
+class ProjectionResult:
+    """Result of a batch projection run."""
+
+    raw: DataFrame  # all output rows (kind = state | emit | link)
+
+    @property
+    def states(self) -> DataFrame:
+        """(partition, state JSON) — the `$projections-<name>-result` analog."""
+        return self.raw.where(F.col("kind") == "state").select("partition", "state")
+
+    def states_as(self, schema: str) -> DataFrame:
+        """Parse state JSON into typed columns for SQL-facing output."""
+        return self.states.select(
+            "partition", F.from_json("state", schema).alias("s")
+        ).select("partition", "s.*")
+
+    @property
+    def emitted(self) -> DataFrame:
+        """Events produced by emit()/linkTo(), with deterministic event ids —
+        append these to the log via the writer for full parity (P15/P16)."""
+        return self.raw.where(F.col("kind").isin("emit", "link")).select(
+            F.col("emit_stream").alias("stream_id"),
+            F.col("emit_event_type").alias("event_type"),
+            F.col("emit_data").alias("data"),
+            F.col("emit_metadata").alias("metadata"),
+            F.col("emit_event_id").alias("event_id"),
+            "source_log_position", "emit_seq", "partition",
+        )
+
+
+def run_batch(proj: Projection, events: DataFrame) -> ProjectionResult:
+    """Execute a projection as a OneTime query over the log."""
+    src = select_source(events, proj)
+
+    if proj.by_stream:
+        src = src.withColumn("_partition", F.col("stream_id"))
+    elif proj.partition_col is not None:
+        src = src.withColumn("_partition", proj.partition_col.cast("string"))
+    elif proj.partition_fn is not None:
+        fn = proj.partition_fn
+        cols = src.columns
+
+        @F.udf(T.StringType())
+        def _pkey(*vals):
+            ev = _event_dict(dict(zip(cols, vals)))
+            return str(fn(ev))
+
+        src = src.withColumn("_partition", _pkey(*[F.col(c) for c in cols]))
+    else:
+        src = src.withColumn("_partition", F.lit(""))
+
+    out = src.groupBy("_partition").applyInPandas(_make_fold(proj), _OUT_SCHEMA)
+    return ProjectionResult(raw=out)

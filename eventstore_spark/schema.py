@@ -1,0 +1,145 @@
+"""Canonical event-log schema (the engine's one fundamental table).
+
+The reference engine's fundamental structure is an append-only, globally
+ordered log of immutable events partitioned into named streams
+(EventRecord: /root/reference/src/EventStore.Core/Data/EventRecord.cs:11-30).
+Here the log is ONE columnar DataFrame/table with this envelope; streams are
+a logical partitioning (``stream_id``), the global ``$all`` order is the
+``log_position`` column, and the five "system projections" are derived
+columns/views over it (see operators/system_projections.py).
+
+At scale the table is stored partitioned by ``category`` and sorted
+(Z-order-equivalent) by ``(stream_id, event_number)`` so that per-stream
+reads prune to a handful of row groups — this replaces the reference's LSM
+PTable index (/root/reference/src/EventStore.Core/Index/PTable.cs:38) with
+parquet min/max pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------------------
+# Envelope schema (FIXTURES.md F1)
+# ---------------------------------------------------------------------------
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("log_position", T.LongType(), False),
+        T.StructField("stream_id", T.StringType(), False),
+        T.StructField("category", T.StringType(), True),
+        T.StructField("event_number", T.LongType(), False),
+        T.StructField("event_id", T.StringType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("data", T.StringType(), True),
+        T.StructField("metadata", T.StringType(), True),
+        T.StructField("created", T.TimestampType(), True),
+        T.StructField("is_json", T.BooleanType(), True),
+    ]
+)
+
+STREAM_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("stream_id", T.StringType(), False),
+        T.StructField("max_count", T.LongType(), True),
+        T.StructField("max_age_seconds", T.LongType(), True),
+        T.StructField("truncate_before", T.LongType(), True),
+        T.StructField("tombstoned", T.BooleanType(), False),
+    ]
+)
+
+# System names (SystemNames.cs:37-99): kept for API parity.
+ALL_STREAM = "$all"
+LINK_EVENT_TYPE = "$>"
+STREAM_REFERENCE_EVENT_TYPE = "$@"
+METADATA_EVENT_TYPE = "$metadata"
+STREAM_DELETED_EVENT_TYPE = "$streamDeleted"
+METASTREAM_PREFIX = "$$"
+MAX_LONG = (1 << 63) - 1  # EventNumber for soft-delete ($tb = long.MaxValue)
+
+
+def category_of(stream_id: Column) -> Column:
+    """Category = stream id up to the FIRST '-' separator; null when absent.
+
+    Mirrors StreamCategoryExtractorByFirstSeparator
+    (/root/reference/src/EventStore.Projections.Core/Standard/
+    StreamCategoryExtractorByFirstSeparator.cs) configured "first\\r\\n-".
+    """
+    return F.when(
+        F.instr(stream_id, "-") > 0, F.substring_index(stream_id, "-", 1)
+    ).otherwise(F.lit(None).cast("string"))
+
+
+def metastream_of(stream_id: Column) -> Column:
+    return F.concat(F.lit(METASTREAM_PREFIX), stream_id)
+
+
+def is_metastream(stream_id: Column) -> Column:
+    return stream_id.startswith(METASTREAM_PREFIX)
+
+
+# ---------------------------------------------------------------------------
+# Adapter: driver's application-level events.parquet -> canonical envelope
+# ---------------------------------------------------------------------------
+
+# FIXTURES.md fixed mapping. The two row_number windows are an artifact of
+# adapting a PRE-EXISTING table that lacks positions; in the real engine
+# log_position / event_number are assigned once at append time by the
+# single-writer protocol (writer.py) and stored, so no global window ever
+# runs at query time.  (A global row_number over 100 TB would be a
+# single-task sort — unacceptable; it exists here only because the driver's
+# oracle needs a deterministic mapping on a 60k-row test table.)
+
+def envelope_from_app_events(raw: DataFrame) -> DataFrame:
+    """Map driver ``events.parquet`` (event_id, ts, user_id, event_type,
+    value, props) into the canonical envelope, deterministically.
+
+    ``ts`` arrives as raw nanos (LongType, via nanosAsLong); truncate to µs
+    exactly as DuckDB does when reading TIMESTAMP(NANOS) parquet, and ORDER
+    BY the truncated value so row_number tie-breaks match the oracle.
+    """
+    ts_us = F.expr("ts div 1000")
+    raw = raw.withColumn("_created", F.timestamp_micros(ts_us))
+    w_stream = Window.partitionBy("user_id").orderBy("_created", "event_id")
+    w_all = Window.orderBy("_created", "event_id")
+    return raw.select(
+        F.row_number().over(w_all).cast("long").alias("log_position"),
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("stream_id"),
+        F.lit("user").alias("category"),
+        (F.row_number().over(w_stream).cast("long") - 1).alias("event_number"),
+        F.col("event_id").cast("string").alias("event_id"),
+        F.col("event_type"),
+        F.col("props").alias("data"),
+        F.to_json(F.struct(F.col("value"))).alias("metadata"),
+        F.col("_created").alias("created"),
+        F.lit(True).alias("is_json"),
+        # keep the numeric payload as a typed column too: the engine's
+        # "documents are JSON" stance parses on demand; tests use `value`.
+        F.col("value"),
+        F.col("user_id"),
+    )
+
+
+# DuckDB CTE computing the same envelope (used to build oracle SQL strings).
+ENVELOPE_SQL_CTE = """
+ev AS (
+  SELECT row_number() OVER (ORDER BY ts, event_id)                              AS log_position,
+         'user-' || CAST(user_id AS VARCHAR)                                    AS stream_id,
+         'user'                                                                 AS category,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1     AS event_number,
+         CAST(event_id AS VARCHAR)                                              AS event_id,
+         event_type,
+         props                                                                  AS data,
+         ts                                                                     AS created,
+         value,
+         user_id
+  FROM events
+)
+""".strip()
+
+
+def load_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return envelope_from_app_events(spark.read.parquet(f"{sf_dir}/events.parquet"))

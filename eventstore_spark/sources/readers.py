@@ -1,0 +1,123 @@
+"""Read surface (SURVEY §2.1 S1-S5): thin DataFrame builders over the log.
+
+Reference entry points: ClientMessage.ReadEvent / ReadStreamEventsForward /
+ReadStreamEventsBackward / ReadAllEventsForward / FilteredReadAll
+(/root/reference/src/EventStore.Core/Messages/ClientMessage.cs:477-957),
+implemented by IndexReader / AllReader. There the reads walk an LSM index
+and chunk files; here each read is a declarative filter+sort+limit that
+Catalyst compiles to a pruned columnar scan — the index IS the storage
+layout (partition by category, row-group sort by stream_id, event_number).
+
+All readers return the envelope columns in log order; ``limit`` semantics
+match maxCount paging.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.filters import EventFilter, default_all_filter
+
+
+def read_event(events: DataFrame, stream_id: str, event_number: int) -> DataFrame:
+    """S1: point-read one event; event_number == -1 means the last event.
+
+    Mirrors IndexReader.ReadEvent (IndexReader.cs:113-121).
+    """
+    if event_number == -1:
+        return (
+            events.where(F.col("stream_id") == stream_id)
+            .orderBy(F.col("event_number").desc())
+            .limit(1)
+        )
+    return events.where(
+        (F.col("stream_id") == stream_id) & (F.col("event_number") == event_number)
+    )
+
+
+def read_stream_forward(
+    events: DataFrame,
+    stream_id: str,
+    from_event_number: int = 0,
+    max_count: int | None = None,
+) -> DataFrame:
+    """S2: ordered page of one stream (IndexReader.cs:221-330).
+
+    Retention bounds (MaxCount/MaxAge/$tb) are applied by wrapping the
+    input in ``retention.visible_events`` — composition, not duplication.
+    """
+    out = events.where(
+        (F.col("stream_id") == stream_id)
+        & (F.col("event_number") >= from_event_number)
+    ).orderBy("event_number")
+    if max_count is not None:
+        out = out.limit(max_count)
+    return out
+
+
+def read_stream_backward(
+    events: DataFrame,
+    stream_id: str,
+    from_event_number: int | None = None,
+    max_count: int | None = None,
+) -> DataFrame:
+    """S3: descending page of one stream (IndexReader.cs:612-680)."""
+    out = events.where(F.col("stream_id") == stream_id)
+    if from_event_number is not None:
+        out = out.where(F.col("event_number") <= from_event_number)
+    out = out.orderBy(F.col("event_number").desc())
+    if max_count is not None:
+        out = out.limit(max_count)
+    return out
+
+
+def read_all_forward(
+    events: DataFrame, from_position: int = 0, max_count: int | None = None
+) -> DataFrame:
+    """S4: page of the global log in commit order (AllReader.cs:62)."""
+    out = events.where(F.col("log_position") >= from_position).orderBy("log_position")
+    if max_count is not None:
+        out = out.limit(max_count)
+    return out
+
+
+def read_all_backward(
+    events: DataFrame, from_position: int | None = None, max_count: int | None = None
+) -> DataFrame:
+    """S4 (backward): AllReader.cs:190."""
+    out = events
+    if from_position is not None:
+        out = out.where(F.col("log_position") <= from_position)
+    out = out.orderBy(F.col("log_position").desc())
+    if max_count is not None:
+        out = out.limit(max_count)
+    return out
+
+
+def read_all_filtered(
+    events: DataFrame,
+    event_filter: EventFilter | Column | None = None,
+    from_position: int = 0,
+    max_count: int | None = None,
+    apply_default_filter: bool = False,
+) -> DataFrame:
+    """S5: filtered $all read (AllReader.cs:66-188).
+
+    The reference bounds the scan with maxSearchWindow because its filter
+    runs row-at-a-time over the log; the Catalyst predicate is pushed into
+    the parquet scan so no window bound is needed.
+    """
+    pred = F.lit(True)
+    if apply_default_filter:
+        pred = pred & default_all_filter()
+    if event_filter is not None:
+        pred = pred & (
+            event_filter.predicate() if isinstance(event_filter, EventFilter) else event_filter
+        )
+    out = events.where(pred & (F.col("log_position") >= from_position)).orderBy(
+        "log_position"
+    )
+    if max_count is not None:
+        out = out.limit(max_count)
+    return out
