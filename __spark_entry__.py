@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is an operator from SURVEY.md §2 (read surface,
+filters, system projections, links, retention, projection-fold runtime) or a
+first-class LLM-data-pipeline operator (dedup, similarity search, text
+analysis), implemented Spark-first in ``eventstore_spark/`` and verified
+against the DuckDB ``oracle_sql()`` twin at sf0.01.
+
+Determinism rules used throughout (so value-hashes match across engines):
+  * money/value sums use integer cents/micros (round(x*100) as BIGINT) —
+    order-independent integer addition, output CAST(... AS DOUBLE);
+  * doubles are only output when produced by the *identical* per-row
+    arithmetic in both engines (cosine/quality fold order is pinned);
+  * counts/row_numbers are BIGINT in both;
+  * timestamps are µs-truncated identically (see eventstore_spark.schema).
 """
 
 from __future__ import annotations
@@ -12,27 +20,721 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from eventstore_spark.schema import (
+    ENVELOPE_SQL_CTE,
+    MAX_LONG,
+    load_envelope,
+)
+from eventstore_spark.operators.filters import EventFilter
+from eventstore_spark.operators import system_projections as sysproj
+from eventstore_spark.operators.links import resolve_links
+from eventstore_spark.operators.retention import visible_events
+from eventstore_spark.operators import dedup as dd
+from eventstore_spark.operators import similarity as sim
+from eventstore_spark.operators import textops
+from eventstore_spark.projections.dsl import Projection
+from eventstore_spark.projections.runtime import run_batch
+from eventstore_spark.sources import readers as R
+
+ENVELOPE_COLS = [
+    "log_position", "stream_id", "category", "event_number", "event_id",
+    "event_type", "data", "metadata", "created", "is_json",
+]
+
+
+def _cents(col) -> F.Column:
+    return F.round(col * 100).cast("long")
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _with_ev(body_sql: str) -> str:
+    return f"WITH {ENVELOPE_SQL_CTE}\n{body_sql}"
+
+
+# ---------------------------------------------------------------------------
+# Read surface (S1-S5)
+# ---------------------------------------------------------------------------
+
+def q_s1_read_event(spark, sf):
+    ev = load_envelope(spark, sf)
+    return R.read_event(ev, "user-13", 5).select(
+        "stream_id", "event_number", "event_id", "event_type", "value"
+    )
+
+
+def q_s1_read_event_last(spark, sf):
+    ev = load_envelope(spark, sf)
+    return R.read_event(ev, "user-42", -1).select(
+        "stream_id", "event_number", "event_id", "event_type", "value"
+    )
+
+
+def q_s2_read_stream_forward(spark, sf):
+    ev = load_envelope(spark, sf)
+    return R.read_stream_forward(ev, "user-12", 10, 20).select(
+        "stream_id", "event_number", "event_id", "event_type", "value", "created"
+    )
+
+
+def q_s3_read_stream_backward(spark, sf):
+    ev = load_envelope(spark, sf)
+    return R.read_stream_backward(ev, "user-7", max_count=15).select(
+        "stream_id", "event_number", "event_id", "event_type", "value"
+    )
+
+
+def q_s4_read_all_forward(spark, sf):
+    ev = load_envelope(spark, sf)
+    return R.read_all_forward(ev, 101, 200).select(
+        "log_position", "stream_id", "event_number", "event_type"
+    )
+
+
+def q_s4_read_all_backward(spark, sf):
+    ev = load_envelope(spark, sf)
+    return R.read_all_backward(ev, max_count=50).select(
+        "log_position", "stream_id", "event_number", "event_type"
+    )
+
+
+def q_s5_read_all_filtered(spark, sf):
+    ev = load_envelope(spark, sf)
+    filt = EventFilter(
+        event_type_prefixes=("p", "s"), stream_regex="user-[0-9]*[02468]$"
+    )
+    return R.read_all_filtered(ev, filt, from_position=1, max_count=300).select(
+        "log_position", "stream_id", "event_number", "event_type"
+    )
+
+
+def q_f_filter_agg(spark, sf):
+    """F1+F4 composed: prefix + regex filters feeding an aggregate."""
+    ev = load_envelope(spark, sf)
+    filt = EventFilter(stream_prefixes=("user-1",), event_type_regex="^(purchase|view)$")
+    return (
+        R.read_all_filtered(ev, filt)
+        .groupBy("stream_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_cents(F.col("value"))).alias("cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# System projections (Y1-Y5)
+# ---------------------------------------------------------------------------
+
+def q_y1_streams(spark, sf):
+    return sysproj.streams_directory(load_envelope(spark, sf))
+
+
+def q_y2_by_category(spark, sf):
+    ev = load_envelope(spark, sf)
+    return sysproj.by_category(ev, "user").groupBy("category").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("stream_id").alias("n_streams"),
+    )
+
+
+def q_y3_stream_by_category(spark, sf):
+    return sysproj.stream_by_category(load_envelope(spark, sf), "user")
+
+
+def q_y4_by_event_type(spark, sf):
+    ev = load_envelope(spark, sf)
+    return sysproj.by_event_type(ev, "purchase").groupBy("stream_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(_cents(F.col("value"))).alias("cents"),
+    )
+
+
+def q_y5_by_correlation_id(spark, sf):
+    """$by_correlation_id with correlationIdProperty configured to 'k'."""
+    ev = load_envelope(spark, sf).withColumn(
+        "corr", F.get_json_object(F.col("data"), "$.k")
+    )
+    return ev.where(F.col("corr").isNotNull()).groupBy("corr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("stream_id").alias("n_streams"),
+        F.min("log_position").alias("first_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Links + retention
+# ---------------------------------------------------------------------------
+
+def q_link_resolution(spark, sf):
+    """Build a `$idx-signup` link stream pointing at every signup event,
+    then resolve the links back to the log (ResolveLinkTos)."""
+    ev = load_envelope(spark, sf).select(*ENVELOPE_COLS, "value")
+    env = ev.select(*ENVELOPE_COLS)
+    signups = ev.where(F.col("event_type") == "signup")
+    links = signups.select(
+        (F.col("log_position") + 10_000_000).alias("log_position"),
+        F.lit("$idx-signup").alias("stream_id"),
+        F.lit("$idx").alias("category"),
+        F.col("log_position").alias("event_number"),
+        F.concat(F.lit("link-"), F.col("event_id")).alias("event_id"),
+        F.lit("$>").alias("event_type"),
+        F.concat(F.col("event_number").cast("string"), F.lit("@"), F.col("stream_id")).alias("data"),
+        F.lit(None).cast("string").alias("metadata"),
+        F.col("created"),
+        F.lit(False).alias("is_json"),
+    )
+    resolved = resolve_links(env.unionByName(links))
+    return resolved.where(F.col("link_stream_id") == "$idx-signup").select(
+        "stream_id", "event_number", "event_id", "event_type", "link_event_number"
+    )
+
+
+def q_retention_visibility(spark, sf):
+    """MaxCount / MaxAge / TruncateBefore / soft & hard delete visibility."""
+    ev = load_envelope(spark, sf)
+    md = spark.createDataFrame(
+        [
+            ("user-3", 20, None, None, False),
+            ("user-7", None, 30 * 86400, None, False),
+            ("user-11", None, None, 40, False),
+            ("user-13", None, None, MAX_LONG, False),
+            ("user-17", None, None, None, True),
+        ],
+        "stream_id string, max_count long, max_age_seconds long, truncate_before long, tombstoned boolean",
+    )
+    vis = visible_events(
+        ev, md, now_ts=F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+    )
+    return (
+        vis.where(F.col("stream_id").isin("user-3", "user-7", "user-11", "user-13", "user-17"))
+        .groupBy("stream_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_visible"),
+            F.min("event_number").alias("min_en"),
+            F.max("event_number").alias("max_en"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection fold runtime (P6-P12)
+# ---------------------------------------------------------------------------
+
+def _balance_projection() -> Projection:
+    def init():
+        return {"n": 0, "cents": 0}
+
+    def purchase(s, e):
+        return {"n": s["n"] + 1, "cents": s["cents"] + int(round(e["value"] * 100))}
+
+    def error(s, e):
+        return {"n": s["n"] + 1, "cents": s["cents"] - int(round(e["value"] * 100))}
+
+    return (
+        Projection.from_category("user", name="balance")
+        .foreach_stream()
+        .when({"$init": init, "purchase": purchase, "error": error})
+        .columns("value")
+    )
+
+
+def q_p6_fold_balance(spark, sf):
+    res = run_batch(_balance_projection(), load_envelope(spark, sf))
+    return res.states_as("n long, cents long").select("partition", "n", "cents")
+
+
+def q_p7_partition_by(spark, sf):
+    proj = (
+        Projection.from_all(name="by_bucket")
+        .partition_by(F.floor(F.col("value") / 100).cast("long").cast("string"))
+        .columns("value")
+        .when({
+            "$init": lambda: {"n": 0, "cents": 0},
+            "$any": lambda s, e: {
+                "n": s["n"] + 1,
+                "cents": s["cents"] + int(round(e["value"] * 100)),
+            },
+        })
+    )
+    res = run_batch(proj, load_envelope(spark, sf))
+    return res.states_as("n long, cents long").select("partition", "n", "cents")
+
+
+def q_p8_stream_stats(spark, sf):
+    """foreachStream + transformBy + filterBy (P8/P10/P11)."""
+    proj = (
+        Projection.from_category("user", name="stats")
+        .foreach_stream()
+        .when({
+            "$init": lambda: {"n": 0, "cents": 0, "max_en": -1},
+            "$any": lambda s, e: {
+                "n": s["n"] + 1,
+                "cents": s["cents"] + int(round(e["value"] * 100)),
+                "max_en": max(s["max_en"], e["event_number"]),
+            },
+        })
+        .columns("value")
+        .transform_by(lambda s: {**s, "avg_cents": s["cents"] // s["n"] if s["n"] else 0})
+        .filter_by(lambda s: s["n"] >= 50)
+    )
+    res = run_batch(proj, load_envelope(spark, sf))
+    return res.states_as("n long, cents long, max_en long, avg_cents long").select(
+        "partition", "n", "cents", "max_en", "avg_cents"
+    )
+
+
+def q_p15_emit_hot(spark, sf):
+    """emit() from inside a fold — rows-only check (emitted stream)."""
+    proj = (
+        Projection.from_all(name="hot")
+        .foreach_stream()
+        .when({
+            "$init": lambda: {"n": 0},
+            "purchase": lambda s, e, ctx: (
+                ctx.emit("hot-purchases", "HotPurchase", {"cents": int(round(e["value"] * 100))})
+                if e["value"] > 300
+                else None
+            ) or {"n": s["n"] + 1},
+        })
+    )
+    res = run_batch(proj, load_envelope(spark, sf))
+    return res.emitted.select("stream_id", "event_type", "data", "partition")
+
+
+# ---------------------------------------------------------------------------
+# Analytic SQL surface over the TPC-H-ish tables (§7.3: native Spark SQL)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf):
+    li = _table(spark, sf, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    qty_c = _cents(F.col("l_quantity"))
+    ep_c = _cents(F.col("l_extendedprice"))
+    d_c = _cents(F.col("l_discount"))
+    t_c = _cents(F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty_c).cast("double") / 100.0).alias("sum_qty"),
+            (F.sum(ep_c).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(ep_c * (100 - d_c)).cast("double") / 10_000.0).alias("sum_disc_price"),
+            (F.sum(ep_c * (100 - d_c) * (100 + t_c)).cast("double") / 1_000_000.0).alias("sum_charge"),
+            ((F.sum(qty_c).cast("double") / 100.0) / F.count(F.lit(1)).cast("double")).alias("avg_qty"),
+            ((F.sum(ep_c).cast("double") / 100.0) / F.count(F.lit(1)).cast("double")).alias("avg_price"),
+            ((F.sum(d_c).cast("double") / 100.0) / F.count(F.lit(1)).cast("double")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark, sf):
+    cust = _table(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _table(spark, sf, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _table(spark, sf, "lineitem").where(F.col("l_shipdate") > F.lit("1998-01-01"))
+    rev = (F.col("_ep_c") * (100 - F.col("_d_c"))).alias("rev_u")
+    j = (
+        li.withColumn("_ep_c", _cents(F.col("l_extendedprice")))
+        .withColumn("_d_c", _cents(F.col("l_discount")))
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    agg = (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.col("_ep_c") * (100 - F.col("_d_c"))).alias("rev_u"))
+    )
+    w = Window.orderBy(F.col("rev_u").desc(), F.col("l_orderkey"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select(
+            "l_orderkey",
+            (F.col("rev_u").cast("double") / 10_000.0).alias("revenue"),
+            "o_orderdate", "o_orderpriority",
+        )
+    )
+
+
+def q_tpch_q5_region_revenue(spark, sf):
+    """Revenue per nation for customers in region AMERICA (Q5-flavored)."""
+    li = _table(spark, sf, "lineitem")
+    orders = _table(spark, sf, "orders")
+    cust = _table(spark, sf, "customer")
+    nation = _table(spark, sf, "nation")
+    region = _table(spark, sf, "region").where(F.col("r_name") == "AMERICA")
+    j = (
+        li.withColumn("_rev", _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount"))))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.groupBy("n_name").agg(
+        (F.sum("_rev").cast("double") / 10_000.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_top_order_per_customer(spark, sf):
+    orders = _table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_monthly_revenue(spark, sf):
+    orders = _table(spark, sf, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            (F.sum(_cents(F.col("o_totalprice"))).cast("double") / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_events_hourly(spark, sf):
+    ev = load_envelope(spark, sf)
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("created")).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("value"))).alias("cents"),
+        )
+    )
+
+
+def q_user_sessions(spark, sf):
+    """Sessionization: 30-min inactivity gap, per user."""
+    ev = load_envelope(spark, sf)
+    w = Window.partitionBy("stream_id").orderBy("created", "event_id")
+    gap = F.unix_micros(F.col("created")) - F.unix_micros(F.lag("created").over(w))
+    marked = ev.withColumn(
+        "new_session",
+        F.when(F.lag("created").over(w).isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
+    )
+    return marked.groupBy("stream_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators
+# ---------------------------------------------------------------------------
+
+def q_text_analyze(spark, sf):
+    return textops.analyze_documents(_table(spark, sf, "documents"))
+
+
+def q_text_quality_histogram(spark, sf):
+    docs = _table(spark, sf, "documents")
+    prof = textops.analyze_documents(docs)
+    return prof.groupBy(
+        "lang_pred", F.floor(F.col("quality") * 10).cast("long").alias("decile")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_dedup_exact(spark, sf):
+    return dd.exact_duplicates(_table(spark, sf, "documents"))
+
+
+def q_dedup_minhash_pairs(spark, sf):
+    return dd.minhash_lsh_pairs(_table(spark, sf, "documents"), threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf):
+    return dd.simhash_signature(_table(spark, sf, "documents"))
+
+
+def q_dedup_simhash_pairs(spark, sf):
+    return dd.simhash_pairs(_table(spark, sf, "documents"), max_hamming=3)
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    return dd.ngram_jaccard_pairs(_table(spark, sf, "documents"), threshold=0.4)
+
+
+ANN_QUERY_IDS = [1, 7, 42]
+
+
+def q_ann_bruteforce(spark, sf):
+    return sim.brute_force_topk(_table(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10)
+
+
+def q_ann_lsh(spark, sf):
+    return sim.lsh_topk(_table(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10)
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-stream ordered fold (the reference's core capability)
+    executed as an Arrow-batched applyInPandas over sf0.001."""
+    return q_p6_fold_balance(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "s1_read_event": q_s1_read_event,
+        "s1_read_event_last": q_s1_read_event_last,
+        "s2_read_stream_forward": q_s2_read_stream_forward,
+        "s3_read_stream_backward": q_s3_read_stream_backward,
+        "s4_read_all_forward": q_s4_read_all_forward,
+        "s4_read_all_backward": q_s4_read_all_backward,
+        "s5_read_all_filtered": q_s5_read_all_filtered,
+        "f_filter_agg": q_f_filter_agg,
+        "y1_streams": q_y1_streams,
+        "y2_by_category": q_y2_by_category,
+        "y3_stream_by_category": q_y3_stream_by_category,
+        "y4_by_event_type": q_y4_by_event_type,
+        "y5_by_correlation_id": q_y5_by_correlation_id,
+        "link_resolution": q_link_resolution,
+        "retention_visibility": q_retention_visibility,
+        "p6_fold_balance": q_p6_fold_balance,
+        "p7_partition_by": q_p7_partition_by,
+        "p8_stream_stats": q_p8_stream_stats,
+        "p15_emit_hot": q_p15_emit_hot,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5_region_revenue": q_tpch_q5_region_revenue,
+        "top_order_per_customer": q_top_order_per_customer,
+        "monthly_revenue": q_monthly_revenue,
+        "events_hourly": q_events_hourly,
+        "user_sessions": q_user_sessions,
+        "text_analyze": q_text_analyze,
+        "text_quality_histogram": q_text_quality_histogram,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from eventstore_spark.operators.textops import sql_analyze_documents
+    from eventstore_spark.functions.text import sql_quality_score, sql_lang_id
+
+    cents = "CAST(round({c} * 100) AS BIGINT)"
+    v_c = cents.format(c="value")
+
+    sqls: dict[str, str] = {}
+
+    sqls["s1_read_event"] = _with_ev(
+        "SELECT stream_id, event_number, event_id, event_type, value "
+        "FROM ev WHERE stream_id = 'user-13' AND event_number = 5"
+    )
+    sqls["s1_read_event_last"] = _with_ev(
+        "SELECT stream_id, event_number, event_id, event_type, value FROM ev "
+        "WHERE stream_id = 'user-42' "
+        "QUALIFY row_number() OVER (ORDER BY event_number DESC) = 1"
+    )
+    sqls["s2_read_stream_forward"] = _with_ev(
+        "SELECT stream_id, event_number, event_id, event_type, value, created FROM ev "
+        "WHERE stream_id = 'user-12' AND event_number >= 10 "
+        "QUALIFY row_number() OVER (ORDER BY event_number) <= 20"
+    )
+    sqls["s3_read_stream_backward"] = _with_ev(
+        "SELECT stream_id, event_number, event_id, event_type, value FROM ev "
+        "WHERE stream_id = 'user-7' "
+        "QUALIFY row_number() OVER (ORDER BY event_number DESC) <= 15"
+    )
+    sqls["s4_read_all_forward"] = _with_ev(
+        "SELECT log_position, stream_id, event_number, event_type FROM ev "
+        "WHERE log_position >= 101 "
+        "QUALIFY row_number() OVER (ORDER BY log_position) <= 200"
+    )
+    sqls["s4_read_all_backward"] = _with_ev(
+        "SELECT log_position, stream_id, event_number, event_type FROM ev "
+        "QUALIFY row_number() OVER (ORDER BY log_position DESC) <= 50"
+    )
+    sqls["s5_read_all_filtered"] = _with_ev(
+        "SELECT log_position, stream_id, event_number, event_type FROM ev "
+        "WHERE log_position >= 1 "
+        "AND (event_type LIKE 'p%' OR event_type LIKE 's%') "
+        "AND regexp_matches(stream_id, 'user-[0-9]*[02468]$') "
+        "QUALIFY row_number() OVER (ORDER BY log_position) <= 300"
+    )
+    sqls["f_filter_agg"] = _with_ev(
+        f"SELECT stream_id, event_type, CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(sum({v_c}) AS BIGINT) AS cents FROM ev "
+        "WHERE stream_id LIKE 'user-1%' AND regexp_matches(event_type, '^(purchase|view)$') "
+        "GROUP BY stream_id, event_type"
+    )
+    sqls["y1_streams"] = _with_ev(
+        "SELECT stream_id, min(log_position) AS first_log_position, "
+        "max(event_number) AS last_event_number, CAST(count(*) AS BIGINT) AS event_count "
+        "FROM ev GROUP BY stream_id"
+    )
+    sqls["y2_by_category"] = _with_ev(
+        "SELECT category, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(count(DISTINCT stream_id) AS BIGINT) AS n_streams "
+        "FROM ev WHERE category = 'user' GROUP BY category"
+    )
+    sqls["y3_stream_by_category"] = _with_ev(
+        "SELECT category, stream_id, min(log_position) AS first_log_position "
+        "FROM ev WHERE category = 'user' GROUP BY category, stream_id"
+    )
+    sqls["y4_by_event_type"] = _with_ev(
+        f"SELECT stream_id, CAST(count(*) AS BIGINT) AS n_purchases, "
+        f"CAST(sum({v_c}) AS BIGINT) AS cents "
+        "FROM ev WHERE event_type = 'purchase' GROUP BY stream_id"
+    )
+    sqls["y5_by_correlation_id"] = _with_ev(
+        "SELECT json_extract_string(data, '$.k') AS corr, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(count(DISTINCT stream_id) AS BIGINT) AS n_streams, "
+        "min(log_position) AS first_pos "
+        "FROM ev WHERE json_extract_string(data, '$.k') IS NOT NULL GROUP BY 1"
+    )
+    sqls["link_resolution"] = _with_ev(
+        "SELECT stream_id, event_number, event_id, event_type, "
+        "log_position AS link_event_number "
+        "FROM ev WHERE event_type = 'signup'"
+    )
+    sqls["retention_visibility"] = _with_ev(
+        """
+, bounds AS (
+  SELECT stream_id, max(event_number) AS last_en FROM ev GROUP BY stream_id
+)
+SELECT e.stream_id, CAST(count(*) AS BIGINT) AS n_visible,
+       min(e.event_number) AS min_en, max(e.event_number) AS max_en
+FROM ev e JOIN bounds b ON e.stream_id = b.stream_id
+WHERE (e.stream_id = 'user-3' AND e.event_number > b.last_en - 20)
+   OR (e.stream_id = 'user-7' AND e.created >= TIMESTAMP '2024-03-01 00:00:00' - INTERVAL 30 DAY)
+   OR (e.stream_id = 'user-11' AND e.event_number >= 40)
+GROUP BY e.stream_id
+"""
+    )
+    sqls["p6_fold_balance"] = _with_ev(
+        f"""
+SELECT stream_id AS "partition", CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN {v_c} ELSE -{v_c} END) AS BIGINT) AS cents
+FROM ev WHERE event_type IN ('purchase', 'error') GROUP BY stream_id
+"""
+    )
+    sqls["p7_partition_by"] = _with_ev(
+        f"""
+SELECT CAST(CAST(floor(value / 100) AS BIGINT) AS VARCHAR) AS "partition",
+       CAST(count(*) AS BIGINT) AS n, CAST(sum({v_c}) AS BIGINT) AS cents
+FROM ev GROUP BY 1
+"""
+    )
+    sqls["p8_stream_stats"] = _with_ev(
+        f"""
+SELECT stream_id AS "partition", CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({v_c}) AS BIGINT) AS cents,
+       max(event_number) AS max_en,
+       CAST(sum({v_c}) // count(*) AS BIGINT) AS avg_cents
+FROM ev GROUP BY stream_id HAVING count(*) >= 50
+"""
+    )
+    # p15_emit_hot: emitted-stream output — not SQL-expressible row-for-row
+    # (deterministic event ids come from the fold); rows-only check.
+
+    lic = {
+        "q": cents.format(c="l_quantity"),
+        "ep": cents.format(c="l_extendedprice"),
+        "d": cents.format(c="l_discount"),
+        "t": cents.format(c="l_tax"),
+    }
+    sqls["tpch_q1"] = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(sum({lic['q']}) AS DOUBLE) / 100.0 AS sum_qty,
+  CAST(sum({lic['ep']}) AS DOUBLE) / 100.0 AS sum_base_price,
+  CAST(sum({lic['ep']} * (100 - {lic['d']})) AS DOUBLE) / 10000.0 AS sum_disc_price,
+  CAST(sum({lic['ep']} * (100 - {lic['d']}) * (100 + {lic['t']})) AS DOUBLE) / 1000000.0 AS sum_charge,
+  (CAST(sum({lic['q']}) AS DOUBLE) / 100.0) / CAST(count(*) AS DOUBLE) AS avg_qty,
+  (CAST(sum({lic['ep']}) AS DOUBLE) / 100.0) / CAST(count(*) AS DOUBLE) AS avg_price,
+  (CAST(sum({lic['d']}) AS DOUBLE) / 100.0) / CAST(count(*) AS DOUBLE) AS avg_disc,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+    sqls["tpch_q3"] = f"""
+WITH agg AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         sum({lic['ep']} * (100 - {lic['d']})) AS rev_u
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+  WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2, 3
+)
+SELECT l_orderkey, CAST(rev_u AS DOUBLE) / 10000.0 AS revenue, o_orderdate, o_orderpriority
+FROM agg QUALIFY row_number() OVER (ORDER BY rev_u DESC, l_orderkey) <= 10
+"""
+    sqls["tpch_q5_region_revenue"] = f"""
+SELECT n_name,
+  CAST(sum({lic['ep']} * (100 - {lic['d']})) AS DOUBLE) / 10000.0 AS revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = 'AMERICA'
+GROUP BY n_name
+"""
+    sqls["top_order_per_customer"] = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+"""
+    sqls["monthly_revenue"] = f"""
+SELECT date_trunc('month', o_orderdate) AS month,
+  CAST(sum({cents.format(c='o_totalprice')}) AS DOUBLE) / 100.0 AS revenue,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1
+"""
+    sqls["events_hourly"] = _with_ev(
+        f"SELECT date_trunc('hour', created) AS hour, CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(sum({v_c}) AS BIGINT) AS cents FROM ev GROUP BY 1"
+    )
+    sqls["user_sessions"] = _with_ev(
+        """
+, marked AS (
+  SELECT stream_id,
+    CASE WHEN lag(created) OVER w IS NULL
+           OR epoch_us(created) - epoch_us(lag(created) OVER w) > 1800 * 1000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM ev WINDOW w AS (PARTITION BY stream_id ORDER BY created, event_id)
+)
+SELECT stream_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM marked GROUP BY stream_id
+"""
+    )
+    sqls["text_analyze"] = sql_analyze_documents()
+    sqls["text_quality_histogram"] = f"""
+WITH prof AS (
+  SELECT doc_id, {sql_lang_id('text')} AS lang_pred, {sql_quality_score('text')} AS quality
+  FROM documents
+)
+SELECT lang_pred, CAST(floor(quality * 10) AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n
+FROM prof GROUP BY 1, 2
+"""
+    from eventstore_spark.functions.text import SQL_FINGERPRINT
+
+    fp = SQL_FINGERPRINT.format(c="text")
+    sqls["dedup_exact"] = f"""
+WITH f AS (SELECT doc_id, {fp} AS fp FROM documents)
+SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_duplicate
+FROM f
+"""
+    sqls["dedup_minhash_pairs"] = dd.sql_minhash_pairs(threshold=0.5)
+    sqls["dedup_simhash"] = dd.sql_simhash()
+    sqls["dedup_simhash_pairs"] = dd.sql_simhash_pairs(max_hamming=3)
+    sqls["dedup_ngram_jaccard"] = dd.sql_ngram_jaccard_pairs(threshold=0.4)
+    sqls["ann_bruteforce"] = sim.sql_brute_force_topk(ANN_QUERY_IDS, k=10)
+    sqls["ann_lsh"] = sim.sql_lsh_topk(ANN_QUERY_IDS, k=10)
+    return sqls

@@ -1,0 +1,81 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the noop sink (full execution, no driver
+collect). Timings include plan+execution but not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+import __spark_entry__ as entry
+from eventstore_spark.session import get_spark
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5_region_revenue",
+    "top_order_per_customer",
+    "events_hourly",
+    "user_sessions",
+    "y1_streams",
+    "p6_fold_balance",
+    "text_analyze",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "ann_bruteforce",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    qs = entry.queries()
+
+    # warm the JVM/codegen paths and the Arrow/Python-UDF worker pool on a
+    # trivial action (not counted)
+    spark.range(1000).count()
+    import pandas as pd  # noqa: F401
+
+    (
+        spark.range(64)
+        .groupBy((F.col("id") % 8).alias("g"))
+        .applyInPandas(lambda pdf: pdf.head(1)[["id"]], "id long")
+        .count()
+    )
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

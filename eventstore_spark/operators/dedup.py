@@ -1,0 +1,382 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all shuffle-conscious and oracle-reproducible:
+
+  * exact          — hash-groupBy on a normalized-text fingerprint.
+  * MinHash + LSH  — shingle → k minhashes → b bands → bucket join →
+                     exact-Jaccard verify. One shuffle per join; candidate
+                     generation never compares all pairs.
+  * SimHash        — 60-bit signature by per-bit majority vote over token
+                     hashes; near-dups via banded bucket join + Hamming
+                     verify (bit_count(a XOR b)).
+  * embedding      — cosine near-dup: exact O(n²) verify for small sets,
+                     sign-LSH (random-hyperplane) bucketing as the scale
+                     path.
+
+Determinism contract: every hash is derived from md5 strings (identical in
+Spark and DuckDB), so the oracle reproduces signatures, buckets, candidates
+and final pairs exactly — LSH false negatives are therefore *identical* in
+both engines, keeping hash-match comparisons meaningful.
+
+At 100 TB: the banded self-joins shuffle on short hash keys (AQE handles
+skew); signatures are computed in one codegen'd projection pass; nothing
+leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import fingerprint, shingles, sql_shingles, SQL_FINGERPRINT
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Mark every doc with its fingerprint and canonical (min-id) twin.
+
+    Returns (doc_id, fp, canonical_id, is_duplicate). One shuffle on fp.
+    """
+    with_fp = docs.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
+    w = Window.partitionBy("fp")
+    return with_fp.select(
+        "doc_id",
+        "fp",
+        F.min("doc_id").over(w).alias("canonical_id"),
+    ).withColumn("is_duplicate", F.col("doc_id") != F.col("canonical_id"))
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one doc (min id) per identical normalized text."""
+    marked = exact_duplicates(docs, id_col, text_col)
+    keep = marked.where(~F.col("is_duplicate")).select("doc_id")
+    return docs.join(keep, docs[id_col] == keep.doc_id, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+MINHASH_P = 2147483647  # 2^31 - 1
+
+
+def _mh_a(i: int) -> int:
+    return 2 * i + 1
+
+
+def _mh_b(i: int) -> int:
+    return 7919 * (i + 1)
+
+
+def minhash_signature(docs: DataFrame, id_col="doc_id", text_col="text",
+                      num_hashes: int = 9, shingle_n: int = 3) -> DataFrame:
+    """(doc_id, shingles array, sig array<long>).
+
+    One md5 per shingle → 32-bit base hash h; the k minhashes are affine
+    derivations min((a_i*h + b_i) mod p) — integer arithmetic identical in
+    Spark and DuckDB, ~k× cheaper than hashing every shingle k times.
+    """
+    sh = shingles(F.col(text_col), shingle_n)
+    base = F.transform(
+        F.col("shingles"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), sh.alias("shingles")
+    ).withColumn("_h", base)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("_h"),
+                    lambda h: (h * _mh_a(i) + _mh_b(i)) % MINHASH_P,
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return staged.withColumn("sig", sig).drop("_h")
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
+                      num_hashes: int = 9, bands: int = 3, shingle_n: int = 3,
+                      threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs (a < b) with exact Jaccard >= threshold, found
+    via LSH banding (rows-per-band = num_hashes / bands).
+
+    Plan shape: project signatures → explode bands (b rows/doc) → self-join
+    on (band_index, band_hash) → distinct candidate pairs → verify Jaccard
+    on the shingle SETS. The verify join re-fetches shingle arrays by id —
+    cheaper at scale than carrying arrays through the band explode.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signature(docs, id_col, text_col, num_hashes, shingle_n)
+    # The signature expression feeds four plan branches (band self-join x/y,
+    # verify join a/b) — materialize it once instead of recomputing the md5
+    # tree per branch. At warehouse scale this is a persisted signature
+    # table; locally Spark's in-memory columnar cache plays that role.
+    sigs = sigs.withColumn("sset", F.array_distinct("shingles")).drop("shingles").cache()
+
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda j: F.struct(
+                    j.alias("band"),
+                    F.md5(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), j * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                            "|",
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bh"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+
+    sets = sigs.select("doc_id", "sset")
+    verified = (
+        cand.join(sets.withColumnRenamed("doc_id", "a").withColumnRenamed("sset", "sa"), "a")
+        .join(sets.withColumnRenamed("doc_id", "b").withColumnRenamed("sset", "sb"), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sa", "sb")).cast("double")
+            / F.size(F.array_union("sa", "sb")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return verified
+
+
+def sql_minhash_pairs(num_hashes: int = 9, bands: int = 3, shingle_n: int = 3,
+                      threshold: float = 0.5, table: str = "documents") -> str:
+    """DuckDB oracle reproducing minhash_lsh_pairs exactly."""
+    rows = num_hashes // bands
+    sh = sql_shingles("text", shingle_n)
+    sig_elems = ", ".join(
+        f"list_min(list_transform(h, x -> (x * {_mh_a(i)} + {_mh_b(i)}) % {MINHASH_P}))"
+        for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, md5({parts}) AS bh FROM sigs".format(
+            j=j,
+            parts=" || '|' || ".join(
+                f"CAST(sig[{j * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for j in range(bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {sh} AS sh FROM {table}
+), hashed AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS h
+  FROM base
+), sigs AS (
+  SELECT doc_id, [{sig_elems}] AS sig, list_distinct(sh) AS sset FROM hashed
+), banded AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+)
+SELECT c.a, c.b,
+       CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+       / CAST(len(list_distinct(list_concat(sa.sset, sb.sset))) AS DOUBLE) AS jaccard
+FROM cand c JOIN sigs sa ON c.a = sa.doc_id JOIN sigs sb ON c.b = sb.doc_id
+WHERE jaccard >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed BIGINT in both engines
+
+
+def simhash_signature(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """(doc_id, simhash long): per-bit majority vote over token hashes.
+
+    token hash = first 15 hex chars of md5(token) as a 60-bit int; bit j of
+    the signature is 1 iff more token-hashes have bit j set than not.
+
+    Plan: explode tokens → one hash column → single groupBy(doc_id) with 60
+    vectorized conditional-sum aggregates (map-side partial agg, one
+    shuffle on doc_id) → recombine bits. All JVM-side; integer votes are
+    order-independent, so the result is engine-portable.
+    """
+    from ..functions.text import tokens
+
+    th = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_t"))
+        .select("doc_id", F.explode("_t").alias("tok"))
+        .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
+    )
+    votes = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        sig = sig + F.when(
+            F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
+                  max_hamming: int = 3, chunks: int = 4) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: split 60 bits into ``chunks`` 15-bit bands — any
+    pair within Hamming <= chunks-1 shares at least one exact band; verify
+    with bit_count(a XOR b).
+    """
+    sigs = simhash_signature(docs, id_col, text_col)
+    width = SIMHASH_BITS // chunks
+    mask = (1 << width) - 1
+    banded = sigs.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftright(F.col("simhash"), j * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bh"),
+                    )
+                    for j in range(chunks)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band", "b.bh")
+    pairs = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bh"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"),
+            F.col("x.simhash").alias("ha"), F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+    )
+    return pairs
+
+
+def sql_simhash(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB simhash signature, reproducing simhash_signature bit-exactly."""
+    from ..functions.text import SQL_TOKENS
+
+    toks = SQL_TOKENS.format(c=text_col)
+    return f"""
+SELECT doc_id,
+  list_reduce(list_transform(range(0, {SIMHASH_BITS}), j ->
+    CASE WHEN list_reduce(list_transform(th, h ->
+        CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END), (x, y) -> x + y) > 0
+      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+  ), (x, y) -> x + y) AS simhash
+FROM (
+  SELECT doc_id,
+         list_transform({toks}, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS th
+  FROM {table}
+)
+"""
+
+
+def sql_simhash_pairs(max_hamming: int = 3, chunks: int = 4, table: str = "documents") -> str:
+    width = SIMHASH_BITS // chunks
+    mask = (1 << width) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS band, (simhash >> {j * width}) & {mask} AS bh FROM sigs"
+        for j in range(chunks)
+    )
+    return f"""
+WITH sigs AS ({sql_simhash(table)}), banded AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS ha, y.simhash AS hb
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (no LSH: candidates = pairs sharing any shingle)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
+                        shingle_n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard over shingle sets for every pair sharing >= 1 shingle.
+
+    Inverted-index join: explode distinct shingles → self-join on shingle →
+    count shared → |A∩B| / (|A|+|B|-|A∩B|). Scales as sum over shingles of
+    df², not n² — hot shingles are the skew risk (AQE skew-join handles).
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sset"),
+    ).withColumn("ssize", F.size("sset"))
+    inv = base.select("doc_id", "ssize", F.explode("sset").alias("s"))
+    shared = (
+        inv.alias("x")
+        .join(inv.alias("y"), "s")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"),
+                 F.col("x.ssize").alias("na"), F.col("y.ssize").alias("nb"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        shared.withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def sql_ngram_jaccard_pairs(shingle_n: int = 3, threshold: float = 0.5,
+                            table: str = "documents") -> str:
+    sh = sql_shingles("text", shingle_n)
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_distinct({sh}) AS sset FROM {table}
+), inv AS (
+  SELECT doc_id, len(sset) AS ssize, unnest(sset) AS s FROM base
+), shared AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, x.ssize AS na, y.ssize AS nb,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT a, b, CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
+FROM shared WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {threshold}
+"""

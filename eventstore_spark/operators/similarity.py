@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two strategies:
+
+  * ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+    set against the corpus, one codegen'd pass, per-query window top-k.
+    The correctness baseline, and the right plan whenever |queries| is
+    small — at 100 TB the corpus side stays distributed, the query side is
+    broadcast, no shuffle of the big side at all (the window partitions by
+    query id over a corpus-side-reduced candidate set).
+  * ``lsh_topk`` — sign-LSH (random hyperplane) bucketing: deterministic
+    hyperplanes derived from md5 bits (engine-portable, no RNG), candidates
+    = corpus points sharing the query's bucket in >= 1 of ``tables``
+    independent hash tables, then exact cosine re-rank. The scale path:
+    probes touch ~1/2^planes of the corpus per table.
+
+Exact-rerank determinism: cosine computed by the identical left-fold in
+Spark and DuckDB (functions/vectors.py), ties broken by vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine, sql_cosine
+
+
+def brute_force_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors (excluding self) for each query id.
+
+    Returns (query_id, vec_id, rank, sim).
+    """
+    queries = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    corpus = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qvec"), F.col("vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "sim")
+    )
+
+
+def sql_brute_force_topk(query_ids: list[int], k: int = 10, dim: int = 64,
+                         table: str = "embeddings") -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = sql_cosine("q.embedding", "c.embedding", dim)
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {cos} AS sim
+  FROM {table} q JOIN {table} c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id IN ({ids})
+), ranked AS (
+  SELECT query_id, vec_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank, sim FROM ranked WHERE rank <= {k}
+"""
+
+
+# -- sign-LSH ----------------------------------------------------------------
+
+def _hyperplane_sign(vec, table_i: int, plane_j: int, dim: int):
+    """Deterministic pseudo-random hyperplane: component d has sign +1/-1
+    from bit (d mod 60) of md5("t<i>|p<j>|b<block>"); dot(vec, plane) > 0
+    gives one LSH bit. All md5-derived → identical in DuckDB."""
+    # plane component for dim d: bit (d % 60) of block d // 60
+    def comp(d):
+        block = d // 60
+        h = F.conv(
+            F.substring(F.md5(F.lit(f"t{table_i}|p{plane_j}|b{block}")), 1, 15), 16, 10
+        ).cast("long")
+        return F.when(
+            F.shiftright(h, d % 60).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+
+    s = F.lit(0.0)
+    for d in range(dim):
+        s = s + vec[d].cast("double") * comp(d)
+    return F.when(s > 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_bucket(vec, table_i: int, planes: int, dim: int):
+    """Bucket id in one hash table = integer from ``planes`` sign bits."""
+    b = F.lit(0)
+    for j in range(planes):
+        b = b * 2 + _hyperplane_sign(vec, table_i, j, dim)
+    return b
+
+
+def lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+             planes: int = 4, tables: int = 2, dim: int = 64,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates share the query's bucket in any table,
+    exact cosine re-rank. Returns (query_id, vec_id, rank, sim)."""
+    base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    for t in range(tables):
+        base = base.withColumn(f"b{t}", lsh_bucket(F.col("vec"), t, planes, dim))
+    queries = base.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"),
+        *[F.col(f"b{t}").alias(f"qb{t}") for t in range(tables)],
+    )
+    match = F.lit(False)
+    for t in range(tables):
+        match = match | (F.col(f"b{t}") == F.col(f"qb{t}"))
+    cand = (
+        base.crossJoin(F.broadcast(queries))
+        .where((F.col("vec_id") != F.col("query_id")) & match)
+        .withColumn("sim", cosine(F.col("qvec"), F.col("vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "sim")
+    )
+
+
+def sql_lsh_topk(query_ids: list[int], k: int = 10, planes: int = 4, tables: int = 2,
+                 dim: int = 64, table: str = "embeddings") -> str:
+    """DuckDB oracle reproducing lsh_topk exactly (same hyperplanes)."""
+    import hashlib
+
+    def comp_sign(t, j, d):
+        block = d // 60
+        h = int(hashlib.md5(f"t{t}|p{j}|b{block}".encode()).hexdigest()[:15], 16)
+        return 1.0 if (h >> (d % 60)) & 1 == 1 else -1.0
+
+    def bucket_expr(vec, t):
+        bits = []
+        for j in range(planes):
+            terms = " + ".join(
+                f"CAST({vec}[{d + 1}] AS DOUBLE) * ({comp_sign(t, j, d)})" for d in range(dim)
+            )
+            bits.append(f"CASE WHEN ({terms}) > 0 THEN 1 ELSE 0 END")
+        e = "0"
+        for bexp in bits:
+            e = f"({e}) * 2 + ({bexp})"
+        return e
+
+    ids = ", ".join(str(i) for i in query_ids)
+    buckets = ", ".join(f"{bucket_expr('embedding', t)} AS b{t}" for t in range(tables))
+    match = " OR ".join(f"c.b{t} = q.b{t}" for t in range(tables))
+    cos = sql_cosine("q.embedding", "c.embedding", dim)
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding, {buckets} FROM {table}
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {cos} AS sim
+  FROM base q JOIN base c ON c.vec_id <> q.vec_id AND ({match})
+  WHERE q.vec_id IN ({ids})
+), ranked AS (
+  SELECT query_id, vec_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank, sim FROM ranked WHERE rank <= {k}
+"""
+
+
+def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                            planes: int = 4, tables: int = 2, dim: int = 64,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            exact: bool = False) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    exact=True: all-pairs verify (oracle baseline). exact=False: sign-LSH
+    candidates (same-bucket in any table) then verify — the scale path.
+    """
+    base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    if not exact:
+        for t in range(tables):
+            base = base.withColumn(f"b{t}", lsh_bucket(F.col("vec"), t, planes, dim))
+    x = base.alias("x")
+    y = base.alias("y")
+    cond = F.col("x.vec_id") < F.col("y.vec_id")
+    if not exact:
+        match = F.lit(False)
+        for t in range(tables):
+            match = match | (F.col(f"x.b{t}") == F.col(f"y.b{t}"))
+        cond = cond & match
+    return (
+        x.join(y, cond)
+        .withColumn("sim", cosine(F.col("x.vec"), F.col("y.vec")))
+        .where(F.col("sim") >= threshold)
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"), "sim")
+    )

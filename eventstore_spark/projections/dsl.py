@@ -66,6 +66,7 @@ class Projection:
     result_stream_name: str | None = None
     include_links: bool = False
     options_: dict = field(default_factory=dict)
+    columns_: tuple[str, ...] | None = None
 
     # ---- selectors ----
     @staticmethod
@@ -136,6 +137,15 @@ class Projection:
     def output_to(self, result_stream: str) -> "Projection":
         self.output_state_ = True
         self.result_stream_name = result_stream
+        return self
+
+    def columns(self, *cols: str) -> "Projection":
+        """Column-pruning hint: only these payload columns reach the fold
+        (plus the engine columns log_position/stream_id/event_type). Cuts
+        the Arrow transfer into the Python fold — at scale, also narrows the
+        parquet scan. Include 'data'/'is_json' if handlers read e['body'],
+        'metadata' for e['meta']."""
+        self.columns_ = tuple(cols)
         return self
 
     def options(self, **opts) -> "Projection":

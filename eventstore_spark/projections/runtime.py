@@ -101,28 +101,50 @@ class EmitContext:
         self._seq += 1
 
 
-def _event_dict(row: dict) -> dict:
-    ev = dict(row)
-    if ev.get("is_json") and isinstance(ev.get("data"), str):
-        try:
-            ev["body"] = json.loads(ev["data"])
-        except (ValueError, TypeError):
-            ev["body"] = None
-    else:
-        ev["body"] = ev.get("data")
-    md = ev.get("metadata")
-    if isinstance(md, str):
-        try:
-            ev["meta"] = json.loads(md)
-        except (ValueError, TypeError):
-            ev["meta"] = None
-    else:
-        ev["meta"] = None
-    return ev
+class Event(dict):
+    """Event envelope handed to handlers; ``body``/``meta`` (parsed JSON)
+    are computed only on first access — most folds read typed columns and
+    never pay the json.loads."""
+
+    __slots__ = ()
+
+    def __missing__(self, key):
+        if key == "body":
+            v = None
+            if self.get("is_json") and isinstance(self.get("data"), str):
+                try:
+                    v = json.loads(self["data"])
+                except (ValueError, TypeError):
+                    v = None
+            elif not self.get("is_json"):
+                v = self.get("data")
+            self["body"] = v
+            return v
+        if key == "meta":
+            v = None
+            md = self.get("metadata")
+            if isinstance(md, str):
+                try:
+                    v = json.loads(md)
+                except (ValueError, TypeError):
+                    v = None
+            self["meta"] = v
+            return v
+        raise KeyError(key)
 
 
-def _make_fold(proj: Projection):
-    """Build the applyInPandas fold closure for one projection."""
+def _event_dict(row: dict) -> Event:
+    return Event(row)
+
+
+def _make_fold(proj: Projection, sort_key: str = "log_position"):
+    """Build the applyInPandas fold closure for one projection.
+
+    ``sort_key``: per-stream folds replay by ``event_number`` — identical
+    order to log_position within a stream (envelope invariant), but it
+    doesn't force materializing the global position when the source lacks
+    it.
+    """
     handlers = dict(proj.handlers)
     arity = dict(proj.handler_arity)
     chain = list(proj.state_chain)
@@ -134,7 +156,7 @@ def _make_fold(proj: Projection):
         return state if out is None else out  # undefined return keeps state
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("log_position", kind="mergesort")
+        pdf = pdf.sort_values(sort_key, kind="mergesort")
         partition = str(pdf["_partition"].iloc[0]) if len(pdf) else ""
         ctx = EmitContext(name, partition)
         init = handlers.get(INIT)
@@ -144,7 +166,7 @@ def _make_fold(proj: Projection):
         cols = [c for c in pdf.columns if c != "_partition"]
         for row in pdf[cols].itertuples(index=False):
             ev = _event_dict(dict(zip(cols, row)))
-            ctx._pos = int(ev["log_position"])
+            ctx._pos = int(ev.get("log_position", ev.get("event_number", -1)))
             et = ev["event_type"]
             if et == STREAM_DELETED_EVENT_TYPE:
                 if del_h is not None:
@@ -210,6 +232,21 @@ def run_batch(proj: Projection, events: DataFrame) -> ProjectionResult:
     """Execute a projection as a OneTime query over the log."""
     src = select_source(events, proj)
 
+    # Per-stream folds replay by event_number (same order as log_position
+    # within a stream); cross-stream folds need the global order. Folds
+    # whose handlers take ctx (emit/linkTo) also need log_position for
+    # deterministic emitted-event ids.
+    emits = any(a >= 3 for a in proj.handler_arity.values())
+    by_stream_only = proj.by_stream and not emits
+    sort_key = "event_number" if by_stream_only else "log_position"
+
+    if proj.columns_ is not None:
+        needed = ["stream_id", "event_type", "event_number"]
+        if not by_stream_only:
+            needed.append("log_position")
+        keep = needed + [c for c in proj.columns_ if c not in needed and c in src.columns]
+        src = src.select(*keep)
+
     if proj.by_stream:
         src = src.withColumn("_partition", F.col("stream_id"))
     elif proj.partition_col is not None:
@@ -227,5 +264,38 @@ def run_batch(proj: Projection, events: DataFrame) -> ProjectionResult:
     else:
         src = src.withColumn("_partition", F.lit(""))
 
-    out = src.groupBy("_partition").applyInPandas(_make_fold(proj), _OUT_SCHEMA)
+    # Execution: hash-repartition on the partition key, sort within each
+    # task by (key, order), then stream the fold with mapInPandas, slicing
+    # groups out of each Arrow batch in pandas. groupBy().applyInPandas()
+    # would ship ONE ARROW BATCH PER GROUP (≈15-20 ms fixed IPC cost per
+    # group — ruinous for many small streams); here a batch carries
+    # thousands of groups. Groups spanning batch boundaries are stitched
+    # via a carried tail.
+    fold = _make_fold(proj, sort_key)
+
+    def fold_partition(batches):
+        import pandas as _pd
+
+        leftover = None
+        for pdf in batches:
+            if leftover is not None and len(leftover):
+                pdf = _pd.concat([leftover, pdf], ignore_index=True)
+            if not len(pdf):
+                leftover = None
+                continue
+            keys = pdf["_partition"].values
+            last = keys[-1]
+            cut = int((keys == last).argmax())
+            complete, leftover = pdf.iloc[:cut], pdf.iloc[cut:]
+            for _, g in complete.groupby("_partition", sort=False):
+                yield fold(g)
+        if leftover is not None and len(leftover):
+            for _, g in leftover.groupby("_partition", sort=False):
+                yield fold(g)
+
+    n_part = src.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    src = src.repartition(int(n_part), "_partition").sortWithinPartitions(
+        "_partition", sort_key
+    )
+    out = src.mapInPandas(fold_partition, _OUT_SCHEMA)
     return ProjectionResult(raw=out)
