@@ -117,17 +117,15 @@ class EventLogWriter:
             raise StreamDeletedError(stream_id)
         if expected == ANY:
             pass
-        elif expected == NO_STREAM:
-            if last != NO_STREAM:
-                raise WrongExpectedVersionError(stream_id, expected, last)
         elif expected == STREAM_EXISTS:
             if last == NO_STREAM:
                 raise WrongExpectedVersionError(stream_id, expected, last)
         elif expected != last:
-            # idempotent replay? (CommitDecision.Idempotent): the same ids
-            # already committed at expected+1..expected+len
+            # NO_STREAM is exact version -1. On mismatch, check idempotent
+            # replay (CommitDecision.Idempotent): the same ids already
+            # committed at expected+1..expected+len.
             known = self._ids.get(stream_id, {})
-            if all(
+            if events and all(
                 ev.event_id in known and known[ev.event_id] == expected + 1 + i
                 for i, ev in enumerate(events)
             ):

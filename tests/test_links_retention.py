@@ -1,0 +1,85 @@
+"""Link resolution + retention visibility, mirroring the reference's
+MaxAgeMaxCount / TruncateBefore storage-test fixtures."""
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from eventstore_spark.operators.links import resolve_links
+from eventstore_spark.operators.retention import visible_events
+from eventstore_spark.operators import system_projections as sp
+from eventstore_spark.schema import EVENTS_SCHEMA, MAX_LONG, STREAM_METADATA_SCHEMA
+
+
+def test_resolve_links_pairs_target_and_link(bank_events):
+    out = resolve_links(bank_events)
+    link = [r for r in out.collect() if r.link_stream_id == "idx-1"]
+    assert len(link) == 1
+    r = link[0]
+    assert (r.stream_id, r.event_number, r.event_id) == ("account-1", 1, "a2")
+    assert r.link_event_number == 0
+    # non-link rows pass through untouched
+    assert out.where(F.col("link_stream_id").isNull()).count() == bank_events.count() - 1
+
+
+def test_resolve_dangling_link(spark, bank_events):
+    extra = spark.createDataFrame(
+        [(50, "idx-1", "idx", 1, "l2", "$>", "9@ghost", None, None, False)],
+        EVENTS_SCHEMA,
+    )
+    out = resolve_links(bank_events.union(extra))
+    r = [x for x in out.collect() if x.link_event_number == 1 and x.link_stream_id == "idx-1"][0]
+    assert r.stream_id == "ghost" and r.event_id is None
+
+
+def test_resolve_links_disabled(bank_events):
+    assert resolve_links(bank_events, resolve_link_tos=False) is bank_events
+
+
+def _md(spark, rows):
+    return spark.createDataFrame(rows, STREAM_METADATA_SCHEMA)
+
+
+def test_max_count(spark, bank_events):
+    md = _md(spark, [("chat-1", 2, None, None, False)])
+    vis = visible_events(bank_events, md)
+    chat = sorted(r.event_number for r in vis.where("stream_id='chat-1'").collect())
+    assert chat == [1, 2]
+
+
+def test_truncate_before_and_soft_delete(spark, bank_events):
+    md = _md(
+        spark,
+        [("account-1", None, None, 1, False), ("account-2", None, None, MAX_LONG, False)],
+    )
+    vis = visible_events(bank_events, md)
+    assert sorted(r.event_number for r in vis.where("stream_id='account-1'").collect()) == [1, 2]
+    assert vis.where("stream_id='account-2'").count() == 0
+
+
+def test_tombstone_hides_all(spark, bank_events):
+    md = _md(spark, [("gone-1", None, None, None, True)])
+    vis = visible_events(bank_events, md)
+    assert vis.where("stream_id='gone-1'").count() == 0
+
+
+def test_max_age(spark):
+    t = lambda d: datetime(2024, 1, d, tzinfo=timezone.utc)
+    rows = [
+        (1, "s-1", "s", 0, "e1", "A", "{}", None, t(1), True),
+        (2, "s-1", "s", 1, "e2", "A", "{}", None, t(20), True),
+    ]
+    ev = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    md = _md(spark, [("s-1", None, 5 * 86400, None, False)])
+    vis = visible_events(ev, md, now_ts=F.to_timestamp(F.lit("2024-01-22 00:00:00")))
+    assert [r.event_number for r in vis.collect()] == [1]
+
+
+def test_system_projection_views(bank_events):
+    d = {r.stream_id: r for r in sp.streams_directory(bank_events).collect()}
+    assert d["chat-1"].event_count == 3 and d["chat-1"].first_log_position == 4
+    assert sp.by_category(bank_events, "account").count() == 5
+    assert sp.stream_by_category(bank_events, "account").count() == 2
+    assert sp.by_event_type(bank_events, "MessageSent").count() == 3
+    corr = sp.by_correlation_id(bank_events, "c1")
+    assert sorted(r.event_id for r in corr.collect()) == ["a1", "a2"]

@@ -1,0 +1,118 @@
+"""Dedup / similarity / text / multimodal operator semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventstore_spark.operators import dedup as dd
+from eventstore_spark.operators import multimodal as mm
+from eventstore_spark.operators import similarity as sim
+from eventstore_spark.operators.textops import analyze_documents, quality_filter
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base, "en", "s", len(base)),  # exact dup of 1
+        (3, base.replace("quick", "slow"), "en", "s", len(base)),  # near dup
+        (4, "completely different text about spark query engines and columnar storage formats", "en", "s", 80),
+        (5, "der hund und die katze sind nicht mit der maus", "de", "s", 47),
+        (6, "  The   quick brown fox jumps over the lazy dog and runs far away home ", "en", "s", 70),  # dup modulo whitespace/case
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_exact_dedup_normalized(docs):
+    marked = {r.doc_id: r for r in dd.exact_duplicates(docs).collect()}
+    assert marked[2].is_duplicate and marked[2].canonical_id == 1
+    assert marked[6].is_duplicate and marked[6].canonical_id == 1
+    assert not marked[3].is_duplicate
+    kept = dd.dedup_exact(docs)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4, 5]
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = {(r.a, r.b): r.jaccard for r in dd.minhash_lsh_pairs(docs, threshold=0.4).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 6) in pairs
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_simhash_near_dups(docs):
+    sigs = {r.doc_id: r.simhash for r in dd.simhash_signature(docs).collect()}
+    assert sigs[1] == sigs[2] == sigs[6]
+    pairs = {(r.a, r.b): r.hamming for r in dd.simhash_pairs(docs, max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r.a, r.b): r.jaccard for r in dd.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs
+
+
+def test_text_profile(spark, docs):
+    prof = {r.doc_id: r for r in analyze_documents(docs).collect()}
+    assert prof[1].n_tokens == 14
+    assert prof[1].lang_pred == "en"
+    assert prof[5].lang_pred == "de"
+    assert prof[1].fp == prof[2].fp == prof[6].fp
+    assert 0.0 <= prof[4].quality <= 1.0
+    q = quality_filter(docs, min_quality=0.0, min_tokens=10)
+    assert q.count() >= 4
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        base = [0.0] * 8
+        base[i % 4] = 1.0
+        base[4 + (i % 4)] = 0.5
+        jitter = [(x + 0.001 * ((i * 7 + j) % 5)) for j, x in enumerate(base)]
+        rows.append((i, jitter, i % 4))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk_matches_labels(vectors):
+    out = sim.brute_force_topk(vectors, [0, 1], k=5, vec_col="embedding")
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1}
+    for r in rows:
+        assert r.vec_id % 4 == r.query_id % 4  # same cluster
+        assert r.sim > 0.99
+    ranks = sorted(r.rank for r in rows if r.query_id == 0)
+    assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_lsh_topk_recall(vectors):
+    bf = {(r.query_id, r.vec_id) for r in sim.brute_force_topk(vectors, [0], k=5).collect()}
+    ls = {(r.query_id, r.vec_id) for r in sim.lsh_topk(vectors, [0], k=5, dim=8).collect()}
+    assert len(bf & ls) >= 3  # decent recall on clustered data
+
+
+def test_embedding_neardup_exact(vectors):
+    pairs = sim.embedding_neardup_pairs(vectors, threshold=0.999, dim=8, exact=True)
+    got = pairs.collect()
+    assert got and all(r.a < r.b for r in got)
+    assert all((r.a % 4) == (r.b % 4) for r in got)
+
+
+def test_multimodal_features_and_dedup(spark):
+    rows = [
+        (1, "image", bytearray(b"AAAA"), "image/png"),
+        (2, "image", bytearray(b"AAAA"), "image/png"),
+        (3, "audio", bytearray(b"BBBBBB"), "audio/wav"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, content binary, mime string")
+    feats = {r.media_id: r for r in mm.extract_media_features(media).collect()}
+    assert feats[1].digest == feats[2].digest and feats[1].n_bytes == 4
+    assert feats[3].kind == "audio"
+    dups = mm.exact_media_dedup(media).collect()
+    by_hash = {r.content_hash: r for r in dups}
+    assert any(r.copies == 2 and r.canonical_id == 1 for r in dups)

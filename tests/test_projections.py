@@ -1,0 +1,146 @@
+"""Projection fold semantics — the pytest analog of the reference's Jint
+handler tests (EventStore.Projections.Core.Tests/Services/Jint/)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from eventstore_spark.projections.dsl import Projection
+from eventstore_spark.projections.runtime import run_batch
+
+
+def states_of(res):
+    return {r.partition: json.loads(r.state) for r in res.states.collect()}
+
+
+def test_counting_projection_from_stream(bank_events):
+    p = Projection.from_stream("chat-1", name="count").when(
+        {"$init": lambda: {"n": 0}, "$any": lambda s, e: {"n": s["n"] + 1}}
+    )
+    st = states_of(run_batch(p, bank_events))
+    assert st == {"": {"n": 3}}
+
+
+def test_typed_handlers_and_order(bank_events):
+    """Balance fold must replay in exact log order (100 - 30 + 7)."""
+    seen = []
+
+    def dep(s, e):
+        seen.append(e["event_number"])
+        return {"bal": s["bal"] + e["body"]["amount"]}
+
+    p = Projection.from_stream("account-1", name="bal").when(
+        {
+            "$init": lambda: {"bal": 0},
+            "Deposited": dep,
+            "Withdrawn": lambda s, e: {"bal": s["bal"] - e["body"]["amount"]},
+        }
+    )
+    st = states_of(run_batch(p, bank_events))
+    assert st[""]["bal"] == 77
+
+
+def test_foreach_stream_partitions(bank_events):
+    p = (
+        Projection.from_category("account", name="balances")
+        .foreach_stream()
+        .when(
+            {
+                "$init": lambda: {"bal": 0},
+                "Deposited": lambda s, e: {"bal": s["bal"] + e["body"]["amount"]},
+                "Withdrawn": lambda s, e: {"bal": s["bal"] - e["body"]["amount"]},
+            }
+        )
+    )
+    st = states_of(run_batch(p, bank_events))
+    assert st == {"account-1": {"bal": 77}, "account-2": {"bal": -10}}
+
+
+def test_partition_by_custom_python(bank_events):
+    p = (
+        Projection.from_category("chat", name="by_sender")
+        .partition_by(lambda e: e["body"]["sender"])
+        .when({"$init": lambda: {"n": 0}, "MessageSent": lambda s, e: {"n": s["n"] + 1}})
+    )
+    st = states_of(run_batch(p, bank_events))
+    assert st == {"ana": {"n": 2}, "bob": {"n": 1}}
+
+
+def test_undefined_return_keeps_state(bank_events):
+    p = Projection.from_stream("chat-1", name="keep").when(
+        {"$init": lambda: {"n": 41}, "$any": lambda s, e: None}
+    )
+    assert states_of(run_batch(p, bank_events))[""] == {"n": 41}
+
+
+def test_transform_filter_chain(bank_events):
+    p = (
+        Projection.from_category("account", name="t")
+        .foreach_stream()
+        .when({"$init": lambda: {"n": 0}, "$any": lambda s, e: {"n": s["n"] + 1}})
+        .transform_by(lambda s: {"double": s["n"] * 2})
+        .filter_by(lambda s: s["double"] > 4)
+    )
+    st = states_of(run_batch(p, bank_events))
+    assert st == {"account-1": {"double": 6}}
+
+
+def test_deleted_handler(bank_events):
+    p = (
+        Projection.from_all(name="del")
+        .foreach_stream()
+        .when(
+            {
+                "$init": lambda: {"deleted": False, "n": 0},
+                "$any": lambda s, e: {**s, "n": s["n"] + 1},
+                "$deleted": lambda s, e: {**s, "deleted": True},
+            }
+        )
+    )
+    st = states_of(run_batch(p, bank_events))
+    assert st["gone-1"] == {"deleted": True, "n": 1}
+    assert st["chat-1"]["deleted"] is False
+
+
+def test_emit_and_link_to(bank_events):
+    def h(s, e, ctx):
+        if e["body"]["amount"] >= 50:
+            ctx.emit("big-deposits", "Big", {"amt": e["body"]["amount"]})
+            ctx.link_to("big-links", e)
+        return s
+
+    p = Projection.from_all(name="emitter").when(
+        {"$init": lambda: {}, "Deposited": h}
+    )
+    res = run_batch(p, bank_events)
+    emitted = res.emitted.orderBy("source_log_position", "emit_seq").collect()
+    assert [(r.stream_id, r.event_type) for r in emitted] == [
+        ("big-deposits", "Big"), ("big-links", "$>"),
+        ("big-deposits", "Big"), ("big-links", "$>"),
+    ]
+    assert emitted[1].data == "0@account-1"
+    # deterministic ids: re-run produces identical ids
+    res2 = run_batch(p, bank_events)
+    ids1 = [r.event_id for r in emitted]
+    ids2 = [r.event_id for r in res2.emitted.orderBy("source_log_position", "emit_seq").collect()]
+    assert ids1 == ids2
+
+
+def test_typed_pushdown_prunes_scan(bank_events):
+    """when({A:..,B:..}) without $any must only read those types (P5)."""
+    p = Projection.from_all(name="typed").when(
+        {"$init": lambda: {"n": 0}, "MessageSent": lambda s, e: {"n": s["n"] + 1}}
+    )
+    st = states_of(run_batch(p, bank_events))
+    assert st == {"": {"n": 3}}
+
+
+def test_column_pruning_hint(bank_events):
+    p = (
+        Projection.from_category("account", name="pruned")
+        .foreach_stream()
+        .columns()  # no payload columns at all
+        .when({"$init": lambda: {"n": 0}, "$any": lambda s, e: {"n": s["n"] + 1}})
+    )
+    st = states_of(run_batch(p, bank_events))
+    assert st["account-1"] == {"n": 3}
