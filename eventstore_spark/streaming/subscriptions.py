@@ -1,0 +1,75 @@
+"""Catch-up subscriptions (SURVEY §2.6 U1-U3) via Structured Streaming.
+
+Reference model: a subscription reads history, then switches to live push
+from the commit pipeline, falling back to catch-up when it overflows
+(Enumerator.StreamSubscription.cs: CatchUp/GoLive/FellBehind). With a
+Structured-Streaming file source over the log directory the catch-up→live
+transition is inherent: the first micro-batches drain history, later ones
+tail newly committed files — no dual-mode machinery, no overflow handling
+(backpressure via maxFilesPerTrigger).
+
+Checkpoints (U2's periodic checkpoint messages / U8) are Spark streaming
+checkpoints: pass ``checkpoint_location`` to ``start_*``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.filters import EventFilter, default_all_filter
+from ..schema import EVENTS_SCHEMA
+
+
+def subscribe_all(
+    spark: SparkSession,
+    log_path: str,
+    event_filter: EventFilter | None = None,
+    from_position: int = 0,
+    apply_default_filter: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """U2: streaming DataFrame over the whole log ($all subscription)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    s = reader.parquet(log_path)
+    if from_position:
+        s = s.where(F.col("log_position") >= from_position)
+    if apply_default_filter:
+        s = s.where(default_all_filter())
+    if event_filter is not None:
+        s = s.where(event_filter.predicate())
+    return s
+
+
+def subscribe_stream(
+    spark: SparkSession,
+    log_path: str,
+    stream_id: str,
+    from_event_number: int = 0,
+    **kw,
+) -> DataFrame:
+    """U1: catch-up subscription to one stream."""
+    s = subscribe_all(spark, log_path, **kw)
+    return s.where(
+        (F.col("stream_id") == stream_id)
+        & (F.col("event_number") >= from_event_number)
+    )
+
+
+def start_to_memory(sub: DataFrame, name: str, checkpoint_location: str | None = None):
+    """Run a subscription into an in-memory sink (tests / long-poll reads:
+    process-available ≙ U3's long-poll drain)."""
+    w = sub.writeStream.outputMode("append").format("memory").queryName(name)
+    if checkpoint_location:
+        w = w.option("checkpointLocation", checkpoint_location)
+    return w.start()
+
+
+def start_foreach_batch(sub: DataFrame, fn, checkpoint_location: str | None = None):
+    """Run a subscription through foreachBatch (exactly-once sinks)."""
+    w = sub.writeStream.foreachBatch(fn)
+    if checkpoint_location:
+        w = w.option("checkpointLocation", checkpoint_location)
+    return w.start()

@@ -1,0 +1,171 @@
+"""Subscriptions (U1-U3), continuous projections, persistent subscriptions
+(U4-U5) — pytest analogs of Enumerator.*Subscription and
+PersistentSubscriptionTests.cs."""
+
+import json
+
+import pytest
+
+from eventstore_spark.streaming.persistent import (
+    NAK_PARK, NAK_RETRY, NAK_SKIP,
+    PersistentSubscription, PersistentSubscriptionSettings,
+)
+from eventstore_spark.streaming.subscriptions import (
+    EventFilter, start_to_memory, subscribe_all, subscribe_stream,
+)
+from eventstore_spark.streaming.continuous import run_continuous
+from eventstore_spark.projections.dsl import Projection
+from eventstore_spark.writer import EventLogWriter, ProposedEvent
+
+
+@pytest.fixture()
+def log(spark, tmp_path):
+    w = EventLogWriter(spark, str(tmp_path / "log"))
+    w.append("account-1", [ProposedEvent("Deposited", '{"amount": 10}')])
+    w.append("account-2", [ProposedEvent("Deposited", '{"amount": 5}')])
+    w.append("account-1", [ProposedEvent("Withdrawn", '{"amount": 3}')])
+    return w
+
+
+def test_catchup_then_live(spark, log, tmp_path):
+    sub = subscribe_stream(spark, log.path, "account-1")
+    q = start_to_memory(sub, "sub1", str(tmp_path / "ck1"))
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT event_type FROM sub1 ORDER BY event_number").collect()
+        assert [r.event_type for r in got] == ["Deposited", "Withdrawn"]
+        # live phase: new append flows through the same query
+        log.append("account-1", [ProposedEvent("Deposited", '{"amount": 1}')])
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) n FROM sub1").collect()[0].n == 3
+    finally:
+        q.stop()
+
+
+def test_filtered_all_subscription(spark, log, tmp_path):
+    sub = subscribe_all(spark, log.path, EventFilter(event_type_prefixes=("With",)))
+    q = start_to_memory(sub, "sub2", str(tmp_path / "ck2"))
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT stream_id, event_type FROM sub2").collect()
+        assert len(got) == 1 and got[0].event_type == "Withdrawn"
+    finally:
+        q.stop()
+
+
+def test_continuous_projection_state(spark, log, tmp_path):
+    proj = (
+        Projection.from_category("account", name="cbal")
+        .foreach_stream()
+        .when({
+            "$init": lambda: {"bal": 0},
+            "Deposited": lambda s, e: {"bal": s["bal"] + e["body"]["amount"]},
+            "Withdrawn": lambda s, e: {"bal": s["bal"] - e["body"]["amount"]},
+        })
+    )
+    out = run_continuous(proj, subscribe_all(spark, log.path))
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory").queryName("cstates")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r.partition: json.loads(r.state) for r in spark.sql("SELECT * FROM cstates").collect()}
+        assert rows["account-1"] == {"bal": 7}
+        assert rows["account-2"] == {"bal": 5}
+        # state carries across micro-batches (incremental fold)
+        log.append("account-1", [ProposedEvent("Deposited", '{"amount": 100}')])
+        q.processAllAvailable()
+        latest = {}
+        for r in spark.sql("SELECT * FROM cstates").collect():
+            latest[r.partition] = json.loads(r.state)  # memory sink appends updates; last wins
+        assert latest["account-1"] == {"bal": 107}
+    finally:
+        q.stop()
+
+
+# ---------------------------------------------------------------------------
+# persistent subscriptions
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def ps_log(spark, tmp_path):
+    w = EventLogWriter(spark, str(tmp_path / "pslog"))
+    for i in range(6):
+        w.append("orders-1", [ProposedEvent("Placed", json.dumps({"i": i}))])
+    return w
+
+
+def test_round_robin_delivery_and_ack(spark, ps_log):
+    ps = PersistentSubscription(ps_log.load(), "grp", "orders-1",
+                                PersistentSubscriptionSettings(checkpoint_after=3))
+    ps.add_consumer("c1")
+    ps.add_consumer("c2")
+    out = ps.fetch(now=100.0)
+    assert len(out["c1"]) == 3 and len(out["c2"]) == 3  # alternating
+    ps.ack(out["c1"])
+    assert ps.stats()["outstanding"].get("inflight") == 3
+
+
+def test_timeout_redelivery_then_park(spark, ps_log):
+    s = PersistentSubscriptionSettings(message_timeout_s=10, max_retry_count=1)
+    ps = PersistentSubscription(ps_log.load(), "grp", "orders-1", s)
+    ps.add_consumer("c1")
+    first = ps.fetch(now=0.0)["c1"]
+    assert len(first) == 6
+    # timeout → retry 1 → redelivered
+    again = ps.fetch(now=20.0)["c1"]
+    assert again == first
+    # second timeout exceeds max_retry_count → parked
+    final = ps.fetch(now=40.0)["c1"]
+    assert final == []
+    assert ps.parked() == first
+    # replay parked → delivered again
+    assert ps.replay_parked() == 6
+    assert ps.fetch(now=50.0)["c1"] == first
+
+
+def test_nack_actions(spark, ps_log):
+    ps = PersistentSubscription(ps_log.load(), "grp", "orders-1")
+    ps.add_consumer("c1")
+    got = ps.fetch(now=0.0)["c1"]
+    ps.nack(got[:2], NAK_PARK)
+    ps.nack(got[2:4], NAK_SKIP)
+    ps.nack(got[4:], NAK_RETRY)
+    assert ps.parked() == got[:2]
+    redelivered = ps.fetch(now=1.0)["c1"]
+    assert redelivered == got[4:]
+
+
+def test_pinned_strategy_stream_affinity(spark, tmp_path):
+    w = EventLogWriter(spark, str(tmp_path / "plog"))
+    for i in range(4):
+        w.append(f"s-{i}", [ProposedEvent("E", "{}"), ProposedEvent("E", "{}")])
+    s = PersistentSubscriptionSettings(consumer_strategy="pinned")
+    ps = PersistentSubscription(w.load(), "grp", None, s)
+    ps.add_consumer("c1")
+    ps.add_consumer("c2")
+    out = ps.fetch(now=0.0)
+    ev = {r.log_position: r.stream_id for r in w.load().collect()}
+    owner = {}
+    for c, positions in out.items():
+        for p in positions:
+            sid = ev[p]
+            assert owner.setdefault(sid, c) == c  # all of a stream to one consumer
+    assert len(out["c1"]) + len(out["c2"]) == 8
+
+
+def test_checkpoint_recovery(spark, ps_log, tmp_path):
+    ck = str(tmp_path / "psck")
+    ps = PersistentSubscription(ps_log.load(), "grp", "orders-1", checkpoint_dir=ck)
+    ps.add_consumer("c1")
+    got = ps.fetch(now=0.0)["c1"]
+    ps.ack(got[:4])
+    ps.checkpoint()
+    # new instance resumes: first 4 acked are gone for good
+    ps2 = PersistentSubscription(ps_log.load(), "grp", "orders-1", checkpoint_dir=ck)
+    ps2.add_consumer("c9")
+    got2 = ps2.fetch(now=100.0)["c9"]
+    assert got2 == got[4:]
