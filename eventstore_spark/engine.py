@@ -1,0 +1,265 @@
+"""EventStoreEngine — the public API facade (SURVEY §2.1 S6, §2.3 P21).
+
+The reference exposes one gRPC surface (streams.proto: Read/Append/Delete/
+Tombstone + subscriptions) plus a projection management API
+(projections.proto: Create/Update/Delete/Enable/Disable/Reset/State/
+Result/Statistics). This class is that surface as a Python object over one
+log directory: reads return DataFrames (lazy, Catalyst-planned),
+subscriptions return streaming DataFrames, appends go through the
+single-writer protocol, projections are registered specs executed batch
+(one-time/transient) or continuous.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.filters import EventFilter
+from .operators.links import resolve_links
+from .operators.retention import visible_events
+from .operators import system_projections as sysproj
+from .projections.dsl import Projection
+from .projections.runtime import ProjectionResult, run_batch
+from .schema import (
+    EVENTS_SCHEMA,
+    METASTREAM_PREFIX,
+    STREAM_METADATA_SCHEMA,
+    MAX_LONG,
+    category_of,
+)
+from .sources import readers as R
+from .streaming.continuous import run_continuous
+from .streaming.persistent import PersistentSubscription, PersistentSubscriptionSettings
+from .streaming.subscriptions import subscribe_all, subscribe_stream
+from .writer import ANY, EventLogWriter, ProposedEvent
+
+
+@dataclass
+class _ManagedProjection:
+    """ProjectionManager registry entry (ManagedProjection.cs analog)."""
+
+    spec: Projection
+    mode: str = "onetime"  # transient | onetime | continuous
+    enabled: bool = True
+    last_result: ProjectionResult | None = None
+    runs: int = 0
+    query: object = None  # StreamingQuery when continuous
+
+
+class EventStoreEngine:
+    """One event store = one log directory + its derived surfaces."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.writer = EventLogWriter(spark, path)
+        self.projections: dict[str, _ManagedProjection] = {}
+
+    # ------------------------------------------------------------------ log
+    def events(self, visible_only: bool = True) -> DataFrame:
+        """The canonical events DataFrame (visibility rules applied)."""
+        df = self.writer.load()
+        if not visible_only:
+            return df
+        md = self.stream_metadata()
+        user = df.where(~df.stream_id.startswith(METASTREAM_PREFIX))
+        return visible_events(user, md)
+
+    def stream_metadata(self) -> DataFrame | None:
+        """Parse `$$<stream>` metastreams into the metadata dimension
+        (latest $metadata event wins), plus tombstones from the log."""
+        df = self.writer.load()
+        metas = df.where(
+            df.stream_id.startswith(METASTREAM_PREFIX)
+            & (df.event_type == "$metadata")
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("stream_id").orderBy(F.col("event_number").desc())
+        latest = (
+            metas.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                F.expr(f"substring(stream_id, {len(METASTREAM_PREFIX) + 1})").alias("stream_id"),
+                F.get_json_object("data", "$.$maxCount").cast("long").alias("max_count"),
+                F.get_json_object("data", "$.$maxAge").cast("long").alias("max_age_seconds"),
+                F.get_json_object("data", "$.$tb").cast("long").alias("truncate_before"),
+                F.lit(False).alias("tombstoned"),
+            )
+        )
+        tombs = (
+            df.where(df.event_type == "$streamDeleted")
+            .select("stream_id")
+            .distinct()
+            .select(
+                "stream_id",
+                F.lit(None).cast("long").alias("max_count"),
+                F.lit(None).cast("long").alias("max_age_seconds"),
+                F.lit(None).cast("long").alias("truncate_before"),
+                F.lit(True).alias("tombstoned"),
+            )
+        )
+        both = latest.unionByName(tombs)
+        return both
+
+    # ---------------------------------------------------------------- writes
+    def append(self, stream_id: str, events: list[ProposedEvent],
+               expected_version: int = ANY) -> int:
+        return self.writer.append(stream_id, events, expected_version)
+
+    def set_stream_metadata(self, stream_id: str, max_count: int | None = None,
+                            max_age_seconds: int | None = None,
+                            truncate_before: int | None = None) -> None:
+        doc = {}
+        if max_count is not None:
+            doc["$maxCount"] = max_count
+        if max_age_seconds is not None:
+            doc["$maxAge"] = max_age_seconds
+        if truncate_before is not None:
+            doc["$tb"] = truncate_before
+        self.writer.append(
+            f"$${stream_id}", [ProposedEvent("$metadata", json.dumps(doc, sort_keys=True))]
+        )
+
+    def delete_stream(self, stream_id: str, hard: bool = False) -> None:
+        if hard:
+            self.writer.hard_delete(stream_id)
+        else:
+            self.writer.soft_delete(stream_id)
+
+    # ----------------------------------------------------------------- reads
+    def read_event(self, stream_id: str, event_number: int) -> DataFrame:
+        return R.read_event(self.events(), stream_id, event_number)
+
+    def read_stream(self, stream_id: str, from_event_number: int = 0,
+                    max_count: int | None = None, backward: bool = False,
+                    resolve_link_tos: bool = False) -> DataFrame:
+        ev = self.events()
+        if resolve_link_tos:
+            ev = resolve_links(ev)
+        if backward:
+            return R.read_stream_backward(
+                ev, stream_id,
+                from_event_number if from_event_number else None, max_count,
+            )
+        return R.read_stream_forward(ev, stream_id, from_event_number, max_count)
+
+    def read_all(self, from_position: int = 0, max_count: int | None = None,
+                 backward: bool = False, event_filter: EventFilter | None = None,
+                 include_system: bool = False) -> DataFrame:
+        ev = self.events()
+        if backward:
+            return R.read_all_backward(ev, from_position or None, max_count)
+        return R.read_all_filtered(
+            ev, event_filter, from_position, max_count,
+            apply_default_filter=not include_system,
+        )
+
+    # system-projection views
+    def streams(self) -> DataFrame:
+        return sysproj.streams_directory(self.events())
+
+    def category(self, name: str) -> DataFrame:
+        return sysproj.by_category(self.events(), name)
+
+    def event_type(self, name: str) -> DataFrame:
+        return sysproj.by_event_type(self.events(), name)
+
+    def correlation(self, correlation_id: str) -> DataFrame:
+        return sysproj.by_correlation_id(self.events(), correlation_id)
+
+    # ---------------------------------------------------------- subscriptions
+    def subscribe(self, stream_id: str | None = None,
+                  event_filter: EventFilter | None = None,
+                  from_position: int = 0) -> DataFrame:
+        if stream_id is not None:
+            return subscribe_stream(self.spark, self.path, stream_id)
+        return subscribe_all(self.spark, self.path, event_filter, from_position)
+
+    def persistent_subscription(self, group: str, stream_id: str | None = None,
+                                settings: PersistentSubscriptionSettings | None = None,
+                                checkpoint_dir: str | None = None) -> PersistentSubscription:
+        return PersistentSubscription(
+            self.events(), group, stream_id, settings, checkpoint_dir
+        )
+
+    # ------------------------------------------------------------ projections
+    def create_projection(self, spec: Projection, mode: str = "onetime") -> None:
+        self.projections[spec.name] = _ManagedProjection(spec=spec, mode=mode)
+
+    def enable_projection(self, name: str) -> None:
+        self.projections[name].enabled = True
+
+    def disable_projection(self, name: str) -> None:
+        mp = self.projections[name]
+        mp.enabled = False
+        if mp.query is not None:
+            mp.query.stop()
+            mp.query = None
+
+    def reset_projection(self, name: str) -> None:
+        self.projections[name].last_result = None
+        self.projections[name].runs = 0
+
+    def delete_projection(self, name: str) -> None:
+        self.disable_projection(name)
+        del self.projections[name]
+
+    def run_projection(self, name: str, checkpoint_dir: str | None = None):
+        """Run a managed projection: onetime/transient → batch result;
+        continuous → start the streaming query into the state sink."""
+        mp = self.projections[name]
+        if not mp.enabled:
+            raise RuntimeError(f"projection '{name}' is disabled")
+        mp.runs += 1
+        if mp.mode == "continuous":
+            out = run_continuous(mp.spec, self.subscribe())
+            w = (
+                out.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(f"projection_{name}")
+            )
+            if checkpoint_dir:
+                w = w.option("checkpointLocation", checkpoint_dir)
+            mp.query = w.start()
+            return mp.query
+        mp.last_result = run_batch(mp.spec, self.events())
+        # emitted events append back to the log with deterministic ids
+        emitted = mp.last_result.emitted
+        self.writer.append_df(
+            emitted.select("stream_id", "event_type", "data", "metadata", "event_id")
+        )
+        return mp.last_result
+
+    def projection_state(self, name: str, partition: str | None = None) -> DataFrame:
+        mp = self.projections[name]
+        if mp.mode == "continuous" and mp.query is not None:
+            df = self.spark.sql(f"SELECT * FROM projection_{name}")
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("partition").orderBy(F.col("last_position").desc())
+            df = df.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
+        else:
+            if mp.last_result is None:
+                raise RuntimeError(f"projection '{name}' has not run")
+            df = mp.last_result.states
+        if partition is not None:
+            df = df.where(F.col("partition") == partition)
+        return df
+
+    def projection_statistics(self) -> list[dict]:
+        return [
+            {
+                "name": name,
+                "mode": mp.mode,
+                "enabled": mp.enabled,
+                "runs": mp.runs,
+                "running": mp.query is not None and mp.query.isActive,
+            }
+            for name, mp in self.projections.items()
+        ]

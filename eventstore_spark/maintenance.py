@@ -1,0 +1,78 @@
+"""Scavenging — the log-compaction maintenance job (SURVEY §4).
+
+Reference: a phased scavenger (Accumulator → Calculator → ChunkExecutor →
+ChunkMerger → IndexExecutor → Cleaner, TransactionLog/Scavenging/
+Scavenger.cs) that removes deleted/truncated/expired events and merges
+chunks, checkpointed and resumable.
+
+Columnar translation: scavenge = one declarative anti-visibility DELETE +
+file compaction, expressed as "rewrite the log directory keeping only
+rows that retention still admits", in one Spark job:
+
+  keep = visible user events  ∪  latest $metadata per metastream
+       ∪  tombstone markers (so hard-deleted streams stay dead)
+
+log_position values are preserved (the reference scavenger also keeps
+positions stable — readers' checkpoints stay valid). Output is coalesced
+into few files — the ChunkMerger analog. On a transactional table format
+(Delta/Iceberg) this is DELETE + OPTIMIZE; on the plain parquet dir used
+here it's a staged rewrite with an atomic directory swap.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .operators.retention import visible_events
+from .schema import EVENTS_SCHEMA, METASTREAM_PREFIX
+
+
+def scavenge(
+    spark: SparkSession,
+    path: str,
+    stream_metadata=None,
+    now_ts=None,
+    target_files: int = 8,
+) -> dict:
+    """Run a scavenge over a log directory; returns stats."""
+    df = spark.read.schema(EVENTS_SCHEMA).parquet(path)
+    before = df.count()
+
+    is_meta = F.col("stream_id").startswith(METASTREAM_PREFIX)
+    user = df.where(~is_meta)
+
+    # latest metadata event per metastream survives (it defines retention)
+    from pyspark.sql.window import Window
+
+    metas = df.where(is_meta)
+    w = Window.partitionBy("stream_id").orderBy(F.col("event_number").desc())
+    latest_meta = (
+        metas.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
+    )
+
+    tombstones = user.where(F.col("event_type") == "$streamDeleted")
+
+    kept_user = visible_events(user, stream_metadata, now_ts=now_ts)
+    kept = kept_user.unionByName(latest_meta).unionByName(tombstones).dropDuplicates(
+        ["log_position"]
+    )
+
+    staging = path.rstrip("/") + f"._scavenge_{int(time.time() * 1000)}"
+    kept.coalesce(target_files).write.mode("overwrite").parquet(staging)
+    after = spark.read.schema(EVENTS_SCHEMA).parquet(staging).count()
+
+    # atomic-ish swap (single-writer invariant: no concurrent appends during
+    # scavenge — same constraint as the reference's chunk switch-over)
+    old = path.rstrip("/") + "._scavenged_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+
+    return {"events_before": before, "events_after": after, "removed": before - after}

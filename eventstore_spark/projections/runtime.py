@@ -100,6 +100,32 @@ class EmitContext:
         )
         self._seq += 1
 
+    def link_stream_to(self, stream: str, source_stream: str, metadata: Any = None):
+        """P17 linkStreamTo: stream-reference link `$@`
+        (JintProjectionStateHandler.cs:329)."""
+        self.rows.append(
+            (
+                self.partition, "link", None, stream, "$@", source_stream,
+                json.dumps(metadata, sort_keys=True) if metadata is not None else None,
+                self._id(), self._pos, self._seq,
+            )
+        )
+        self._seq += 1
+
+    def copy_to(self, stream: str, event: dict, metadata: Any = None):
+        """P17 copyTo: re-emit the event's payload into another stream."""
+        self.rows.append(
+            (
+                self.partition, "emit", None, stream, event["event_type"],
+                event.get("data"),
+                json.dumps(metadata, sort_keys=True)
+                if metadata is not None
+                else event.get("metadata"),
+                self._id(), self._pos, self._seq,
+            )
+        )
+        self._seq += 1
+
 
 class Event(dict):
     """Event envelope handed to handlers; ``body``/``meta`` (parsed JSON)

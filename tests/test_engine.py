@@ -1,0 +1,102 @@
+"""End-to-end engine facade tests — the pytest analog of the reference's
+MiniNode ClientAPI tests (append → read → metadata → projections →
+scavenge through one public surface)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventstore_spark.engine import EventStoreEngine
+from eventstore_spark.maintenance import scavenge
+from eventstore_spark.projections.dsl import Projection
+from eventstore_spark.writer import ProposedEvent
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    e = EventStoreEngine(spark, str(tmp_path / "store"))
+    e.append("account-1", [
+        ProposedEvent("Deposited", '{"amount": 100}'),
+        ProposedEvent("Withdrawn", '{"amount": 25}'),
+    ])
+    e.append("account-2", [ProposedEvent("Deposited", '{"amount": 10}')])
+    e.append("chat-1", [ProposedEvent("MessageSent", '{"sender":"ana"}')])
+    return e
+
+
+def test_append_read_roundtrip(engine):
+    got = engine.read_stream("account-1").collect()
+    assert [r.event_type for r in got] == ["Deposited", "Withdrawn"]
+    assert engine.read_stream("account-1", backward=True, max_count=1).collect()[0].event_number == 1
+    all_fwd = engine.read_all().collect()
+    assert [r.log_position for r in all_fwd] == [1, 2, 3, 4]
+
+
+def test_category_and_directory_views(engine):
+    assert engine.category("account").count() == 3
+    d = {r.stream_id: r.event_count for r in engine.streams().collect()}
+    assert d == {"account-1": 2, "account-2": 1, "chat-1": 1}
+    assert engine.event_type("MessageSent").count() == 1
+
+
+def test_stream_metadata_retention(engine):
+    engine.set_stream_metadata("account-1", max_count=1)
+    got = engine.read_stream("account-1").collect()
+    assert [r.event_number for r in got] == [1]  # only last visible
+    # metastream itself is readable raw
+    raw = engine.events(visible_only=False)
+    assert raw.where("stream_id = '$$account-1'").count() == 1
+
+
+def test_soft_delete_and_recreate(engine):
+    engine.delete_stream("account-2")
+    assert engine.read_stream("account-2").count() == 0
+    # hard delete blocks appends
+    engine.delete_stream("chat-1", hard=True)
+    from eventstore_spark.writer import StreamDeletedError
+
+    with pytest.raises(StreamDeletedError):
+        engine.append("chat-1", [ProposedEvent("MessageSent", "{}")])
+
+
+def test_projection_lifecycle_with_emission(engine):
+    def big(s, e, ctx):
+        if e["body"]["amount"] >= 100:
+            ctx.emit("big-ops", "Big", {"amt": e["body"]["amount"]})
+        return {"n": s["n"] + 1}
+
+    spec = (
+        Projection.from_category("account", name="ops")
+        .foreach_stream()
+        .when({"$init": lambda: {"n": 0}, "$any": big})
+    )
+    engine.create_projection(spec, mode="onetime")
+    engine.run_projection("ops")
+    st = {r.partition: json.loads(r.state) for r in engine.projection_state("ops").collect()}
+    assert st["account-1"]["n"] == 2
+    # emitted events were appended to the log as a real stream
+    big_ops = engine.read_stream("big-ops").collect()
+    assert len(big_ops) == 1 and big_ops[0].event_type == "Big"
+    # re-running is idempotent (deterministic emission ids dedupe)
+    engine.run_projection("ops")
+    assert engine.read_stream("big-ops").count() == 1
+    stats = engine.projection_statistics()
+    assert stats[0]["name"] == "ops" and stats[0]["runs"] == 2
+    engine.disable_projection("ops")
+    with pytest.raises(RuntimeError):
+        engine.run_projection("ops")
+
+
+def test_scavenge_removes_invisible(engine, spark):
+    engine.set_stream_metadata("account-1", max_count=1)
+    engine.delete_stream("account-2")  # soft delete
+    before = engine.events(visible_only=False).count()
+    stats = scavenge(spark, engine.path, engine.stream_metadata())
+    assert stats["removed"] >= 2  # account-1#0 and account-2#0 gone
+    # engine state re-opens over the compacted log
+    e2 = EventStoreEngine(spark, engine.path)
+    assert [r.event_number for r in e2.read_stream("account-1").collect()] == [1]
+    assert e2.read_stream("account-2").count() == 0
+    # positions preserved
+    assert e2.events(visible_only=False).agg(F.max("log_position")).collect()[0][0] >= 4
