@@ -286,6 +286,49 @@ def q_p8_stream_stats(spark, sf):
     )
 
 
+def q_p2_from_streams(spark, sf):
+    """fromStreams merge (P2): fold two streams in global log order."""
+    def h(s, e):
+        return {
+            "n": s["n"] + 1,
+            "cents": s["cents"] + int(round(e["value"] * 100)),
+            "last_stream": e["stream_id"],
+        }
+
+    proj = (
+        Projection.from_streams("user-3", "user-5", name="merge2")
+        .columns("value")
+        .when({"$init": lambda: {"n": 0, "cents": 0, "last_stream": None}, "$any": h})
+    )
+    res = run_batch(proj, load_envelope(spark, sf))
+    return res.states_as("n long, cents long, last_stream string").select(
+        "partition", "n", "cents", "last_stream"
+    )
+
+
+def q_p9_bistate(spark, sf):
+    """$initShared (P9): per-stream purchase cents + shared global total."""
+    def h(st, e):
+        c = int(round(e["value"] * 100))
+        return {
+            "p": {"cents": st["p"]["cents"] + c},
+            "s": {"cents": st["s"]["cents"] + c},
+        }
+
+    proj = (
+        Projection.from_category("user", name="bistate")
+        .foreach_stream()
+        .columns("value")
+        .when({
+            "$init": lambda: {"cents": 0},
+            "$initShared": lambda: {"cents": 0},
+            "purchase": h,
+        })
+    )
+    res = run_batch(proj, load_envelope(spark, sf))
+    return res.states_as("cents long").select("partition", "cents")
+
+
 def q_p15_emit_hot(spark, sf):
     """emit() from inside a fold — rows-only check (emitted stream)."""
     proj = (
@@ -497,8 +540,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "y5_by_correlation_id": q_y5_by_correlation_id,
         "link_resolution": q_link_resolution,
         "retention_visibility": q_retention_visibility,
+        "p2_from_streams": q_p2_from_streams,
         "p6_fold_balance": q_p6_fold_balance,
         "p7_partition_by": q_p7_partition_by,
+        "p9_bistate": q_p9_bistate,
         "p8_stream_stats": q_p8_stream_stats,
         "p15_emit_hot": q_p15_emit_hot,
         "tpch_q1": q_tpch_q1,
@@ -636,6 +681,22 @@ SELECT stream_id AS "partition", CAST(count(*) AS BIGINT) AS n,
        max(event_number) AS max_en,
        CAST(sum({v_c}) // count(*) AS BIGINT) AS avg_cents
 FROM ev GROUP BY stream_id HAVING count(*) >= 50
+"""
+    )
+    sqls["p2_from_streams"] = _with_ev(
+        f"""
+SELECT '' AS "partition", CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({v_c}) AS BIGINT) AS cents,
+       max_by(stream_id, log_position) AS last_stream
+FROM ev WHERE stream_id IN ('user-3', 'user-5')
+"""
+    )
+    sqls["p9_bistate"] = _with_ev(
+        f"""
+SELECT stream_id AS "partition", CAST(sum({v_c}) AS BIGINT) AS cents
+FROM ev WHERE event_type = 'purchase' GROUP BY stream_id
+UNION ALL
+SELECT '$shared', CAST(sum({v_c}) AS BIGINT) FROM ev WHERE event_type = 'purchase'
 """
     )
     # p15_emit_hot: emitted-stream output — not SQL-expressible row-for-row

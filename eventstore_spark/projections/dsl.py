@@ -139,6 +139,14 @@ class Projection:
         self.result_stream_name = result_stream
         return self
 
+    @property
+    def bi_state(self) -> bool:
+        """P9: an `$initShared` handler switches the projection to bi-state
+        (shared state alongside per-partition state). Handlers then receive
+        ``state = {"p": partition_state, "s": shared_state}`` and return the
+        same shape (JintProjectionStateHandler.cs:650-655)."""
+        return INIT_SHARED in self.handlers
+
     def columns(self, *cols: str) -> "Projection":
         """Column-pruning hint: only these payload columns reach the fold
         (plus the engine columns log_position/stream_id/event_type). Cuts

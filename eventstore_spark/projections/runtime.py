@@ -39,7 +39,9 @@ from pyspark.sql import types as T
 
 from ..plans.reader_strategy import select_source
 from ..schema import STREAM_DELETED_EVENT_TYPE
-from .dsl import ANY, DELETED, INIT, Projection
+from .dsl import ANY, DELETED, INIT, INIT_SHARED, Projection
+
+SHARED_PARTITION = "$shared"
 
 _OUT_SCHEMA = T.StructType(
     [
@@ -223,6 +225,73 @@ def _make_fold(proj: Projection, sort_key: str = "log_position"):
     return fold
 
 
+def _make_bistate_fold(proj: Projection):
+    """P9 bi-state fold: one global pass in log order, carrying a shared
+    state plus a state per partition. Handlers see
+    ``{"p": partition_state, "s": shared_state}`` and return the same
+    shape (None keeps both). Inherently sequential — the reference also
+    runs bi-state projections on a single thread; parallelizing shared
+    state would change semantics."""
+    handlers = dict(proj.handlers)
+    arity = dict(proj.handler_arity)
+    chain = list(proj.state_chain)
+    name = proj.name
+
+    def call(fn, key, state, ev, ctx):
+        n = arity.get(key, 3)
+        out = fn(state, ev) if n == 2 else fn(state, ev, ctx)
+        return state if out is None else out
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("log_position", kind="mergesort")
+        init = handlers.get(INIT)
+        init_shared = handlers.get(INIT_SHARED)
+        shared = init_shared() if init_shared is not None else {}
+        parts: dict[str, Any] = {}
+        ctx = EmitContext(name, "")
+        any_h, del_h = handlers.get(ANY), handlers.get(DELETED)
+        cols = [c for c in pdf.columns if c != "_partition"]
+        for part, row in zip(pdf["_partition"].values, pdf[cols].itertuples(index=False)):
+            part = str(part)
+            if part not in parts:
+                parts[part] = init() if init is not None else {}
+            ev = _event_dict(dict(zip(cols, row)))
+            ctx.partition = part
+            ctx._pos = int(ev.get("log_position", -1))
+            et = ev["event_type"]
+            if et == STREAM_DELETED_EVENT_TYPE:
+                h = del_h
+            else:
+                h = handlers.get(et) or any_h
+            if h is None or (et == STREAM_DELETED_EVENT_TYPE and del_h is None):
+                continue
+            pair = call(h, et, {"p": parts[part], "s": shared}, ev, ctx)
+            parts[part] = pair.get("p", parts[part])
+            shared = pair.get("s", shared)
+        rows = list(ctx.rows)
+        for part, state in parts.items():
+            keep = True
+            for op, fn in chain:
+                if op == "transform":
+                    state = fn(state)
+                elif op == "filter" and not fn(state):
+                    keep = False
+                    break
+            if keep:
+                rows.append(
+                    (part, "state", json.dumps(state, sort_keys=True, default=str),
+                     None, None, None, None, None, None, None)
+                )
+        rows.append(
+            (SHARED_PARTITION, "state",
+             json.dumps(shared, sort_keys=True, default=str),
+             None, None, None, None, None, None, None)
+        )
+        return pd.DataFrame(rows, columns=[f.name for f in _OUT_SCHEMA.fields])
+
+    return fold
+
+
 @dataclass
 class ProjectionResult:
     """Result of a batch projection run."""
@@ -263,7 +332,7 @@ def run_batch(proj: Projection, events: DataFrame) -> ProjectionResult:
     # whose handlers take ctx (emit/linkTo) also need log_position for
     # deterministic emitted-event ids.
     emits = any(a >= 3 for a in proj.handler_arity.values())
-    by_stream_only = proj.by_stream and not emits
+    by_stream_only = proj.by_stream and not emits and not proj.bi_state
     sort_key = "event_number" if by_stream_only else "log_position"
 
     if proj.columns_ is not None:
@@ -289,6 +358,19 @@ def run_batch(proj: Projection, events: DataFrame) -> ProjectionResult:
         src = src.withColumn("_partition", _pkey(*[F.col(c) for c in cols]))
     else:
         src = src.withColumn("_partition", F.lit(""))
+
+    if proj.bi_state:
+        fold_all = _make_bistate_fold(proj)
+
+        def run_all(batches):
+            import pandas as _pd
+
+            pdfs = list(batches)
+            if pdfs:
+                yield fold_all(_pd.concat(pdfs, ignore_index=True))
+
+        one = src.repartition(1).sortWithinPartitions("log_position")
+        return ProjectionResult(raw=one.mapInPandas(run_all, _OUT_SCHEMA))
 
     # Execution: hash-repartition on the partition key, sort within each
     # task by (key, order), then stream the fold with mapInPandas, slicing

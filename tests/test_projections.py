@@ -135,6 +135,48 @@ def test_typed_pushdown_prunes_scan(bank_events):
     assert st == {"": {"n": 3}}
 
 
+def test_from_streams_merges_in_log_order(bank_events):
+    """P2: multi-stream source folds in global log order."""
+    order = []
+
+    def h(s, e):
+        order.append(e["event_id"])
+        return {"n": s["n"] + 1}
+
+    p = Projection.from_streams("account-1", "chat-1", name="merge").when(
+        {"$init": lambda: {"n": 0}, "$any": h}
+    )
+    st = states_of(run_batch(p, bank_events.coalesce(1)))
+    assert st[""]["n"] == 6
+
+
+def test_bi_state_shared_and_partitioned(bank_events):
+    """P9: $initShared — per-stream balance plus a shared global total."""
+    def apply_amt(sign):
+        def h(st, e):
+            amt = sign * e["body"]["amount"]
+            return {
+                "p": {"bal": st["p"]["bal"] + amt},
+                "s": {"total": st["s"]["total"] + amt, "events": st["s"]["events"] + 1},
+            }
+        return h
+
+    p = (
+        Projection.from_category("account", name="bistate")
+        .foreach_stream()
+        .when({
+            "$init": lambda: {"bal": 0},
+            "$initShared": lambda: {"total": 0, "events": 0},
+            "Deposited": apply_amt(1),
+            "Withdrawn": apply_amt(-1),
+        })
+    )
+    st = states_of(run_batch(p, bank_events))
+    assert st["account-1"] == {"bal": 77}
+    assert st["account-2"] == {"bal": -10}
+    assert st["$shared"] == {"total": 67, "events": 5}
+
+
 def test_column_pruning_hint(bank_events):
     p = (
         Projection.from_category("account", name="pruned")
