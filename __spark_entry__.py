@@ -347,6 +347,25 @@ def q_p15_emit_hot(spark, sf):
     return res.emitted.select("stream_id", "event_type", "data", "partition")
 
 
+def q_p16_linkto(spark, sf):
+    """linkTo() (P16): index big purchases into a `$hot` link stream.
+    Link bodies are `n@stream` — SQL-expressible, full oracle check."""
+    proj = (
+        Projection.from_all(name="hotlinks")
+        .foreach_stream()
+        .when({
+            "$init": lambda: {"n": 0},
+            "purchase": lambda s, e, ctx: (
+                ctx.link_to("$hot", e) if e["value"] > 300 else None
+            ) or {"n": s["n"] + 1},
+        })
+    )
+    res = run_batch(proj, load_envelope(spark, sf))
+    return res.emitted.select(
+        F.col("stream_id").alias("link_stream"), "event_type", "data", "partition"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Analytic SQL surface over the TPC-H-ish tables (§7.3: native Spark SQL)
 # ---------------------------------------------------------------------------
@@ -502,6 +521,52 @@ def q_dedup_ngram_jaccard(spark, sf):
     return dd.ngram_jaccard_pairs(_table(spark, sf, "documents"), threshold=0.4)
 
 
+def q_doc_fingerprint_rolling(spark, sf):
+    """Order-sensitive rolling-hash fingerprint + canonical-dup marking."""
+    from eventstore_spark.functions.text import rolling_fingerprint
+
+    docs = _table(spark, sf, "documents")
+    with_fp = docs.select("doc_id", rolling_fingerprint(F.col("text")).alias("rhash"))
+    w = Window.partitionBy("rhash")
+    return with_fp.select(
+        "doc_id", "rhash", F.min("doc_id").over(w).alias("canonical_id")
+    ).withColumn("is_duplicate", F.col("doc_id") != F.col("canonical_id"))
+
+
+def _media_from_docs(spark, sf):
+    """Adapt documents into the MEDIA_SCHEMA shape: text bytes stand in for
+    encoded media content (the decode step is a deterministic stub — see
+    operators/multimodal.py); kind cycles image/audio/video by id."""
+    docs = _table(spark, sf, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.col("text").cast("binary").alias("content"),
+        F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def q_multimodal_features(spark, sf):
+    from eventstore_spark.operators import multimodal as mm
+
+    return mm.extract_media_features(_media_from_docs(spark, sf))
+
+
+def q_media_dedup(spark, sf):
+    from eventstore_spark.operators import multimodal as mm
+
+    return mm.exact_media_dedup(_media_from_docs(spark, sf))
+
+
 ANN_QUERY_IDS = [1, 7, 42]
 
 
@@ -511,6 +576,14 @@ def q_ann_bruteforce(spark, sf):
 
 def q_ann_lsh(spark, sf):
     return sim.lsh_topk(_table(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10)
+
+
+def q_ann_ivf(spark, sf):
+    return sim.ivf_topk(_table(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10)
+
+
+def q_embedding_neardup(spark, sf):
+    return sim.embedding_neardup_pairs(_table(spark, sf, "embeddings"), threshold=0.45)
 
 
 # ---------------------------------------------------------------------------
@@ -546,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p9_bistate": q_p9_bistate,
         "p8_stream_stats": q_p8_stream_stats,
         "p15_emit_hot": q_p15_emit_hot,
+        "p16_linkto": q_p16_linkto,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5_region_revenue": q_tpch_q5_region_revenue,
@@ -560,8 +634,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "doc_fingerprint_rolling": q_doc_fingerprint_rolling,
+        "multimodal_features": q_multimodal_features,
+        "media_dedup": q_media_dedup,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "embedding_neardup": q_embedding_neardup,
     }
 
 
@@ -701,6 +780,14 @@ SELECT '$shared', CAST(sum({v_c}) AS BIGINT) FROM ev WHERE event_type = 'purchas
     )
     # p15_emit_hot: emitted-stream output — not SQL-expressible row-for-row
     # (deterministic event ids come from the fold); rows-only check.
+    sqls["p16_linkto"] = _with_ev(
+        """
+SELECT '$hot' AS link_stream, '$>' AS event_type,
+       CAST(event_number AS VARCHAR) || '@' || stream_id AS data,
+       stream_id AS "partition"
+FROM ev WHERE event_type = 'purchase' AND value > 300
+"""
+    )
 
     lic = {
         "q": cents.format(c="l_quantity"),
@@ -796,6 +883,32 @@ FROM f
     sqls["dedup_simhash"] = dd.sql_simhash()
     sqls["dedup_simhash_pairs"] = dd.sql_simhash_pairs(max_hamming=3)
     sqls["dedup_ngram_jaccard"] = dd.sql_ngram_jaccard_pairs(threshold=0.4)
+    from eventstore_spark.functions.text import sql_rolling_fingerprint
+
+    rh = sql_rolling_fingerprint("text")
+    sqls["doc_fingerprint_rolling"] = f"""
+WITH f AS (SELECT doc_id, {rh} AS rhash FROM documents)
+SELECT doc_id, rhash, min(doc_id) OVER (PARTITION BY rhash) AS canonical_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY rhash) AS is_duplicate
+FROM f
+"""
+    kind_sql = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+    sqls["multimodal_features"] = f"""
+SELECT doc_id AS media_id,
+       {kind_sql} AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(64 + (CAST('0x' || substr(sha256(text), 1, 2) AS INT) % 192) AS INT) AS width,
+       CAST(64 + (CAST('0x' || substr(sha256(text), 3, 2) AS INT) % 192) AS INT) AS height,
+       substr(sha256(text), 1, 16) AS digest
+FROM documents
+"""
+    sqls["media_dedup"] = """
+SELECT sha256(text) AS content_hash, min(doc_id) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS copies
+FROM documents GROUP BY 1
+"""
     sqls["ann_bruteforce"] = sim.sql_brute_force_topk(ANN_QUERY_IDS, k=10)
     sqls["ann_lsh"] = sim.sql_lsh_topk(ANN_QUERY_IDS, k=10)
+    sqls["ann_ivf"] = sim.sql_ivf_topk(ANN_QUERY_IDS, k=10)
+    sqls["embedding_neardup"] = sim.sql_embedding_neardup(threshold=0.45)
     return sqls

@@ -84,6 +84,38 @@ def quality_score(text: Column) -> Column:
     )
 
 
+# Rolling (Rabin-Karp-style polynomial) document fingerprint. Unlike the
+# md5 fingerprint above, this is an order-sensitive fold over token hashes —
+# the incremental-hash family the reference uses for stream-id indexing
+# (src/EventStore.Core/Index/Hashes/Murmur3AUnsafe.cs:8) re-expressed as a
+# codegen'd left fold. acc stays < 2^31 so acc*B + h fits a BIGINT in both
+# engines.
+ROLL_B = 131
+ROLL_P = 2147483647  # 2^31 - 1
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """h = fold(tokens, 0, (acc, t) -> (acc * B + h32(t)) mod P)."""
+    th = F.transform(
+        tokens(text),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % ROLL_P,
+    )
+    return F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLL_B + x) % ROLL_P,
+    )
+
+
+def sql_rolling_fingerprint(c: str) -> str:
+    toks = SQL_TOKENS.format(c=c)
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform({toks}, "
+        f"t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {ROLL_P})), "
+        f"(acc, x) -> (acc * {ROLL_B} + x) % {ROLL_P})"
+    )
+
+
 # Marker vocabularies for the n-gram/stopword language-ID heuristic.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "is", "with", "for"),

@@ -126,9 +126,8 @@ def lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     )
 
 
-def sql_lsh_topk(query_ids: list[int], k: int = 10, planes: int = 4, tables: int = 2,
-                 dim: int = 64, table: str = "embeddings") -> str:
-    """DuckDB oracle reproducing lsh_topk exactly (same hyperplanes)."""
+def _sql_bucket_expr(vec: str, table_i: int, planes: int, dim: int) -> str:
+    """DuckDB twin of lsh_bucket: same md5-derived hyperplanes."""
     import hashlib
 
     def comp_sign(t, j, d):
@@ -136,20 +135,25 @@ def sql_lsh_topk(query_ids: list[int], k: int = 10, planes: int = 4, tables: int
         h = int(hashlib.md5(f"t{t}|p{j}|b{block}".encode()).hexdigest()[:15], 16)
         return 1.0 if (h >> (d % 60)) & 1 == 1 else -1.0
 
-    def bucket_expr(vec, t):
-        bits = []
-        for j in range(planes):
-            terms = " + ".join(
-                f"CAST({vec}[{d + 1}] AS DOUBLE) * ({comp_sign(t, j, d)})" for d in range(dim)
-            )
-            bits.append(f"CASE WHEN ({terms}) > 0 THEN 1 ELSE 0 END")
-        e = "0"
-        for bexp in bits:
-            e = f"({e}) * 2 + ({bexp})"
-        return e
+    bits = []
+    for j in range(planes):
+        terms = " + ".join(
+            f"CAST({vec}[{d + 1}] AS DOUBLE) * ({comp_sign(table_i, j, d)})" for d in range(dim)
+        )
+        bits.append(f"CASE WHEN ({terms}) > 0 THEN 1 ELSE 0 END")
+    e = "0"
+    for bexp in bits:
+        e = f"({e}) * 2 + ({bexp})"
+    return e
 
+
+def sql_lsh_topk(query_ids: list[int], k: int = 10, planes: int = 4, tables: int = 2,
+                 dim: int = 64, table: str = "embeddings") -> str:
+    """DuckDB oracle reproducing lsh_topk exactly (same hyperplanes)."""
     ids = ", ".join(str(i) for i in query_ids)
-    buckets = ", ".join(f"{bucket_expr('embedding', t)} AS b{t}" for t in range(tables))
+    buckets = ", ".join(
+        f"{_sql_bucket_expr('embedding', t, planes, dim)} AS b{t}" for t in range(tables)
+    )
     match = " OR ".join(f"c.b{t} = q.b{t}" for t in range(tables))
     cos = sql_cosine("q.embedding", "c.embedding", dim)
     return f"""
@@ -165,6 +169,106 @@ WITH base AS (
   FROM scored
 )
 SELECT query_id, vec_id, rank, sim FROM ranked WHERE rank <= {k}
+"""
+
+
+# -- IVF ---------------------------------------------------------------------
+
+def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4, dim: int = 64,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
+    into cells; a query probes only its ``nprobe`` nearest cells and
+    exact-reranks those candidates.
+
+    The quantizer here is deterministic — the ``n_centroids`` lowest-id
+    vectors stand in for trained k-means centroids (swap in trained
+    centroids without changing the plan or the oracle). Centroids are
+    collected to the driver (tiny: n_centroids x dim) and inlined as
+    literal arrays, so cell assignment is ONE codegen'd projection pass
+    over the corpus — no shuffle, no window; at 100 TB the corpus is
+    touched once and only 'nprobe/n_centroids' of it reaches the re-rank.
+    """
+    base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    cents = sorted(
+        base.where(F.col("vec_id") < n_centroids).collect(),
+        key=lambda r: r["vec_id"],
+    )
+
+    def cell_of(vec):
+        # argmax over (cosine, -cent_id) structs — every centroid distance
+        # is computed in one expression tree, ties to the lowest id.
+        scored = [
+            F.struct(
+                cosine(vec, F.array(*[F.lit(float(x)) for x in r["vec"]])).alias("sim"),
+                F.lit(-int(r["vec_id"])).alias("nid"),
+            )
+            for r in cents
+        ]
+        return -F.array_max(F.array(*scored))["nid"]
+
+    assigned = base.withColumn("cell", cell_of(F.col("vec")))
+    queries = base.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+
+    def probe_cells(vec):
+        scored = [
+            F.struct(
+                cosine(vec, F.array(*[F.lit(float(x)) for x in r["vec"]])).alias("sim"),
+                F.lit(-int(r["vec_id"])).alias("nid"),
+            )
+            for r in cents
+        ]
+        # nprobe best cells: sort ascending, take the tail, reversed —
+        # (sim desc, cent_id asc) order, matching the oracle's window.
+        top = F.slice(F.reverse(F.array_sort(F.array(*scored))), 1, nprobe)
+        return F.transform(top, lambda s: -s["nid"])
+
+    probes = queries.withColumn("cells", probe_cells(F.col("qvec"))).select(
+        "query_id", "qvec", F.explode("cells").alias("cell")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qvec"), F.col("vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "sim")
+    )
+
+
+def sql_ivf_topk(query_ids: list[int], k: int = 10, n_centroids: int = 16,
+                 nprobe: int = 4, dim: int = 64, table: str = "embeddings") -> str:
+    """DuckDB oracle for ivf_topk (same quantizer, relational form)."""
+    ids = ", ".join(str(i) for i in query_ids)
+    ccos = sql_cosine("b.embedding", "c.cvec", dim)
+    qcos = sql_cosine("p.qvec", "a.vec", dim)
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM {table} WHERE vec_id < {n_centroids}
+), scored AS (
+  SELECT b.vec_id, b.embedding AS vec, c.cent_id, {ccos} AS csim
+  FROM {table} b CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, vec, cent_id AS cell FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) = 1
+), probes AS (
+  SELECT vec_id AS query_id, vec AS qvec, cent_id AS cell FROM scored
+  WHERE vec_id IN ({ids})
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) <= {nprobe}
+), cand AS (
+  SELECT p.query_id, a.vec_id, {qcos} AS sim
+  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+       sim
+FROM cand
+QUALIFY rank <= {k}
 """
 
 
@@ -195,3 +299,26 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
         .where(F.col("sim") >= threshold)
         .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"), "sim")
     )
+
+
+def sql_embedding_neardup(threshold: float = 0.95, planes: int = 4, tables: int = 2,
+                          dim: int = 64, table: str = "embeddings",
+                          exact: bool = False) -> str:
+    """DuckDB oracle for embedding_neardup_pairs (same LSH buckets)."""
+    cos = sql_cosine("x.embedding", "y.embedding", dim)
+    if exact:
+        return f"""
+SELECT x.vec_id AS a, y.vec_id AS b, {cos} AS sim
+FROM {table} x JOIN {table} y ON x.vec_id < y.vec_id
+WHERE {cos} >= {threshold}
+"""
+    buckets = ", ".join(
+        f"{_sql_bucket_expr('embedding', t, planes, dim)} AS b{t}" for t in range(tables)
+    )
+    match = " OR ".join(f"x.b{t} = y.b{t}" for t in range(tables))
+    return f"""
+WITH base AS (SELECT vec_id, embedding, {buckets} FROM {table})
+SELECT x.vec_id AS a, y.vec_id AS b, {cos} AS sim
+FROM base x JOIN base y ON x.vec_id < y.vec_id AND ({match})
+WHERE {cos} >= {threshold}
+"""

@@ -116,3 +116,31 @@ def test_multimodal_features_and_dedup(spark):
     dups = mm.exact_media_dedup(media).collect()
     by_hash = {r.content_hash: r for r in dups}
     assert any(r.copies == 2 and r.canonical_id == 1 for r in dups)
+
+
+def test_ivf_exhaustive_probe_matches_bruteforce(vectors):
+    """nprobe == n_centroids probes every cell -> exact == brute force."""
+    bf = sim.brute_force_topk(vectors, [0], k=5).collect()
+    ivf = sim.ivf_topk(vectors, [0], k=5, n_centroids=8, nprobe=8, dim=8).collect()
+    assert [(r.query_id, r.vec_id, r.rank) for r in bf] == [
+        (r.query_id, r.vec_id, r.rank) for r in ivf
+    ]
+
+
+def test_ivf_pruned_probe_stays_in_cluster(vectors):
+    out = sim.ivf_topk(vectors, [0, 1], k=3, n_centroids=8, nprobe=2, dim=8).collect()
+    assert out and all(r.vec_id % 4 == r.query_id % 4 for r in out)
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from eventstore_spark.functions.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "A  b   C ")], "id long, t string"
+    )
+    got = {
+        r.id: r.f
+        for r in df.select("id", rolling_fingerprint(F.col("t")).alias("f")).collect()
+    }
+    assert got[1] == got[3]  # normalization-invariant (case/whitespace)
+    assert got[1] != got[2]  # order-sensitive, unlike the md5 set fingerprint
