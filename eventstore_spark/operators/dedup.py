@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import fingerprint, shingles, sql_shingles, SQL_FINGERPRINT
+from ..schema import spread
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -79,6 +80,7 @@ def minhash_signature(docs: DataFrame, id_col="doc_id", text_col="text",
     derivations min((a_i*h + b_i) mod p) — integer arithmetic identical in
     Spark and DuckDB, ~k× cheaper than hashing every shingle k times.
     """
+    docs = spread(docs)
     sh = shingles(F.col(text_col), shingle_n)
     base = F.transform(
         F.col("shingles"),
@@ -218,32 +220,38 @@ def simhash_signature(docs: DataFrame, id_col="doc_id", text_col="text") -> Data
     token hash = first 15 hex chars of md5(token) as a 60-bit int; bit j of
     the signature is 1 iff more token-hashes have bit j set than not.
 
-    Plan: explode tokens → one hash column → single groupBy(doc_id) with 60
-    vectorized conditional-sum aggregates (map-side partial agg, one
-    shuffle on doc_id) → recombine bits. All JVM-side; integer votes are
-    order-independent, so the result is engine-portable.
+    Plan: ONE codegen'd projection pass — per doc, a left fold over the
+    token-hash array accumulates a 60-long vote vector (zip_with against a
+    power-of-two mask array), then a second fold recombines the winning
+    bits. No explode, no shuffle: the per-doc work never leaves its input
+    partition, which is exactly what you want when the corpus is 100 TB
+    (the earlier explode→groupBy formulation shuffled |tokens| rows per
+    doc). Integer votes are order-independent → engine-portable.
     """
     from ..functions.text import tokens
 
-    th = (
-        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_t"))
-        .select("doc_id", F.explode("_t").alias("tok"))
-        .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
+    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
+    th = F.transform(
+        tokens(F.col(text_col)),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
     )
-    votes = th.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(SIMHASH_BITS)
-        ]
+    votes = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc, pow2,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
     )
-    sig = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        sig = sig + F.when(
-            F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return votes.select("doc_id", sig.alias("simhash"))
+    sig = F.aggregate(
+        F.zip_with(
+            votes, pow2,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return spread(docs).select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
@@ -339,7 +347,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
     count shared → |A∩B| / (|A|+|B|-|A∩B|). Scales as sum over shingles of
     df², not n² — hot shingles are the skew risk (AQE skew-join handles).
     """
-    base = docs.select(
+    base = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sset"),
     ).withColumn("ssize", F.size("sset"))

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vectors import cosine, sql_cosine
+from ..schema import spread
 
 
 def brute_force_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
@@ -36,7 +37,7 @@ def brute_force_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     queries = embeddings.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    corpus = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    corpus = spread(embeddings).select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .where(F.col("vec_id") != F.col("query_id"))
@@ -103,7 +104,7 @@ def lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: candidates share the query's bucket in any table,
     exact cosine re-rank. Returns (query_id, vec_id, rank, sim)."""
-    base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    base = spread(embeddings).select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     for t in range(tables):
         base = base.withColumn(f"b{t}", lsh_bucket(F.col("vec"), t, planes, dim))
     queries = base.where(F.col("vec_id").isin(query_ids)).select(
@@ -189,7 +190,7 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     over the corpus — no shuffle, no window; at 100 TB the corpus is
     touched once and only 'nprobe/n_centroids' of it reaches the re-rank.
     """
-    base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    base = spread(embeddings).select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     cents = sorted(
         base.where(F.col("vec_id") < n_centroids).collect(),
         key=lambda r: r["vec_id"],
@@ -281,7 +282,7 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     exact=True: all-pairs verify (oracle baseline). exact=False: sign-LSH
     candidates (same-bucket in any table) then verify — the scale path.
     """
-    base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    base = spread(embeddings).select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     if not exact:
         for t in range(tables):
             base = base.withColumn(f"b{t}", lsh_bucket(F.col("vec"), t, planes, dim))

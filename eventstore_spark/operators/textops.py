@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as X
+from ..schema import spread
 
 
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -24,7 +25,7 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     toks = F.col("_toks")
     sw = F.array(*[F.lit(s) for s in X.STOPWORDS])
 
-    staged = docs.select(
+    staged = spread(docs).select(
         "doc_id", c.alias("_text"), X.normalize(c).alias("_norm")
     ).withColumn("_toks", F.split(F.col("_norm"), " "))
 

@@ -141,5 +141,25 @@ ev AS (
 """.strip()
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Spread rows before CPU-heavy per-row work (md5 shingling, cosine
+    folds, regex profiling).
+
+    The driver's test parquet files are single-row-group, so a scan is one
+    task and a heavy projection over it runs on one core. A round-robin
+    repartition (a few MB of shuffle) is far cheaper than serializing the
+    compute. Only operators whose per-row cost dwarfs a row's shuffle cost
+    call this — plain scans/aggregates never do (the exchange would cost
+    more than it buys). Catalyst still pushes filters/pruning below the
+    exchange, so scans stay pruned; at warehouse scale inputs arrive
+    already split and this is a no-op (partitions >= parallelism).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return envelope_from_app_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
