@@ -521,6 +521,19 @@ def q_dedup_ngram_jaccard(spark, sf):
     return dd.ngram_jaccard_pairs(_table(spark, sf, "documents"), threshold=0.4)
 
 
+def q_token_stats(spark, sf):
+    """Token counting two ways: whitespace words vs BPE-ish sub-word runs."""
+    from eventstore_spark.functions.text import bpe_token_count, token_count
+
+    docs = _table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
 def q_doc_fingerprint_rolling(spark, sf):
     """Order-sensitive rolling-hash fingerprint + canonical-dup marking."""
     from eventstore_spark.functions.text import rolling_fingerprint
@@ -634,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "token_stats": q_token_stats,
         "doc_fingerprint_rolling": q_doc_fingerprint_rolling,
         "multimodal_features": q_multimodal_features,
         "media_dedup": q_media_dedup,
@@ -778,8 +792,14 @@ UNION ALL
 SELECT '$shared', CAST(sum({v_c}) AS BIGINT) FROM ev WHERE event_type = 'purchase'
 """
     )
-    # p15_emit_hot: emitted-stream output — not SQL-expressible row-for-row
-    # (deterministic event ids come from the fold); rows-only check.
+    sqls["p15_emit_hot"] = _with_ev(
+        f"""
+SELECT 'hot-purchases' AS stream_id, 'HotPurchase' AS event_type,
+       '{{"cents": ' || CAST({v_c} AS VARCHAR) || '}}' AS data,
+       stream_id AS "partition"
+FROM ev WHERE event_type = 'purchase' AND value > 300
+"""
+    )
     sqls["p16_linkto"] = _with_ev(
         """
 SELECT '$hot' AS link_stream, '$>' AS event_type,
@@ -885,6 +905,14 @@ FROM f
     sqls["dedup_ngram_jaccard"] = dd.sql_ngram_jaccard_pairs(threshold=0.4)
     from eventstore_spark.functions.text import sql_rolling_fingerprint
 
+    from eventstore_spark.functions.text import sql_bpe_token_count, SQL_TOKEN_COUNT
+
+    sqls["token_stats"] = f"""
+SELECT doc_id, {SQL_TOKEN_COUNT.format(c='text')} AS ws_tokens,
+       {sql_bpe_token_count('text')} AS bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
     rh = sql_rolling_fingerprint("text")
     sqls["doc_fingerprint_rolling"] = f"""
 WITH f AS (SELECT doc_id, {rh} AS rhash FROM documents)

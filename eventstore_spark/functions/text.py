@@ -84,6 +84,27 @@ def quality_score(text: Column) -> Column:
     )
 
 
+# BPE-ish sub-word tokenization: letter runs, digit runs, and single
+# punctuation marks as separate tokens — the shape a byte-pair-encoding
+# vocabulary produces, as a deterministic regex both engines run
+# identically (the alternatives are disjoint character classes, so
+# leftmost-first vs leftmost-longest engines agree).
+BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_tokens(text: Column) -> Column:
+    return F.regexp_extract_all(normalize(text), F.lit(BPE_TOKEN_RE), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text)).cast("long")
+
+
+def sql_bpe_token_count(c: str) -> str:
+    norm = SQL_NORMALIZE.format(c=c)
+    return rf"CAST(len(regexp_extract_all({norm}, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)"
+
+
 # Rolling (Rabin-Karp-style polynomial) document fingerprint. Unlike the
 # md5 fingerprint above, this is an order-sensitive fold over token hashes —
 # the incremental-hash family the reference uses for stream-id indexing
