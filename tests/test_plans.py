@@ -1,0 +1,106 @@
+"""Physical-plan audits: the properties that matter at 100 TB.
+
+Correctness tests prove the operators compute the right answer; these
+prove the *plans* stay efficient — filters reach the parquet scan, scans
+read only needed columns, small dimensions broadcast, per-stream folds
+never materialize a global order. A regression here is invisible at test
+scale and catastrophic at warehouse scale, so it's pinned by assertion.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventstore_spark.projections.dsl import Projection
+from eventstore_spark.projections.runtime import run_batch
+from eventstore_spark.sources import readers as R
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def parquet_events(spark, tmp_path_factory):
+    """Envelope written to parquet so scans go through the v1 FileScan
+    path (PushedFilters are only visible on real file sources)."""
+    path = str(tmp_path_factory.mktemp("plans") / "events")
+    rows = [
+        (i, f"user-{i % 7}", "user", i // 7, f"e{i}", "purchase", "{}", None, None, True)
+        for i in range(200)
+    ]
+    from eventstore_spark.schema import EVENTS_SCHEMA
+
+    spark.createDataFrame(rows, EVENTS_SCHEMA).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_stream_read_pushes_filters_to_scan(parquet_events):
+    """S2: stream + event_number predicates must reach the parquet reader
+    (the replacement for the reference's PTable (stream, number) index)."""
+    plan = plan_of(R.read_stream_forward(parquet_events, "user-3", 5, 10))
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(stream_id,user-3)" in plan
+    assert "GreaterThanOrEqual(event_number,5)" in plan
+
+
+def test_point_read_prunes_columns(parquet_events):
+    """S1 projecting two fields must not read the payload columns."""
+    df = R.read_event(parquet_events, "user-3", 2).select("stream_id", "event_number")
+    plan = plan_of(df)
+    scan = plan[plan.index("ReadSchema") :]
+    assert "data" not in scan.split("\n")[0]
+    assert "metadata" not in scan.split("\n")[0]
+
+
+def test_filtered_all_read_pushes_prefix(parquet_events):
+    """F1: stream-prefix filter compiles to StringStartsWith at the scan."""
+    from eventstore_spark.operators.filters import EventFilter
+
+    filt = EventFilter(stream_prefixes=("user-1",))
+    plan = plan_of(R.read_all_filtered(parquet_events, filt))
+    assert "StringStartsWith(stream_id,user-1)" in plan
+
+
+def test_by_stream_fold_has_no_global_sort(parquet_events):
+    """P6+P8: a foreachStream fold replays by event_number inside each
+    hash partition — a global (single-task) sort must never appear."""
+    proj = (
+        Projection.from_category("user", name="audit")
+        .foreach_stream()
+        .columns()
+        .when({"$init": lambda: {"n": 0}, "$any": lambda s, e: {"n": s["n"] + 1}})
+    )
+    plan = plan_of(run_batch(proj, parquet_events).states)
+    # Sort nodes must all be local (within-partition), under an Exchange
+    # that hash-partitions on the fold key; a global order-by would show
+    # as Sort [...global...] or an Exchange rangepartitioning.
+    assert "rangepartitioning" not in plan.lower()
+    # formatted explain prints each Sort's arguments as
+    # "Arguments: [keys...], <global>, 0" — global must always be false
+    assert "], true, 0" not in plan
+
+
+def test_small_dimension_join_broadcasts(spark, parquet_events):
+    """Joins against a small dimension (stream metadata) must broadcast —
+    never shuffle the log."""
+    md = spark.createDataFrame(
+        [("user-1", 10)], "stream_id string, max_count long"
+    )
+    j = parquet_events.join(F.broadcast(md), "stream_id")
+    assert "BroadcastHashJoin" in plan_of(j)
+
+
+def test_link_resolution_is_left_join_no_cartesian(parquet_events):
+    from eventstore_spark.operators.links import resolve_links
+
+    plan = plan_of(resolve_links(parquet_events))
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan or "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
