@@ -162,4 +162,12 @@ def spread(df: DataFrame) -> DataFrame:
 
 
 def load_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The driver's events.parquet stores TIMESTAMP(NANOS), which Spark can
+    # only read as a long. get_spark() sets this at build time, but the
+    # harness may hand us its own bare session — the flag is runtime-
+    # settable, so pin it here where the read actually happens.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     return envelope_from_app_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
