@@ -279,26 +279,57 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                             exact: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
 
-    exact=True: all-pairs verify (oracle baseline). exact=False: sign-LSH
-    candidates (same-bucket in any table) then verify — the scale path.
+    exact=True: all-pairs verify (oracle baseline; quadratic — only for
+    tiny corpora / oracle checks). exact=False (the scale path): sign-LSH
+    banding exactly like ``dedup.minhash_lsh_pairs``:
+
+      signature pass → explode to (table, bucket) rows → SELF EQUI-JOIN on
+      (table, bucket) → distinct candidate pairs → re-fetch vectors by id →
+      exact cosine verify.
+
+    The equi-join is the point: "same bucket in ANY table" expressed as an
+    OR of band equalities gives Catalyst no join key and plans as a
+    BroadcastNestedLoopJoin (a cartesian at scale); exploding each table's
+    bucket to its own row turns the same candidate set into a shuffled
+    hash join on two key columns. Candidate volume is Σ(bucket size²) per
+    table, never |corpus|².
     """
     base = spread(embeddings).select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
-    if not exact:
-        for t in range(tables):
-            base = base.withColumn(f"b{t}", lsh_bucket(F.col("vec"), t, planes, dim))
-    x = base.alias("x")
-    y = base.alias("y")
-    cond = F.col("x.vec_id") < F.col("y.vec_id")
-    if not exact:
-        match = F.lit(False)
-        for t in range(tables):
-            match = match | (F.col(f"x.b{t}") == F.col(f"y.b{t}"))
-        cond = cond & match
+    if exact:
+        x = base.alias("x")
+        y = base.alias("y")
+        return (
+            x.join(y, F.col("x.vec_id") < F.col("y.vec_id"))
+            .withColumn("sim", cosine(F.col("x.vec"), F.col("y.vec")))
+            .where(F.col("sim") >= threshold)
+            .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"), "sim")
+        )
+    # One pass computes every table's bucket; cache: the signature table
+    # feeds the band join twice and the verify join twice (at warehouse
+    # scale this is a persisted signature table, like minhash's).
+    sig = base
+    for t in range(tables):
+        sig = sig.withColumn(f"b{t}", lsh_bucket(F.col("vec"), t, planes, dim))
+    sig = sig.cache()
+
+    banded = sig.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"b{t}") for t in range(tables)])).alias("t", "bucket"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["t", "bucket"])
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .distinct()
+    )
+    vecs = sig.select("vec_id", "vec")
     return (
-        x.join(y, cond)
-        .withColumn("sim", cosine(F.col("x.vec"), F.col("y.vec")))
+        cand.join(vecs.withColumnRenamed("vec_id", "a").withColumnRenamed("vec", "va"), "a")
+        .join(vecs.withColumnRenamed("vec_id", "b").withColumnRenamed("vec", "vb"), "b")
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
         .where(F.col("sim") >= threshold)
-        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"), "sim")
+        .select("a", "b", "sim")
     )
 
 
@@ -316,10 +347,22 @@ WHERE {cos} >= {threshold}
     buckets = ", ".join(
         f"{_sql_bucket_expr('embedding', t, planes, dim)} AS b{t}" for t in range(tables)
     )
-    match = " OR ".join(f"x.b{t} = y.b{t}" for t in range(tables))
+    # Same shape as the Spark plan: explode (table, bucket) rows, equi-join,
+    # distinct pairs, verify by re-joined vectors.
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM base" for t in range(tables)
+    )
+    vcos = sql_cosine("xa.embedding", "yb.embedding", dim)
     return f"""
-WITH base AS (SELECT vec_id, embedding, {buckets} FROM {table})
-SELECT x.vec_id AS a, y.vec_id AS b, {cos} AS sim
-FROM base x JOIN base y ON x.vec_id < y.vec_id AND ({match})
-WHERE {cos} >= {threshold}
+WITH base AS (SELECT vec_id, embedding, {buckets} FROM {table}),
+banded AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM banded x JOIN banded y ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT c.a, c.b, {vcos} AS sim
+FROM cand c
+JOIN base xa ON xa.vec_id = c.a
+JOIN base yb ON yb.vec_id = c.b
+WHERE {vcos} >= {threshold}
 """

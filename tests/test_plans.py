@@ -104,3 +104,20 @@ def test_link_resolution_is_left_join_no_cartesian(parquet_events):
     plan = plan_of(resolve_links(parquet_events))
     assert "CartesianProduct" not in plan
     assert "Join" in plan or "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_embedding_neardup_is_banded_equijoin(spark, tmp_path_factory):
+    """The near-dup candidate join must be an equi-join on the exploded
+    (table, bucket) key — an OR of band equalities gives Catalyst no join
+    key and plans as BroadcastNestedLoopJoin (a cartesian at 100 TB)."""
+    from eventstore_spark.operators.similarity import embedding_neardup_pairs
+
+    path = str(tmp_path_factory.mktemp("plans") / "emb")
+    rows = [(i, [float((i * 7 + d) % 13) for d in range(8)]) for i in range(50)]
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>").write.mode(
+        "overwrite"
+    ).parquet(path)
+    emb = spark.read.parquet(path)
+    plan = plan_of(embedding_neardup_pairs(emb, threshold=0.9, dim=8))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
