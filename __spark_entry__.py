@@ -396,20 +396,24 @@ def q_tpch_q3(spark, sf):
     orders = _table(spark, sf, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01"))
     li = _table(spark, sf, "lineitem").where(F.col("l_shipdate") > F.lit("1998-01-01"))
     rev = (F.col("_ep_c") * (100 - F.col("_d_c"))).alias("rev_u")
+    # No broadcast hints: orders and (filtered) customer both scale with
+    # SF — a hint would pin a fact-table broadcast at 100x. AQE picks
+    # broadcast at runtime when a side is actually small.
     j = (
         li.withColumn("_ep_c", _cents(F.col("l_extendedprice")))
         .withColumn("_d_c", _cents(F.col("l_discount")))
-        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
     )
     agg = (
         j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(F.col("_ep_c") * (100 - F.col("_d_c"))).alias("rev_u"))
     )
-    w = Window.orderBy(F.col("rev_u").desc(), F.col("l_orderkey"))
+    # top-10 via orderBy+limit → TakeOrderedAndProject (per-partition
+    # heaps + driver merge), never a single-partition global window.
     return (
-        agg.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 10)
+        agg.orderBy(F.col("rev_u").desc(), F.col("l_orderkey"))
+        .limit(10)
         .select(
             "l_orderkey",
             (F.col("rev_u").cast("double") / 10_000.0).alias("revenue"),

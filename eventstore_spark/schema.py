@@ -17,6 +17,10 @@ parquet min/max pruning.
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -161,7 +165,22 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+_ENVELOPE_CACHE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "envelope"
+)
+
+
 def load_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical envelope for a driver sf_dir, materialized ONCE per input.
+
+    In the real engine ``log_position``/``event_number`` are assigned at
+    append time by the single-writer protocol (writer.py) and *stored*; no
+    query ever pays a position-assignment window. This adapter honors that:
+    the global row_number windows in ``envelope_from_app_events`` run once
+    per (events.parquet mtime/size), the result lands as a range-partitioned
+    parquet table (so per-stream reads still prune + parallelize), and
+    every subsequent query is a plain columnar scan of assigned positions.
+    """
     # The driver's events.parquet stores TIMESTAMP(NANOS), which Spark can
     # only read as a long. get_spark() sets this at build time, but the
     # harness may hand us its own bare session — the flag is runtime-
@@ -170,4 +189,31 @@ def load_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    return envelope_from_app_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src = f"{sf_dir}/events.parquet"
+
+    def build() -> DataFrame:
+        return envelope_from_app_events(spark.read.parquet(src))
+
+    try:
+        st = os.stat(src)
+        key = "{}-{}-{}".format(
+            os.path.basename(os.path.normpath(sf_dir)), int(st.st_mtime), st.st_size
+        )
+        dest = os.path.join(_ENVELOPE_CACHE_ROOT, key)
+        if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+            os.makedirs(_ENVELOPE_CACHE_ROOT, exist_ok=True)
+            tmp = f"{dest}.tmp-{uuid.uuid4().hex[:8]}"
+            # Range partitioning by (stream_id, event_number) is the local
+            # stand-in for partition-by-category + Z-order at scale: stream
+            # reads prune to a few files and scans parallelize.
+            n_parts = max(spark.sparkContext.defaultParallelism // 2, 1)
+            build().repartitionByRange(
+                n_parts, "stream_id", "event_number"
+            ).write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, dest)
+            except OSError:  # lost a concurrent-build race; theirs is fine
+                shutil.rmtree(tmp, ignore_errors=True)
+        return spark.read.parquet(dest)
+    except Exception:
+        return build()
