@@ -17,6 +17,7 @@ Determinism rules used throughout (so value-hashes match across engines):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,6 +48,13 @@ ENVELOPE_COLS = [
 
 def _cents(col) -> F.Column:
     return F.round(col * 100).cast("long")
+
+
+def _cents_py(v: float) -> int:
+    """Half-away-from-zero cents — the same rounding as F.round (HALF_UP)
+    and DuckDB's round(). Python's built-in round() is banker's rounding
+    (half-to-even), which would diverge on exact .5 boundaries."""
+    return int(math.floor(abs(v) * 100 + 0.5)) * (1 if v >= 0 else -1)
 
 
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -228,10 +236,10 @@ def _balance_projection() -> Projection:
         return {"n": 0, "cents": 0}
 
     def purchase(s, e):
-        return {"n": s["n"] + 1, "cents": s["cents"] + int(round(e["value"] * 100))}
+        return {"n": s["n"] + 1, "cents": s["cents"] + _cents_py(e["value"])}
 
     def error(s, e):
-        return {"n": s["n"] + 1, "cents": s["cents"] - int(round(e["value"] * 100))}
+        return {"n": s["n"] + 1, "cents": s["cents"] - _cents_py(e["value"])}
 
     return (
         Projection.from_category("user", name="balance")
@@ -255,7 +263,7 @@ def q_p7_partition_by(spark, sf):
             "$init": lambda: {"n": 0, "cents": 0},
             "$any": lambda s, e: {
                 "n": s["n"] + 1,
-                "cents": s["cents"] + int(round(e["value"] * 100)),
+                "cents": s["cents"] + _cents_py(e["value"]),
             },
         })
     )
@@ -272,7 +280,7 @@ def q_p8_stream_stats(spark, sf):
             "$init": lambda: {"n": 0, "cents": 0, "max_en": -1},
             "$any": lambda s, e: {
                 "n": s["n"] + 1,
-                "cents": s["cents"] + int(round(e["value"] * 100)),
+                "cents": s["cents"] + _cents_py(e["value"]),
                 "max_en": max(s["max_en"], e["event_number"]),
             },
         })
@@ -291,7 +299,7 @@ def q_p2_from_streams(spark, sf):
     def h(s, e):
         return {
             "n": s["n"] + 1,
-            "cents": s["cents"] + int(round(e["value"] * 100)),
+            "cents": s["cents"] + _cents_py(e["value"]),
             "last_stream": e["stream_id"],
         }
 
@@ -309,7 +317,7 @@ def q_p2_from_streams(spark, sf):
 def q_p9_bistate(spark, sf):
     """$initShared (P9): per-stream purchase cents + shared global total."""
     def h(st, e):
-        c = int(round(e["value"] * 100))
+        c = _cents_py(e["value"])
         return {
             "p": {"cents": st["p"]["cents"] + c},
             "s": {"cents": st["s"]["cents"] + c},
@@ -337,7 +345,7 @@ def q_p15_emit_hot(spark, sf):
         .when({
             "$init": lambda: {"n": 0},
             "purchase": lambda s, e, ctx: (
-                ctx.emit("hot-purchases", "HotPurchase", {"cents": int(round(e["value"] * 100))})
+                ctx.emit("hot-purchases", "HotPurchase", {"cents": _cents_py(e["value"])})
                 if e["value"] > 300
                 else None
             ) or {"n": s["n"] + 1},

@@ -63,8 +63,8 @@ def main():
     for name in HEADLINE:
         try:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception:
-            pass
+        except Exception as e:  # loud: a broken query must not bench cold
+            print(f"WARMUP FAILED {name}: {e!r}", file=sys.stderr)
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}

@@ -92,20 +92,24 @@ class EventStoreEngine:
                 F.lit(False).alias("tombstoned"),
             )
         )
+        # ONE row per stream: full-outer-merge metadata with tombstones so
+        # a tombstone always wins even when the stream also has metadata —
+        # two rows here would duplicate events through the visibility join
+        # and leave a tombstoned=False copy visible (hard delete must hide
+        # the stream unconditionally, PrepareFlags.StreamDelete).
         tombs = (
             df.where(df.event_type == "$streamDeleted")
             .select("stream_id")
             .distinct()
-            .select(
-                "stream_id",
-                F.lit(None).cast("long").alias("max_count"),
-                F.lit(None).cast("long").alias("max_age_seconds"),
-                F.lit(None).cast("long").alias("truncate_before"),
-                F.lit(True).alias("tombstoned"),
-            )
+            .withColumn("_tomb", F.lit(True))
         )
-        both = latest.unionByName(tombs)
-        return both
+        return latest.join(tombs, "stream_id", "full_outer").select(
+            "stream_id", "max_count", "max_age_seconds", "truncate_before",
+            (
+                F.coalesce(F.col("tombstoned"), F.lit(False))
+                | F.coalesce(F.col("_tomb"), F.lit(False))
+            ).alias("tombstoned"),
+        )
 
     # ---------------------------------------------------------------- writes
     def append(self, stream_id: str, events: list[ProposedEvent],
@@ -140,14 +144,24 @@ class EventStoreEngine:
                     max_count: int | None = None, backward: bool = False,
                     resolve_link_tos: bool = False) -> DataFrame:
         ev = self.events()
-        if resolve_link_tos:
-            ev = resolve_links(ev)
+        # Page FIRST on the stream's own rows (filter/order/limit by the
+        # link's original identity), THEN resolve the page's links against
+        # the log — the reference pages by the link's position and only
+        # swaps in the target payload (ResolvedEvent.cs:8-33). Resolving
+        # before filtering would rewrite stream_id/event_number to the
+        # target's and a link-stream read would return nothing.
         if backward:
-            return R.read_stream_backward(
+            page = R.read_stream_backward(
                 ev, stream_id,
                 from_event_number if from_event_number else None, max_count,
             )
-        return R.read_stream_forward(ev, stream_id, from_event_number, max_count)
+        else:
+            page = R.read_stream_forward(ev, stream_id, from_event_number, max_count)
+        if resolve_link_tos:
+            page = resolve_links(page, targets_from=ev)
+            order = F.coalesce(F.col("link_event_number"), F.col("event_number"))
+            page = page.orderBy(order.desc() if backward else order.asc())
+        return page
 
     def read_all(self, from_position: int = 0, max_count: int | None = None,
                  backward: bool = False, event_filter: EventFilter | None = None,

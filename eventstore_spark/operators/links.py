@@ -31,13 +31,19 @@ def parse_link(data_col):
     )
 
 
-def resolve_links(events: DataFrame, resolve_link_tos: bool = True) -> DataFrame:
+def resolve_links(events: DataFrame, resolve_link_tos: bool = True,
+                  targets_from: DataFrame | None = None) -> DataFrame:
     """Return the envelope with link rows resolved to their targets.
 
     Non-link rows pass through with ``link_*`` columns null. Link rows are
     joined to the target event; unresolved links (deleted/scavenged target)
     keep the link row with null target payload — matching the reference,
     which delivers the link with a null event when resolution fails.
+
+    ``targets_from`` lets a caller resolve a PAGE of link rows against the
+    whole log (engine.read_stream does this so the page is filtered/ordered
+    by the link's own identity, then resolved — matching the reference,
+    which pages by the link's position, ResolvedEvent.cs:8-33).
     """
     if not resolve_link_tos:
         return events
@@ -50,7 +56,7 @@ def resolve_links(events: DataFrame, resolve_link_tos: bool = True) -> DataFrame
         parse_link(F.col("data")).alias("t"),
     ).select("link_log_position", "link_stream_id", "link_event_number", "t.*")
 
-    targets = events.select(
+    targets = (targets_from if targets_from is not None else events).select(
         F.col("stream_id").alias("target_stream"),
         F.col("event_number").alias("target_event_number"),
         "log_position", "category", "event_id", "event_type", "data",

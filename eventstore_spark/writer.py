@@ -16,12 +16,21 @@ atomic columnar commit:
     thread"); on a cluster this is the driver of a Structured Streaming
     ``foreachBatch`` job draining an append queue — writes are micro-batched,
     so throughput scales with batch size while order stays total;
-  * each committed batch lands as one immutable parquet file inside the
-    log directory (commit = atomic rename; a crashed half-written file is
-    invisible because files are staged under ``_tmp``);
-  * ``stream_stats`` (last event_number per stream + last position) is the
-    writer's in-memory index, rebuilt from the log on open — the analog of
-    the reference's last-event-number cache (IndexBackend).
+  * each committed batch lands as immutable parquet files inside the log
+    directory;
+  * writer state is LAZY and BOUNDED: opening a writer reads exactly one
+    scalar (max log_position) from the log; per-stream last-event-number /
+    tombstone / recent-event-ids load on first touch of that stream via a
+    pruned scan — the analog of the reference's LRU last-event-number cache
+    (IndexBackend) plus its bounded near-head idempotency check
+    (IndexWriter.cs:179-255 only consults recent commits). Nothing is ever
+    O(log size) on the driver.
+
+Bulk emission appends (``append_df``) stay DISTRIBUTED end to end: dedupe
+is a left-anti join against the log, per-stream event numbers come from a
+window partitioned by stream, and global positions come from per-stream
+contiguous blocks allocated on the driver from one tiny per-stream count —
+no ``collect()`` of event rows ever happens.
 
 Readers never coordinate with the writer: they read the directory as a
 plain parquet table (plus ``load()`` here).
@@ -29,12 +38,15 @@ plain parquet table (plus ``load()`` here).
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .schema import (
     EVENTS_SCHEMA,
@@ -47,6 +59,16 @@ from .schema import (
 ANY = -2
 NO_STREAM = -1
 STREAM_EXISTS = -4
+
+# TFConsts.cs:9-11: max log record 16 MB; gRPC maxAppendSize default 1 MiB
+# (Grpc/Streams.Append.cs:18 validates the whole append against it).
+MAX_RECORD_SIZE = 16 * 1024 * 1024
+DEFAULT_MAX_APPEND_SIZE = 1024 * 1024
+
+# How many most-recent events per stream back the idempotency check. The
+# reference's CheckCommit similarly only consults commits near the head —
+# a replay of an ancient batch is NOT detected as idempotent there either.
+IDEMPOTENCY_WINDOW = 256
 
 
 class WrongExpectedVersionError(Exception):
@@ -61,6 +83,15 @@ class StreamDeletedError(Exception):
     pass
 
 
+class RecordTooLargeError(Exception):
+    """A single event exceeds MAX_RECORD_SIZE (TFConsts.MaxLogRecordSize)."""
+
+
+class MaxAppendSizeExceededError(Exception):
+    """The whole append exceeds the configured maxAppendSize
+    (Grpc/Streams.Append.cs:18)."""
+
+
 @dataclass
 class ProposedEvent:
     """What a client appends (Data/Event.cs:10-42)."""
@@ -71,6 +102,9 @@ class ProposedEvent:
     event_id: str = field(default_factory=lambda: uuid.uuid4().hex)
     is_json: bool = True
 
+    def byte_size(self) -> int:
+        return len((self.data or "").encode()) + len((self.metadata or "").encode())
+
 
 def _category(stream_id: str) -> str | None:
     i = stream_id.find("-")
@@ -80,39 +114,88 @@ def _category(stream_id: str) -> str | None:
 class EventLogWriter:
     """Single-writer append head over a parquet log directory."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str,
+                 max_append_size: int = DEFAULT_MAX_APPEND_SIZE):
         self.spark = spark
         self.path = path
+        self.max_append_size = max_append_size
         os.makedirs(path, exist_ok=True)
         self._last_position = 0
-        # stream -> (last_event_number, tombstoned)
+        # stream -> [last_event_number, tombstoned]; filled lazily per
+        # stream (LRU-cache analog of IndexBackend's last-event-number).
         self._stats: dict[str, list] = {}
-        # stream -> {event_id: event_number} for idempotency checks
+        # stream -> {event_id: event_number}, bounded to the most recent
+        # IDEMPOTENCY_WINDOW events per stream.
         self._ids: dict[str, dict[str, int]] = {}
-        self._batch_seq = 0
+        # stream -> current $tb (truncate-before), lazily read from the
+        # metastream; drives soft-delete recreate.
+        self._tb_cache: dict[str, int | None] = {}
         self._recover()
 
-    # -- recovery: rebuild writer state from the committed log --
+    def _has_files(self) -> bool:
+        return any(f.endswith(".parquet") for f in os.listdir(self.path))
+
+    # -- recovery: one scalar read, never a full-log collect --
     def _recover(self) -> None:
-        if not any(f.endswith(".parquet") for f in os.listdir(self.path)):
+        if not self._has_files():
             return
-        df = self.spark.read.schema(EVENTS_SCHEMA).parquet(self.path)
-        rows = (
-            df.groupBy("stream_id")
-            .agg({"event_number": "max", "log_position": "max"})
-            .collect()
-        )
-        for r in rows:
-            self._stats[r["stream_id"]] = [r["max(event_number)"], False]
-            self._last_position = max(self._last_position, r["max(log_position)"])
-        for r in df.select("stream_id", "event_id", "event_number", "event_type").collect():
-            self._ids.setdefault(r.stream_id, {})[r.event_id] = r.event_number
-            if r.event_type == STREAM_DELETED_EVENT_TYPE:
-                self._stats[r.stream_id][1] = True
+        row = self.load().agg(F.max("log_position")).first()
+        self._last_position = int(row[0] or 0)
+
+    def _stream_state(self, stream_id: str) -> list:
+        """[last_event_number, tombstoned] for a stream, loading it from
+        the log on first touch via one pruned per-stream scan bounded to
+        the IDEMPOTENCY_WINDOW most recent events."""
+        st = self._stats.get(stream_id)
+        if st is not None:
+            return st
+        rows = []
+        if self._has_files():
+            rows = (
+                self.load()
+                .where(F.col("stream_id") == stream_id)
+                .orderBy(F.col("event_number").desc())
+                .limit(IDEMPOTENCY_WINDOW)
+                .select("event_number", "event_id", "event_type")
+                .collect()
+            )
+        last = int(rows[0]["event_number"]) if rows else NO_STREAM
+        # A tombstone is always the stream's final event (appends are
+        # rejected afterwards), so the bounded window always contains it.
+        tomb = bool(rows) and rows[0]["event_type"] == STREAM_DELETED_EVENT_TYPE
+        st = [last, tomb]
+        self._stats[stream_id] = st
+        self._ids[stream_id] = {r["event_id"]: int(r["event_number"]) for r in rows}
+        return st
+
+    def _remember_id(self, stream_id: str, event_id: str, event_number: int) -> None:
+        known = self._ids.setdefault(stream_id, {})
+        known[event_id] = event_number
+        if len(known) > 2 * IDEMPOTENCY_WINDOW:  # trim to the recent window
+            cutoff = event_number - IDEMPOTENCY_WINDOW
+            for k in [k for k, v in known.items() if v < cutoff]:
+                del known[k]
+
+    # -- size validation (Grpc/Streams.Append.cs:18, TFConsts.cs:9-11) --
+    def _validate_sizes(self, events: list[ProposedEvent]) -> None:
+        total = 0
+        for ev in events:
+            n = ev.byte_size()
+            if n > MAX_RECORD_SIZE:
+                raise RecordTooLargeError(
+                    f"event {ev.event_id} is {n} bytes; max record size is "
+                    f"{MAX_RECORD_SIZE}"
+                )
+            total += n
+        if total > self.max_append_size:
+            raise MaxAppendSizeExceededError(
+                f"append of {total} bytes exceeds maxAppendSize "
+                f"{self.max_append_size}"
+            )
 
     # -- the commit check (IndexWriter.CheckCommit analog) --
     def _check(self, stream_id: str, events: list[ProposedEvent], expected: int):
-        last, tombstoned = self._stats.get(stream_id, [NO_STREAM, False])
+        last, tombstoned = self._stream_state(stream_id)
         if tombstoned:
             raise StreamDeletedError(stream_id)
         if expected == ANY:
@@ -137,6 +220,33 @@ class EventLogWriter:
             return "idempotent"
         return "ok"
 
+    def _current_tb(self, stream_id: str) -> int | None:
+        """The stream's current $tb (truncate-before), reading the
+        metastream's latest $metadata lazily; cached per stream."""
+        if stream_id in self._tb_cache:
+            return self._tb_cache[stream_id]
+        tb = None
+        meta_id = f"$${stream_id}"
+        if self._has_files():
+            rows = (
+                self.load()
+                .where(
+                    (F.col("stream_id") == meta_id)
+                    & (F.col("event_type") == METADATA_EVENT_TYPE)
+                )
+                .orderBy(F.col("event_number").desc())
+                .limit(1)
+                .select("data")
+                .collect()
+            )
+            if rows and rows[0]["data"]:
+                try:
+                    tb = json.loads(rows[0]["data"]).get("$tb")
+                except ValueError:
+                    tb = None
+        self._tb_cache[stream_id] = tb
+        return tb
+
     def append(
         self,
         stream_id: str,
@@ -146,21 +256,30 @@ class EventLogWriter:
     ) -> int:
         """Append a batch to one stream; returns the new last event_number.
 
-        The whole batch commits atomically (one parquet file, renamed in).
+        The whole batch commits atomically (one parquet file). Appending to
+        a soft-deleted stream RECREATES it (StorageWriterService.cs:374-416):
+        event numbers continue after the old last, and $tb is rewritten to
+        the first new event number so the old events stay invisible while
+        the new ones show.
         """
+        self._validate_sizes(events)
         decision = self._check(stream_id, events, expected_version)
         if decision == "idempotent":
             return self._stats[stream_id][0]
         now = created or datetime.now(timezone.utc)
-        last = self._stats.get(stream_id, [NO_STREAM, False])[0]
+        st = self._stream_state(stream_id)
+        last = st[0]
         known = self._ids.setdefault(stream_id, {})
+        first_new = None
         rows = []
         for ev in events:
             if ev.event_id in known:  # partial idempotent overlap → skip row
                 continue
             self._last_position += 1
             last += 1
-            known[ev.event_id] = last
+            if first_new is None:
+                first_new = last
+            self._remember_id(stream_id, ev.event_id, last)
             rows.append(
                 (
                     self._last_position, stream_id, _category(stream_id), last,
@@ -168,41 +287,108 @@ class EventLogWriter:
                 )
             )
             if ev.event_type == STREAM_DELETED_EVENT_TYPE:
-                self._stats.setdefault(stream_id, [NO_STREAM, False])[1] = True
-        self._stats.setdefault(stream_id, [NO_STREAM, False])[0] = last
-        if self._stats[stream_id][0] is None:
-            self._stats[stream_id][0] = last
+                st[1] = True
+        st[0] = last
         if rows:
             self._commit(rows)
+            # soft-delete recreate: a stream whose $tb == MAX_LONG comes
+            # back to life on append — rewrite $tb to the first new number.
+            if not stream_id.startswith("$") and first_new is not None:
+                if self._current_tb(stream_id) == MAX_LONG:
+                    self._tb_cache[stream_id] = first_new
+                    self.append(
+                        f"$${stream_id}",
+                        [ProposedEvent(METADATA_EVENT_TYPE,
+                                       data=json.dumps({"$tb": first_new}))],
+                    )
         return last
 
-    def append_df(self, batch: DataFrame) -> None:
-        """Bulk path: append pre-shaped envelope rows (no per-stream checks)
-        assigning positions after the current head — used by projection
-        emission sinks (foreachBatch) where event ids are deterministic."""
-        rows = batch.collect()  # emission batches are small relative to log
-        out = []
-        for r in rows:
-            sid = r["stream_id"]
-            known = self._ids.setdefault(sid, {})
-            if r["event_id"] in known:
-                continue  # exactly-once by deterministic id
-            self._last_position += 1
-            st = self._stats.setdefault(sid, [NO_STREAM, False])
-            st[0] += 1
-            known[r["event_id"]] = st[0]
-            out.append(
-                (
-                    self._last_position, sid, _category(sid), st[0],
-                    r["event_id"], r["event_type"], r["data"], r["metadata"],
-                    datetime.now(timezone.utc), bool(r["event_type"] != "$>"),
-                )
+    def append_df(self, batch: DataFrame, created: datetime | None = None) -> None:
+        """Bulk path: append pre-shaped envelope rows (stream_id,
+        event_type, data, metadata, event_id) — used by projection emission
+        sinks where event ids are deterministic.
+
+        Fully distributed: exactly-once dedupe is a left-anti join against
+        the committed log on (stream_id, event_id); event numbers are a
+        window partitioned by stream; global log positions come from
+        per-stream contiguous blocks allocated from one per-stream count
+        (one driver row per TOUCHED stream, never one per event). A
+        $by_event_type-scale rebuild (one link per log event) never
+        collects event rows to the driver.
+        """
+        b = batch.select(
+            "stream_id", "event_type", "data", "metadata", "event_id"
+        ).dropDuplicates(["stream_id", "event_id"])
+        if self._has_files():
+            b = b.join(
+                self.load().select("stream_id", "event_id"),
+                ["stream_id", "event_id"],
+                "left_anti",
             )
-        if out:
-            self._commit(out)
+        b = b.cache()
+        try:
+            counts = b.groupBy("stream_id").count().collect()
+            if not counts:
+                return
+            touched = sorted(r["stream_id"] for r in counts)
+            # one batched job fills last-event-number for cold streams
+            missing = [s for s in touched if s not in self._stats]
+            if missing and self._has_files():
+                got = (
+                    self.load()
+                    .where(F.col("stream_id").isin(missing))
+                    .groupBy("stream_id")
+                    .agg(
+                        F.max("event_number").alias("last"),
+                        F.max(
+                            (F.col("event_type") == STREAM_DELETED_EVENT_TYPE).cast("int")
+                        ).alias("tomb"),
+                    )
+                    .collect()
+                )
+                for r in got:
+                    self._stats[r["stream_id"]] = [int(r["last"]), bool(r["tomb"])]
+            by_stream = {r["stream_id"]: int(r["count"]) for r in counts}
+            alloc = []  # (stream_id, en_base, pos_base)
+            for sid in touched:
+                st = self._stats.setdefault(sid, [NO_STREAM, False])
+                if st[1]:
+                    continue  # tombstoned: emissions to it are dropped
+                alloc.append((sid, st[0], self._last_position))
+                self._last_position += by_stream[sid]
+                st[0] += by_stream[sid]
+            if not alloc:
+                return
+            am = self.spark.createDataFrame(
+                alloc, "stream_id string, en_base long, pos_base long"
+            )
+            w = Window.partitionBy("stream_id").orderBy("event_id")
+            now = created or datetime.now(timezone.utc)
+            out = (
+                b.join(F.broadcast(am), "stream_id")
+                .withColumn("_rn", F.row_number().over(w).cast("long"))
+                .select(
+                    (F.col("pos_base") + F.col("_rn")).alias("log_position"),
+                    F.col("stream_id"),
+                    F.substring_index("stream_id", "-", 1).alias("_cat_head"),
+                    (F.col("en_base") + F.col("_rn")).alias("event_number"),
+                    "event_id", "event_type", "data", "metadata",
+                    F.lit(now).alias("created"),
+                    (F.col("event_type") != "$>").alias("is_json"),
+                )
+                .withColumn(
+                    "category",
+                    F.when(
+                        F.instr("stream_id", "-") > 0, F.col("_cat_head")
+                    ).otherwise(F.lit(None).cast("string")),
+                )
+                .select([f.name for f in EVENTS_SCHEMA.fields])
+            )
+            out.write.mode("append").parquet(self.path)
+        finally:
+            b.unpersist()
 
     def _commit(self, rows: list[tuple]) -> None:
-        self._batch_seq += 1
         df = self.spark.createDataFrame(rows, EVENTS_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(self.path)
 
@@ -214,6 +400,7 @@ class EventLogWriter:
             f"$${stream_id}",
             [ProposedEvent(METADATA_EVENT_TYPE, data=f'{{"$tb": {MAX_LONG}}}')],
         )
+        self._tb_cache[stream_id] = MAX_LONG
 
     def hard_delete(self, stream_id: str) -> None:
         """Tombstone: a $streamDeleted event; stream can never be recreated."""

@@ -100,3 +100,35 @@ def test_scavenge_removes_invisible(engine, spark):
     assert e2.read_stream("account-2").count() == 0
     # positions preserved
     assert e2.events(visible_only=False).agg(F.max("log_position")).collect()[0][0] >= 4
+
+
+def test_hard_delete_wins_over_metadata(engine):
+    """A hard-deleted stream that ALSO has metadata must yield one merged
+    metadata row with tombstoned=True — two rows would duplicate events
+    through the visibility join and leave the stream readable."""
+    engine.set_stream_metadata("chat-1", max_count=5)
+    engine.delete_stream("chat-1", hard=True)
+    md = engine.stream_metadata().where("stream_id = 'chat-1'").collect()
+    assert len(md) == 1 and md[0].tombstoned is True
+    assert engine.read_stream("chat-1").count() == 0
+    # and no duplication for streams with metadata only
+    engine.set_stream_metadata("account-1", max_count=10)
+    assert engine.read_stream("account-1").count() == 2
+
+
+def test_read_link_stream_pages_by_link_identity(engine):
+    """Reading a link stream with resolve_link_tos=True must filter and
+    order by the LINK's own stream/event_number (ResolvedEvent.cs:8-33),
+    returning target payloads in link order — not drop the rows."""
+    # links in REVERSE target order: link 0 -> account-1#1, link 1 -> #0
+    engine.append("$watch", [
+        ProposedEvent("$>", "1@account-1", is_json=False),
+        ProposedEvent("$>", "0@account-1", is_json=False),
+    ])
+    got = engine.read_stream("$watch", resolve_link_tos=True).collect()
+    assert [r.event_type for r in got] == ["Withdrawn", "Deposited"]
+    assert [r.link_event_number for r in got] == [0, 1]
+    assert [r.event_number for r in got] == [1, 0]  # target identity kept
+    # unresolved read returns the raw link rows
+    raw = engine.read_stream("$watch").collect()
+    assert [r.event_type for r in raw] == ["$>", "$>"]

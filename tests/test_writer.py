@@ -78,3 +78,87 @@ def test_recovery_from_disk(spark, tmp_path):
     # idempotency map survives recovery
     w2.append("s-1", [ProposedEvent("A", event_id="e1")], expected_version=ANY)
     assert w2.load().count() == 3
+
+
+def test_soft_delete_recreate_on_append(log):
+    """StorageWriterService.cs:374-416: appending to a soft-deleted stream
+    recreates it — event numbers continue, $tb moves to the first new one."""
+    log.append("s-1", [ProposedEvent("A"), ProposedEvent("B")])
+    log.soft_delete("s-1")
+    last = log.append("s-1", [ProposedEvent("C")])
+    assert last == 2  # numbering continues after the soft delete
+    import json
+
+    metas = (
+        log.load().where("stream_id = '$$s-1'").orderBy("event_number").collect()
+    )
+    tbs = [json.loads(r.data)["$tb"] for r in metas]
+    from eventstore_spark.schema import MAX_LONG
+
+    assert tbs == [MAX_LONG, 2]  # recreate rewrote $tb to first new number
+
+
+def test_append_size_guards(log):
+    from eventstore_spark.writer import (
+        MaxAppendSizeExceededError, RecordTooLargeError, MAX_RECORD_SIZE,
+    )
+
+    with pytest.raises(MaxAppendSizeExceededError):
+        log.append("s-1", [ProposedEvent("A", "x" * (log.max_append_size + 1))])
+    small = EventLogWriter(log.spark, log.path, max_append_size=MAX_RECORD_SIZE * 2)
+    with pytest.raises(RecordTooLargeError):
+        small.append("s-1", [ProposedEvent("A", "x" * (MAX_RECORD_SIZE + 1))])
+
+
+def test_lazy_recovery_reads_one_scalar(spark, tmp_path):
+    """Reopening a writer must not collect the log: only max(log_position)
+    is read eagerly; per-stream state loads on first touch of that stream."""
+    path = str(tmp_path / "log")
+    w1 = EventLogWriter(spark, path)
+    for i in range(5):
+        w1.append(f"s-{i}", [ProposedEvent("A"), ProposedEvent("B")])
+    w2 = EventLogWriter(spark, path)
+    assert w2._last_position == 10
+    assert w2._stats == {}  # nothing preloaded
+    w2.append("s-3", [ProposedEvent("C")], expected_version=1)
+    assert set(w2._stats) == {"s-3"}  # only the touched stream was loaded
+    assert w2._stats["s-3"][0] == 2
+
+
+def test_append_df_is_distributed_and_exactly_once(spark, tmp_path):
+    """Bulk emission append (the $by_event_type-rebuild shape): 100k link
+    rows across many streams land without collecting event rows to the
+    driver, with contiguous per-stream numbering and globally unique
+    positions; a replay dedupes via the log anti-join."""
+    from pyspark.sql import functions as F
+
+    w = EventLogWriter(spark, str(tmp_path / "log"))
+    w.append("seed-1", [ProposedEvent("A")])
+    n = 100_000
+    batch = (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("$et-t"), (F.col("id") % 50).cast("string")).alias("stream_id"),
+            F.lit("$>").alias("event_type"),
+            F.concat(F.col("id").cast("string"), F.lit("@src")).alias("data"),
+            F.lit(None).cast("string").alias("metadata"),
+            F.concat(F.lit("link-"), F.col("id").cast("string")).alias("event_id"),
+        )
+    )
+    w.append_df(batch)
+    df = w.load()
+    assert df.count() == n + 1
+    # positions globally unique and dense above the seed
+    agg = df.agg(F.countDistinct("log_position"), F.max("log_position")).collect()[0]
+    assert agg[0] == n + 1 and agg[1] == n + 1
+    # per-stream numbering dense from 0
+    per = (
+        df.where("stream_id like '$et-%'")
+        .groupBy("stream_id")
+        .agg(F.min("event_number"), F.max("event_number"), F.count("*"))
+        .collect()
+    )
+    assert all(r[1] == 0 and r[2] == r[3] - 1 for r in per)
+    # replay: nothing appended twice
+    w.append_df(batch)
+    assert w.load().count() == n + 1
