@@ -200,6 +200,30 @@ def q_link_resolution(spark, sf):
     )
 
 
+def q_sys_ce_read(spark, sf):
+    """Read `$ce-user` BY NAME through the ordinary stream-read path
+    (SystemNames.cs:37-99, ReaderStrategy.cs:179-216): the category view
+    shaped as a link stream, paged by the link's own event_number, then
+    resolved to target events."""
+    ev = load_envelope(spark, sf).select(*ENVELOPE_COLS)
+    virt = sysproj.system_stream_events(ev, "$ce-user")
+    page = R.read_stream_forward(virt, "$ce-user", 100, 200)
+    return resolve_links(page, targets_from=ev).select(
+        "link_stream_id", "link_event_number", "stream_id", "event_number",
+        "event_type", "event_id",
+    )
+
+
+def q_sys_et_read(spark, sf):
+    """Read `$et-purchase` by name WITHOUT resolution: raw link events
+    ($> rows, body `n@stream`, deterministic link event ids)."""
+    ev = load_envelope(spark, sf).select(*ENVELOPE_COLS)
+    virt = sysproj.system_stream_events(ev, "$et-purchase")
+    return R.read_stream_forward(virt, "$et-purchase", 0, 250).select(
+        "stream_id", "event_number", "event_id", "event_type", "data"
+    )
+
+
 def q_retention_visibility(spark, sf):
     """MaxCount / MaxAge / TruncateBefore / soft & hard delete visibility."""
     ev = load_envelope(spark, sf)
@@ -637,6 +661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "y4_by_event_type": q_y4_by_event_type,
         "y5_by_correlation_id": q_y5_by_correlation_id,
         "link_resolution": q_link_resolution,
+        "sys_ce_read": q_sys_ce_read,
+        "sys_et_read": q_sys_et_read,
         "retention_visibility": q_retention_visibility,
         "p2_from_streams": q_p2_from_streams,
         "p6_fold_balance": q_p6_fold_balance,
@@ -750,6 +776,32 @@ def oracle_sql() -> dict[str, str]:
         "SELECT stream_id, event_number, event_id, event_type, "
         "log_position AS link_event_number "
         "FROM ev WHERE event_type = 'signup'"
+    )
+    sqls["sys_ce_read"] = _with_ev(
+        """
+, ce AS (
+  SELECT stream_id, event_number, event_type, event_id,
+         row_number() OVER (ORDER BY log_position) - 1 AS link_event_number
+  FROM ev WHERE category = 'user'
+)
+SELECT '$ce-user' AS link_stream_id, link_event_number, stream_id,
+       event_number, event_type, event_id
+FROM ce WHERE link_event_number >= 100 AND link_event_number < 300
+"""
+    )
+    sqls["sys_et_read"] = _with_ev(
+        """
+, et AS (
+  SELECT stream_id AS tgt_stream, event_number AS tgt_number,
+         row_number() OVER (ORDER BY log_position) - 1 AS link_number
+  FROM ev WHERE event_type = 'purchase'
+)
+SELECT '$et-purchase' AS stream_id, link_number AS event_number,
+       md5('$et-purchase|' || tgt_stream || '|' || CAST(tgt_number AS VARCHAR)) AS event_id,
+       '$>' AS event_type,
+       CAST(tgt_number AS VARCHAR) || '@' || tgt_stream AS data
+FROM et WHERE link_number < 250
+"""
     )
     sqls["retention_visibility"] = _with_ev(
         """

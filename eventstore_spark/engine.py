@@ -144,6 +144,14 @@ class EventStoreEngine:
                     max_count: int | None = None, backward: bool = False,
                     resolve_link_tos: bool = False) -> DataFrame:
         ev = self.events()
+        # System streams are addressable by NAME like any other stream
+        # (SystemNames.cs:37-99; readers resolve $ce- via the link stream,
+        # ReaderStrategy.cs:179-216): `$ce-/$et-/$bc-/$category-/$streams`
+        # route to the equivalent derived view, shaped as link events.
+        # Links still resolve against the LOG (targets_from=ev below).
+        base = ev
+        if sysproj.is_system_stream_name(stream_id):
+            base = sysproj.system_stream_events(ev, stream_id)
         # Page FIRST on the stream's own rows (filter/order/limit by the
         # link's original identity), THEN resolve the page's links against
         # the log — the reference pages by the link's position and only
@@ -152,11 +160,11 @@ class EventStoreEngine:
         # target's and a link-stream read would return nothing.
         if backward:
             page = R.read_stream_backward(
-                ev, stream_id,
+                base, stream_id,
                 from_event_number if from_event_number else None, max_count,
             )
         else:
-            page = R.read_stream_forward(ev, stream_id, from_event_number, max_count)
+            page = R.read_stream_forward(base, stream_id, from_event_number, max_count)
         if resolve_link_tos:
             page = resolve_links(page, targets_from=ev)
             order = F.coalesce(F.col("link_event_number"), F.col("event_number"))
@@ -191,6 +199,17 @@ class EventStoreEngine:
     def subscribe(self, stream_id: str | None = None,
                   event_filter: EventFilter | None = None,
                   from_position: int = 0) -> DataFrame:
+        if stream_id is not None and sysproj.is_system_stream_name(stream_id):
+            # subscribe("$ce-user") etc: the live feed of the system
+            # stream's TARGETS — a filtered $all subscription (what a
+            # resolve-link-tos subscriber observes in the reference).
+            pred = sysproj.system_stream_predicate(stream_id)
+            if pred is None:
+                raise ValueError(
+                    f"system stream '{stream_id}' is not subscribable "
+                    "(first-event-per-stream views are batch reads)"
+                )
+            return subscribe_all(self.spark, self.path, pred, from_position)
         if stream_id is not None:
             return subscribe_stream(self.spark, self.path, stream_id)
         return subscribe_all(self.spark, self.path, event_filter, from_position)

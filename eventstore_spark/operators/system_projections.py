@@ -13,8 +13,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from ..schema import category_of
+from ..schema import LINK_EVENT_TYPE, category_of
 
 
 def streams_directory(events: DataFrame) -> DataFrame:
@@ -84,3 +85,107 @@ def by_correlation_id(events: DataFrame, correlation_id: str | None = None) -> D
     if correlation_id is not None:
         out = out.where(F.col("correlation_id") == correlation_id)
     return out
+
+
+# ---------------------------------------------------------------------------
+# System streams addressable BY NAME through the ordinary read surface
+# ---------------------------------------------------------------------------
+
+# A reference user reads `$ce-user`, `$et-purchase`, `$streams`, ... as
+# ordinary streams of link events (SystemNames.cs:37-99; ReaderStrategy.cs:
+# 179-216 resolves `$ce-` via a StreamEventReader on the link stream).
+
+_PREFIX_ROUTES = ("$ce-", "$et-", "$bc-", "$category-")
+
+
+def is_system_stream_name(name: str) -> bool:
+    return name == "$streams" or name.startswith(_PREFIX_ROUTES)
+
+
+def system_stream_predicate(name: str,
+                            correlation_property: str = "$.$correlationId"):
+    """Row-local predicate for a system stream, for STREAMING routes
+    (subscribe("$ce-user") etc). None for `$streams`/`$category-` — those
+    are first-event-per-stream views (stateful), not row predicates."""
+    if name.startswith("$ce-"):
+        return category_of(F.col("stream_id")) == name[len("$ce-"):]
+    if name.startswith("$et-"):
+        return F.col("event_type") == name[len("$et-"):]
+    if name.startswith("$bc-"):
+        return (
+            F.get_json_object(F.col("metadata"), correlation_property)
+            == name[len("$bc-"):]
+        )
+    return None
+
+
+def system_stream_selector(events: DataFrame, name: str,
+                           correlation_property: str = "$.$correlationId"
+                           ) -> DataFrame | None:
+    """The log subset a system stream links to (None if not one)."""
+    if name == "$streams" or name.startswith("$category-"):
+        w = Window.partitionBy("stream_id").orderBy("event_number")
+        sel = (
+            events.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if name.startswith("$category-"):
+            sel = sel.where(
+                category_of(F.col("stream_id")) == name[len("$category-"):]
+            )
+        return sel
+    if name.startswith("$ce-"):
+        return events.where(category_of(F.col("stream_id")) == name[len("$ce-"):])
+    if name.startswith("$et-"):
+        return events.where(F.col("event_type") == name[len("$et-"):])
+    if name.startswith("$bc-"):
+        return events.where(
+            F.get_json_object(F.col("metadata"), correlation_property)
+            == name[len("$bc-"):]
+        )
+    return None
+
+
+def system_stream_events(events: DataFrame, name: str,
+                         correlation_property: str = "$.$correlationId"
+                         ) -> DataFrame | None:
+    """A system stream AS a stream of link events ($> rows whose body is
+    ``n@target``), so `read_stream("$ce-user")` / `subscribe(...)` behave
+    like the reference's physical link streams.
+
+    The link stream's own ``event_number`` is the rank of the target in
+    log order — inherently a global sequence over the selected subset, so
+    this virtual read pays one window over the SELECTION (not the log).
+    The reference materializes these continuously at append time (they're
+    standard projections emitting real link events); at warehouse scale
+    that is the right call here too — run the equivalent continuous
+    projection into the log and this view is never consulted. The virtual
+    path exists for name-parity and ad-hoc reads.
+    """
+    sel = system_stream_selector(events, name, correlation_property)
+    if sel is None:
+        return None
+    w = Window.orderBy("log_position")
+    link_id = F.md5(
+        F.concat_ws("|", F.lit(name), F.col("stream_id"),
+                    F.col("event_number").cast("string"))
+    )
+    return sel.select(
+        F.col("log_position"),
+        F.lit(name).alias("_link_stream"),
+        (F.row_number().over(w).cast("long") - 1).alias("_link_number"),
+        link_id.alias("event_id"),
+        F.lit(LINK_EVENT_TYPE).alias("event_type"),
+        F.concat(F.col("event_number").cast("string"), F.lit("@"),
+                 F.col("stream_id")).alias("data"),
+        F.lit(None).cast("string").alias("metadata"),
+        F.col("created"),
+        F.lit(False).alias("is_json"),
+    ).select(
+        "log_position",
+        F.col("_link_stream").alias("stream_id"),
+        category_of(F.col("_link_stream")).alias("category"),
+        F.col("_link_number").alias("event_number"),
+        "event_id", "event_type", "data", "metadata", "created", "is_json",
+    )

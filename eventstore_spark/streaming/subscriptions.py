@@ -39,7 +39,11 @@ def subscribe_all(
     if apply_default_filter:
         s = s.where(default_all_filter())
     if event_filter is not None:
-        s = s.where(event_filter.predicate())
+        s = s.where(
+            event_filter.predicate()
+            if isinstance(event_filter, EventFilter)
+            else event_filter
+        )
     return s
 
 

@@ -132,3 +132,47 @@ def test_read_link_stream_pages_by_link_identity(engine):
     # unresolved read returns the raw link rows
     raw = engine.read_stream("$watch").collect()
     assert [r.event_type for r in raw] == ["$>", "$>"]
+
+
+def test_system_streams_addressable_by_name(engine):
+    """SystemNames parity: $ce-/$et-/$streams resolve through read_stream
+    like ordinary streams (link rows; resolve_link_tos → target events)."""
+    raw = engine.read_stream("$ce-account").collect()
+    assert len(raw) == 3
+    assert all(r.event_type == "$>" for r in raw)
+    assert [r.event_number for r in raw] == [0, 1, 2]  # link numbering
+    assert raw[0].stream_id == "$ce-account" and raw[0].data == "0@account-1"
+
+    res = engine.read_stream("$ce-account", resolve_link_tos=True).collect()
+    assert [r.event_type for r in res] == ["Deposited", "Withdrawn", "Deposited"]
+    assert [r.link_event_number for r in res] == [0, 1, 2]
+
+    et = engine.read_stream("$et-Deposited", resolve_link_tos=True).collect()
+    assert {r.stream_id for r in et} == {"account-1", "account-2"}
+
+    # $streams: one link per stream, pointing at its first event
+    dirs = engine.read_stream("$streams", resolve_link_tos=True).collect()
+    assert sorted(r.stream_id for r in dirs) == ["account-1", "account-2", "chat-1"]
+    assert all(r.event_number == 0 for r in dirs)
+
+    # paging by the link stream's own numbers
+    page = engine.read_stream("$ce-account", from_event_number=1, max_count=1).collect()
+    assert len(page) == 1 and page[0].event_number == 1
+
+
+def test_subscribe_system_stream_routes_to_filtered_all(engine, tmp_path):
+    sub = engine.subscribe("$ce-account")
+    assert sub.isStreaming
+    q = sub.writeStream.outputMode("append").format("memory").queryName(
+        "ce_sub"
+    ).option("checkpointLocation", str(tmp_path / "ck")).start()
+    try:
+        q.processAllAvailable()
+        got = engine.spark.sql("SELECT * FROM ce_sub").collect()
+        assert len(got) == 3 and all(r.stream_id.startswith("account-") for r in got)
+    finally:
+        q.stop()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        engine.subscribe("$streams")
