@@ -278,6 +278,15 @@ def q_p6_fold_balance(spark, sf):
     return res.states_as("n long, cents long").select("partition", "n", "cents")
 
 
+def q_p12_result_stream(spark, sf):
+    """outputState/outputTo (P12/P13): the balance projection's final
+    states shaped as `Result` events of `$projections-balance-result`
+    (ResultEventEmitter.cs:10-25 parity; engine.run_projection appends
+    exactly these rows to the log)."""
+    res = run_batch(_balance_projection(), load_envelope(spark, sf))
+    return res.result_events("balance")
+
+
 def q_p7_partition_by(spark, sf):
     proj = (
         Projection.from_all(name="by_bucket")
@@ -666,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_visibility": q_retention_visibility,
         "p2_from_streams": q_p2_from_streams,
         "p6_fold_balance": q_p6_fold_balance,
+        "p12_result_stream": q_p12_result_stream,
         "p7_partition_by": q_p7_partition_by,
         "p9_bistate": q_p9_bistate,
         "p8_stream_stats": q_p8_stream_stats,
@@ -822,6 +832,23 @@ GROUP BY e.stream_id
 SELECT stream_id AS "partition", CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CASE WHEN event_type = 'purchase' THEN {v_c} ELSE -{v_c} END) AS BIGINT) AS cents
 FROM ev WHERE event_type IN ('purchase', 'error') GROUP BY stream_id
+"""
+    )
+    sqls["p12_result_stream"] = _with_ev(
+        f"""
+, st AS (
+  SELECT stream_id AS part, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN {v_c} ELSE -{v_c} END) AS BIGINT) AS cents
+  FROM ev WHERE event_type IN ('purchase', 'error') GROUP BY stream_id
+), shaped AS (
+  SELECT part,
+         '{{"cents": ' || CAST(cents AS VARCHAR) || ', "n": ' || CAST(n AS VARCHAR) || '}}' AS data
+  FROM st
+)
+SELECT '$projections-balance-result' AS stream_id, 'Result' AS event_type, data,
+       '{{"partition":"' || part || '"}}' AS metadata,
+       md5('balance|' || part || '|' || data) AS event_id
+FROM shaped
 """
     )
     sqls["p7_partition_by"] = _with_ev(

@@ -267,6 +267,14 @@ class EventStoreEngine:
         self.writer.append_df(
             emitted.select("stream_id", "event_type", "data", "metadata", "event_id")
         )
+        # P12/P13 result-stream parity: outputState()/outputTo() materialize
+        # the final states as Result events in `$projections-<name>-result`
+        # (or the outputTo override) so `read_stream("$projections-…-result")`
+        # works like the reference (ResultEventEmitter.cs:10-25).
+        if mp.spec.output_state_:
+            self.writer.append_df(
+                mp.last_result.result_events(name, mp.spec.result_stream_name)
+            )
         return mp.last_result
 
     def projection_state(self, name: str, partition: str | None = None) -> DataFrame:

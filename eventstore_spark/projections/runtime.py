@@ -322,10 +322,43 @@ class ProjectionResult:
             "source_log_position", "emit_seq", "partition",
         )
 
+    def result_events(self, projection_name: str,
+                      result_stream: str | None = None) -> DataFrame:
+        """P12/P13: the final states as appendable `Result` events for the
+        `$projections-<name>-result` stream (ResultEventEmitter.cs:10-25;
+        outputTo overrides the name). Event ids hash (projection,
+        partition, state), so re-running an unchanged projection dedupes
+        to exactly-once while a changed state appends a new version."""
+        rs = result_stream or f"$projections-{projection_name}-result"
+        return self.states.select(
+            F.lit(rs).alias("stream_id"),
+            F.lit("Result").alias("event_type"),
+            F.col("state").alias("data"),
+            F.to_json(F.struct(F.col("partition"))).alias("metadata"),
+            F.md5(
+                F.concat_ws("|", F.lit(projection_name), F.col("partition"),
+                            F.col("state"))
+            ).alias("event_id"),
+        )
+
 
 def run_batch(proj: Projection, events: DataFrame) -> ProjectionResult:
     """Execute a projection as a OneTime query over the log."""
     src = select_source(events, proj)
+
+    # F7 `$includeLinks`: resolve link rows against the LOG before the
+    # fold, so handlers see target events (Projections.js:34,
+    # ResolvedEvent.cs:48-59). The resolved event keeps the TARGET's
+    # stream_id/event_number (a foreachStream fold over a category link
+    # stream partitions by the original streams, as in the reference)
+    # while fold ORDER follows the link's own log position.
+    if proj.include_links:
+        from ..operators.links import resolve_links
+
+        src = resolve_links(src, targets_from=events).withColumn(
+            "log_position",
+            F.coalesce(F.col("link_log_position"), F.col("log_position")),
+        )
 
     # Per-stream folds replay by event_number (same order as log_position
     # within a stream); cross-stream folds need the global order. Folds

@@ -176,3 +176,36 @@ def test_subscribe_system_stream_routes_to_filtered_all(engine, tmp_path):
 
     with _pytest.raises(ValueError):
         engine.subscribe("$streams")
+
+
+def test_output_state_writes_result_stream(engine):
+    """P12/P13: outputState materializes states into
+    $projections-<name>-result; outputTo overrides the name; re-running an
+    unchanged projection appends nothing new (deterministic ids)."""
+    spec = (
+        Projection.from_category("account", name="balances")
+        .foreach_stream()
+        .when({"$init": lambda: {"n": 0}, "$any": lambda s, e: {"n": s["n"] + 1}})
+        .output_state()
+    )
+    engine.create_projection(spec)
+    engine.run_projection("balances")
+    res = engine.read_stream("$projections-balances-result").collect()
+    assert len(res) == 2 and all(r.event_type == "Result" for r in res)
+    assert {json.loads(r.metadata)["partition"] for r in res} == {
+        "account-1", "account-2",
+    }
+    states = {json.loads(r.metadata)["partition"]: json.loads(r.data) for r in res}
+    assert states["account-1"]["n"] == 2
+    engine.run_projection("balances")  # idempotent
+    assert engine.read_stream("$projections-balances-result").count() == 2
+
+    named = (
+        Projection.from_category("account", name="balances2")
+        .foreach_stream()
+        .when({"$init": lambda: {"n": 0}, "$any": lambda s, e: {"n": s["n"] + 1}})
+        .output_to("acct-results")
+    )
+    engine.create_projection(named)
+    engine.run_projection("balances2")
+    assert engine.read_stream("acct-results").count() == 2

@@ -186,3 +186,42 @@ def test_column_pruning_hint(bank_events):
     )
     st = states_of(run_batch(p, bank_events))
     assert st["account-1"] == {"n": 3}
+
+
+def test_include_links_resolves_before_fold(spark):
+    """F7 $includeLinks: a fold over a link stream sees TARGET events
+    (Projections.js:34, ResolvedEvent.cs:48-59) — payload, type and the
+    target's stream identity — in link order."""
+    from eventstore_spark.schema import EVENTS_SCHEMA
+
+    rows = [
+        (1, "src-1", "src", 0, "e1", "Tick", '{"v": 10}', None, None, True),
+        (2, "src-2", "src", 0, "e2", "Tick", '{"v": 20}', None, None, True),
+        (3, "src-1", "src", 1, "e3", "Tock", '{"v": 30}', None, None, True),
+        # link stream referencing targets in REVERSE order
+        (4, "$idx", None, 0, "l1", "$>", "1@src-1", None, None, False),
+        (5, "$idx", None, 1, "l2", "$>", "0@src-2", None, None, False),
+        (6, "$idx", None, 2, "l3", "$>", "0@src-1", None, None, False),
+    ]
+    ev = spark.createDataFrame(rows, EVENTS_SCHEMA)
+
+    def h(s, e):
+        return {
+            "n": s["n"] + 1,
+            "sum": s["sum"] + e["body"]["v"],
+            "seen": s["seen"] + [e["event_type"]],
+        }
+
+    proj = (
+        Projection.from_stream("$idx", name="via_links")
+        .when({"$init": lambda: {"n": 0, "sum": 0, "seen": []}, "$any": h})
+        .options(**{"$includeLinks": True})
+    )
+    states = run_batch(proj, ev).states.collect()
+    assert len(states) == 1
+    import json as _json
+
+    st = _json.loads(states[0].state)
+    # targets resolved, folded in LINK order (Tock@src-1, Tick@src-2, Tick@src-1)
+    assert st["n"] == 3 and st["sum"] == 60
+    assert st["seen"] == ["Tock", "Tick", "Tick"]
