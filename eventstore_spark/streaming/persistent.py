@@ -39,7 +39,9 @@ class PersistentSubscriptionSettings:
     max_retry_count: int = 5
     read_batch_size: int = 100
     checkpoint_after: int = 100  # messages acked between checkpoints
-    consumer_strategy: str = "round_robin"  # round_robin | pinned
+    # ConsumerStrategy/*.cs: round_robin | dispatch_to_single | pinned
+    # (hash source stream) | pinned_by_correlation (hash $correlationId)
+    consumer_strategy: str = "round_robin"
 
 
 @dataclass
@@ -50,6 +52,7 @@ class _Delivery:
     state: str = "available"  # available | inflight | parked
     consumer: str | None = None
     deadline: float = 0.0
+    correlation_id: str | None = None
 
 
 class PersistentSubscription:
@@ -92,12 +95,25 @@ class PersistentSubscription:
     def _pick_consumer(self, delivery: _Delivery) -> str | None:
         if not self.consumers:
             return None
-        if self.settings.consumer_strategy == "pinned":
+        strat = self.settings.consumer_strategy
+        if strat == "dispatch_to_single":
+            # DispatchToSinglePersistentSubscriptionConsumerStrategy.cs:8 —
+            # everything goes to ONE consumer; the next in line takes over
+            # only when that consumer disconnects (remove_consumer).
+            return self.consumers[0]
+        if strat in ("pinned", "pinned_by_correlation"):
             # Pinned: hash the source stream so one stream's events always
-            # go to the same consumer (PinnedPersistentSubscriptionConsumerStrategy.cs:9)
+            # go to the same consumer (Pinned…ConsumerStrategy.cs:9).
+            # PinnedByCorrelation…cs:12: same, keyed by the event's
+            # $correlationId (falling back to the stream when absent) so a
+            # whole correlated conversation lands on one consumer — and a
+            # redelivery re-hashes to the SAME consumer.
             import hashlib
 
-            h = int(hashlib.md5(delivery.stream_id.encode()).hexdigest()[:8], 16)
+            key = delivery.stream_id
+            if strat == "pinned_by_correlation" and delivery.correlation_id:
+                key = delivery.correlation_id
+            h = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
             return self.consumers[h % len(self.consumers)]
         c = self.consumers[self._rr % len(self.consumers)]
         self._rr += 1
@@ -117,12 +133,17 @@ class PersistentSubscription:
             src.where(F.col("log_position") >= self._buffer_head)
             .orderBy("log_position")
             .limit(self.settings.read_batch_size)
-            .select("log_position", "stream_id")
+            .select(
+                "log_position", "stream_id",
+                F.get_json_object("metadata", "$.$correlationId").alias("corr"),
+            )
             .collect()
         )
         for r in batch:
             if r.log_position not in self._deliveries:
-                self._deliveries[r.log_position] = _Delivery(r.log_position, r.stream_id)
+                self._deliveries[r.log_position] = _Delivery(
+                    r.log_position, r.stream_id, correlation_id=r.corr
+                )
             self._buffer_head = max(self._buffer_head, r.log_position + 1)
 
     def _redeliver_timeouts(self, now: float) -> None:
@@ -216,6 +237,7 @@ class PersistentSubscription:
                     "stream_id": d.stream_id,
                     "retry_count": d.retry_count,
                     "state": "available" if d.state == "inflight" else d.state,
+                    "correlation_id": d.correlation_id,
                 }
                 for d in self._deliveries.values()
             ],
@@ -236,7 +258,8 @@ class PersistentSubscription:
         self._buffer_head = doc["buffer_head"]
         for d in doc["deliveries"]:
             self._deliveries[d["log_position"]] = _Delivery(
-                d["log_position"], d["stream_id"], d["retry_count"], d["state"]
+                d["log_position"], d["stream_id"], d["retry_count"], d["state"],
+                correlation_id=d.get("correlation_id"),
             )
 
     def stats(self) -> dict:

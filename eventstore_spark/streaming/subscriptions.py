@@ -71,6 +71,26 @@ def start_to_memory(sub: DataFrame, name: str, checkpoint_location: str | None =
     return w.start()
 
 
+def is_caught_up(query) -> bool:
+    """U1 `CaughtUp` marker (streams.proto:103-106): True once the
+    subscription has drained all history known to the source — the point
+    where the reference's enumerator switches from CatchUp to Live and
+    pushes a CaughtUp message (Enumerator.StreamSubscription.cs:191-223).
+
+    Derived from the streaming query's status: at least one micro-batch
+    has completed AND the source reports no more available data. (The file
+    source doesn't populate latestOffset in progress events, so offset
+    comparison can't express this; isDataAvailable is the engine's own
+    drained-backlog signal.) Like the reference's marker, it reflects the
+    engine's current knowledge — data appended but not yet polled flips it
+    back on the next trigger.
+    """
+    if query.lastProgress is None:
+        return False  # still catching up through the first batch
+    status = query.status or {}
+    return not status.get("isDataAvailable", True)
+
+
 def start_foreach_batch(sub: DataFrame, fn, checkpoint_location: str | None = None):
     """Run a subscription through foreachBatch (exactly-once sinks)."""
     w = sub.writeStream.foreachBatch(fn)

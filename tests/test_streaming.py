@@ -169,3 +169,70 @@ def test_checkpoint_recovery(spark, ps_log, tmp_path):
     ps2.add_consumer("c9")
     got2 = ps2.fetch(now=100.0)["c9"]
     assert got2 == got[4:]
+
+
+def test_dispatch_to_single_strategy(spark, ps_log):
+    """DispatchToSingle…ConsumerStrategy.cs:8 — one consumer gets every
+    message; the next in line takes over only on disconnect."""
+    s = PersistentSubscriptionSettings(consumer_strategy="dispatch_to_single")
+    ps = PersistentSubscription(ps_log.load(), "grp", "orders-1", s)
+    ps.add_consumer("c1")
+    ps.add_consumer("c2")
+    out = ps.fetch(now=0.0)
+    assert len(out["c1"]) == 6 and out["c2"] == []
+    ps.remove_consumer("c1")  # failover: in-flight released, c2 takes over
+    out2 = ps.fetch(now=1.0)
+    assert len(out2["c2"]) == 6
+
+
+def test_pinned_by_correlation_across_redelivery(spark, tmp_path):
+    """PinnedByCorrelation…cs:12 — all events of one $correlationId go to
+    one consumer, and a timeout redelivery re-pins to the SAME consumer."""
+    w = EventLogWriter(spark, str(tmp_path / "bclog"))
+    for i in range(8):
+        w.append(
+            "orders-1",
+            [ProposedEvent("Placed", "{}",
+                           metadata=json.dumps({"$correlationId": f"corr-{i % 3}"}))],
+        )
+    s = PersistentSubscriptionSettings(
+        consumer_strategy="pinned_by_correlation",
+        message_timeout_s=10, max_retry_count=5,
+    )
+    ps = PersistentSubscription(w.load(), "grp", "orders-1", s)
+    ps.add_consumer("c1")
+    ps.add_consumer("c2")
+    out = ps.fetch(now=0.0)
+    corr = {
+        r.log_position: json.loads(r.metadata)["$correlationId"]
+        for r in w.load().where("metadata is not null").collect()
+    }
+    owner = {}
+    for c, positions in out.items():
+        for p in positions:
+            assert owner.setdefault(corr[p], c) == c  # one corr -> one consumer
+    assert len(owner) == 3 and len(out["c1"]) + len(out["c2"]) == 8
+    # timeout redelivery: same correlation -> same consumer
+    out2 = ps.fetch(now=20.0)
+    for c, positions in out2.items():
+        for p in positions:
+            assert owner[corr[p]] == c
+
+
+def test_caught_up_marker(spark, log, tmp_path):
+    """U1 CaughtUp (streams.proto:103-106): the marker fires once the
+    subscription has drained the backlog, and again after new live data
+    is processed."""
+    from eventstore_spark.streaming.subscriptions import is_caught_up
+
+    sub = subscribe_stream(spark, log.path, "account-1")
+    q = start_to_memory(sub, "cu_sub", str(tmp_path / "cuck"))
+    try:
+        assert not is_caught_up(q)  # no progress yet
+        q.processAllAvailable()
+        assert is_caught_up(q)
+        log.append("account-1", [ProposedEvent("Deposited", '{"amount": 2}')])
+        q.processAllAvailable()
+        assert is_caught_up(q)
+    finally:
+        q.stop()
