@@ -171,6 +171,14 @@ class EventStoreEngine:
             page = page.orderBy(order.desc() if backward else order.asc())
         return page
 
+    def read_stream_page(self, stream_id: str, from_event_number: int = 0,
+                         max_count: int = 100, backward: bool = False):
+        """S2/S3 with paging metadata (nextEventNumber / lastEventNumber /
+        isEndOfStream, ClientMessage.cs:533) for client-style paging."""
+        return R.read_stream_page(
+            self.events(), stream_id, from_event_number, max_count, backward
+        )
+
     def read_all(self, from_position: int = 0, max_count: int | None = None,
                  backward: bool = False, event_filter: EventFilter | None = None,
                  include_system: bool = False) -> DataFrame:

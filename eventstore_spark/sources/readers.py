@@ -14,6 +14,8 @@ match maxCount paging.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -70,6 +72,54 @@ def read_stream_backward(
     if max_count is not None:
         out = out.limit(max_count)
     return out
+
+
+@dataclass
+class StreamPage:
+    """Paging envelope of a stream read — the reply metadata of
+    ReadStreamEventsForward/BackwardCompleted (ClientMessage.cs:533):
+    where to continue and whether the stream is exhausted."""
+
+    events: DataFrame
+    next_event_number: int
+    last_event_number: int
+    is_end_of_stream: bool
+
+
+def read_stream_page(
+    events: DataFrame,
+    stream_id: str,
+    from_event_number: int = 0,
+    max_count: int = 100,
+    backward: bool = False,
+) -> StreamPage:
+    """S2/S3 with full paging metadata. Two scalar aggregates (the page's
+    bounds and the stream head) — both pruned single-stream scans; the
+    page DataFrame itself stays lazy for the caller."""
+    if backward:
+        page = read_stream_backward(events, stream_id, from_event_number, max_count)
+    else:
+        page = read_stream_forward(events, stream_id, from_event_number, max_count)
+    head = events.where(F.col("stream_id") == stream_id).agg(
+        F.max("event_number")
+    ).first()[0]
+    last_en = -1 if head is None else int(head)
+    bounds = page.agg(
+        F.min("event_number"), F.max("event_number"), F.count(F.lit(1))
+    ).first()
+    lo, hi, n = bounds[0], bounds[1], int(bounds[2])
+    if backward:
+        nxt = -1 if n == 0 else int(lo) - 1
+        end = nxt < 0
+    else:
+        nxt = last_en + 1 if n == 0 else int(hi) + 1
+        end = nxt > last_en
+    return StreamPage(
+        events=page,
+        next_event_number=nxt,
+        last_event_number=last_en,
+        is_end_of_stream=end,
+    )
 
 
 def read_all_forward(

@@ -61,3 +61,40 @@ def test_default_all_filter_hides_system(spark, bank_events):
 
 def test_event_filter_empty_predicate(bank_events):
     assert bank_events.where(EventFilter().predicate()).count() == bank_events.count()
+
+
+def test_read_stream_page_metadata(spark):
+    """S2/S3 paging parity: nextEventNumber/lastEventNumber/isEndOfStream
+    (ClientMessage.cs:533) walk a stream to exhaustion in both directions."""
+    from eventstore_spark.schema import EVENTS_SCHEMA
+    from eventstore_spark.sources.readers import read_stream_page
+
+    rows = [
+        (i + 1, "s-1", "s", i, f"e{i}", "E", "{}", None, None, True)
+        for i in range(10)
+    ]
+    ev = spark.createDataFrame(rows, EVENTS_SCHEMA)
+
+    p1 = read_stream_page(ev, "s-1", 0, 4)
+    assert p1.events.count() == 4
+    assert (p1.next_event_number, p1.last_event_number, p1.is_end_of_stream) == (4, 9, False)
+    p2 = read_stream_page(ev, "s-1", p1.next_event_number, 4)
+    assert (p2.next_event_number, p2.is_end_of_stream) == (8, False)
+    p3 = read_stream_page(ev, "s-1", p2.next_event_number, 4)
+    assert p3.events.count() == 2
+    assert (p3.next_event_number, p3.is_end_of_stream) == (10, True)
+    # reading past the end: empty page, still end-of-stream
+    p4 = read_stream_page(ev, "s-1", 10, 4)
+    assert p4.events.count() == 0 and p4.is_end_of_stream
+
+    # backward from the head
+    b1 = read_stream_page(ev, "s-1", 9, 6, backward=True)
+    assert b1.events.count() == 6
+    assert (b1.next_event_number, b1.is_end_of_stream) == (3, False)
+    b2 = read_stream_page(ev, "s-1", b1.next_event_number, 6, backward=True)
+    assert b2.events.count() == 4
+    assert (b2.next_event_number, b2.is_end_of_stream) == (-1, True)
+
+    # missing stream
+    p0 = read_stream_page(ev, "nope", 0, 4)
+    assert p0.events.count() == 0 and p0.last_event_number == -1 and p0.is_end_of_stream
