@@ -566,6 +566,35 @@ def q_dedup_ngram_jaccard(spark, sf):
     return dd.ngram_jaccard_pairs(_table(spark, sf, "documents"), threshold=0.4)
 
 
+def q_dedup_clusters(spark, sf):
+    """Connected components over the minhash near-dup pair graph: every
+    doc mapped to its cluster's canonical (min-id) survivor — what a dedup
+    pipeline runs AFTER candidate pairs."""
+    return dd.duplicate_clusters(_table(spark, sf, "documents"), threshold=0.5)
+
+
+def q_token_vocabulary(spark, sf):
+    """Corpus vocabulary: top-100 tokens by occurrence count."""
+    return textops.token_vocabulary(_table(spark, sf, "documents"), k=100)
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic hash-bucket stratified sampling per language
+    (en 80% / de 50% / others 25%) — shuffle-free corpus sampling."""
+    return textops.stratified_sample(
+        _table(spark, sf, "documents"), rates={"en": 80, "de": 50}, default_rate=25
+    )
+
+
+def q_select_corpus(spark, sf):
+    """End-to-end training-corpus selection: lang allowlist + quality +
+    length gates + exact-dedup survivorship in one composed plan."""
+    return textops.select_corpus(
+        _table(spark, sf, "documents"), min_quality=0.3, min_tokens=20,
+        langs=("en", "und"),
+    )
+
+
 def q_token_stats(spark, sf):
     """Token counting two ways: whitespace words vs BPE-ish sub-word runs."""
     from eventstore_spark.functions.text import bpe_token_count, token_count
@@ -695,6 +724,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "token_vocabulary": q_token_vocabulary,
+        "stratified_sample": q_stratified_sample,
+        "select_corpus": q_select_corpus,
         "token_stats": q_token_stats,
         "doc_fingerprint_rolling": q_doc_fingerprint_rolling,
         "multimodal_features": q_multimodal_features,
@@ -994,6 +1027,14 @@ FROM f
     sqls["dedup_simhash"] = dd.sql_simhash()
     sqls["dedup_simhash_pairs"] = dd.sql_simhash_pairs(max_hamming=3)
     sqls["dedup_ngram_jaccard"] = dd.sql_ngram_jaccard_pairs(threshold=0.4)
+    sqls["dedup_clusters"] = dd.sql_duplicate_clusters(threshold=0.5)
+    sqls["token_vocabulary"] = textops.sql_token_vocabulary(k=100)
+    sqls["stratified_sample"] = textops.sql_stratified_sample(
+        rates={"en": 80, "de": 50}, default_rate=25
+    )
+    sqls["select_corpus"] = textops.sql_select_corpus(
+        min_quality=0.3, min_tokens=20, langs=("en", "und")
+    )
     from eventstore_spark.functions.text import sql_rolling_fingerprint
 
     from eventstore_spark.functions.text import sql_bpe_token_count, SQL_TOKEN_COUNT

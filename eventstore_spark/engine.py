@@ -179,6 +179,30 @@ class EventStoreEngine:
             self.events(), stream_id, from_event_number, max_count, backward
         )
 
+    def poll_stream(self, stream_id: str, from_event_number: int = 0,
+                    max_count: int | None = None, timeout_s: float = 5.0,
+                    interval_s: float = 0.25) -> DataFrame:
+        """U3 long-poll read: block up to ``timeout_s`` until the stream
+        has events at/after ``from_event_number``, then return them
+        (StorageReaderWorker.cs:134-137 parks the read in AwakeService
+        until a commit touches the stream; here the writer's parquet head
+        is polled — one pruned scalar aggregate per tick)."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout_s
+        while True:
+            head = (
+                self.events()
+                .where(F.col("stream_id") == stream_id)
+                .agg(F.max("event_number"))
+                .first()[0]
+            )
+            if head is not None and head >= from_event_number:
+                return self.read_stream(stream_id, from_event_number, max_count)
+            if _time.monotonic() >= deadline:
+                return self.read_stream(stream_id, from_event_number, max_count)
+            _time.sleep(interval_s)
+
     def read_all(self, from_position: int = 0, max_count: int | None = None,
                  backward: bool = False, event_filter: EventFilter | None = None,
                  include_system: bool = False) -> DataFrame:

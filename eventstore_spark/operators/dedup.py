@@ -388,3 +388,88 @@ WITH base AS (
 SELECT a, b, CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
 FROM shared WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(docs: DataFrame, pairs: DataFrame | None = None,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       max_iterations: int = 20, **minhash_kw) -> DataFrame:
+    """Group near-duplicate PAIRS into clusters and pick one survivor per
+    cluster — the step a real dedup pipeline needs after candidate pairs
+    (pairs only say "a~b"; selection needs the transitive closure: a~b,
+    b~c => keep exactly one of {a,b,c}).
+
+    Returns (doc_id, canonical_id, is_duplicate) for EVERY doc; canonical
+    is the minimum doc id of the doc's connected component (docs in no
+    pair are their own canonical).
+
+    Spark-first: iterative min-label propagation on the pair graph —
+    per round, every node takes min(own label, neighbors' labels); rounds
+    bounded by the component diameter (near-dup clusters are dense, so
+    2-4 rounds in practice). Each round is one equi-join + one partial
+    aggregate on node id; lineage is truncated per round
+    (localCheckpoint) so plans stay flat. The label table holds ONLY
+    nodes that appear in some pair — tiny relative to the corpus — and
+    the final assignment is one broadcast-able left join back to docs.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, id_col, text_col, **minhash_kw)
+    e = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    edges = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("x").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels, edges.y == labels.node)
+            .groupBy("x")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = labels.join(nbr, labels.node == nbr.x, "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+        ).localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    out = docs.select(F.col(id_col).alias("doc_id")).join(
+        labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce("label", F.col("doc_id")).alias("canonical_id"),
+    ).withColumn("is_duplicate", F.col("doc_id") != F.col("canonical_id"))
+
+
+def sql_duplicate_clusters(threshold: float = 0.5, table: str = "documents",
+                           **minhash_kw) -> str:
+    """DuckDB oracle: transitive closure of the same pair graph via a
+    recursive CTE, canonical = min reachable node."""
+    pair_sql = sql_minhash_pairs(threshold=threshold, table=table, **minhash_kw)
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a, b FROM ({pair_sql})
+), edges AS (
+  SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs
+), reach(x, y) AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+), lab AS (
+  SELECT x AS node, least(min(y), x) AS label FROM reach GROUP BY x
+)
+SELECT d.doc_id,
+       coalesce(l.label, d.doc_id) AS canonical_id,
+       d.doc_id <> coalesce(l.label, d.doc_id) AS is_duplicate
+FROM {table} d LEFT JOIN lab l ON l.node = d.doc_id
+"""

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import text as X
 from ..schema import spread
@@ -92,3 +93,127 @@ def quality_filter(docs: DataFrame, min_quality: float = 0.3,
     return docs.where(
         (X.quality_score(c) >= min_quality) & (X.token_count(c) >= min_tokens)
     )
+
+
+def token_vocabulary(docs: DataFrame, k: int = 100,
+                     text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: top-k tokens by document-frequency-weighted count
+    — the wordcount shape every tokenizer-training pipeline starts from.
+
+    Map-side partial aggregation absorbs the explode (each task emits one
+    row per distinct token, not per occurrence); one shuffle on token; the
+    top-k is orderBy+limit (TakeOrderedAndProject: per-partition heaps +
+    driver merge, never a global sort of the vocabulary).
+    """
+    toks = spread(docs).select(
+        F.explode(X.tokens(F.col(text_col))).alias("token")
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
+        .select("token", "n")
+    )
+
+
+def sql_token_vocabulary(k: int = 100, table: str = "documents",
+                         text_col: str = "text") -> str:
+    toks = X.SQL_TOKENS.format(c=text_col)
+    return f"""
+WITH t AS (
+  SELECT unnest({toks}) AS token FROM {table}
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM t WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT {k}
+"""
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, int],
+                      default_rate: int = 0, salt: str = "corpus-v1",
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic per-language stratified sampling: doc_id + salt hash
+    into [0,100); a doc survives when its bucket < its language's rate
+    percentage. ``rates`` e.g. {"en": 80, "de": 50}; unlisted languages
+    get ``default_rate``.
+
+    Pure projection + filter — NO shuffle, no RNG, reproducible across
+    runs/engines, and re-running with a higher rate is a superset (the
+    property curriculum pipelines need). Returns (doc_id, lang_pred,
+    bucket).
+    """
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "|"),
+                                       F.col(id_col).cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % 100
+    )
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        X.lang_id(F.col(text_col)).alias("lang_pred"),
+        bucket.alias("bucket"),
+    )
+    rate = F.lit(default_rate)
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col("lang_pred") == lang, F.lit(r)).otherwise(rate)
+    return out.where(F.col("bucket") < rate)
+
+
+def sql_stratified_sample(rates: dict[str, int], default_rate: int = 0,
+                          salt: str = "corpus-v1", table: str = "documents",
+                          text_col: str = "text") -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {r}" for lang, r in sorted(rates.items())
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, {X.sql_lang_id(text_col)} AS lang_pred,
+         CAST('0x' || substr(md5('{salt}|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+  FROM {table}
+)
+SELECT doc_id, lang_pred, bucket FROM s
+WHERE bucket < (CASE lang_pred {cases} ELSE {default_rate} END)
+"""
+
+
+def select_corpus(docs: DataFrame, min_quality: float = 0.3,
+                  min_tokens: int = 20, langs: tuple[str, ...] = ("en",),
+                  text_col: str = "text") -> DataFrame:
+    """End-to-end training-corpus selection: language allowlist + quality
+    gate + length gate + exact-dedup survivorship, in ONE pass over the
+    profile plus one fingerprint shuffle (the dedup groupBy) — the
+    composition a 100 TB pretraining pipeline actually runs.
+
+    Returns the surviving (doc_id, lang_pred, n_tokens, quality, fp).
+    """
+    prof = analyze_documents(docs, text_col)
+    gated = prof.where(
+        F.col("lang_pred").isin(*langs)
+        & (F.col("quality") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+    )
+    w = Window.partitionBy("fp")
+    return (
+        gated.withColumn("_canon", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("_canon"))
+        .select("doc_id", "lang_pred", "n_tokens", "quality", "fp")
+    )
+
+
+def sql_select_corpus(min_quality: float = 0.3, min_tokens: int = 20,
+                      langs: tuple[str, ...] = ("en",),
+                      table: str = "documents", text_col: str = "text") -> str:
+    inlist = ", ".join(f"'{l}'" for l in langs)
+    return f"""
+WITH prof AS ({sql_analyze_documents(table, text_col)}),
+gated AS (
+  SELECT * FROM prof
+  WHERE lang_pred IN ({inlist}) AND quality >= {min_quality}
+    AND n_tokens >= {min_tokens}
+)
+SELECT doc_id, lang_pred, n_tokens, quality, fp FROM gated
+QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
+"""

@@ -209,3 +209,29 @@ def test_output_state_writes_result_stream(engine):
     engine.create_projection(named)
     engine.run_projection("balances2")
     assert engine.read_stream("acct-results").count() == 2
+
+
+def test_long_poll_read(engine):
+    """U3: a poll at the head blocks until new events arrive (or times
+    out empty); a poll over existing events returns immediately."""
+    import threading
+    import time as _t
+
+    # data already there -> immediate
+    t0 = _t.monotonic()
+    got = engine.poll_stream("account-1", 0).collect()
+    assert len(got) == 2 and _t.monotonic() - t0 < 3
+    # nothing at/after #2 yet -> an appender thread wakes the poll
+    def later():
+        _t.sleep(0.6)
+        engine.append("account-1", [ProposedEvent("Deposited", '{"amount": 7}')])
+
+    th = threading.Thread(target=later)
+    th.start()
+    got = engine.poll_stream("account-1", 2, timeout_s=10).collect()
+    th.join()
+    assert [r.event_number for r in got] == [2]
+    # timeout path: returns empty after ~timeout
+    t0 = _t.monotonic()
+    assert engine.poll_stream("account-1", 99, timeout_s=1.0).count() == 0
+    assert _t.monotonic() - t0 >= 0.9

@@ -144,3 +144,39 @@ def test_rolling_fingerprint_order_sensitive(spark):
     }
     assert got[1] == got[3]  # normalization-invariant (case/whitespace)
     assert got[1] != got[2]  # order-sensitive, unlike the md5 set fingerprint
+
+
+def test_duplicate_clusters_transitive(spark):
+    """a~b and b~c must land in ONE cluster with canonical=min id, even
+    when a and c were never a candidate pair themselves."""
+    import pandas as pd
+    from eventstore_spark.operators.dedup import duplicate_clusters
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 9], "text": ["x"] * 5})
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"a": [1, 2, 5], "b": [2, 3, 6]})
+    )  # chain 1-2-3 plus cluster 5-6 (not in docs), 4 and 9 singletons
+    got = {
+        r.doc_id: (r.canonical_id, r.is_duplicate)
+        for r in duplicate_clusters(docs, pairs=pairs).collect()
+    }
+    assert got[1] == (1, False)
+    assert got[2] == (1, True)
+    assert got[3] == (1, True)
+    assert got[4] == (4, False)
+    assert got[9] == (9, False)
+
+
+def test_stratified_sample_is_deterministic_superset(spark, docs):
+    from eventstore_spark.operators.textops import stratified_sample
+
+    lo = stratified_sample(docs, rates={"en": 20}, default_rate=10)
+    hi = stratified_sample(docs, rates={"en": 60}, default_rate=30)
+    lo_ids = {r.doc_id for r in lo.collect()}
+    hi_ids = {r.doc_id for r in hi.collect()}
+    assert lo_ids <= hi_ids  # raising rates only ADDS docs
+    again = {r.doc_id for r in stratified_sample(
+        docs, rates={"en": 20}, default_rate=10).collect()}
+    assert again == lo_ids  # no RNG anywhere
