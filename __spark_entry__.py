@@ -654,6 +654,15 @@ def q_media_dedup(spark, sf):
     return mm.exact_media_dedup(_media_from_docs(spark, sf))
 
 
+def q_media_frames(spark, sf):
+    """Video frame sampling: one row per sampled frame via one-to-many
+    mapInPandas (duration probe + frame grab are documented decoder
+    stubs; the explode happens executor-side)."""
+    from eventstore_spark.operators import multimodal as mm
+
+    return mm.sample_frames(_media_from_docs(spark, sf))
+
+
 ANN_QUERY_IDS = [1, 7, 42]
 
 
@@ -732,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint_rolling": q_doc_fingerprint_rolling,
         "multimodal_features": q_multimodal_features,
         "media_dedup": q_media_dedup,
+        "media_frames": q_media_frames,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1066,6 +1076,18 @@ FROM documents
 SELECT sha256(text) AS content_hash, min(doc_id) AS canonical_id,
        CAST(count(*) AS BIGINT) AS copies
 FROM documents GROUP BY 1
+"""
+    sqls["media_frames"] = """
+WITH v AS (
+  SELECT doc_id AS media_id, text,
+         1000 * (1 + (CAST('0x' || substr(sha256(text), 5, 2) AS INT) % 5)) AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, CAST(t.f AS BIGINT) AS frame_idx,
+       CAST(t.f * 1000 AS BIGINT) AS ts_ms,
+       substr(sha256(text || ':' || CAST(t.f AS VARCHAR)), 1, 16) AS frame_digest,
+       CAST(duration_ms AS BIGINT) AS duration_ms
+FROM v, unnest(range(0, greatest(duration_ms // 1000, 1))) AS t(f)
 """
     sqls["ann_bruteforce"] = sim.sql_brute_force_topk(ANN_QUERY_IDS, k=10)
     sqls["ann_lsh"] = sim.sql_lsh_topk(ANN_QUERY_IDS, k=10)

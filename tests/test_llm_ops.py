@@ -180,3 +180,36 @@ def test_stratified_sample_is_deterministic_superset(spark, docs):
     again = {r.doc_id for r in stratified_sample(
         docs, rates={"en": 20}, default_rate=10).collect()}
     assert again == lo_ids  # no RNG anywhere
+
+
+def test_frame_sampling_and_resize_plumbing(spark):
+    """Multimodal one-to-many (frame sample) and transform (resize)
+    plumbing: schema, per-kind routing, metadata-vs-probe duration, and
+    determinism — decoder work itself is the documented stub."""
+    from eventstore_spark.operators.multimodal import (
+        resize_images, sample_frames,
+    )
+
+    rows = [
+        (1, "video", b"vid-bytes-1", "video/fake", {"width": None, "height": None, "duration_ms": 3000}),
+        (2, "video", b"vid-bytes-2", "video/fake", {"width": None, "height": None, "duration_ms": None}),
+        (3, "image", b"img-bytes", "image/fake", {"width": 9, "height": 9, "duration_ms": None}),
+    ]
+    from eventstore_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sample_frames(media).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    # metadata duration honored: 3000ms @ 1000ms -> 3 frames
+    assert [f.ts_ms for f in sorted(by_media[1], key=lambda f: f.frame_idx)] == [0, 1000, 2000]
+    # missing duration -> probed (stub), at least one frame; image skipped
+    assert len(by_media[2]) >= 1 and 3 not in by_media
+    # deterministic frame digests
+    again = {(r.media_id, r.frame_idx): r.frame_digest for r in sample_frames(media).collect()}
+    assert all(again[(r.media_id, r.frame_idx)] == r.frame_digest for r in frames)
+
+    resized = resize_images(media, 224, 224).collect()
+    assert [r.media_id for r in resized] == [3]  # only images
+    assert resized[0].width == 224 and len(resized[0].resized) == 32
