@@ -49,6 +49,9 @@ class _ManagedProjection:
     last_result: ProjectionResult | None = None
     runs: int = 0
     query: object = None  # StreamingQuery when continuous
+    # continuous mode: partition -> (state JSON, last position), updated
+    # by the foreachBatch sink (state-table stand-in)
+    state_snapshot: dict = field(default_factory=dict)
 
 
 class EventStoreEngine:
@@ -284,11 +287,30 @@ class EventStoreEngine:
         mp.runs += 1
         if mp.mode == "continuous":
             out = run_continuous(mp.spec, self.subscribe())
-            w = (
-                out.writeStream.outputMode("update")
-                .format("memory")
-                .queryName(f"projection_{name}")
-            )
+            snapshot: dict[str, tuple] = {}
+            mp.state_snapshot = snapshot
+
+            def sink(batch_df, batch_id):
+                # emissions append DISTRIBUTED into the log (exactly-once
+                # via deterministic ids + the writer's anti-join); only the
+                # per-partition state deltas are collected (bounded by the
+                # partitions a micro-batch touched — at warehouse scale
+                # this MERGEs into a state table instead).
+                self.writer.append_df(
+                    batch_df.where(F.col("kind").isin("emit", "link")).select(
+                        F.col("emit_stream").alias("stream_id"),
+                        F.col("emit_event_type").alias("event_type"),
+                        F.col("emit_data").alias("data"),
+                        F.col("emit_metadata").alias("metadata"),
+                        F.col("emit_event_id").alias("event_id"),
+                    )
+                )
+                for r in batch_df.where(F.col("kind") == "state").select(
+                    "partition", "state", "source_log_position"
+                ).collect():
+                    snapshot[r["partition"]] = (r["state"], r["source_log_position"])
+
+            w = out.writeStream.outputMode("update").foreachBatch(sink)
             if checkpoint_dir:
                 w = w.option("checkpointLocation", checkpoint_dir)
             mp.query = w.start()
@@ -312,11 +334,15 @@ class EventStoreEngine:
     def projection_state(self, name: str, partition: str | None = None) -> DataFrame:
         mp = self.projections[name]
         if mp.mode == "continuous" and mp.query is not None:
-            df = self.spark.sql(f"SELECT * FROM projection_{name}")
-            from pyspark.sql.window import Window
-
-            w = Window.partitionBy("partition").orderBy(F.col("last_position").desc())
-            df = df.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
+            rows = [
+                (p, s, pos) for p, (s, pos) in sorted(mp.state_snapshot.items())
+            ]
+            df = self.spark.createDataFrame(
+                rows or [(None, None, None)],
+                "partition string, state string, last_position long",
+            )
+            if not rows:
+                df = df.where(F.lit(False))
         else:
             if mp.last_result is None:
                 raise RuntimeError(f"projection '{name}' has not run")

@@ -28,23 +28,18 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..plans.reader_strategy import source_predicate
 from ..projections.dsl import ANY, DELETED, INIT, Projection
-from ..projections.runtime import EmitContext, _event_dict
+from ..projections.runtime import EmitContext, _OUT_SCHEMA, _event_dict
 from ..schema import STREAM_DELETED_EVENT_TYPE
 
 _STATE_SCHEMA = T.StructType([T.StructField("js", T.StringType())])
 
-_OUT_SCHEMA = T.StructType(
-    [
-        T.StructField("partition", T.StringType()),
-        T.StructField("state", T.StringType()),
-        T.StructField("last_position", T.LongType()),
-    ]
-)
+_OUT_COLS = [f.name for f in _OUT_SCHEMA.fields]
 
 
 def _make_stateful(proj: Projection):
     handlers = dict(proj.handlers)
     arity = dict(proj.handler_arity)
+    chain = list(proj.state_chain)
     name = proj.name
 
     def call(fn, key, state, ev, ctx):
@@ -79,27 +74,53 @@ def _make_stateful(proj: Projection):
                 elif any_h is not None:
                     state = call(any_h, ANY, state, ev, ctx)
         gstate.update((json.dumps(state, sort_keys=True, default=str),))
-        yield pd.DataFrame(
-            [(partition, json.dumps(state, sort_keys=True, default=str), last)],
-            columns=["partition", "state", "last_position"],
-        )
+        # Output rows share the batch runtime's kind-tagged schema:
+        # emissions first (emit/linkTo from this micro-batch, deterministic
+        # ids), then the partition's state UPDATE — with the transformBy/
+        # filterBy chain applied to the OUTPUT only (raw fold state stays
+        # in the store, as in TransformStateToResult).
+        rows = list(ctx.rows)
+        out, keep = state, True
+        for op, fn_ in chain:
+            if op == "transform":
+                out = fn_(out)
+            elif op == "filter" and not fn_(out):
+                keep = False
+                break
+        if keep:
+            rows.append(
+                (partition, "state", json.dumps(out, sort_keys=True, default=str),
+                 None, None, None, None, None, last, None)
+            )
+        yield pd.DataFrame(rows, columns=_OUT_COLS)
 
     return fn
 
 
 def run_continuous(proj: Projection, subscription: DataFrame) -> DataFrame:
     """Attach a projection to a streaming subscription; returns a streaming
-    DataFrame of (partition, state, last_position) updates per micro-batch.
+    DataFrame of kind-tagged rows per micro-batch: ``state`` updates
+    (partition, state JSON, source_log_position = last applied position)
+    plus ``emit``/``link`` rows for the batch's emissions.
 
-    Start it with ``.writeStream.outputMode("update")`` (state upserts) —
-    e.g. foreachBatch MERGE into a state table, the analog of
-    `$projections-<name>-result`.
+    Start it with ``.writeStream.outputMode("update")`` — e.g. foreachBatch
+    that MERGEs state rows into a state table and appends emission rows to
+    the log (engine.run_projection wires exactly that).
     """
     src = subscription.where(source_predicate(proj))
     if proj.by_stream:
         src = src.withColumn("_partition", F.col("stream_id"))
     elif proj.partition_col is not None:
         src = src.withColumn("_partition", proj.partition_col.cast("string"))
+    elif proj.partition_fn is not None:
+        pfn = proj.partition_fn
+        cols = src.columns
+
+        @F.udf(T.StringType())
+        def _pkey(*vals):
+            return str(pfn(_event_dict(dict(zip(cols, vals)))))
+
+        src = src.withColumn("_partition", _pkey(*[F.col(c) for c in cols]))
     else:
         src = src.withColumn("_partition", F.lit(""))
 

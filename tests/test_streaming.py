@@ -236,3 +236,42 @@ def test_caught_up_marker(spark, log, tmp_path):
         assert is_caught_up(q)
     finally:
         q.stop()
+
+
+def test_continuous_projection_emits_to_log(spark, log, tmp_path):
+    """Continuous-mode emissions reach the log exactly once, and the
+    state snapshot tracks partitions across micro-batches (P20 continuous
+    + U8 emission dedupe through the engine surface)."""
+    from eventstore_spark.engine import EventStoreEngine
+
+    eng = EventStoreEngine(spark, log.path)
+
+    def h(s, e, ctx):
+        amt = e["body"]["amount"]
+        if amt >= 10:
+            ctx.emit("big-live", "BigLive", {"amt": amt})
+        return {"n": s["n"] + 1}
+
+    spec = (
+        Projection.from_category("account", name="live_ops")
+        .foreach_stream()
+        .when({"$init": lambda: {"n": 0}, "Deposited": h})
+    )
+    eng.create_projection(spec, mode="continuous")
+    q = eng.run_projection("live_ops", checkpoint_dir=str(tmp_path / "lck"))
+    try:
+        q.processAllAvailable()
+        emitted = eng.read_stream("big-live").collect()
+        assert len(emitted) == 1 and emitted[0].event_type == "BigLive"
+        st = {r.partition: json.loads(r.state)
+              for r in eng.projection_state("live_ops").collect()}
+        assert st["account-1"]["n"] == 1 and st["account-2"]["n"] == 1
+        # live append flows through: new qualifying event -> second emission
+        log.append("account-2", [ProposedEvent("Deposited", '{"amount": 50}')])
+        q.processAllAvailable()
+        assert eng.read_stream("big-live").count() == 2
+        st2 = {r.partition: json.loads(r.state)
+               for r in eng.projection_state("live_ops").collect()}
+        assert st2["account-2"]["n"] == 2
+    finally:
+        q.stop()
