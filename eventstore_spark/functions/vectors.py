@@ -46,6 +46,37 @@ def l2_distance(a: Column, b: Column) -> Column:
     )
 
 
+# -- Spark-SQL text forms ----------------------------------------------------
+# The same folds as the Column builders above, emitted as Spark-SQL text for
+# callers that assemble large expressions (e.g. one term per IVF centroid):
+# one F.expr parse instead of thousands of py4j Column calls. Function-for-
+# function identical to the Column forms, so results are bit-identical.
+
+def spark_sql_lit_array(values) -> str:
+    """A literal double array: repr() round-trips exactly, so the parsed
+    doubles equal the Python floats."""
+    return "array({})".format(", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in values))
+
+
+def spark_sql_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with(transform({a}, x -> CAST(x AS DOUBLE)), "
+        f"transform({b}, x -> CAST(x AS DOUBLE)), (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def spark_sql_norm(a: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"
+    )
+
+
+def spark_sql_cosine(a: str, b: str) -> str:
+    return f"({spark_sql_dot(a, b)} / ({spark_sql_norm(a)} * {spark_sql_norm(b)}))"
+
+
 # -- DuckDB oracle forms -----------------------------------------------------
 # list_reduce starts its fold at element 1, Spark's aggregate at 0.0;
 # (0.0 + p1) == p1 exactly, so the partial-sum sequences are identical.

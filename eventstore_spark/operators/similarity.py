@@ -20,11 +20,11 @@ Spark and DuckDB (functions/vectors.py), ties broken by vec_id.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine, sql_cosine
+from ..functions.vectors import cosine, spark_sql_cosine, spark_sql_lit_array, sql_cosine
 from ..schema import spread
 
 
@@ -71,32 +71,51 @@ SELECT query_id, vec_id, rank, sim FROM ranked WHERE rank <= {k}
 
 # -- sign-LSH ----------------------------------------------------------------
 
-def _hyperplane_sign(vec, table_i: int, plane_j: int, dim: int):
-    """Deterministic pseudo-random hyperplane: component d has sign +1/-1
-    from bit (d mod 60) of md5("t<i>|p<j>|b<block>"); dot(vec, plane) > 0
-    gives one LSH bit. All md5-derived → identical in DuckDB."""
-    # plane component for dim d: bit (d % 60) of block d // 60
-    def comp(d):
-        block = d // 60
-        h = F.conv(
-            F.substring(F.md5(F.lit(f"t{table_i}|p{plane_j}|b{block}")), 1, 15), 16, 10
-        ).cast("long")
-        return F.when(
-            F.shiftright(h, d % 60).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
-        ).otherwise(F.lit(-1.0))
+def _plane_signs(table_i: int, plane_j: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane components: dim d has sign
+    +1/-1 from bit (d mod 60) of md5("t<i>|p<j>|b<block>") — the exact
+    derivation the DuckDB oracle uses (``comp_sign`` below), computed
+    driver-side with hashlib so the values are plan-time constants."""
+    import hashlib
 
-    s = F.lit(0.0)
+    out = []
     for d in range(dim):
-        s = s + vec[d].cast("double") * comp(d)
-    return F.when(s > 0, F.lit(1)).otherwise(F.lit(0))
+        block = d // 60
+        h = int(hashlib.md5(f"t{table_i}|p{plane_j}|b{block}".encode()).hexdigest()[:15], 16)
+        out.append(1.0 if (h >> (d % 60)) & 1 == 1 else -1.0)
+    return out
 
 
-def lsh_bucket(vec, table_i: int, planes: int, dim: int):
-    """Bucket id in one hash table = integer from ``planes`` sign bits."""
-    b = F.lit(0)
+def _bucket_expr_spark(vec_sql: str, table_i: int, planes: int, dim: int) -> str:
+    """Spark-SQL text of one hash table's bucket id for the vector
+    expression ``vec_sql``: ``planes`` sign bits, bit j = (dot(vec,
+    plane_j) > 0), folded into an integer.
+
+    Built as ONE SQL string parsed by a single ``F.expr`` — assembling the
+    same tree Column-by-Column costs ~2k py4j round-trips (seconds of
+    driver time per query at dim 64 x planes x tables). The +/-1 plane
+    components are plan-time constants, so they appear as the add/subtract
+    chain itself: x*1.0 == x and a + (-b) == a - b exactly in IEEE, so the
+    sum is bit-identical to the multiply form the oracle SQL spells out,
+    term order preserved (SQL +/- parse left-associative)."""
+    bits = []
     for j in range(planes):
-        b = b * 2 + _hyperplane_sign(vec, table_i, j, dim)
-    return b
+        terms = "0.0D"
+        for d, sg in enumerate(_plane_signs(table_i, j, dim)):
+            op = "+" if sg > 0 else "-"
+            terms += f" {op} CAST({vec_sql}[{d}] AS DOUBLE)"
+        bits.append(f"(CASE WHEN ({terms}) > 0.0D THEN 1 ELSE 0 END)")
+    e = "0"
+    for b in bits:
+        e = f"(({e}) * 2 + {b})"
+    return e
+
+
+def lsh_bucket(vec_sql: str, table_i: int, planes: int, dim: int) -> Column:
+    """Bucket id in one hash table = integer from ``planes`` sign bits.
+    ``vec_sql`` is the vector column's SQL name/expression (string, not
+    Column — the whole bucket builds as one parsed expression)."""
+    return F.expr(_bucket_expr_spark(vec_sql, table_i, planes, dim))
 
 
 def lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
@@ -106,7 +125,7 @@ def lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     exact cosine re-rank. Returns (query_id, vec_id, rank, sim)."""
     base = spread(embeddings).select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     for t in range(tables):
-        base = base.withColumn(f"b{t}", lsh_bucket(F.col("vec"), t, planes, dim))
+        base = base.withColumn(f"b{t}", lsh_bucket("vec", t, planes, dim))
     queries = base.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"),
         *[F.col(f"b{t}").alias(f"qb{t}") for t in range(tables)],
@@ -196,37 +215,33 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
         key=lambda r: r["vec_id"],
     )
 
-    def cell_of(vec):
-        # argmax over (cosine, -cent_id) structs — every centroid distance
-        # is computed in one expression tree, ties to the lowest id.
-        scored = [
-            F.struct(
-                cosine(vec, F.array(*[F.lit(float(x)) for x in r["vec"]])).alias("sim"),
-                F.lit(-int(r["vec_id"])).alias("nid"),
+    # Every centroid term is emitted as Spark-SQL text and the whole
+    # scored array parses as ONE F.expr — the Column-by-Column build was
+    # n_centroids x dim F.lit py4j calls (seconds of driver time).
+    def scored_sql(vec_sql: str) -> str:
+        terms = ", ".join(
+            "named_struct('sim', {}, 'nid', {})".format(
+                spark_sql_cosine(vec_sql, spark_sql_lit_array(r["vec"])),
+                -int(r["vec_id"]),
             )
             for r in cents
-        ]
-        return -F.array_max(F.array(*scored))["nid"]
+        )
+        return f"array({terms})"
 
-    assigned = base.withColumn("cell", cell_of(F.col("vec")))
+    # argmax over (cosine, -cent_id) structs — every centroid distance is
+    # computed in one expression tree, ties to the lowest id.
+    assigned = base.withColumn("cell", F.expr(f"-array_max({scored_sql('vec')}).nid"))
     queries = base.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
 
-    def probe_cells(vec):
-        scored = [
-            F.struct(
-                cosine(vec, F.array(*[F.lit(float(x)) for x in r["vec"]])).alias("sim"),
-                F.lit(-int(r["vec_id"])).alias("nid"),
-            )
-            for r in cents
-        ]
-        # nprobe best cells: sort ascending, take the tail, reversed —
-        # (sim desc, cent_id asc) order, matching the oracle's window.
-        top = F.slice(F.reverse(F.array_sort(F.array(*scored))), 1, nprobe)
-        return F.transform(top, lambda s: -s["nid"])
-
-    probes = queries.withColumn("cells", probe_cells(F.col("qvec"))).select(
+    # nprobe best cells: sort ascending, take the tail, reversed —
+    # (sim desc, cent_id asc) order, matching the oracle's window.
+    probe_sql = (
+        f"transform(slice(reverse(array_sort({scored_sql('qvec')})), 1, {int(nprobe)}),"
+        " s -> -s.nid)"
+    )
+    probes = queries.withColumn("cells", F.expr(probe_sql)).select(
         "query_id", "qvec", F.explode("cells").alias("cell")
     )
     cand = (
@@ -309,7 +324,7 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     # scale this is a persisted signature table, like minhash's).
     sig = base
     for t in range(tables):
-        sig = sig.withColumn(f"b{t}", lsh_bucket(F.col("vec"), t, planes, dim))
+        sig = sig.withColumn(f"b{t}", lsh_bucket("vec", t, planes, dim))
     sig = sig.cache()
 
     banded = sig.select(
