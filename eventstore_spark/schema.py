@@ -160,7 +160,28 @@ def spread(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # Estimate the scan's task count from the source files instead of
+    # df.rdd.getNumPartitions(): the RDD conversion forces a full physical
+    # plan + Python-serializer lineage per call (~100ms driver time, and it
+    # bypasses whole-stage codegen info). For file-backed inputs,
+    # partitions ~= ceil(bytes / maxPartitionBytes) bounded below by file
+    # count; derived inputs (post-shuffle) report no files and already run
+    # at spark.sql.shuffle.partitions, so spreading is a no-op there.
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return df
+    try:
+        total = sum(os.path.getsize(f.removeprefix("file:")) for f in files)
+    except OSError:
+        return df.repartition(target)
+    max_bytes = int(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
+    )
+    est_parts = max(len(files), -(-total // max_bytes))
+    if est_parts >= target:
         return df
     return df.repartition(target)
 
