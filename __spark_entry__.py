@@ -595,6 +595,51 @@ def q_select_corpus(spark, sf):
     )
 
 
+def q_repetition_profile(spark, sf):
+    """Gopher/C4-style repetition signals (top-token/bigram fraction,
+    dup-line fraction, symbol ratio) — one shuffle-free projection pass,
+    per-doc modes via an in-array sort+max-run fold."""
+    from eventstore_spark.operators import corpus as cp
+
+    return cp.repetition_profile(_table(spark, sf, "documents"))
+
+
+def q_pii_redact(spark, sf):
+    """PII scrubbing: emails/phones/IPv4 replaced with typed placeholders,
+    removal counts per pattern family."""
+    return textops.pii_redact(_table(spark, sf, "documents"))
+
+
+def q_pack_shards(spark, sf):
+    """Token-budget shard packing in doc_id order via a DISTRIBUTED prefix
+    sum (bucket subtotals + driver prefix + per-bucket window) — never a
+    single-partition global cumsum."""
+    from eventstore_spark.operators import corpus as cp
+
+    return cp.pack_shards(_table(spark, sf, "documents"), budget_tokens=2000)
+
+
+def q_contamination_overlap(spark, sf):
+    """Eval-contamination check: corpus docs sharing a distinct 4-gram
+    shingle with a benchmark doc (stand-in benchmark = doc_id < 20);
+    inverted-index equi-join, benchmark side broadcast. (Real pipelines
+    use 8-13-gram shingles; 4 is the meaningful scale for the synthetic
+    word-soup corpus.)"""
+    from eventstore_spark.operators import corpus as cp
+
+    return cp.contamination_overlap(
+        _table(spark, sf, "documents"), bench_max_id=20, n=4, min_shared=1
+    )
+
+
+def q_cluster_survivors(spark, sf):
+    """Quality-argmax survivor per near-dup cluster (composition of
+    duplicate_clusters + quality profile; struct-max aggregate)."""
+    from eventstore_spark.operators import corpus as cp
+
+    return cp.cluster_survivors(_table(spark, sf, "documents"), threshold=0.5)
+
+
 def q_token_stats(spark, sf):
     """Token counting two ways: whitespace words vs BPE-ish sub-word runs."""
     from eventstore_spark.functions.text import bpe_token_count, token_count
@@ -737,6 +782,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_vocabulary": q_token_vocabulary,
         "stratified_sample": q_stratified_sample,
         "select_corpus": q_select_corpus,
+        "repetition_profile": q_repetition_profile,
+        "pii_redact": q_pii_redact,
+        "pack_shards": q_pack_shards,
+        "contamination_overlap": q_contamination_overlap,
+        "cluster_survivors": q_cluster_survivors,
         "token_stats": q_token_stats,
         "doc_fingerprint_rolling": q_doc_fingerprint_rolling,
         "multimodal_features": q_multimodal_features,
@@ -1045,6 +1095,15 @@ FROM f
     sqls["select_corpus"] = textops.sql_select_corpus(
         min_quality=0.3, min_tokens=20, langs=("en", "und")
     )
+    from eventstore_spark.operators import corpus as cp
+
+    sqls["repetition_profile"] = cp.sql_repetition_profile()
+    sqls["pii_redact"] = textops.sql_pii_redact()
+    sqls["pack_shards"] = cp.sql_pack_shards(budget_tokens=2000)
+    sqls["contamination_overlap"] = cp.sql_contamination_overlap(
+        bench_max_id=20, n=4, min_shared=1
+    )
+    sqls["cluster_survivors"] = cp.sql_cluster_survivors(threshold=0.5)
     from eventstore_spark.functions.text import sql_rolling_fingerprint
 
     from eventstore_spark.functions.text import sql_bpe_token_count, SQL_TOKEN_COUNT

@@ -1,0 +1,341 @@
+"""Corpus-construction operators: the pipeline stages between "clean
+documents" and "training shards".
+
+Complements operators/textops.py (profiling/filtering/sampling) and
+operators/dedup.py (near-dup detection) with:
+
+  * ``repetition_profile`` — Gopher/C4-style repetition signals (top-token
+    fraction, top-bigram fraction, duplicate-line fraction, symbol ratio):
+    the strongest cheap predictors of low-quality/generated text. One
+    shuffle-free projection pass: per-doc modes computed by an in-array
+    fold (sort + max-run), never an explode+groupBy per token.
+  * ``pack_shards`` — assign documents to fixed-token-budget training
+    shards in deterministic doc_id order via a DISTRIBUTED prefix sum:
+    per-range-bucket subtotals (tiny) are prefix-summed on the driver and
+    broadcast back, so the cumulative-sum window partitions by bucket and
+    parallelizes — never a single-partition global window.
+  * ``contamination_overlap`` — eval-set contamination check: documents
+    sharing >= ``min_shared`` distinct token n-grams with any benchmark
+    document. Inverted-index shape: the (small) benchmark side explodes to
+    distinct shingles and broadcasts; the corpus side streams through one
+    explode + one partial-aggregated groupBy — candidate volume is
+    shared-shingle pairs, never |corpus| x |bench|.
+  * ``cluster_survivors`` — pick the keeper per near-dup cluster by
+    quality (argmax via struct max — one aggregate, no window over the
+    corpus), composing dedup.duplicate_clusters with textops quality.
+
+Reference parity note: the reference engine (an event store) has no corpus
+tooling — these are the training-data operators the project brief adds as
+first-class components alongside the SURVEY §2 inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as X
+from ..schema import spread
+from .dedup import duplicate_clusters, sql_duplicate_clusters
+from .textops import analyze_documents, sql_analyze_documents
+
+
+# ---------------------------------------------------------------------------
+# Repetition profile
+# ---------------------------------------------------------------------------
+
+# Max run length in a SORTED array == the mode's count, computed by one
+# codegen'd left fold — no explode, no shuffle, no Python.
+_BEST_RUN = (
+    "aggregate(array_sort({arr}), "
+    "named_struct('prev', '', 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)), "
+    "(acc, x) -> named_struct("
+    "'prev', x, "
+    "'run', IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)), "
+    "'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)))), "
+    "acc -> acc.best)"
+)
+
+# Token bigrams "a b"; guarded so size<2 yields [] (sequence(1,0) would
+# count DOWN in Spark, not return empty).
+_BIGRAMS = (
+    "IF(size(_toks) < 2, array(), "
+    "transform(sequence(1, size(_toks) - 1), i -> concat(_toks[i-1], ' ', _toks[i])))"
+)
+
+_SYMBOL_RE = "[^a-zA-Z0-9 \\t\\n\\r]"
+
+
+def repetition_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition/quality signals (all ratios in [0,1]):
+
+    top_token_frac  — occurrences of the most frequent token / n_tokens
+    top_bigram_frac — occurrences of the most frequent bigram / n_bigrams
+    dup_line_frac   — 1 - distinct_lines/lines (newline-split)
+    symbol_ratio    — non-alphanumeric-non-space chars / total chars
+
+    Returns (doc_id, n_tokens, top_token_frac, top_bigram_frac,
+    dup_line_frac, symbol_ratio).
+    """
+    staged = (
+        spread(docs)
+        .select("doc_id", F.col(text_col).alias("_text"))
+        .withColumn("_toks", X.tokens(F.col("_text")))
+        .withColumn("_bigrams", F.expr(_BIGRAMS))
+    )
+    nt = F.size(F.col("_toks")).cast("long")
+    nb = F.size(F.col("_bigrams")).cast("long")
+    best_tok = F.expr(_BEST_RUN.format(arr="_toks"))
+    best_big = F.expr(_BEST_RUN.format(arr="_bigrams"))
+    lines = F.filter(F.split(F.col("_text"), "\n"), lambda l: l != "")
+    nl = F.size(lines).cast("long")
+    ndl = F.size(F.array_distinct(lines)).cast("long")
+    nsym = F.regexp_count(F.col("_text"), F.lit(_SYMBOL_RE)).cast("long")
+
+    def frac(num, den):
+        return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))
+
+    return staged.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        frac(best_tok, nt).alias("top_token_frac"),
+        frac(best_big, nb).alias("top_bigram_frac"),
+        frac(nl - ndl, nl).alias("dup_line_frac"),
+        frac(nsym, F.length(F.col("_text")).cast("long")).alias("symbol_ratio"),
+    )
+
+
+def sql_repetition_profile(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB oracle: the modes computed relationally (unnest + group) —
+    max count of an element == max run in the sorted array, so values
+    match the Spark fold exactly."""
+    toks = X.SQL_TOKENS.format(c=text_col)
+    return f"""
+WITH base AS (
+  SELECT doc_id, {text_col} AS t, {toks} AS toks FROM {table}
+), big AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs
+  FROM base
+), tokc AS (
+  SELECT doc_id, max(cnt) AS best, sum(cnt) AS n
+  FROM (SELECT doc_id, u AS g, count(*) AS cnt
+        FROM base, unnest(toks) AS z(u) GROUP BY doc_id, g)
+  GROUP BY doc_id
+), bigc AS (
+  SELECT doc_id, max(cnt) AS best, sum(cnt) AS n
+  FROM (SELECT doc_id, u AS g, count(*) AS cnt
+        FROM big, unnest(bgs) AS z(u) GROUP BY doc_id, g)
+  GROUP BY doc_id
+), lin AS (
+  SELECT doc_id,
+         len(list_filter(string_split(t, chr(10)), l -> l <> '')) AS nl,
+         len(list_distinct(list_filter(string_split(t, chr(10)), l -> l <> ''))) AS ndl,
+         len(regexp_extract_all(t, '{_SYMBOL_RE}')) AS nsym,
+         len(t) AS nchars
+  FROM base
+)
+SELECT b.doc_id,
+       CAST(coalesce(tokc.n, 0) AS BIGINT) AS n_tokens,
+       CASE WHEN coalesce(tokc.n, 0) > 0
+            THEN CAST(tokc.best AS DOUBLE) / CAST(tokc.n AS DOUBLE) ELSE 0.0 END AS top_token_frac,
+       CASE WHEN coalesce(bigc.n, 0) > 0
+            THEN CAST(bigc.best AS DOUBLE) / CAST(bigc.n AS DOUBLE) ELSE 0.0 END AS top_bigram_frac,
+       CASE WHEN lin.nl > 0
+            THEN CAST(lin.nl - lin.ndl AS DOUBLE) / CAST(lin.nl AS DOUBLE) ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN lin.nchars > 0
+            THEN CAST(lin.nsym AS DOUBLE) / CAST(lin.nchars AS DOUBLE) ELSE 0.0 END AS symbol_ratio
+FROM base b
+LEFT JOIN tokc ON tokc.doc_id = b.doc_id
+LEFT JOIN bigc ON bigc.doc_id = b.doc_id
+LEFT JOIN lin  ON lin.doc_id = b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shard packing (distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+def pack_shards(docs: DataFrame, budget_tokens: int = 2000, buckets: int = 32,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Assign each document to a training shard: documents in doc_id order
+    fill shards of ``budget_tokens`` tokens (a doc belongs to the shard its
+    FIRST token lands in — simple sequential packing, reproducible).
+
+    shard = floor(prefix_token_sum_before_doc / budget).
+
+    The prefix sum is distributed: doc_id ranges split into ``buckets``
+    order-aligned buckets; per-bucket subtotals (``buckets`` rows) are
+    prefix-summed on the driver and rejoined as literal offsets; the
+    within-bucket cumulative window partitions BY BUCKET — parallel, never
+    the single-partition global window a naive cumsum plans. At 100 TB the
+    two tiny aggregates are nothing and the big table is touched twice
+    (bucket subtotals + windowed pass), both pruned to two columns.
+    """
+    base = spread(docs).select(
+        F.col(id_col).alias("doc_id"), X.token_count(F.col(text_col)).alias("n_tokens")
+    )
+    lo, hi = base.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:
+        return base.select("doc_id", "n_tokens", F.lit(0).cast("long").alias("shard"))
+    width = max((int(hi) - int(lo) + 1 + buckets - 1) // buckets, 1)
+    b = F.expr(f"(doc_id - {int(lo)}) div {width}")
+    based = base.withColumn("_b", b)
+
+    sub = {
+        int(r["_b"]): int(r["s"])
+        for r in based.groupBy("_b").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for k in sorted(sub):
+        offsets[k] = acc
+        acc += sub[k]
+    omap = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+
+    w = (
+        Window.partitionBy("_b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = omap[F.col("_b")] + F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return based.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(start / F.lit(budget_tokens)).cast("long").alias("shard"),
+    )
+
+
+def sql_pack_shards(budget_tokens: int = 2000, table: str = "documents",
+                    text_col: str = "text") -> str:
+    ntok = X.SQL_TOKEN_COUNT.format(c=text_col)
+    return f"""
+WITH base AS (
+  SELECT doc_id, {ntok} AS n_tokens FROM {table}
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start
+  FROM base
+)
+SELECT doc_id, n_tokens, CAST(floor(start / {budget_tokens}) AS BIGINT) AS shard FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Contamination check
+# ---------------------------------------------------------------------------
+
+def _shingle_expr(n: int) -> str:
+    # 1-based slice(start, length); size < n yields [].
+    return (
+        f"IF(size(_toks) < {n}, array(), "
+        f"array_distinct(transform(sequence(1, size(_toks) - {n} + 1), "
+        f"i -> concat_ws(' ', slice(_toks, i, {n})))))"
+    )
+
+
+def contamination_overlap(docs: DataFrame, bench_max_id: int = 20, n: int = 8,
+                          min_shared: int = 1, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Eval-set contamination: corpus documents sharing >= ``min_shared``
+    distinct token ``n``-grams with a benchmark document (here the stand-in
+    benchmark = doc_id < bench_max_id; swap in a real eval table without
+    changing the plan).
+
+    Returns (doc_id, bench_id, shared) — one row per contaminated
+    (corpus doc, benchmark doc) pair.
+    """
+    staged = spread(docs).select(
+        F.col(id_col).alias("doc_id"), X.tokens(F.col(text_col)).alias("_toks")
+    ).withColumn("_sh", F.expr(_shingle_expr(n)))
+    corpus = (
+        staged.where(F.col("doc_id") >= bench_max_id)
+        .select("doc_id", F.explode("_sh").alias("shingle"))
+    )
+    bench = (
+        staged.where(F.col("doc_id") < bench_max_id)
+        .select(F.col("doc_id").alias("bench_id"), F.explode("_sh").alias("shingle"))
+    )
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+
+
+def sql_contamination_overlap(bench_max_id: int = 20, n: int = 8,
+                              min_shared: int = 1, table: str = "documents",
+                              text_col: str = "text") -> str:
+    toks = X.SQL_TOKENS.format(c=text_col)
+    return f"""
+WITH base AS (
+  SELECT doc_id, {toks} AS toks FROM {table}
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - {n} + 2),
+                        i -> array_to_string(array_slice(toks, i, i + {n} - 1), ' '))) AS shs
+  FROM base WHERE len(toks) >= {n}
+), corpus AS (
+  SELECT doc_id, u AS shingle FROM sh, unnest(shs) AS z(u) WHERE doc_id >= {bench_max_id}
+), bench AS (
+  SELECT doc_id AS bench_id, u AS shingle FROM sh, unnest(shs) AS z(u) WHERE doc_id < {bench_max_id}
+)
+SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS shared
+FROM corpus c JOIN bench b USING (shingle)
+GROUP BY c.doc_id, b.bench_id
+HAVING count(*) >= {min_shared}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cluster survivor selection
+# ---------------------------------------------------------------------------
+
+def cluster_survivors(docs: DataFrame, threshold: float = 0.5,
+                      text_col: str = "text", **minhash_kw) -> DataFrame:
+    """One keeper per near-dup cluster: the member with the highest quality
+    score (ties to the lowest doc_id) — what a dedup pipeline does after
+    ``duplicate_clusters`` instead of blindly keeping the min id.
+
+    argmax via ``max(struct(quality, -doc_id))`` — a plain aggregate with
+    map-side partial combine; no window over the corpus.
+
+    Returns (canonical_id, survivor_id, n_members, quality).
+    """
+    clusters = duplicate_clusters(docs, text_col=text_col, threshold=threshold, **minhash_kw)
+    prof = analyze_documents(docs, text_col).select("doc_id", "quality")
+    j = clusters.join(prof, "doc_id")
+    best = j.groupBy("canonical_id").agg(
+        F.max(F.struct(F.col("quality"), (-F.col("doc_id")).alias("nid"))).alias("b"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return best.select(
+        "canonical_id",
+        (-F.col("b.nid")).alias("survivor_id"),
+        "n_members",
+        F.col("b.quality").alias("quality"),
+    )
+
+
+def sql_cluster_survivors(threshold: float = 0.5, table: str = "documents",
+                          text_col: str = "text", **minhash_kw) -> str:
+    clus = sql_duplicate_clusters(threshold=threshold, table=table, **minhash_kw)
+    prof = sql_analyze_documents(table, text_col)
+    return f"""
+WITH clus AS ({clus}),
+prof AS ({prof}),
+j AS (
+  SELECT c.canonical_id, c.doc_id, p.quality
+  FROM clus c JOIN prof p USING (doc_id)
+)
+SELECT canonical_id, doc_id AS survivor_id, n_members, quality FROM (
+  SELECT canonical_id, doc_id, quality,
+         CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS n_members,
+         row_number() OVER (PARTITION BY canonical_id ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM j
+) WHERE rn = 1
+"""

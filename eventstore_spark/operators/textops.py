@@ -179,6 +179,53 @@ WHERE bucket < (CASE lang_pred {cases} ELSE {default_rate} END)
 """
 
 
+# Conservative PII patterns, valid in both Java regex (Spark) and RE2
+# (DuckDB): explicit classes, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}",
+    "ip": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact common PII shapes (emails, phone numbers, IPv4 addresses)
+    with typed placeholders and count what was removed — the scrubbing
+    stage of a training-data pipeline.
+
+    Pure JVM regexp_replace/regexp_count in one projection pass (counts
+    read the ORIGINAL text, so an email that contains an IP-like string
+    is counted once per pattern family, matching the oracle exactly).
+    Returns (doc_id, clean_text, n_emails, n_phones, n_ips).
+    """
+    c = F.col(text_col)
+    out = c
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, F.lit(pat), F.lit(f"<{name.upper()}>"))
+    return spread(docs).select(
+        "doc_id",
+        out.alias("clean_text"),
+        F.regexp_count(c, F.lit(PII_PATTERNS["email"])).cast("long").alias("n_emails"),
+        F.regexp_count(c, F.lit(PII_PATTERNS["phone"])).cast("long").alias("n_phones"),
+        F.regexp_count(c, F.lit(PII_PATTERNS["ip"])).cast("long").alias("n_ips"),
+    )
+
+
+def sql_pii_redact(table: str = "documents", text_col: str = "text") -> str:
+    c = text_col
+    out = c
+    for name, pat in PII_PATTERNS.items():
+        out = f"regexp_replace({out}, '{pat}', '<{name.upper()}>', 'g')"
+    return f"""
+SELECT doc_id,
+       {out} AS clean_text,
+       CAST(len(regexp_extract_all({c}, '{PII_PATTERNS["email"]}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all({c}, '{PII_PATTERNS["phone"]}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all({c}, '{PII_PATTERNS["ip"]}')) AS BIGINT) AS n_ips
+FROM {table}
+"""
+
+
 def select_corpus(docs: DataFrame, min_quality: float = 0.3,
                   min_tokens: int = 20, langs: tuple[str, ...] = ("en",),
                   text_col: str = "text") -> DataFrame:

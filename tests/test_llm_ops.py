@@ -213,3 +213,83 @@ def test_frame_sampling_and_resize_plumbing(spark):
     resized = resize_images(media, 224, 224).collect()
     assert [r.media_id for r in resized] == [3]  # only images
     assert resized[0].width == 224 and len(resized[0].resized) == 32
+
+
+def test_repetition_profile_signals(spark):
+    from eventstore_spark.operators.corpus import repetition_profile
+
+    rows = [
+        (1, "spam spam spam spam spam", "en", "s", 24),          # one token repeated
+        (2, "a b c d e f g h", "en", "s", 15),                   # all distinct
+        (3, "x y x y x y x y", "en", "s", 15),                   # repeated bigram "x y"
+        (4, "line one\nline one\nline two", "en", "s", 26),      # duplicate line
+        (5, "$$ %% @@ !!", "en", "s", 11),                       # symbols
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    p = {r.doc_id: r for r in repetition_profile(docs).collect()}
+    assert p[1].top_token_frac == 1.0 and p[1].top_bigram_frac == 1.0
+    assert p[2].top_token_frac == pytest.approx(1 / 8)
+    assert p[3].top_bigram_frac == pytest.approx(4 / 7)  # "x y" 4 of 7 bigrams
+    assert p[4].dup_line_frac == pytest.approx(1 / 3)
+    assert p[5].symbol_ratio == pytest.approx(8 / 11)
+    assert p[2].dup_line_frac == 0.0
+
+
+def test_pii_redact_patterns(spark):
+    from eventstore_spark.operators.textops import pii_redact
+
+    rows = [
+        (1, "contact bob@example.com or alice@test.org today", "en", "s", 0),
+        (2, "call 555-123-4567 now", "en", "s", 0),
+        (3, "server at 192.168.0.1 is down", "en", "s", 0),
+        (4, "clean text with no pii at all", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r.doc_id: r for r in pii_redact(docs).collect()}
+    assert out[1].n_emails == 2 and "<EMAIL>" in out[1].clean_text
+    assert "bob@example.com" not in out[1].clean_text
+    assert out[2].n_phones == 1 and "<PHONE>" in out[2].clean_text
+    assert out[3].n_ips == 1 and "<IP>" in out[3].clean_text
+    assert out[4].clean_text == rows[3][1]
+    assert (out[4].n_emails, out[4].n_phones, out[4].n_ips) == (0, 0, 0)
+
+
+def test_pack_shards_sequential_budget(spark):
+    from eventstore_spark.operators.corpus import pack_shards
+
+    # 10 docs x 10 tokens, budget 25 -> shards of starts 0,10,20,... -> shard = start // 25
+    rows = [(i, " ".join(["w"] * 10), "en", "s", 0) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r.doc_id: r for r in pack_shards(docs, budget_tokens=25, buckets=3).collect()}
+    assert all(out[i].n_tokens == 10 for i in range(10))
+    assert [out[i].shard for i in range(10)] == [(i * 10) // 25 for i in range(10)]
+
+
+def test_contamination_overlap_detects_shared_ngrams(spark):
+    from eventstore_spark.operators.corpus import contamination_overlap
+
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, bench_text, "en", "s", 0),                            # benchmark doc
+        (10, "prefix words alpha beta gamma delta epsilon zeta suffix", "en", "s", 0),  # contaminated
+        (11, "totally unrelated content with nothing shared here ok", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = contamination_overlap(docs, bench_max_id=5, n=4, min_shared=1).collect()
+    pairs = {(r.doc_id, r.bench_id): r.shared for r in out}
+    assert (10, 0) in pairs and pairs[(10, 0)] == 3  # three shared 4-grams
+    assert not any(d == 11 for d, _ in pairs)
+
+
+def test_cluster_survivors_picks_highest_quality(spark, docs):
+    from eventstore_spark.operators.corpus import cluster_survivors
+    from eventstore_spark.operators.textops import analyze_documents
+
+    out = {r.canonical_id: r for r in cluster_survivors(docs, threshold=0.4).collect()}
+    qual = {r.doc_id: r.quality for r in analyze_documents(docs).collect()}
+    # docs 1,2,3,6 cluster together (canonical=1); survivor = argmax quality
+    members = [1, 2, 3, 6]
+    expect = min(sorted(members, key=lambda d: (-qual[d], d))[:1])
+    assert out[1].n_members == 4
+    assert out[1].survivor_id == expect
+    assert out[1].quality == max(qual[d] for d in members)
