@@ -121,3 +121,49 @@ def test_embedding_neardup_is_banded_equijoin(spark, tmp_path_factory):
     plan = plan_of(embedding_neardup_pairs(emb, threshold=0.9, dim=8))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.fixture(scope="module")
+def parquet_docs(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "docs")
+    rows = [(i, f"some text {i % 5} repeated words here", "en", "s", 30) for i in range(300)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_pack_shards_window_partitions_by_bucket(parquet_docs):
+    """The prefix-sum window must partition by the range bucket — a global
+    (unpartitioned) cumsum window is the single-task sort the envelope
+    adapter was dinged for."""
+    from eventstore_spark.operators.corpus import pack_shards
+
+    plan = plan_of(pack_shards(parquet_docs, budget_tokens=100, buckets=8))
+    assert "Window" in plan
+    # an unpartitioned window would force an Exchange SinglePartition
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(_b" in plan
+
+
+def test_contamination_broadcasts_benchmark_side(parquet_docs):
+    """The benchmark (small) side must broadcast; the corpus side must
+    never be on the build side of a nested-loop join."""
+    from eventstore_spark.operators.corpus import contamination_overlap
+
+    plan = plan_of(contamination_overlap(parquet_docs, bench_max_id=10, n=4))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_profile_is_single_pass(parquet_docs):
+    """No shuffle: per-doc modes are in-array folds, not explode+groupBy."""
+    from eventstore_spark.operators.corpus import repetition_profile
+
+    plan = plan_of(repetition_profile(parquet_docs))
+    # the only exchange allowed is spread()'s round-robin repartition
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "RoundRobinPartitioning" for e in exchanges), exchanges
