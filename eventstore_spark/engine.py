@@ -362,3 +362,34 @@ class EventStoreEngine:
             }
             for name, mp in self.projections.items()
         ]
+
+    # ------------------------------------------------------------------ SQL
+    def register_views(self, prefix: str = "es") -> list[str]:
+        """Expose the engine's surfaces as SQL temp views so analysts query
+        the store with plain ``spark.sql`` — the capability the reference
+        lacks entirely (SURVEY §2.4: no SQL, no joins) and the main reason
+        to run this engine on Spark.
+
+        Views: ``<prefix>_events`` (visible log), ``<prefix>_all`` (raw,
+        tombstones included), ``<prefix>_streams`` ($streams directory),
+        ``<prefix>_metadata`` (stream metadata incl. tombstones), plus one
+        ``<prefix>_proj_<name>`` per projection that has run. Returns the
+        registered names. Views are lazy — each query re-plans against the
+        current log state, with pruning/pushdown intact.
+        """
+        out = []
+
+        def reg(name: str, df: DataFrame) -> None:
+            df.createOrReplaceTempView(name)
+            out.append(name)
+
+        reg(f"{prefix}_events", self.events())
+        reg(f"{prefix}_all", self.events(visible_only=False))
+        reg(f"{prefix}_streams", self.streams())
+        meta = self.stream_metadata()
+        if meta is not None:
+            reg(f"{prefix}_metadata", meta)
+        for name, mp in self.projections.items():
+            if mp.last_result is not None:
+                reg(f"{prefix}_proj_{name}", mp.last_result.states)
+        return out

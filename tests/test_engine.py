@@ -235,3 +235,29 @@ def test_long_poll_read(engine):
     t0 = _t.monotonic()
     assert engine.poll_stream("account-1", 99, timeout_s=1.0).count() == 0
     assert _t.monotonic() - t0 >= 0.9
+
+
+def test_register_views_sql_surface(engine, spark):
+    """SQL over the store: the engine's surfaces as temp views."""
+    from eventstore_spark.projections.dsl import Projection
+
+    p = (
+        Projection.from_category("account", name="counts")
+        .foreach_stream()
+        .when({
+            "$init": lambda: {"n": 0},
+            "$any": lambda s, e: {"n": s["n"] + 1},
+        })
+    )
+    engine.create_projection(p)
+    engine.run_projection("counts")
+    names = engine.register_views()
+    assert "es_events" in names and "es_streams" in names
+    assert "es_proj_counts" in names
+    got = spark.sql(
+        "SELECT stream_id, count(*) AS n FROM es_events "
+        "WHERE category = 'account' GROUP BY stream_id ORDER BY stream_id"
+    ).collect()
+    assert [(r.stream_id, r.n) for r in got] == [("account-1", 2), ("account-2", 1)]
+    st = spark.sql("SELECT count(*) AS n FROM es_proj_counts").collect()[0].n
+    assert st == 2
