@@ -76,3 +76,42 @@ def scavenge(
     shutil.rmtree(old)
 
     return {"events_before": before, "events_after": after, "removed": before - after}
+
+
+def optimize_layout(spark: SparkSession, path: str, target_files: int = 8) -> dict:
+    """Rewrite the log for read locality WITHOUT removing anything — the
+    ChunkMerger/Z-order analog of the reference's compaction (SURVEY §4:
+    "Parquet row-group min/max pruning + Z-order on (stream_id,
+    event_number) replaces the PTable index").
+
+    Appends land as many small per-commit files in arrival order; after
+    enough commits, per-stream reads touch every file. This job
+    repartitions BY RANGE on (stream_id, event_number) and sorts within
+    partitions, so each output file covers a contiguous (stream, number)
+    range and parquet footer min/max stats prune per-stream reads to a
+    couple of files. log_position values are untouched — checkpoints and
+    $all order stay valid. Single-writer invariant: no concurrent appends
+    during the swap (same constraint as scavenge / the reference's chunk
+    switch-over).
+    """
+    df = spark.read.schema(EVENTS_SCHEMA).parquet(path)
+    n = df.count()
+    staging = path.rstrip("/") + f"._optimize_{int(time.time() * 1000)}"
+    (
+        df.repartitionByRange(target_files, "stream_id", "event_number")
+        .sortWithinPartitions("stream_id", "event_number")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    after = spark.read.schema(EVENTS_SCHEMA).parquet(staging).count()
+    if after != n:  # paranoia: never swap in a lossy rewrite
+        shutil.rmtree(staging)
+        raise RuntimeError(f"optimize_layout row mismatch: {n} -> {after}")
+    old = path.rstrip("/") + "._optimized_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    return {"events": n, "files": len(files)}

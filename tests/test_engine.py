@@ -261,3 +261,18 @@ def test_register_views_sql_surface(engine, spark):
     assert [(r.stream_id, r.n) for r in got] == [("account-1", 2), ("account-2", 1)]
     st = spark.sql("SELECT count(*) AS n FROM es_proj_counts").collect()[0].n
     assert st == 2
+
+
+def test_optimize_layout_preserves_log(engine, spark):
+    from eventstore_spark.maintenance import optimize_layout
+
+    before = {(r.stream_id, r.event_number, r.log_position)
+              for r in engine.read_all().collect()}
+    stats = optimize_layout(spark, engine.path, target_files=2)
+    assert stats["events"] >= len(before)
+    after = {(r.stream_id, r.event_number, r.log_position)
+             for r in engine.read_all().collect()}
+    assert after == before
+    # per-stream read still ordered and complete
+    got = engine.read_stream("account-1").collect()
+    assert [r.event_number for r in got] == [0, 1]
