@@ -483,6 +483,78 @@ def q_tpch_q5_region_revenue(spark, sf):
     )
 
 
+def q_tpch_q14_promo(spark, sf):
+    """Q14-flavored promo-revenue share for one ship month. part is the
+    dimension side — broadcast; lineitem never shuffles. Revenue summed in
+    integer micros; the percentage division happens once, on two exact
+    BIGINTs, so the double output is engine-identical."""
+    li = _table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-06-01"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01"))
+    )
+    part = _table(spark, sf, "part")
+    j = (
+        li.withColumn("_rev", _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount"))))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type").startswith("PROMO"), F.col("_rev")).otherwise(F.lit(0))).alias("_p"),
+        F.sum("_rev").alias("_t"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("_p").cast("double") / F.col("_t").cast("double")).alias("promo_pct"),
+        (F.col("_t").cast("double") / 10_000.0).alias("revenue"),
+        "n_items",
+    )
+
+
+def q_tpch_q10_returns(spark, sf):
+    """Q10-flavored: top-20 customers by revenue lost to returned items
+    (l_returnflag = 'R') in a quarter. nation broadcast; customer joins
+    AFTER the lineitem⋈orders aggregate input is filtered; top-k is
+    orderBy+limit (TakeOrderedAndProject), never a global window."""
+    li = _table(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    cust = _table(spark, sf, "customer")
+    nation = _table(spark, sf, "nation")
+    j = (
+        li.withColumn("_rev", _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount"))))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(F.sum("_rev").alias("_rev"))
+    return (
+        agg.orderBy(F.col("_rev").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "n_name",
+            (F.col("_rev").cast("double") / 10_000.0).alias("revenue"),
+        )
+    )
+
+
+def q_supplier_volume(spark, sf):
+    """Shipped volume and revenue per supplier (supplier is a broadcast
+    dimension; one shuffle on s_suppkey for the aggregate)."""
+    li = _table(spark, sf, "lineitem")
+    sup = _table(spark, sf, "supplier")
+    j = (
+        li.withColumn("_q", _cents(F.col("l_quantity")))
+        .withColumn("_rev", _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount"))))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return j.groupBy("s_suppkey", "s_name").agg(
+        (F.sum("_q").cast("double") / 100.0).alias("total_qty"),
+        (F.sum("_rev").cast("double") / 10_000.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def q_top_order_per_customer(spark, sf):
     orders = _table(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -767,6 +839,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5_region_revenue": q_tpch_q5_region_revenue,
+        "tpch_q14_promo": q_tpch_q14_promo,
+        "tpch_q10_returns": q_tpch_q10_returns,
+        "supplier_volume": q_supplier_volume,
         "top_order_per_customer": q_top_order_per_customer,
         "monthly_revenue": q_monthly_revenue,
         "events_hourly": q_events_hourly,
@@ -1035,6 +1110,41 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey AND r_name = 'AMERICA'
 GROUP BY n_name
+"""
+    sqls["tpch_q14_promo"] = f"""
+WITH j AS (
+  SELECT {lic['ep']} * (100 - {lic['d']}) AS rev, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= '1997-06-01' AND l_shipdate < '1997-07-01'
+)
+SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END) AS DOUBLE)
+         / CAST(sum(rev) AS DOUBLE) AS promo_pct,
+       CAST(sum(rev) AS DOUBLE) / 10000.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM j
+"""
+    sqls["tpch_q10_returns"] = f"""
+WITH agg AS (
+  SELECT c_custkey, c_name, n_name,
+         sum({lic['ep']} * (100 - {lic['d']})) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+  GROUP BY 1, 2, 3
+)
+SELECT c_custkey, c_name, n_name, CAST(rev AS DOUBLE) / 10000.0 AS revenue
+FROM agg QUALIFY row_number() OVER (ORDER BY rev DESC, c_custkey) <= 20
+"""
+    sqls["supplier_volume"] = f"""
+SELECT s_suppkey, s_name,
+  CAST(sum({lic['q']}) AS DOUBLE) / 100.0 AS total_qty,
+  CAST(sum({lic['ep']} * (100 - {lic['d']})) AS DOUBLE) / 10000.0 AS revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1, 2
 """
     sqls["top_order_per_customer"] = """
 SELECT o_custkey, o_orderkey, o_totalprice FROM orders
