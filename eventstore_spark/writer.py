@@ -388,9 +388,41 @@ class EventLogWriter:
         finally:
             b.unpersist()
 
+    # pyarrow schema mirroring EVENTS_SCHEMA (timestamp µs UTC — what
+    # Spark's TimestampType reads back bit-identically).
+    _ARROW_FIELDS = (
+        ("log_position", "int64"), ("stream_id", "string"), ("category", "string"),
+        ("event_number", "int64"), ("event_id", "string"), ("event_type", "string"),
+        ("data", "string"), ("metadata", "string"), ("created", "ts"),
+        ("is_json", "bool"),
+    )
+
     def _commit(self, rows: list[tuple]) -> None:
-        df = self.spark.createDataFrame(rows, EVENTS_SCHEMA)
-        df.coalesce(1).write.mode("append").parquet(self.path)
+        """Write one commit file directly with pyarrow on the driver — the
+        StorageWriterService analog: the single writer appends to the log
+        without a cluster round-trip. (Routing a 1-row batch through
+        ``spark.createDataFrame(...).write`` costs seconds per commit —
+        a Python-RDD-backed plan plus a full write job — for data that
+        never needs an executor.) Readers see the file atomically: written
+        dot-prefixed (ignored by Spark's file index), then renamed in.
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        types = {
+            "int64": pa.int64(), "string": pa.string(), "bool": pa.bool_(),
+            "ts": pa.timestamp("us", tz="UTC"),
+        }
+        schema = pa.schema([(n, types[t]) for n, t in self._ARROW_FIELDS])
+        cols = list(zip(*rows))
+        table = pa.Table.from_arrays(
+            [pa.array(list(c), type=f.type) for c, f in zip(cols, schema)],
+            schema=schema,
+        )
+        name = f"part-writer-{self._last_position:020d}-{uuid.uuid4().hex[:8]}.parquet"
+        tmp = os.path.join(self.path, "." + name + ".tmp")
+        pq.write_table(table, tmp, compression="snappy")
+        os.rename(tmp, os.path.join(self.path, name))
 
     # -- delete surface (S8) --
     def soft_delete(self, stream_id: str, metadata_writer=None) -> None:
