@@ -127,9 +127,10 @@ class EventLogWriter:
         # stream -> {event_id: event_number}, bounded to the most recent
         # IDEMPOTENCY_WINDOW events per stream.
         self._ids: dict[str, dict[str, int]] = {}
-        # stream -> current $tb (truncate-before), lazily read from the
-        # metastream; drives soft-delete recreate.
-        self._tb_cache: dict[str, int | None] = {}
+        # stream -> current metadata DOCUMENT (parsed JSON of the latest
+        # $metadata event), lazily read from the metastream; drives
+        # soft-delete recreate. Kept current on every metastream append.
+        self._meta_cache: dict[str, dict] = {}
         self._recover()
 
     def _has_files(self) -> bool:
@@ -220,12 +221,13 @@ class EventLogWriter:
             return "idempotent"
         return "ok"
 
-    def _current_tb(self, stream_id: str) -> int | None:
-        """The stream's current $tb (truncate-before), reading the
-        metastream's latest $metadata lazily; cached per stream."""
-        if stream_id in self._tb_cache:
-            return self._tb_cache[stream_id]
-        tb = None
+    def _current_meta(self, stream_id: str) -> dict:
+        """The stream's current metadata document (latest $metadata event of
+        `$$stream`, whole-document semantics — a metadata write REPLACES the
+        document, StreamMetadata.cs:60-150), lazily read and cached."""
+        if stream_id in self._meta_cache:
+            return self._meta_cache[stream_id]
+        doc: dict = {}
         meta_id = f"$${stream_id}"
         if self._has_files():
             rows = (
@@ -241,11 +243,11 @@ class EventLogWriter:
             )
             if rows and rows[0]["data"]:
                 try:
-                    tb = json.loads(rows[0]["data"]).get("$tb")
+                    doc = json.loads(rows[0]["data"]) or {}
                 except ValueError:
-                    tb = None
-        self._tb_cache[stream_id] = tb
-        return tb
+                    doc = {}
+        self._meta_cache[stream_id] = doc
+        return doc
 
     def append(
         self,
@@ -291,15 +293,30 @@ class EventLogWriter:
         st[0] = last
         if rows:
             self._commit(rows)
+            # keep the metadata cache current: a $metadata append to `$$X`
+            # REPLACES X's document (the reference's GetStreamRawMeta always
+            # reads the latest; a stale cached $tb would mis-trigger
+            # recreate after set_stream_metadata overwrote it).
+            if stream_id.startswith("$$"):
+                orig = stream_id[2:]
+                for ev in events:
+                    if ev.event_type == METADATA_EVENT_TYPE:
+                        try:
+                            self._meta_cache[orig] = json.loads(ev.data or "{}") or {}
+                        except ValueError:
+                            self._meta_cache[orig] = {}
             # soft-delete recreate: a stream whose $tb == MAX_LONG comes
-            # back to life on append — rewrite $tb to the first new number.
+            # back to life on append — rewrite $tb to the first new number,
+            # PRESERVING the rest of the metadata document
+            # (SoftUndeleteRawMeta, StorageWriterService.cs:438-449).
             if not stream_id.startswith("$") and first_new is not None:
-                if self._current_tb(stream_id) == MAX_LONG:
-                    self._tb_cache[stream_id] = first_new
+                if self._current_meta(stream_id).get("$tb") == MAX_LONG:
+                    doc = dict(self._current_meta(stream_id))
+                    doc["$tb"] = first_new
                     self.append(
                         f"$${stream_id}",
                         [ProposedEvent(METADATA_EVENT_TYPE,
-                                       data=json.dumps({"$tb": first_new}))],
+                                       data=json.dumps(doc, sort_keys=True))],
                     )
         return last
 
@@ -432,7 +449,7 @@ class EventLogWriter:
             f"$${stream_id}",
             [ProposedEvent(METADATA_EVENT_TYPE, data=f'{{"$tb": {MAX_LONG}}}')],
         )
-        self._tb_cache[stream_id] = MAX_LONG
+        self._meta_cache[stream_id] = {"$tb": MAX_LONG}
 
     def hard_delete(self, stream_id: str) -> None:
         """Tombstone: a $streamDeleted event; stream can never be recreated."""

@@ -1,0 +1,192 @@
+"""Randomized longevity scenario — the pytest analog of the reference's
+RunTestScenarios/DvuBasic chaos harness (KurrentDB.TestClient/Commands/
+RunTestScenarios: randomized long-running write/read/delete/projection
+scenarios with data verification).
+
+A seeded RNG drives an interleaving of appends (with expected-version
+checks and idempotent replays), soft/hard deletes, metadata changes and
+reads over a shared log, mirrored by a pure-Python model; afterwards every
+engine surface must agree with the model:
+
+  * per-stream reads return exactly the model's visible suffix, in order;
+  * event numbers are dense from 0 per stream (before visibility);
+  * $all is totally ordered with unique log positions;
+  * the $streams directory matches the model's live streams;
+  * a foreach_stream count projection equals the model's visible counts;
+  * scavenge removes invisible rows but changes no visible answer.
+"""
+
+import random
+
+import pytest
+
+from eventstore_spark.engine import EventStoreEngine
+from eventstore_spark.maintenance import scavenge
+from eventstore_spark.projections.dsl import Projection
+from eventstore_spark.writer import (
+    ProposedEvent,
+    StreamDeletedError,
+    WrongExpectedVersionError,
+)
+
+SEED = 20260813
+N_OPS = 120
+STREAMS = [f"acct-{i}" for i in range(8)] + [f"cart-{i}" for i in range(4)]
+
+
+MAXV = 2**63 - 1
+
+
+class Model:
+    """Reference semantics in pure Python. Metadata is ONE document per
+    stream and every metadata write REPLACES it (StreamMetadata parses the
+    latest $metadata event only) — setting $maxCount after a soft-delete
+    recreate drops the recreate's $tb, un-hiding old events."""
+
+    def __init__(self):
+        self.events: dict[str, list[str]] = {}   # stream -> payloads
+        self.tombstoned: set[str] = set()
+        self.meta: dict[str, dict] = {}          # stream -> metadata doc
+
+    def visible(self, sid: str) -> list[tuple[int, str]]:
+        if sid in self.tombstoned:
+            return []
+        evs = list(enumerate(self.events.get(sid, [])))
+        doc = self.meta.get(sid, {})
+        tb = doc.get("tb")
+        if tb is not None:
+            evs = [(n, d) for n, d in evs if n >= tb]
+        mc = doc.get("maxCount")
+        if mc is not None:
+            evs = evs[-mc:] if mc > 0 else []
+        return evs
+
+
+def _model_append(model: "Model", sid: str, evs, cur_len: int) -> None:
+    """Model bookkeeping for a successful append: payloads extend the
+    stream; an append to a soft-deleted stream RECREATES it ($tb rewritten
+    to the first new event number, rest of the metadata document preserved
+    — StorageWriterService.cs:374-449)."""
+    model.events.setdefault(sid, []).extend(e.data for e in evs)
+    doc = model.meta.get(sid, {})
+    if doc.get("tb") == MAXV:
+        model.meta[sid] = {**doc, "tb": cur_len}
+
+
+@pytest.fixture(scope="module")
+def scenario(spark, tmp_path_factory):
+    rng = random.Random(SEED)
+    eng = EventStoreEngine(spark, str(tmp_path_factory.mktemp("chaos") / "log"))
+    model = Model()
+
+    for step in range(N_OPS):
+        sid = rng.choice(STREAMS)
+        op = rng.random()
+        cur_len = len(model.events.get(sid, []))
+        if op < 0.62:  # append 1-3 events, sometimes with expected version
+            evs = [
+                ProposedEvent("Op", f'{{"step": {step}, "i": {i}}}')
+                for i in range(rng.randint(1, 3))
+            ]
+            expected = (cur_len - 1) if rng.random() < 0.3 else -2  # exact | ANY
+            try:
+                eng.append(sid, evs, expected_version=expected)
+            except StreamDeletedError:
+                assert sid in model.tombstoned
+                continue
+            if sid in model.tombstoned:
+                raise AssertionError("append to tombstoned stream succeeded")
+            _model_append(model, sid, evs, cur_len)
+        elif op < 0.68:  # wrong expected version must be rejected, no effect
+            if sid in model.tombstoned:
+                continue
+            with pytest.raises(WrongExpectedVersionError):
+                eng.append(sid, [ProposedEvent("Nope", "{}")],
+                           expected_version=cur_len + 5)
+        elif op < 0.74:  # idempotent replay: same event ids appended twice
+            if sid in model.tombstoned:
+                continue
+            evs = [ProposedEvent("Dup", f'{{"step": {step}}}',
+                                 event_id=f"dup-{step}-{k}") for k in range(2)]
+            eng.append(sid, evs)
+            eng.append(sid, evs)  # replay — must be a no-op
+            _model_append(model, sid, evs, cur_len)
+        elif op < 0.82:  # soft delete
+            if sid in model.tombstoned or not cur_len:
+                continue
+            eng.delete_stream(sid)
+            model.meta[sid] = {"tb": MAXV}
+        elif op < 0.88:  # hard delete
+            if sid in model.tombstoned or not cur_len:
+                continue
+            eng.delete_stream(sid, hard=True)
+            model.tombstoned.add(sid)
+        else:  # retention metadata
+            if sid in model.tombstoned:
+                continue
+            mc = rng.randint(1, 4)
+            eng.set_stream_metadata(sid, max_count=mc)
+            model.meta[sid] = {"maxCount": mc}  # whole-document replace
+
+    return eng, model
+
+
+def test_per_stream_reads_match_model(scenario):
+    eng, model = scenario
+    for sid in STREAMS:
+        got = [(r.event_number, r.data) for r in eng.read_stream(sid).collect()
+               if r.event_type == "Op" or r.event_type == "Dup"]
+        want = [(n, d) for n, d in model.visible(sid)]
+        assert got == want, f"stream {sid}: {got} != {want}"
+
+
+def test_total_order_and_dense_numbering(scenario):
+    eng, model = scenario
+    rows = eng.events(visible_only=False).orderBy("log_position").collect()
+    positions = [r.log_position for r in rows]
+    assert len(positions) == len(set(positions)), "duplicate log positions"
+    assert positions == sorted(positions)
+    by_stream: dict[str, list[int]] = {}
+    for r in rows:
+        if not r.stream_id.startswith("$"):
+            by_stream.setdefault(r.stream_id, []).append(r.event_number)
+    for sid, nums in by_stream.items():
+        assert nums == list(range(len(nums))), f"{sid} numbering not dense: {nums}"
+
+
+def test_streams_directory_matches_model(scenario):
+    eng, model = scenario
+    live = {r.stream_id for r in eng.streams().collect()}
+    expect = {s for s in STREAMS if model.visible(s)}
+    assert live.issuperset(expect)
+    assert not (live & model.tombstoned), "tombstoned stream in directory"
+
+
+def test_projection_counts_match_model(scenario):
+    import json
+
+    eng, model = scenario
+    spec = (
+        Projection.from_categories("acct", "cart", name="chaos_counts")
+        .foreach_stream()
+        .when({"$init": lambda: {"n": 0}, "$any": lambda s, e: {"n": s["n"] + 1}})
+    )
+    eng.create_projection(spec)
+    eng.run_projection("chaos_counts")
+    got = {r.partition: json.loads(r.state)["n"]
+           for r in eng.projection_state("chaos_counts").collect()}
+    for sid in STREAMS:
+        want = len(model.visible(sid))
+        assert got.get(sid, 0) == want, f"{sid}: fold {got.get(sid)} != {want}"
+
+
+def test_scavenge_preserves_all_visible_answers(scenario, spark):
+    eng, model = scenario
+    before = {s: [(r.event_number, r.data) for r in eng.read_stream(s).collect()]
+              for s in STREAMS}
+    stats = scavenge(spark, eng.path, eng.stream_metadata())
+    assert stats["events_after"] <= stats["events_before"]
+    eng2 = EventStoreEngine(spark, eng.path)
+    for sid in STREAMS:
+        got = [(r.event_number, r.data) for r in eng2.read_stream(sid).collect()]
+        assert got == before[sid], f"scavenge changed {sid}"
