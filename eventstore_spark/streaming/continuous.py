@@ -57,7 +57,15 @@ def _make_stateful(proj: Projection):
         ctx = EmitContext(name, partition)
         any_h, del_h = handlers.get(ANY), handlers.get(DELETED)
         last = -1
-        for pdf in pdfs:
+        # Materialize the group's chunks and sort ONCE: Spark feeds a
+        # group as multiple Arrow chunks in arbitrary row order, so
+        # per-chunk sorting would replay out of log order whenever a
+        # group spans chunks. Memory bound = this partition's share of
+        # one micro-batch (the same bound applyInPandasWithState itself
+        # imposes on the handler).
+        frames = [p for p in pdfs]
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
             pdf = pdf.sort_values("log_position", kind="mergesort")
             cols = [c for c in pdf.columns if c != "_partition"]
             for row in pdf[cols].itertuples(index=False):
