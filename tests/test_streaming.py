@@ -275,3 +275,43 @@ def test_continuous_projection_emits_to_log(spark, log, tmp_path):
         assert st2["account-2"]["n"] == 2
     finally:
         q.stop()
+
+
+def test_continuous_fold_order_across_arrow_chunks(spark, tmp_path):
+    """An order-SENSITIVE fold must replay in log order even when one
+    group's micro-batch data spans multiple Arrow chunks (chunks arrive
+    unsorted; the runtime must sort the whole group once, not per chunk).
+    Forced via a tiny arrow batch size."""
+    from eventstore_spark.streaming.subscriptions import subscribe_all
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        w = EventLogWriter(spark, str(tmp_path / "ordlog"))
+        # one stream, 20 events; state = sequence of observed values —
+        # any reordering changes the result
+        w.append("seq-1", [ProposedEvent("V", f'{{"v": {i}}}') for i in range(20)])
+        proj = (
+            Projection.from_category("seq", name="ordcheck")
+            .foreach_stream()
+            .when({
+                "$init": lambda: {"seen": []},
+                "V": lambda s, e: {"seen": s["seen"] + [e["body"]["v"]]},
+            })
+        )
+        out = run_continuous(proj, subscribe_all(spark, str(tmp_path / "ordlog")))
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory").queryName("ordstates")
+            .option("checkpointLocation", str(tmp_path / "ordck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = {r.partition: json.loads(r.state)
+                    for r in spark.sql("SELECT * FROM ordstates").collect()}
+            assert rows["seq-1"]["seen"] == list(range(20))
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
