@@ -133,3 +133,97 @@ def test_bpe_and_rolling_fingerprint_match(spark, corpus):
             "rh": X.sql_rolling_fingerprint(c),
         },
     )
+
+
+@pytest.fixture(scope="module")
+def vectors(spark, tmp_path_factory):
+    """Random float32 embeddings (including near-zero and repeated
+    vectors) in one parquet file both engines read."""
+    import numpy as np
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(60):
+        if i % 10 == 0:
+            v = [0.0] * 8
+            v[i % 8] = 1.0
+        else:
+            v = [round(rng.uniform(-1, 1), 4) for _ in range(8)]
+        rows.append((i, [float(x) for x in v]))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    path = str(tmp_path_factory.mktemp("xvec") / "emb.parquet")
+    spark.createDataFrame(pdf, "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_vector_math_matches(spark, vectors):
+    from eventstore_spark.functions.vectors import cosine, norm, sql_cosine, sql_norm
+
+    sdf = (
+        spark.read.parquet(vectors)
+        .withColumn("n", norm(F.col("embedding")))
+        .withColumn("c", cosine(F.col("embedding"), F.col("embedding")))
+        .select("vec_id", "n", "c")
+        .toPandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    odf = (
+        con.execute(
+            f"SELECT vec_id, {sql_norm('embedding', 8)} AS n, "
+            f"{sql_cosine('embedding', 'embedding', 8)} AS c "
+            f"FROM '{vectors}/*.parquet' ORDER BY vec_id"
+        )
+        .fetchdf()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    for i in range(len(sdf)):
+        assert sdf.n.iloc[i] == odf.n.iloc[i], f"norm diverges at {i}"
+        a, b = sdf.c.iloc[i], odf.c.iloc[i]
+        assert (a == b) or (pd.isna(a) and pd.isna(b)), f"cosine diverges at {i}: {a} vs {b}"
+
+
+def test_lsh_buckets_match(spark, vectors):
+    from eventstore_spark.operators.similarity import _sql_bucket_expr, lsh_bucket
+
+    sdf = (
+        spark.read.parquet(vectors)
+        .select(
+            "vec_id",
+            lsh_bucket("embedding", 0, 4, 8).alias("b0"),
+            lsh_bucket("embedding", 1, 4, 8).alias("b1"),
+        )
+        .toPandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    odf = (
+        con.execute(
+            f"SELECT vec_id, {_sql_bucket_expr('embedding', 0, 4, 8)} AS b0, "
+            f"{_sql_bucket_expr('embedding', 1, 4, 8)} AS b1 "
+            f"FROM '{vectors}/*.parquet' ORDER BY vec_id"
+        )
+        .fetchdf()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    assert list(sdf.b0) == list(odf.b0)
+    assert list(sdf.b1) == list(odf.b1)
+
+
+def test_minhash_pairs_match_end_to_end(spark, corpus):
+    """The whole minhash pipeline (shingle → signature → band → bucket
+    join → jaccard verify) on the adversarial corpus: Spark pairs ==
+    DuckDB pairs exactly."""
+    from eventstore_spark.operators.dedup import minhash_lsh_pairs, sql_minhash_pairs
+
+    docs = spark.read.parquet(corpus)
+    sdf = minhash_lsh_pairs(docs, threshold=0.3).toPandas()
+    spairs = sorted((int(r.a), int(r.b), float(r.jaccard)) for _, r in sdf.iterrows())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{corpus}/*.parquet'")
+    odf = con.execute(sql_minhash_pairs(threshold=0.3)).fetchdf()
+    opairs = sorted((int(r.a), int(r.b), float(r.jaccard)) for _, r in odf.iterrows())
+    assert spairs == opairs
+    assert spairs, "corpus produced no near-dup pairs — fixture lost its repeats"
