@@ -787,6 +787,26 @@ def q_ann_bruteforce(spark, sf):
     return sim.brute_force_topk(_table(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10)
 
 
+def q_rag_retrieve(spark, sf):
+    """Curate + retrieve, composed end-to-end: exact cosine top-10 per
+    query vector, re-ranked AFTER joining back to the curated document
+    profile (quality gate) — the retrieval shape a training/eval pipeline
+    runs. The neighbor set (30 rows) is the broadcast side of the doc
+    join; documents only project the profile columns."""
+    nn = sim.brute_force_topk(_table(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10)
+    prof = textops.analyze_documents(_table(spark, sf, "documents")).select(
+        "doc_id", "quality", "lang_pred"
+    )
+    j = prof.join(F.broadcast(nn), prof.doc_id == nn.vec_id).where(
+        F.col("quality") >= 0.3
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return j.select(
+        "query_id", "vec_id", "sim", "quality", "lang_pred",
+        F.row_number().over(w).cast("long").alias("rerank"),
+    )
+
+
 def q_ann_lsh(spark, sf):
     return sim.lsh_topk(_table(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10)
 
@@ -868,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "media_frames": q_media_frames,
         "ann_bruteforce": q_ann_bruteforce,
+        "rag_retrieve": q_rag_retrieve,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
@@ -1259,6 +1280,16 @@ SELECT media_id, CAST(t.f AS BIGINT) AS frame_idx,
 FROM v, unnest(range(0, greatest(duration_ms // 1000, 1))) AS t(f)
 """
     sqls["ann_bruteforce"] = sim.sql_brute_force_topk(ANN_QUERY_IDS, k=10)
+    from eventstore_spark.operators.textops import sql_analyze_documents as _sad
+
+    sqls["rag_retrieve"] = f"""
+WITH nn AS ({sim.sql_brute_force_topk(ANN_QUERY_IDS, k=10)}),
+prof AS ({_sad()})
+SELECT n.query_id, n.vec_id, n.sim, p.quality, p.lang_pred,
+       CAST(row_number() OVER (PARTITION BY n.query_id ORDER BY n.sim DESC, n.vec_id) AS BIGINT) AS rerank
+FROM prof p JOIN nn n ON p.doc_id = n.vec_id
+WHERE p.quality >= 0.3
+"""
     sqls["ann_lsh"] = sim.sql_lsh_topk(ANN_QUERY_IDS, k=10)
     sqls["ann_ivf"] = sim.sql_ivf_topk(ANN_QUERY_IDS, k=10)
     sqls["embedding_neardup"] = sim.sql_embedding_neardup(threshold=0.45)

@@ -57,6 +57,27 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.join(keep, docs[id_col] == keep.doc_id, "left_semi")
 
 
+def streaming_exact_dedup(stream: DataFrame, text_col: str = "text",
+                          watermark: tuple[str, str] | None = None) -> DataFrame:
+    """Exact dedup over a STREAM of documents: the first-seen doc per
+    normalized-text fingerprint survives; later arrivals (same or later
+    micro-batches) are dropped — what a continuously-ingesting training
+    pipeline runs instead of re-deduping the full corpus per batch.
+
+    State = one state-store entry per distinct fingerprint (Spark's
+    streaming ``dropDuplicates``). Unbounded streams should pass
+    ``watermark=(event_time_col, "N hours")`` to use
+    ``dropDuplicatesWithinWatermark`` so fingerprint state ages out —
+    the dedup horizon becomes the watermark window, which is the standard
+    state/recall trade at 100 TB ingest.
+    """
+    out = stream.withColumn("fp", fingerprint(F.col(text_col)))
+    if watermark is not None:
+        col, delay = watermark
+        return out.withWatermark(col, delay).dropDuplicatesWithinWatermark(["fp"])
+    return out.dropDuplicates(["fp"])
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

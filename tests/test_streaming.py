@@ -315,3 +315,39 @@ def test_continuous_fold_order_across_arrow_chunks(spark, tmp_path):
             q.stop()
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """First-seen doc per fingerprint survives across micro-batches;
+    later duplicates (even in later files) are dropped by keyed state."""
+    import pandas as pd
+
+    from eventstore_spark.operators.dedup import streaming_exact_dedup
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    pd.DataFrame(
+        [(1, "the quick brown fox"), (2, "totally new text")],
+        columns=["doc_id", "text"],
+    ).to_parquet(src / "b1.parquet")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    out = streaming_exact_dedup(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("dd")
+        .option("checkpointLocation", str(tmp_path / "ddck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert {r.doc_id for r in spark.sql("SELECT * FROM dd").collect()} == {1, 2}
+        # batch 2: doc 3 = dup of 1 (modulo whitespace/case), doc 4 new
+        pd.DataFrame(
+            [(3, "  The   quick BROWN fox "), (4, "something else entirely")],
+            columns=["doc_id", "text"],
+        ).to_parquet(src / "b2.parquet")
+        q.processAllAvailable()
+        ids = {r.doc_id for r in spark.sql("SELECT * FROM dd").collect()}
+        assert ids == {1, 2, 4}, f"dup not dropped across batches: {ids}"
+    finally:
+        q.stop()
