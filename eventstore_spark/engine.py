@@ -329,6 +329,36 @@ class EventStoreEngine:
             self.writer.append_df(
                 mp.last_result.result_events(name, mp.spec.result_stream_name)
             )
+        # U8 parity: checkpoint stream `$projections-<name>-checkpoint`
+        # records the position this run processed up to (the reference
+        # persists CheckpointTags there, ProjectionCheckpoint.cs:19,83;
+        # DefaultCheckpointManager). The position is the head of the
+        # projection's SOURCE feed (CheckpointTag tracks the reader's
+        # position, not the whole log) — so the checkpoint append itself
+        # never advances it, and re-running with no new source events is
+        # idempotent via the deterministic per-position event id.
+        from .plans.reader_strategy import source_predicate
+
+        last_pos = (
+            self.events()
+            .where(source_predicate(mp.spec))
+            .agg(F.max("log_position"))
+            .first()[0]
+            or 0
+        )
+        self.writer.append_df(
+            self.spark.createDataFrame(
+                [(
+                    f"$projections-{name}-checkpoint",
+                    "$ProjectionCheckpoint",
+                    json.dumps({"lastPosition": int(last_pos)}),
+                    None,
+                    f"ckpt-{name}-{int(last_pos)}",
+                )],
+                "stream_id string, event_type string, data string, "
+                "metadata string, event_id string",
+            )
+        )
         return mp.last_result
 
     def projection_state(self, name: str, partition: str | None = None) -> DataFrame:

@@ -276,3 +276,28 @@ def test_optimize_layout_preserves_log(engine, spark):
     # per-stream read still ordered and complete
     got = engine.read_stream("account-1").collect()
     assert [r.event_number for r in got] == [0, 1]
+
+
+def test_projection_checkpoint_stream(engine):
+    """U8 parity: each batch run records the processed head position in
+    `$projections-<name>-checkpoint`; re-running at the same head is
+    idempotent (deterministic checkpoint event ids)."""
+    spec = (
+        Projection.from_category("account", name="ckproj")
+        .foreach_stream()
+        .when({"$init": lambda: {"n": 0}, "$any": lambda s, e: {"n": s["n"] + 1}})
+    )
+    engine.create_projection(spec)
+    engine.run_projection("ckproj")
+    ck = engine.read_stream("$projections-ckproj-checkpoint").collect()
+    assert len(ck) == 1 and ck[0].event_type == "$ProjectionCheckpoint"
+    pos1 = json.loads(ck[0].data)["lastPosition"]
+    assert pos1 == 3  # head of the SOURCE feed (category 'account')
+    engine.run_projection("ckproj")  # same head → no new checkpoint row
+    assert engine.read_stream("$projections-ckproj-checkpoint").count() == 1
+    # new events move the head; the next run appends a new checkpoint
+    engine.append("account-1", [ProposedEvent("Deposited", '{"amount": 1}')])
+    engine.run_projection("ckproj")
+    cks = engine.read_stream("$projections-ckproj-checkpoint").collect()
+    assert len(cks) == 2
+    assert json.loads(cks[-1].data)["lastPosition"] > pos1
