@@ -233,7 +233,8 @@ class EventStoreEngine:
     # ---------------------------------------------------------- subscriptions
     def subscribe(self, stream_id: str | None = None,
                   event_filter: EventFilter | None = None,
-                  from_position: int = 0) -> DataFrame:
+                  from_position: int = 0,
+                  from_event_number: int = 0) -> DataFrame:
         if stream_id is not None and sysproj.is_system_stream_name(stream_id):
             # subscribe("$ce-user") etc: the live feed of the system
             # stream's TARGETS — a filtered $all subscription (what a
@@ -246,7 +247,11 @@ class EventStoreEngine:
                 )
             return subscribe_all(self.spark, self.path, pred, from_position)
         if stream_id is not None:
-            return subscribe_stream(self.spark, self.path, stream_id)
+            return subscribe_stream(
+                self.spark, self.path, stream_id,
+                from_event_number=from_event_number,
+                from_position=from_position,
+            )
         return subscribe_all(self.spark, self.path, event_filter, from_position)
 
     def persistent_subscription(self, group: str, stream_id: str | None = None,
