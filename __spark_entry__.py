@@ -780,6 +780,14 @@ def q_media_frames(spark, sf):
     return mm.sample_frames(_media_from_docs(spark, sf))
 
 
+def q_media_chunks(spark, sf):
+    """Audio segmentation: fixed 250ms windows per audio track, last
+    chunk clipped — one-to-many mapInPandas; waveform slicing stubbed."""
+    from eventstore_spark.operators import multimodal as mm
+
+    return mm.segment_audio(_media_from_docs(spark, sf), chunk_ms=250)
+
+
 ANN_QUERY_IDS = [1, 7, 42]
 
 
@@ -887,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "media_dedup": q_media_dedup,
         "media_frames": q_media_frames,
+        "media_chunks": q_media_chunks,
         "ann_bruteforce": q_ann_bruteforce,
         "rag_retrieve": q_rag_retrieve,
         "ann_lsh": q_ann_lsh,
@@ -1278,6 +1287,19 @@ SELECT media_id, CAST(t.f AS BIGINT) AS frame_idx,
        substr(sha256(text || ':' || CAST(t.f AS VARCHAR)), 1, 16) AS frame_digest,
        CAST(duration_ms AS BIGINT) AS duration_ms
 FROM v, unnest(range(0, greatest(duration_ms // 1000, 1))) AS t(f)
+"""
+    sqls["media_chunks"] = """
+WITH a AS (
+  SELECT doc_id AS media_id, text,
+         1000 * (1 + (CAST('0x' || substr(sha256(text), 5, 2) AS INT) % 5)) AS duration_ms
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT media_id, CAST(t.c AS BIGINT) AS chunk_idx,
+       CAST(t.c * 250 AS BIGINT) AS start_ms,
+       CAST(least(t.c * 250 + 250, duration_ms) AS BIGINT) AS end_ms,
+       substr(sha256(text || ':' || CAST(t.c AS VARCHAR)), 1, 16) AS chunk_digest,
+       CAST(duration_ms AS BIGINT) AS duration_ms
+FROM a, unnest(range(0, greatest((duration_ms + 249) // 250, 1))) AS t(c)
 """
     sqls["ann_bruteforce"] = sim.sql_brute_force_topk(ANN_QUERY_IDS, k=10)
     from eventstore_spark.operators.textops import sql_analyze_documents as _sad

@@ -159,6 +159,46 @@ def sample_frames(media: DataFrame,
     return media.mapInPandas(run, _FRAMES_SCHEMA)
 
 
+_CHUNKS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("chunk_idx", T.LongType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("chunk_digest", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def segment_audio(media: DataFrame, chunk_ms: int = 250) -> DataFrame:
+    """Audio segmentation: fixed windows of ``chunk_ms`` over each audio
+    track — the ASR/feature-extraction pre-step. Same one-to-many
+    mapInPandas plumbing as ``sample_frames``; the last chunk is clipped
+    to the track end. Waveform slicing is the documented decoder stub
+    (the digest stands in for the chunk's samples)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "audio" or r.content is None:
+                    continue
+                content = bytes(r.content)
+                meta_dur = r.meta.get("duration_ms") if isinstance(r.meta, dict) else None
+                duration = int(meta_dur) if meta_dur is not None else _fake_duration_ms(content)
+                n = max(-(-duration // chunk_ms), 1)
+                for idx in range(n):
+                    start = idx * chunk_ms
+                    rows.append(
+                        (r.media_id, idx, start, min(start + chunk_ms, duration),
+                         _fake_extract_frame(content, idx), duration)
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in _CHUNKS_SCHEMA.fields])
+
+    return media.mapInPandas(run, _CHUNKS_SCHEMA)
+
+
 _RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -293,3 +293,24 @@ def test_cluster_survivors_picks_highest_quality(spark, docs):
     assert out[1].n_members == 4
     assert out[1].survivor_id == expect
     assert out[1].quality == max(qual[d] for d in members)
+
+
+def test_audio_segmentation_plumbing(spark):
+    from eventstore_spark.operators.multimodal import MEDIA_SCHEMA, segment_audio
+
+    rows = [
+        (1, "audio", b"some-audio-bytes", "audio/fake", {"duration_ms": 600}),
+        (2, "video", b"vid", "video/fake", {"duration_ms": 5000}),  # skipped
+        (3, "audio", b"x", "audio/fake", {}),                        # probed duration
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = segment_audio(media, chunk_ms=250).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert 2 not in by_media
+    a1 = sorted(by_media[1], key=lambda r: r.chunk_idx)
+    assert [(r.start_ms, r.end_ms) for r in a1] == [(0, 250), (250, 500), (500, 600)]
+    assert all(r.duration_ms == 600 for r in a1)
+    assert by_media[3], "probed-duration track produced no chunks"
+    assert len({r.chunk_digest for r in out}) == len(out)  # digests distinct
