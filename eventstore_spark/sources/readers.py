@@ -122,6 +122,65 @@ def read_stream_page(
     )
 
 
+@dataclass
+class AllPage:
+    """Paging envelope of a $all read — the reply metadata of
+    Read/FilteredReadAllEventsForward/BackwardCompleted
+    (ClientMessage.cs:714,869): the position to continue from and whether
+    the log end was reached."""
+
+    events: DataFrame
+    next_position: int
+    last_position: int
+    is_end_of_all: bool
+
+
+def read_all_page(
+    events: DataFrame,
+    from_position: int = 0,
+    max_count: int = 500,
+    event_filter: EventFilter | Column | None = None,
+    backward: bool = False,
+    apply_default_filter: bool = False,
+) -> AllPage:
+    """S4/S5 with full paging metadata (mirror of ``read_stream_page``).
+    Two scalar aggregates: the page bounds and the log head — the head is
+    a parquet-footer max, the page bounds a pruned scan."""
+    if backward:
+        pred = F.lit(True)
+        if apply_default_filter:
+            pred = pred & default_all_filter()
+        if event_filter is not None:
+            pred = pred & (
+                event_filter.predicate()
+                if isinstance(event_filter, EventFilter)
+                else event_filter
+            )
+        page = read_all_backward(events.where(pred), from_position or None, max_count)
+    else:
+        page = read_all_filtered(
+            events, event_filter, from_position, max_count, apply_default_filter
+        )
+    head = events.agg(F.max("log_position")).first()[0]
+    last_pos = 0 if head is None else int(head)
+    bounds = page.agg(
+        F.min("log_position"), F.max("log_position"), F.count(F.lit(1))
+    ).first()
+    lo, hi, n = bounds[0], bounds[1], int(bounds[2])
+    if backward:
+        nxt = 0 if n == 0 else int(lo) - 1
+        end = nxt <= 0
+    else:
+        nxt = last_pos + 1 if n == 0 else int(hi) + 1
+        end = nxt > last_pos
+    return AllPage(
+        events=page,
+        next_position=nxt,
+        last_position=last_pos,
+        is_end_of_all=end,
+    )
+
+
 def read_all_forward(
     events: DataFrame, from_position: int = 0, max_count: int | None = None
 ) -> DataFrame:

@@ -98,3 +98,34 @@ def test_read_stream_page_metadata(spark):
     # missing stream
     p0 = read_stream_page(ev, "nope", 0, 4)
     assert p0.events.count() == 0 and p0.last_event_number == -1 and p0.is_end_of_stream
+
+
+def test_read_all_page_metadata(bank_events):
+    from eventstore_spark.sources.readers import read_all_page
+
+    # forward from the start, page of 3 (log has positions 1..N)
+    p = read_all_page(bank_events, from_position=1, max_count=3)
+    rows = p.events.collect()
+    assert [r.log_position for r in rows] == [1, 2, 3]
+    assert p.next_position == 4
+    assert not p.is_end_of_all
+    # follow the cursor to the end
+    p2 = read_all_page(bank_events, from_position=p.next_position, max_count=1000)
+    assert p2.is_end_of_all
+    assert p2.last_position == p.last_position
+    # filtered page: positions skip non-matching events but the cursor
+    # still advances monotonically
+    from eventstore_spark.operators.filters import EventFilter
+
+    pf = read_all_page(
+        bank_events, from_position=1, max_count=2,
+        event_filter=EventFilter(event_type_prefixes=("Deposited",)),
+    )
+    got = pf.events.collect()
+    assert all(r.event_type == "Deposited" for r in got)
+    assert pf.next_position == got[-1].log_position + 1
+    # backward page from the head
+    pb = read_all_page(bank_events, backward=True, max_count=2)
+    back = pb.events.collect()
+    assert back[0].log_position > back[1].log_position
+    assert pb.next_position == back[1].log_position - 1
