@@ -206,6 +206,15 @@ class EventStoreEngine:
                 return self.read_stream(stream_id, from_event_number, max_count)
             _time.sleep(interval_s)
 
+    def read_all_page(self, from_position: int = 0, max_count: int = 500,
+                      event_filter: EventFilter | None = None,
+                      backward: bool = False):
+        """$all read with paging metadata (next_position / last_position /
+        is_end_of_all) — the FilteredReadAllEventsForward reply shape."""
+        return R.read_all_page(
+            self.events(), from_position, max_count, event_filter, backward
+        )
+
     def read_all(self, from_position: int = 0, max_count: int | None = None,
                  backward: bool = False, event_filter: EventFilter | None = None,
                  include_system: bool = False) -> DataFrame:
