@@ -329,7 +329,7 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     pd.DataFrame(
         [(1, "the quick brown fox"), (2, "totally new text")],
         columns=["doc_id", "text"],
-    ).to_parquet(src / "b1.parquet")
+    ).to_parquet(src / "b1.parquet", coerce_timestamps="us")
     stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
     out = streaming_exact_dedup(stream)
     q = (
@@ -349,5 +349,65 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
         q.processAllAvailable()
         ids = {r.doc_id for r in spark.sql("SELECT * FROM dd").collect()}
         assert ids == {1, 2, 4}, f"dup not dropped across batches: {ids}"
+    finally:
+        q.stop()
+
+
+def test_windowed_counts_drop_data_later_than_watermark(spark, tmp_path):
+    """Event-time windowed counts with a watermark: on-time and
+    slightly-late rows aggregate; rows older than the watermark are
+    dropped (bounded state — the late-data contract)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from eventstore_spark.streaming.subscriptions import windowed_event_counts
+
+    src = tmp_path / "ev_in"
+    src.mkdir()
+
+    def ts(h, m=0):
+        return dt.datetime(2026, 8, 13, h, m)
+
+    cols = ["log_position", "stream_id", "event_type", "created"]
+    pd.DataFrame(
+        [(1, "s-1", "click", ts(10, 0)),
+         (2, "s-1", "click", ts(10, 30)),
+         (3, "s-2", "view", ts(11, 15))],
+        columns=cols,
+    ).to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    stream = spark.readStream.schema(
+        "log_position long, stream_id string, event_type string, created timestamp"
+    ).parquet(str(src))
+    out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory").queryName("wc")
+        .option("checkpointLocation", str(tmp_path / "wcck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark: max event time 14:00 - 2h => 12:00
+        pd.DataFrame([(4, "s-3", "click", ts(14, 0))], columns=cols).to_parquet(
+            src / "b2.parquet", coerce_timestamps="us"
+        )
+        q.processAllAvailable()
+        # 08:00 is far below the 12:00 watermark -> dropped; 13:30 counts
+        pd.DataFrame(
+            [(5, "s-4", "click", ts(8, 0)), (6, "s-5", "click", ts(13, 30))],
+            columns=cols,
+        ).to_parquet(src / "b3.parquet", coerce_timestamps="us")
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT window.start AS ws, event_type, n FROM wc"
+        ).collect()
+        latest = {}
+        for r in rows:  # update mode re-emits; keep the last count per key
+            latest[(r.ws.hour, r.event_type)] = r.n
+        assert latest[(10, "click")] == 2
+        assert latest[(11, "view")] == 1
+        assert latest[(13, "click")] == 1
+        assert (8, "click") not in latest, "late row below watermark not dropped"
     finally:
         q.stop()
