@@ -87,6 +87,27 @@ def windowed_event_counts(
     )
 
 
+def sessionize(
+    sub: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    by: str = "stream_id",
+) -> DataFrame:
+    """Event-time sessionization over a subscription: activity bursts per
+    ``by`` key separated by more than ``gap`` become separate sessions
+    (``session_window`` merges as late rows arrive, until the watermark
+    finalizes a session and frees its state).
+
+    Returns (session struct(start, end), ``by``, n_events) — the
+    streaming analog of the batch ``user_sessions`` query. Run with
+    outputMode("append") to get only FINALIZED sessions."""
+    return (
+        sub.withWatermark("created", watermark)
+        .groupBy(F.session_window("created", gap).alias("session"), F.col(by))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def start_to_memory(sub: DataFrame, name: str, checkpoint_location: str | None = None):
     """Run a subscription into an in-memory sink (tests / long-poll reads:
     process-available ≙ U3's long-poll drain)."""

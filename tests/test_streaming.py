@@ -411,3 +411,56 @@ def test_windowed_counts_drop_data_later_than_watermark(spark, tmp_path):
         assert (8, "click") not in latest, "late row below watermark not dropped"
     finally:
         q.stop()
+
+
+def test_streaming_sessionization_merges_and_splits(spark, tmp_path):
+    """session_window semantics over a live stream: bursts within the gap
+    merge into one session; a quiet period longer than the gap starts a
+    new one; watermark advance finalizes sessions (append mode emits only
+    finished sessions)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from eventstore_spark.streaming.subscriptions import sessionize
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+
+    def ts(h, m=0):
+        return dt.datetime(2026, 8, 13, h, m)
+
+    cols = ["log_position", "stream_id", "event_type", "created"]
+    pd.DataFrame(
+        [(1, "u-1", "click", ts(9, 0)),
+         (2, "u-1", "click", ts(9, 10)),   # same session (gap 30m)
+         (3, "u-1", "click", ts(10, 30)),  # quiet 80m -> new session
+         (4, "u-2", "view", ts(9, 5))],
+        columns=cols,
+    ).to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    stream = spark.readStream.schema(
+        "log_position long, stream_id string, event_type string, created timestamp"
+    ).parquet(str(src))
+    out = sessionize(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("sess")
+        .option("checkpointLocation", str(tmp_path / "sessck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance watermark past every open session end: 14:00 - 1h = 13:00
+        pd.DataFrame([(5, "u-9", "click", ts(14, 0))], columns=cols).to_parquet(
+            src / "b2.parquet", coerce_timestamps="us"
+        )
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT stream_id, session.start AS s, n_events FROM sess"
+        ).collect()
+        got = sorted((r.stream_id, r.s.hour, r.s.minute, r.n_events) for r in rows)
+        assert ("u-1", 9, 0, 2) in got     # merged burst
+        assert ("u-1", 10, 30, 1) in got   # split session
+        assert ("u-2", 9, 5, 1) in got
+    finally:
+        q.stop()
