@@ -22,5 +22,12 @@ from .schema import (  # noqa: F401
 from .session import get_spark  # noqa: F401
 from .projections.dsl import Projection  # noqa: F401
 from .projections.runtime import run_batch  # noqa: F401
+from .engine import EventStoreEngine  # noqa: F401
+from .writer import (  # noqa: F401
+    EventLogWriter,
+    ProposedEvent,
+    StreamDeletedError,
+    WrongExpectedVersionError,
+)
 
 __version__ = "0.1.0"
