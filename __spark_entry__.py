@@ -667,6 +667,18 @@ def q_select_corpus(spark, sf):
     )
 
 
+def q_bpe_pair_counts(spark, sf):
+    """Tokenizer-training prep: top-100 adjacent-token pairs corpus-wide
+    (one BPE merge round's counting step)."""
+    return textops.bpe_pair_counts(_table(spark, sf, "documents"), k=100)
+
+
+def q_corpus_stats(spark, sf):
+    """Per-(source, language) curation dashboard: docs, tokens,
+    high-quality share — all-integer determinism."""
+    return textops.corpus_stats(_table(spark, sf, "documents"))
+
+
 def q_repetition_profile(spark, sf):
     """Gopher/C4-style repetition signals (top-token/bigram fraction,
     dup-line fraction, symbol ratio) — one shuffle-free projection pass,
@@ -885,6 +897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_vocabulary": q_token_vocabulary,
         "stratified_sample": q_stratified_sample,
         "select_corpus": q_select_corpus,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "corpus_stats": q_corpus_stats,
         "repetition_profile": q_repetition_profile,
         "pii_redact": q_pii_redact,
         "pack_shards": q_pack_shards,
@@ -1237,6 +1251,8 @@ FROM f
     )
     from eventstore_spark.operators import corpus as cp
 
+    sqls["bpe_pair_counts"] = textops.sql_bpe_pair_counts(k=100)
+    sqls["corpus_stats"] = textops.sql_corpus_stats()
     sqls["repetition_profile"] = cp.sql_repetition_profile()
     sqls["pii_redact"] = textops.sql_pii_redact()
     sqls["pack_shards"] = cp.sql_pack_shards(budget_tokens=2000)

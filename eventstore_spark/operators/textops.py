@@ -179,6 +179,82 @@ WHERE bucket < (CASE lang_pred {cases} ELSE {default_rate} END)
 """
 
 
+def bpe_pair_counts(docs: DataFrame, k: int = 100,
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-wide adjacent-token-pair frequencies — the counting step of
+    a BPE merge round (the pair with the max count becomes the next
+    merge). Word-level pairs over the normalized token stream.
+
+    Same shape as ``token_vocabulary``: the explode is absorbed by
+    map-side partial aggregation (one row per distinct pair per task),
+    one shuffle on the pair, top-k by orderBy+limit
+    (TakeOrderedAndProject). Returns (pair, n).
+    """
+    staged = spread(docs).select(X.tokens(F.col(text_col)).alias("_toks"))
+    pairs = staged.select(
+        F.explode(
+            F.expr(
+                "IF(size(_toks) < 2, array(), "
+                "transform(sequence(1, size(_toks) - 1), "
+                "i -> concat(_toks[i-1], ' ', _toks[i])))"
+            )
+        ).alias("pair")
+    ).where(F.col("pair") != " ")
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("pair")).limit(k)
+
+
+def sql_bpe_pair_counts(k: int = 100, table: str = "documents",
+                        text_col: str = "text") -> str:
+    toks = X.SQL_TOKENS.format(c=text_col)
+    return f"""
+WITH base AS (
+  SELECT {toks} AS toks FROM {table}
+), p AS (
+  SELECT u AS pair
+  FROM base, unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS z(u)
+  WHERE u <> ' '
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {k}
+"""
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-(source, language) corpus dashboard: doc counts, total tokens,
+    high-quality share — the monitoring aggregate a curation pipeline
+    tracks per ingest source. All-integer outputs (float means are
+    order-dependent across engines and are deliberately avoided)."""
+    prof = analyze_documents(docs, text_col).select(
+        "doc_id", "lang_pred", "n_tokens", "quality"
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        src.join(prof, "doc_id")
+        .groupBy("source", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum((F.col("quality") >= 0.5).cast("long")).alias("n_high_quality"),
+        )
+    )
+
+
+def sql_corpus_stats(table: str = "documents", text_col: str = "text") -> str:
+    return f"""
+WITH prof AS ({sql_analyze_documents(table, text_col)})
+SELECT d.source, p.lang_pred,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN p.quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
+FROM {table} d JOIN prof p ON d.doc_id = p.doc_id
+GROUP BY 1, 2
+"""
+
+
 # Conservative PII patterns, valid in both Java regex (Spark) and RE2
 # (DuckDB): explicit classes, no lookaround.
 PII_PATTERNS = {
