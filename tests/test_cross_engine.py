@@ -227,3 +227,31 @@ def test_minhash_pairs_match_end_to_end(spark, corpus):
     opairs = sorted((int(r.a), int(r.b), float(r.jaccard)) for _, r in odf.iterrows())
     assert spairs == opairs
     assert spairs, "corpus produced no near-dup pairs — fixture lost its repeats"
+
+
+def test_repetition_profile_matches(spark, corpus):
+    from eventstore_spark.operators.corpus import (
+        repetition_profile,
+        sql_repetition_profile,
+    )
+
+    docs = spark.read.parquet(corpus)
+    sdf = (
+        repetition_profile(docs)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{corpus}/*.parquet'")
+    odf = (
+        con.execute(sql_repetition_profile())
+        .fetchdf()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    for c in ("n_tokens", "top_token_frac", "top_bigram_frac",
+              "dup_line_frac", "symbol_ratio"):
+        for i in range(len(sdf)):
+            a, b = sdf[c].iloc[i], odf[c].iloc[i]
+            assert (a == b) or (pd.isna(a) and pd.isna(b)), (
+                f"{c} diverges at doc {i}: spark={a!r} duck={b!r}"
+            )
