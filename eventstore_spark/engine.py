@@ -143,9 +143,13 @@ class EventStoreEngine:
     def read_event(self, stream_id: str, event_number: int) -> DataFrame:
         return R.read_event(self.events(), stream_id, event_number)
 
-    def read_stream(self, stream_id: str, from_event_number: int = 0,
+    def read_stream(self, stream_id: str, from_event_number: int | None = None,
                     max_count: int | None = None, backward: bool = False,
                     resolve_link_tos: bool = False) -> DataFrame:
+        """Forward: page starts at ``from_event_number`` (default 0).
+        Backward: page starts AT ``from_event_number`` counting down
+        (default None = from the stream head) — an explicit 0 means
+        "the page containing only event 0", not "from head"."""
         ev = self.events()
         # System streams are addressable by NAME like any other stream
         # (SystemNames.cs:37-99; readers resolve $ce- via the link stream,
@@ -162,12 +166,11 @@ class EventStoreEngine:
         # before filtering would rewrite stream_id/event_number to the
         # target's and a link-stream read would return nothing.
         if backward:
-            page = R.read_stream_backward(
-                base, stream_id,
-                from_event_number if from_event_number else None, max_count,
-            )
+            page = R.read_stream_backward(base, stream_id, from_event_number, max_count)
         else:
-            page = R.read_stream_forward(base, stream_id, from_event_number, max_count)
+            page = R.read_stream_forward(
+                base, stream_id, from_event_number or 0, max_count
+            )
         if resolve_link_tos:
             page = resolve_links(page, targets_from=ev)
             order = F.coalesce(F.col("link_event_number"), F.col("event_number"))
@@ -178,8 +181,13 @@ class EventStoreEngine:
                          max_count: int = 100, backward: bool = False):
         """S2/S3 with paging metadata (nextEventNumber / lastEventNumber /
         isEndOfStream, ClientMessage.cs:533) for client-style paging."""
+        base = self.events()
+        if sysproj.is_system_stream_name(stream_id):
+            # same name-routing as read_stream: page the virtual link
+            # stream by its own event numbers
+            base = sysproj.system_stream_events(base, stream_id)
         return R.read_stream_page(
-            self.events(), stream_id, from_event_number, max_count, backward
+            base, stream_id, from_event_number, max_count, backward
         )
 
     def poll_stream(self, stream_id: str, from_event_number: int = 0,
@@ -317,6 +325,8 @@ class EventStoreEngine:
                         F.col("emit_data").alias("data"),
                         F.col("emit_metadata").alias("metadata"),
                         F.col("emit_event_id").alias("event_id"),
+                        # emissions replay in fold order (source pos, seq)
+                        "source_log_position", "emit_seq",
                     )
                 )
                 for r in batch_df.where(F.col("kind") == "state").select(
@@ -331,10 +341,9 @@ class EventStoreEngine:
             return mp.query
         mp.last_result = run_batch(mp.spec, self.events())
         # emitted events append back to the log with deterministic ids
-        emitted = mp.last_result.emitted
-        self.writer.append_df(
-            emitted.select("stream_id", "event_type", "data", "metadata", "event_id")
-        )
+        # full emitted shape: source_log_position/emit_seq keep emitted
+        # streams numbered in fold order (reference appends in order)
+        self.writer.append_df(mp.last_result.emitted)
         # P12/P13 result-stream parity: outputState()/outputTo() materialize
         # the final states as Result events in `$projections-<name>-result`
         # (or the outputTo override) so `read_stream("$projections-…-result")`
@@ -378,8 +387,11 @@ class EventStoreEngine:
     def projection_state(self, name: str, partition: str | None = None) -> DataFrame:
         mp = self.projections[name]
         if mp.mode == "continuous" and mp.query is not None:
+            # copy first: the foreachBatch thread mutates the snapshot
+            # concurrently (dict() is atomic under the GIL; iterating the
+            # live dict can raise "changed size during iteration")
             rows = [
-                (p, s, pos) for p, (s, pos) in sorted(mp.state_snapshot.items())
+                (p, s, pos) for p, (s, pos) in sorted(dict(mp.state_snapshot).items())
             ]
             df = self.spark.createDataFrame(
                 rows or [(None, None, None)],

@@ -56,6 +56,15 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.when(k >= n, grams).otherwise(F.array(normalize(text)))
 
 
+# Spark-SQL text: adjacent-token bigrams of a staged `_toks` array column.
+# Guarded so size<2 yields [] — sequence(1,0) would count DOWN in Spark.
+SPARK_SQL_BIGRAMS = (
+    "IF(size(_toks) < 2, array(), "
+    "transform(sequence(1, size(_toks) - 1), "
+    "i -> concat(_toks[i-1], ' ', _toks[i])))"
+)
+
+
 def punct_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(r"[.,;:!?]")).cast("long")
 

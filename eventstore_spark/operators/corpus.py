@@ -57,12 +57,8 @@ _BEST_RUN = (
     "acc -> acc.best)"
 )
 
-# Token bigrams "a b"; guarded so size<2 yields [] (sequence(1,0) would
-# count DOWN in Spark, not return empty).
-_BIGRAMS = (
-    "IF(size(_toks) < 2, array(), "
-    "transform(sequence(1, size(_toks) - 1), i -> concat(_toks[i-1], ' ', _toks[i])))"
-)
+# Token bigrams "a b" (shared Spark-SQL text, see functions/text.py).
+_BIGRAMS = X.SPARK_SQL_BIGRAMS
 
 _SYMBOL_RE = "[^a-zA-Z0-9 \\t\\n\\r]"
 

@@ -192,13 +192,7 @@ def bpe_pair_counts(docs: DataFrame, k: int = 100,
     """
     staged = spread(docs).select(X.tokens(F.col(text_col)).alias("_toks"))
     pairs = staged.select(
-        F.explode(
-            F.expr(
-                "IF(size(_toks) < 2, array(), "
-                "transform(sequence(1, size(_toks) - 1), "
-                "i -> concat(_toks[i-1], ' ', _toks[i])))"
-            )
-        ).alias("pair")
+        F.explode(F.expr(X.SPARK_SQL_BIGRAMS)).alias("pair")
     ).where(F.col("pair") != " ")
     counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
     return counts.orderBy(F.col("n").desc(), F.col("pair")).limit(k)

@@ -23,7 +23,12 @@ from ..schema import category_of
 
 def source_predicate(proj) -> Column:
     """Build the scan predicate for a Projection spec."""
-    pred = F.lit(True)
+    # fromAll reads the USER event feed: `$`-prefixed system streams
+    # (projection results/checkpoints, link indexes) are excluded by
+    # default, as the reference's default $all filter does — otherwise a
+    # from_all fold would consume its own emissions/checkpoints on re-run
+    # and its state would drift between identical runs.
+    pred = ~F.col("stream_id").startswith("$")
     if proj.streams:
         pred = (
             F.col("stream_id") == proj.streams[0]

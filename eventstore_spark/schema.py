@@ -177,10 +177,28 @@ def spread(df: DataFrame) -> DataFrame:
         total = sum(os.path.getsize(f.removeprefix("file:")) for f in files)
     except OSError:
         return df.repartition(target)
-    max_bytes = int(
-        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
-    )
-    est_parts = max(len(files), -(-total // max_bytes))
+
+    def size_bytes(conf_key: str, default: int) -> int:
+        # Spark size confs come back as plain bytes ("134217728"), with a
+        # trailing b ("134217728b"), or with a unit suffix ("128m"/"64MB").
+        raw = str(df.sparkSession.conf.get(conf_key, str(default))).strip().lower()
+        mult = 1
+        for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+            if raw.rstrip("b").endswith(suffix):
+                raw, mult = raw.rstrip("b")[: -1], m
+                break
+        else:
+            raw = raw.rstrip("b")
+        try:
+            return int(raw) * mult
+        except ValueError:
+            return default
+    max_bytes = size_bytes("spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = size_bytes("spark.sql.files.openCostInBytes", 4 << 20)
+    # Spark's own packing formula: each file is padded with openCost, so
+    # many tiny files still pack into few scan partitions — counting raw
+    # files here would overestimate and skip a needed repartition.
+    est_parts = max(-(-(total + open_cost * len(files)) // max_bytes), 1)
     if est_parts >= target:
         return df
     return df.repartition(target)

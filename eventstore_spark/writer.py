@@ -332,9 +332,19 @@ class EventLogWriter:
         (one driver row per TOUCHED stream, never one per event). A
         $by_event_type-scale rebuild (one link per log event) never
         collects event rows to the driver.
+
+        Within-stream numbering follows SOURCE order when the batch carries
+        it (``source_log_position``/``emit_seq``, as projection emissions
+        do — the reference appends emissions in fold order); otherwise the
+        deterministic event_id order. Driver-side numbering state commits
+        only AFTER the write succeeds — a failed Spark job leaves the
+        writer's dense-numbering invariant intact for the retry.
         """
+        order_cols = [
+            c for c in ("source_log_position", "emit_seq") if c in batch.columns
+        ]
         b = batch.select(
-            "stream_id", "event_type", "data", "metadata", "event_id"
+            "stream_id", "event_type", "data", "metadata", "event_id", *order_cols
         ).dropDuplicates(["stream_id", "event_id"])
         if self._has_files():
             b = b.join(
@@ -367,19 +377,20 @@ class EventLogWriter:
                     self._stats[r["stream_id"]] = [int(r["last"]), bool(r["tomb"])]
             by_stream = {r["stream_id"]: int(r["count"]) for r in counts}
             alloc = []  # (stream_id, en_base, pos_base)
+            new_last = self._last_position
             for sid in touched:
                 st = self._stats.setdefault(sid, [NO_STREAM, False])
                 if st[1]:
                     continue  # tombstoned: emissions to it are dropped
-                alloc.append((sid, st[0], self._last_position))
-                self._last_position += by_stream[sid]
-                st[0] += by_stream[sid]
+                alloc.append((sid, st[0], new_last))
+                new_last += by_stream[sid]
             if not alloc:
                 return
             am = self.spark.createDataFrame(
                 alloc, "stream_id string, en_base long, pos_base long"
             )
-            w = Window.partitionBy("stream_id").orderBy("event_id")
+            order = [F.col(c) for c in order_cols] + [F.col("event_id")]
+            w = Window.partitionBy("stream_id").orderBy(*order)
             now = created or datetime.now(timezone.utc)
             out = (
                 b.join(F.broadcast(am), "stream_id")
@@ -402,6 +413,10 @@ class EventLogWriter:
                 .select([f.name for f in EVENTS_SCHEMA.fields])
             )
             out.write.mode("append").parquet(self.path)
+            # the write committed — only now advance the numbering state
+            self._last_position = new_last
+            for sid, en_base, _pos in alloc:
+                self._stats[sid][0] = en_base + by_stream[sid]
         finally:
             b.unpersist()
 
