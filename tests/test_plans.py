@@ -167,3 +167,33 @@ def test_repetition_profile_is_single_pass(parquet_docs):
 
     exchanges = re.findall(r"Exchange (\w+)", plan)
     assert all(e == "RoundRobinPartitioning" for e in exchanges), exchanges
+
+
+def test_no_accidental_cartesian_in_any_query(spark):
+    """Global scale-regression gate: every queries() entry must plan
+    without CartesianProduct, and without BroadcastNestedLoopJoin except
+    where the build side is a bounded, intentionally-broadcast query set
+    (brute-force ANN scoring is BY DESIGN corpus x K-queries: the K rows
+    are broadcast and the corpus streams past them — that is the baseline
+    semantics, not a missing join key)."""
+    import os
+
+    import pytest as _pytest
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        _pytest.skip("driver testdata not present")
+    import __spark_entry__ as entry
+
+    # build side = the broadcast query-vector set (bounded K), reviewed
+    # case by case; anything NOT listed here that plans a nested loop is
+    # a would-be cartesian at warehouse scale and must fail this test.
+    bnlj_ok = {"ann_bruteforce", "ann_lsh", "rag_retrieve"}
+    offenders = {}
+    for name, fn in sorted(entry.queries().items()):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
