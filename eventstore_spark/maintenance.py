@@ -78,6 +78,54 @@ def scavenge(
     return {"events_before": before, "events_after": after, "removed": before - after}
 
 
+def bucket_log(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    buckets: int = 32,
+    location: str | None = None,
+) -> dict:
+    """Publish the log as a Spark BUCKETED table hash-clustered on
+    ``stream_id`` — the co-location layout for stream-keyed work at scale.
+
+    ``optimize_layout`` (range + sort) optimizes point/range READS of one
+    stream; bucketing optimizes stream-keyed COMPUTE: with the table
+    bucketed and sorted on (stream_id, event_number), Catalyst's scan
+    reports hash(stream_id) output partitioning, so
+
+      - per-stream aggregations ($streams-style stats),
+      - log-to-log joins on stream_id (link resolution, rebuilds), and
+      - the projection runtime's grouped folds (applyInPandas requires a
+        ClusteredDistribution on the group key — satisfied by the
+        bucketed scan)
+
+    all plan with ZERO Exchange (pinned by tests/test_plans.py). At 100 TB
+    that removes the full-log shuffle from every by-stream pass; the
+    shuffle is paid once here, at publish time. The reference's analog is
+    the PTable index keyed by stream hash (SURVEY §4) — same idea: cluster
+    once by the access key, serve every later pass from the clustering.
+
+    ``location`` makes the table external at that path (tests); otherwise
+    it lands in the session warehouse. Rewrite-in-full, single-writer
+    invariant, like scavenge/optimize_layout.
+    """
+    df = spark.read.schema(EVENTS_SCHEMA).parquet(path)
+    n = df.count()
+    # pre-repartition on the bucket key so each task writes only its own
+    # buckets (without it every task can open `buckets` files at once)
+    writer = (
+        df.repartition(buckets, "stream_id")
+        .write.mode("overwrite")
+        .bucketBy(buckets, "stream_id")
+        .sortBy("stream_id", "event_number")
+        .format("parquet")
+    )
+    if location:
+        writer = writer.option("path", location)
+    writer.saveAsTable(table)
+    return {"events": n, "table": table, "buckets": buckets}
+
+
 def optimize_layout(spark: SparkSession, path: str, target_files: int = 8) -> dict:
     """Rewrite the log for read locality WITHOUT removing anything — the
     ChunkMerger/Z-order analog of the reference's compaction (SURVEY §4:

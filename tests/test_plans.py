@@ -197,3 +197,42 @@ def test_no_accidental_cartesian_in_any_query(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_bucketed_log_makes_stream_keyed_work_shuffle_free(spark, parquet_events, tmp_path_factory):
+    """bucket_log publishes the log hash-clustered on stream_id; every
+    stream-keyed pass after it — aggregation, log-to-log join, and the
+    projection runtime's applyInPandas fold — must plan with ZERO
+    Exchange. This is the pay-the-shuffle-once contract that removes the
+    full-log shuffle from by-stream work at warehouse scale."""
+    from eventstore_spark.maintenance import bucket_log
+
+    loc = str(tmp_path_factory.mktemp("bucketed") / "log")
+    # parquet_events is a DataFrame read from parquet; its source dir:
+    src = str(tmp_path_factory.mktemp("bucketed") / "src")
+    parquet_events.write.mode("overwrite").parquet(src)
+    stats = bucket_log(spark, src, "test_bucketed_log", buckets=4, location=loc)
+    assert stats["events"] == 200
+
+    t = spark.table("test_bucketed_log")
+    try:
+        agg = t.groupBy("stream_id").count()
+        assert "Exchange" not in plan_of(agg)
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = t.alias("a").join(t.alias("b"), "stream_id")
+            pj = plan_of(j)
+            assert "Exchange" not in pj
+            assert "SortMergeJoin" in pj
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+        def fold(pdf):
+            return pdf.head(1)[["stream_id"]]
+
+        f = t.groupBy("stream_id").applyInPandas(fold, "stream_id string")
+        assert "Exchange" not in plan_of(f)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_bucketed_log")
