@@ -650,6 +650,19 @@ def q_token_vocabulary(spark, sf):
     return textops.token_vocabulary(_table(spark, sf, "documents"), k=100)
 
 
+def q_lm_score(spark, sf):
+    """CCNet-style unigram LM fluency scoring: mean token log-probability
+    per document under the corpus's own top-1000 unigram distribution,
+    fixed-point micronats for cross-engine determinism."""
+    return textops.lm_score(_table(spark, sf, "documents"), top_v=1000)
+
+
+def q_tfidf_keywords(spark, sf):
+    """Top-5 characteristic terms per document by tf-idf (integer
+    micro-nat idf, exact BIGINT scores)."""
+    return textops.tfidf_keywords(_table(spark, sf, "documents"), k=5)
+
+
 def q_stratified_sample(spark, sf):
     """Deterministic hash-bucket stratified sampling per language
     (en 80% / de 50% / others 25%) — shuffle-free corpus sampling."""
@@ -895,6 +908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "token_vocabulary": q_token_vocabulary,
+        "lm_score": q_lm_score,
+        "tfidf_keywords": q_tfidf_keywords,
         "stratified_sample": q_stratified_sample,
         "select_corpus": q_select_corpus,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -1243,6 +1258,8 @@ FROM f
     sqls["dedup_ngram_jaccard"] = dd.sql_ngram_jaccard_pairs(threshold=0.4)
     sqls["dedup_clusters"] = dd.sql_duplicate_clusters(threshold=0.5)
     sqls["token_vocabulary"] = textops.sql_token_vocabulary(k=100)
+    sqls["lm_score"] = textops.sql_lm_score(top_v=1000)
+    sqls["tfidf_keywords"] = textops.sql_tfidf_keywords(k=5)
     sqls["stratified_sample"] = textops.sql_stratified_sample(
         rates={"en": 80, "de": 50}, default_rate=25
     )

@@ -334,3 +334,190 @@ gated AS (
 SELECT doc_id, lang_pred, n_tokens, quality, fp FROM gated
 QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
 """
+
+
+def lm_score(docs: DataFrame, top_v: int | None = 1000,
+             text_col: str = "text") -> DataFrame:
+    """Unigram language-model document scoring — the CCNet-style fluency
+    gate: score each document by the mean log-probability of its tokens
+    under the corpus's own unigram distribution (rare-garbage text scores
+    low, fluent text scores high).
+
+    Determinism across engines (the oracle hash-matches) comes from fixed
+    point: ln runs ONCE per distinct vocab term and is rounded to integer
+    micronats (round(ln(p)*1e6)); per-document totals are then exact
+    BIGINT sums, immune to float summation order. The only end float op is
+    one division of exact integers.
+
+    Scale shape: vocab is capped to ``top_v`` terms (deterministic
+    count-desc/term tie-break) so the logprob table BROADCASTS — the
+    token→logp lookup is a map-side hash join, never a shuffle of the
+    exploded token stream (which is also how you dodge the 'the'-token
+    skew). Out-of-vocab tokens take the floor logp ln(1/N). The one real
+    shuffle is the per-document aggregation. ``top_v=None`` keeps the full
+    vocabulary (exact, small corpora only).
+
+    Returns (doc_id, n_tokens, lp_micro_total, lm_score).
+    """
+    toks = spread(docs).select(
+        "doc_id", F.explode(X.tokens(F.col(text_col))).alias("token")
+    ).where(F.col("token") != "")
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    if top_v is not None:
+        w = Window.orderBy(F.col("c").desc(), F.col("token"))
+        # rank over the (small) aggregated vocab, not the token stream
+        vocab = (
+            vocab.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= top_v).drop("_r")
+        )
+    # corpus total N is a 1-row aggregate attached by broadcast cross join —
+    # the scalar-subquery shape. It plans as BroadcastNestedLoopJoin with a
+    # ONE-ROW build side, which is scale-safe by construction (the global
+    # plan gate allowlists exactly this).
+    totals = toks.groupBy().agg(F.count(F.lit(1)).alias("n_corpus"))
+    lp = vocab.crossJoin(F.broadcast(totals)).select(
+        "token", "n_corpus",
+        F.round(F.log(F.col("c") / F.col("n_corpus")) * 1e6)
+        .cast("long").alias("lp_micro"),
+    )
+    floor = F.round(F.log(F.lit(1.0) / F.col("n_corpus")) * 1e6).cast("long")
+    # OOV tokens take the floor AFTER the per-doc agg: count known vs total
+    # per doc, then one 1-row totals join supplies n_corpus for the floor —
+    # no per-token n_corpus column, no extra wide join
+    agg = (
+        toks.join(F.broadcast(lp.drop("n_corpus")), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_micro").alias("_lp_known"),
+            F.count("lp_micro").alias("_n_known"),
+        )
+    )
+    out = (
+        agg.crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id", "n_tokens",
+            (F.coalesce(F.col("_lp_known"), F.lit(0))
+             + (F.col("n_tokens") - F.col("_n_known")) * floor)
+            .cast("long").alias("lp_micro_total"),
+        )
+        .withColumn(
+            "lm_score",
+            F.col("lp_micro_total").cast("double") / F.col("n_tokens") / F.lit(1e6),
+        )
+    )
+    return out
+
+
+def sql_lm_score(top_v: int | None = 1000, table: str = "documents",
+                 text_col: str = "text") -> str:
+    toks = X.SQL_TOKENS.format(c=text_col)
+    cap = f"QUALIFY row_number() OVER (ORDER BY c DESC, token) <= {top_v}" if top_v else ""
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest({toks}) AS token FROM {table}
+),
+tt AS (SELECT doc_id, token FROM t WHERE token <> ''),
+vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c FROM tt GROUP BY token
+  {cap}
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM tt),
+lp AS (
+  SELECT token, CAST(round(ln(c * 1.0 / n_corpus) * 1e6) AS BIGINT) AS lp_micro
+  FROM vocab, tot
+),
+agg AS (
+  SELECT tt.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(coalesce(sum(lp.lp_micro), 0) AS BIGINT) AS lp_known,
+         CAST(count(lp.lp_micro) AS BIGINT) AS n_known
+  FROM tt LEFT JOIN lp USING (token)
+  GROUP BY tt.doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(lp_known + (n_tokens - n_known)
+            * CAST(round(ln(1.0 / n_corpus) * 1e6) AS BIGINT) AS BIGINT)
+         AS lp_micro_total,
+       CAST(lp_known + (n_tokens - n_known)
+            * CAST(round(ln(1.0 / n_corpus) * 1e6) AS BIGINT) AS DOUBLE)
+         / n_tokens / 1e6 AS lm_score
+FROM agg, tot
+"""
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 5,
+                   text_col: str = "text") -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf — the classic
+    keyword/topic extraction pass over a corpus.
+
+    Same fixed-point determinism as lm_score: idf is computed ONCE per
+    distinct term as integer micro-nats (round(ln(D/df)*1e6)); the score
+    tf*idf_micro is then an exact BIGINT product, so ranking and hashes
+    agree across engines bit-for-bit.
+
+    Scale shape: tf is the one big shuffle (groupBy doc,term absorbs the
+    explode map-side); df aggregates the much smaller tf table; the idf
+    table joins BACK to tf — at warehouse scale cap the vocab and
+    broadcast, exactly as lm_score does. Final per-doc top-k is a
+    partitioned window, never a global sort.
+
+    Returns (doc_id, term, rank, tf, tfidf_micro).
+    """
+    toks = spread(docs).select(
+        "doc_id", F.explode(X.tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # 1-row scalar-aggregate broadcast (scalar-subquery shape; see lm_score)
+    n_docs = docs.groupBy().agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    idf = df_.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.round(F.log(F.col("n_docs") / F.col("df")) * 1e6)
+        .cast("long").alias("idf_micro"),
+    )
+    scored = tf.join(idf, "term").withColumn(
+        "tfidf_micro", (F.col("tf") * F.col("idf_micro")).cast("long")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_micro").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "rank", "tf", "tfidf_micro")
+    )
+
+
+def sql_tfidf_keywords(k: int = 5, table: str = "documents",
+                       text_col: str = "text") -> str:
+    toks = X.SQL_TOKENS.format(c=text_col)
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest({toks}) AS term FROM {table}
+),
+tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tt GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM {table}),
+idf AS (
+  SELECT term, CAST(round(ln(n_docs * 1.0 / df) * 1e6) AS BIGINT) AS idf_micro
+  FROM df, nd
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         CAST(tf.tf * idf.idf_micro AS BIGINT) AS tfidf_micro
+  FROM tf JOIN idf USING (term)
+)
+SELECT doc_id, term,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf_micro DESC, term) AS BIGINT) AS rank,
+       tf, tfidf_micro
+FROM scored
+QUALIFY rank <= {k}
+"""

@@ -255,3 +255,61 @@ def test_repetition_profile_matches(spark, corpus):
             assert (a == b) or (pd.isna(a) and pd.isna(b)), (
                 f"{c} diverges at doc {i}: spark={a!r} duck={b!r}"
             )
+
+
+def test_lm_score_matches(spark, corpus):
+    """Unigram LM scoring end-to-end on the adversarial corpus, with a
+    small top_v so the OOV floor path is actually exercised: fixed-point
+    micronat totals must match DuckDB exactly, including docs made
+    entirely of out-of-vocab tokens."""
+    from eventstore_spark.operators.textops import lm_score, sql_lm_score
+
+    docs = spark.read.parquet(corpus)
+    sdf = (
+        lm_score(docs, top_v=20)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{corpus}/*.parquet'")
+    odf = (
+        con.execute(sql_lm_score(top_v=20))
+        .fetchdf()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert len(sdf) == len(odf) > 0
+    for c in ("doc_id", "n_tokens", "lp_micro_total"):
+        assert sdf[c].astype("int64").tolist() == odf[c].astype("int64").tolist(), c
+    # lm_score is one float division of exact ints — must be bit-identical
+    assert sdf["lm_score"].tolist() == odf["lm_score"].tolist()
+    # OOV floor really fired (top_v=20 must leave tokens out-of-vocab,
+    # else the floor path went untested and this test is vacuous)
+    n_vocab = con.execute(
+        "SELECT count(DISTINCT tok) FROM (SELECT unnest("
+        + X.SQL_TOKENS.format(c="text")
+        + ") AS tok FROM documents) WHERE tok <> ''"
+    ).fetchone()[0]
+    assert n_vocab > 20
+
+
+def test_tfidf_keywords_match(spark, corpus):
+    from eventstore_spark.operators.textops import tfidf_keywords, sql_tfidf_keywords
+
+    docs = spark.read.parquet(corpus)
+    key = ["doc_id", "rank"]
+    sdf = (
+        tfidf_keywords(docs, k=3)
+        .toPandas()
+        .sort_values(key, ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{corpus}/*.parquet'")
+    odf = (
+        con.execute(sql_tfidf_keywords(k=3))
+        .fetchdf()
+        .sort_values(key, ignore_index=True)
+    )
+    assert len(sdf) == len(odf) > 0
+    for c in ("doc_id", "rank", "tf", "tfidf_micro"):
+        assert sdf[c].astype("int64").tolist() == odf[c].astype("int64").tolist(), c
+    assert sdf["term"].tolist() == odf["term"].tolist()

@@ -185,10 +185,15 @@ def test_no_accidental_cartesian_in_any_query(spark):
         _pytest.skip("driver testdata not present")
     import __spark_entry__ as entry
 
-    # build side = the broadcast query-vector set (bounded K), reviewed
-    # case by case; anything NOT listed here that plans a nested loop is
-    # a would-be cartesian at warehouse scale and must fail this test.
-    bnlj_ok = {"ann_bruteforce", "ann_lsh", "rag_retrieve"}
+    # build side = the broadcast query-vector set (bounded K) or a ONE-ROW
+    # scalar aggregate (the scalar-subquery shape: corpus totals in
+    # lm_score/tfidf), reviewed case by case; anything NOT listed here
+    # that plans a nested loop is a would-be cartesian at warehouse scale
+    # and must fail this test.
+    bnlj_ok = {
+        "ann_bruteforce", "ann_lsh", "rag_retrieve",
+        "lm_score", "tfidf_keywords",
+    }
     offenders = {}
     for name, fn in sorted(entry.queries().items()):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
