@@ -650,6 +650,19 @@ def q_token_vocabulary(spark, sf):
     return textops.token_vocabulary(_table(spark, sf, "documents"), k=100)
 
 
+def q_langid_eval(spark, sf):
+    """Confusion matrix of the n-gram lang-ID heuristic vs the corpus's
+    gold `lang` column — classifier-eval over the documents table."""
+    return textops.langid_eval(_table(spark, sf, "documents"))
+
+
+def q_knn_classify(spark, sf):
+    """k-NN majority-vote label propagation over the embeddings table:
+    predict each probe vector's label from its 5 nearest neighbors'
+    labels; gold label joined back for a hold-one-out accuracy probe."""
+    return sim.knn_classify(_table(spark, sf, "embeddings"), KNN_PROBE_IDS, k=5)
+
+
 def q_lm_score(spark, sf):
     """CCNet-style unigram LM fluency scoring: mean token log-probability
     per document under the corpus's own top-1000 unigram distribution,
@@ -814,6 +827,7 @@ def q_media_chunks(spark, sf):
 
 
 ANN_QUERY_IDS = [1, 7, 42]
+KNN_PROBE_IDS = list(range(0, 100, 5))  # 20 probes
 
 
 def q_ann_bruteforce(spark, sf):
@@ -909,6 +923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "token_vocabulary": q_token_vocabulary,
         "lm_score": q_lm_score,
+        "langid_eval": q_langid_eval,
+        "knn_classify": q_knn_classify,
         "tfidf_keywords": q_tfidf_keywords,
         "stratified_sample": q_stratified_sample,
         "select_corpus": q_select_corpus,
@@ -1259,6 +1275,8 @@ FROM f
     sqls["dedup_clusters"] = dd.sql_duplicate_clusters(threshold=0.5)
     sqls["token_vocabulary"] = textops.sql_token_vocabulary(k=100)
     sqls["lm_score"] = textops.sql_lm_score(top_v=1000)
+    sqls["langid_eval"] = textops.sql_langid_eval()
+    sqls["knn_classify"] = sim.sql_knn_classify(KNN_PROBE_IDS, k=5)
     sqls["tfidf_keywords"] = textops.sql_tfidf_keywords(k=5)
     sqls["stratified_sample"] = textops.sql_stratified_sample(
         rates={"en": 80, "de": 50}, default_rate=25

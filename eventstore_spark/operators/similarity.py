@@ -381,3 +381,82 @@ JOIN base xa ON xa.vec_id = c.a
 JOIN base yb ON yb.vec_id = c.b
 WHERE {vcos} >= {threshold}
 """
+
+
+def knn_classify(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 label_col: str = "label") -> DataFrame:
+    """k-NN majority-vote label propagation in embedding space — the
+    semi-supervised labeling pass a curation pipeline runs to extend a
+    small set of gold labels (topic / quality tags) across a corpus.
+
+    Composition: exact top-k neighbors (``brute_force_topk`` — the
+    bounded query set broadcasts, the corpus streams once), then the TINY
+    neighbor list (|Q|*k rows) broadcasts back against the label column,
+    so the vote never shuffles the corpus. Majority is deterministic:
+    most votes, ties to the smallest label. The query's own gold label
+    rides along so the result doubles as a hold-one-out accuracy probe.
+
+    Returns (query_id, pred_label, n_votes, true_label, correct).
+    """
+    nn = brute_force_topk(
+        embeddings, query_ids, k=k, id_col=id_col, vec_col=vec_col
+    )
+    labels = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).cast("long").alias("nbr_label")
+    )
+    votes = (
+        labels.join(F.broadcast(nn), "vec_id")
+        .groupBy("query_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("nbr_label")
+    )
+    pred = (
+        votes.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("query_id", F.col("nbr_label").alias("pred_label"), "n_votes")
+    )
+    truth = embeddings.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).cast("long").alias("true_label")
+    )
+    return (
+        pred.join(F.broadcast(truth.where(F.col("query_id").isin(query_ids))), "query_id")
+        .select(
+            "query_id", "pred_label", "n_votes", "true_label",
+            (F.col("pred_label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+def sql_knn_classify(query_ids: list[int], k: int = 5, dim: int = 64,
+                     table: str = "embeddings") -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = sql_cosine("q.embedding", "c.embedding", dim)
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {cos} AS sim
+  FROM {table} q JOIN {table} c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id IN ({ids})
+), ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+), votes AS (
+  SELECT r.query_id, CAST(e.label AS BIGINT) AS nbr_label,
+         CAST(count(*) AS BIGINT) AS n_votes
+  FROM ranked r JOIN {table} e USING (vec_id)
+  WHERE r.rank <= {k}
+  GROUP BY r.query_id, CAST(e.label AS BIGINT)
+), pred AS (
+  SELECT query_id, nbr_label AS pred_label, n_votes
+  FROM votes
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY n_votes DESC, nbr_label) = 1
+)
+SELECT p.query_id, p.pred_label, p.n_votes,
+       CAST(t.label AS BIGINT) AS true_label,
+       p.pred_label = CAST(t.label AS BIGINT) AS correct
+FROM pred p JOIN {table} t ON t.vec_id = p.query_id
+"""

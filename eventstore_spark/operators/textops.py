@@ -521,3 +521,28 @@ SELECT doc_id, term,
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+def langid_eval(docs: DataFrame, text_col: str = "text",
+                gold_col: str = "lang") -> DataFrame:
+    """Confusion matrix of the n-gram lang-ID heuristic against the
+    corpus's gold language column — the evaluation pass that tells a
+    pipeline operator whether the cheap classifier is good enough to gate
+    on. One projection pass + one tiny shuffle (|langs|² rows).
+
+    Returns (gold, pred, n).
+    """
+    pred = spread(docs).select(
+        F.col(gold_col).alias("gold"), X.lang_id(F.col(text_col)).alias("pred")
+    )
+    return pred.groupBy("gold", "pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+def sql_langid_eval(table: str = "documents", text_col: str = "text",
+                    gold_col: str = "lang") -> str:
+    return f"""
+SELECT {gold_col} AS gold, {X.sql_lang_id(text_col)} AS pred,
+       CAST(count(*) AS BIGINT) AS n
+FROM {table}
+GROUP BY gold, pred
+"""

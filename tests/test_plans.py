@@ -191,7 +191,7 @@ def test_no_accidental_cartesian_in_any_query(spark):
     # that plans a nested loop is a would-be cartesian at warehouse scale
     # and must fail this test.
     bnlj_ok = {
-        "ann_bruteforce", "ann_lsh", "rag_retrieve",
+        "ann_bruteforce", "ann_lsh", "rag_retrieve", "knn_classify",
         "lm_score", "tfidf_keywords",
     }
     offenders = {}
@@ -241,3 +241,26 @@ def test_bucketed_log_makes_stream_keyed_work_shuffle_free(spark, parquet_events
         assert "Exchange" not in plan_of(f)
     finally:
         spark.sql("DROP TABLE IF EXISTS test_bucketed_log")
+
+
+def test_knn_classify_never_shuffles_the_corpus(spark, tmp_path_factory):
+    """The probe set and the neighbor list are the ONLY broadcast sides;
+    the corpus must stream (no sort-merge join, no hash-exchange of the
+    embeddings table)."""
+    import pandas as pd
+
+    from eventstore_spark.operators.similarity import knn_classify
+
+    path = str(tmp_path_factory.mktemp("knn") / "emb.parquet")
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(50),
+            "embedding": [[float((i * 7 + j) % 5) for j in range(8)] for i in range(50)],
+            "label": [i % 3 for i in range(50)],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+    emb = spark.read.parquet(path)
+    plan = plan_of(knn_classify(emb, [0, 5, 10], k=3))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
