@@ -650,6 +650,18 @@ def q_token_vocabulary(spark, sf):
     return textops.token_vocabulary(_table(spark, sf, "documents"), k=100)
 
 
+def q_chunk_documents(spark, sf):
+    """Sliding-window token chunking (30-token chunks, 8 overlap — sized
+    so the driver corpus [10-99 tokens/doc] genuinely exercises the
+    multi-chunk + overlap + short-tail paths) — the long-document splitter
+    for training/RAG shards, fully codegen'd one-to-many with no
+    shuffle."""
+    from eventstore_spark.operators import corpus as cp
+
+    return cp.chunk_documents(_table(spark, sf, "documents"),
+                              chunk_tokens=30, overlap=8)
+
+
 def q_langid_eval(spark, sf):
     """Confusion matrix of the n-gram lang-ID heuristic vs the corpus's
     gold `lang` column — classifier-eval over the documents table."""
@@ -924,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_vocabulary": q_token_vocabulary,
         "lm_score": q_lm_score,
         "langid_eval": q_langid_eval,
+        "chunk_documents": q_chunk_documents,
         "knn_classify": q_knn_classify,
         "tfidf_keywords": q_tfidf_keywords,
         "stratified_sample": q_stratified_sample,
@@ -1276,6 +1289,9 @@ FROM f
     sqls["token_vocabulary"] = textops.sql_token_vocabulary(k=100)
     sqls["lm_score"] = textops.sql_lm_score(top_v=1000)
     sqls["langid_eval"] = textops.sql_langid_eval()
+    from eventstore_spark.operators import corpus as _cp
+
+    sqls["chunk_documents"] = _cp.sql_chunk_documents(chunk_tokens=30, overlap=8)
     sqls["knn_classify"] = sim.sql_knn_classify(KNN_PROBE_IDS, k=5)
     sqls["tfidf_keywords"] = textops.sql_tfidf_keywords(k=5)
     sqls["stratified_sample"] = textops.sql_stratified_sample(

@@ -335,3 +335,67 @@ SELECT canonical_id, doc_id AS survivor_id, n_members, quality FROM (
   FROM j
 ) WHERE rn = 1
 """
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 100,
+                    overlap: int = 20, text_col: str = "text") -> DataFrame:
+    """Sliding-token-window document chunking — the splitter that turns
+    long documents into fixed-budget training/RAG chunks with overlap.
+
+    One-to-many entirely inside codegen: tokenize once, compute the chunk
+    count in exact integer arithmetic (``(n - overlap + stride - 1) div
+    stride``, floored at 1 so every doc yields >= 1 chunk), posexplode a
+    ``sequence`` of chunk indexes, and slice the token array per index.
+    No shuffle at all — the explode is a projection, chunks inherit the
+    input partitioning (`spread`). Deterministic: same text, same chunks,
+    in both engines.
+
+    Returns (doc_id, chunk_idx, start_tok, n_tok, chunk_text).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    staged = spread(docs).select(
+        "doc_id", X.tokens(F.col(text_col)).alias("_toks")
+    ).withColumn("_n", F.size("_toks"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        ((F.col("_n") - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride))
+        .cast("long"),
+    )
+    exploded = staged.select(
+        "doc_id", "_toks",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_i"),
+    )
+    start = F.col("chunk_idx").cast("long") * stride
+    chunk = F.slice(F.col("_toks"), start + 1, chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tok"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def sql_chunk_documents(chunk_tokens: int = 100, overlap: int = 20,
+                        table: str = "documents", text_col: str = "text") -> str:
+    stride = chunk_tokens - overlap
+    toks = X.SQL_TOKENS.format(c=text_col)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM {table}
+), sized AS (
+  SELECT doc_id, toks,
+         greatest(1, (len(toks) - {overlap} + {stride - 1}) // {stride}) AS nc
+  FROM t
+), e AS (
+  SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS chunk_idx
+  FROM sized
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * {stride} AS BIGINT) AS start_tok,
+       CAST(len(toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {chunk_tokens}]) AS BIGINT) AS n_tok,
+       array_to_string(toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {chunk_tokens}], ' ') AS chunk_text
+FROM e
+"""

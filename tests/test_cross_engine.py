@@ -313,3 +313,34 @@ def test_tfidf_keywords_match(spark, corpus):
     for c in ("doc_id", "rank", "tf", "tfidf_micro"):
         assert sdf[c].astype("int64").tolist() == odf[c].astype("int64").tolist(), c
     assert sdf["term"].tolist() == odf["term"].tolist()
+
+
+def test_chunk_documents_matches(spark, corpus):
+    """Sliding-window chunking on the adversarial corpus (empty strings,
+    single tokens, whitespace runs, unicode): chunk boundaries, tail
+    chunks and joined chunk text must match DuckDB exactly."""
+    from eventstore_spark.operators.corpus import (
+        chunk_documents,
+        sql_chunk_documents,
+    )
+
+    docs = spark.read.parquet(corpus)
+    key = ["doc_id", "chunk_idx"]
+    sdf = (
+        chunk_documents(docs, chunk_tokens=5, overlap=2)
+        .toPandas()
+        .sort_values(key, ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{corpus}/*.parquet'")
+    odf = (
+        con.execute(sql_chunk_documents(chunk_tokens=5, overlap=2))
+        .fetchdf()
+        .sort_values(key, ignore_index=True)
+    )
+    assert len(sdf) == len(odf) > 0
+    for c in ("doc_id", "chunk_idx", "start_tok", "n_tok"):
+        assert sdf[c].astype("int64").tolist() == odf[c].astype("int64").tolist(), c
+    assert sdf["chunk_text"].tolist() == odf["chunk_text"].tolist()
+    # every doc present, and some doc actually produced multiple chunks
+    assert sdf.groupby("doc_id").size().max() > 1
