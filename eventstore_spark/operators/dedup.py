@@ -124,26 +124,10 @@ def minhash_signature(docs: DataFrame, id_col="doc_id", text_col="text",
     return staged.withColumn("sig", sig).drop("_h")
 
 
-def minhash_lsh_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
-                      num_hashes: int = 9, bands: int = 3, shingle_n: int = 3,
-                      threshold: float = 0.5) -> DataFrame:
-    """Near-duplicate pairs (a < b) with exact Jaccard >= threshold, found
-    via LSH banding (rows-per-band = num_hashes / bands).
-
-    Plan shape: project signatures → explode bands (b rows/doc) → self-join
-    on (band_index, band_hash) → distinct candidate pairs → verify Jaccard
-    on the shingle SETS. The verify join re-fetches shingle arrays by id —
-    cheaper at scale than carrying arrays through the band explode.
-    """
-    rows = num_hashes // bands
-    sigs = minhash_signature(docs, id_col, text_col, num_hashes, shingle_n)
-    # The signature expression feeds four plan branches (band self-join x/y,
-    # verify join a/b) — materialize it once instead of recomputing the md5
-    # tree per branch. At warehouse scale this is a persisted signature
-    # table; locally Spark's in-memory columnar cache plays that role.
-    sigs = sigs.withColumn("sset", F.array_distinct("shingles")).drop("shingles").cache()
-
-    banded = sigs.select(
+def _band_rows(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc_id, band, bh) rows from a signature table: each band's slice
+    of the minhash signature hashed to one bucket key."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -163,6 +147,29 @@ def minhash_lsh_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
             )
         ).alias("b"),
     ).select("doc_id", "b.band", "b.bh")
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
+                      num_hashes: int = 9, bands: int = 3, shingle_n: int = 3,
+                      threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs (a < b) with exact Jaccard >= threshold, found
+    via LSH banding (rows-per-band = num_hashes / bands).
+
+    Plan shape: project signatures → explode bands (b rows/doc) → self-join
+    on (band_index, band_hash) → distinct candidate pairs → verify Jaccard
+    on the shingle SETS. The verify join re-fetches shingle arrays by id —
+    cheaper at scale than carrying arrays through the band explode.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signature(docs, id_col, text_col, num_hashes, shingle_n)
+    # The signature expression feeds four plan branches (band self-join x/y,
+    # verify join a/b) — materialize it once instead of recomputing the md5
+    # tree per branch. At warehouse scale this is a persisted signature
+    # table (see build_minhash_index / minhash_pairs_incremental); locally
+    # Spark's in-memory columnar cache plays that role.
+    sigs = sigs.withColumn("sset", F.array_distinct("shingles")).drop("shingles").cache()
+
+    banded = _band_rows(sigs, bands, rows)
 
     cand = (
         banded.alias("x")
@@ -494,3 +501,85 @@ SELECT d.doc_id,
        d.doc_id <> coalesce(l.label, d.doc_id) AS is_duplicate
 FROM {table} d LEFT JOIN lab l ON l.node = d.doc_id
 """
+
+
+def build_minhash_index(docs: DataFrame, path: str, id_col="doc_id",
+                        text_col="text", num_hashes: int = 9, bands: int = 3,
+                        shingle_n: int = 3) -> dict:
+    """Persist the minhash dedup index for a corpus: band-bucket rows
+    (`<path>/bands`) and distinct-shingle sets (`<path>/sets`).
+
+    This is the production shape of `minhash_lsh_pairs`'s `.cache()` note:
+    at 100 TB the corpus grows in batches, and recomputing every
+    signature per run is a full-corpus pass you pay exactly once —
+    subsequent batches dedup against THIS table via
+    `minhash_pairs_incremental` and append their own rows to it. Same
+    md5-derived determinism as the batch path, so an index built in any
+    session finds the same pairs.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signature(docs, id_col, text_col, num_hashes, shingle_n)
+    sigs = sigs.withColumn("sset", F.array_distinct("shingles")).cache()
+    try:
+        _band_rows(sigs, bands, rows).write.mode("append").parquet(f"{path}/bands")
+        sigs.select("doc_id", "sset").write.mode("append").parquet(f"{path}/sets")
+        n = sigs.count()
+    finally:
+        sigs.unpersist()
+    return {"docs_indexed": n, "path": path, "bands": bands,
+            "num_hashes": num_hashes, "shingle_n": shingle_n}
+
+
+def minhash_pairs_incremental(new_docs: DataFrame, spark, index_path: str,
+                              id_col="doc_id", text_col="text",
+                              num_hashes: int = 9, bands: int = 3,
+                              shingle_n: int = 3,
+                              threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs TOUCHING the new batch: new×indexed plus new×new,
+    verified with exact Jaccard — never re-signing the indexed corpus.
+
+    Plan shape: signatures for the new batch only → band rows → one
+    equi-join on (band, bh) against the union of the persisted band table
+    and the new rows → distinct candidates (a < b, at least one side new)
+    → verify against shingle sets fetched by id from `<path>/sets` ∪ new.
+    Work scales with |new batch| and bucket collision volume, not with
+    the indexed corpus size. Call `build_minhash_index` on the same batch
+    afterwards to fold it into the index (single-writer discipline, like
+    the event log).
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signature(new_docs, id_col, text_col, num_hashes, shingle_n)
+    sigs = sigs.withColumn("sset", F.array_distinct("shingles")).cache()
+    new_bands = _band_rows(sigs, bands, rows)
+    idx_bands = spark.read.parquet(f"{index_path}/bands")
+    all_bands = idx_bands.unionByName(new_bands)
+    new_ids = sigs.select("doc_id")
+
+    cand = (
+        new_bands.alias("x")
+        .join(all_bands.alias("y"), ["band", "bh"])
+        .where(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("a"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("b"),
+        )
+        .distinct()
+    )
+
+    sets = (
+        spark.read.parquet(f"{index_path}/sets")
+        .unionByName(sigs.select("doc_id", "sset"))
+        # a doc indexed AND in the new batch would verify twice
+        .dropDuplicates(["doc_id"])
+    )
+    return (
+        cand.join(sets.withColumnRenamed("doc_id", "a").withColumnRenamed("sset", "sa"), "a")
+        .join(sets.withColumnRenamed("doc_id", "b").withColumnRenamed("sset", "sb"), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sa", "sb")).cast("double")
+            / F.size(F.array_union("sa", "sb")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

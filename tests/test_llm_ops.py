@@ -314,3 +314,39 @@ def test_audio_segmentation_plumbing(spark):
     assert all(r.duration_ms == 600 for r in a1)
     assert by_media[3], "probed-duration track produced no chunks"
     assert len({r.chunk_digest for r in out}) == len(out)  # digests distinct
+
+
+def test_incremental_minhash_matches_batch(spark, docs, tmp_path_factory):
+    """Batch-equivalence of the persisted dedup index: index the 'old'
+    corpus once, run the incremental path on a 'new' batch, and the
+    result must equal the full-recompute pairs restricted to pairs that
+    touch the new batch — the correctness contract that lets a 100 TB
+    pipeline dedup per-batch instead of per-corpus."""
+    idx = str(tmp_path_factory.mktemp("mhidx") / "index")
+    old = docs.where("doc_id <= 3")
+    new = docs.where("doc_id > 3")
+
+    stats = dd.build_minhash_index(old, idx)
+    assert stats["docs_indexed"] == 3
+
+    inc = {
+        (r.a, r.b): r.jaccard
+        for r in dd.minhash_pairs_incremental(new, spark, idx, threshold=0.4).collect()
+    }
+    full = {
+        (r.a, r.b): r.jaccard
+        for r in dd.minhash_lsh_pairs(docs, threshold=0.4).collect()
+    }
+    new_ids = {4, 5, 6}
+    expected = {p: j for p, j in full.items() if p[0] in new_ids or p[1] in new_ids}
+    assert inc == expected
+    # the fixture must actually exercise a cross-batch pair (6 dups 1)
+    assert any(a not in new_ids or b not in new_ids for a, b in inc), inc
+
+    # folding the new batch in and re-running an (empty-delta) batch
+    # finds nothing new against itself
+    dd.build_minhash_index(new, idx)
+    again = dd.minhash_pairs_incremental(
+        spark.createDataFrame([], docs.schema), spark, idx, threshold=0.4
+    )
+    assert again.count() == 0
