@@ -583,3 +583,89 @@ def minhash_pairs_incremental(new_docs: DataFrame, spark, index_path: str,
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def streaming_minhash_dedup(stream: DataFrame, spark, index_path: str,
+                            out_path: str, checkpoint: str,
+                            id_col="doc_id", text_col="text",
+                            num_hashes: int = 9, bands: int = 3,
+                            shingle_n: int = 3, threshold: float = 0.5):
+    """Continuous NEAR-dup filtering over a document stream: each
+    micro-batch dedups against the persisted minhash index
+    (`minhash_pairs_incremental`), survivors append to ``out_path``, and
+    the surviving batch folds itself into the index for the next batch.
+
+    First-seen-wins: a batch doc is a duplicate if it pairs with any
+    already-indexed doc, or with a smaller-id doc of its own batch.
+    foreachBatch serializes batches (the single-writer discipline the
+    index requires), and Structured Streaming's checkpoint gives
+    exactly-once batch processing, so the index never double-folds a
+    batch. Pairs with `streaming_exact_dedup` (keyed-state, per-record)
+    as the near-dup half of continuous ingest dedup; state here is the
+    persisted index, not the state store, so the dedup horizon is the
+    whole indexed corpus.
+    """
+    import os
+
+    def _fold(batch_df, epoch_id):
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            if os.path.isdir(f"{index_path}/bands"):
+                pairs = minhash_pairs_incremental(
+                    batch_df, spark, index_path, id_col, text_col,
+                    num_hashes, bands, shingle_n, threshold,
+                ).persist()
+                indexed = spark.read.parquet(f"{index_path}/sets").select(
+                    F.col("doc_id").alias("_idx_id"), F.lit(True).alias("_idx")
+                )
+                # victim = the batch side of an (indexed, batch) pair, or
+                # the larger id of a within-batch pair; flags via left
+                # joins so every pair yields exactly one victim (a victim
+                # id that isn't in the batch anti-joins to nothing)
+                flagged = (
+                    pairs.join(
+                        indexed.withColumnRenamed("_idx_id", "a")
+                        .withColumnRenamed("_idx", "_a_idx"),
+                        "a", "left",
+                    )
+                    .join(
+                        indexed.withColumnRenamed("_idx_id", "b")
+                        .withColumnRenamed("_idx", "_b_idx"),
+                        "b", "left",
+                    )
+                )
+                victims = flagged.select(
+                    F.when(F.col("_a_idx"), F.col("b"))
+                    .when(F.col("_b_idx"), F.col("a"))
+                    .otherwise(F.col("b"))
+                    .alias("victim")
+                ).distinct()
+                survivors = batch_df.join(
+                    victims, batch_df[id_col] == victims["victim"], "left_anti"
+                )
+            else:
+                # first batch: no index yet — within-batch pairs only
+                pairs = minhash_lsh_pairs(
+                    batch_df, id_col, text_col, num_hashes, bands,
+                    shingle_n, threshold,
+                ).persist()
+                victims = pairs.select(F.col("b").alias("victim")).distinct()
+                survivors = batch_df.join(
+                    victims, batch_df[id_col] == victims["victim"], "left_anti"
+                )
+            survivors = survivors.persist()
+            survivors.write.mode("append").parquet(out_path)
+            build_minhash_index(
+                survivors, index_path, id_col, text_col, num_hashes, bands,
+                shingle_n,
+            )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -464,3 +464,51 @@ def test_streaming_sessionization_merges_and_splits(spark, tmp_path):
         assert ("u-2", 9, 5, 1) in got
     finally:
         q.stop()
+
+
+def test_streaming_minhash_dedup_across_batches(spark, tmp_path):
+    """NEAR-dup filtering over a stream: batch 1 seeds the index; batch 2
+    loses its near-dup of an indexed doc and its within-batch dup, keeps
+    the genuinely new doc; the index grows by the survivors only."""
+    import pandas as pd
+
+    from eventstore_spark.operators.dedup import streaming_minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    other = "completely different text about spark query engines and columnar files"
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    pd.DataFrame(
+        [(1, base), (2, other)], columns=["doc_id", "text"]
+    ).to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = streaming_minhash_dedup(
+        stream, spark,
+        index_path=str(tmp_path / "idx"),
+        out_path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ck"),
+        threshold=0.4,
+    )
+    try:
+        q.processAllAvailable()
+        ids = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+        assert ids == {1, 2}
+        pd.DataFrame(
+            [
+                (3, base.replace("quick", "slow")),      # near-dup of indexed 1
+                (4, "genuinely new content never before seen in any batch at all"),
+                (5, "genuinely new content never before seen in any batch at all!"),  # near-dup of 4, same batch
+            ],
+            columns=["doc_id", "text"],
+        ).to_parquet(src / "b2.parquet", coerce_timestamps="us")
+        q.processAllAvailable()
+        ids = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+        assert ids == {1, 2, 4}, f"near-dup filtering wrong: {ids}"
+        # index holds exactly the survivors
+        idx_ids = {
+            r.doc_id
+            for r in spark.read.parquet(str(tmp_path / "idx" / "sets")).collect()
+        }
+        assert idx_ids == {1, 2, 4}
+    finally:
+        q.stop()
