@@ -460,3 +460,93 @@ SELECT p.query_id, p.pred_label, p.n_votes,
        p.pred_label = CAST(t.label AS BIGINT) AS correct
 FROM pred p JOIN {table} t ON t.vec_id = p.query_id
 """
+
+
+def build_ivf_index(embeddings: DataFrame, path: str, n_centroids: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> dict:
+    """Persist the IVF index: centroids (`<path>/centroids`) and the
+    corpus PARTITIONED BY CELL (`<path>/cells`).
+
+    The build/query split `ivf_topk` folds into one call: assignment (the
+    expensive full-corpus pass) runs once here; `ivf_topk_indexed` then
+    reads ONLY the probed cells — with cell as the storage partition
+    column, probe queries prune whole directories (PartitionFilters in
+    the scan), so query cost is nprobe/n_centroids of the corpus by
+    construction, on disk, not just in the plan.
+    """
+    base = spread(embeddings).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    cents = sorted(
+        base.where(F.col("vec_id") < n_centroids).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["vec"]]) for r in cents],
+        "cent_id long, vec array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    terms = ", ".join(
+        "named_struct('sim', {}, 'nid', {})".format(
+            spark_sql_cosine("vec", spark_sql_lit_array(r["vec"])), -int(r["vec_id"])
+        )
+        for r in cents
+    )
+    assigned = base.withColumn("cell", F.expr(f"-array_max(array({terms})).nid"))
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/cells")
+    n = base.count()
+    return {"vectors_indexed": n, "n_centroids": len(cents), "path": path}
+
+
+def ivf_topk_indexed(spark, index_path: str, query_ids: list[int], k: int = 10,
+                     nprobe: int = 4) -> DataFrame:
+    """IVF ANN over a persisted index: identical results to `ivf_topk`
+    (same deterministic quantizer and rerank), but the corpus pass is
+    replaced by a pruned read of the probed cells.
+
+    Probe-cell selection uses the SAME argmax/sort expressions as the
+    batch path, then the (tiny: |Q| x nprobe) probe set is collected and
+    applied as an `isin` filter on the partition column — static
+    partition pruning: the scan's PartitionFilters show `cell IN (...)`
+    and unprobed directories are never opened.
+    """
+    cents = sorted(
+        spark.read.parquet(f"{index_path}/centroids").collect(),
+        key=lambda r: r["cent_id"],
+    )
+
+    def scored_sql(vec_sql: str) -> str:
+        terms = ", ".join(
+            "named_struct('sim', {}, 'nid', {})".format(
+                spark_sql_cosine(vec_sql, spark_sql_lit_array(r["vec"])),
+                -int(r["cent_id"]),
+            )
+            for r in cents
+        )
+        return f"array({terms})"
+
+    cells = spark.read.parquet(f"{index_path}/cells")
+    queries = cells.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    probe_sql = (
+        f"transform(slice(reverse(array_sort({scored_sql('qvec')})), 1, {int(nprobe)}),"
+        " s -> -s.nid)"
+    )
+    probes = queries.withColumn("cells", F.expr(probe_sql)).select(
+        "query_id", "qvec", F.explode("cells").alias("cell")
+    )
+    probed_cells = sorted({int(r["cell"]) for r in probes.select("cell").collect()})
+    cand = (
+        cells.where(F.col("cell").isin(probed_cells))
+        .join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qvec"), F.col("vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "sim")
+    )

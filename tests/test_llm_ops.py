@@ -350,3 +350,46 @@ def test_incremental_minhash_matches_batch(spark, docs, tmp_path_factory):
         spark.createDataFrame([], docs.schema), spark, idx, threshold=0.4
     )
     assert again.count() == 0
+
+
+def test_ivf_index_matches_batch_and_prunes_partitions(spark, vectors, tmp_path_factory):
+    """The persisted IVF index returns IDENTICAL top-k to the one-shot
+    ivf_topk, and its scan reads only the probed cell partitions
+    (PartitionFilters carries the cell isin — directory-level pruning,
+    the on-disk version of nprobe)."""
+    import io
+    import contextlib
+
+    from eventstore_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    idx = str(tmp_path_factory.mktemp("ivfidx") / "index")
+    stats = build_ivf_index(vectors, idx, n_centroids=4)
+    assert stats["n_centroids"] == 4
+
+    qids = [5, 11]
+    batch = {
+        (r.query_id, r.rank): (r.vec_id, round(r.sim, 9))
+        for r in ivf_topk(vectors, qids, k=3, n_centroids=4, nprobe=2, dim=8).collect()
+    }
+    indexed_df = ivf_topk_indexed(spark, idx, qids, k=3, nprobe=2)
+    indexed = {
+        (r.query_id, r.rank): (r.vec_id, round(r.sim, 9))
+        for r in indexed_df.collect()
+    }
+    assert indexed == batch and len(indexed) == 6
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        indexed_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "cell#" in plan.split("PartitionFilters", 2)[-1][:400].replace(
+        "dynamicpruning", ""
+    )
+    # the isin filter must actually restrict cells (nprobe=2 of 4 per
+    # query -> at most 4 distinct probed cells, typically fewer)
+    assert "cell" in plan
