@@ -177,10 +177,12 @@ class EventStoreEngine:
             page = page.orderBy(order.desc() if backward else order.asc())
         return page
 
-    def read_stream_page(self, stream_id: str, from_event_number: int = 0,
+    def read_stream_page(self, stream_id: str, from_event_number: int | None = None,
                          max_count: int = 100, backward: bool = False):
         """S2/S3 with paging metadata (nextEventNumber / lastEventNumber /
-        isEndOfStream, ClientMessage.cs:533) for client-style paging."""
+        isEndOfStream, ClientMessage.cs:533) for client-style paging.
+        Backward: None or -1 = from the stream head (the reference's
+        end-of-stream sentinel); forward defaults to 0."""
         base = self.events()
         if sysproj.is_system_stream_name(stream_id):
             # same name-routing as read_stream: page the virtual link

@@ -110,7 +110,6 @@ def bucket_log(
     invariant, like scavenge/optimize_layout.
     """
     df = spark.read.schema(EVENTS_SCHEMA).parquet(path)
-    n = df.count()
     # pre-repartition on the bucket key so each task writes only its own
     # buckets (without it every task can open `buckets` files at once)
     writer = (
@@ -123,6 +122,9 @@ def bucket_log(
     if location:
         writer = writer.option("path", location)
     writer.saveAsTable(table)
+    # count AFTER the rewrite, from the published table — no second pass
+    # over the source log just for stats
+    n = spark.table(table).count()
     return {"events": n, "table": table, "buckets": buckets}
 
 

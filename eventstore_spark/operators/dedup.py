@@ -503,6 +503,17 @@ FROM {table} d LEFT JOIN lab l ON l.node = d.doc_id
 """
 
 
+def _sigs_with_sets(docs: DataFrame, id_col: str, text_col: str,
+                    num_hashes: int, shingle_n: int) -> DataFrame:
+    """(doc_id, sig, sset) — the working set every index path needs; raw
+    shingles dropped before any caller caches it."""
+    return (
+        minhash_signature(docs, id_col, text_col, num_hashes, shingle_n)
+        .withColumn("sset", F.array_distinct("shingles"))
+        .drop("shingles")
+    )
+
+
 def build_minhash_index(docs: DataFrame, path: str, id_col="doc_id",
                         text_col="text", num_hashes: int = 9, bands: int = 3,
                         shingle_n: int = 3) -> dict:
@@ -515,11 +526,13 @@ def build_minhash_index(docs: DataFrame, path: str, id_col="doc_id",
     subsequent batches dedup against THIS table via
     `minhash_pairs_incremental` and append their own rows to it. Same
     md5-derived determinism as the batch path, so an index built in any
-    session finds the same pairs.
+    session finds the same pairs. Don't mix one index directory between
+    this flat-append layout and `streaming_minhash_dedup`'s epoch-
+    partitioned layout — parquet partition discovery requires one or the
+    other.
     """
     rows = num_hashes // bands
-    sigs = minhash_signature(docs, id_col, text_col, num_hashes, shingle_n)
-    sigs = sigs.withColumn("sset", F.array_distinct("shingles")).cache()
+    sigs = _sigs_with_sets(docs, id_col, text_col, num_hashes, shingle_n).cache()
     try:
         _band_rows(sigs, bands, rows).write.mode("append").parquet(f"{path}/bands")
         sigs.select("doc_id", "sset").write.mode("append").parquet(f"{path}/sets")
@@ -528,6 +541,51 @@ def build_minhash_index(docs: DataFrame, path: str, id_col="doc_id",
         sigs.unpersist()
     return {"docs_indexed": n, "path": path, "bands": bands,
             "num_hashes": num_hashes, "shingle_n": shingle_n}
+
+
+def _read_index(spark, index_path: str):
+    """(bands, sets) with explicit column selects, so a streaming index's
+    epoch partition column is transparent to callers."""
+    bands_df = spark.read.parquet(f"{index_path}/bands").select("doc_id", "band", "bh")
+    sets_df = spark.read.parquet(f"{index_path}/sets").select("doc_id", "sset")
+    return bands_df, sets_df
+
+
+def _incremental_pairs(sigs: DataFrame, spark, index_path: str, bands: int,
+                       rows: int, threshold: float) -> DataFrame:
+    """Pairs touching the batch whose prepared signature table is
+    ``sigs`` — see minhash_pairs_incremental for the contract."""
+    new_bands = _band_rows(sigs, bands, rows)
+    idx_bands, idx_sets = _read_index(spark, index_path)
+    all_bands = idx_bands.unionByName(new_bands)
+
+    cand = (
+        new_bands.alias("x")
+        .join(all_bands.alias("y"), ["band", "bh"])
+        .where(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("a"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("b"),
+        )
+        .distinct()
+    )
+
+    sets = (
+        idx_sets.unionByName(sigs.select("doc_id", "sset"))
+        # a doc indexed AND in the new batch would verify twice
+        .dropDuplicates(["doc_id"])
+    )
+    return (
+        cand.join(sets.withColumnRenamed("doc_id", "a").withColumnRenamed("sset", "sa"), "a")
+        .join(sets.withColumnRenamed("doc_id", "b").withColumnRenamed("sset", "sb"), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sa", "sb")).cast("double")
+            / F.size(F.array_union("sa", "sb")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
 
 
 def minhash_pairs_incremental(new_docs: DataFrame, spark, index_path: str,
@@ -546,43 +604,16 @@ def minhash_pairs_incremental(new_docs: DataFrame, spark, index_path: str,
     the indexed corpus size. Call `build_minhash_index` on the same batch
     afterwards to fold it into the index (single-writer discipline, like
     the event log).
+
+    The batch signature table feeds two plan branches (bands + verify
+    sets) and is cached; as with `minhash_lsh_pairs`, the cache lives
+    until the session drops it — at warehouse scale both are reads of a
+    persisted signature table. `streaming_minhash_dedup` uses the
+    internal per-batch variant that unpersists after every micro-batch.
     """
     rows = num_hashes // bands
-    sigs = minhash_signature(new_docs, id_col, text_col, num_hashes, shingle_n)
-    sigs = sigs.withColumn("sset", F.array_distinct("shingles")).cache()
-    new_bands = _band_rows(sigs, bands, rows)
-    idx_bands = spark.read.parquet(f"{index_path}/bands")
-    all_bands = idx_bands.unionByName(new_bands)
-    new_ids = sigs.select("doc_id")
-
-    cand = (
-        new_bands.alias("x")
-        .join(all_bands.alias("y"), ["band", "bh"])
-        .where(F.col("x.doc_id") != F.col("y.doc_id"))
-        .select(
-            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("a"),
-            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("b"),
-        )
-        .distinct()
-    )
-
-    sets = (
-        spark.read.parquet(f"{index_path}/sets")
-        .unionByName(sigs.select("doc_id", "sset"))
-        # a doc indexed AND in the new batch would verify twice
-        .dropDuplicates(["doc_id"])
-    )
-    return (
-        cand.join(sets.withColumnRenamed("doc_id", "a").withColumnRenamed("sset", "sa"), "a")
-        .join(sets.withColumnRenamed("doc_id", "b").withColumnRenamed("sset", "sb"), "b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sa", "sb")).cast("double")
-            / F.size(F.array_union("sa", "sb")).cast("double"),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-    )
+    sigs = _sigs_with_sets(new_docs, id_col, text_col, num_hashes, shingle_n).cache()
+    return _incremental_pairs(sigs, spark, index_path, bands, rows, threshold)
 
 
 def streaming_minhash_dedup(stream: DataFrame, spark, index_path: str,
@@ -591,33 +622,51 @@ def streaming_minhash_dedup(stream: DataFrame, spark, index_path: str,
                             num_hashes: int = 9, bands: int = 3,
                             shingle_n: int = 3, threshold: float = 0.5):
     """Continuous NEAR-dup filtering over a document stream: each
-    micro-batch dedups against the persisted minhash index
-    (`minhash_pairs_incremental`), survivors append to ``out_path``, and
-    the surviving batch folds itself into the index for the next batch.
+    micro-batch dedups against the persisted minhash index, survivors
+    append to ``out_path``, and the surviving batch folds itself into
+    the index for the next batch.
 
     First-seen-wins: a batch doc is a duplicate if it pairs with any
     already-indexed doc, or with a smaller-id doc of its own batch.
     foreachBatch serializes batches (the single-writer discipline the
-    index requires), and Structured Streaming's checkpoint gives
-    exactly-once batch processing, so the index never double-folds a
-    batch. Pairs with `streaming_exact_dedup` (keyed-state, per-record)
-    as the near-dup half of continuous ingest dedup; state here is the
-    persisted index, not the state store, so the dedup horizon is the
-    whole indexed corpus.
+    index requires). foreachBatch is AT-LEAST-ONCE — a crash between the
+    writes and the checkpoint commit replays the batch — so every write
+    is keyed by ``epoch_id`` and mode=overwrite: a replayed batch
+    rewrites its own epoch directories instead of appending duplicates
+    (idempotent), which is what makes the pipeline exactly-once
+    end-to-end. The survivors' signatures are computed once per batch
+    and reused for both the pair search and the index fold; all
+    per-batch caches are dropped in ``finally``. State is the persisted
+    index, not the state store, so the dedup horizon is the whole
+    indexed corpus (contrast `streaming_exact_dedup`'s keyed state).
+    The index directory uses epoch-partitioned layout — don't mix it
+    with `build_minhash_index`'s flat layout.
     """
-    import os
+    rows = num_hashes // bands
 
     def _fold(batch_df, epoch_id):
         batch_df = batch_df.persist()
+        sigs = pairs = survivors = None
         try:
             if batch_df.isEmpty():
                 return
-            if os.path.isdir(f"{index_path}/bands"):
-                pairs = minhash_pairs_incremental(
-                    batch_df, spark, index_path, id_col, text_col,
-                    num_hashes, bands, shingle_n, threshold,
+            sigs = _sigs_with_sets(
+                batch_df.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+                "doc_id", text_col, num_hashes, shingle_n,
+            ).persist()
+            # index presence via the Hadoop FS API, not a driver-local
+            # isdir() — the index may live on any Hadoop filesystem
+            # (hdfs://, s3a://); a read-attempt probe would work too but
+            # logs a JVM stack trace on every fresh stream
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{index_path}/bands")
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            has_index = bool(fs.exists(jpath))
+            if has_index:
+                pairs = _incremental_pairs(
+                    sigs, spark, index_path, bands, rows, threshold
                 ).persist()
-                indexed = spark.read.parquet(f"{index_path}/sets").select(
+                _, idx_sets = _read_index(spark, index_path)
+                indexed = idx_sets.select(
                     F.col("doc_id").alias("_idx_id"), F.lit(True).alias("_idx")
                 )
                 # victim = the batch side of an (indexed, batch) pair, or
@@ -642,9 +691,6 @@ def streaming_minhash_dedup(stream: DataFrame, spark, index_path: str,
                     .otherwise(F.col("b"))
                     .alias("victim")
                 ).distinct()
-                survivors = batch_df.join(
-                    victims, batch_df[id_col] == victims["victim"], "left_anti"
-                )
             else:
                 # first batch: no index yet — within-batch pairs only
                 pairs = minhash_lsh_pairs(
@@ -652,17 +698,26 @@ def streaming_minhash_dedup(stream: DataFrame, spark, index_path: str,
                     shingle_n, threshold,
                 ).persist()
                 victims = pairs.select(F.col("b").alias("victim")).distinct()
-                survivors = batch_df.join(
-                    victims, batch_df[id_col] == victims["victim"], "left_anti"
-                )
-            survivors = survivors.persist()
-            survivors.write.mode("append").parquet(out_path)
-            build_minhash_index(
-                survivors, index_path, id_col, text_col, num_hashes, bands,
-                shingle_n,
+            survivors = batch_df.join(
+                victims, batch_df[id_col] == victims["victim"], "left_anti"
+            ).persist()
+            survivors.write.mode("overwrite").parquet(
+                f"{out_path}/epoch={int(epoch_id)}"
+            )
+            # fold survivors into the index, reusing the batch signatures
+            surv_sigs = sigs.join(
+                survivors.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
+            )
+            _band_rows(surv_sigs, bands, rows).write.mode("overwrite").parquet(
+                f"{index_path}/bands/epoch={int(epoch_id)}"
+            )
+            surv_sigs.select("doc_id", "sset").write.mode("overwrite").parquet(
+                f"{index_path}/sets/epoch={int(epoch_id)}"
             )
         finally:
-            batch_df.unpersist()
+            for df in (pairs, survivors, sigs, batch_df):
+                if df is not None:
+                    df.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_fold)

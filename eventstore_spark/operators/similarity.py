@@ -534,10 +534,21 @@ def ivf_topk_indexed(spark, index_path: str, query_ids: list[int], k: int = 10,
         f"transform(slice(reverse(array_sort({scored_sql('qvec')})), 1, {int(nprobe)}),"
         " s -> -s.nid)"
     )
-    probes = queries.withColumn("cells", F.expr(probe_sql)).select(
-        "query_id", "qvec", F.explode("cells").alias("cell")
+    # ONE query-lookup pass: collect the tiny (|Q| x nprobe, bounded)
+    # probe rows, then rebuild them as a local DataFrame — the cells scan
+    # for query vectors runs once, and the probed-cell set falls out of
+    # the same collect instead of a second job
+    probe_rows = (
+        queries.withColumn("cells", F.expr(probe_sql))
+        .select("query_id", "qvec", F.explode("cells").alias("cell"))
+        .collect()
     )
-    probed_cells = sorted({int(r["cell"]) for r in probes.select("cell").collect()})
+    probed_cells = sorted({int(r["cell"]) for r in probe_rows})
+    probes = spark.createDataFrame(
+        [(int(r["query_id"]), [float(x) for x in r["qvec"]], int(r["cell"]))
+         for r in probe_rows],
+        "query_id long, qvec array<float>, cell int",
+    )
     cand = (
         cells.where(F.col("cell").isin(probed_cells))
         .join(F.broadcast(probes), "cell")

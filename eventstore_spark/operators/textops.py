@@ -412,7 +412,12 @@ def lm_score(docs: DataFrame, top_v: int | None = 1000,
 def sql_lm_score(top_v: int | None = 1000, table: str = "documents",
                  text_col: str = "text") -> str:
     toks = X.SQL_TOKENS.format(c=text_col)
-    cap = f"QUALIFY row_number() OVER (ORDER BY c DESC, token) <= {top_v}" if top_v else ""
+    # `is not None`, not truthiness: top_v=0 must cap to an empty vocab in
+    # BOTH engines (the Spark side keeps rows with _r <= 0, i.e. none)
+    cap = (
+        f"QUALIFY row_number() OVER (ORDER BY c DESC, token) <= {top_v}"
+        if top_v is not None else ""
+    )
     return f"""
 WITH t AS (
   SELECT doc_id, unnest({toks}) AS token FROM {table}

@@ -89,17 +89,25 @@ class StreamPage:
 def read_stream_page(
     events: DataFrame,
     stream_id: str,
-    from_event_number: int = 0,
+    from_event_number: int | None = None,
     max_count: int = 100,
     backward: bool = False,
 ) -> StreamPage:
     """S2/S3 with full paging metadata. Two scalar aggregates (the page's
     bounds and the stream head) — both pruned single-stream scans; the
-    page DataFrame itself stays lazy for the caller."""
+    page DataFrame itself stays lazy for the caller.
+
+    Backward paging starts from the stream HEAD when
+    ``from_event_number`` is None or -1 (the reference's end-of-stream
+    sentinel, ClientMessage.cs:624); an explicit 0 means the page
+    containing only event 0 — the same convention as
+    ``engine.read_stream``. Forward defaults to 0.
+    """
     if backward:
-        page = read_stream_backward(events, stream_id, from_event_number, max_count)
+        start = None if from_event_number in (None, -1) else from_event_number
+        page = read_stream_backward(events, stream_id, start, max_count)
     else:
-        page = read_stream_forward(events, stream_id, from_event_number, max_count)
+        page = read_stream_forward(events, stream_id, from_event_number or 0, max_count)
     head = events.where(F.col("stream_id") == stream_id).agg(
         F.max("event_number")
     ).first()[0]
