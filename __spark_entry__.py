@@ -662,6 +662,34 @@ def q_chunk_documents(spark, sf):
                               chunk_tokens=30, overlap=8)
 
 
+def q_tpch_q6(spark, sf):
+    """Q6 forecasting-revenue: pure pushed-down filter + global agg over
+    lineitem — zero joins, one partial-agg shuffle of a single row per
+    task. Revenue in exact integer micros; one double division at the
+    end."""
+    li = _table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    agg = li.agg(
+        F.sum(_cents(F.col("l_extendedprice")) * _cents(F.col("l_discount"))).alias("_r"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return agg.select(
+        (F.col("_r").cast("double") / 10_000.0).alias("revenue"), "n_items"
+    )
+
+
+def q_source_mixture(spark, sf):
+    """Temperature-flattened (alpha=0.5) per-source corpus sampling:
+    sqrt-weighted source shares, deterministic md5-bucket gate."""
+    from eventstore_spark.operators import corpus as cp
+
+    return cp.source_mixture(_table(spark, sf, "documents"), target_frac=0.5)
+
+
 def q_langid_eval(spark, sf):
     """Confusion matrix of the n-gram lang-ID heuristic vs the corpus's
     gold `lang` column — classifier-eval over the documents table."""
@@ -936,6 +964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_vocabulary": q_token_vocabulary,
         "lm_score": q_lm_score,
         "langid_eval": q_langid_eval,
+        "tpch_q6": q_tpch_q6,
+        "source_mixture": q_source_mixture,
         "chunk_documents": q_chunk_documents,
         "knn_classify": q_knn_classify,
         "tfidf_keywords": q_tfidf_keywords,
@@ -1289,9 +1319,17 @@ FROM f
     sqls["token_vocabulary"] = textops.sql_token_vocabulary(k=100)
     sqls["lm_score"] = textops.sql_lm_score(top_v=1000)
     sqls["langid_eval"] = textops.sql_langid_eval()
+    sqls["tpch_q6"] = f"""
+SELECT CAST(sum({lic['ep']} * {lic['d']}) AS DOUBLE) / 10000.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
     from eventstore_spark.operators import corpus as _cp
 
     sqls["chunk_documents"] = _cp.sql_chunk_documents(chunk_tokens=30, overlap=8)
+    sqls["source_mixture"] = _cp.sql_source_mixture(target_frac=0.5)
     sqls["knn_classify"] = sim.sql_knn_classify(KNN_PROBE_IDS, k=5)
     sqls["tfidf_keywords"] = textops.sql_tfidf_keywords(k=5)
     sqls["stratified_sample"] = textops.sql_stratified_sample(

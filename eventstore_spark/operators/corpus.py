@@ -399,3 +399,92 @@ SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        array_to_string(toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {chunk_tokens}], ' ') AS chunk_text
 FROM e
 """
+
+
+def source_mixture(docs: DataFrame, target_frac: float = 0.5,
+                   salt: str = "mix-v1", source_col: str = "source",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Temperature-flattened source mixing (the multilingual/multi-source
+    sampling rule, alpha = 0.5): each source's share of the sampled corpus
+    is proportional to sqrt(n_source), which up-weights small sources
+    relative to raw proportional sampling — then docs are gated by the
+    same deterministic md5-bucket scheme as ``stratified_sample``.
+
+    Determinism: sqrt runs once per SOURCE and is rounded to integer
+    micros; the share/total sums are exact BIGINT; the final per-source
+    rate is one identical double expression in both engines. The
+    per-source rate table is tiny (|sources| rows — the unpartitioned
+    window over it is a few rows, not a corpus sort) and broadcasts into
+    the gate join.
+
+    Returns surviving (doc_id, source, bucket, rate_pct).
+    """
+    counts = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy()
+    rates = (
+        counts.withColumn(
+            "_sq", F.round(F.sqrt(F.col("n")) * 1e6).cast("long")
+        )
+        .withColumn("_tot_sq", F.sum("_sq").over(w))
+        .withColumn("_tot_n", F.sum("n").over(w))
+        .select(
+            "source",
+            F.least(
+                F.lit(100),
+                F.greatest(
+                    F.lit(0),
+                    F.round(
+                        F.lit(100.0) * F.lit(float(target_frac))
+                        * F.col("_tot_n").cast("double")
+                        * (F.col("_sq").cast("double") / F.col("_tot_sq").cast("double"))
+                        / F.col("n").cast("double")
+                    ).cast("long"),
+                ),
+            ).alias("rate_pct"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "|"),
+                                       F.col(id_col).cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % 100
+    )
+    gated = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        bucket.alias("bucket"),
+    ).join(F.broadcast(rates), "source")
+    return gated.where(F.col("bucket") < F.col("rate_pct")).select(
+        "doc_id", "source", "bucket", "rate_pct"
+    )
+
+
+def sql_source_mixture(target_frac: float = 0.5, salt: str = "mix-v1",
+                       table: str = "documents", source_col: str = "source",
+                       id_col: str = "doc_id") -> str:
+    return f"""
+WITH counts AS (
+  SELECT {source_col} AS source, CAST(count(*) AS BIGINT) AS n
+  FROM {table} GROUP BY {source_col}
+), sq AS (
+  SELECT source, n, CAST(round(sqrt(n) * 1e6) AS BIGINT) AS sqm FROM counts
+), rates AS (
+  SELECT source,
+         least(100, greatest(0, CAST(round(
+           100.0 * {float(target_frac)!r} * CAST(sum(n) OVER () AS DOUBLE)
+           * (CAST(sqm AS DOUBLE) / CAST(sum(sqm) OVER () AS DOUBLE))
+           / CAST(n AS DOUBLE)
+         ) AS BIGINT))) AS rate_pct
+  FROM sq
+), gated AS (
+  SELECT {id_col} AS doc_id, {source_col} AS source,
+         CAST('0x' || substr(md5('{salt}|' || CAST({id_col} AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+  FROM {table}
+)
+SELECT g.doc_id, g.source, g.bucket, r.rate_pct
+FROM gated g JOIN rates r USING (source)
+WHERE g.bucket < r.rate_pct
+"""

@@ -393,3 +393,20 @@ def test_ivf_index_matches_batch_and_prunes_partitions(spark, vectors, tmp_path_
     # the isin filter must actually restrict cells (nprobe=2 of 4 per
     # query -> at most 4 distinct probed cells, typically fewer)
     assert "cell" in plan
+
+
+def test_source_mixture_flattens_skew(spark):
+    """Temperature sampling (alpha=0.5) must up-sample small sources
+    relative to large ones while landing near the target total."""
+    from eventstore_spark.operators.corpus import source_mixture
+
+    rows = [(i, "text", "big" if i < 900 else "small") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = source_mixture(docs, target_frac=0.5).collect()
+    n_big = sum(1 for r in out if r.source == "big")
+    n_small = sum(1 for r in out if r.source == "small")
+    assert n_small / 100 > n_big / 900
+    assert 0.3 < (n_big + n_small) / 1000 < 0.7
+    # deterministic: same inputs, same sample
+    again = source_mixture(docs, target_frac=0.5).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in out}
