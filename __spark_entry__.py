@@ -682,6 +682,15 @@ def q_tpch_q6(spark, sf):
     )
 
 
+def q_contamination_exact(spark, sf):
+    """Verbatim-fragment decontamination: corpus docs containing a
+    benchmark doc's leading 40 normalized chars verbatim."""
+    from eventstore_spark.operators import corpus as cp
+
+    return cp.contamination_exact(_table(spark, sf, "documents"),
+                                  bench_max_id=20, needle_chars=40)
+
+
 def q_source_mixture(spark, sf):
     """Temperature-flattened (alpha=0.5) per-source corpus sampling:
     sqrt-weighted source shares, deterministic md5-bucket gate."""
@@ -966,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_eval": q_langid_eval,
         "tpch_q6": q_tpch_q6,
         "source_mixture": q_source_mixture,
+        "contamination_exact": q_contamination_exact,
         "chunk_documents": q_chunk_documents,
         "knn_classify": q_knn_classify,
         "tfidf_keywords": q_tfidf_keywords,
@@ -1330,6 +1340,7 @@ WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
 
     sqls["chunk_documents"] = _cp.sql_chunk_documents(chunk_tokens=30, overlap=8)
     sqls["source_mixture"] = _cp.sql_source_mixture(target_frac=0.5)
+    sqls["contamination_exact"] = _cp.sql_contamination_exact(bench_max_id=20, needle_chars=40)
     sqls["knn_classify"] = sim.sql_knn_classify(KNN_PROBE_IDS, k=5)
     sqls["tfidf_keywords"] = textops.sql_tfidf_keywords(k=5)
     sqls["stratified_sample"] = textops.sql_stratified_sample(

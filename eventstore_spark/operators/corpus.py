@@ -488,3 +488,56 @@ SELECT g.doc_id, g.source, g.bucket, r.rate_pct
 FROM gated g JOIN rates r USING (source)
 WHERE g.bucket < r.rate_pct
 """
+
+
+def contamination_exact(docs: DataFrame, bench_max_id: int = 20,
+                        needle_chars: int = 40, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Verbatim-fragment decontamination — the strictest rule: a corpus
+    document is contaminated if a benchmark document's leading
+    ``needle_chars`` characters (normalized) appear ANYWHERE inside it
+    verbatim. Complements ``contamination_overlap`` (fuzzy n-gram
+    overlap): overlap catches paraphrase-level leakage, this catches the
+    copy-paste case with zero false positives.
+
+    The benchmark side is bounded and broadcasts; the containment scan is
+    one `contains` pass of the corpus against the broadcast needles —
+    the intentional bounded-build nested-loop family (same allowlisted
+    shape as the ANN probes). Returns (doc_id, bench_id).
+    """
+    normed = spread(docs).select(
+        F.col(id_col).alias("doc_id"), X.normalize(F.col(text_col)).alias("_norm")
+    )
+    bench = (
+        normed.where(F.col("doc_id") < bench_max_id)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.substring("_norm", 1, needle_chars).alias("_needle"),
+        )
+        .where(F.length("_needle") >= needle_chars)
+    )
+    corpus = normed.where(F.col("doc_id") >= bench_max_id)
+    return (
+        corpus.join(
+            F.broadcast(bench), F.contains(F.col("_norm"), F.col("_needle"))
+        )
+        .select("doc_id", "bench_id")
+    )
+
+
+def sql_contamination_exact(bench_max_id: int = 20, needle_chars: int = 40,
+                            table: str = "documents",
+                            text_col: str = "text") -> str:
+    norm = X.SQL_NORMALIZE.format(c=text_col)
+    return f"""
+WITH normed AS (
+  SELECT doc_id, {norm} AS norm FROM {table}
+), bench AS (
+  SELECT doc_id AS bench_id, substr(norm, 1, {needle_chars}) AS needle
+  FROM normed WHERE doc_id < {bench_max_id}
+    AND length(substr(norm, 1, {needle_chars})) >= {needle_chars}
+)
+SELECT c.doc_id, b.bench_id
+FROM normed c JOIN bench b ON contains(c.norm, b.needle)
+WHERE c.doc_id >= {bench_max_id}
+"""

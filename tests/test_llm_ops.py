@@ -410,3 +410,24 @@ def test_source_mixture_flattens_skew(spark):
     # deterministic: same inputs, same sample
     again = source_mixture(docs, target_frac=0.5).collect()
     assert {r.doc_id for r in again} == {r.doc_id for r in out}
+
+
+def test_contamination_exact_finds_verbatim_fragments(spark):
+    """A corpus doc embedding a benchmark doc's opening verbatim is
+    flagged; paraphrases and unrelated docs are not (zero false
+    positives is the operator's contract)."""
+    from eventstore_spark.operators.corpus import contamination_exact
+
+    bench_text = "the benchmark question asks about the capital of france and its rivers"
+    rows = [
+        (0, bench_text, "en", "s", 70),
+        (100, "prefix text " + bench_text + " suffix text", "en", "s", 90),  # verbatim embed
+        (101, "the benchmark QUERY asks about the capital of france and its rivers", "en", "s", 60),  # diverges inside the 40-char needle
+        (102, "totally unrelated document about spark physical plans", "en", "s", 50),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    hits = {(r.doc_id, r.bench_id) for r in
+            contamination_exact(docs, bench_max_id=20, needle_chars=40).collect()}
+    assert hits == {(100, 0)}, hits

@@ -193,6 +193,8 @@ def test_no_accidental_cartesian_in_any_query(spark):
     bnlj_ok = {
         "ann_bruteforce", "ann_lsh", "rag_retrieve", "knn_classify",
         "lm_score", "tfidf_keywords",
+        # bounded benchmark needles broadcast into a contains() scan
+        "contamination_exact",
     }
     offenders = {}
     for name, fn in sorted(entry.queries().items()):
