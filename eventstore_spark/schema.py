@@ -101,12 +101,19 @@ def envelope_from_app_events(raw: DataFrame) -> DataFrame:
     """Map driver ``events.parquet`` (event_id, ts, user_id, event_type,
     value, props) into the canonical envelope, deterministically.
 
-    ``ts`` arrives as raw nanos (LongType, via nanosAsLong); truncate to µs
-    exactly as DuckDB does when reading TIMESTAMP(NANOS) parquet, and ORDER
-    BY the truncated value so row_number tie-breaks match the oracle.
+    ``ts`` arrives either as raw nanos (LongType, via nanosAsLong — older
+    driver data stored TIMESTAMP(NANOS)) or as a native µs timestamp
+    (current driver data). Normalize to a µs TIMESTAMP exactly as DuckDB
+    reads the same parquet, and ORDER BY the normalized value so
+    row_number tie-breaks match the oracle.
     """
-    ts_us = F.expr("ts div 1000")
-    raw = raw.withColumn("_created", F.timestamp_micros(ts_us))
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        raw = raw.withColumn("_created", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # TIMESTAMP or TIMESTAMP_NTZ; session TZ is UTC so the cast is the
+        # identity on the stored µs value, matching DuckDB's naive read.
+        raw = raw.withColumn("_created", F.col("ts").cast("timestamp"))
     w_stream = Window.partitionBy("user_id").orderBy("_created", "event_id")
     w_all = Window.orderBy("_created", "event_id")
     return raw.select(
@@ -235,8 +242,10 @@ def load_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         st = os.stat(src)
+        # mtime at ns resolution: a rewrite within the same second with an
+        # identical size must not serve a stale cached envelope.
         key = "{}-{}-{}".format(
-            os.path.basename(os.path.normpath(sf_dir)), int(st.st_mtime), st.st_size
+            os.path.basename(os.path.normpath(sf_dir)), st.st_mtime_ns, st.st_size
         )
         dest = os.path.join(_ENVELOPE_CACHE_ROOT, key)
         if not os.path.exists(os.path.join(dest, "_SUCCESS")):
