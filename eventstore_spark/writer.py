@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
@@ -131,6 +132,13 @@ class EventLogWriter:
         # $metadata event), lazily read from the metastream; drives
         # soft-delete recreate. Kept current on every metastream append.
         self._meta_cache: dict[str, dict] = {}
+        # AwakeService analog (Services/AwakeReaderService/AwakeService.cs:13):
+        # long-poll readers wait on this condition instead of burning a
+        # Spark job per tick; every committed write notifies. Single-process
+        # scope by design — the engine has ONE writer per store, and a poll
+        # against a store written elsewhere falls back to its timeout.
+        self._commit_cond = threading.Condition()
+        self._commit_epoch = 0
         self._recover()
 
     def _has_files(self) -> bool:
@@ -146,9 +154,15 @@ class EventLogWriter:
     def _stream_state(self, stream_id: str) -> list:
         """[last_event_number, tombstoned] for a stream, loading it from
         the log on first touch via one pruned per-stream scan bounded to
-        the IDEMPOTENCY_WINDOW most recent events."""
+        the IDEMPOTENCY_WINDOW most recent events.
+
+        The cache is only authoritative when the id map is loaded too:
+        ``append_df`` maintains ``_stats`` (numbering) but not ``_ids``
+        (idempotency), so a stream whose ids were invalidated by a bulk
+        append reloads BOTH here — otherwise an idempotent retry through
+        ``append()`` would see an empty id map and dupe or reject."""
         st = self._stats.get(stream_id)
-        if st is not None:
+        if st is not None and stream_id in self._ids:
             return st
         rows = []
         if self._has_files():
@@ -354,9 +368,25 @@ class EventLogWriter:
             )
         b = b.cache()
         try:
-            counts = b.groupBy("stream_id").count().collect()
+            # one job yields per-stream counts AND the size guard: the
+            # single-event path validates MAX_RECORD_SIZE (TFConsts parity)
+            # in _validate_sizes; the bulk path must enforce the same bound
+            # or projection emissions could commit unreadably large rows.
+            counts = b.groupBy("stream_id").agg(
+                F.count(F.lit(1)).alias("count"),
+                F.max(
+                    F.coalesce(F.octet_length("data"), F.lit(0))
+                    + F.coalesce(F.octet_length("metadata"), F.lit(0))
+                ).alias("max_size"),
+            ).collect()
             if not counts:
                 return
+            oversized = [r for r in counts if int(r["max_size"] or 0) > MAX_RECORD_SIZE]
+            if oversized:
+                raise RecordTooLargeError(
+                    "bulk append contains events over MAX_RECORD_SIZE in streams: "
+                    + ", ".join(sorted(r["stream_id"] for r in oversized)[:5])
+                )
             touched = sorted(r["stream_id"] for r in counts)
             # one batched job fills last-event-number for cold streams
             missing = [s for s in touched if s not in self._stats]
@@ -417,6 +447,12 @@ class EventLogWriter:
             self._last_position = new_last
             for sid, en_base, _pos in alloc:
                 self._stats[sid][0] = en_base + by_stream[sid]
+                # the bulk path doesn't know which event_ids landed per
+                # stream (collecting them would be one row per EVENT);
+                # invalidate the id map so the next append() reloads it
+                # from the log and idempotent retries keep working.
+                self._ids.pop(sid, None)
+            self._notify_commit()
         finally:
             b.unpersist()
 
@@ -455,6 +491,27 @@ class EventLogWriter:
         tmp = os.path.join(self.path, "." + name + ".tmp")
         pq.write_table(table, tmp, compression="snappy")
         os.rename(tmp, os.path.join(self.path, name))
+        self._notify_commit()
+
+    # -- commit wake-ups (U3 long-poll support) --
+    def _notify_commit(self) -> None:
+        with self._commit_cond:
+            self._commit_epoch += 1
+            self._commit_cond.notify_all()
+
+    def commit_epoch(self) -> int:
+        """Monotone counter of committed writes through this writer."""
+        with self._commit_cond:
+            return self._commit_epoch
+
+    def wait_for_commit(self, seen_epoch: int, timeout_s: float) -> int:
+        """Block until a commit after ``seen_epoch`` lands or the timeout
+        elapses; returns the current epoch (== ``seen_epoch`` on timeout)."""
+        with self._commit_cond:
+            self._commit_cond.wait_for(
+                lambda: self._commit_epoch > seen_epoch, timeout=timeout_s
+            )
+            return self._commit_epoch
 
     # -- delete surface (S8) --
     def soft_delete(self, stream_id: str, metadata_writer=None) -> None:
