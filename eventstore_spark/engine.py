@@ -13,7 +13,9 @@ single-writer protocol, projections are registered specs executed batch
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+import os
+import shutil
+from dataclasses import dataclass
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,9 +51,6 @@ class _ManagedProjection:
     last_result: ProjectionResult | None = None
     runs: int = 0
     query: object = None  # StreamingQuery when continuous
-    # continuous mode: partition -> (state JSON, last position), updated
-    # by the foreachBatch sink (state-table stand-in)
-    state_snapshot: dict = field(default_factory=dict)
 
 
 class EventStoreEngine:
@@ -297,10 +296,17 @@ class EventStoreEngine:
     def reset_projection(self, name: str) -> None:
         self.projections[name].last_result = None
         self.projections[name].runs = 0
+        self._drop_projection_state(name)
 
     def delete_projection(self, name: str) -> None:
         self.disable_projection(name)
         del self.projections[name]
+        self._drop_projection_state(name)
+
+    def _drop_projection_state(self, name: str) -> None:
+        d = os.path.join(self.path, "_projections", name)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
 
     def run_projection(self, name: str, checkpoint_dir: str | None = None):
         """Run a managed projection: onetime/transient → batch result;
@@ -311,30 +317,45 @@ class EventStoreEngine:
         mp.runs += 1
         if mp.mode == "continuous":
             out = run_continuous(mp.spec, self.subscribe())
-            snapshot: dict[str, tuple] = {}
-            mp.state_snapshot = snapshot
+            state_dir = self._projection_state_dir(name)
+            if checkpoint_dir is None and os.path.isdir(state_dir):
+                # no streaming checkpoint → batch ids restart at 0, so a
+                # stale table from a previous run would win latest-batch
+                # ties; a fresh transient run starts from an empty table
+                shutil.rmtree(state_dir)
 
             def sink(batch_df, batch_id):
                 # emissions append DISTRIBUTED into the log (exactly-once
-                # via deterministic ids + the writer's anti-join); only the
-                # per-partition state deltas are collected (bounded by the
-                # partitions a micro-batch touched — at warehouse scale
-                # this MERGEs into a state table instead).
-                self.writer.append_df(
-                    batch_df.where(F.col("kind").isin("emit", "link")).select(
-                        F.col("emit_stream").alias("stream_id"),
-                        F.col("emit_event_type").alias("event_type"),
-                        F.col("emit_data").alias("data"),
-                        F.col("emit_metadata").alias("metadata"),
-                        F.col("emit_event_id").alias("event_id"),
-                        # emissions replay in fold order (source pos, seq)
-                        "source_log_position", "emit_seq",
+                # via deterministic ids + the writer's anti-join); the
+                # per-partition state deltas land DISTRIBUTED in a parquet
+                # state table — one `batch=<id>` generation per micro-batch
+                # (an LSM delta; the reference persists partition state via
+                # ProjectionCheckpoint.cs:19,83 + DefaultCheckpointManager).
+                # `mode("overwrite")` on the generation dir makes a replayed
+                # micro-batch (restart from checkpoint) idempotent. Nothing
+                # is ever collect()ed to the driver, so a foreachStream
+                # projection over millions of streams stays executor-bound.
+                batch_df.persist()
+                try:
+                    self.writer.append_df(
+                        batch_df.where(F.col("kind").isin("emit", "link")).select(
+                            F.col("emit_stream").alias("stream_id"),
+                            F.col("emit_event_type").alias("event_type"),
+                            F.col("emit_data").alias("data"),
+                            F.col("emit_metadata").alias("metadata"),
+                            F.col("emit_event_id").alias("event_id"),
+                            # emissions replay in fold order (source pos, seq)
+                            "source_log_position", "emit_seq",
+                        )
                     )
-                )
-                for r in batch_df.where(F.col("kind") == "state").select(
-                    "partition", "state", "source_log_position"
-                ).collect():
-                    snapshot[r["partition"]] = (r["state"], r["source_log_position"])
+                    (
+                        batch_df.where(F.col("kind") == "state")
+                        .select("partition", "state", "source_log_position")
+                        .write.mode("overwrite")
+                        .parquet(os.path.join(state_dir, f"batch={batch_id}"))
+                    )
+                finally:
+                    batch_df.unpersist()
 
             w = out.writeStream.outputMode("update").foreachBatch(sink)
             if checkpoint_dir:
@@ -386,21 +407,40 @@ class EventStoreEngine:
         )
         return mp.last_result
 
+    def _projection_state_dir(self, name: str) -> str:
+        # underscore prefix → invisible to Spark's file listing of the log
+        # dir, so the state table lives inside the store without polluting
+        # the event feed
+        return os.path.join(self.path, "_projections", name, "state")
+
     def projection_state(self, name: str, partition: str | None = None) -> DataFrame:
         mp = self.projections[name]
-        if mp.mode == "continuous" and mp.query is not None:
-            # copy first: the foreachBatch thread mutates the snapshot
-            # concurrently (dict() is atomic under the GIL; iterating the
-            # live dict can raise "changed size during iteration")
-            rows = [
-                (p, s, pos) for p, (s, pos) in sorted(dict(mp.state_snapshot).items())
-            ]
-            df = self.spark.createDataFrame(
-                rows or [(None, None, None)],
-                "partition string, state string, last_position long",
+        if mp.mode == "continuous":
+            # read the LSM state table: per-micro-batch `batch=<id>` delta
+            # generations, latest generation wins per partition. The merge
+            # is one hash exchange on the partition key — the same read a
+            # Delta MERGE target would need; a periodic compaction
+            # (compact_projection_state) folds the deltas into one base.
+            state_dir = self._projection_state_dir(name)
+            if not os.path.isdir(state_dir):
+                raise RuntimeError(f"projection '{name}' has not run")
+            from pyspark.sql.window import Window
+
+            raw = self.spark.read.schema(
+                "partition string, state string, source_log_position long, "
+                "batch long"
+            ).parquet(state_dir)
+            w = Window.partitionBy("partition").orderBy(
+                F.col("batch").desc(), F.col("source_log_position").desc()
             )
-            if not rows:
-                df = df.where(F.lit(False))
+            df = (
+                raw.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select(
+                    "partition", "state",
+                    F.col("source_log_position").alias("last_position"),
+                )
+            )
         else:
             if mp.last_result is None:
                 raise RuntimeError(f"projection '{name}' has not run")
@@ -408,6 +448,40 @@ class EventStoreEngine:
         if partition is not None:
             df = df.where(F.col("partition") == partition)
         return df
+
+    def compact_projection_state(self, name: str) -> dict:
+        """Fold the continuous-state table's per-micro-batch delta
+        generations into a single base generation (``batch=-1``) so the
+        latest-wins read stays O(base + recent deltas) as the projection
+        runs for months — the LSM compaction the reference's checkpoint
+        manager performs when it rewrites the projection-checkpoint stream
+        (DefaultCheckpointManager.cs). ``batch=-1`` sorts below every real
+        micro-batch id, so a delta replayed from the streaming checkpoint
+        after compaction still wins over the base — compaction can never
+        mask newer state. Invariant: run with the projection stopped
+        (``disable_projection``), same single-maintainer rule as scavenge.
+        """
+        mp = self.projections[name]
+        if mp.query is not None and mp.query.isActive:
+            raise RuntimeError(f"stop projection '{name}' before compacting")
+        state_dir = self._projection_state_dir(name)
+        if not os.path.isdir(state_dir):
+            return {"generations_before": 0, "generations_after": 0}
+        gens = [d for d in os.listdir(state_dir) if d.startswith("batch=")]
+        latest = self.projection_state(name).select(
+            "partition", "state",
+            F.col("last_position").alias("source_log_position"),
+        )
+        staging = os.path.join(
+            os.path.dirname(state_dir), ".compact_state_tmp"
+        )
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        latest.write.mode("overwrite").parquet(staging)
+        for d in gens:
+            shutil.rmtree(os.path.join(state_dir, d))
+        os.rename(staging, os.path.join(state_dir, "batch=-1"))
+        return {"generations_before": len(gens), "generations_after": 1}
 
     def projection_statistics(self) -> list[dict]:
         return [

@@ -277,6 +277,79 @@ def test_continuous_projection_emits_to_log(spark, log, tmp_path):
         q.stop()
 
 
+def test_continuous_state_table_scale_and_restart(spark, tmp_path):
+    """The continuous state sink is a parquet state table, not a driver
+    dict: a foreachStream projection over 10k partitions lands its state
+    distributed, the table is readable after the query stops, state
+    survives a restart from the streaming checkpoint, and compaction folds
+    the per-batch delta generations into one base without losing state."""
+    from pyspark.sql import functions as F
+
+    from eventstore_spark.engine import EventStoreEngine
+
+    path = str(tmp_path / "biglog")
+    w = EventLogWriter(spark, path)
+    n = 10_000
+    rows = spark.range(n).select(
+        F.concat(F.lit("acct-"), F.col("id")).alias("stream_id"),
+        F.lit("Deposited").alias("event_type"),
+        F.concat(F.lit('{"amount": '), F.col("id") % 7, F.lit("}")).alias("data"),
+        F.lit(None).cast("string").alias("metadata"),
+        F.concat(F.lit("e-"), F.col("id")).alias("event_id"),
+    )
+    w.append_df(rows)
+
+    eng = EventStoreEngine(spark, path)
+    spec = (
+        Projection.from_category("acct", name="bigbal")
+        .foreach_stream()
+        .when({
+            "$init": lambda: {"n": 0, "sum": 0},
+            "Deposited": lambda s, e: {
+                "n": s["n"] + 1, "sum": s["sum"] + e["body"]["amount"],
+            },
+        })
+    )
+    eng.create_projection(spec, mode="continuous")
+    ck = str(tmp_path / "bigck")
+    q = eng.run_projection("bigbal", checkpoint_dir=ck)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    st = eng.projection_state("bigbal")
+    assert st.count() == n
+    assert json.loads(
+        st.where(F.col("partition") == "acct-8").first().state
+    ) == {"n": 1, "sum": 1}
+    # the state lives on disk (readable with the query stopped), under a
+    # Spark-hidden dir inside the store
+    assert (tmp_path / "biglog" / "_projections" / "bigbal" / "state").is_dir()
+
+    # restart from the SAME checkpoint: new events fold onto restored state
+    w.append("acct-8", [ProposedEvent("Deposited", '{"amount": 100}')])
+    q2 = eng.run_projection("bigbal", checkpoint_dir=ck)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    st2 = eng.projection_state("bigbal")
+    assert st2.count() == n
+    assert json.loads(
+        st2.where(F.col("partition") == "acct-8").first().state
+    ) == {"n": 2, "sum": 101}
+
+    # compaction: delta generations fold into one base, state intact
+    res = eng.compact_projection_state("bigbal")
+    assert res["generations_after"] == 1
+    st3 = eng.projection_state("bigbal")
+    assert st3.count() == n
+    assert json.loads(
+        st3.where(F.col("partition") == "acct-8").first().state
+    ) == {"n": 2, "sum": 101}
+
+
 def test_continuous_fold_order_across_arrow_chunks(spark, tmp_path):
     """An order-SENSITIVE fold must replay in log order even when one
     group's micro-batch data spans multiple Arrow chunks (chunks arrive
