@@ -195,14 +195,24 @@ class EventStoreEngine:
                     max_count: int | None = None, timeout_s: float = 5.0,
                     interval_s: float = 0.25) -> DataFrame:
         """U3 long-poll read: block up to ``timeout_s`` until the stream
-        has events at/after ``from_event_number``, then return them
-        (StorageReaderWorker.cs:134-137 parks the read in AwakeService
-        until a commit touches the stream; here the writer's parquet head
-        is polled — one pruned scalar aggregate per tick)."""
+        has events at/after ``from_event_number``, then return them.
+
+        The read PARKS on the writer's commit condition
+        (``writer.wait_for_commit`` — the AwakeService analog,
+        AwakeService.cs:13; StorageReaderWorker.cs:134-137 parks reads
+        there until a commit lands) and re-runs the pruned head scan only
+        after a commit. While idle, ZERO Spark jobs run: an append through
+        this engine's writer wakes the poll within milliseconds via the
+        condition; appends from a FOREIGN process are detected by the
+        file-set signature (one os.listdir per ``interval_s``)."""
         import time as _time
 
         deadline = _time.monotonic() + timeout_s
         while True:
+            # capture the commit epoch and file signature BEFORE scanning,
+            # so a commit that lands mid-scan is never missed
+            epoch = self.writer.commit_epoch()
+            sig = self.writer.log_signature()
             head = (
                 self.events()
                 .where(F.col("stream_id") == stream_id)
@@ -213,7 +223,12 @@ class EventStoreEngine:
                 return self.read_stream(stream_id, from_event_number, max_count)
             if _time.monotonic() >= deadline:
                 return self.read_stream(stream_id, from_event_number, max_count)
-            _time.sleep(interval_s)
+            while _time.monotonic() < deadline:
+                new = self.writer.wait_for_commit(
+                    epoch, min(interval_s, deadline - _time.monotonic())
+                )
+                if new > epoch or self.writer.log_signature() != sig:
+                    break  # a commit landed → rescan via the outer loop
 
     def read_all_page(self, from_position: int = 0, max_count: int = 500,
                       event_filter: EventFilter | None = None,

@@ -513,6 +513,16 @@ class EventLogWriter:
             )
             return self._commit_epoch
 
+    def log_signature(self) -> frozenset:
+        """Cheap change detector for logs written by ANOTHER process (no
+        in-process commit notify): the set of committed parquet file names.
+        One os.listdir — never a Spark job."""
+        try:
+            names = os.listdir(self.path)
+        except FileNotFoundError:
+            return frozenset()
+        return frozenset(n for n in names if n.endswith(".parquet"))
+
     # -- delete surface (S8) --
     def soft_delete(self, stream_id: str, metadata_writer=None) -> None:
         """Soft delete = set $tb to MAX_LONG via the metastream

@@ -237,6 +237,52 @@ def test_long_poll_read(engine):
     assert _t.monotonic() - t0 >= 0.9
 
 
+def test_long_poll_parks_on_commit_condition(engine):
+    """The poll parks on the writer's commit condition (AwakeService
+    analog), not a timed re-scan loop: with interval_s far larger than
+    the append delay, an append from another thread still wakes it
+    immediately, and the parked window launches ZERO Spark jobs
+    (asserted via the calling thread's job group)."""
+    import threading
+    import time as _t
+
+    sc = engine.spark.sparkContext
+
+    def later():
+        _t.sleep(1.0)
+        engine.append("account-1", [ProposedEvent("Deposited", '{"amount": 8}')])
+
+    th = threading.Thread(target=later)
+    sc.setJobGroup("longpoll", "long-poll wake test")
+    try:
+        t0 = _t.monotonic()
+        th.start()
+        got = engine.poll_stream(
+            "account-1", 2, timeout_s=60, interval_s=30
+        ).collect()
+        elapsed = _t.monotonic() - t0
+    finally:
+        th.join()
+    assert [r.event_number for r in got] == [2]
+    # condition wake: far sooner than interval_s (30) / timeout_s (60) —
+    # ~1 s append delay + two pruned head scans + the final read
+    assert elapsed < 15
+
+    # zero Spark jobs while parked: a poll that parks 3× longer must
+    # launch EXACTLY as many jobs (head scan at entry + head scan at the
+    # deadline — nothing in between; the old loop re-scanned every tick)
+    def jobs_for(group, timeout_s):
+        sc.setJobGroup(group, group)
+        try:
+            engine.poll_stream("account-1", 99, timeout_s=timeout_s,
+                               interval_s=30)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    assert jobs_for("lp_short", 2.0) == jobs_for("lp_long", 6.0) > 0
+
+
 def test_register_views_sql_surface(engine, spark):
     """SQL over the store: the engine's surfaces as temp views."""
     from eventstore_spark.projections.dsl import Projection

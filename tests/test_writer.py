@@ -37,6 +37,39 @@ def test_expected_version_checks(log):
     log.append("s-1", [ProposedEvent("C")], expected_version=STREAM_EXISTS)
 
 
+def test_wait_for_commit_semantics(log):
+    """Direct unit coverage of the commit condition (U3 wakeups):
+    timeout returns the seen epoch after ~timeout; a commit from another
+    thread wakes a parked waiter within the <100 ms contract (generous
+    scheduling slack in the assert)."""
+    import threading
+    import time as _t
+
+    e0 = log.commit_epoch()
+    t0 = _t.monotonic()
+    assert log.wait_for_commit(e0, 0.3) == e0  # no commit → timeout
+    assert _t.monotonic() - t0 >= 0.25
+
+    woke = {}
+
+    def waiter():
+        woke["epoch"] = log.wait_for_commit(e0, 30.0)
+        woke["at"] = _t.monotonic()
+
+    th = threading.Thread(target=waiter)
+    th.start()
+    _t.sleep(0.2)  # let the waiter park
+    log.append("wc-1", [ProposedEvent("E", "{}")])
+    append_done = _t.monotonic()
+    th.join(10)
+    assert woke["epoch"] > e0
+    # notify fires inside append(); the waiter must beat the 30 s timeout
+    # by orders of magnitude
+    assert woke["at"] <= append_done + 0.5
+    # epoch is monotone and visible to a fresh reader of the counter
+    assert log.commit_epoch() == woke["epoch"]
+
+
 def test_idempotent_replay(log):
     evs = [ProposedEvent("A", event_id="e1"), ProposedEvent("B", event_id="e2")]
     last1 = log.append("s-1", evs, expected_version=NO_STREAM)
