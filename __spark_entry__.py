@@ -926,7 +926,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order = the driver's sampling order. Queries that have not
+    # yet had a driver-side CORRECTNESS row come FIRST so every declared
+    # operator accumulates at least one driver-green row across rounds
+    # (r1–r3 sampled the first 50; these 22 were always past the cut).
     return {
+        "knn_classify": q_knn_classify,
+        "tfidf_keywords": q_tfidf_keywords,
+        "stratified_sample": q_stratified_sample,
+        "select_corpus": q_select_corpus,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "corpus_stats": q_corpus_stats,
+        "repetition_profile": q_repetition_profile,
+        "pii_redact": q_pii_redact,
+        "pack_shards": q_pack_shards,
+        "contamination_overlap": q_contamination_overlap,
+        "cluster_survivors": q_cluster_survivors,
+        "token_stats": q_token_stats,
+        "doc_fingerprint_rolling": q_doc_fingerprint_rolling,
+        "multimodal_features": q_multimodal_features,
+        "media_dedup": q_media_dedup,
+        "media_frames": q_media_frames,
+        "media_chunks": q_media_chunks,
+        "ann_bruteforce": q_ann_bruteforce,
+        "rag_retrieve": q_rag_retrieve,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "embedding_neardup": q_embedding_neardup,
         "s1_read_event": q_s1_read_event,
         "s1_read_event_last": q_s1_read_event_last,
         "s2_read_stream_forward": q_s2_read_stream_forward,
@@ -977,28 +1003,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture": q_source_mixture,
         "contamination_exact": q_contamination_exact,
         "chunk_documents": q_chunk_documents,
-        "knn_classify": q_knn_classify,
-        "tfidf_keywords": q_tfidf_keywords,
-        "stratified_sample": q_stratified_sample,
-        "select_corpus": q_select_corpus,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "corpus_stats": q_corpus_stats,
-        "repetition_profile": q_repetition_profile,
-        "pii_redact": q_pii_redact,
-        "pack_shards": q_pack_shards,
-        "contamination_overlap": q_contamination_overlap,
-        "cluster_survivors": q_cluster_survivors,
-        "token_stats": q_token_stats,
-        "doc_fingerprint_rolling": q_doc_fingerprint_rolling,
-        "multimodal_features": q_multimodal_features,
-        "media_dedup": q_media_dedup,
-        "media_frames": q_media_frames,
-        "media_chunks": q_media_chunks,
-        "ann_bruteforce": q_ann_bruteforce,
-        "rag_retrieve": q_rag_retrieve,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "embedding_neardup": q_embedding_neardup,
     }
 
 
