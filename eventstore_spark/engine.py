@@ -289,9 +289,11 @@ class EventStoreEngine:
 
     def persistent_subscription(self, group: str, stream_id: str | None = None,
                                 settings: PersistentSubscriptionSettings | None = None,
-                                checkpoint_dir: str | None = None) -> PersistentSubscription:
+                                checkpoint_dir: str | None = None,
+                                event_filter: EventFilter | None = None) -> PersistentSubscription:
         return PersistentSubscription(
-            self.events(), group, stream_id, settings, checkpoint_dir
+            self.events(), group, stream_id, settings, checkpoint_dir,
+            event_filter=event_filter,
         )
 
     # ------------------------------------------------------------ projections

@@ -24,6 +24,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..operators.filters import EventFilter
+
 # NakAction (persistent.proto / PersistentSubscription.cs)
 NAK_RETRY = "retry"
 NAK_PARK = "park"
@@ -66,10 +68,20 @@ class PersistentSubscription:
         settings: PersistentSubscriptionSettings | None = None,
         checkpoint_dir: str | None = None,
         start_from: int = 0,
+        event_filter: EventFilter | None = None,
     ):
+        # server-side filters are a create-time property of $all groups
+        # (persistent.proto:7-15 CreateReq allows a filter only with the
+        # `all` stream option; PersistentSubscriptionParams.cs:10-141)
+        if event_filter is not None and stream_id is not None:
+            raise ValueError(
+                "event_filter is only valid for $all persistent "
+                "subscriptions (stream_id=None)"
+            )
         self.events = events
         self.group = group
         self.stream_id = stream_id
+        self.event_filter = event_filter
         self.settings = settings or PersistentSubscriptionSettings()
         self.checkpoint_dir = checkpoint_dir
         self.consumers: list[str] = []
@@ -129,6 +141,11 @@ class PersistentSubscription:
         src = self.events
         if self.stream_id is not None:
             src = src.where(F.col("stream_id") == self.stream_id)
+        elif self.event_filter is not None:
+            # the filter is a Catalyst predicate, so it rides the pruned
+            # range scan (pushed to parquet) — non-matching events never
+            # enter the delivery buffer and never cost a retry slot
+            src = src.where(self.event_filter.predicate())
         batch = (
             src.where(F.col("log_position") >= self._buffer_head)
             .orderBy("log_position")

@@ -98,6 +98,41 @@ def ps_log(spark, tmp_path):
     return w
 
 
+def test_persistent_subscription_event_filter(spark, tmp_path):
+    """U4 + server-side filter: a filtered $all group only ever buffers,
+    delivers, parks, replays and checkpoint-restores MATCHING events
+    (persistent.proto:7-15: create-time filter on the all option)."""
+    w = EventLogWriter(spark, str(tmp_path / "pflog"))
+    for i in range(5):
+        w.append("mix-1", [ProposedEvent("PayMade", json.dumps({"i": i}))])
+        w.append("mix-1", [ProposedEvent("Noise", json.dumps({"i": i}))])
+    ck = str(tmp_path / "pfck")
+    filt = EventFilter(event_type_prefixes=("Pay",))
+    s = PersistentSubscriptionSettings(checkpoint_after=2, max_retry_count=0)
+    ps = PersistentSubscription(w.load(), "fgrp", None, s, ck, event_filter=filt)
+    ps.add_consumer("c1")
+    got = ps.fetch(now=0.0)["c1"]
+    assert len(got) == 5
+    types = {r.log_position: r.event_type for r in w.load().collect()}
+    assert all(types[p] == "PayMade" for p in got)
+    ps.ack(got[:2])  # checkpoint_after=2 → checkpoint fires
+    ps.nack([got[2]], NAK_PARK)
+    assert ps.parked() == [got[2]]
+    ps.nack([got[3]], NAK_SKIP)
+    assert ps.replay_parked() == 1
+    ps.checkpoint()
+    # restore into a fresh instance with the same create-time filter:
+    # outstanding = the replayed-parked one + the never-acked fifth
+    ps2 = PersistentSubscription(w.load(), "fgrp", None, s, ck, event_filter=filt)
+    ps2.add_consumer("c1")
+    got2 = ps2.fetch(now=1.0)["c1"]
+    assert sorted(got2) == sorted([got[2], got[4]])
+    assert all(types[p] == "PayMade" for p in got2)
+    # filters are an $all-only create option (persistent.proto:7-15)
+    with pytest.raises(ValueError):
+        PersistentSubscription(w.load(), "g2", "mix-1", event_filter=filt)
+
+
 def test_round_robin_delivery_and_ack(spark, ps_log):
     ps = PersistentSubscription(ps_log.load(), "grp", "orders-1",
                                 PersistentSubscriptionSettings(checkpoint_after=3))
