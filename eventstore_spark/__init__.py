@@ -29,6 +29,6 @@ from .writer import (  # noqa: F401
     StreamDeletedError,
     WrongExpectedVersionError,
 )
-from .maintenance import bucket_log, optimize_layout, scavenge  # noqa: F401
+from .maintenance import bucket_log, optimize_layout, scavenge, vacuum  # noqa: F401
 
 __version__ = "0.1.0"

@@ -3,20 +3,29 @@
 Reference: a phased scavenger (Accumulator → Calculator → ChunkExecutor →
 ChunkMerger → IndexExecutor → Cleaner, TransactionLog/Scavenging/
 Scavenger.cs) that removes deleted/truncated/expired events and merges
-chunks, checkpointed and resumable.
+chunks, checkpointed and resumable — and it NEVER invalidates in-flight
+readers: old chunks are unlinked only after the switch-over completes and
+readers drain (Scavenger.cs:19,199).
 
 Columnar translation: scavenge = one declarative anti-visibility DELETE +
-file compaction, expressed as "rewrite the log directory keeping only
-rows that retention still admits", in one Spark job:
+file compaction, expressed as "rewrite the log keeping only rows that
+retention still admits", in one Spark job:
 
   keep = visible user events  ∪  latest $metadata per metastream
        ∪  tombstone markers (so hard-deleted streams stay dead)
 
 log_position values are preserved (the reference scavenger also keeps
 positions stable — readers' checkpoints stay valid). Output is coalesced
-into few files — the ChunkMerger analog. On a transactional table format
-(Delta/Iceberg) this is DELETE + OPTIMIZE; on the plain parquet dir used
-here it's a staged rewrite with an atomic directory swap.
+into few files — the ChunkMerger analog.
+
+Reader safety (round-4): rewrites are MANIFEST commits (see
+``manifest.py``). The compacted files are staged, moved into the log dir
+under fresh names, and published as a new manifest snapshot; the
+superseded files STAY on disk until ``vacuum(path, grace_s)`` removes
+them, so a reader that pinned the previous snapshot never hits
+FileNotFound mid-scan. Single-writer invariant still applies (no
+concurrent appends during the rewrite); live ``readStream`` subscriptions
+should be drained first, as in the reference's chunk switch-over.
 """
 
 from __future__ import annotations
@@ -25,11 +34,41 @@ import os
 import shutil
 import time
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import manifest
+from .manifest import vacuum  # noqa: F401  (public maintenance surface)
 from .operators.retention import visible_events
 from .schema import EVENTS_SCHEMA, METASTREAM_PREFIX
+
+
+def _read_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    """The log's current committed snapshot (manifest-aware, pinned)."""
+    files = manifest.snapshot_files(path)
+    if files is None:
+        return spark.read.schema(EVENTS_SCHEMA).parquet(path)
+    if not files:
+        return spark.createDataFrame([], EVENTS_SCHEMA)
+    return spark.read.schema(EVENTS_SCHEMA).parquet(
+        *[os.path.join(path, f) for f in files]
+    )
+
+
+def _publish_rewrite(path: str, staging: str, tag: str) -> list[str]:
+    """Move staged part files into the log dir under fresh unique names
+    and publish a manifest referencing only them. Superseded files remain
+    on disk for ``vacuum``'s grace window."""
+    gen = int(time.time() * 1000)
+    new_names = []
+    for i, f in enumerate(sorted(os.listdir(staging))):
+        if f.endswith(".parquet"):
+            name = f"part-{tag}-{gen}-{i:05d}.parquet"
+            os.rename(os.path.join(staging, f), os.path.join(path, name))
+            new_names.append(name)
+    manifest.replace_snapshot(path, new_names)
+    shutil.rmtree(staging)
+    return new_names
 
 
 def scavenge(
@@ -40,7 +79,7 @@ def scavenge(
     target_files: int = 8,
 ) -> dict:
     """Run a scavenge over a log directory; returns stats."""
-    df = spark.read.schema(EVENTS_SCHEMA).parquet(path)
+    df = _read_snapshot(spark, path)
     before = df.count()
 
     is_meta = F.col("stream_id").startswith(METASTREAM_PREFIX)
@@ -66,16 +105,13 @@ def scavenge(
     kept.coalesce(target_files).write.mode("overwrite").parquet(staging)
     after = spark.read.schema(EVENTS_SCHEMA).parquet(staging).count()
 
-    # atomic-ish swap (single-writer invariant: no concurrent appends during
-    # scavenge — same constraint as the reference's chunk switch-over)
-    old = path.rstrip("/") + "._scavenged_old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old)
-
-    return {"events_before": before, "events_after": after, "removed": before - after}
+    files = _publish_rewrite(path, staging, "scavenge")
+    return {
+        "events_before": before,
+        "events_after": after,
+        "removed": before - after,
+        "files": len(files),
+    }
 
 
 def bucket_log(
@@ -109,7 +145,7 @@ def bucket_log(
     it lands in the session warehouse. Rewrite-in-full, single-writer
     invariant, like scavenge/optimize_layout.
     """
-    df = spark.read.schema(EVENTS_SCHEMA).parquet(path)
+    df = _read_snapshot(spark, path)
     # pre-repartition on the bucket key so each task writes only its own
     # buckets (without it every task can open `buckets` files at once)
     writer = (
@@ -140,11 +176,10 @@ def optimize_layout(spark: SparkSession, path: str, target_files: int = 8) -> di
     partitions, so each output file covers a contiguous (stream, number)
     range and parquet footer min/max stats prune per-stream reads to a
     couple of files. log_position values are untouched — checkpoints and
-    $all order stay valid. Single-writer invariant: no concurrent appends
-    during the swap (same constraint as scavenge / the reference's chunk
-    switch-over).
+    $all order stay valid. Published as a manifest snapshot; superseded
+    files drain via ``vacuum``.
     """
-    df = spark.read.schema(EVENTS_SCHEMA).parquet(path)
+    df = _read_snapshot(spark, path)
     n = df.count()
     staging = path.rstrip("/") + f"._optimize_{int(time.time() * 1000)}"
     (
@@ -157,11 +192,5 @@ def optimize_layout(spark: SparkSession, path: str, target_files: int = 8) -> di
     if after != n:  # paranoia: never swap in a lossy rewrite
         shutil.rmtree(staging)
         raise RuntimeError(f"optimize_layout row mismatch: {n} -> {after}")
-    old = path.rstrip("/") + "._optimized_old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old)
-    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    files = _publish_rewrite(path, staging, "optimize")
     return {"events": n, "files": len(files)}

@@ -1,0 +1,134 @@
+"""Snapshot manifests — reader-safe commits for the parquet log dir.
+
+Problem (SURVEY §4, reference parity): the reference scavenger is
+checkpointed and never invalidates in-flight readers — chunks are switched
+atomically and old chunks are unlinked only after readers drain
+(TransactionLog/Scavenging/Scavenger.cs:19,199). The previous directory-swap
+scavenge here deleted the old files immediately, so a reader that had
+already resolved its file list could hit FileNotFound mid-scan.
+
+Fix, Delta-style but dependency-free: the log directory carries a
+``_manifest/`` subdir (underscore → invisible to Spark's file listing) of
+numbered JSON snapshots, each listing the parquet files that make up the
+log at that commit. Readers resolve the LATEST manifest at DataFrame
+creation and read those files explicitly — a pinned snapshot. Writers
+append a file and publish manifest N+1; maintenance jobs write replacement
+files and publish a manifest referencing only those, RETAINING the
+superseded files on disk until ``vacuum`` removes files unreferenced by the
+current manifest after a grace period. An in-flight reader therefore always
+finds every file of the snapshot it pinned.
+
+Back-compat: a directory with no ``_manifest/`` behaves exactly as before
+(plain dir listing); the first manifested commit bootstraps the list from
+the directory. At scale the manifest is one small JSON per commit whose
+size tracks the live file count — bounded by ``optimize_layout``
+compaction, the same way Delta relies on OPTIMIZE + checkpointing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+MANIFEST_DIR = "_manifest"
+
+
+def _dir(path: str) -> str:
+    return os.path.join(path, MANIFEST_DIR)
+
+
+def latest(path: str) -> tuple[int, list[str]] | None:
+    """(seq, files) of the newest complete manifest, or None if the log
+    has never published one (plain-directory mode)."""
+    d = _dir(path)
+    if not os.path.isdir(d):
+        return None
+    best = -1
+    for n in os.listdir(d):
+        if n.startswith("manifest-") and n.endswith(".json"):
+            try:
+                best = max(best, int(n[len("manifest-"):-len(".json")]))
+            except ValueError:
+                continue
+    if best < 0:
+        return None
+    with open(os.path.join(d, f"manifest-{best:010d}.json")) as f:
+        return best, json.load(f)["files"]
+
+
+def snapshot_files(path: str) -> list[str] | None:
+    """Current committed file names (relative), or None in plain-dir mode."""
+    cur = latest(path)
+    return None if cur is None else cur[1]
+
+
+def _write(path: str, seq: int, files: list[str]) -> int:
+    d = _dir(path)
+    os.makedirs(d, exist_ok=True)
+    name = f"manifest-{seq:010d}.json"
+    tmp = os.path.join(d, "." + name + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"files": sorted(files)}, f)
+    os.replace(tmp, os.path.join(d, name))  # atomic publish
+    return seq
+
+
+def append_files(path: str, new_files: list[str]) -> int:
+    """Publish manifest N+1 = current snapshot ∪ ``new_files`` (the append
+    commit). Bootstraps from the directory listing on first use — at that
+    point no superseded files can exist, so the listing IS the snapshot."""
+    cur = latest(path)
+    if cur is None:
+        base = {f for f in os.listdir(path) if f.endswith(".parquet")}
+        seq = -1
+    else:
+        seq, files = cur
+        base = set(files)
+    return _write(path, seq + 1, sorted(base | set(new_files)))
+
+
+def replace_snapshot(path: str, files: list[str]) -> int:
+    """Publish manifest N+1 referencing ONLY ``files`` (a maintenance
+    rewrite). Superseded files stay on disk for ``vacuum``."""
+    cur = latest(path)
+    seq = -1 if cur is None else cur[0]
+    return _write(path, seq + 1, sorted(files))
+
+
+def vacuum(path: str, grace_s: float = 0.0) -> dict:
+    """Delete parquet files unreferenced by the CURRENT manifest and older
+    than ``grace_s`` (the reader-drain window), plus superseded manifest
+    files. No-op in plain-dir mode. The grace period is the contract: a
+    reader's pinned snapshot stays valid for at least ``grace_s`` after a
+    maintenance rewrite (reference: old chunks unlinked after switch-over,
+    Scavenger.cs:199)."""
+    cur = latest(path)
+    if cur is None:
+        return {"removed": 0, "manifests_removed": 0}
+    seq, files = cur
+    keep = set(files)
+    cutoff = time.time() - grace_s
+    removed = 0
+    for n in os.listdir(path):
+        if not n.endswith(".parquet") or n in keep:
+            continue
+        full = os.path.join(path, n)
+        try:
+            if os.path.getmtime(full) < cutoff:
+                os.remove(full)
+                removed += 1
+        except FileNotFoundError:
+            continue
+    manifests_removed = 0
+    d = _dir(path)
+    for n in os.listdir(d):
+        if n.startswith("manifest-") and n.endswith(".json"):
+            try:
+                s = int(n[len("manifest-"):-len(".json")])
+            except ValueError:
+                continue
+            if s < seq and os.path.getmtime(os.path.join(d, n)) < cutoff:
+                os.remove(os.path.join(d, n))
+                manifests_removed += 1
+    return {"removed": removed, "manifests_removed": manifests_removed}

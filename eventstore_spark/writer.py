@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from . import manifest
 from .schema import (
     EVENTS_SCHEMA,
     METADATA_EVENT_TYPE,
@@ -142,7 +143,10 @@ class EventLogWriter:
         self._recover()
 
     def _has_files(self) -> bool:
-        return any(f.endswith(".parquet") for f in os.listdir(self.path))
+        files = manifest.snapshot_files(self.path)
+        if files is None:
+            return any(f.endswith(".parquet") for f in os.listdir(self.path))
+        return bool(files)
 
     # -- recovery: one scalar read, never a full-log collect --
     def _recover(self) -> None:
@@ -442,7 +446,17 @@ class EventLogWriter:
                 )
                 .select([f.name for f in EVENTS_SCHEMA.fields])
             )
+            # capture the dir listing BEFORE the write so the manifest
+            # gains exactly the files this commit adds — never resurrecting
+            # superseded (scavenged, pre-vacuum) files that are still on
+            # disk inside their grace period
+            pre = {f for f in os.listdir(self.path) if f.endswith(".parquet")}
             out.write.mode("append").parquet(self.path)
+            manifest.append_files(
+                self.path,
+                [f for f in os.listdir(self.path)
+                 if f.endswith(".parquet") and f not in pre],
+            )
             # the write committed — only now advance the numbering state
             self._last_position = new_last
             for sid, en_base, _pos in alloc:
@@ -491,6 +505,7 @@ class EventLogWriter:
         tmp = os.path.join(self.path, "." + name + ".tmp")
         pq.write_table(table, tmp, compression="snappy")
         os.rename(tmp, os.path.join(self.path, name))
+        manifest.append_files(self.path, [name])
         self._notify_commit()
 
     # -- commit wake-ups (U3 long-poll support) --
@@ -541,4 +556,17 @@ class EventLogWriter:
         )
 
     def load(self) -> DataFrame:
-        return self.spark.read.schema(EVENTS_SCHEMA).parquet(self.path)
+        """The committed log as a DataFrame — a PINNED SNAPSHOT: when the
+        log has a manifest (see ``manifest.py``), the file list is resolved
+        here, at DataFrame creation, so a concurrent maintenance rewrite
+        can never FileNotFound this reader (superseded files are retained
+        until ``vacuum``'s grace period expires). Plain directories (no
+        manifest yet) read as before."""
+        files = manifest.snapshot_files(self.path)
+        if files is None:
+            return self.spark.read.schema(EVENTS_SCHEMA).parquet(self.path)
+        if not files:
+            return self.spark.createDataFrame([], EVENTS_SCHEMA)
+        return self.spark.read.schema(EVENTS_SCHEMA).parquet(
+            *[os.path.join(self.path, f) for f in files]
+        )

@@ -190,3 +190,32 @@ def test_scavenge_preserves_all_visible_answers(scenario, spark):
     for sid in STREAMS:
         got = [(r.event_number, r.data) for r in eng2.read_stream(sid).collect()]
         assert got == before[sid], f"scavenge changed {sid}"
+
+
+def test_scavenge_never_invalidates_inflight_readers(scenario, spark):
+    """A reader that pinned its snapshot BEFORE the scavenge re-collects
+    cleanly AFTER it — superseded files are retained until vacuum's grace
+    window passes (reference: old chunks unlink only after readers drain,
+    Scavenger.cs:19,199). vacuum with grace keeps them; grace-0 vacuum
+    drops them and fresh readers stay correct."""
+    from eventstore_spark.maintenance import vacuum
+
+    eng, model = scenario
+    pinned_all = eng.events()            # snapshot pinned pre-scavenge
+    pinned_stream = eng.read_stream(STREAMS[0])
+    n_all = pinned_all.count()
+    rows_stream = [(r.event_number, r.data) for r in pinned_stream.collect()]
+
+    stats = scavenge(spark, eng.path, eng.stream_metadata())
+    assert stats["removed"] >= 0
+
+    # the pinned snapshots re-collect with no FileNotFound, same answers
+    assert pinned_all.count() == n_all
+    assert [(r.event_number, r.data) for r in pinned_stream.collect()] == rows_stream
+
+    # a generous grace retains everything; grace-0 removes the superseded
+    # files and new readers still see the compacted, correct log
+    assert vacuum(eng.path, grace_s=3600)["removed"] == 0
+    vacuum(eng.path, grace_s=0)
+    eng2 = EventStoreEngine(spark, eng.path)
+    assert eng2.events().count() == n_all
