@@ -37,7 +37,11 @@ from .schema import (
 from .sources import readers as R
 from .streaming.continuous import run_continuous
 from .streaming.persistent import PersistentSubscription, PersistentSubscriptionSettings
-from .streaming.subscriptions import subscribe_all, subscribe_stream
+from .streaming.subscriptions import (
+    start_all_with_checkpoints,
+    subscribe_all,
+    subscribe_stream,
+)
 from .writer import ANY, EventLogWriter, ProposedEvent
 
 
@@ -286,6 +290,18 @@ class EventStoreEngine:
                 from_position=from_position,
             )
         return subscribe_all(self.spark, self.path, event_filter, from_position)
+
+    def subscribe_with_checkpoints(self, event_filter: EventFilter | None,
+                                   on_batch, checkpoint_location: str | None = None,
+                                   from_position: int = 0,
+                                   checkpoint_interval: int = 1):
+        """Filtered $all subscription with periodic position checkpoints
+        (streams.proto:64-79) — see
+        ``streaming.subscriptions.start_all_with_checkpoints``."""
+        return start_all_with_checkpoints(
+            self.spark, self.path, event_filter, on_batch,
+            checkpoint_location, from_position, checkpoint_interval,
+        )
 
     def persistent_subscription(self, group: str, stream_id: str | None = None,
                                 settings: PersistentSubscriptionSettings | None = None,

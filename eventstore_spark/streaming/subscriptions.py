@@ -143,3 +143,58 @@ def start_foreach_batch(sub: DataFrame, fn, checkpoint_location: str | None = No
     if checkpoint_location:
         w = w.option("checkpointLocation", checkpoint_location)
     return w.start()
+
+
+def start_all_with_checkpoints(
+    spark: SparkSession,
+    log_path: str,
+    event_filter: EventFilter | None,
+    on_batch,
+    checkpoint_location: str | None = None,
+    from_position: int = 0,
+    checkpoint_interval: int = 1,
+    apply_default_filter: bool = False,
+    max_files_per_trigger: int | None = None,
+):
+    """U2 with periodic checkpoint MARKERS (streams.proto:64-79,
+    ``checkpointIntervalMultiplier``): a filtered $all subscriber whose
+    filter rarely matches still needs a position signal, or a restart
+    rescans everything since its last delivered event.
+
+    Drives the UNFILTERED scan through foreachBatch and calls
+    ``on_batch(matches_df, checkpoint_position, batch_id)`` per
+    micro-batch: ``matches_df`` is the filter-matching slice (possibly
+    empty), and every ``checkpoint_interval`` micro-batches
+    ``checkpoint_position`` carries the max log_position the server-side
+    scan REACHED in that batch — even when the filter matched nothing —
+    else None. Positions are monotone (the file source feeds commits in
+    order), so the subscriber persists them and resumes with
+    ``from_position=ckpt + 1``.
+    """
+    raw = subscribe_all(
+        spark, log_path, None, from_position,
+        apply_default_filter=apply_default_filter,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    pred = (
+        event_filter.predicate()
+        if isinstance(event_filter, EventFilter)
+        else event_filter
+    )
+    state = {"batches": 0}
+
+    def fn(batch_df, batch_id):
+        batch_df.persist()
+        try:
+            matches = batch_df.where(pred) if pred is not None else batch_df
+            state["batches"] += 1
+            ckpt = None
+            if state["batches"] % checkpoint_interval == 0:
+                head = batch_df.agg(F.max("log_position")).first()[0]
+                if head is not None:
+                    ckpt = int(head)
+            on_batch(matches, ckpt, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    return start_foreach_batch(raw, fn, checkpoint_location)

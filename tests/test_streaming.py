@@ -53,6 +53,40 @@ def test_filtered_all_subscription(spark, log, tmp_path):
         q.stop()
 
 
+def test_filtered_subscription_periodic_checkpoints(spark, log, tmp_path):
+    """U2 checkpoint markers: a NEVER-matching filter still surfaces
+    monotone scan positions (streams.proto:64-79 checkpointInterval), so
+    a sparse-filter subscriber can persist progress between matches."""
+    from eventstore_spark.streaming.subscriptions import (
+        start_all_with_checkpoints,
+    )
+
+    seen = {"events": 0, "ckpts": []}
+
+    def on_batch(matches, ckpt, batch_id):
+        seen["events"] += matches.count()
+        if ckpt is not None:
+            seen["ckpts"].append(ckpt)
+
+    q = start_all_with_checkpoints(
+        spark, log.path, EventFilter(event_type_prefixes=("Never",)),
+        on_batch, str(tmp_path / "ckw"),
+    )
+    try:
+        q.processAllAvailable()
+        assert seen["events"] == 0 and seen["ckpts"]
+        head1 = max(seen["ckpts"])
+        assert head1 == log._last_position  # scan reached the log head
+        # new non-matching events still advance the checkpoint position
+        log.append("account-1", [ProposedEvent("Deposited", '{"amount": 1}')])
+        q.processAllAvailable()
+        assert seen["events"] == 0
+        assert max(seen["ckpts"]) == log._last_position > head1
+        assert seen["ckpts"] == sorted(seen["ckpts"])  # monotone
+    finally:
+        q.stop()
+
+
 def test_continuous_projection_state(spark, log, tmp_path):
     proj = (
         Projection.from_category("account", name="cbal")
