@@ -230,9 +230,14 @@ def load_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The driver's events.parquet stores TIMESTAMP(NANOS), which Spark can
     # only read as a long. get_spark() sets this at build time, but the
     # harness may hand us its own bare session — the flag is runtime-
-    # settable, so pin it here where the read actually happens.
+    # settable, so pin it here where the read actually happens. The session
+    # timezone is pinned too: envelope_from_app_events casts an NTZ ts to
+    # TIMESTAMP_LTZ, which is only the identity (= DuckDB's naive read)
+    # when the session zone is UTC — a bare session on a non-UTC host
+    # would otherwise shift `created` and break oracle hash parity.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
     src = f"{sf_dir}/events.parquet"

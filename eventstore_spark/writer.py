@@ -385,12 +385,6 @@ class EventLogWriter:
             ).collect()
             if not counts:
                 return
-            oversized = [r for r in counts if int(r["max_size"] or 0) > MAX_RECORD_SIZE]
-            if oversized:
-                raise RecordTooLargeError(
-                    "bulk append contains events over MAX_RECORD_SIZE in streams: "
-                    + ", ".join(sorted(r["stream_id"] for r in oversized)[:5])
-                )
             touched = sorted(r["stream_id"] for r in counts)
             # one batched job fills last-event-number for cold streams
             missing = [s for s in touched if s not in self._stats]
@@ -409,13 +403,25 @@ class EventLogWriter:
                 )
                 for r in got:
                     self._stats[r["stream_id"]] = [int(r["last"]), bool(r["tomb"])]
-            by_stream = {r["stream_id"]: int(r["count"]) for r in counts}
+            # tombstoned streams drop their rows silently below, so they
+            # must not trip the size guard either: an oversize event bound
+            # for a deleted stream was never going to commit, and aborting
+            # the whole batch for it would fail every LIVE stream's rows
+            live = [
+                r for r in counts
+                if not self._stats.setdefault(r["stream_id"], [NO_STREAM, False])[1]
+            ]
+            oversized = [r for r in live if int(r["max_size"] or 0) > MAX_RECORD_SIZE]
+            if oversized:
+                raise RecordTooLargeError(
+                    "bulk append contains events over MAX_RECORD_SIZE in streams: "
+                    + ", ".join(sorted(r["stream_id"] for r in oversized)[:5])
+                )
+            by_stream = {r["stream_id"]: int(r["count"]) for r in live}
             alloc = []  # (stream_id, en_base, pos_base)
             new_last = self._last_position
-            for sid in touched:
-                st = self._stats.setdefault(sid, [NO_STREAM, False])
-                if st[1]:
-                    continue  # tombstoned: emissions to it are dropped
+            for sid in sorted(by_stream):
+                st = self._stats[sid]
                 alloc.append((sid, st[0], new_last))
                 new_last += by_stream[sid]
             if not alloc:

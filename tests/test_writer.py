@@ -143,6 +143,39 @@ def test_append_size_guards(log):
         small.append("s-1", [ProposedEvent("A", "x" * (MAX_RECORD_SIZE + 1))])
 
 
+def test_bulk_oversize_to_tombstoned_stream_does_not_abort(spark, tmp_path):
+    """The bulk size guard must not fire for rows bound to a tombstoned
+    stream — those rows are silently dropped anyway, and aborting the
+    batch would fail every live stream's rows with them."""
+    from pyspark.sql import functions as F
+
+    from eventstore_spark.writer import MAX_RECORD_SIZE
+
+    w = EventLogWriter(spark, str(tmp_path / "log"))
+    w.append("dead-1", [ProposedEvent("A")])
+    w.hard_delete("dead-1")
+    big = "x" * (MAX_RECORD_SIZE + 1)
+    batch = spark.createDataFrame(
+        [("dead-1", "E", big, None, "big-1"),
+         ("live-1", "E", '{"ok": 1}', None, "ok-1")],
+        "stream_id string, event_type string, data string, "
+        "metadata string, event_id string",
+    )
+    w.append_df(batch)  # must not raise
+    assert w.load().where("stream_id = 'live-1'").count() == 1
+    assert w.load().where("event_id = 'big-1'").count() == 0
+    # but a LIVE stream's oversize row still aborts the batch
+    from eventstore_spark.writer import RecordTooLargeError
+
+    bad = spark.createDataFrame(
+        [("live-2", "E", big, None, "big-2")],
+        "stream_id string, event_type string, data string, "
+        "metadata string, event_id string",
+    )
+    with pytest.raises(RecordTooLargeError):
+        w.append_df(bad)
+
+
 def test_lazy_recovery_reads_one_scalar(spark, tmp_path):
     """Reopening a writer must not collect the log: only max(log_position)
     is read eagerly; per-stream state loads on first touch of that stream."""
