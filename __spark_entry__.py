@@ -908,7 +908,12 @@ def q_ann_lsh(spark, sf):
 
 
 def q_ann_ivf(spark, sf):
-    return sim.ivf_topk(_table(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10)
+    # trained=True: the integer k-means quantizer (similarity.py:
+    # train_ivf_centroids); the oracle unrolls the identical training, so
+    # both engines derive the same centroids independently
+    return sim.ivf_topk(
+        _table(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10, trained=True
+    )
 
 
 def q_embedding_neardup(spark, sf):
@@ -1433,6 +1438,6 @@ FROM prof p JOIN nn n ON p.doc_id = n.vec_id
 WHERE p.quality >= 0.3
 """
     sqls["ann_lsh"] = sim.sql_lsh_topk(ANN_QUERY_IDS, k=10)
-    sqls["ann_ivf"] = sim.sql_ivf_topk(ANN_QUERY_IDS, k=10)
+    sqls["ann_ivf"] = sim.sql_ivf_topk(ANN_QUERY_IDS, k=10, trained=True)
     sqls["embedding_neardup"] = sim.sql_embedding_neardup(threshold=0.45)
     return sqls

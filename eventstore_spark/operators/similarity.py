@@ -194,56 +194,191 @@ SELECT query_id, vec_id, rank, sim FROM ranked WHERE rank <= {k}
 
 # -- IVF ---------------------------------------------------------------------
 
+# Fixed-point scale for the trained quantizer: embedding components are
+# floor-quantized to integers of 1e-6 resolution before any k-means
+# arithmetic, which makes every training step EXACT (integer dots/sums
+# never round, all ≤ 2^53) and therefore bit-identical between Spark and
+# DuckDB — the two engines train the same centroids independently instead
+# of hoping double summation orders agree.
+IVF_SCALE = 1_000_000
+
+
+def _quantize_sql(vec_sql: str) -> str:
+    """array<float> → array<bigint> at IVF_SCALE (Spark SQL text)."""
+    return (
+        f"transform({vec_sql}, c -> "
+        f"CAST(floor(CAST(c AS DOUBLE) * {IVF_SCALE}.0) AS BIGINT))"
+    )
+
+
+def _int_lit_array(values) -> str:
+    return "array({})".format(", ".join(f"{int(v)}L" for v in values))
+
+
+def _int_scored_sql(qvec_sql: str, cents: list[list[int]]) -> str:
+    """Per-centroid (sim, -cell) structs over an integer vector column.
+
+    The dot and the squared norms are exact BIGINT folds; only the final
+    divide is double, with the centroid norm precomputed in Python
+    (sqrt of an exact ≤2^53 integer — correctly rounded identically by
+    Python, the JVM and DuckDB)."""
+    import math
+
+    terms = []
+    qn = (
+        f"sqrt(CAST(aggregate(transform({qvec_sql}, x -> x * x), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE))"
+    )
+    for cell, cv in enumerate(cents):
+        cn = math.sqrt(sum(x * x for x in cv))
+        dot = (
+            f"aggregate(zip_with({qvec_sql}, {_int_lit_array(cv)}, "
+            f"(x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        sim = f"(CAST({dot} AS DOUBLE) / ({qn} * CAST({cn!r} AS DOUBLE)))"
+        terms.append(f"named_struct('sim', {sim}, 'nid', {-cell})")
+    return "array({})".format(", ".join(terms))
+
+
+def train_ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                        iters: int = 2, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> list[list[int]]:
+    """Deterministic spherical k-means for the IVF coarse quantizer.
+
+    Seeds = the ``n_centroids`` vectors with the smallest
+    md5(vec_id-as-string) (a seeded shuffle both engines can express);
+    each of the fixed ``iters`` rounds assigns every vector to its
+    cosine-nearest centroid (ties → lowest cell) and replaces each
+    centroid with the exact floor-mean of its members (empty cells keep
+    their centroid). All arithmetic is integer (see IVF_SCALE), so the
+    DuckDB oracle unrolled in ``sql_ivf_topk(trained=True)`` reproduces
+    these centroids bit-for-bit — no centroid shipping between engines.
+
+    Scale shape: per round, one codegen'd argmax pass over the corpus +
+    one (cell, pos) partial-agg whose result is n_centroids × dim rows —
+    only that tiny table ever reaches the driver. At 100 TB you train on
+    a deterministic sample (md5-gate the ids) with the same machinery.
+    Replaces the reference-era stand-in (the n lowest-id vectors), fixing
+    its recall collapse when low ids cluster together.
+    """
+    base = (
+        spread(embeddings)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.expr(_quantize_sql(vec_col)).alias("qvec"),
+        )
+        .cache()
+    )
+    try:
+        seeds = (
+            base.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+            .orderBy("_h", "vec_id")
+            .limit(n_centroids)
+            .collect()
+        )
+        cents = [[int(x) for x in r["qvec"]] for r in seeds]
+        for _ in range(iters):
+            assigned = base.withColumn(
+                "cell", F.expr(f"-array_max({_int_scored_sql('qvec', cents)}).nid")
+            )
+            sums = (
+                assigned.select("cell", F.posexplode("qvec").alias("pos", "comp"))
+                .groupBy("cell", "pos")
+                .agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            acc: dict[int, dict[int, tuple]] = {}
+            for r in sums:
+                acc.setdefault(int(r["cell"]), {})[int(r["pos"])] = (
+                    int(r["s"]), int(r["n"]),
+                )
+            cents = [
+                [acc[c][p][0] // acc[c][p][1] for p in range(len(cents[c]))]
+                if c in acc else cents[c]
+                for c in range(len(cents))
+            ]
+        return cents
+    finally:
+        base.unpersist()
+
+
 def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
              n_centroids: int = 16, nprobe: int = 4, dim: int = 64,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             trained: bool = False, iters: int = 2) -> DataFrame:
     """IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
     into cells; a query probes only its ``nprobe`` nearest cells and
     exact-reranks those candidates.
 
-    The quantizer here is deterministic — the ``n_centroids`` lowest-id
-    vectors stand in for trained k-means centroids (swap in trained
-    centroids without changing the plan or the oracle). Centroids are
-    collected to the driver (tiny: n_centroids x dim) and inlined as
-    literal arrays, so cell assignment is ONE codegen'd projection pass
-    over the corpus — no shuffle, no window; at 100 TB the corpus is
+    The quantizer is deterministic either way. ``trained=False``: the
+    ``n_centroids`` lowest-id vectors stand in for centroids (cheap, but
+    recall collapses when low ids cluster together). ``trained=True``:
+    ``train_ivf_centroids`` runs the exact integer k-means; assignment
+    and probe selection then use the integer-quantized vectors, while the
+    final candidate re-rank stays the double cosine on the original
+    embeddings. Centroids are driver-tiny (n_centroids x dim) and inlined
+    as literal arrays, so cell assignment is ONE codegen'd projection
+    pass over the corpus — no shuffle, no window; at 100 TB the corpus is
     touched once and only 'nprobe/n_centroids' of it reaches the re-rank.
     """
     base = spread(embeddings).select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
-    cents = sorted(
-        base.where(F.col("vec_id") < n_centroids).collect(),
-        key=lambda r: r["vec_id"],
-    )
+    if trained:
+        cents_i = train_ivf_centroids(embeddings, n_centroids, iters, id_col, vec_col)
+        qb = base.withColumn("qvec_i", F.expr(_quantize_sql("vec")))
 
-    # Every centroid term is emitted as Spark-SQL text and the whole
-    # scored array parses as ONE F.expr — the Column-by-Column build was
-    # n_centroids x dim F.lit py4j calls (seconds of driver time).
-    def scored_sql(vec_sql: str) -> str:
-        terms = ", ".join(
-            "named_struct('sim', {}, 'nid', {})".format(
-                spark_sql_cosine(vec_sql, spark_sql_lit_array(r["vec"])),
-                -int(r["vec_id"]),
-            )
-            for r in cents
+        def scored_sql(vec_sql: str) -> str:
+            return _int_scored_sql(vec_sql, cents_i)
+
+        assigned = qb.withColumn(
+            "cell", F.expr(f"-array_max({scored_sql('qvec_i')}).nid")
+        ).drop("qvec_i")
+        queries = qb.where(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("qvec_i"),
         )
-        return f"array({terms})"
+        probe_sql = (
+            f"transform(slice(reverse(array_sort({scored_sql('qvec_i')})), 1, {int(nprobe)}),"
+            " s -> -s.nid)"
+        )
+        probes = queries.withColumn("cells", F.expr(probe_sql)).select(
+            "query_id", "qvec", F.explode("cells").alias("cell")
+        )
+    else:
+        cents = sorted(
+            base.where(F.col("vec_id") < n_centroids).collect(),
+            key=lambda r: r["vec_id"],
+        )
 
-    # argmax over (cosine, -cent_id) structs — every centroid distance is
-    # computed in one expression tree, ties to the lowest id.
-    assigned = base.withColumn("cell", F.expr(f"-array_max({scored_sql('vec')}).nid"))
-    queries = base.where(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
-    )
+        # Every centroid term is emitted as Spark-SQL text and the whole
+        # scored array parses as ONE F.expr — the Column-by-Column build was
+        # n_centroids x dim F.lit py4j calls (seconds of driver time).
+        def scored_sql(vec_sql: str) -> str:
+            terms = ", ".join(
+                "named_struct('sim', {}, 'nid', {})".format(
+                    spark_sql_cosine(vec_sql, spark_sql_lit_array(r["vec"])),
+                    -int(r["vec_id"]),
+                )
+                for r in cents
+            )
+            return f"array({terms})"
 
-    # nprobe best cells: sort ascending, take the tail, reversed —
-    # (sim desc, cent_id asc) order, matching the oracle's window.
-    probe_sql = (
-        f"transform(slice(reverse(array_sort({scored_sql('qvec')})), 1, {int(nprobe)}),"
-        " s -> -s.nid)"
-    )
-    probes = queries.withColumn("cells", F.expr(probe_sql)).select(
-        "query_id", "qvec", F.explode("cells").alias("cell")
-    )
+        # argmax over (cosine, -cent_id) structs — every centroid distance
+        # is computed in one expression tree, ties to the lowest id.
+        assigned = base.withColumn("cell", F.expr(f"-array_max({scored_sql('vec')}).nid"))
+        queries = base.where(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+        )
+
+        # nprobe best cells: sort ascending, take the tail, reversed —
+        # (sim desc, cent_id asc) order, matching the oracle's window.
+        probe_sql = (
+            f"transform(slice(reverse(array_sort({scored_sql('qvec')})), 1, {int(nprobe)}),"
+            " s -> -s.nid)"
+        )
+        probes = queries.withColumn("cells", F.expr(probe_sql)).select(
+            "query_id", "qvec", F.explode("cells").alias("cell")
+        )
     cand = (
         assigned.join(F.broadcast(probes), "cell")
         .where(F.col("vec_id") != F.col("query_id"))
@@ -258,8 +393,21 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
 
 
 def sql_ivf_topk(query_ids: list[int], k: int = 10, n_centroids: int = 16,
-                 nprobe: int = 4, dim: int = 64, table: str = "embeddings") -> str:
-    """DuckDB oracle for ivf_topk (same quantizer, relational form)."""
+                 nprobe: int = 4, dim: int = 64, table: str = "embeddings",
+                 trained: bool = False, iters: int = 2) -> str:
+    """DuckDB oracle for ivf_topk (same quantizer, relational form).
+
+    ``trained=True`` unrolls the SAME integer k-means as
+    ``train_ivf_centroids`` into fixed CTE rounds — md5-seeded init,
+    exact BIGINT dot/norm folds, exact floor-mean updates (the
+    ``(s - ((s % n) + n) % n) / n`` form is floor division in exact
+    integer arithmetic regardless of DuckDB's % sign convention), empty
+    cells carried through a LEFT JOIN. Because every step is integer-
+    exact in both engines, the oracle re-derives identical centroids and
+    the final candidate sets match row-for-row."""
+    if trained:
+        return _sql_ivf_topk_trained(query_ids, k, n_centroids, nprobe, dim,
+                                     table, iters)
     ids = ", ".join(str(i) for i in query_ids)
     ccos = sql_cosine("b.embedding", "c.cvec", dim)
     qcos = sql_cosine("p.qvec", "a.vec", dim)
@@ -280,6 +428,89 @@ WITH cents AS (
   SELECT p.query_id, a.vec_id, {qcos} AS sim
   FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
 )
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+       sim
+FROM cand
+QUALIFY rank <= {k}
+"""
+
+
+def _sql_ivf_topk_trained(query_ids: list[int], k: int, n_centroids: int,
+                          nprobe: int, dim: int, table: str, iters: int) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+
+    def idot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+        )
+
+    def inorm(a: str) -> str:
+        return (
+            f"sqrt(CAST(list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> {a}[i] * {a}[i]), (x, y) -> x + y) AS DOUBLE))"
+        )
+
+    def isim(q: str, c: str) -> str:
+        # operand order matters for bit-parity: qnorm * cnorm, as Spark
+        return f"(CAST({idot(q, c)} AS DOUBLE) / ({inorm(q)} * {inorm(c)}))"
+
+    ctes = [
+        f"""qz AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           c -> CAST(floor(CAST(c AS DOUBLE) * {IVF_SCALE}.0) AS BIGINT)) AS qvec
+  FROM {table}
+)""",
+        f"""c0 AS (
+  SELECT CAST(rn - 1 AS BIGINT) AS cell, cvec FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+           qvec AS cvec
+    FROM qz
+  ) WHERE rn <= {n_centroids}
+)""",
+    ]
+    for t in range(iters):
+        ctes.append(f"""b{t} AS (
+  SELECT vec_id, qvec, cell FROM (
+    SELECT v.vec_id, v.qvec, c.cell, {isim("v.qvec", "c.cvec")} AS sim
+    FROM qz v CROSS JOIN c{t} c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) = 1
+)""")
+        ctes.append(f"""m{t} AS (
+  SELECT cell, list(CAST((s - ((s % n) + n) % n) / n AS BIGINT) ORDER BY pos) AS cvec
+  FROM (
+    SELECT cell, pos, SUM(comp) AS s, COUNT(*) AS n FROM (
+      SELECT cell, unnest(qvec) AS comp, unnest(range(1, {dim + 1})) AS pos FROM b{t}
+    ) GROUP BY cell, pos
+  ) GROUP BY cell
+)""")
+        ctes.append(f"""c{t + 1} AS (
+  SELECT c.cell, COALESCE(m.cvec, c.cvec) AS cvec
+  FROM c{t} c LEFT JOIN m{t} m USING (cell)
+)""")
+    qcos = sql_cosine("p.qvec", "a.vec", dim)
+    ctes.append(f"""fa AS (
+  SELECT v.vec_id, v.embedding AS vec, c.cell, {isim("v.qvec", "c.cvec")} AS sim
+  FROM qz v CROSS JOIN c{iters} c
+)""")
+    ctes.append("""assigned AS (
+  SELECT vec_id, vec, cell FROM fa
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) = 1
+)""")
+    ctes.append(f"""probes AS (
+  SELECT vec_id AS query_id, vec AS qvec, cell FROM fa
+  WHERE vec_id IN ({ids})
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) <= {nprobe}
+)""")
+    ctes.append(f"""cand AS (
+  SELECT p.query_id, a.vec_id, {qcos} AS sim
+  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
 SELECT query_id, vec_id,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
        sim
@@ -463,7 +694,8 @@ FROM pred p JOIN {table} t ON t.vec_id = p.query_id
 
 
 def build_ivf_index(embeddings: DataFrame, path: str, n_centroids: int = 16,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> dict:
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    trained: bool = False, iters: int = 2) -> dict:
     """Persist the IVF index: centroids (`<path>/centroids`) and the
     corpus PARTITIONED BY CELL (`<path>/cells`).
 
@@ -473,30 +705,52 @@ def build_ivf_index(embeddings: DataFrame, path: str, n_centroids: int = 16,
     column, probe queries prune whole directories (PartitionFilters in
     the scan), so query cost is nprobe/n_centroids of the corpus by
     construction, on disk, not just in the plan.
+
+    ``trained=True`` trains the integer k-means quantizer
+    (``train_ivf_centroids``) and persists the integer centroids; the
+    index carries its quantizer, so ``ivf_topk_indexed`` reads whichever
+    kind was built.
     """
     base = spread(embeddings).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     )
-    cents = sorted(
-        base.where(F.col("vec_id") < n_centroids).collect(),
-        key=lambda r: r["vec_id"],
-    )
     spark = embeddings.sparkSession
-    spark.createDataFrame(
-        [(int(r["vec_id"]), [float(x) for x in r["vec"]]) for r in cents],
-        "cent_id long, vec array<float>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-
-    terms = ", ".join(
-        "named_struct('sim', {}, 'nid', {})".format(
-            spark_sql_cosine("vec", spark_sql_lit_array(r["vec"])), -int(r["vec_id"])
+    if trained:
+        cents_i = train_ivf_centroids(embeddings, n_centroids, iters,
+                                      id_col, vec_col)
+        spark.createDataFrame(
+            [(c, cv) for c, cv in enumerate(cents_i)],
+            "cent_id long, qvec array<long>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        assigned = base.withColumn(
+            "cell",
+            F.expr(
+                f"-array_max({_int_scored_sql(_quantize_sql('vec'), cents_i)}).nid"
+            ),
         )
-        for r in cents
-    )
-    assigned = base.withColumn("cell", F.expr(f"-array_max(array({terms})).nid"))
+        n_cents = len(cents_i)
+    else:
+        cents = sorted(
+            base.where(F.col("vec_id") < n_centroids).collect(),
+            key=lambda r: r["vec_id"],
+        )
+        spark.createDataFrame(
+            [(int(r["vec_id"]), [float(x) for x in r["vec"]]) for r in cents],
+            "cent_id long, vec array<float>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+        terms = ", ".join(
+            "named_struct('sim', {}, 'nid', {})".format(
+                spark_sql_cosine("vec", spark_sql_lit_array(r["vec"])), -int(r["vec_id"])
+            )
+            for r in cents
+        )
+        assigned = base.withColumn("cell", F.expr(f"-array_max(array({terms})).nid"))
+        n_cents = len(cents)
     assigned.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/cells")
     n = base.count()
-    return {"vectors_indexed": n, "n_centroids": len(cents), "path": path}
+    return {"vectors_indexed": n, "n_centroids": n_cents, "path": path,
+            "trained": trained}
 
 
 def ivf_topk_indexed(spark, index_path: str, query_ids: list[int], k: int = 10,
@@ -509,22 +763,29 @@ def ivf_topk_indexed(spark, index_path: str, query_ids: list[int], k: int = 10,
     batch path, then the (tiny: |Q| x nprobe) probe set is collected and
     applied as an `isin` filter on the partition column — static
     partition pruning: the scan's PartitionFilters show `cell IN (...)`
-    and unprobed directories are never opened.
+    and unprobed directories are never opened. The centroid schema tells
+    this reader which quantizer the index was built with (integer
+    ``qvec`` = trained k-means, float ``vec`` = lowest-id stand-in).
     """
-    cents = sorted(
-        spark.read.parquet(f"{index_path}/centroids").collect(),
-        key=lambda r: r["cent_id"],
-    )
+    cent_df = spark.read.parquet(f"{index_path}/centroids")
+    cents = sorted(cent_df.collect(), key=lambda r: r["cent_id"])
 
-    def scored_sql(vec_sql: str) -> str:
-        terms = ", ".join(
-            "named_struct('sim', {}, 'nid', {})".format(
-                spark_sql_cosine(vec_sql, spark_sql_lit_array(r["vec"])),
-                -int(r["cent_id"]),
+    if "qvec" in cent_df.columns:  # trained integer quantizer
+        cents_i = [[int(x) for x in r["qvec"]] for r in cents]
+
+        def scored_sql(vec_sql: str) -> str:
+            return _int_scored_sql(_quantize_sql(vec_sql), cents_i)
+    else:
+
+        def scored_sql(vec_sql: str) -> str:
+            terms = ", ".join(
+                "named_struct('sim', {}, 'nid', {})".format(
+                    spark_sql_cosine(vec_sql, spark_sql_lit_array(r["vec"])),
+                    -int(r["cent_id"]),
+                )
+                for r in cents
             )
-            for r in cents
-        )
-        return f"array({terms})"
+            return f"array({terms})"
 
     cells = spark.read.parquet(f"{index_path}/cells")
     queries = cells.where(F.col("vec_id").isin(query_ids)).select(

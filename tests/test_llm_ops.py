@@ -132,6 +132,71 @@ def test_ivf_pruned_probe_stays_in_cluster(vectors):
     assert out and all(r.vec_id % 4 == r.query_id % 4 for r in out)
 
 
+@pytest.fixture(scope="module")
+def skewed_vectors(spark):
+    """4 tight clusters of 50 where ids 0..49 ALL sit in cluster 0, with
+    hash-based (cluster-uncorrelated) jitter — the adversarial corpus for
+    a lowest-id quantizer."""
+    import hashlib
+
+    def jit(i, j):
+        h = int(hashlib.md5(f"{i}-{j}".encode()).hexdigest()[:4], 16)
+        return (h % 1000) / 1000 * 0.05
+
+    rows = []
+    for i in range(200):
+        c = i // 50
+        base = [0.0] * 8
+        base[c] = 1.0
+        base[4 + c] = 0.5
+        rows.append((i, [x + jit(i, j) for j, x in enumerate(base)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_trained_ivf_beats_standin_recall(skewed_vectors):
+    """The trained integer k-means quantizer recovers the true clusters
+    and beats the lowest-id stand-in on recall@5 when the low ids all
+    belong to one cluster (the stand-in's failure mode)."""
+    qids = [10, 60, 110, 160]
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in sim.brute_force_topk(skewed_vectors, qids, k=5).collect()
+    }
+
+    def recall(df):
+        got = {(r.query_id, r.vec_id) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    standin = recall(
+        sim.ivf_topk(skewed_vectors, qids, k=5, n_centroids=4, nprobe=1, dim=8)
+    )
+    trained = recall(
+        sim.ivf_topk(skewed_vectors, qids, k=5, n_centroids=4, nprobe=1,
+                     dim=8, trained=True)
+    )
+    assert trained > standin
+    assert trained == 1.0  # co-clustered neighbors stay co-assigned
+
+
+def test_trained_ivf_index_matches_batch(spark, skewed_vectors, tmp_path_factory):
+    """A trained index persists its integer quantizer and reproduces the
+    batch trained path exactly."""
+    idx = str(tmp_path_factory.mktemp("ivftrained") / "index")
+    stats = sim.build_ivf_index(skewed_vectors, idx, n_centroids=4, trained=True)
+    assert stats["trained"] is True and stats["n_centroids"] == 4
+    qids = [10, 60]
+    batch = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in sim.ivf_topk(skewed_vectors, qids, k=3, n_centroids=4,
+                              nprobe=2, dim=8, trained=True).collect()
+    }
+    indexed = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in sim.ivf_topk_indexed(spark, idx, qids, k=3, nprobe=2).collect()
+    }
+    assert batch == indexed and batch
+
+
 def test_rolling_fingerprint_order_sensitive(spark):
     from eventstore_spark.functions.text import rolling_fingerprint
 
