@@ -74,6 +74,7 @@ def main():
     # so no repetition reuses the previous one's materialized data — each
     # timed run does the full data work at the target SF.
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = qs[name]
         reps: list[float] = []
@@ -83,7 +84,16 @@ def main():
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             reps.append(time.time() - t0)
-        timings[name] = round(sorted(reps)[1], 3)
+        reps.sort()
+        timings[name] = round(reps[1], 3)
+        # per-query spread makes the artifact noise-adjudicable: a wide
+        # max/min ratio on a co-tenant machine is visible in the record
+        # itself instead of needing a same-code re-run to diagnose
+        spread[name] = {
+            "min": round(reps[0], 3),
+            "med": round(reps[1], 3),
+            "max": round(reps[2], 3),
+        }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -93,6 +103,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": sf,
             }
         )
