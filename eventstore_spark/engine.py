@@ -528,6 +528,25 @@ class EventStoreEngine:
             for name, mp in self.projections.items()
         ]
 
+    # ----------------------------------------------------------- maintenance
+    def scavenge(self, now_ts=None, target_files: int = 8) -> dict:
+        """Admin scavenge (the reference's admin API surface): retention
+        rewrite of this store's log. Reader-safe — superseded files stay
+        on disk until ``vacuum``'s grace window passes (maintenance.py)."""
+        from .maintenance import scavenge as _scavenge
+
+        return _scavenge(
+            self.spark, self.path, self.stream_metadata(),
+            now_ts=now_ts, target_files=target_files,
+        )
+
+    def vacuum(self, grace_s: float = 3600.0) -> dict:
+        """Drop files a maintenance rewrite superseded more than
+        ``grace_s`` seconds ago (the reader-drain window)."""
+        from .manifest import vacuum as _vacuum
+
+        return _vacuum(self.path, grace_s)
+
     # ------------------------------------------------------------------ SQL
     def register_views(self, prefix: str = "es") -> list[str]:
         """Expose the engine's surfaces as SQL temp views so analysts query

@@ -8,7 +8,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from eventstore_spark.engine import EventStoreEngine
-from eventstore_spark.maintenance import scavenge
 from eventstore_spark.projections.dsl import Projection
 from eventstore_spark.writer import ProposedEvent
 
@@ -92,8 +91,9 @@ def test_scavenge_removes_invisible(engine, spark):
     engine.set_stream_metadata("account-1", max_count=1)
     engine.delete_stream("account-2")  # soft delete
     before = engine.events(visible_only=False).count()
-    stats = scavenge(spark, engine.path, engine.stream_metadata())
+    stats = engine.scavenge()  # admin-API surface over maintenance.scavenge
     assert stats["removed"] >= 2  # account-1#0 and account-2#0 gone
+    assert engine.vacuum(grace_s=0)["removed"] > 0  # superseded files drain
     # engine state re-opens over the compacted log
     e2 = EventStoreEngine(spark, engine.path)
     assert [r.event_number for r in e2.read_stream("account-1").collect()] == [1]
