@@ -132,12 +132,9 @@ class PersistentSubscription:
         return c
 
     # -- fetch / deliver ----------------------------------------------------
-    def _refill(self, now: float) -> None:
-        """Pull the next read batch of undelivered events into the buffer
-        (StreamBuffer.cs analog) — one pruned range scan of the log."""
-        have = len([d for d in self._deliveries.values() if d.state == "available"])
-        if have >= self.settings.read_batch_size:
-            return
+    def _pending_batch_df(self) -> DataFrame:
+        """The pruned range scan ``_refill`` collects (exposed so plan
+        tests can pin that the stream/filter predicates reach the scan)."""
         src = self.events
         if self.stream_id is not None:
             src = src.where(F.col("stream_id") == self.stream_id)
@@ -146,7 +143,7 @@ class PersistentSubscription:
             # range scan (pushed to parquet) — non-matching events never
             # enter the delivery buffer and never cost a retry slot
             src = src.where(self.event_filter.predicate())
-        batch = (
+        return (
             src.where(F.col("log_position") >= self._buffer_head)
             .orderBy("log_position")
             .limit(self.settings.read_batch_size)
@@ -154,8 +151,15 @@ class PersistentSubscription:
                 "log_position", "stream_id",
                 F.get_json_object("metadata", "$.$correlationId").alias("corr"),
             )
-            .collect()
         )
+
+    def _refill(self, now: float) -> None:
+        """Pull the next read batch of undelivered events into the buffer
+        (StreamBuffer.cs analog) — one pruned range scan of the log."""
+        have = len([d for d in self._deliveries.values() if d.state == "available"])
+        if have >= self.settings.read_batch_size:
+            return
+        batch = self._pending_batch_df().collect()
         for r in batch:
             if r.log_position not in self._deliveries:
                 self._deliveries[r.log_position] = _Delivery(

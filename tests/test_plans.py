@@ -245,6 +245,74 @@ def test_bucketed_log_makes_stream_keyed_work_shuffle_free(spark, parquet_events
         spark.sql("DROP TABLE IF EXISTS test_bucketed_log")
 
 
+def test_projection_state_table_read_shape(spark, tmp_path_factory):
+    """The continuous state table's latest-wins merge must be keyed (one
+    hash exchange on the partition key) — a SinglePartition window here
+    would serialize millions of projection partitions through one task."""
+    import os
+
+    from eventstore_spark.engine import EventStoreEngine
+
+    path = str(tmp_path_factory.mktemp("stateplan") / "store")
+    eng = EventStoreEngine(spark, path)
+    spec = (
+        Projection.from_category("user", name="sp")
+        .foreach_stream()
+        .when({"$init": lambda: {}})
+    )
+    eng.create_projection(spec, mode="continuous")
+    sd = eng._projection_state_dir("sp")
+    spark.createDataFrame(
+        [("p1", "{}", 1), ("p2", "{}", 2)],
+        "partition string, state string, source_log_position long",
+    ).write.parquet(os.path.join(sd, "batch=0"))
+    spark.createDataFrame(
+        [("p1", "{}", 3)],
+        "partition string, state string, source_log_position long",
+    ).write.parquet(os.path.join(sd, "batch=1"))
+    df = eng.projection_state("sp")
+    plan = plan_of(df)
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(partition" in plan
+    rows = {r.partition: r.last_position for r in df.collect()}
+    assert rows == {"p1": 3, "p2": 2}  # batch=1 delta wins for p1
+
+
+def test_persistent_refill_pushes_filter_to_scan(parquet_events):
+    """U4 filtered groups: the create-time event filter must reach the
+    parquet scan of _refill's range read, alongside the position bound."""
+    from eventstore_spark.operators.filters import EventFilter
+    from eventstore_spark.streaming.persistent import PersistentSubscription
+
+    ps = PersistentSubscription(
+        parquet_events, "g", None,
+        event_filter=EventFilter(stream_prefixes=("user-1",)),
+    )
+    plan = plan_of(ps._pending_batch_df())
+    assert "StringStartsWith(stream_id,user-1)" in plan
+    assert "GreaterThanOrEqual(log_position,0)" in plan
+
+
+def test_trained_ivf_corpus_never_shuffles(spark, tmp_path_factory):
+    """Trained IVF: cell assignment is a codegen'd projection over the
+    corpus and probes broadcast into it — the corpus must never be
+    sort-merge-joined or crossed."""
+    from eventstore_spark.operators.similarity import ivf_topk
+
+    path = str(tmp_path_factory.mktemp("ivfplan") / "emb")
+    rows = [(i, [float((i * 7 + d) % 13) for d in range(8)]) for i in range(60)]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.mode(
+        "overwrite"
+    ).parquet(path)
+    emb = spark.read.parquet(path)
+    plan = plan_of(
+        ivf_topk(emb, [0, 5], k=3, n_centroids=4, nprobe=2, dim=8, trained=True)
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_knn_classify_never_shuffles_the_corpus(spark, tmp_path_factory):
     """The probe set and the neighbor list are the ONLY broadcast sides;
     the corpus must stream (no sort-merge join, no hash-exchange of the
