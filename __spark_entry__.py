@@ -920,6 +920,13 @@ def q_embedding_neardup(spark, sf):
     return sim.embedding_neardup_pairs(_table(spark, sf, "embeddings"), threshold=0.45)
 
 
+def q_classifier_score(spark, sf):
+    """Hashed-linear (fastText-style) classifier inference over the
+    documents table — exact BIGINT logit fold, one projection pass
+    (textops.classifier_score)."""
+    return textops.classifier_score(_table(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -936,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # operator accumulates at least one driver-green row across rounds
     # (r1–r3 sampled the first 50; these 22 were always past the cut).
     return {
+        "classifier_score": q_classifier_score,
         "knn_classify": q_knn_classify,
         "tfidf_keywords": q_tfidf_keywords,
         "stratified_sample": q_stratified_sample,
@@ -1437,6 +1445,7 @@ SELECT n.query_id, n.vec_id, n.sim, p.quality, p.lang_pred,
 FROM prof p JOIN nn n ON p.doc_id = n.vec_id
 WHERE p.quality >= 0.3
 """
+    sqls["classifier_score"] = textops.sql_classifier_score()
     sqls["ann_lsh"] = sim.sql_lsh_topk(ANN_QUERY_IDS, k=10)
     sqls["ann_ivf"] = sim.sql_ivf_topk(ANN_QUERY_IDS, k=10, trained=True)
     sqls["embedding_neardup"] = sim.sql_embedding_neardup(threshold=0.45)

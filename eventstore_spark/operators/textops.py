@@ -551,3 +551,86 @@ SELECT {gold_col} AS gold, {X.sql_lang_id(text_col)} AS pred,
 FROM {table}
 GROUP BY gold, pred
 """
+
+
+def classifier_score(docs: DataFrame, n_buckets: int = 4096,
+                     salt: str = "clf-v1", bias_micro: int = 0,
+                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """FastText-style hashed linear classifier INFERENCE, JVM-side.
+
+    Features are the word unigrams plus adjacent bigrams of the
+    normalized text, feature-hashed into ``n_buckets`` (md5 — the same
+    engine-portable hash every signature here uses). The model is one
+    weight per bucket plus a bias, in integer MICRO-units, so the logit
+    is an exact BIGINT fold over the feature array: no shuffle, no float
+    summation order, bit-identical in Spark and DuckDB. The label is
+    ``logit > 0``.
+
+    The weights here are a deterministic md5-derived stand-in (weight[b]
+    = hash(b) % 2001 - 1000) so the full inference plumbing is
+    oracle-checkable end to end; a trained model plugs in as a (bucket,
+    weight_micro) broadcast lookup with the identical plan shape — this
+    is how a fastText-quality gate runs over 100 TB: one codegen'd
+    projection pass, filters on the label push down.
+
+    Returns (doc_id, n_features, logit_micro, label).
+    """
+    staged = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        X.tokens(F.col(text_col)).alias("_toks"),
+    ).withColumn(
+        "_feats",
+        F.expr(
+            "filter(concat(_toks, " + X.SPARK_SQL_BIGRAMS + "), t -> t <> '')"
+        ),
+    )
+    # weight(feature) = md5-derived micro-weight of the feature's bucket;
+    # the whole dot product is one exact BIGINT aggregate over the array
+    w = (
+        "CAST(conv(substring(md5(concat('w|{salt}|', CAST("
+        "CAST(conv(substring(md5(concat('{salt}|', t)), 1, 8), 16, 10) AS BIGINT)"
+        " % {nb} AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2001 - 1000"
+    ).format(salt=salt, nb=n_buckets)
+    logit = (
+        f"aggregate(_feats, CAST({int(bias_micro)} AS BIGINT), "
+        f"(acc, t) -> acc + ({w}))"
+    )
+    return staged.select(
+        "doc_id",
+        F.size("_feats").cast("long").alias("n_features"),
+        F.expr(logit).alias("logit_micro"),
+        (F.expr(logit) > 0).alias("label"),
+    )
+
+
+def sql_classifier_score(n_buckets: int = 4096, salt: str = "clf-v1",
+                         bias_micro: int = 0, table: str = "documents",
+                         id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB oracle twin of classifier_score (same hash, same integer
+    fold; list_reduce guarded for empty feature lists)."""
+    toks = X.SQL_TOKENS.format(c=text_col)
+    bigrams = (
+        "CASE WHEN len(toks) < 2 THEN [] ELSE "
+        "list_transform(range(2, len(toks) + 1), i -> toks[i-1] || ' ' || toks[i]) END"
+    )
+    w = (
+        "CAST('0x' || substr(md5('w|{salt}|' || CAST("
+        "CAST('0x' || substr(md5('{salt}|' || t), 1, 8) AS BIGINT) % {nb}"
+        " AS VARCHAR)), 1, 8) AS BIGINT) % 2001 - 1000"
+    ).format(salt=salt, nb=n_buckets)
+    return f"""
+WITH staged AS (
+  SELECT {id_col} AS doc_id, {toks} AS toks FROM {table}
+), feats AS (
+  SELECT doc_id, list_filter(toks || ({bigrams}), t -> t <> '') AS f
+  FROM staged
+)
+SELECT doc_id,
+       CAST(len(f) AS BIGINT) AS n_features,
+       CAST({int(bias_micro)} + CASE WHEN len(f) = 0 THEN 0 ELSE
+         list_reduce(list_transform(f, t -> {w}), (x, y) -> x + y) END
+       AS BIGINT) AS logit_micro,
+       ({int(bias_micro)} + CASE WHEN len(f) = 0 THEN 0 ELSE
+         list_reduce(list_transform(f, t -> {w}), (x, y) -> x + y) END) > 0 AS label
+FROM feats
+"""

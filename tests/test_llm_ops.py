@@ -197,6 +197,37 @@ def test_trained_ivf_index_matches_batch(spark, skewed_vectors, tmp_path_factory
     assert batch == indexed and batch
 
 
+def test_classifier_score_exact_inference(spark):
+    """Hashed-linear classifier: deterministic integer logits, bigram+
+    unigram features, empty-text totality, and a pure-projection plan
+    (the only exchange is spread()'s round-robin)."""
+    import re
+
+    from eventstore_spark.operators.textops import classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "good clean text with words"), (2, "good clean text with words"),
+         (3, ""), (4, "one")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in classifier_score(docs).collect()}
+    assert out[1].logit_micro == out[2].logit_micro  # same text, same logit
+    assert out[1].n_features == 9  # 5 unigrams + 4 bigrams
+    assert out[1].label == (out[1].logit_micro > 0)
+    assert out[3].n_features == 0 and out[3].logit_micro == 0
+    assert out[3].label is False
+    assert out[4].n_features == 1  # one unigram, no bigram
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        classifier_score(docs).explain("formatted")
+    exchanges = re.findall(r"Exchange (\w+)", buf.getvalue())
+    assert all(e == "RoundRobinPartitioning" for e in exchanges), exchanges
+
+
 def test_rolling_fingerprint_order_sensitive(spark):
     from eventstore_spark.functions.text import rolling_fingerprint
 
