@@ -927,6 +927,15 @@ def q_classifier_score(spark, sf):
     return textops.classifier_score(_table(spark, sf, "documents"))
 
 
+def q_span_dedup(spark, sf):
+    """Token-span duplication profile (Lee et al. substring dedup signal):
+    per-doc duplicated-window counts via hash-keyed equi-join
+    (corpus.span_dedup_profile)."""
+    from eventstore_spark.operators import corpus as cp
+
+    return cp.span_dedup_profile(_table(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -944,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (r1–r3 sampled the first 50; these 22 were always past the cut).
     return {
         "classifier_score": q_classifier_score,
+        "span_dedup": q_span_dedup,
         "knn_classify": q_knn_classify,
         "tfidf_keywords": q_tfidf_keywords,
         "stratified_sample": q_stratified_sample,
@@ -1446,6 +1456,9 @@ FROM prof p JOIN nn n ON p.doc_id = n.vec_id
 WHERE p.quality >= 0.3
 """
     sqls["classifier_score"] = textops.sql_classifier_score()
+    from eventstore_spark.operators import corpus as _cp
+
+    sqls["span_dedup"] = _cp.sql_span_dedup_profile()
     sqls["ann_lsh"] = sim.sql_lsh_topk(ANN_QUERY_IDS, k=10)
     sqls["ann_ivf"] = sim.sql_ivf_topk(ANN_QUERY_IDS, k=10, trained=True)
     sqls["embedding_neardup"] = sim.sql_embedding_neardup(threshold=0.45)

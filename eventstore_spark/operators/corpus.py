@@ -541,3 +541,85 @@ SELECT c.doc_id, b.bench_id
 FROM normed c JOIN bench b ON contains(c.norm, b.needle)
 WHERE c.doc_id >= {bench_max_id}
 """
+
+
+def span_dedup_profile(docs: DataFrame, span_tokens: int = 10,
+                       stride: int = 1, min_copies: int = 2,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Token-span duplication profile — the substring-level dedup signal
+    of "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al. 2022): for every document, how many of its ``span_tokens``-
+    token windows (stride ``stride``) also occur elsewhere in the corpus
+    at least ``min_copies`` times in total.
+
+    Shape at scale: tokenize once, explode spans to (doc_id, span_hash)
+    rows — the per-span count is a groupBy on the hash whose explode is
+    absorbed by map-side partial aggregation; the doc flags come from ONE
+    equi-join of the span rows with the count table on the short hash key
+    (AQE handles hot-span skew), then a per-doc aggregate. Docs shorter
+    than one span window surface with n_spans = 0 (totality), so the
+    downstream filter `n_dup_spans * D <= n_spans * N` is safe to apply
+    to every row. Span hashes are md5-derived — identical in Spark and
+    the DuckDB oracle.
+
+    Returns (doc_id, n_spans, n_dup_spans).
+    """
+    staged = spread(docs).select(
+        F.col(id_col).alias("doc_id"), X.tokens(F.col(text_col)).alias("_toks")
+    )
+    span_sql = (
+        f"transform(sequence(1, size(_toks) - {span_tokens} + 1, {stride}), "
+        f"i -> CAST(conv(substring(md5(array_join(slice(_toks, i, {span_tokens}), ' ')), "
+        f"1, 15), 16, 10) AS BIGINT))"
+    )
+    spans = (
+        staged.where(F.size("_toks") >= span_tokens)
+        .select("doc_id", F.explode(F.expr(span_sql)).alias("h"))
+    )
+    counts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("copies"))
+    flagged = (
+        spans.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum((F.col("copies") >= min_copies).cast("long")).alias("n_dup_spans"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        )
+    )
+
+
+def sql_span_dedup_profile(span_tokens: int = 10, stride: int = 1,
+                           min_copies: int = 2, table: str = "documents",
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    toks = X.SQL_TOKENS.format(c=text_col)
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id, {toks} AS toks FROM {table}
+), s AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - {span_tokens} + 2, {stride}),
+           i -> CAST('0x' || substr(md5(array_to_string(toks[i:i+{span_tokens - 1}], ' ')),
+                     1, 15) AS BIGINT))) AS h
+  FROM t WHERE len(toks) >= {span_tokens}
+), c AS (
+  SELECT h, count(*) AS copies FROM s GROUP BY h
+), f AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN c.copies >= {min_copies} THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+  FROM s JOIN c USING (h) GROUP BY s.doc_id
+)
+SELECT d.{id_col} AS doc_id,
+       COALESCE(f.n_spans, 0) AS n_spans,
+       COALESCE(f.n_dup_spans, 0) AS n_dup_spans
+FROM {table} d LEFT JOIN f ON d.{id_col} = f.doc_id
+"""

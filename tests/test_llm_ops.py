@@ -197,6 +197,28 @@ def test_trained_ivf_index_matches_batch(spark, skewed_vectors, tmp_path_factory
     assert batch == indexed and batch
 
 
+def test_span_dedup_profile_counts(spark):
+    """Substring-dedup signal: shared token windows count as duplicated,
+    unique ones don't, short docs surface with zero spans (totality)."""
+    from eventstore_spark.operators.corpus import span_dedup_profile
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta unique1 tail1"),
+         (2, "alpha beta gamma delta epsilon zeta unique2 tail2"),
+         (3, "one two three four five six seven eight"),
+         (4, "tiny doc")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in span_dedup_profile(docs, span_tokens=6, min_copies=2).collect()
+    }
+    assert out[1].n_spans == 3 and out[1].n_dup_spans == 1  # shared opening
+    assert out[2].n_spans == 3 and out[2].n_dup_spans == 1
+    assert out[3].n_spans == 3 and out[3].n_dup_spans == 0
+    assert out[4].n_spans == 0 and out[4].n_dup_spans == 0  # too short
+
+
 def test_classifier_score_exact_inference(spark):
     """Hashed-linear classifier: deterministic integer logits, bigram+
     unigram features, empty-text totality, and a pure-projection plan
