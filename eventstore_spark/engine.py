@@ -69,17 +69,35 @@ class EventStoreEngine:
     # ------------------------------------------------------------------ log
     def events(self, visible_only: bool = True) -> DataFrame:
         """The canonical events DataFrame (visibility rules applied)."""
-        df = self.writer.load()
+        return self._events_of(self.writer.load(), visible_only)
+
+    def events_at(self, manifest_seq: int, visible_only: bool = True) -> DataFrame:
+        """Time travel: the store as of manifest generation
+        ``manifest_seq`` (``manifest_history()`` lists them). Visibility
+        (metadata, tombstones) is evaluated against the SAME snapshot, so
+        the result is exactly what ``events()`` returned at that commit —
+        the reproducible-training-snapshot read. Bounded by ``vacuum``:
+        generations inside the grace window are always available."""
+        return self._events_of(self.writer.load_at(manifest_seq), visible_only)
+
+    def manifest_history(self) -> list[int]:
+        from . import manifest as _manifest
+
+        return _manifest.history(self.path)
+
+    def _events_of(self, df: DataFrame, visible_only: bool) -> DataFrame:
         if not visible_only:
             return df
-        md = self.stream_metadata()
+        md = self.stream_metadata(df)
         user = df.where(~df.stream_id.startswith(METASTREAM_PREFIX))
         return visible_events(user, md)
 
-    def stream_metadata(self) -> DataFrame | None:
+    def stream_metadata(self, df: DataFrame | None = None) -> DataFrame | None:
         """Parse `$$<stream>` metastreams into the metadata dimension
-        (latest $metadata event wins), plus tombstones from the log."""
-        df = self.writer.load()
+        (latest $metadata event wins), plus tombstones from the log.
+        ``df`` overrides the log snapshot (time-travel reads)."""
+        if df is None:
+            df = self.writer.load()
         metas = df.where(
             df.stream_id.startswith(METASTREAM_PREFIX)
             & (df.event_type == "$metadata")

@@ -63,6 +63,33 @@ def snapshot_files(path: str) -> list[str] | None:
     return None if cur is None else cur[1]
 
 
+def files_at(path: str, seq: int) -> list[str] | None:
+    """File list of a SPECIFIC manifest generation (time travel), or None
+    if that generation does not exist (never published, or vacuumed)."""
+    f = os.path.join(_dir(path), f"manifest-{seq:010d}.json")
+    if not os.path.isfile(f):
+        return None
+    with open(f) as fh:
+        return json.load(fh)["files"]
+
+
+def history(path: str) -> list[int]:
+    """Available manifest generations, oldest first (bounded by vacuum:
+    superseded generations and their files drain after the grace window,
+    exactly like Delta's VACUUM limits time travel)."""
+    d = _dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for n in os.listdir(d):
+        if n.startswith("manifest-") and n.endswith(".json"):
+            try:
+                out.append(int(n[len("manifest-"):-len(".json")]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
 def _write(path: str, seq: int, files: list[str]) -> int:
     d = _dir(path)
     os.makedirs(d, exist_ok=True)

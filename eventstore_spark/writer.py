@@ -571,6 +571,21 @@ class EventLogWriter:
         files = manifest.snapshot_files(self.path)
         if files is None:
             return self.spark.read.schema(EVENTS_SCHEMA).parquet(self.path)
+        return self._load_files(files)
+
+    def load_at(self, seq: int) -> DataFrame:
+        """Time travel: the log as of manifest generation ``seq`` (see
+        ``manifest.history``). Raises if that generation was never
+        published or has been vacuumed away."""
+        files = manifest.files_at(self.path, seq)
+        if files is None:
+            raise ValueError(
+                f"manifest generation {seq} not available for {self.path} "
+                "(never published, or removed by vacuum)"
+            )
+        return self._load_files(files)
+
+    def _load_files(self, files: list[str]) -> DataFrame:
         if not files:
             return self.spark.createDataFrame([], EVENTS_SCHEMA)
         return self.spark.read.schema(EVENTS_SCHEMA).parquet(

@@ -283,6 +283,27 @@ def test_long_poll_parks_on_commit_condition(engine):
     assert jobs_for("lp_short", 2.0) == jobs_for("lp_long", 6.0) > 0
 
 
+def test_time_travel_reads(engine):
+    """events_at(seq) reproduces exactly what events() returned at that
+    manifest generation — visibility evaluated against the as-of
+    snapshot, so a later soft delete does not reach back."""
+    import pytest as _pytest
+
+    hist = engine.manifest_history()
+    assert hist  # every append published a generation
+    seq = hist[-1]
+    n_then = engine.events().count()
+    engine.append("account-1", [ProposedEvent("Deposited", '{"amount": 1}')])
+    engine.delete_stream("account-2")
+    assert engine.events().where("stream_id = 'account-2'").count() == 0
+    snap = engine.events_at(seq)
+    assert snap.count() == n_then
+    assert snap.where("stream_id = 'account-2'").count() == 1
+    assert len(engine.manifest_history()) > len(hist)
+    with _pytest.raises(ValueError):
+        engine.events_at(10_000)
+
+
 def test_register_views_sql_surface(engine, spark):
     """SQL over the store: the engine's surfaces as temp views."""
     from eventstore_spark.projections.dsl import Projection
