@@ -344,3 +344,54 @@ def test_chunk_documents_matches(spark, corpus):
     assert sdf["chunk_text"].tolist() == odf["chunk_text"].tolist()
     # every doc present, and some doc actually produced multiple chunks
     assert sdf.groupby("doc_id").size().max() > 1
+
+
+def test_classifier_score_matches(spark, corpus):
+    """Hashed-linear inference on the adversarial corpus: exact BIGINT
+    logits must match DuckDB on unicode, empty and whitespace-run texts
+    (the feature-hash + fold path end to end)."""
+    from eventstore_spark.operators.textops import (
+        classifier_score,
+        sql_classifier_score,
+    )
+
+    docs = spark.read.parquet(corpus)
+    sdf = classifier_score(docs).toPandas().sort_values("doc_id", ignore_index=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{corpus}/*.parquet'")
+    odf = (
+        con.execute(sql_classifier_score())
+        .fetchdf()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    for c in ("n_features", "logit_micro", "label"):
+        for i in range(len(sdf)):
+            a, b = sdf[c].iloc[i], odf[c].iloc[i]
+            assert a == b, f"{c} diverges at doc {i}: spark={a!r} duck={b!r}"
+
+
+def test_span_dedup_profile_matches(spark, corpus):
+    """Span-duplication counts on the adversarial corpus (short docs,
+    repeats, unicode): per-doc window totals must match DuckDB exactly."""
+    from eventstore_spark.operators.corpus import (
+        span_dedup_profile,
+        sql_span_dedup_profile,
+    )
+
+    docs = spark.read.parquet(corpus)
+    sdf = (
+        span_dedup_profile(docs, span_tokens=3, min_copies=2)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{corpus}/*.parquet'")
+    odf = (
+        con.execute(sql_span_dedup_profile(span_tokens=3, min_copies=2))
+        .fetchdf()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    for c in ("n_spans", "n_dup_spans"):
+        for i in range(len(sdf)):
+            a, b = sdf[c].iloc[i], odf[c].iloc[i]
+            assert a == b, f"{c} diverges at doc {i}: spark={a!r} duck={b!r}"
