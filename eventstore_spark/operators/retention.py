@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..schema import MAX_LONG
 
@@ -33,10 +32,13 @@ def visible_events(
     * ``max_age_seconds``: created >= now - max_age.
     * ``tombstoned``: hard delete — nothing visible.
 
-    ``max_count`` needs the stream's last event number; at scale that comes
-    from the ``stream_stats`` table the writer maintains (O(1) lookup); here
-    we compute it with a per-stream window (one shuffle by stream_id, the
-    same key the table is already laid out on).
+    ``max_count`` needs the stream's last event number. Computing it with
+    a per-stream window over the WHOLE log would shuffle every event on
+    every read, even when no stream sets max_count; instead the heads are
+    aggregated only for the streams that HAVE a max_count (a broadcast
+    semi-filtered scan → tiny per-stream max → broadcast back), so the
+    main log path stays shuffle-free — the Spark shape of the reference's
+    O(1) last-event-number lookup in IndexBackend.
     """
     if stream_metadata is None:
         return events
@@ -50,10 +52,15 @@ def visible_events(
     )
     joined = events.join(md, "stream_id", "left")
 
-    needs_last = True  # max_count present in schema; window only if used
-    if needs_last:
-        w = Window.partitionBy("stream_id")
-        joined = joined.withColumn("_last_event_number", F.max("event_number").over(w))
+    mc_streams = stream_metadata.where(
+        F.col("max_count").isNotNull()
+    ).select("stream_id")
+    last = (
+        events.join(F.broadcast(mc_streams), "stream_id")
+        .groupBy("stream_id")
+        .agg(F.max("event_number").alias("_last_event_number"))
+    )
+    joined = joined.join(F.broadcast(last), "stream_id", "left")
 
     visible = (
         (F.col("tombstoned").isNull() | ~F.col("tombstoned"))
