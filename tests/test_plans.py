@@ -245,7 +245,27 @@ def test_bucketed_log_makes_stream_keyed_work_shuffle_free(spark, parquet_events
         spark.sql("DROP TABLE IF EXISTS test_bucketed_log")
 
 
-def test_projection_state_table_read_shape(spark, tmp_path_factory):
+def test_visibility_read_never_windows_the_log(spark, tmp_path_factory):
+    """engine.events() must not run an unbounded per-stream window over
+    the whole log for max_count heads — the heads come from an aggregate
+    over only the max_count streams, broadcast back. (The only Window
+    allowed in the plan is the tiny metastream latest-$metadata pick.)"""
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.writer import ProposedEvent
+
+    path = str(tmp_path_factory.mktemp("visplan") / "store")
+    eng = EventStoreEngine(spark, path)
+    eng.append("user-1", [ProposedEvent("E", "{}"), ProposedEvent("E", "{}")])
+    eng.set_stream_metadata("user-1", max_count=1)
+    plan = plan_of(eng.events())
+    # the user-event side must reach the visibility filter without a
+    # window; the metastream window operates on the $$-filtered slice
+    import re
+
+    windows = re.findall(r"Window.*", plan)
+    for w in windows:
+        assert "_last_event_number" not in w, plan
+    assert eng.events().count() == 1  # max_count=1 still enforced
     """The continuous state table's latest-wins merge must be keyed (one
     hash exchange on the partition key) — a SinglePartition window here
     would serialize millions of projection partitions through one task."""
