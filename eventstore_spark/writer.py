@@ -365,11 +365,20 @@ class EventLogWriter:
             "stream_id", "event_type", "data", "metadata", "event_id", *order_cols
         ).dropDuplicates(["stream_id", "event_id"])
         if self._has_files():
-            b = b.join(
-                self.load().select("stream_id", "event_id"),
-                ["stream_id", "event_id"],
-                "left_anti",
-            )
+            # exactly-once anti-join, PRUNED to the batch's own streams:
+            # the log side filters on the touched stream set (one tiny
+            # distinct over the batch), so the scan prunes by row-group
+            # stats / buckets instead of shuffling the whole log. A batch
+            # touching an enormous stream set falls back to the full
+            # anti-join rather than building an oversized isin plan.
+            log = self.load().select("stream_id", "event_id")
+            sids = [
+                r["stream_id"]
+                for r in b.select("stream_id").distinct().limit(10_001).collect()
+            ]
+            if len(sids) <= 10_000:
+                log = log.where(F.col("stream_id").isin(sids))
+            b = b.join(log, ["stream_id", "event_id"], "left_anti")
         b = b.cache()
         try:
             # one job yields per-stream counts AND the size guard: the
