@@ -879,6 +879,43 @@ ANN_QUERY_IDS = [1, 7, 42]
 KNN_PROBE_IDS = list(range(0, 100, 5))  # 20 probes
 
 
+def q_media_sniff(spark, sf):
+    """Header sniffing round-trip: synthesize REAL PNG/GIF/WAV headers
+    with doc_id-derived fields, then parse them back with the codegen'd
+    sniffer (multimodal.sniff_media_headers); the oracle computes the
+    expected fields arithmetically — ground truth for the parser."""
+    from eventstore_spark.operators import multimodal as mm
+
+    w, h = "(16 + doc_id % 300)", "(16 + (doc_id * 7) % 300)"
+    ch, sr = "(1 + doc_id % 2)", "(8000 + (doc_id % 8) * 4000)"
+
+    def hex8(e):
+        return f"lpad(hex({e}), 8, '0')"
+
+    def le16(e):
+        return (f"concat(lpad(hex(({e}) % 256), 2, '0'), "
+                f"lpad(hex(({e}) div 256), 2, '0'))")
+
+    def le32(e):
+        return (f"concat(lpad(hex(({e}) % 256), 2, '0'), "
+                f"lpad(hex(({e}) div 256 % 256), 2, '0'), "
+                f"lpad(hex(({e}) div 65536 % 256), 2, '0'), "
+                f"lpad(hex(({e}) div 16777216 % 256), 2, '0'))")
+
+    png = f"concat('89504E470D0A1A0A0000000D49484452', {hex8(w)}, {hex8(h)})"
+    gif = f"concat('474946383761', {le16(w)}, {le16(h)})"
+    wav = (f"concat('52494646', '00000000', '57415645', '666D7420', "
+           f"'10000000', '0100', {le16(ch)}, {le32(sr)})")
+    synth = _table(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(
+            f"unhex(CASE doc_id % 3 WHEN 0 THEN {png} WHEN 1 THEN {gif} "
+            f"ELSE {wav} END)"
+        ).alias("content"),
+    )
+    return mm.sniff_media_headers(synth)
+
+
 def q_ann_bruteforce(spark, sf):
     return sim.brute_force_topk(_table(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10)
 
@@ -968,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "doc_fingerprint_rolling": q_doc_fingerprint_rolling,
         "multimodal_features": q_multimodal_features,
+        "media_sniff": q_media_sniff,
         "media_dedup": q_media_dedup,
         "media_frames": q_media_frames,
         "media_chunks": q_media_chunks,
@@ -1412,6 +1450,15 @@ SELECT doc_id AS media_id,
        CAST(64 + (CAST('0x' || substr(sha256(text), 1, 2) AS INT) % 192) AS INT) AS width,
        CAST(64 + (CAST('0x' || substr(sha256(text), 3, 2) AS INT) % 192) AS INT) AS height,
        substr(sha256(text), 1, 16) AS digest
+FROM documents
+"""
+    sqls["media_sniff"] = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'wav' END AS format,
+       CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(16 + doc_id % 300 AS BIGINT) END AS width,
+       CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(16 + (doc_id * 7) % 300 AS BIGINT) END AS height,
+       CASE WHEN doc_id % 3 = 2 THEN CAST(1 + doc_id % 2 AS BIGINT) END AS channels,
+       CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + (doc_id % 8) * 4000 AS BIGINT) END AS sample_rate
 FROM documents
 """
     sqls["media_dedup"] = """

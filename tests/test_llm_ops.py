@@ -197,6 +197,33 @@ def test_trained_ivf_index_matches_batch(spark, skewed_vectors, tmp_path_factory
     assert batch == indexed and batch
 
 
+def test_sniff_media_headers_real_formats(spark):
+    """The header sniffer parses GENUINE file headers (not the fake
+    decoder): PNG big-endian dims, GIF little-endian dims, WAV fmt-chunk
+    channels/sample-rate; junk bytes surface as unknown/null."""
+    from eventstore_spark.operators.multimodal import sniff_media_headers
+
+    png = bytes.fromhex(
+        "89504E470D0A1A0A0000000D49484452" "00000140" "000000F0"
+    )  # 320 x 240
+    gif = bytes.fromhex("474946383961" "0301" "E801")  # GIF89a 259 x 488
+    wav = bytes.fromhex(
+        "52494646" "24000000" "57415645" "666D7420" "10000000"
+        "0100" "0200" "44AC0000"
+    )  # stereo, 44100 Hz
+    junk = b"hello world, not a media file"
+    media = spark.createDataFrame(
+        [(1, png), (2, gif), (3, wav), (4, junk)],
+        "media_id long, content binary",
+    )
+    out = {r.media_id: r for r in sniff_media_headers(media).collect()}
+    assert (out[1].format, out[1].width, out[1].height) == ("png", 320, 240)
+    assert (out[2].format, out[2].width, out[2].height) == ("gif", 259, 488)
+    assert (out[3].format, out[3].channels, out[3].sample_rate) == ("wav", 2, 44100)
+    assert out[3].width is None
+    assert (out[4].format, out[4].width, out[4].channels) == ("unknown", None, None)
+
+
 def test_span_dedup_profile_counts(spark):
     """Substring-dedup signal: shared token windows count as duplicated,
     unique ones don't, short docs surface with zero spans (totality)."""
