@@ -594,4 +594,10 @@ class EventStoreEngine:
         for name, mp in self.projections.items():
             if mp.last_result is not None:
                 reg(f"{prefix}_proj_{name}", mp.last_result.states)
+            elif mp.mode == "continuous" and os.path.isdir(
+                self._projection_state_dir(name)
+            ):
+                # continuous projections: the live state TABLE is the
+                # queryable surface (latest-wins over the LSM generations)
+                reg(f"{prefix}_proj_{name}", self.projection_state(name))
         return out

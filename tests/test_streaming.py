@@ -418,6 +418,11 @@ def test_continuous_state_table_scale_and_restart(spark, tmp_path):
         st3.where(F.col("partition") == "acct-8").first().state
     ) == {"n": 2, "sum": 101}
 
+    # the continuous state table registers as a SQL view
+    names = eng.register_views()
+    assert "es_proj_bigbal" in names
+    assert spark.sql("SELECT count(*) AS n FROM es_proj_bigbal").first().n == n
+
 
 def test_continuous_fold_order_across_arrow_chunks(spark, tmp_path):
     """An order-SENSITIVE fold must replay in log order even when one
