@@ -252,6 +252,38 @@ class EventStoreEngine:
                 if new > epoch or self.writer.log_signature() != sig:
                     break  # a commit landed → rescan via the outer loop
 
+    def poll_all(self, from_position: int = 0, max_count: int | None = None,
+                 event_filter: EventFilter | None = None,
+                 timeout_s: float = 5.0, interval_s: float = 0.25) -> DataFrame:
+        """U3 long-poll over $all (optionally filtered): block up to
+        ``timeout_s`` until a MATCHING event exists at/after
+        ``from_position`` — parked on the writer's commit condition like
+        ``poll_stream`` (the reference's AwakeService parks every read
+        kind, StorageReaderWorker.cs:134-137). A commit that matches the
+        filter wakes the poll with data; a non-matching commit triggers
+        one pruned probe and the poll parks again — still zero Spark jobs
+        while idle."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout_s
+        while True:
+            epoch = self.writer.commit_epoch()
+            sig = self.writer.log_signature()
+            probe = self.events().where(F.col("log_position") >= from_position)
+            if event_filter is not None:
+                probe = probe.where(event_filter.predicate())
+            hit = probe.select("log_position").limit(1).first()
+            if hit is not None or _time.monotonic() >= deadline:
+                return self.read_all(
+                    from_position, max_count, event_filter=event_filter
+                )
+            while _time.monotonic() < deadline:
+                new = self.writer.wait_for_commit(
+                    epoch, min(interval_s, deadline - _time.monotonic())
+                )
+                if new > epoch or self.writer.log_signature() != sig:
+                    break
+
     def read_all_page(self, from_position: int = 0, max_count: int = 500,
                       event_filter: EventFilter | None = None,
                       backward: bool = False):

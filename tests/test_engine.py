@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from eventstore_spark.engine import EventStoreEngine
+from eventstore_spark.operators.filters import EventFilter
 from eventstore_spark.projections.dsl import Projection
 from eventstore_spark.writer import ProposedEvent
 
@@ -281,6 +282,37 @@ def test_long_poll_parks_on_commit_condition(engine):
         return len(sc.statusTracker().getJobIdsForGroup(group))
 
     assert jobs_for("lp_short", 2.0) == jobs_for("lp_long", 6.0) > 0
+
+
+def test_long_poll_all_filtered(engine):
+    """U3 over $all: a filtered poll ignores non-matching commits (they
+    wake it, the probe finds nothing, it parks again) and returns as
+    soon as a MATCHING event commits — far sooner than interval_s."""
+    import threading
+    import time as _t
+
+    head = engine.events(visible_only=False).agg(
+        F.max("log_position")
+    ).first()[0]
+
+    def later():
+        _t.sleep(0.5)
+        engine.append("chat-1", [ProposedEvent("MessageSent", '{"x": 1}')])
+        _t.sleep(0.5)
+        engine.append("account-1", [ProposedEvent("Deposited", '{"amount": 2}')])
+
+    th = threading.Thread(target=later)
+    th.start()
+    t0 = _t.monotonic()
+    got = engine.poll_all(
+        from_position=head + 1,
+        event_filter=EventFilter(event_type_prefixes=("Deposited",)),
+        timeout_s=60, interval_s=30,
+    ).collect()
+    elapsed = _t.monotonic() - t0
+    th.join()
+    assert [r.event_type for r in got] == ["Deposited"]
+    assert elapsed < 15  # woke on the matching commit, not the timer
 
 
 def test_time_travel_reads(engine):
