@@ -401,11 +401,25 @@ class EventStoreEngine:
         if mp.mode == "continuous":
             out = run_continuous(mp.spec, self.subscribe())
             state_dir = self._projection_state_dir(name)
-            if checkpoint_dir is None and os.path.isdir(state_dir):
-                # no streaming checkpoint → batch ids restart at 0, so a
-                # stale table from a previous run would win latest-batch
-                # ties; a fresh transient run starts from an empty table
+            # batch ids are only monotone WITHIN one streaming checkpoint
+            # lineage: a run with no checkpoint, or with a different
+            # checkpoint dir than the table was built under, restarts ids
+            # at 0 and stale high-numbered generations would win
+            # latest-batch ties — so the table resets whenever the
+            # checkpoint identity changes
+            marker = os.path.join(
+                os.path.dirname(state_dir), "_checkpoint_id"
+            )
+            ckpt_id = checkpoint_dir or ""
+            prev = None
+            if os.path.isfile(marker):
+                with open(marker) as fh:
+                    prev = fh.read()
+            if os.path.isdir(state_dir) and (ckpt_id == "" or prev != ckpt_id):
                 shutil.rmtree(state_dir)
+            os.makedirs(os.path.dirname(state_dir), exist_ok=True)
+            with open(marker, "w") as fh:
+                fh.write(ckpt_id)
 
             def sink(batch_df, batch_id):
                 # emissions append DISTRIBUTED into the log (exactly-once
@@ -506,6 +520,14 @@ class EventStoreEngine:
             # (compact_projection_state) folds the deltas into one base.
             state_dir = self._projection_state_dir(name)
             if not os.path.isdir(state_dir):
+                if mp.runs > 0:
+                    # started but no micro-batch committed yet — an empty
+                    # state table, not an error (monitoring loops poll
+                    # this window)
+                    return self.spark.createDataFrame(
+                        [],
+                        "partition string, state string, last_position long",
+                    )
                 raise RuntimeError(f"projection '{name}' has not run")
             from pyspark.sql.window import Window
 
@@ -630,6 +652,23 @@ class EventStoreEngine:
                 self._projection_state_dir(name)
             ):
                 # continuous projections: the live state TABLE is the
-                # queryable surface (latest-wins over the LSM generations)
-                reg(f"{prefix}_proj_{name}", self.projection_state(name))
+                # queryable surface. Registered as a SQL view over
+                # parquet.`dir` — the view stores the PARSED plan, so each
+                # query re-resolves the file listing and sees micro-batch
+                # generations written (or compacted) after registration;
+                # a DataFrame-backed view would pin the listing.
+                v = f"{prefix}_proj_{name}"
+                sd = self._projection_state_dir(name)
+                self.spark.sql(
+                    f"CREATE OR REPLACE TEMPORARY VIEW {v} AS "
+                    "SELECT partition, state, "
+                    "       source_log_position AS last_position FROM ("
+                    "  SELECT partition, state, source_log_position, "
+                    "         row_number() OVER (PARTITION BY partition "
+                    "           ORDER BY batch DESC, source_log_position DESC"
+                    "         ) AS _rn "
+                    f"  FROM parquet.`{sd}`"
+                    ") WHERE _rn = 1"
+                )
+                out.append(v)
         return out

@@ -24,8 +24,16 @@ under fresh names, and published as a new manifest snapshot; the
 superseded files STAY on disk until ``vacuum(path, grace_s)`` removes
 them, so a reader that pinned the previous snapshot never hits
 FileNotFound mid-scan. Single-writer invariant still applies (no
-concurrent appends during the rewrite); live ``readStream`` subscriptions
-should be drained first, as in the reference's chunk switch-over.
+concurrent appends during the rewrite).
+
+SUBSCRIPTION invariant: Structured-Streaming subscriptions tail the raw
+directory (a stream must watch a dir for new files; it cannot pin a
+manifest), so between a rewrite and its vacuum the directory holds BOTH
+generations — a subscription started in that window would double-read
+the surviving events. Drain live subscriptions before maintenance (the
+reference's chunk switch-over demands the same) and start new ones only
+after ``vacuum`` (or from a position checkpoint), never inside the
+rewrite→vacuum window.
 """
 
 from __future__ import annotations

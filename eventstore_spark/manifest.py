@@ -123,39 +123,57 @@ def replace_snapshot(path: str, files: list[str]) -> int:
     return _write(path, seq + 1, sorted(files))
 
 
-def vacuum(path: str, grace_s: float = 0.0) -> dict:
-    """Delete parquet files unreferenced by the CURRENT manifest and older
-    than ``grace_s`` (the reader-drain window), plus superseded manifest
-    files. No-op in plain-dir mode. The grace period is the contract: a
-    reader's pinned snapshot stays valid for at least ``grace_s`` after a
-    maintenance rewrite (reference: old chunks unlinked after switch-over,
-    Scavenger.cs:199)."""
-    cur = latest(path)
-    if cur is None:
+def vacuum(path: str, grace_s: float = 3600.0) -> dict:
+    """Drain files superseded longer than ``grace_s`` ago. No-op in
+    plain-dir mode.
+
+    The grace clock starts at SUPERSESSION, not file creation: a manifest
+    generation is "drained" only once its SUCCESSOR manifest is older
+    than ``grace_s`` (no reader could have pinned it more recently than
+    the successor's publish). The kept-file set is the union over the
+    current manifest and every not-yet-drained generation, so
+    ``events_at`` keeps working for every generation whose JSON still
+    exists. This is the contract the reference's scavenger honors — old
+    chunks unlink only after readers drain (Scavenger.cs:199)."""
+    d = _dir(path)
+    if not os.path.isdir(d):
         return {"removed": 0, "manifests_removed": 0}
-    seq, files = cur
-    keep = set(files)
+    gens = history(path)
+    if not gens:
+        return {"removed": 0, "manifests_removed": 0}
     cutoff = time.time() - grace_s
+    keep: set[str] = set()
+    drained: list[int] = []
+    for i, seq in enumerate(gens):
+        if i + 1 < len(gens):
+            succ = os.path.join(d, f"manifest-{gens[i + 1]:010d}.json")
+            try:
+                superseded_at = os.path.getmtime(succ)
+            except FileNotFoundError:
+                superseded_at = time.time()
+            if superseded_at < cutoff:
+                drained.append(seq)
+                continue
+        keep.update(files_at(path, seq) or [])
     removed = 0
     for n in os.listdir(path):
         if not n.endswith(".parquet") or n in keep:
             continue
         full = os.path.join(path, n)
         try:
-            if os.path.getmtime(full) < cutoff:
-                os.remove(full)
-                removed += 1
+            # belt: never touch a file younger than the grace window (an
+            # in-flight commit whose manifest hasn't published yet)
+            if os.path.getmtime(full) >= cutoff:
+                continue
+            os.remove(full)
+            removed += 1
         except FileNotFoundError:
             continue
     manifests_removed = 0
-    d = _dir(path)
-    for n in os.listdir(d):
-        if n.startswith("manifest-") and n.endswith(".json"):
-            try:
-                s = int(n[len("manifest-"):-len(".json")])
-            except ValueError:
-                continue
-            if s < seq and os.path.getmtime(os.path.join(d, n)) < cutoff:
-                os.remove(os.path.join(d, n))
-                manifests_removed += 1
+    for seq in drained:
+        try:
+            os.remove(os.path.join(d, f"manifest-{seq:010d}.json"))
+            manifests_removed += 1
+        except FileNotFoundError:
+            continue
     return {"removed": removed, "manifests_removed": manifests_removed}

@@ -423,6 +423,33 @@ def test_continuous_state_table_scale_and_restart(spark, tmp_path):
     assert "es_proj_bigbal" in names
     assert spark.sql("SELECT count(*) AS n FROM es_proj_bigbal").first().n == n
 
+    # the view re-resolves per query: a run AFTER registration (same
+    # checkpoint) is visible through the already-registered view
+    w.append("acct-8", [ProposedEvent("Deposited", '{"amount": 1000}')])
+    q3 = eng.run_projection("bigbal", checkpoint_dir=ck)
+    try:
+        q3.processAllAvailable()
+    finally:
+        q3.stop()
+    assert json.loads(
+        spark.sql(
+            "SELECT state FROM es_proj_bigbal WHERE partition = 'acct-8'"
+        ).first().state
+    ) == {"n": 3, "sum": 1101}
+
+    # a DIFFERENT checkpoint dir restarts batch ids → the stale table
+    # must reset rather than letting old high-numbered generations win
+    q4 = eng.run_projection("bigbal", checkpoint_dir=str(tmp_path / "bigck2"))
+    try:
+        q4.processAllAvailable()
+    finally:
+        q4.stop()
+    st4 = eng.projection_state("bigbal")
+    assert st4.count() == n
+    assert json.loads(
+        st4.where(F.col("partition") == "acct-8").first().state
+    ) == {"n": 3, "sum": 1101}  # recomputed from scratch, not stale-mixed
+
 
 def test_continuous_fold_order_across_arrow_chunks(spark, tmp_path):
     """An order-SENSITIVE fold must replay in log order even when one
