@@ -588,6 +588,39 @@ class EventStoreEngine:
         os.rename(staging, os.path.join(state_dir, "batch=-1"))
         return {"generations_before": len(gens), "generations_after": 1}
 
+    def store_statistics(self) -> dict:
+        """Admin stats (the reference's $stats surface, shallow analog):
+        event/stream counts from one aggregate over the visible log, plus
+        storage-level figures read straight from the manifest — no Spark
+        job for the file inventory."""
+        from . import manifest as _manifest
+
+        agg = self.events().agg(
+            F.count(F.lit(1)).alias("events"),
+            F.countDistinct("stream_id").alias("streams"),
+            F.max("log_position").alias("head_position"),
+        ).first()
+        files = _manifest.snapshot_files(self.path)
+        if files is None:
+            files = [
+                f for f in os.listdir(self.path) if f.endswith(".parquet")
+            ]
+        size = 0
+        for f in files:
+            try:
+                size += os.path.getsize(os.path.join(self.path, f))
+            except OSError:
+                continue
+        return {
+            "events": int(agg["events"] or 0),
+            "streams": int(agg["streams"] or 0),
+            "head_position": int(agg["head_position"] or 0),
+            "log_files": len(files),
+            "log_bytes": size,
+            "manifest_generations": len(_manifest.history(self.path)),
+            "projections": len(self.projections),
+        }
+
     def projection_statistics(self) -> list[dict]:
         return [
             {

@@ -108,10 +108,19 @@ def sessionize(
     )
 
 
-def start_to_memory(sub: DataFrame, name: str, checkpoint_location: str | None = None):
+def start_to_memory(sub: DataFrame, name: str, checkpoint_location: str | None = None,
+                    available_now: bool = False):
     """Run a subscription into an in-memory sink (tests / long-poll reads:
-    process-available ≙ U3's long-poll drain)."""
+    process-available ≙ U3's long-poll drain).
+
+    ``available_now=True`` uses Trigger.AvailableNow: drain everything
+    committed at start time in rate-limited micro-batches, then STOP —
+    the catch-up-and-complete read (the reference's non-live subscription
+    that ends at the head), with the streaming checkpoint still tracking
+    position for the next incremental drain."""
     w = sub.writeStream.outputMode("append").format("memory").queryName(name)
+    if available_now:
+        w = w.trigger(availableNow=True)
     if checkpoint_location:
         w = w.option("checkpointLocation", checkpoint_location)
     return w.start()
@@ -137,9 +146,15 @@ def is_caught_up(query) -> bool:
     return not status.get("isDataAvailable", True)
 
 
-def start_foreach_batch(sub: DataFrame, fn, checkpoint_location: str | None = None):
-    """Run a subscription through foreachBatch (exactly-once sinks)."""
+def start_foreach_batch(sub: DataFrame, fn, checkpoint_location: str | None = None,
+                        available_now: bool = False):
+    """Run a subscription through foreachBatch (exactly-once sinks).
+    ``available_now=True`` drains what's committed, then stops — with a
+    checkpoint, each invocation processes only the delta since the last
+    (the incremental catch-up read)."""
     w = sub.writeStream.foreachBatch(fn)
+    if available_now:
+        w = w.trigger(availableNow=True)
     if checkpoint_location:
         w = w.option("checkpointLocation", checkpoint_location)
     return w.start()

@@ -42,6 +42,47 @@ def test_catchup_then_live(spark, log, tmp_path):
         q.stop()
 
 
+def test_available_now_drains_and_stops(spark, log, tmp_path):
+    """Trigger.AvailableNow: the subscription drains everything committed
+    at start, then terminates on its own (catch-up-and-complete); a
+    restart from the same checkpoint drains only the delta."""
+    from eventstore_spark.streaming.subscriptions import start_foreach_batch
+
+    ck = str(tmp_path / "ckan")
+    drained = []
+
+    def sink(batch_df, batch_id):
+        drained.extend(r.event_number for r in batch_df.collect())
+
+    q = start_foreach_batch(
+        subscribe_stream(spark, log.path, "account-1"), sink, ck,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    assert sorted(drained) == [0, 1]
+    log.append("account-1", [ProposedEvent("Deposited", '{"amount": 9}')])
+    drained.clear()
+    q2 = start_foreach_batch(
+        subscribe_stream(spark, log.path, "account-1"), sink, ck,
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert not q2.isActive
+    assert drained == [2]  # same checkpoint → only the delta
+
+
+def test_store_statistics(spark, log):
+    from eventstore_spark.engine import EventStoreEngine
+
+    eng = EventStoreEngine(spark, log.path)
+    st = eng.store_statistics()
+    assert st["events"] >= 3 and st["streams"] >= 2
+    assert st["head_position"] >= 3
+    assert st["log_files"] > 0 and st["log_bytes"] > 0
+    assert st["manifest_generations"] > 0
+
+
 def test_filtered_all_subscription(spark, log, tmp_path):
     sub = subscribe_all(spark, log.path, EventFilter(event_type_prefixes=("With",)))
     q = start_to_memory(sub, "sub2", str(tmp_path / "ck2"))
