@@ -269,7 +269,16 @@ class EventStoreEngine:
         while True:
             epoch = self.writer.commit_epoch()
             sig = self.writer.log_signature()
-            probe = self.events().where(F.col("log_position") >= from_position)
+            # probe under the SAME filters as the returned read (incl. the
+            # default $all filter), or a system-stream commit could wake
+            # the poll into returning an empty page early
+            from .operators.filters import default_all_filter
+
+            probe = (
+                self.events()
+                .where(F.col("log_position") >= from_position)
+                .where(default_all_filter())
+            )
             if event_filter is not None:
                 probe = probe.where(event_filter.predicate())
             hit = probe.select("log_position").limit(1).first()
