@@ -147,6 +147,51 @@ def system_stream_selector(events: DataFrame, name: str,
     return None
 
 
+#: Range width of one numbering bucket. log_position is a dense global
+#: sequence (writer.py assigns consecutive positions), so every bucket
+#: holds at most 2^24 SELECTED rows — one window task's worth — and the
+#: bucket directory is |log| / 2^24 rows (~60k buckets per 10^12 events):
+#: metadata-scale by construction.
+NUMBER_BUCKET = 1 << 24
+
+
+def number_in_log_order(sel: DataFrame, out_col: str) -> DataFrame:
+    """0-based rank of ``log_position`` within ``sel`` — computed as a
+    distributed two-phase rank, NOT a global-window row_number (which
+    would move the whole selection into one task before any page limit
+    could apply; the round-4 scale soft spot).
+
+    Phase 1 buckets the selection by ``log_position`` range and counts
+    per bucket (map-side partial agg; the result is the tiny bucket
+    directory). Phase 2 turns counts into exclusive prefix sums,
+    broadcasts them back, and ranks within each bucket under a window
+    partitioned by bucket. The plan's one SinglePartition exchange sits
+    over the AGGREGATED directory (|log|/2^24 rows), never over the data
+    — net data-scale work is one partial agg + one bounded-per-bucket
+    sort, vs. the old shape's full-selection single-task sort. Kept lazy
+    (no driver collect) so read DataFrames stay job-free until acted on.
+    """
+    b = sel.withColumn(
+        "_bkt", F.floor(F.col("log_position") / F.lit(NUMBER_BUCKET)).cast("long")
+    )
+    counts = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_bn"))
+    # directory-scale ordered cumsum — one partition of ~|log|/2^24 rows
+    w_dir = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bkt",
+        F.coalesce(F.sum("_bn").over(w_dir), F.lit(0)).cast("long").alias("_boff"),
+    )
+    w_in = Window.partitionBy("_bkt").orderBy("log_position")
+    return (
+        b.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            out_col,
+            (F.col("_boff") + F.row_number().over(w_in) - 1).cast("long"),
+        )
+        .drop("_bkt", "_boff")
+    )
+
+
 def system_stream_events(events: DataFrame, name: str,
                          correlation_property: str = "$.$correlationId"
                          ) -> DataFrame | None:
@@ -155,18 +200,19 @@ def system_stream_events(events: DataFrame, name: str,
     like the reference's physical link streams.
 
     The link stream's own ``event_number`` is the rank of the target in
-    log order — inherently a global sequence over the selected subset, so
-    this virtual read pays one window over the SELECTION (not the log).
-    The reference materializes these continuously at append time (they're
-    standard projections emitting real link events); at warehouse scale
-    that is the right call here too — run the equivalent continuous
-    projection into the log and this view is never consulted. The virtual
-    path exists for name-parity and ad-hoc reads.
+    log order — inherently a global sequence over the selected subset.
+    It is computed DISTRIBUTED (``number_in_log_order``): never a
+    single-partition window over the selection. The reference
+    materializes these continuously at append time (they're standard
+    projections emitting real link events); at warehouse scale running
+    the equivalent continuous projection is still cheaper (pay once, not
+    per read) — the virtual path exists for name-parity and ad-hoc reads,
+    and the engine routes to a materialized link stream when one exists.
     """
     sel = system_stream_selector(events, name, correlation_property)
     if sel is None:
         return None
-    w = Window.orderBy("log_position")
+    sel = number_in_log_order(sel, "_lnk")
     link_id = F.md5(
         F.concat_ws("|", F.lit(name), F.col("stream_id"),
                     F.col("event_number").cast("string"))
@@ -174,7 +220,7 @@ def system_stream_events(events: DataFrame, name: str,
     return sel.select(
         F.col("log_position"),
         F.lit(name).alias("_link_stream"),
-        (F.row_number().over(w).cast("long") - 1).alias("_link_number"),
+        F.col("_lnk").alias("_link_number"),
         link_id.alias("event_id"),
         F.lit(LINK_EVENT_TYPE).alias("event_type"),
         F.concat(F.col("event_number").cast("string"), F.lit("@"),

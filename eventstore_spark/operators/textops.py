@@ -364,12 +364,13 @@ def lm_score(docs: DataFrame, top_v: int | None = 1000,
     ).where(F.col("token") != "")
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     if top_v is not None:
-        w = Window.orderBy(F.col("c").desc(), F.col("token"))
-        # rank over the (small) aggregated vocab, not the token stream
-        vocab = (
-            vocab.withColumn("_r", F.row_number().over(w))
-            .where(F.col("_r") <= top_v).drop("_r")
-        )
+        # top-V cap as orderBy+limit → TakeOrderedAndProject (per-partition
+        # heaps + driver merge). At 100 TB the distinct vocabulary is itself
+        # large; a row_number() over an unpartitioned window here would sort
+        # all of it in ONE task. Tie-break (count desc, token asc) is
+        # identical to the oracle's QUALIFY rank, so hashes are unchanged;
+        # limit(0) matches the rank<=0 empty-vocab edge.
+        vocab = vocab.orderBy(F.col("c").desc(), F.col("token")).limit(top_v)
     # corpus total N is a 1-row aggregate attached by broadcast cross join —
     # the scalar-subquery shape. It plans as BroadcastNestedLoopJoin with a
     # ONE-ROW build side, which is scale-safe by construction (the global
