@@ -366,6 +366,12 @@ class EventStoreEngine:
                                 settings: PersistentSubscriptionSettings | None = None,
                                 checkpoint_dir: str | None = None,
                                 event_filter: EventFilter | None = None) -> PersistentSubscription:
+        """U4: create/attach a consumer group. ``stream_id`` may be a
+        SYSTEM stream name (`$ce-X`/`$et-T`/`$bc-id`) — the group then
+        consumes that stream's resolved targets, and pinned dispatch
+        hashes the source stream (the reference's recommended
+        `$by_category` + consumer-group shape,
+        docs/server/features/persistent-subscriptions.md:85-92)."""
         return PersistentSubscription(
             self.events(), group, stream_id, settings, checkpoint_dir,
             event_filter=event_filter,

@@ -25,6 +25,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators.filters import EventFilter
+from ..operators.system_projections import (
+    is_system_stream_name,
+    system_stream_predicate,
+)
 
 # NakAction (persistent.proto / PersistentSubscription.cs)
 NAK_RETRY = "retry"
@@ -82,6 +86,25 @@ class PersistentSubscription:
         self.group = group
         self.stream_id = stream_id
         self.event_filter = event_filter
+        # Consumer groups on SYSTEM stream names ($ce-X / $et-T / $bc-id)
+        # — the reference's most common real-world shape (the docs direct
+        # users at `$by_category` streams via persistent groups with
+        # ResolveLinkTos, docs/server/features/persistent-subscriptions.md:
+        # 85-92). The group's selector becomes the system stream's row
+        # predicate over $all; deliveries carry the RESOLVED-link identity
+        # (the source stream_id), so the Pinned strategy hashes the source
+        # of the resolved event exactly like
+        # PinnedPersistentSubscriptionConsumerStrategy.cs:9.
+        self._system_predicate = None
+        if stream_id is not None and is_system_stream_name(stream_id):
+            pred = system_stream_predicate(stream_id)
+            if pred is None:
+                raise ValueError(
+                    f"system stream '{stream_id}' cannot back a persistent "
+                    "subscription (first-event-per-stream views are batch "
+                    "reads, not event feeds)"
+                )
+            self._system_predicate = pred
         self.settings = settings or PersistentSubscriptionSettings()
         self.checkpoint_dir = checkpoint_dir
         self.consumers: list[str] = []
@@ -136,7 +159,12 @@ class PersistentSubscription:
         """The pruned range scan ``_refill`` collects (exposed so plan
         tests can pin that the stream/filter predicates reach the scan)."""
         src = self.events
-        if self.stream_id is not None:
+        if self._system_predicate is not None:
+            # name-routed group: the system stream's predicate rides the
+            # same pruned range scan; stream_id stays the SOURCE stream
+            # (resolved-link identity) for pinned dispatch
+            src = src.where(self._system_predicate)
+        elif self.stream_id is not None:
             src = src.where(F.col("stream_id") == self.stream_id)
         elif self.event_filter is not None:
             # the filter is a Catalyst predicate, so it rides the pruned

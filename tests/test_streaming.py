@@ -727,3 +727,81 @@ def test_streaming_minhash_dedup_across_batches(spark, tmp_path):
         assert idx_ids == {1, 2, 4}
     finally:
         q.stop()
+
+
+def test_persistent_subscription_on_category_stream(spark, tmp_path):
+    """U4 on a `$ce-` NAME (the reference's most common shape:
+    persistent-subscriptions.md:85-92 — consume `$by_category` output via
+    a consumer group with ResolveLinkTos): the group delivers exactly the
+    category's events with resolved-link identity, across the full
+    ack/nack/park/replay/checkpoint-restore lifecycle."""
+    w = EventLogWriter(spark, str(tmp_path / "cslog"))
+    for i in range(4):
+        w.append(f"user-{i % 2}", [ProposedEvent("Seen", json.dumps({"i": i}))])
+        w.append("order-9", [ProposedEvent("Placed", json.dumps({"i": i}))])
+    ck = str(tmp_path / "csck")
+    s = PersistentSubscriptionSettings(checkpoint_after=2, max_retry_count=0)
+    ps = PersistentSubscription(w.load(), "cgrp", "$ce-user", s, ck)
+    ps.add_consumer("c1")
+    got = ps.fetch(now=0.0)["c1"]
+    src = {r.log_position: r.stream_id for r in w.load().collect()}
+    assert len(got) == 4
+    assert all(src[p].startswith("user-") for p in got)
+    ps.ack(got[:2])
+    ps.nack([got[2]], NAK_PARK)
+    assert ps.parked() == [got[2]]
+    assert ps.replay_parked() == 1
+    ps.checkpoint()
+    # restore from checkpoint into a fresh instance with the same name:
+    # outstanding = the replayed-parked one + the never-acked fourth,
+    # and NEW category events flow while other categories never do
+    w.append("user-1", [ProposedEvent("Seen", '{"i": 99}')])
+    w.append("order-9", [ProposedEvent("Placed", '{"i": 99}')])
+    ps2 = PersistentSubscription(w.load(), "cgrp", "$ce-user", s, ck)
+    ps2.add_consumer("c1")
+    got2 = ps2.fetch(now=1.0)["c1"]
+    src2 = {r.log_position: r.stream_id for r in w.load().collect()}
+    assert all(src2[p].startswith("user-") for p in got2)
+    assert set(got2) >= {got[2], got[3]}
+    assert len(got2) == 3  # replayed + outstanding + the new user event
+
+
+def test_persistent_subscription_on_event_type_stream(spark, tmp_path):
+    """U4 on `$et-<type>`: only that event type enters the buffer."""
+    w = EventLogWriter(spark, str(tmp_path / "etlog"))
+    for i in range(3):
+        w.append("mix-1", [ProposedEvent("Pay", json.dumps({"i": i}))])
+        w.append("mix-1", [ProposedEvent("Noise", json.dumps({"i": i}))])
+    ps = PersistentSubscription(w.load(), "etgrp", "$et-Pay")
+    ps.add_consumer("c1")
+    got = ps.fetch(now=0.0)["c1"]
+    types = {r.log_position: r.event_type for r in w.load().collect()}
+    assert len(got) == 3 and all(types[p] == "Pay" for p in got)
+
+
+def test_persistent_pinned_on_category_hashes_source_stream(spark, tmp_path):
+    """Pinned dispatch on a `$ce-` group keys on the SOURCE stream of the
+    resolved link (PinnedPersistentSubscriptionConsumerStrategy.cs:9):
+    every event of one source stream lands on the same consumer."""
+    w = EventLogWriter(spark, str(tmp_path / "cplog"))
+    for i in range(6):
+        w.append(f"acct-{i % 3}", [ProposedEvent("E", "{}"),
+                                   ProposedEvent("E", "{}")])
+    s = PersistentSubscriptionSettings(consumer_strategy="pinned")
+    ps = PersistentSubscription(w.load(), "pgrp", "$ce-acct", s)
+    ps.add_consumer("c1")
+    ps.add_consumer("c2")
+    out = ps.fetch(now=0.0)
+    src = {r.log_position: r.stream_id for r in w.load().collect()}
+    owner = {}
+    for c, positions in out.items():
+        for p in positions:
+            assert owner.setdefault(src[p], c) == c
+    assert len(out["c1"]) + len(out["c2"]) == 12
+
+
+def test_persistent_subscription_rejects_streams_directory(spark, tmp_path):
+    w = EventLogWriter(spark, str(tmp_path / "rjlog"))
+    w.append("a-1", [ProposedEvent("E", "{}")])
+    with pytest.raises(ValueError):
+        PersistentSubscription(w.load(), "g", "$streams")
