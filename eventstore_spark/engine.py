@@ -65,6 +65,7 @@ class EventStoreEngine:
         self.path = path
         self.writer = EventLogWriter(spark, path)
         self.projections: dict[str, _ManagedProjection] = {}
+        self._system_links_query = None
 
     # ------------------------------------------------------------------ log
     def events(self, visible_only: bool = True) -> DataFrame:
@@ -160,6 +161,15 @@ class EventStoreEngine:
         else:
             self.writer.soft_delete(stream_id)
 
+    def _system_base(self, ev: DataFrame, stream_id: str) -> DataFrame:
+        """The DataFrame a system-stream NAME reads from: the log itself
+        when the standard projections are materialized (the link rows are
+        real events — a pruned literal-name scan, the scale path), else
+        the virtual link view derived on the fly."""
+        if self.system_links_materialized():
+            return ev
+        return sysproj.system_stream_events(ev, stream_id)
+
     # ----------------------------------------------------------------- reads
     def read_event(self, stream_id: str, event_number: int) -> DataFrame:
         return R.read_event(self.events(), stream_id, event_number)
@@ -179,7 +189,7 @@ class EventStoreEngine:
         # Links still resolve against the LOG (targets_from=ev below).
         base = ev
         if sysproj.is_system_stream_name(stream_id):
-            base = sysproj.system_stream_events(ev, stream_id)
+            base = self._system_base(ev, stream_id)
         # Page FIRST on the stream's own rows (filter/order/limit by the
         # link's original identity), THEN resolve the page's links against
         # the log — the reference pages by the link's position and only
@@ -206,9 +216,9 @@ class EventStoreEngine:
         end-of-stream sentinel); forward defaults to 0."""
         base = self.events()
         if sysproj.is_system_stream_name(stream_id):
-            # same name-routing as read_stream: page the virtual link
-            # stream by its own event numbers
-            base = sysproj.system_stream_events(base, stream_id)
+            # same name-routing as read_stream: page the link stream by
+            # its own event numbers (materialized when registered)
+            base = self._system_base(base, stream_id)
         return R.read_stream_page(
             base, stream_id, from_event_number, max_count, backward
         )
@@ -376,6 +386,59 @@ class EventStoreEngine:
             self.events(), group, stream_id, settings, checkpoint_dir,
             event_filter=event_filter,
         )
+
+    # -------------------------------------------------- system projections
+    def _system_links_marker(self) -> str:
+        return os.path.join(self.path, "_projections", "_system_links")
+
+    def system_links_materialized(self) -> bool:
+        """True when the five standard projections have been registered as
+        REAL link streams on this store (persists across engine
+        instances; name-routed reads then serve the materialized
+        streams)."""
+        return os.path.isfile(self._system_links_marker())
+
+    def register_system_projections(self, mode: str = "continuous",
+                                    checkpoint_dir: str | None = None):
+        """Materialize the five standard projections ($streams,
+        $by_category, $stream_by_category, $by_event_type,
+        $by_correlation_id) as REAL link streams in the log — the
+        reference auto-registers exactly these as continuous projections
+        (ProjectionManager.cs:883-924).
+
+        ``mode="onetime"`` emits links for the current log once;
+        ``mode="continuous"`` starts ONE streaming query that appends the
+        five link sets per micro-batch (returns the StreamingQuery).
+        Either way the store is marked, and `read_stream("$ce-…")` /
+        `read_stream_page` thereafter serve the materialized streams —
+        plain pruned scans with REAL event numbers, no ranking work at
+        read time (the 100-TB-scale answer to the virtual view).
+
+        Exactly-once: link event ids are deterministic (and equal to the
+        virtual view's), so replays and re-registrations dedupe through
+        the writer's (stream_id, event_id) anti-join.
+        """
+        os.makedirs(os.path.dirname(self._system_links_marker()), exist_ok=True)
+        with open(self._system_links_marker(), "w") as fh:
+            fh.write(mode)
+        if mode == "onetime":
+            self.writer.append_df(sysproj.system_link_rows(self.events()))
+            return None
+        if mode != "continuous":
+            raise ValueError(f"unknown system-projection mode '{mode}'")
+
+        def sink(batch_df, batch_id):
+            self.writer.append_df(sysproj.system_link_rows(batch_df))
+
+        w = (
+            subscribe_all(self.spark, self.path)
+            .writeStream.outputMode("append").foreachBatch(sink)
+        )
+        if checkpoint_dir:
+            w = w.option("checkpointLocation", checkpoint_dir)
+        q = w.start()
+        self._system_links_query = q
+        return q
 
     # ------------------------------------------------------------ projections
     def create_projection(self, spec: Projection, mode: str = "onetime") -> None:

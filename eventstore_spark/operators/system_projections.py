@@ -147,6 +147,73 @@ def system_stream_selector(events: DataFrame, name: str,
     return None
 
 
+def system_link_rows(events: DataFrame,
+                     correlation_property: str = "$.$correlationId"
+                     ) -> DataFrame:
+    """The link events the five standard projections emit for ``events``
+    — the MATERIALIZED counterpart of ``system_stream_events``, shaped
+    for ``writer.append_df`` (stream_id / event_type / data / metadata /
+    event_id + source order columns).
+
+    The reference registers $streams / $by_category / $stream_by_category
+    / $by_event_type / $by_correlation_id as continuous JS projections
+    (ProjectionManager.cs:883-924) whose handlers are stateless row maps
+    (``$streams``'s "first event" trigger is just event_number == 0) — so
+    here each is a pure Catalyst projection: five narrow selections of
+    one batch, unioned, no Python in the loop, no shuffle (append_df adds
+    the one per-stream numbering exchange shared by all emissions).
+
+    Event ids equal the virtual view's (md5 of link-stream|source-stream|
+    source-number), so a materialized read and the virtual view are
+    row-for-row identical, and re-materializing is idempotent through the
+    writer's (stream_id, event_id) anti-join.
+    """
+    from .filters import default_all_filter
+
+    cat = category_of(F.col("stream_id"))
+    corr = F.get_json_object(F.col("metadata"), correlation_property)
+    src = events.where(default_all_filter()).select(
+        "stream_id", "event_number", "event_type", "metadata", "log_position",
+        cat.alias("_cat"), corr.alias("_corr"),
+    )
+
+    def links(sel: DataFrame, link_stream) -> DataFrame:
+        return sel.select(
+            link_stream.alias("stream_id"),
+            F.lit(LINK_EVENT_TYPE).alias("event_type"),
+            F.concat(F.col("event_number").cast("string"), F.lit("@"),
+                     F.col("stream_id")).alias("data"),
+            F.lit(None).cast("string").alias("metadata"),
+            F.md5(F.concat_ws(
+                "|", link_stream, F.col("stream_id"),
+                F.col("event_number").cast("string"),
+            )).alias("event_id"),
+            F.col("log_position").alias("source_log_position"),
+            F.lit(0).cast("long").alias("emit_seq"),
+        )
+
+    first = src.where(F.col("event_number") == 0)
+    with_cat = src.where(F.col("_cat").isNotNull())
+    return (
+        links(with_cat, F.concat(F.lit("$ce-"), F.col("_cat")))
+        .unionByName(links(
+            # system event types ($>, $streamDeleted, …) are never indexed
+            # by type (IndexEventsByEventType.cs:64-71)
+            src.where(~F.col("event_type").startswith("$")),
+            F.concat(F.lit("$et-"), F.col("event_type")),
+        ))
+        .unionByName(links(
+            src.where(F.col("_corr").isNotNull()),
+            F.concat(F.lit("$bc-"), F.col("_corr")),
+        ))
+        .unionByName(links(first, F.lit("$streams")))
+        .unionByName(links(
+            first.where(F.col("_cat").isNotNull()),
+            F.concat(F.lit("$category-"), F.col("_cat")),
+        ))
+    )
+
+
 #: Range width of one numbering bucket. log_position is a dense global
 #: sequence (writer.py assigns consecutive positions), so every bucket
 #: holds at most 2^24 SELECTED rows — one window task's worth — and the

@@ -400,3 +400,82 @@ def test_projection_checkpoint_stream(engine):
     cks = engine.read_stream("$projections-ckproj-checkpoint").collect()
     assert len(cks) == 2
     assert json.loads(cks[-1].data)["lastPosition"] > pos1
+
+
+# ---------------------------------------------------------------------------
+# system projections as real link streams
+# ---------------------------------------------------------------------------
+
+def _virtual(engine, name):
+    """The on-the-fly link view over USER events only (post-
+    materialization the log also contains the real link rows)."""
+    from eventstore_spark.operators import system_projections as sysproj
+
+    ev = engine.events().where(~F.col("stream_id").startswith("$"))
+    return sysproj.system_stream_events(ev, name)
+
+
+def _rows(df):
+    return [
+        (r.event_number, r.event_id, r.event_type, r.data)
+        for r in df.orderBy("event_number").collect()
+    ]
+
+
+def test_register_system_projections_onetime(engine):
+    """register_system_projections materializes Y1-Y5 as REAL link
+    streams; name-routed reads serve them and match the virtual view
+    row-for-row (numbers, deterministic ids, link bodies)."""
+    engine.append("account-1", [ProposedEvent(
+        "Tagged", "{}", metadata='{"$correlationId": "corr-7"}')])
+    virt = {
+        n: _rows(_virtual(engine, n))
+        for n in ("$ce-account", "$et-Deposited", "$bc-corr-7",
+                  "$streams", "$category-account")
+    }
+    assert not engine.system_links_materialized()
+    engine.register_system_projections(mode="onetime")
+    assert engine.system_links_materialized()
+    for name, expect in virt.items():
+        got = _rows(engine.read_stream(name))
+        assert got == expect, name
+    # resolve_link_tos resolves materialized links against the log
+    res = engine.read_stream("$ce-account", resolve_link_tos=True).collect()
+    assert [r.stream_id for r in res] == ["account-1", "account-1",
+                                          "account-2", "account-1"]
+    # re-registration is idempotent (deterministic ids + anti-join)
+    engine.register_system_projections(mode="onetime")
+    assert _rows(engine.read_stream("$ce-account")) == virt["$ce-account"]
+
+
+def test_register_system_projections_continuous(engine, tmp_path):
+    """Continuous registration keeps the link streams live: events
+    appended after start are linked on the next micro-batch."""
+    q = engine.register_system_projections(
+        mode="continuous", checkpoint_dir=str(tmp_path / "sysck"))
+    try:
+        q.processAllAvailable()
+        n0 = engine.read_stream("$ce-account").count()
+        assert n0 == 3
+        engine.append("account-9", [ProposedEvent("Deposited", '{"amount": 1}')])
+        q.processAllAvailable()
+        got = _rows(engine.read_stream("$ce-account"))
+        assert len(got) == 4
+        assert got == _rows(_virtual(engine, "$ce-account"))
+        # $et- link stream followed too, and skips system event types
+        assert engine.read_stream("$et-Deposited").count() == 3
+        assert engine.read_stream("$et-$>").count() == 0
+    finally:
+        q.stop()
+
+
+def test_materialized_persistent_group_still_delivers(engine):
+    """A $ce- persistent group keeps working on a materialized store
+    (the group reads the predicate feed either way)."""
+    engine.register_system_projections(mode="onetime")
+    ps = engine.persistent_subscription("g", "$ce-account")
+    ps.add_consumer("c1")
+    got = ps.fetch(now=0.0)["c1"]
+    src = {r.log_position: r.stream_id for r in engine.events().collect()}
+    assert len(got) == 3
+    assert all(src[p].startswith("account-") for p in got)
