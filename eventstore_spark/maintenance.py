@@ -26,14 +26,15 @@ them, so a reader that pinned the previous snapshot never hits
 FileNotFound mid-scan. Single-writer invariant still applies (no
 concurrent appends during the rewrite).
 
-SUBSCRIPTION invariant: Structured-Streaming subscriptions tail the raw
-directory (a stream must watch a dir for new files; it cannot pin a
-manifest), so between a rewrite and its vacuum the directory holds BOTH
-generations — a subscription started in that window would double-read
-the surviving events. Drain live subscriptions before maintenance (the
-reference's chunk switch-over demands the same) and start new ones only
-after ``vacuum`` (or from a position checkpoint), never inside the
-rewrite→vacuum window.
+Subscriptions stay exactly-once across maintenance (round-5): although a
+Structured-Streaming source tails the raw directory and cannot pin a
+manifest, every subscription filters rows by file attribution —
+superseded-at-start files and rewrite generations published after start
+are excluded (``streaming.subscriptions._maintenance_safe_predicate``),
+so a subscription may start inside the rewrite→vacuum window, or run
+across a rewrite, and still observe each surviving event exactly once —
+the same guarantee the reference's chunk switch-over gives its readers
+(Scavenger.cs:19,199).
 """
 
 from __future__ import annotations

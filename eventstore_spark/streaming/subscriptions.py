@@ -14,11 +14,64 @@ checkpoints: pass ``checkpoint_location`` to ``start_*``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.filters import EventFilter, default_all_filter
 from ..schema import EVENTS_SCHEMA
+
+
+def _maintenance_safe_predicate(log_path: str,
+                                started_at_ms: int | None = None):
+    """Row predicate that closes the rewrite→vacuum double-read window
+    for a subscription STARTED now (or running across a later rewrite).
+
+    A Structured-Streaming file source tails the raw directory and cannot
+    pin a manifest, so between a maintenance rewrite and its ``vacuum``
+    BOTH generations of the surviving events are on disk. Every event
+    row, however, can be attributed to its file (``input_file_name``),
+    and rewrite files carry their publish time in the name
+    (``part-{scavenge|optimize}-<epoch_ms>-…``, maintenance.
+    ``_publish_rewrite``), which gives an exact exclusion rule:
+
+    - files already SUPERSEDED at start (on disk but absent from the
+      current manifest — the old generation inside its grace window)
+      never deliver: the subscription reads the survivors from the new
+      generation instead;
+    - rewrite files PUBLISHED AFTER start never deliver: every event in
+      them is either already on disk at start (delivered from the old
+      generation this subscription pinned) or appended later (delivered
+      from its append file) — rewrites introduce no new events, so this
+      drops only the second copy.
+
+    Returns None when the log has never published a manifest (then no
+    rewrite has ever happened and the filter would be dead weight).
+
+    ``started_at_ms`` pins the cut for restarts: a query resumed from a
+    streaming checkpoint re-builds this predicate, and must keep the
+    ORIGINAL subscription start (else a rewrite that happened mid-run
+    would re-admit its files, which the restarted source sees as new).
+    Callers that restart from checkpoints should persist their start
+    time alongside the checkpoint and pass it here.
+    """
+    import time
+
+    from .. import manifest as M
+
+    snap = M.snapshot_files(log_path)
+    if snap is None:
+        return None
+    fname = F.substring_index(F.input_file_name(), "/", -1)
+    gen = F.regexp_extract(fname, r"^part-(?:scavenge|optimize)-(\d+)-", 1)
+    cut = int(time.time() * 1000) if started_at_ms is None else started_at_ms
+    pred = (gen == "") | (gen.cast("long") <= cut)
+    disk = {f for f in os.listdir(log_path) if f.endswith(".parquet")}
+    superseded = sorted(disk - set(snap))
+    if superseded:
+        pred = pred & ~fname.isin(superseded)
+    return pred
 
 
 def subscribe_all(
@@ -28,12 +81,21 @@ def subscribe_all(
     from_position: int = 0,
     apply_default_filter: bool = False,
     max_files_per_trigger: int | None = None,
+    started_at_ms: int | None = None,
 ) -> DataFrame:
-    """U2: streaming DataFrame over the whole log ($all subscription)."""
+    """U2: streaming DataFrame over the whole log ($all subscription).
+    Safe to start at ANY time relative to maintenance: superseded and
+    post-start rewrite generations are excluded row-wise (see
+    ``_maintenance_safe_predicate``), so each surviving event is
+    observed exactly once. Pass ``started_at_ms`` when restarting from a
+    streaming checkpoint (the original start time)."""
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     s = reader.parquet(log_path)
+    safe = _maintenance_safe_predicate(log_path, started_at_ms)
+    if safe is not None:
+        s = s.where(safe)
     if from_position:
         s = s.where(F.col("log_position") >= from_position)
     if apply_default_filter:

@@ -805,3 +805,106 @@ def test_persistent_subscription_rejects_streams_directory(spark, tmp_path):
     w.append("a-1", [ProposedEvent("E", "{}")])
     with pytest.raises(ValueError):
         PersistentSubscription(w.load(), "g", "$streams")
+
+
+# ---------------------------------------------------------------------------
+# maintenance-safe subscriptions (rewrite→vacuum window)
+# ---------------------------------------------------------------------------
+
+def test_subscription_started_inside_rewrite_vacuum_window(spark, tmp_path):
+    """Chaos case for the round-4 documented invariant, now closed: a
+    subscription STARTED between a maintenance rewrite and its vacuum —
+    both generations of every surviving event on disk — must observe
+    each survivor exactly once, and keep observing new appends."""
+    import os
+
+    from eventstore_spark.maintenance import optimize_layout, vacuum
+
+    path = str(tmp_path / "mwlog")
+    w = EventLogWriter(spark, path)
+    for i in range(10):
+        w.append(f"acct-{i % 3}", [ProposedEvent("E", json.dumps({"i": i}))])
+    optimize_layout(spark, path, target_files=2)
+    # the window is real: more parquet on disk than in the manifest
+    from eventstore_spark import manifest as M
+
+    on_disk = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    assert len(on_disk) > len(M.snapshot_files(path))
+
+    seen = []
+    q = (
+        subscribe_all(spark, path)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _:
+                      seen.extend(r.log_position for r in df.collect()))
+        .option("checkpointLocation", str(tmp_path / "mwck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert sorted(seen) == list(range(1, 11))  # each survivor ONCE
+        w.append("acct-9", [ProposedEvent("E", '{"i": 99}')])
+        q.processAllAvailable()
+        assert sorted(seen) == list(range(1, 12))
+    finally:
+        q.stop()
+
+
+def test_subscription_running_across_rewrite_sees_no_duplicates(spark, tmp_path):
+    """A LIVE subscription must not re-observe survivors when a rewrite
+    publishes a second copy of every event mid-run (rewrite files are
+    newer than the subscription and carry their publish time)."""
+    from eventstore_spark.maintenance import optimize_layout
+
+    path = str(tmp_path / "mrlog")
+    w = EventLogWriter(spark, path)
+    for i in range(6):
+        w.append("s-1", [ProposedEvent("E", json.dumps({"i": i}))])
+    seen = []
+    q = (
+        subscribe_all(spark, path)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _:
+                      seen.extend(r.log_position for r in df.collect()))
+        .option("checkpointLocation", str(tmp_path / "mrck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert sorted(seen) == list(range(1, 7))
+        optimize_layout(spark, path, target_files=1)
+        w.append("s-1", [ProposedEvent("E", '{"i": 6}')])
+        q.processAllAvailable()
+        assert sorted(seen) == list(range(1, 8))  # no survivor re-delivered
+    finally:
+        q.stop()
+
+
+def test_subscription_after_vacuum_reads_rewrite_generation(spark, tmp_path):
+    """After vacuum drains the old generation, a fresh subscription reads
+    the survivors from the rewrite files (they are now the only copy)."""
+    import time as _t
+
+    from eventstore_spark.maintenance import optimize_layout, vacuum
+
+    path = str(tmp_path / "mvlog")
+    w = EventLogWriter(spark, path)
+    for i in range(5):
+        w.append("s-1", [ProposedEvent("E", json.dumps({"i": i}))])
+    optimize_layout(spark, path, target_files=1)
+    _t.sleep(1.1)
+    vacuum(path, grace_s=1.0)
+    seen = []
+    q = (
+        subscribe_all(spark, path)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _:
+                      seen.extend(r.log_position for r in df.collect()))
+        .option("checkpointLocation", str(tmp_path / "mvck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert sorted(seen) == list(range(1, 6))
+    finally:
+        q.stop()
