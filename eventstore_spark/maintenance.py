@@ -35,6 +35,14 @@ so a subscription may start inside the rewrite→vacuum window, or run
 across a rewrite, and still observe each surviving event exactly once —
 the same guarantee the reference's chunk switch-over gives its readers
 (Scavenger.cs:19,199).
+
+Concurrency (round-5): manifest publication is a CAS on the generation
+number — if an append commits between a rewrite's snapshot read and its
+publish, the publish raises ``manifest.ManifestConflictError`` instead of
+silently dropping the appended file from the snapshot. Re-run the
+maintenance job on conflict (it recomputes from the new snapshot); or
+quiesce the writer first, as the reference does (scavenge runs beside the
+single StorageWriterService, never instead of it).
 """
 
 from __future__ import annotations

@@ -30,8 +30,20 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 
 MANIFEST_DIR = "_manifest"
+
+
+class ManifestConflictError(Exception):
+    """Another publisher already committed this manifest generation.
+
+    The compare-and-swap backstop of the single-writer invariant: two
+    publishers that both read snapshot N race to publish N+1; exactly one
+    wins, the other gets this error instead of silently dropping the
+    winner's files from the snapshot (the reference enforces the same
+    property structurally — one StorageWriterService thread owns the log,
+    StorageWriterService.cs:283)."""
 
 
 def _dir(path: str) -> str:
@@ -91,13 +103,26 @@ def history(path: str) -> list[int]:
 
 
 def _write(path: str, seq: int, files: list[str]) -> int:
+    """Publish generation ``seq`` atomically and EXCLUSIVELY: the final
+    ``os.link`` fails if the generation already exists, so of two racing
+    publishers exactly one wins and the loser raises
+    ``ManifestConflictError`` (a CAS on the generation number — seqs only
+    grow, vacuum removes old ones, so "N+1 exists" == "the snapshot moved
+    under us")."""
     d = _dir(path)
     os.makedirs(d, exist_ok=True)
     name = f"manifest-{seq:010d}.json"
-    tmp = os.path.join(d, "." + name + ".tmp")
+    tmp = os.path.join(d, f".{name}.{uuid.uuid4().hex[:8]}.tmp")
     with open(tmp, "w") as f:
         json.dump({"files": sorted(files)}, f)
-    os.replace(tmp, os.path.join(d, name))  # atomic publish
+    try:
+        os.link(tmp, os.path.join(d, name))  # atomic fail-if-exists publish
+    except FileExistsError:
+        raise ManifestConflictError(
+            f"manifest generation {seq} already published for {path}"
+        ) from None
+    finally:
+        os.unlink(tmp)
     return seq
 
 

@@ -16,6 +16,20 @@ atomic columnar commit:
     thread"); on a cluster this is the driver of a Structured Streaming
     ``foreachBatch`` job draining an append queue — writes are micro-batched,
     so throughput scales with batch size while order stays total;
+  * the single-writer invariant is ENFORCED, not just documented
+    (round 5). In-process: every writer on one directory shares a
+    ``_PathCore`` (append mutex + position allocator + per-stream cache
+    generations), so two writer objects can never interleave positions
+    or serve stale stream state. Cross-process: a ``_writer.lock`` file
+    carries (pid, fencing token); a live foreign holder makes writer
+    construction raise ``WriterFencedError``, a dead holder's lock is
+    stolen atomically, and the token is re-verified before every commit
+    so a fenced-out writer fails its NEXT commit instead of corrupting
+    the order. Final backstop: manifest publication is a CAS on the
+    generation number (``manifest.ManifestConflictError``). The
+    reference enforces the same invariant structurally — one
+    StorageWriterService thread owns the log (StorageWriterService.cs:283);
+    cluster fencing there is the election/epoch of the replication layer;
   * each committed batch lands as immutable parquet files inside the log
     directory;
   * writer state is LAZY and BOUNDED: opening a writer reads exactly one
@@ -89,6 +103,12 @@ class RecordTooLargeError(Exception):
     """A single event exceeds MAX_RECORD_SIZE (TFConsts.MaxLogRecordSize)."""
 
 
+class WriterFencedError(Exception):
+    """The single-writer lock for this log directory is held by another
+    LIVE process (at construction), or was taken over after this writer
+    acquired it (at commit). The fenced writer must not publish."""
+
+
 class MaxAppendSizeExceededError(Exception):
     """The whole append exceeds the configured maxAppendSize
     (Grpc/Streams.Append.cs:18)."""
@@ -113,6 +133,147 @@ def _category(stream_id: str) -> str | None:
     return stream_id[:i] if i > 0 else None
 
 
+# ---------------------------------------------------------------------------
+# Single-writer enforcement (round 5)
+# ---------------------------------------------------------------------------
+
+LOCK_FILE = "_writer.lock"  # underscore → invisible to Spark's file listing
+
+
+class _PathCore:
+    """Process-wide shared write head for ONE log directory.
+
+    Every ``EventLogWriter`` opened on the same directory in this process
+    shares a core, which is what makes multiple writer OBJECTS safe:
+
+      * ``mutex`` serializes whole appends (an RLock — the soft-delete
+        recreate path re-enters ``append`` for the metastream write);
+      * ``last_position`` is the committed head every writer syncs to
+        before allocating, so positions from different writer objects
+        never collide;
+      * ``stream_gen[sid]`` bumps on every commit touching ``sid``; a
+        writer whose cached per-stream state was taken at an older
+        generation reloads from the log before trusting it;
+      * the commit condition/epoch (U3 long-poll wakeups) lives here, so
+        a waiter parked via one writer object wakes on a commit made
+        through another;
+      * ``fence_token`` is this process's claim in the cross-process
+        ``_writer.lock`` file.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self.mutex = threading.RLock()
+        self.cond = threading.Condition()
+        self.epoch = 0
+        self.last_position: int | None = None  # None until first recovery
+        self.stream_gen: dict[str, int] = {}
+        self.fence_token: str | None = None
+
+
+_CORES: dict[str, _PathCore] = {}
+_CORES_GUARD = threading.Lock()
+
+
+def _core_for(path: str) -> _PathCore:
+    key = os.path.realpath(path)
+    with _CORES_GUARD:
+        core = _CORES.get(key)
+        if core is None:
+            core = _CORES[key] = _PathCore(path)
+        return core
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+def _read_lock(lock_path: str) -> dict:
+    try:
+        with open(lock_path) as f:
+            return json.load(f) or {}
+    except (FileNotFoundError, ValueError):
+        return {}
+
+
+def _acquire_fence(core: _PathCore) -> None:
+    """Claim the cross-process writer lock for ``core.path`` (idempotent
+    per process). A lock held by a LIVE foreign pid raises
+    ``WriterFencedError``; a dead holder's lock — the crash-recovery
+    path — is stolen with an atomic replace and re-read to confirm we
+    won a concurrent steal race."""
+    if core.fence_token is not None:
+        return
+    lock = os.path.join(core.path, LOCK_FILE)
+    token = uuid.uuid4().hex
+    payload = json.dumps(
+        {
+            "pid": os.getpid(),
+            "token": token,
+            "acquired_at": datetime.now(timezone.utc).isoformat(),
+        }
+    )
+    for _ in range(8):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            core.fence_token = token
+            return
+        except FileExistsError:
+            cur = _read_lock(lock)
+            pid = cur.get("pid")
+            if pid is not None and pid != os.getpid() and _pid_alive(pid):
+                raise WriterFencedError(
+                    f"log {core.path} is owned by live writer pid {pid}; "
+                    "close it (or let it die) before opening a writer here"
+                )
+            # stale (dead pid / corrupt / our own pre-crash claim): steal
+            tmp = lock + f".{token[:8]}.tmp"
+            with open(tmp, "w") as f:
+                f.write(payload)
+            os.replace(tmp, lock)
+            if _read_lock(lock).get("token") == token:  # we won the steal
+                core.fence_token = token
+                return
+            # a concurrent stealer overwrote us — re-evaluate their claim
+    raise WriterFencedError(f"could not acquire writer lock for {core.path}")
+
+
+def _verify_fence(core: _PathCore) -> None:
+    """The commit-time check: our token must still be the one on disk.
+    Catches a steal by another process (e.g. ours was wrongly judged
+    dead) before anything is published under a lost claim."""
+    if core.fence_token is None:
+        raise WriterFencedError(
+            f"writer for {core.path} was closed — open a new EventLogWriter"
+        )
+    cur = _read_lock(os.path.join(core.path, LOCK_FILE))
+    if cur.get("token") != core.fence_token:
+        raise WriterFencedError(
+            f"writer lock for {core.path} was taken over by pid "
+            f"{cur.get('pid')} — this writer is fenced and must not commit"
+        )
+
+
+def _release_fence(core: _PathCore) -> None:
+    if core.fence_token is None:
+        return
+    lock = os.path.join(core.path, LOCK_FILE)
+    if _read_lock(lock).get("token") == core.fence_token:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+    core.fence_token = None
+
+
 class EventLogWriter:
     """Single-writer append head over a parquet log directory."""
 
@@ -122,10 +283,17 @@ class EventLogWriter:
         self.path = path
         self.max_append_size = max_append_size
         os.makedirs(path, exist_ok=True)
+        # shared per-directory write head: in-process total-order +
+        # cross-process fencing (see _PathCore / _acquire_fence)
+        self._core = _core_for(path)
         self._last_position = 0
         # stream -> [last_event_number, tombstoned]; filled lazily per
         # stream (LRU-cache analog of IndexBackend's last-event-number).
         self._stats: dict[str, list] = {}
+        # stream -> core.stream_gen value at which _stats/_ids/_meta_cache
+        # for that stream were taken; a foreign commit bumps the core gen
+        # and invalidates this writer's cached view of the stream.
+        self._cache_gen: dict[str, int] = {}
         # stream -> {event_id: event_number}, bounded to the most recent
         # IDEMPOTENCY_WINDOW events per stream.
         self._ids: dict[str, dict[str, int]] = {}
@@ -133,14 +301,14 @@ class EventLogWriter:
         # $metadata event), lazily read from the metastream; drives
         # soft-delete recreate. Kept current on every metastream append.
         self._meta_cache: dict[str, dict] = {}
-        # AwakeService analog (Services/AwakeReaderService/AwakeService.cs:13):
-        # long-poll readers wait on this condition instead of burning a
-        # Spark job per tick; every committed write notifies. Single-process
-        # scope by design — the engine has ONE writer per store, and a poll
-        # against a store written elsewhere falls back to its timeout.
-        self._commit_cond = threading.Condition()
-        self._commit_epoch = 0
-        self._recover()
+        with self._core.mutex:
+            _acquire_fence(self._core)
+            self._recover()
+            if self._core.last_position is not None:
+                self._last_position = max(
+                    self._last_position, self._core.last_position
+                )
+            self._core.last_position = self._last_position
 
     def _has_files(self) -> bool:
         files = manifest.snapshot_files(self.path)
@@ -164,9 +332,18 @@ class EventLogWriter:
         ``append_df`` maintains ``_stats`` (numbering) but not ``_ids``
         (idempotency), so a stream whose ids were invalidated by a bulk
         append reloads BOTH here — otherwise an idempotent retry through
-        ``append()`` would see an empty id map and dupe or reject."""
+        ``append()`` would see an empty id map and dupe or reject.
+
+        Cache validity is generation-checked against the shared core:
+        a commit to this stream through ANOTHER writer object bumps
+        ``core.stream_gen[sid]`` and forces a reload here."""
         st = self._stats.get(stream_id)
-        if st is not None and stream_id in self._ids:
+        if (
+            st is not None
+            and stream_id in self._ids
+            and self._cache_gen.get(stream_id, 0)
+            == self._core.stream_gen.get(stream_id, 0)
+        ):
             return st
         rows = []
         if self._has_files():
@@ -185,6 +362,7 @@ class EventLogWriter:
         st = [last, tomb]
         self._stats[stream_id] = st
         self._ids[stream_id] = {r["event_id"]: int(r["event_number"]) for r in rows}
+        self._cache_gen[stream_id] = self._core.stream_gen.get(stream_id, 0)
         return st
 
     def _remember_id(self, stream_id: str, event_id: str, event_number: int) -> None:
@@ -242,11 +420,18 @@ class EventLogWriter:
     def _current_meta(self, stream_id: str) -> dict:
         """The stream's current metadata document (latest $metadata event of
         `$$stream`, whole-document semantics — a metadata write REPLACES the
-        document, StreamMetadata.cs:60-150), lazily read and cached."""
-        if stream_id in self._meta_cache:
+        document, StreamMetadata.cs:60-150), lazily read and cached; the
+        cache invalidates when another writer commits to the metastream
+        (generation check on `$$stream` against the shared core)."""
+        meta_id = f"$${stream_id}"
+        meta_gen_key = f"meta:{stream_id}"
+        if (
+            stream_id in self._meta_cache
+            and self._cache_gen.get(meta_gen_key, 0)
+            == self._core.stream_gen.get(meta_id, 0)
+        ):
             return self._meta_cache[stream_id]
         doc: dict = {}
-        meta_id = f"$${stream_id}"
         if self._has_files():
             rows = (
                 self.load()
@@ -265,6 +450,7 @@ class EventLogWriter:
                 except ValueError:
                     doc = {}
         self._meta_cache[stream_id] = doc
+        self._cache_gen[meta_gen_key] = self._core.stream_gen.get(meta_id, 0)
         return doc
 
     def append(
@@ -281,36 +467,58 @@ class EventLogWriter:
         event numbers continue after the old last, and $tb is rewritten to
         the first new event number so the old events stay invisible while
         the new ones show.
+
+        Serialized through the shared per-directory mutex; the fencing
+        token is verified BEFORE any state moves, and all writer-state
+        mutations are STAGED and applied only after the commit file lands
+        — a failed/fenced commit leaves numbering intact for the retry.
         """
+        with self._core.mutex:
+            return self._append_locked(stream_id, events, expected_version, created)
+
+    def _append_locked(self, stream_id, events, expected_version, created) -> int:
+        _verify_fence(self._core)
+        self._last_position = max(
+            self._last_position, self._core.last_position or 0
+        )
         self._validate_sizes(events)
         decision = self._check(stream_id, events, expected_version)
         if decision == "idempotent":
             return self._stats[stream_id][0]
         now = created or datetime.now(timezone.utc)
         st = self._stream_state(stream_id)
-        last = st[0]
+        # stage everything locally; apply only after _commit succeeds
+        pos, last = self._last_position, st[0]
         known = self._ids.setdefault(stream_id, {})
         first_new = None
+        tombstoned = False
+        new_ids: list[tuple[str, int]] = []
         rows = []
         for ev in events:
             if ev.event_id in known:  # partial idempotent overlap → skip row
                 continue
-            self._last_position += 1
+            pos += 1
             last += 1
             if first_new is None:
                 first_new = last
-            self._remember_id(stream_id, ev.event_id, last)
+            new_ids.append((ev.event_id, last))
             rows.append(
                 (
-                    self._last_position, stream_id, _category(stream_id), last,
+                    pos, stream_id, _category(stream_id), last,
                     ev.event_id, ev.event_type, ev.data, ev.metadata, now, ev.is_json,
                 )
             )
             if ev.event_type == STREAM_DELETED_EVENT_TYPE:
-                st[1] = True
-        st[0] = last
+                tombstoned = True
         if rows:
-            self._commit(rows)
+            self._commit(rows)  # raises → nothing below runs, state intact
+            self._last_position = self._core.last_position = pos
+            st[0] = last
+            if tombstoned:
+                st[1] = True
+            for eid, en in new_ids:
+                self._remember_id(stream_id, eid, en)
+            self._bump_stream_gen(stream_id)
             # keep the metadata cache current: a $metadata append to `$$X`
             # REPLACES X's document (the reference's GetStreamRawMeta always
             # reads the latest; a stale cached $tb would mis-trigger
@@ -320,9 +528,10 @@ class EventLogWriter:
                 for ev in events:
                     if ev.event_type == METADATA_EVENT_TYPE:
                         try:
-                            self._meta_cache[orig] = json.loads(ev.data or "{}") or {}
+                            doc = json.loads(ev.data or "{}") or {}
                         except ValueError:
-                            self._meta_cache[orig] = {}
+                            doc = {}
+                        self._set_meta_cache(orig, doc)
             # soft-delete recreate: a stream whose $tb == MAX_LONG comes
             # back to life on append — rewrite $tb to the first new number,
             # PRESERVING the rest of the metadata document
@@ -331,12 +540,28 @@ class EventLogWriter:
                 if self._current_meta(stream_id).get("$tb") == MAX_LONG:
                     doc = dict(self._current_meta(stream_id))
                     doc["$tb"] = first_new
-                    self.append(
+                    self._append_locked(
                         f"$${stream_id}",
                         [ProposedEvent(METADATA_EVENT_TYPE,
                                        data=json.dumps(doc, sort_keys=True))],
+                        ANY, created,
                     )
         return last
+
+    def _bump_stream_gen(self, stream_id: str) -> None:
+        """Record a commit touching ``stream_id`` in the shared core and
+        mark this writer's own caches as taken at the new generation."""
+        gen = self._core.stream_gen.get(stream_id, 0) + 1
+        self._core.stream_gen[stream_id] = gen
+        self._cache_gen[stream_id] = gen
+        if stream_id.startswith("$$"):
+            self._cache_gen[f"meta:{stream_id[2:]}"] = gen
+
+    def _set_meta_cache(self, stream_id: str, doc: dict) -> None:
+        self._meta_cache[stream_id] = doc
+        self._cache_gen[f"meta:{stream_id}"] = self._core.stream_gen.get(
+            f"$${stream_id}", 0
+        )
 
     def append_df(self, batch: DataFrame, created: datetime | None = None) -> None:
         """Bulk path: append pre-shaped envelope rows (stream_id,
@@ -358,6 +583,14 @@ class EventLogWriter:
         only AFTER the write succeeds — a failed Spark job leaves the
         writer's dense-numbering invariant intact for the retry.
         """
+        with self._core.mutex:
+            self._append_df_locked(batch, created)
+
+    def _append_df_locked(self, batch: DataFrame, created) -> None:
+        _verify_fence(self._core)
+        self._last_position = max(
+            self._last_position, self._core.last_position or 0
+        )
         order_cols = [
             c for c in ("source_log_position", "emit_seq") if c in batch.columns
         ]
@@ -395,8 +628,18 @@ class EventLogWriter:
             if not counts:
                 return
             touched = sorted(r["stream_id"] for r in counts)
-            # one batched job fills last-event-number for cold streams
-            missing = [s for s in touched if s not in self._stats]
+            # one batched job fills last-event-number for cold streams; a
+            # stream cached at an older shared generation (written through
+            # another writer object) counts as cold and reloads
+            missing = [
+                s for s in touched
+                if s not in self._stats
+                or self._cache_gen.get(s, 0) != self._core.stream_gen.get(s, 0)
+            ]
+            for s in missing:  # drop stale views before the reload
+                self._stats.pop(s, None)
+                self._ids.pop(s, None)
+                self._cache_gen[s] = self._core.stream_gen.get(s, 0)
             if missing and self._has_files():
                 got = (
                     self.load()
@@ -473,7 +716,7 @@ class EventLogWriter:
                  if f.endswith(".parquet") and f not in pre],
             )
             # the write committed — only now advance the numbering state
-            self._last_position = new_last
+            self._last_position = self._core.last_position = new_last
             for sid, en_base, _pos in alloc:
                 self._stats[sid][0] = en_base + by_stream[sid]
                 # the bulk path doesn't know which event_ids landed per
@@ -481,6 +724,7 @@ class EventLogWriter:
                 # invalidate the id map so the next append() reloads it
                 # from the log and idempotent retries keep working.
                 self._ids.pop(sid, None)
+                self._bump_stream_gen(sid)
             self._notify_commit()
         finally:
             b.unpersist()
@@ -516,7 +760,7 @@ class EventLogWriter:
             [pa.array(list(c), type=f.type) for c, f in zip(cols, schema)],
             schema=schema,
         )
-        name = f"part-writer-{self._last_position:020d}-{uuid.uuid4().hex[:8]}.parquet"
+        name = f"part-writer-{rows[-1][0]:020d}-{uuid.uuid4().hex[:8]}.parquet"
         tmp = os.path.join(self.path, "." + name + ".tmp")
         pq.write_table(table, tmp, compression="snappy")
         os.rename(tmp, os.path.join(self.path, name))
@@ -524,24 +768,35 @@ class EventLogWriter:
         self._notify_commit()
 
     # -- commit wake-ups (U3 long-poll support) --
+    # The condition lives in the shared _PathCore, so a waiter parked via
+    # one writer object wakes on commits made through any writer on the
+    # same directory in this process.
     def _notify_commit(self) -> None:
-        with self._commit_cond:
-            self._commit_epoch += 1
-            self._commit_cond.notify_all()
+        with self._core.cond:
+            self._core.epoch += 1
+            self._core.cond.notify_all()
 
     def commit_epoch(self) -> int:
-        """Monotone counter of committed writes through this writer."""
-        with self._commit_cond:
-            return self._commit_epoch
+        """Monotone counter of committed writes to this log (process-wide)."""
+        with self._core.cond:
+            return self._core.epoch
 
     def wait_for_commit(self, seen_epoch: int, timeout_s: float) -> int:
         """Block until a commit after ``seen_epoch`` lands or the timeout
         elapses; returns the current epoch (== ``seen_epoch`` on timeout)."""
-        with self._commit_cond:
-            self._commit_cond.wait_for(
-                lambda: self._commit_epoch > seen_epoch, timeout=timeout_s
+        with self._core.cond:
+            self._core.cond.wait_for(
+                lambda: self._core.epoch > seen_epoch, timeout=timeout_s
             )
-            return self._commit_epoch
+            return self._core.epoch
+
+    def close(self) -> None:
+        """Release the cross-process writer lock held by THIS PROCESS for
+        the log directory (all in-process writer objects share the claim
+        via the _PathCore). A crashed process needs no close — its lock is
+        detected stale by pid-liveness and stolen by the next writer."""
+        with self._core.mutex:
+            _release_fence(self._core)
 
     def log_signature(self) -> frozenset:
         """Cheap change detector for logs written by ANOTHER process (no
@@ -561,7 +816,7 @@ class EventLogWriter:
             f"$${stream_id}",
             [ProposedEvent(METADATA_EVENT_TYPE, data=f'{{"$tb": {MAX_LONG}}}')],
         )
-        self._meta_cache[stream_id] = {"$tb": MAX_LONG}
+        self._set_meta_cache(stream_id, {"$tb": MAX_LONG})
 
     def hard_delete(self, stream_id: str) -> None:
         """Tombstone: a $streamDeleted event; stream can never be recreated."""

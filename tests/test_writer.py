@@ -228,3 +228,141 @@ def test_append_df_is_distributed_and_exactly_once(spark, tmp_path):
     # replay: nothing appended twice
     w.append_df(batch)
     assert w.load().count() == n + 1
+
+
+# ---------------------------------------------------------------------------
+# Single-writer enforcement (round 5): cross-process fencing + in-process
+# shared total order (reference: one StorageWriterService thread owns the
+# log, StorageWriterService.cs:283).
+# ---------------------------------------------------------------------------
+
+
+def _write_lock(path, pid, token="foreign"):
+    import json as _json
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "_writer.lock"), "w") as f:
+        f.write(_json.dumps({"pid": pid, "token": token}))
+
+
+def test_fencing_blocks_live_foreign_writer(spark, tmp_path):
+    """A lock held by a LIVE foreign process makes construction raise."""
+    from eventstore_spark.writer import WriterFencedError
+
+    path = str(tmp_path / "log")
+    _write_lock(path, pid=1)  # pid 1 (init) is always alive
+    with pytest.raises(WriterFencedError):
+        EventLogWriter(spark, path)
+
+
+def test_fencing_steals_stale_lock_and_recovers(spark, tmp_path):
+    """A lock left by a DEAD process (crash) is stolen; the writer works."""
+    import subprocess
+
+    path = str(tmp_path / "log")
+    p = subprocess.Popen(["true"])
+    p.wait()
+    _write_lock(path, pid=p.pid)  # dead pid → stale
+    w = EventLogWriter(spark, path)
+    w.append("s-1", [ProposedEvent("A")])
+    assert w.load().count() == 1
+
+
+def test_fence_takeover_fails_commit_without_corruption(spark, tmp_path):
+    """A writer whose lock was taken over (simulating a steal after this
+    process was wrongly judged dead) fails its NEXT commit and leaves
+    numbering state intact — nothing half-applied."""
+    from eventstore_spark.writer import WriterFencedError
+
+    path = str(tmp_path / "log")
+    w = EventLogWriter(spark, path)
+    w.append("s-1", [ProposedEvent("A")])
+    pos_before = w._last_position
+    _write_lock(path, pid=1, token="stolen")  # foreign claim on disk
+    with pytest.raises(WriterFencedError):
+        w.append("s-1", [ProposedEvent("B")])
+    assert w._last_position == pos_before  # staged, not applied
+    assert w.load().count() == 1
+
+
+def test_in_process_writers_share_total_order(spark, tmp_path):
+    """Two writer objects on one directory (the writer+engine test shape)
+    serialize through the shared core: positions stay globally dense and
+    per-stream numbering stays correct across objects."""
+    path = str(tmp_path / "log")
+    w1 = EventLogWriter(spark, path)
+    w2 = EventLogWriter(spark, path)
+    w1.append("a-1", [ProposedEvent("A")])          # a-1 #0, pos 1
+    w2.append("b-1", [ProposedEvent("B")])          # b-1 #0, pos 2
+    w2.append("a-1", [ProposedEvent("C")], expected_version=0)  # a-1 #1, pos 3
+    # w1's cached view of a-1 was invalidated by w2's commit
+    last = w1.append("a-1", [ProposedEvent("D")], expected_version=1)
+    assert last == 2
+    rows = w1.load().orderBy("log_position").collect()
+    assert [r.log_position for r in rows] == [1, 2, 3, 4]
+    assert [
+        (r.stream_id, r.event_number) for r in rows
+    ] == [("a-1", 0), ("b-1", 0), ("a-1", 1), ("a-1", 2)]
+
+
+def test_closed_writer_refuses_commits_then_reopen_works(spark, tmp_path):
+    from eventstore_spark.writer import WriterFencedError
+
+    path = str(tmp_path / "log")
+    w = EventLogWriter(spark, path)
+    w.append("s-1", [ProposedEvent("A")])
+    w.close()
+    with pytest.raises(WriterFencedError):
+        w.append("s-1", [ProposedEvent("B")])
+    w2 = EventLogWriter(spark, path)  # fresh claim succeeds
+    assert w2.append("s-1", [ProposedEvent("B")], expected_version=0) == 1
+
+
+def test_manifest_publish_is_cas(tmp_path):
+    """Two publishers racing the same generation: exactly one wins, the
+    loser raises instead of silently overwriting the snapshot."""
+    from eventstore_spark import manifest
+    from eventstore_spark.manifest import ManifestConflictError
+
+    path = str(tmp_path / "log")
+    manifest._write(path, 5, ["a.parquet"])
+    with pytest.raises(ManifestConflictError):
+        manifest._write(path, 5, ["b.parquet"])
+    assert manifest.files_at(path, 5) == ["a.parquet"]
+
+
+def test_fencing_cross_process_real(spark, tmp_path):
+    """End-to-end cross-process story with a REAL second process: a child
+    acquires the writer lock through the library and holds it → writer
+    construction here is refused; the child dies → the lock is stale and
+    the next writer steals it and appends."""
+    import subprocess
+    import sys
+
+    from eventstore_spark.writer import WriterFencedError
+
+    path = str(tmp_path / "log")
+    child = (
+        "import sys, time\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from eventstore_spark.writer import _acquire_fence, _core_for\n"
+        "import os; os.makedirs(sys.argv[1], exist_ok=True)\n"
+        "_acquire_fence(_core_for(sys.argv[1]))\n"
+        "print('locked', flush=True)\n"
+        "time.sleep(60)\n"
+    )
+    p = subprocess.Popen(
+        [sys.executable, "-c", child, path],
+        stdout=subprocess.PIPE, text=True,
+    )
+    try:
+        assert p.stdout.readline().strip() == "locked"
+        with pytest.raises(WriterFencedError):
+            EventLogWriter(spark, path)
+    finally:
+        p.kill()
+        p.wait()
+    w = EventLogWriter(spark, path)  # holder dead → stale → stolen
+    w.append("s-1", [ProposedEvent("A")])
+    assert w.load().count() == 1
