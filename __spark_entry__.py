@@ -880,17 +880,24 @@ KNN_PROBE_IDS = list(range(0, 100, 5))  # 20 probes
 
 
 def q_media_sniff(spark, sf):
-    """Header sniffing round-trip: synthesize REAL PNG/GIF/WAV headers
-    with doc_id-derived fields, then parse them back with the codegen'd
-    sniffer (multimodal.sniff_media_headers); the oracle computes the
-    expected fields arithmetically — ground truth for the parser."""
+    """Header sniffing round-trip: synthesize REAL PNG/GIF/WAV/JPEG/MP4
+    headers with doc_id-derived fields, then parse them back with the
+    codegen'd sniffer (multimodal.sniff_media_headers); the oracle
+    computes the expected fields arithmetically — ground truth for the
+    parser. The JPEG carries a variable-length COM segment before its SOF
+    and the MP4 a free box before moov, so the bounded segment/box WALKS
+    are exercised, not just fixed offsets."""
     from eventstore_spark.operators import multimodal as mm
 
     w, h = "(16 + doc_id % 300)", "(16 + (doc_id * 7) % 300)"
     ch, sr = "(1 + doc_id % 2)", "(8000 + (doc_id % 8) * 4000)"
+    dur = "(600 + (doc_id * 91) % 36000)"  # mvhd units at timescale 600
 
     def hex8(e):
         return f"lpad(hex({e}), 8, '0')"
+
+    def hex4(e):
+        return f"lpad(hex({e}), 4, '0')"
 
     def le16(e):
         return (f"concat(lpad(hex(({e}) % 256), 2, '0'), "
@@ -906,11 +913,29 @@ def q_media_sniff(spark, sf):
     gif = f"concat('474946383761', {le16(w)}, {le16(h)})"
     wav = (f"concat('52494646', '00000000', '57415645', '666D7420', "
            f"'10000000', '0100', {le16(ch)}, {le32(sr)})")
+    # JPEG: SOI, APP0(JFIF), COM of 1+doc_id%7 bytes, SOF0(h,w), SOS
+    com_n = "(1 + doc_id % 7)"
+    jpeg = (
+        "concat('FFD8', "
+        "'FFE0', '0010', '4A46494600010201004800480000', "
+        f"'FFFE', {hex4(f'{com_n} + 2')}, repeat('41', {com_n}), "
+        f"'FFC0', '0011', '08', {hex4(h)}, {hex4(w)}, "
+        "'03', '000000000000000000', 'FFDA0002')"
+    )
+    # MP4: ftyp, free, moov[ mvhd v0 (timescale 600, duration dur) ]
+    mp4 = (
+        "concat('00000018', '66747970', '69736F6D', '00000200', "
+        "'69736F6D69736F32', "
+        "'00000010', '66726565', repeat('0', 16), "
+        "'00000074', '6D6F6F76', '0000006C', '6D766864', "
+        "'00000000', '00000001', '00000002', '00000258', "
+        f"{hex8(dur)}, repeat('0', 160))"
+    )
     synth = _table(spark, sf, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.expr(
-            f"unhex(CASE doc_id % 3 WHEN 0 THEN {png} WHEN 1 THEN {gif} "
-            f"ELSE {wav} END)"
+            f"unhex(CASE doc_id % 5 WHEN 0 THEN {png} WHEN 1 THEN {gif} "
+            f"WHEN 2 THEN {wav} WHEN 3 THEN {jpeg} ELSE {mp4} END)"
         ).alias("content"),
     )
     return mm.sniff_media_headers(synth)
@@ -1454,11 +1479,14 @@ FROM documents
 """
     sqls["media_sniff"] = """
 SELECT doc_id AS media_id,
-       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'wav' END AS format,
-       CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(16 + doc_id % 300 AS BIGINT) END AS width,
-       CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(16 + (doc_id * 7) % 300 AS BIGINT) END AS height,
-       CASE WHEN doc_id % 3 = 2 THEN CAST(1 + doc_id % 2 AS BIGINT) END AS channels,
-       CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + (doc_id % 8) * 4000 AS BIGINT) END AS sample_rate
+       CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'wav'
+            WHEN 3 THEN 'jpeg' ELSE 'mp4' END AS format,
+       CASE WHEN doc_id % 5 IN (0, 1, 3) THEN CAST(16 + doc_id % 300 AS BIGINT) END AS width,
+       CASE WHEN doc_id % 5 IN (0, 1, 3) THEN CAST(16 + (doc_id * 7) % 300 AS BIGINT) END AS height,
+       CASE WHEN doc_id % 5 = 2 THEN CAST(1 + doc_id % 2 AS BIGINT) END AS channels,
+       CASE WHEN doc_id % 5 = 2 THEN CAST(8000 + (doc_id % 8) * 4000 AS BIGINT) END AS sample_rate,
+       CASE WHEN doc_id % 5 = 4
+            THEN CAST((600 + (doc_id * 91) % 36000) * 1000 // 600 AS BIGINT) END AS duration_ms
 FROM documents
 """
     sqls["media_dedup"] = """

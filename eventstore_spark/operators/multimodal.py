@@ -51,14 +51,60 @@ def _fake_decode_image(content: bytes) -> dict:
     }
 
 
-def _real_decode_image(content: bytes) -> dict:  # pragma: no cover
-    raise NotImplementedError(
-        "image decode needs PIL/opencv — not available in this container; "
-        "register a real decoder in DECODERS['image']"
-    )
+def _pil_decode_image(content: bytes) -> dict:  # pragma: no cover
+    """Real image decode via Pillow — swapped into DECODERS at import when
+    the library is present (it is not in this container; the deterministic
+    stand-in remains the no-dependency fallback)."""
+    import io
+
+    from PIL import Image
+
+    if content is None:
+        return {"width": None, "height": None, "digest": None}
+    with Image.open(io.BytesIO(content)) as im:
+        return {
+            "width": int(im.width),
+            "height": int(im.height),
+            "digest": hashlib.sha256(content).hexdigest()[:16],
+        }
+
+
+def _soundfile_decode_audio(content: bytes) -> dict:  # pragma: no cover
+    """Real audio probe via soundfile (libsndfile) — swapped in at import
+    when available. Maps (frames, samplerate) onto the feature shape:
+    width=channels, height=samplerate//100 (bounded int)."""
+    import io
+
+    import soundfile as sf
+
+    if content is None:
+        return {"width": None, "height": None, "digest": None}
+    info = sf.info(io.BytesIO(content))
+    return {
+        "width": int(info.channels),
+        "height": int(info.samplerate // 100),
+        "digest": hashlib.sha256(content).hexdigest()[:16],
+    }
 
 
 DECODERS = {"image": _fake_decode_image, "audio": _fake_decode_image, "video": _fake_decode_image}
+
+# import-probe the real codec seam: prefer genuine decoders whenever the
+# environment carries the libraries, keep deterministic stand-ins otherwise
+# (executors must make the same choice as the driver — both probe at import,
+# and a mixed cluster would be a deployment error, not a runtime branch).
+try:  # pragma: no cover - container has no PIL
+    import PIL  # noqa: F401
+
+    DECODERS["image"] = _pil_decode_image
+except ImportError:
+    pass
+try:  # pragma: no cover - container has no soundfile
+    import soundfile  # noqa: F401
+
+    DECODERS["audio"] = _soundfile_decode_audio
+except ImportError:
+    pass
 
 _FEATURES_SCHEMA = T.StructType(
     [
@@ -232,20 +278,136 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
     return media.mapInPandas(run, _RESIZED_SCHEMA)
 
 
+# JPEG SOFn marker codes that carry frame dimensions (ITU T.81 B.2.2):
+# baseline/extended/progressive/lossless + their arithmetic-coded twins.
+_JPEG_SOF = ["C0", "C1", "C2", "C3", "C5", "C6", "C7", "C9", "CA", "CB",
+             "CD", "CE", "CF"]
+# standalone markers with no length field (RSTn, SOI, TEM)
+_JPEG_BARE = ["D0", "D1", "D2", "D3", "D4", "D5", "D6", "D7", "D8", "01"]
+
+SNIFF_PREFIX_BYTES = 4096  # header walk budget per blob (see docstring)
+
+
+def _sniff_jpeg_dims(hx):
+    """Walk JPEG segments ([FF marker][len16 BE] chains) in a bounded
+    JVM-side fold until a SOFn frame header yields (width, height).
+    ``hx`` is the upper-hex of the blob prefix; offsets are 1-based bytes.
+    Returns a struct<w,h> column (nulls when no SOF in the prefix)."""
+
+    def at(off, nbytes):  # hex substring at byte offset `off` (Column)
+        return F.substr(hx, (off - 1) * 2 + 1, F.lit(2 * nbytes))
+
+    def be(off, nbytes):
+        return F.conv(at(off, nbytes), 16, 10).cast("long")
+
+    nil = F.lit(None).cast("long")
+
+    def st(off, w, h):
+        return F.struct(off.alias("off"), w.alias("w"), h.alias("h"))
+
+    def step(acc, _):
+        off = acc["off"]
+        done = acc["w"].isNotNull() | (off < 0) | (off * 2 >= F.length(hx))
+        mk, code = at(off, 1), at(off + 1, 1)
+        # SOF payload: [len 2][precision 1][height 2][width 2] → height at
+        # marker+5, width at marker+7
+        advanced = (
+            F.when(mk != "FF", st(F.lit(-1).cast("long"), nil, nil))
+            .when(code == "FF", st(off + 1, nil, nil))  # fill byte
+            .when(code.isin(_JPEG_SOF),
+                  st(F.lit(-1).cast("long"), be(off + 7, 2), be(off + 5, 2)))
+            .when(code.isin(_JPEG_BARE), st(off + 2, nil, nil))
+            .when(code.isin(["D9", "DA"]),  # EOI / SOS: scan data follows
+                  st(F.lit(-1).cast("long"), nil, nil))
+            .otherwise(st(off + 2 + be(off + 2, 2), nil, nil))
+        )
+        return F.when(done, acc).otherwise(advanced)
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(32)),  # ≥ segments reachable in prefix
+        st(F.lit(3).cast("long"), nil, nil),  # first marker after FFD8
+        step,
+        lambda acc: F.struct(acc["w"].alias("w"), acc["h"].alias("h")),
+    )
+
+
+def _sniff_mp4_duration_ms(hx):
+    """ISO-BMFF walk: top-level boxes → ``moov`` → child boxes → ``mvhd``
+    → duration_ms = duration * 1000 / timescale (version 0 and 1 layouts).
+    Bounded folds over [size(BE32)][type(4CC)] chains; a moov that sits
+    beyond the sniffed prefix (non-faststart files put it after mdat)
+    yields null rather than a wrong answer."""
+
+    def at(off, nbytes):
+        return F.substr(hx, (off - 1) * 2 + 1, F.lit(2 * nbytes))
+
+    def be(off, nbytes):
+        return F.conv(at(off, nbytes), 16, 10).cast("long")
+
+    nil = F.lit(None).cast("long")
+
+    def walk(start, fourcc_hex, iters=8):
+        """Fold over sibling boxes from byte offset ``start`` (Column);
+        returns the matching box's offset or null. Bails on size<8
+        (64-bit extended sizes / size-to-EOF) instead of guessing."""
+
+        def st(off, hit):
+            return F.struct(off.alias("off"), hit.alias("hit"))
+
+        def step(acc, _):
+            off = acc["off"]
+            done = acc["hit"].isNotNull() | (off < 0) | (off * 2 >= F.length(hx))
+            size = be(off, 4)
+            found = at(off + 4, 4) == fourcc_hex
+            advanced = (
+                F.when(found, st(F.lit(-1).cast("long"), off))
+                .when(size < 8, st(F.lit(-1).cast("long"), nil))
+                .otherwise(st(off + size, nil))
+            )
+            return F.when(done, acc).otherwise(advanced)
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(iters)), st(start, nil), step,
+            lambda acc: acc["hit"],
+        )
+
+    moov = walk(F.lit(1).cast("long"), "6D6F6F76")          # 'moov'
+    mvhd = walk(moov + 8, "6D766864")                        # 'mvhd'
+    ver = be(mvhd + 8, 1)
+    # mvhd v0: [ver/flags 4][ctime 4][mtime 4][timescale 4][duration 4]
+    # mvhd v1: [ver/flags 4][ctime 8][mtime 8][timescale 4][duration 8]
+    ts = F.when(ver == 1, be(mvhd + 28, 4)).otherwise(be(mvhd + 20, 4))
+    dur_hex = F.when(ver == 1, at(mvhd + 32, 8)).otherwise(at(mvhd + 24, 4))
+    unknown = dur_hex.isin(["FFFFFFFF", "FFFFFFFFFFFFFFFF"])  # spec sentinel
+    dur = F.conv(dur_hex, 16, 10).cast("long")
+    return F.when(
+        moov.isNotNull() & mvhd.isNotNull() & (ts > 0) & ~unknown,
+        F.floor(dur * 1000 / ts).cast("long"),
+    ).otherwise(nil)
+
+
 def sniff_media_headers(media: DataFrame, content_col: str = "content",
                         id_col: str = "media_id") -> DataFrame:
     """REAL (non-stubbed) container-format sniffing — no codecs needed:
-    magic bytes and fixed-offset header fields parsed with JVM hex
-    arithmetic. PNG (IHDR big-endian dims), GIF (little-endian dims) and
-    WAV (fmt-chunk channels + sample rate) are covered; anything else
-    surfaces as 'unknown' with null fields.
+    magic bytes and header fields parsed with JVM hex arithmetic. Covered:
+    PNG (IHDR big-endian dims), GIF (little-endian dims), WAV (fmt-chunk
+    channels + sample rate), JPEG (SOFn dims via a bounded segment walk)
+    and MP4/ISO-BMFF (mvhd duration via a bounded box walk). Anything
+    else surfaces as 'unknown' with null fields.
 
-    Scale shape: only a 32-byte prefix of each blob is ever hexed, and the
-    whole parse is one codegen'd projection — this is how format stats /
-    corrupt-file triage run over 100 TB of media without decoding a single
-    frame. Returns (media_id, format, width, height, channels,
-    sample_rate)."""
+    Scale shape: a 32-byte prefix covers the fixed-offset formats; the
+    JPEG/MP4 walks hex at most SNIFF_PREFIX_BYTES per blob and ONLY for
+    rows whose magic matched (CASE WHEN branches evaluate lazily inside
+    codegen), as bounded ``aggregate`` folds — still one codegen'd
+    projection, no Python, no decode. A JPEG whose SOF lies past the
+    prefix (oversized EXIF) or a non-faststart MP4 (moov after mdat)
+    reports null fields rather than a wrong answer — raise
+    SNIFF_PREFIX_BYTES for those corpora. Returns (media_id, format,
+    width, height, channels, sample_rate, duration_ms)."""
     hx = F.upper(F.hex(F.expr(f"substring({content_col}, 1, 32)")))
+    big = F.upper(F.hex(F.expr(
+        f"substring({content_col}, 1, {SNIFF_PREFIX_BYTES})"
+    )))
 
     def be(off: int, n: int):  # big-endian uint at 1-based byte offset
         return F.conv(F.substring(hx, 2 * (off - 1) + 1, 2 * n), 16, 10).cast("long")
@@ -259,13 +421,22 @@ def sniff_media_headers(media: DataFrame, content_col: str = "content",
     is_wav = (F.substring(hx, 1, 8) == "52494646") & (
         F.substring(hx, 17, 8) == "57415645"
     )
+    is_jpeg = F.substring(hx, 1, 6) == "FFD8FF"
+    is_mp4 = F.substring(hx, 9, 8) == "66747970"  # 'ftyp' at byte 5
     null = F.lit(None).cast("long")
+    jpeg = F.when(is_jpeg, _sniff_jpeg_dims(big))
     return media.select(
         F.col(id_col).alias("media_id"),
         F.when(is_png, F.lit("png")).when(is_gif, F.lit("gif"))
-        .when(is_wav, F.lit("wav")).otherwise(F.lit("unknown")).alias("format"),
-        F.when(is_png, be(17, 4)).when(is_gif, le(7, 2)).otherwise(null).alias("width"),
-        F.when(is_png, be(21, 4)).when(is_gif, le(9, 2)).otherwise(null).alias("height"),
+        .when(is_wav, F.lit("wav")).when(is_jpeg, F.lit("jpeg"))
+        .when(is_mp4, F.lit("mp4"))
+        .otherwise(F.lit("unknown")).alias("format"),
+        F.when(is_png, be(17, 4)).when(is_gif, le(7, 2))
+        .when(is_jpeg, jpeg["w"]).otherwise(null).alias("width"),
+        F.when(is_png, be(21, 4)).when(is_gif, le(9, 2))
+        .when(is_jpeg, jpeg["h"]).otherwise(null).alias("height"),
         F.when(is_wav, le(23, 2)).otherwise(null).alias("channels"),
         F.when(is_wav, le(25, 4)).otherwise(null).alias("sample_rate"),
+        F.when(is_mp4, _sniff_mp4_duration_ms(big)).otherwise(null)
+        .alias("duration_ms"),
     )

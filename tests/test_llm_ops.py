@@ -224,6 +224,86 @@ def test_sniff_media_headers_real_formats(spark):
     assert (out[4].format, out[4].width, out[4].channels) == ("unknown", None, None)
 
 
+def _jpeg_bytes(w, h, com_len=7):
+    """A genuine minimal JPEG: SOI, APP0(JFIF), variable-length COM,
+    progressive SOF2 with the given dims, SOS."""
+    import struct
+
+    b = b"\xff\xd8"
+    jf = b"JFIF\x00\x01\x02\x01\x00H\x00H\x00\x00"
+    b += b"\xff\xe0" + struct.pack(">H", 2 + len(jf)) + jf
+    com = b"x" * com_len
+    b += b"\xff\xfe" + struct.pack(">H", 2 + len(com)) + com
+    b += (b"\xff\xc2" + struct.pack(">H", 17) + b"\x08"
+          + struct.pack(">HH", h, w) + b"\x03" + b"\x00" * 9)
+    return b + b"\xff\xda\x00\x02"
+
+
+def _mp4_bytes(dur_units, ts=600, ver=0):
+    """A genuine minimal ISO-BMFF file: ftyp, free, moov[mvhd v0/v1]."""
+    import struct
+
+    ftyp = b"isom" + struct.pack(">I", 0x200) + b"isomiso2"
+    out = struct.pack(">I", 8 + len(ftyp)) + b"ftyp" + ftyp
+    out += struct.pack(">I", 16) + b"free" + b"\x00" * 8
+    if ver == 0:
+        mvhd = (b"\x00\x00\x00\x00" + struct.pack(">II", 1, 2)
+                + struct.pack(">II", ts, dur_units) + b"\x00" * 80)
+    else:
+        mvhd = (b"\x01\x00\x00\x00" + struct.pack(">QQ", 1, 2)
+                + struct.pack(">I", ts) + struct.pack(">Q", dur_units)
+                + b"\x00" * 76)
+    mvhd_box = struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+    return out + struct.pack(">I", 16 + len(mvhd_box)) + b"moov" + mvhd_box
+
+
+def test_sniff_jpeg_sof_and_mp4_mvhd(spark):
+    """Round-5 sniffer extensions parse GENUINE variable-layout headers:
+    JPEG dims come from an SOFn reached by WALKING segments (APP0 + a
+    variable-length COM sit in front), MP4 duration from the mvhd inside
+    moov reached by walking boxes (a free box sits in front), in both the
+    v0 and v1 mvhd layouts. A truncated MP4 whose moov is absent yields
+    null, not a wrong answer."""
+    from eventstore_spark.operators.multimodal import sniff_media_headers
+
+    media = spark.createDataFrame(
+        [
+            (1, _jpeg_bytes(640, 480)),
+            (2, _jpeg_bytes(31, 4095, com_len=211)),
+            (3, _mp4_bytes(6000)),                    # 10 s at ts=600
+            (4, _mp4_bytes(1234, ts=1000)),           # 1234 ms
+            (5, _mp4_bytes(90000, ts=90000, ver=1)),  # 1 s, v1 layout
+            (6, _mp4_bytes(6000)[:20]),               # ftyp only, no moov
+        ],
+        "media_id long, content binary",
+    )
+    out = {r.media_id: r for r in sniff_media_headers(media).collect()}
+    assert (out[1].format, out[1].width, out[1].height) == ("jpeg", 640, 480)
+    assert (out[2].format, out[2].width, out[2].height) == ("jpeg", 31, 4095)
+    assert (out[3].format, out[3].duration_ms) == ("mp4", 10000)
+    assert out[4].duration_ms == 1234
+    assert out[5].duration_ms == 1000
+    assert (out[6].format, out[6].duration_ms) == ("mp4", None)
+    # jpeg/mp4 never claim the other family's fields
+    assert out[1].duration_ms is None and out[3].width is None
+
+
+def test_codec_seam_probes_real_libraries():
+    """DECODERS carries the real PIL/soundfile implementations exactly
+    when the libraries import; in this container they don't, so the
+    deterministic stand-ins must be active (the documented fallback)."""
+    import importlib.util
+
+    from eventstore_spark.operators import multimodal as m
+
+    has_pil = importlib.util.find_spec("PIL") is not None
+    has_sf = importlib.util.find_spec("soundfile") is not None
+    assert (m.DECODERS["image"] is m._pil_decode_image) == has_pil
+    assert (m.DECODERS["audio"] is m._soundfile_decode_audio) == has_sf
+    if not has_pil:
+        assert m.DECODERS["image"] is m._fake_decode_image
+
+
 def test_span_dedup_profile_counts(spark):
     """Substring-dedup signal: shared token windows count as duplicated,
     unique ones don't, short docs surface with zero spans (totality)."""
