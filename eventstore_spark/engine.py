@@ -16,7 +16,7 @@ import json
 import os
 import shutil
 from dataclasses import dataclass
-from datetime import datetime
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -689,6 +689,17 @@ class EventStoreEngine:
                 size += os.path.getsize(os.path.join(self.path, f))
             except OSError:
                 continue
+        # per-projection state-table generation counts (delta dirs since
+        # the last compaction) — the observable that says when
+        # compact_projection_state is due; one listdir per projection,
+        # no Spark job
+        state_gens = {}
+        for name in self.projections:
+            sd = self._projection_state_dir(name)
+            if os.path.isdir(sd):
+                state_gens[name] = sum(
+                    1 for d in os.listdir(sd) if d.startswith("batch=")
+                )
         return {
             "events": int(agg["events"] or 0),
             "streams": int(agg["streams"] or 0),
@@ -697,6 +708,7 @@ class EventStoreEngine:
             "log_bytes": size,
             "manifest_generations": len(_manifest.history(self.path)),
             "projections": len(self.projections),
+            "projection_state_generations": state_gens,
         }
 
     def projection_statistics(self) -> list[dict]:
@@ -725,10 +737,20 @@ class EventStoreEngine:
 
     def vacuum(self, grace_s: float = 3600.0) -> dict:
         """Drop files a maintenance rewrite superseded more than
-        ``grace_s`` seconds ago (the reader-drain window)."""
+        ``grace_s`` seconds ago (the reader-drain window). Time-travel
+        note: manifest generations drained here stop being readable via
+        ``events_at`` / the as-of SQL views — vacuum bounds history,
+        exactly like Delta's VACUUM."""
         from .manifest import vacuum as _vacuum
 
         return _vacuum(self.path, grace_s)
+
+    def close(self) -> None:
+        """Release this process's single-writer claim on the store
+        directory (writer fencing, round-5). Reads keep working; the next
+        append requires a fresh engine/writer, which re-acquires the
+        lock."""
+        self.writer.close()
 
     # ------------------------------------------------------------------ SQL
     def register_views(self, prefix: str = "es") -> list[str]:
@@ -743,6 +765,14 @@ class EventStoreEngine:
         ``<prefix>_proj_<name>`` per projection that has run. Returns the
         registered names. Views are lazy — each query re-plans against the
         current log state, with pruning/pushdown intact.
+
+        Time travel (round-5): ``<prefix>_manifest_history`` lists the
+        available manifest generations (generation, files, published_at),
+        and each generation gets an as-of view
+        ``<prefix>_events_at_<seq>`` — the visible log pinned at that
+        snapshot (``events_at``). The set is bounded by ``vacuum``: a
+        drained generation's view simply stops being registered on the
+        next call, exactly as Delta's VACUUM limits time travel.
         """
         out = []
 
@@ -753,6 +783,32 @@ class EventStoreEngine:
         reg(f"{prefix}_events", self.events())
         reg(f"{prefix}_all", self.events(visible_only=False))
         reg(f"{prefix}_streams", self.streams())
+        from . import manifest as _manifest
+
+        gens = _manifest.history(self.path)
+        if gens:
+            hist_rows = []
+            for seq in gens:
+                files = _manifest.files_at(self.path, seq) or []
+                mf = os.path.join(
+                    self.path, _manifest.MANIFEST_DIR, f"manifest-{seq:010d}.json"
+                )
+                try:
+                    published = datetime.fromtimestamp(
+                        os.path.getmtime(mf), tz=timezone.utc
+                    )
+                except OSError:
+                    published = None
+                hist_rows.append((seq, len(files), published))
+            reg(
+                f"{prefix}_manifest_history",
+                self.spark.createDataFrame(
+                    hist_rows,
+                    "generation long, files int, published_at timestamp",
+                ),
+            )
+            for seq in gens:
+                reg(f"{prefix}_events_at_{seq}", self.events_at(seq))
         meta = self.stream_metadata()
         if meta is not None:
             reg(f"{prefix}_metadata", meta)

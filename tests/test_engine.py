@@ -362,6 +362,38 @@ def test_register_views_sql_surface(engine, spark):
     assert st == 2
 
 
+def test_register_views_time_travel_surface(engine, spark):
+    """As-of SQL views (round-5 polish): every available manifest
+    generation registers an ``es_events_at_<seq>`` view matching
+    ``events_at``, and ``es_manifest_history`` lists the generations; a
+    vacuumed generation's view disappears on re-registration."""
+    hist = engine.manifest_history()
+    seq = hist[-1]
+    n_then = engine.events().count()
+    engine.append("account-1", [ProposedEvent("Deposited", '{"amount": 9}')])
+
+    names = engine.register_views()
+    assert "es_manifest_history" in names
+    assert f"es_events_at_{seq}" in names
+    got = spark.sql(f"SELECT count(*) AS n FROM es_events_at_{seq}").collect()[0].n
+    assert got == n_then  # the as-of view pins the pre-append snapshot
+    rows = spark.sql(
+        "SELECT generation, files FROM es_manifest_history ORDER BY generation"
+    ).collect()
+    assert [r.generation for r in rows] == engine.manifest_history()
+    assert all(r.files > 0 for r in rows)
+
+    # vacuum bounds the surface: drained generations stop registering
+    engine.scavenge()
+    engine.vacuum(grace_s=0)
+    names2 = engine.register_views()
+    remaining = {n for n in names2 if n.startswith("es_events_at_")}
+    assert remaining == {
+        f"es_events_at_{s}" for s in engine.manifest_history()
+    }
+    assert f"es_events_at_{seq}" not in remaining
+
+
 def test_optimize_layout_preserves_log(engine, spark):
     from eventstore_spark.maintenance import optimize_layout
 

@@ -81,6 +81,7 @@ def test_store_statistics(spark, log):
     assert st["head_position"] >= 3
     assert st["log_files"] > 0 and st["log_bytes"] > 0
     assert st["manifest_generations"] > 0
+    assert st["projection_state_generations"] == {}  # no projections here
 
 
 def test_filtered_all_subscription(spark, log, tmp_path):
@@ -450,9 +451,15 @@ def test_continuous_state_table_scale_and_restart(spark, tmp_path):
         st2.where(F.col("partition") == "acct-8").first().state
     ) == {"n": 2, "sum": 101}
 
+    # compaction need is observable from store_statistics (round-5): the
+    # per-projection generation count is what says compaction is due
+    gens_before = eng.store_statistics()["projection_state_generations"]
+    assert gens_before.get("bigbal", 0) >= 1
+
     # compaction: delta generations fold into one base, state intact
     res = eng.compact_projection_state("bigbal")
     assert res["generations_after"] == 1
+    assert eng.store_statistics()["projection_state_generations"]["bigbal"] == 1
     st3 = eng.projection_state("bigbal")
     assert st3.count() == n
     assert json.loads(
