@@ -998,6 +998,24 @@ def q_span_dedup(spark, sf):
     return cp.span_dedup_profile(_table(spark, sf, "documents"))
 
 
+def q_per_source_cap(spark, sf):
+    """Per-source document cap (C4/RefinedWeb "max N pages per domain"):
+    exact per-source top-k by length via the two-pass bucketed rank —
+    no window ever sorts a whole mega-source (corpus.per_source_cap)."""
+    from eventstore_spark.operators import corpus as cp
+
+    return cp.per_source_cap(_table(spark, sf, "documents"), k=15)
+
+
+def q_training_order(spark, sf):
+    """Deterministic cross-engine training-order shuffle: md5(seed|doc_id)
+    assigns (shard, position) with no global sort — the permutation is
+    reproducible per epoch seed (corpus.training_order)."""
+    from eventstore_spark.operators import corpus as cp
+
+    return cp.training_order(_table(spark, sf, "documents"), num_shards=16)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1041,6 +1059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "classifier_score": q_classifier_score,
         "span_dedup": q_span_dedup,
+        "per_source_cap": q_per_source_cap,
+        "training_order": q_training_order,
         "knn_classify": q_knn_classify,
         "tfidf_keywords": q_tfidf_keywords,
         "stratified_sample": q_stratified_sample,
@@ -1534,6 +1554,8 @@ WHERE p.quality >= 0.3
     from eventstore_spark.operators import corpus as _cp
 
     sqls["span_dedup"] = _cp.sql_span_dedup_profile()
+    sqls["per_source_cap"] = _cp.sql_per_source_cap(k=15)
+    sqls["training_order"] = _cp.sql_training_order(num_shards=16)
     sqls["ann_lsh"] = sim.sql_lsh_topk(ANN_QUERY_IDS, k=10)
     sqls["ann_ivf"] = sim.sql_ivf_topk(ANN_QUERY_IDS, k=10, trained=True)
     sqls["embedding_neardup"] = sim.sql_embedding_neardup(threshold=0.45)

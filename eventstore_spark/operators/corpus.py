@@ -623,3 +623,108 @@ SELECT d.{id_col} AS doc_id,
        COALESCE(f.n_dup_spans, 0) AS n_dup_spans
 FROM {table} d LEFT JOIN f ON d.{id_col} = f.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-source document caps (domain caps) and deterministic training order
+# ---------------------------------------------------------------------------
+
+def per_source_cap(docs: DataFrame, k: int = 50, buckets: int = 16,
+                   source_col: str = "source", id_col: str = "doc_id",
+                   len_col: str = "n_chars") -> DataFrame:
+    """Keep at most ``k`` documents per source, preferring longer ones —
+    the C4/RefinedWeb "at most N pages per domain" rule that stops one
+    crawled host from dominating the mixture. Ordering is total
+    (``len_col`` desc, ``id_col`` asc), so the survivor set is exact and
+    deterministic.
+
+    Scale shape: per-source top-k in TWO bounded passes instead of one
+    window over each source's whole partition. Pass 1 ranks inside
+    (source, md5-bucket-of-doc_id) sub-partitions and keeps each
+    sub-partition's local top-k — a mega-domain's millions of rows sort
+    as ``buckets`` independent bounded tasks, never one. Pass 2 ranks the
+    <= buckets*k survivors per source — a tiny window. Because the order
+    is total, top-k of the union of bucket top-ks IS the per-source
+    top-k (any global top-k row is top-k within its own bucket).
+    Returns (doc_id, source, rank_in_source).
+    """
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("cap|"),
+                                       F.col(id_col).cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % buckets
+    )
+    order = [F.col(len_col).desc(), F.col("doc_id").asc()]
+    w_local = Window.partitionBy("source", "_bucket").orderBy(*order)
+    w_final = Window.partitionBy("source").orderBy(*order)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            F.col(len_col).alias(len_col),
+            bucket.alias("_bucket"),
+        )
+        .withColumn("_lr", F.row_number().over(w_local))
+        .where(F.col("_lr") <= k)
+        .withColumn("rank_in_source", F.row_number().over(w_final))
+        .where(F.col("rank_in_source") <= k)
+        .select("doc_id", "source", F.col("rank_in_source").cast("long").alias("rank_in_source"))
+    )
+
+
+def sql_per_source_cap(k: int = 50, table: str = "documents",
+                       source_col: str = "source", id_col: str = "doc_id",
+                       len_col: str = "n_chars") -> str:
+    return f"""
+WITH r AS (
+  SELECT {id_col} AS doc_id, {source_col} AS source,
+         row_number() OVER (PARTITION BY {source_col}
+                            ORDER BY {len_col} DESC, {id_col} ASC) AS rank_in_source
+  FROM {table}
+)
+SELECT doc_id, source, CAST(rank_in_source AS BIGINT) AS rank_in_source
+FROM r WHERE rank_in_source <= {k}
+"""
+
+
+def training_order(docs: DataFrame, num_shards: int = 32,
+                   seed: str = "epoch-0", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global shuffle for training order: every document
+    gets a (shard, position) that is uniform-random-looking but exactly
+    reproducible across runs AND engines (md5 of seed|doc_id, as in
+    ``stratified_sample``). Change ``seed`` per epoch for a fresh
+    permutation.
+
+    Scale shape: NO global sort — the md5 key assigns a shard
+    (hash % num_shards) and position is a row_number inside each shard's
+    hash-partitioned window, so the biggest task sorts |corpus|/shards
+    rows. A trainer reads shard files in order (shard asc, position asc)
+    for the full permutation. Returns (doc_id, shard, position).
+    """
+    hkey = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + "|"),
+                                   F.col(id_col).cast("string"))), 1, 12),
+        16, 10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), hkey.alias("_h"))
+        .withColumn("shard", (F.col("_h") % num_shards).cast("long"))
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "position")
+    )
+
+
+def sql_training_order(num_shards: int = 32, seed: str = "epoch-0",
+                       table: str = "documents", id_col: str = "doc_id") -> str:
+    h = (f"CAST('0x' || substr(md5('{seed}|' || CAST({id_col} AS VARCHAR)), 1, 12) "
+         "AS BIGINT)")
+    return f"""
+WITH s AS (
+  SELECT {id_col} AS doc_id, {h} AS h, {h} % {num_shards} AS shard FROM {table}
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC) AS BIGINT) AS position
+FROM s
+"""

@@ -656,3 +656,45 @@ def test_contamination_exact_finds_verbatim_fragments(spark):
     hits = {(r.doc_id, r.bench_id) for r in
             contamination_exact(docs, bench_max_id=20, needle_chars=40).collect()}
     assert hits == {(100, 0)}, hits
+
+
+def test_per_source_cap_exact_topk(spark):
+    """The two-pass bucketed rank equals the direct per-source top-k:
+    longest docs win, doc_id breaks length ties, every source capped."""
+    from eventstore_spark.operators.corpus import per_source_cap
+
+    rows = [(i, f"s{i % 3}", 1000 - (i * 7) % 90) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = per_source_cap(docs, k=4, buckets=8).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append((r.rank_in_source, r.doc_id))
+    expect = {}
+    for i, s, n in rows:
+        expect.setdefault(s, []).append((-n, i))
+    for s, lst in expect.items():
+        want = [doc for _, doc in sorted(lst)[:4]]
+        assert [d for _, d in sorted(by_src[s])] == want, s
+    assert all(len(v) == 4 for v in by_src.values())
+
+
+def test_training_order_is_reproducible_permutation(spark):
+    """(shard, position) covers every doc exactly once, positions are
+    dense per shard, the mapping is identical across runs, and a new
+    epoch seed yields a different permutation."""
+    from eventstore_spark.operators.corpus import training_order
+
+    docs = spark.range(200).selectExpr("id AS doc_id")
+    a = {r.doc_id: (r.shard, r.position)
+         for r in training_order(docs, num_shards=8, seed="epoch-0").collect()}
+    b = {r.doc_id: (r.shard, r.position)
+         for r in training_order(docs, num_shards=8, seed="epoch-0").collect()}
+    assert a == b and len(a) == 200
+    per_shard = {}
+    for sh, pos in a.values():
+        per_shard.setdefault(sh, []).append(pos)
+    for sh, ps in per_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), sh
+    c = {r.doc_id: (r.shard, r.position)
+         for r in training_order(docs, num_shards=8, seed="epoch-1").collect()}
+    assert c != a  # fresh permutation per epoch

@@ -395,3 +395,19 @@ def test_lm_score_vocab_cap_is_take_ordered(spark, tmp_path_factory):
     plan = plan_of(lm_score(docs, top_v=10))
     assert "TakeOrderedAndProject" in plan
     assert "row_number" not in plan
+
+
+def test_per_source_cap_and_training_order_windows_partition(parquet_docs):
+    """Round-5 corpus ops: both ranking windows must hash-partition (by
+    (source, bucket) / source for the cap, by shard for the shuffle) —
+    never an Exchange SinglePartition, which would serialize the corpus
+    through one task at 100 TB."""
+    from eventstore_spark.operators.corpus import per_source_cap, training_order
+
+    plan = plan_of(per_source_cap(parquet_docs, k=5, buckets=4))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan
+
+    plan2 = plan_of(training_order(parquet_docs, num_shards=8))
+    assert "SinglePartition" not in plan2
+    assert "hashpartitioning(shard" in plan2
