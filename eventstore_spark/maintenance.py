@@ -60,22 +60,29 @@ from .operators.retention import visible_events
 from .schema import EVENTS_SCHEMA, METASTREAM_PREFIX
 
 
-def _read_snapshot(spark: SparkSession, path: str) -> DataFrame:
-    """The log's current committed snapshot (manifest-aware, pinned)."""
-    files = manifest.snapshot_files(path)
-    if files is None:
-        return spark.read.schema(EVENTS_SCHEMA).parquet(path)
+def _read_snapshot(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
+    """(DataFrame, manifest seq) of the log's current committed snapshot
+    (manifest-aware, pinned). The seq is what the eventual publish CASes
+    against — a concurrent append moves it and fails the rewrite loudly
+    instead of losing the append. -1 = plain-directory mode."""
+    cur = manifest.latest(path)
+    if cur is None:
+        return spark.read.schema(EVENTS_SCHEMA).parquet(path), -1
+    seq, files = cur
     if not files:
-        return spark.createDataFrame([], EVENTS_SCHEMA)
+        return spark.createDataFrame([], EVENTS_SCHEMA), seq
     return spark.read.schema(EVENTS_SCHEMA).parquet(
         *[os.path.join(path, f) for f in files]
-    )
+    ), seq
 
 
-def _publish_rewrite(path: str, staging: str, tag: str) -> list[str]:
+def _publish_rewrite(path: str, staging: str, tag: str,
+                     base_seq: int) -> list[str]:
     """Move staged part files into the log dir under fresh unique names
-    and publish a manifest referencing only them. Superseded files remain
-    on disk for ``vacuum``'s grace window."""
+    and publish a manifest referencing only them — a CAS against
+    ``base_seq`` (the generation the rewrite read). Superseded files
+    remain on disk for ``vacuum``'s grace window. On conflict the staged
+    files are removed before re-raising: nothing half-published."""
     gen = int(time.time() * 1000)
     new_names = []
     for i, f in enumerate(sorted(os.listdir(staging))):
@@ -83,7 +90,16 @@ def _publish_rewrite(path: str, staging: str, tag: str) -> list[str]:
             name = f"part-{tag}-{gen}-{i:05d}.parquet"
             os.rename(os.path.join(staging, f), os.path.join(path, name))
             new_names.append(name)
-    manifest.replace_snapshot(path, new_names)
+    try:
+        manifest.replace_snapshot(path, new_names, base_seq=base_seq)
+    except manifest.ManifestConflictError:
+        for name in new_names:  # unwind: the rewrite lost the race
+            try:
+                os.remove(os.path.join(path, name))
+            except FileNotFoundError:
+                pass
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     shutil.rmtree(staging)
     return new_names
 
@@ -96,7 +112,7 @@ def scavenge(
     target_files: int = 8,
 ) -> dict:
     """Run a scavenge over a log directory; returns stats."""
-    df = _read_snapshot(spark, path)
+    df, base_seq = _read_snapshot(spark, path)
     before = df.count()
 
     is_meta = F.col("stream_id").startswith(METASTREAM_PREFIX)
@@ -122,7 +138,7 @@ def scavenge(
     kept.coalesce(target_files).write.mode("overwrite").parquet(staging)
     after = spark.read.schema(EVENTS_SCHEMA).parquet(staging).count()
 
-    files = _publish_rewrite(path, staging, "scavenge")
+    files = _publish_rewrite(path, staging, "scavenge", base_seq)
     return {
         "events_before": before,
         "events_after": after,
@@ -162,7 +178,7 @@ def bucket_log(
     it lands in the session warehouse. Rewrite-in-full, single-writer
     invariant, like scavenge/optimize_layout.
     """
-    df = _read_snapshot(spark, path)
+    df, _ = _read_snapshot(spark, path)
     # pre-repartition on the bucket key so each task writes only its own
     # buckets (without it every task can open `buckets` files at once)
     writer = (
@@ -196,7 +212,7 @@ def optimize_layout(spark: SparkSession, path: str, target_files: int = 8) -> di
     $all order stay valid. Published as a manifest snapshot; superseded
     files drain via ``vacuum``.
     """
-    df = _read_snapshot(spark, path)
+    df, base_seq = _read_snapshot(spark, path)
     n = df.count()
     staging = path.rstrip("/") + f"._optimize_{int(time.time() * 1000)}"
     (
@@ -209,5 +225,5 @@ def optimize_layout(spark: SparkSession, path: str, target_files: int = 8) -> di
     if after != n:  # paranoia: never swap in a lossy rewrite
         shutil.rmtree(staging)
         raise RuntimeError(f"optimize_layout row mismatch: {n} -> {after}")
-    files = _publish_rewrite(path, staging, "optimize")
+    files = _publish_rewrite(path, staging, "optimize", base_seq)
     return {"events": n, "files": len(files)}

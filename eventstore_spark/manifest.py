@@ -140,12 +140,22 @@ def append_files(path: str, new_files: list[str]) -> int:
     return _write(path, seq + 1, sorted(base | set(new_files)))
 
 
-def replace_snapshot(path: str, files: list[str]) -> int:
+def replace_snapshot(path: str, files: list[str],
+                     base_seq: int | None = None) -> int:
     """Publish manifest N+1 referencing ONLY ``files`` (a maintenance
-    rewrite). Superseded files stay on disk for ``vacuum``."""
-    cur = latest(path)
-    seq = -1 if cur is None else cur[0]
-    return _write(path, seq + 1, sorted(files))
+    rewrite). Superseded files stay on disk for ``vacuum``.
+
+    ``base_seq`` is the generation the rewrite WAS COMPUTED FROM; the
+    publish is a CAS against it — if an append published base_seq+1 in
+    the meantime, this raises ``ManifestConflictError`` instead of
+    silently dropping the appended files from the snapshot (re-run the
+    rewrite from the new snapshot). Omitting ``base_seq`` preserves the
+    unguarded last-writer-wins behavior for callers that KNOW the writer
+    is quiesced."""
+    if base_seq is None:
+        cur = latest(path)
+        base_seq = -1 if cur is None else cur[0]
+    return _write(path, base_seq + 1, sorted(files))
 
 
 def vacuum(path: str, grace_s: float = 3600.0) -> dict:

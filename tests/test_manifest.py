@@ -67,3 +67,58 @@ def test_vacuum_keeps_files_shared_with_retained_generations(tmp_path):
     assert os.path.exists(shared)
     assert not os.path.exists(only_old)
     assert res["removed"] == 1
+
+
+def test_replace_snapshot_cas_against_base_generation(tmp_path):
+    """A rewrite computed from generation N must fail its publish if an
+    append moved the snapshot to N+1 meanwhile — losing the race loudly
+    instead of silently dropping the appended file."""
+    import pytest
+
+    from eventstore_spark.manifest import ManifestConflictError
+
+    path = str(tmp_path / "log")
+    os.makedirs(path)
+    _touch(path, "a.parquet")
+    manifest.append_files(path, ["a.parquet"])
+    seq, _files = manifest.latest(path)  # rewrite snapshots here
+    _touch(path, "b.parquet")
+    manifest.append_files(path, ["b.parquet"])  # concurrent append wins
+    with pytest.raises(ManifestConflictError):
+        manifest.replace_snapshot(path, ["rewrite.parquet"], base_seq=seq)
+    assert set(manifest.snapshot_files(path)) == {"a.parquet", "b.parquet"}
+
+
+def test_scavenge_racing_append_conflicts_and_unwinds(spark, tmp_path, monkeypatch):
+    """End-to-end maintenance race: an append lands between scavenge's
+    snapshot read and its publish → the scavenge raises, the appended
+    event survives, and no half-published rewrite files remain in the
+    snapshot or on disk."""
+    import pytest
+
+    from eventstore_spark import maintenance
+    from eventstore_spark.manifest import ManifestConflictError
+    from eventstore_spark.writer import EventLogWriter, ProposedEvent
+
+    path = str(tmp_path / "log")
+    w = EventLogWriter(spark, path)
+    w.append("acct-1", [ProposedEvent("A", "{}"), ProposedEvent("B", "{}")])
+
+    orig = maintenance._read_snapshot
+
+    def racy(spark_, path_):
+        df, seq = orig(spark_, path_)
+        w.append("race-1", [ProposedEvent("C", "{}")])  # after the snapshot
+        return df, seq
+
+    monkeypatch.setattr(maintenance, "_read_snapshot", racy)
+    with pytest.raises(ManifestConflictError):
+        maintenance.scavenge(spark, path)
+    monkeypatch.setattr(maintenance, "_read_snapshot", orig)
+
+    assert w.load().where("stream_id = 'race-1'").count() == 1
+    assert not [n for n in os.listdir(path) if n.startswith("part-scavenge")]
+    # and a CLEAN re-run (no race) succeeds from the new snapshot
+    stats = maintenance.scavenge(spark, path)
+    assert stats["events_after"] == 3
+    assert w.load().count() == 3
