@@ -911,8 +911,15 @@ def q_media_sniff(spark, sf):
 
     png = f"concat('89504E470D0A1A0A0000000D49484452', {hex8(w)}, {hex8(h)})"
     gif = f"concat('474946383761', {le16(w)}, {le16(h)})"
+    # full canonical WAV header: fmt (16-byte payload incl. byte_rate) +
+    # data chunk whose declared size encodes a doc_id-derived duration
+    dur_wav = "(100 + (doc_id % 50) * 100)"  # ms; byte_rate % 1000 == 0
+    byte_rate = f"({sr} * 2 * {ch})"
+    data_size = f"(({byte_rate} div 1000) * {dur_wav})"
     wav = (f"concat('52494646', '00000000', '57415645', '666D7420', "
-           f"'10000000', '0100', {le16(ch)}, {le32(sr)})")
+           f"'10000000', '0100', {le16(ch)}, {le32(sr)}, "
+           f"{le32(byte_rate)}, {le16(f'2 * {ch}')}, '1000', "
+           f"'64617461', {le32(data_size)})")
     # JPEG: SOI, APP0(JFIF), COM of 1+doc_id%7 bytes, SOF0(h,w), SOS
     com_n = "(1 + doc_id % 7)"
     jpeg = (
@@ -1506,7 +1513,9 @@ SELECT doc_id AS media_id,
        CASE WHEN doc_id % 5 = 2 THEN CAST(1 + doc_id % 2 AS BIGINT) END AS channels,
        CASE WHEN doc_id % 5 = 2 THEN CAST(8000 + (doc_id % 8) * 4000 AS BIGINT) END AS sample_rate,
        CASE WHEN doc_id % 5 = 4
-            THEN CAST((600 + (doc_id * 91) % 36000) * 1000 // 600 AS BIGINT) END AS duration_ms
+            THEN CAST((600 + (doc_id * 91) % 36000) * 1000 // 600 AS BIGINT)
+            WHEN doc_id % 5 = 2
+            THEN CAST(100 + (doc_id % 50) * 100 AS BIGINT) END AS duration_ms
 FROM documents
 """
     sqls["media_dedup"] = """

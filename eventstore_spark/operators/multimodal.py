@@ -386,14 +386,68 @@ def _sniff_mp4_duration_ms(hx):
     ).otherwise(nil)
 
 
+def _sniff_wav_fields(hx):
+    """RIFF chunk walk ([4CC][size LE32][payload, even-padded] chains
+    after 'WAVE'): locate 'fmt ' and 'data' wherever they sit (LIST/fact
+    chunks may precede them) and return a struct<channels, sample_rate,
+    duration_ms> with duration = data_size * 1000 / byte_rate."""
+
+    def at(off, nbytes):
+        return F.substr(hx, (off - 1) * 2 + 1, F.lit(2 * nbytes))
+
+    def le(off, nbytes):  # little-endian uint at Column offset
+        parts = [F.substr(hx, (off - 1 + i) * 2 + 1, F.lit(2))
+                 for i in reversed(range(nbytes))]
+        return F.conv(F.concat(*parts), 16, 10).cast("long")
+
+    nil = F.lit(None).cast("long")
+
+    def find_chunk(fourcc_hex):
+        def st(off, hit):
+            return F.struct(off.alias("off"), hit.alias("hit"))
+
+        def step(acc, _):
+            off = acc["off"]
+            done = acc["hit"].isNotNull() | (off < 0) | (off * 2 >= F.length(hx))
+            size = le(off + 4, 4)
+            found = at(off, 4) == fourcc_hex
+            advanced = (
+                F.when(found, st(F.lit(-1).cast("long"), off))
+                # even-padding: chunks start on even boundaries
+                .otherwise(st(off + 8 + size + size % 2, nil))
+            )
+            return F.when(done, acc).otherwise(advanced)
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(8)),
+            st(F.lit(13).cast("long"), nil),  # first chunk after 'WAVE'
+            step,
+            lambda acc: acc["hit"],
+        )
+
+    fmt = find_chunk("666D7420")   # 'fmt '
+    data = find_chunk("64617461")  # 'data'
+    byte_rate = le(fmt + 16, 4)    # fmt payload +8
+    data_size = le(data + 4, 4)
+    return F.struct(
+        F.when(fmt.isNotNull(), le(fmt + 10, 2)).otherwise(nil).alias("channels"),
+        F.when(fmt.isNotNull(), le(fmt + 12, 4)).otherwise(nil).alias("sample_rate"),
+        F.when(
+            fmt.isNotNull() & data.isNotNull() & (byte_rate > 0),
+            F.floor(data_size * 1000 / byte_rate).cast("long"),
+        ).otherwise(nil).alias("duration_ms"),
+    )
+
+
 def sniff_media_headers(media: DataFrame, content_col: str = "content",
                         id_col: str = "media_id") -> DataFrame:
     """REAL (non-stubbed) container-format sniffing — no codecs needed:
     magic bytes and header fields parsed with JVM hex arithmetic. Covered:
-    PNG (IHDR big-endian dims), GIF (little-endian dims), WAV (fmt-chunk
-    channels + sample rate), JPEG (SOFn dims via a bounded segment walk)
-    and MP4/ISO-BMFF (mvhd duration via a bounded box walk). Anything
-    else surfaces as 'unknown' with null fields.
+    PNG (IHDR big-endian dims), GIF (little-endian dims), WAV (RIFF chunk
+    walk: fmt channels + sample rate, data-size/byte-rate duration), JPEG
+    (SOFn dims via a bounded segment walk) and MP4/ISO-BMFF (mvhd
+    duration via a bounded box walk). Anything else surfaces as 'unknown'
+    with null fields.
 
     Scale shape: a 32-byte prefix covers the fixed-offset formats; the
     JPEG/MP4 walks hex at most SNIFF_PREFIX_BYTES per blob and ONLY for
@@ -425,6 +479,7 @@ def sniff_media_headers(media: DataFrame, content_col: str = "content",
     is_mp4 = F.substring(hx, 9, 8) == "66747970"  # 'ftyp' at byte 5
     null = F.lit(None).cast("long")
     jpeg = F.when(is_jpeg, _sniff_jpeg_dims(big))
+    wav = F.when(is_wav, _sniff_wav_fields(big))
     return media.select(
         F.col(id_col).alias("media_id"),
         F.when(is_png, F.lit("png")).when(is_gif, F.lit("gif"))
@@ -435,8 +490,9 @@ def sniff_media_headers(media: DataFrame, content_col: str = "content",
         .when(is_jpeg, jpeg["w"]).otherwise(null).alias("width"),
         F.when(is_png, be(21, 4)).when(is_gif, le(9, 2))
         .when(is_jpeg, jpeg["h"]).otherwise(null).alias("height"),
-        F.when(is_wav, le(23, 2)).otherwise(null).alias("channels"),
-        F.when(is_wav, le(25, 4)).otherwise(null).alias("sample_rate"),
-        F.when(is_mp4, _sniff_mp4_duration_ms(big)).otherwise(null)
+        F.when(is_wav, wav["channels"]).otherwise(null).alias("channels"),
+        F.when(is_wav, wav["sample_rate"]).otherwise(null).alias("sample_rate"),
+        F.when(is_mp4, _sniff_mp4_duration_ms(big))
+        .when(is_wav, wav["duration_ms"]).otherwise(null)
         .alias("duration_ms"),
     )

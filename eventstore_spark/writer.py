@@ -202,14 +202,18 @@ def _read_lock(lock_path: str) -> dict:
         return {}
 
 
-def _acquire_fence(core: _PathCore) -> None:
+def _acquire_fence(core: _PathCore, timeout_s: float = 0.0) -> None:
     """Claim the cross-process writer lock for ``core.path`` (idempotent
     per process). A lock held by a LIVE foreign pid raises
-    ``WriterFencedError``; a dead holder's lock — the crash-recovery
-    path — is stolen with an atomic replace and re-read to confirm we
-    won a concurrent steal race."""
+    ``WriterFencedError`` — or, with ``timeout_s`` > 0, is re-probed
+    until the holder releases/dies or the deadline passes (the "second
+    writer waits" mode). A dead holder's lock — the crash-recovery path —
+    is stolen with an atomic replace and re-read to confirm we won a
+    concurrent steal race."""
     if core.fence_token is not None:
         return
+    import time as _time
+
     lock = os.path.join(core.path, LOCK_FILE)
     token = uuid.uuid4().hex
     payload = json.dumps(
@@ -219,7 +223,9 @@ def _acquire_fence(core: _PathCore) -> None:
             "acquired_at": datetime.now(timezone.utc).isoformat(),
         }
     )
-    for _ in range(8):
+    deadline = _time.monotonic() + timeout_s
+    attempts = 0
+    while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             with os.fdopen(fd, "w") as f:
@@ -230,6 +236,9 @@ def _acquire_fence(core: _PathCore) -> None:
             cur = _read_lock(lock)
             pid = cur.get("pid")
             if pid is not None and pid != os.getpid() and _pid_alive(pid):
+                if _time.monotonic() < deadline:  # waiting mode: re-probe
+                    _time.sleep(0.05)
+                    continue
                 raise WriterFencedError(
                     f"log {core.path} is owned by live writer pid {pid}; "
                     "close it (or let it die) before opening a writer here"
@@ -243,7 +252,11 @@ def _acquire_fence(core: _PathCore) -> None:
                 core.fence_token = token
                 return
             # a concurrent stealer overwrote us — re-evaluate their claim
-    raise WriterFencedError(f"could not acquire writer lock for {core.path}")
+            attempts += 1
+            if attempts >= 8 and _time.monotonic() >= deadline:
+                raise WriterFencedError(
+                    f"could not acquire writer lock for {core.path}"
+                )
 
 
 def _verify_fence(core: _PathCore) -> None:
@@ -278,7 +291,8 @@ class EventLogWriter:
     """Single-writer append head over a parquet log directory."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 max_append_size: int = DEFAULT_MAX_APPEND_SIZE):
+                 max_append_size: int = DEFAULT_MAX_APPEND_SIZE,
+                 lock_timeout_s: float = 0.0):
         self.spark = spark
         self.path = path
         self.max_append_size = max_append_size
@@ -302,7 +316,7 @@ class EventLogWriter:
         # soft-delete recreate. Kept current on every metastream append.
         self._meta_cache: dict[str, dict] = {}
         with self._core.mutex:
-            _acquire_fence(self._core)
+            _acquire_fence(self._core, timeout_s=lock_timeout_s)
             self._recover()
             if self._core.last_position is not None:
                 self._last_position = max(

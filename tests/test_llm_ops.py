@@ -698,3 +698,43 @@ def test_training_order_is_reproducible_permutation(spark):
     c = {r.doc_id: (r.shard, r.position)
          for r in training_order(docs, num_shards=8, seed="epoch-1").collect()}
     assert c != a  # fresh permutation per epoch
+
+
+def _wav_bytes(ch, sr, dur_ms, list_chunk=False):
+    """A genuine canonical WAV header (full 16-byte fmt incl. byte_rate +
+    data chunk sized for dur_ms); optionally a LIST chunk BEFORE fmt so
+    fixed offsets would misread and only a real chunk walk parses it."""
+    import struct
+
+    byte_rate = sr * ch * 2
+    data_size = byte_rate * dur_ms // 1000
+    chunks = b""
+    if list_chunk:
+        payload = b"INFOIART" + struct.pack("<I", 6) + b"someby"
+        chunks += b"LIST" + struct.pack("<I", len(payload)) + payload
+    chunks += (b"fmt " + struct.pack("<I", 16)
+               + struct.pack("<HHIIHH", 1, ch, sr, byte_rate, ch * 2, 16))
+    chunks += b"data" + struct.pack("<I", data_size)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_sniff_wav_duration_and_chunk_walk(spark):
+    """WAV fields come from a RIFF chunk WALK: duration_ms =
+    data_size/byte_rate, and a LIST chunk in front of fmt (where fixed
+    offsets would read garbage) still parses correctly."""
+    from eventstore_spark.operators.multimodal import sniff_media_headers
+
+    media = spark.createDataFrame(
+        [
+            (1, _wav_bytes(2, 44100, 1500)),
+            (2, _wav_bytes(1, 16000, 730, list_chunk=True)),
+            (3, _wav_bytes(2, 48000, 0)[:28]),  # truncated: no data chunk
+        ],
+        "media_id long, content binary",
+    )
+    out = {r.media_id: r for r in sniff_media_headers(media).collect()}
+    assert (out[1].format, out[1].channels, out[1].sample_rate,
+            out[1].duration_ms) == ("wav", 2, 44100, 1500)
+    assert (out[2].channels, out[2].sample_rate, out[2].duration_ms) == (
+        1, 16000, 730)
+    assert out[3].format == "wav" and out[3].duration_ms is None

@@ -366,3 +366,39 @@ def test_fencing_cross_process_real(spark, tmp_path):
     w = EventLogWriter(spark, path)  # holder dead → stale → stolen
     w.append("s-1", [ProposedEvent("A")])
     assert w.load().count() == 1
+
+
+def test_fencing_wait_mode_acquires_after_release(spark, tmp_path):
+    """lock_timeout_s > 0: a second writer WAITS for the holder instead
+    of raising — here a thread releases the first claim mid-wait and the
+    waiter proceeds."""
+    import threading
+    import time as _t
+
+    path = str(tmp_path / "log")
+    w1 = EventLogWriter(spark, path)
+    w1.append("s-1", [ProposedEvent("A")])
+
+    # make the lock look foreign-but-live so the waiter actually waits
+    _write_lock(path, pid=1, token="held-elsewhere")
+    released = {}
+
+    def release_later():
+        _t.sleep(0.6)
+        import os as _os
+
+        _os.remove(_os.path.join(path, "_writer.lock"))
+        released["at"] = _t.monotonic()
+
+    th = threading.Thread(target=release_later)
+    th.start()
+    t0 = _t.monotonic()
+    # reset the in-process claim so acquisition truly goes to disk
+    from eventstore_spark.writer import _core_for
+
+    _core_for(path).fence_token = None
+    w2 = EventLogWriter(spark, path, lock_timeout_s=10.0)
+    took = _t.monotonic() - t0
+    th.join()
+    assert took >= 0.5  # actually waited for the release
+    assert w2.append("s-1", [ProposedEvent("B")], expected_version=0) == 1
