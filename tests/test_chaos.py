@@ -219,3 +219,47 @@ def test_scavenge_never_invalidates_inflight_readers(scenario, spark):
     vacuum(eng.path, grace_s=0)
     eng2 = EventStoreEngine(spark, eng.path)
     assert eng2.events().count() == n_all
+
+
+def test_concurrent_writers_keep_total_order(spark, tmp_path_factory):
+    """Thread hammer over TWO writer objects on one directory: the shared
+    _PathCore must serialize appends so global positions come out dense
+    1..N with per-stream numbering dense from 0 — the invariant the
+    round-5 fencing work exists to protect."""
+    import threading
+
+    from eventstore_spark.writer import EventLogWriter, ProposedEvent
+
+    path = str(tmp_path_factory.mktemp("mwriter") / "log")
+    w1 = EventLogWriter(spark, path)
+    w2 = EventLogWriter(spark, path)
+    writers = [w1, w2, w1, w2]
+    per_thread = 12
+    errs = []
+
+    def hammer(tid):
+        w = writers[tid]
+        try:
+            for i in range(per_thread):
+                w.append(
+                    f"s-{(tid + i) % 3}",
+                    [ProposedEvent("E", f'{{"t": {tid}, "i": {i}}}')],
+                )
+        except Exception as e:  # surfaced below — a raise here is a fail
+            errs.append(e)
+
+    threads = [threading.Thread(target=hammer, args=(t,)) for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    rows = w1.load().collect()
+    n = 4 * per_thread
+    assert len(rows) == n
+    assert sorted(r.log_position for r in rows) == list(range(1, n + 1))
+    by_stream = {}
+    for r in rows:
+        by_stream.setdefault(r.stream_id, []).append(r.event_number)
+    for sid, nums in by_stream.items():
+        assert sorted(nums) == list(range(len(nums))), sid
