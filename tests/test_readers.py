@@ -129,3 +129,24 @@ def test_read_all_page_metadata(bank_events):
     back = pb.events.collect()
     assert back[0].log_position > back[1].log_position
     assert pb.next_position == back[1].log_position - 1
+
+
+def test_virtual_link_numbering_correct_across_buckets(spark, monkeypatch):
+    """number_in_log_order's two-phase rank (per-bucket row_number +
+    broadcast prefix offsets) must equal the plain global rank ACROSS
+    bucket boundaries — with the production 2^24 bucket width a test
+    selection never spans two buckets, so shrink the width to force
+    many buckets, including empty ones (selection gaps)."""
+    from eventstore_spark.operators import system_projections as sp
+
+    monkeypatch.setattr(sp, "NUMBER_BUCKET", 4)
+    # a SELECTION with gaps: positions 1..97 step 3 → buckets hold 0-2
+    # selected rows each, several buckets empty
+    rows = [(p,) for p in range(1, 98, 3)]
+    sel = spark.createDataFrame(rows, "log_position long").repartition(7)
+    got = {
+        r.log_position: r.n
+        for r in sp.number_in_log_order(sel, "n").collect()
+    }
+    want = {p: i for i, (p,) in enumerate(sorted(rows))}
+    assert got == want
