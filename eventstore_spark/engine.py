@@ -60,10 +60,13 @@ class _ManagedProjection:
 class EventStoreEngine:
     """One event store = one log directory + its derived surfaces."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str,
+                 lock_timeout_s: float = 0.0):
         self.spark = spark
         self.path = path
-        self.writer = EventLogWriter(spark, path)
+        # lock_timeout_s > 0: wait (bounded) for another process's writer
+        # claim on this store instead of raising WriterFencedError
+        self.writer = EventLogWriter(spark, path, lock_timeout_s=lock_timeout_s)
         self.projections: dict[str, _ManagedProjection] = {}
         self._system_links_query = None
 
