@@ -29,7 +29,10 @@ from eventstore_spark.writer import (
     WrongExpectedVersionError,
 )
 
-SEED = 20260813
+# overridable so a sweep can hunt interleavings: SPARK_GRAFT_CHAOS_SEED=n
+import os as _os
+
+SEED = int(_os.environ.get("SPARK_GRAFT_CHAOS_SEED", "20260813"))
 N_OPS = 120
 STREAMS = [f"acct-{i}" for i in range(8)] + [f"cart-{i}" for i in range(4)]
 
