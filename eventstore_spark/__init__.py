@@ -27,8 +27,10 @@ from .writer import (  # noqa: F401
     EventLogWriter,
     ProposedEvent,
     StreamDeletedError,
+    WriterFencedError,
     WrongExpectedVersionError,
 )
+from .manifest import ManifestConflictError  # noqa: F401
 from .maintenance import bucket_log, optimize_layout, scavenge, vacuum  # noqa: F401
 
 __version__ = "0.1.0"
