@@ -462,10 +462,56 @@ class EventStoreEngine:
         self.projections[name].runs = 0
         self._drop_projection_state(name)
 
-    def delete_projection(self, name: str) -> None:
+    def delete_projection(self, name: str,
+                          delete_emitted_streams: bool = False,
+                          delete_checkpoint_stream: bool = False) -> None:
+        """Delete a projection, optionally with its output — the
+        reference's DeleteReq options (projections.proto DeleteReq.Options:
+        delete_emitted_streams / delete_checkpoint_stream; the server
+        replays its `$projections-<name>-emittedstreams` record to find
+        what to delete). Emitted/linked/result streams are soft-deleted
+        (the events stay in the log until scavenge, exactly like the
+        reference's delete-then-scavenge flow)."""
         self.disable_projection(name)
         del self.projections[name]
+        if delete_emitted_streams:
+            for sid in self._emitted_streams(name):
+                self.writer.soft_delete(sid)
+        if delete_checkpoint_stream:
+            self.writer.soft_delete(f"$projections-{name}-checkpoint")
         self._drop_projection_state(name)
+
+    def _emitted_streams_file(self, name: str) -> str:
+        return os.path.join(self.path, "_projections", name,
+                            "emitted_streams.json")
+
+    def _emitted_streams(self, name: str) -> list[str]:
+        try:
+            with open(self._emitted_streams_file(name)) as fh:
+                return sorted(json.load(fh))
+        except (FileNotFoundError, ValueError):
+            return []
+
+    def _record_emitted_streams(self, name: str, emitted: DataFrame) -> None:
+        """Track which streams a projection has emitted into — the analog
+        of the reference's `$projections-<name>-emittedstreams` stream
+        (EmittedStreamsTracker.cs), consulted by
+        delete_projection(delete_emitted_streams=True). One tiny distinct
+        over the emission batch; the set is merged into a JSON beside the
+        projection's state (capped — a projection emitting into unbounded
+        distinct streams records the cap and deletion falls back to the
+        recorded subset, as the reference's tracker batches do)."""
+        sids = [
+            r[0]
+            for r in emitted.select("stream_id").distinct().limit(10_001).collect()
+        ]
+        if not sids:
+            return
+        merged = set(self._emitted_streams(name)) | set(sids)
+        path = self._emitted_streams_file(name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(sorted(merged)[:10_000], fh)
 
     def _drop_projection_state(self, name: str) -> None:
         d = os.path.join(self.path, "_projections", name)
@@ -515,7 +561,7 @@ class EventStoreEngine:
                 # projection over millions of streams stays executor-bound.
                 batch_df.persist()
                 try:
-                    self.writer.append_df(
+                    emissions = (
                         batch_df.where(F.col("kind").isin("emit", "link")).select(
                             F.col("emit_stream").alias("stream_id"),
                             F.col("emit_event_type").alias("event_type"),
@@ -526,6 +572,8 @@ class EventStoreEngine:
                             "source_log_position", "emit_seq",
                         )
                     )
+                    self.writer.append_df(emissions)
+                    self._record_emitted_streams(name, emissions)
                     (
                         batch_df.where(F.col("kind") == "state")
                         .select("partition", "state", "source_log_position")
@@ -545,14 +593,15 @@ class EventStoreEngine:
         # full emitted shape: source_log_position/emit_seq keep emitted
         # streams numbered in fold order (reference appends in order)
         self.writer.append_df(mp.last_result.emitted)
+        self._record_emitted_streams(name, mp.last_result.emitted)
         # P12/P13 result-stream parity: outputState()/outputTo() materialize
         # the final states as Result events in `$projections-<name>-result`
         # (or the outputTo override) so `read_stream("$projections-…-result")`
         # works like the reference (ResultEventEmitter.cs:10-25).
         if mp.spec.output_state_:
-            self.writer.append_df(
-                mp.last_result.result_events(name, mp.spec.result_stream_name)
-            )
+            results = mp.last_result.result_events(name, mp.spec.result_stream_name)
+            self.writer.append_df(results)
+            self._record_emitted_streams(name, results)
         # U8 parity: checkpoint stream `$projections-<name>-checkpoint`
         # records the position this run processed up to (the reference
         # persists CheckpointTags there, ProjectionCheckpoint.cs:19,83;
