@@ -735,12 +735,20 @@ class EventStoreEngine:
             files = [
                 f for f in os.listdir(self.path) if f.endswith(".parquet")
             ]
-        size = 0
+        arch = _manifest.archive_config(self.path)
+        archived = set(arch.get("files", []))
+        size = archived_bytes = 0
         for f in files:
             try:
                 size += os.path.getsize(os.path.join(self.path, f))
             except OSError:
-                continue
+                if f in archived and arch.get("base"):
+                    try:
+                        archived_bytes += os.path.getsize(
+                            os.path.join(arch["base"], f)
+                        )
+                    except OSError:
+                        pass
         # per-projection state-table generation counts (delta dirs since
         # the last compaction) — the observable that says when
         # compact_projection_state is due; one listdir per projection,
@@ -761,6 +769,9 @@ class EventStoreEngine:
             "manifest_generations": len(_manifest.history(self.path)),
             "projections": len(self.projections),
             "projection_state_generations": state_gens,
+            "archived_files": len(archived),
+            "archived_bytes": archived_bytes,
+            "archive_checkpoint": int(arch.get("checkpoint", 0)),
         }
 
     def projection_statistics(self) -> list[dict]:
@@ -796,6 +807,24 @@ class EventStoreEngine:
         from .manifest import vacuum as _vacuum
 
         return _vacuum(self.path, grace_s)
+
+    def archive_cold(self, archive_base: str,
+                     up_to_position: int | None = None,
+                     keep_files: int = 2) -> dict:
+        """Upload cold log files to the archive tier (the reference's
+        Archiver-Node upload, docs/server/features/archiving.md); batch
+        reads keep reaching through transparently."""
+        from .maintenance import archive_cold as _archive
+
+        return _archive(self.path, archive_base,
+                        up_to_position=up_to_position, keep_files=keep_files)
+
+    def drop_archived_local(self, grace_s: float = 3600.0) -> dict:
+        """Retention-policy step of archiving: remove hot copies of
+        archived files after the reader-drain grace window."""
+        from .maintenance import drop_archived_local as _drop
+
+        return _drop(self.path, grace_s)
 
     def close(self) -> None:
         """Release this process's single-writer claim on the store

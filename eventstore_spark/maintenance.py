@@ -72,7 +72,7 @@ def _read_snapshot(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
     if not files:
         return spark.createDataFrame([], EVENTS_SCHEMA), seq
     return spark.read.schema(EVENTS_SCHEMA).parquet(
-        *[os.path.join(path, f) for f in files]
+        *manifest.resolve_files(path, files)
     ), seq
 
 
@@ -227,3 +227,107 @@ def optimize_layout(spark: SparkSession, path: str, target_files: int = 8) -> di
         raise RuntimeError(f"optimize_layout row mismatch: {n} -> {after}")
     files = _publish_rewrite(path, staging, "optimize", base_seq)
     return {"events": n, "files": len(files)}
+
+
+# ---------------------------------------------------------------------------
+# Cold-tier archiving (reference: docs/server/features/archiving.md)
+# ---------------------------------------------------------------------------
+
+def archive_cold(path: str, archive_base: str,
+                 up_to_position: int | None = None,
+                 keep_files: int = 2) -> dict:
+    """Copy cold log files to the archive tier and record the archive
+    checkpoint — the Archiver-Node upload of the reference's archiving
+    feature (archiving.md: complete chunks upload to cheap storage such
+    as S3; an archive checkpoint records how much of the log is
+    archived; reads transparently reach through).
+
+    A file is cold when its parquet-footer max(log_position) is
+    <= ``up_to_position``; with the default (None) everything except the
+    ``keep_files`` newest files by that max is cold. Files are COPIED
+    (upload), never moved: the manifest keeps naming them, readers keep
+    resolving the hot copy, and the hot copies drain later via
+    ``drop_archived_local(path, grace_s)`` — the retention-policy step —
+    after which resolution falls through to the archive transparently
+    (``manifest.resolve_files``). Re-running is idempotent (already
+    archived names are skipped). ``archive_base`` may be any
+    Spark-readable filesystem path (locally a directory; at scale an
+    object-store mount).
+
+    Only data files are archived; manifests stay local (the reference
+    likewise keeps PTables/scavenge.db local, archiving.md)."""
+    import pyarrow.parquet as pq
+
+    files = manifest.snapshot_files(path)
+    if files is None:
+        raise ValueError(
+            f"{path} has no manifest yet — append once (or scavenge) "
+            "before archiving"
+        )
+    cfg = manifest.archive_config(path)
+    if cfg.get("base") not in (None, archive_base):
+        raise ValueError(
+            f"log {path} already archives to {cfg['base']!r}; refusing "
+            f"{archive_base!r} (one archive per log, archiving.md)"
+        )
+    done = set(cfg.get("files", []))
+
+    def max_pos(name: str) -> int:
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        mx = 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(0).statistics  # log_position
+            if st is not None and st.has_min_max:
+                mx = max(mx, int(st.max))
+        return mx
+
+    local = [f for f in files if os.path.exists(os.path.join(path, f))]
+    by_pos = sorted((max_pos(f), f) for f in local)
+    if up_to_position is not None:
+        cold = [(p, f) for p, f in by_pos if p <= up_to_position]
+    else:
+        cold = by_pos[:-keep_files] if keep_files > 0 else by_pos
+    os.makedirs(archive_base, exist_ok=True)
+    uploaded = 0
+    checkpoint = int(cfg.get("checkpoint", 0))
+    for p, f in cold:
+        checkpoint = max(checkpoint, p)
+        if f in done:
+            continue
+        tmp = os.path.join(archive_base, f".{f}.tmp")
+        shutil.copy2(os.path.join(path, f), tmp)
+        os.replace(tmp, os.path.join(archive_base, f))  # atomic publish
+        done.add(f)
+        uploaded += 1
+    manifest.write_archive_config(
+        path,
+        {"base": archive_base, "checkpoint": checkpoint,
+         "files": sorted(done)},
+    )
+    return {"uploaded": uploaded, "archived_total": len(done),
+            "checkpoint": checkpoint}
+
+
+def drop_archived_local(path: str, grace_s: float = 3600.0) -> dict:
+    """The retention-policy step of archiving (archiving.md: nodes remove
+    chunks from their local volumes once archived): delete the HOT copy
+    of every archived file older than ``grace_s``. In-flight readers that
+    resolved the hot path keep their file for the grace window (the same
+    reader-drain contract as ``vacuum``); later readers resolve the
+    archive copy transparently."""
+    cfg = manifest.archive_config(path)
+    removed = 0
+    cutoff = time.time() - grace_s
+    for name in cfg.get("files", []):
+        local = os.path.join(path, name)
+        try:
+            if os.path.getmtime(local) >= cutoff:
+                continue
+            # never drop a hot copy whose archive copy is missing
+            if not os.path.exists(os.path.join(cfg["base"], name)):
+                continue
+            os.remove(local)
+            removed += 1
+        except FileNotFoundError:
+            continue
+    return {"removed": removed}

@@ -158,6 +158,60 @@ def replace_snapshot(path: str, files: list[str],
     return _write(path, base_seq + 1, sorted(files))
 
 
+# ---------------------------------------------------------------------------
+# Cold-tier archive (reference: docs/server/features/archiving.md — chunks
+# upload to cheap storage, nodes drop local copies per retention policy,
+# reads transparently reach through to the archive)
+# ---------------------------------------------------------------------------
+
+ARCHIVE_CONFIG = "archive.json"
+
+
+def archive_config(path: str) -> dict:
+    """{'base': <archive dir>, 'checkpoint': <max archived log_position>,
+    'files': [names...]} or {} when the log has no archive."""
+    try:
+        with open(os.path.join(_dir(path), ARCHIVE_CONFIG)) as f:
+            return json.load(f) or {}
+    except (FileNotFoundError, ValueError):
+        return {}
+
+
+def write_archive_config(path: str, cfg: dict) -> None:
+    d = _dir(path)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".{ARCHIVE_CONFIG}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(cfg, f)
+    os.replace(tmp, os.path.join(d, ARCHIVE_CONFIG))
+
+
+def resolve_files(path: str, files: list[str]) -> list[str]:
+    """Map manifest file NAMES to readable paths: local when the file is
+    still on the hot tier, else under the archive base (the transparent
+    read-through of archiving.md — the manifest keeps naming the file;
+    only its physical home moves). Raises if a referenced file exists in
+    neither tier (archive misconfigured or vacuumed too early)."""
+    cfg = archive_config(path)
+    base = cfg.get("base")
+    out = []
+    for name in files:
+        local = os.path.join(path, name)
+        if os.path.exists(local):
+            out.append(local)
+            continue
+        if base:
+            arch = os.path.join(base, name)
+            if os.path.exists(arch):
+                out.append(arch)
+                continue
+        raise FileNotFoundError(
+            f"log file {name} of {path} is in neither the hot tier nor "
+            f"the archive ({base!r})"
+        )
+    return out
+
+
 def vacuum(path: str, grace_s: float = 3600.0) -> dict:
     """Drain files superseded longer than ``grace_s`` ago. No-op in
     plain-dir mode.

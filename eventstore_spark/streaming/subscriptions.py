@@ -74,6 +74,33 @@ def _maintenance_safe_predicate(log_path: str,
     return pred
 
 
+def _guard_archived_history(log_path: str, from_position: int) -> None:
+    """A Structured-Streaming source tails the HOT directory only; once
+    ``drop_archived_local`` has removed local copies, history below the
+    archive checkpoint is no longer streamable. A subscription asking
+    for that history must fail loudly (not silently skip it) — catch up
+    through the archive with a BATCH read (read_all / events()), then
+    subscribe from the checkpoint forward. (The reference reads through
+    to its archive on the read path, archiving.md; its subscription
+    latency warning is this same boundary.)"""
+    from .. import manifest as M
+
+    cfg = M.archive_config(log_path)
+    if not cfg:
+        return
+    dropped = any(
+        not os.path.exists(os.path.join(log_path, name))
+        for name in cfg.get("files", [])
+    )
+    if dropped and from_position <= int(cfg.get("checkpoint", 0)):
+        raise ValueError(
+            f"history up to position {cfg['checkpoint']} of {log_path} "
+            "lives only in the archive and cannot be streamed; batch-read "
+            "it (read_all/events), then subscribe with "
+            f"from_position > {cfg['checkpoint']}"
+        )
+
+
 def subscribe_all(
     spark: SparkSession,
     log_path: str,
@@ -89,6 +116,7 @@ def subscribe_all(
     ``_maintenance_safe_predicate``), so each surviving event is
     observed exactly once. Pass ``started_at_ms`` when restarting from a
     streaming checkpoint (the original start time)."""
+    _guard_archived_history(log_path, from_position)
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -866,6 +866,9 @@ class EventLogWriter:
     def _load_files(self, files: list[str]) -> DataFrame:
         if not files:
             return self.spark.createDataFrame([], EVENTS_SCHEMA)
+        # archive-aware: names resolve to the hot tier when present, else
+        # to the cold tier (manifest.resolve_files) — the transparent
+        # read-through of the reference's archiving feature
         return self.spark.read.schema(EVENTS_SCHEMA).parquet(
-            *[os.path.join(self.path, f) for f in files]
+            *manifest.resolve_files(self.path, files)
         )

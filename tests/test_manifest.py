@@ -122,3 +122,55 @@ def test_scavenge_racing_append_conflicts_and_unwinds(spark, tmp_path, monkeypat
     stats = maintenance.scavenge(spark, path)
     assert stats["events_after"] == 3
     assert w.load().count() == 3
+
+
+def test_archiving_transparent_reads_and_retention(spark, tmp_path):
+    """Cold-tier archiving (reference archiving.md): cold files upload to
+    the archive, reads reach through transparently before AND after the
+    hot copies drain, the checkpoint records archived history, and a new
+    subscription below the checkpoint fails loudly instead of silently
+    skipping archived events."""
+    import pytest
+
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.streaming.subscriptions import subscribe_all
+    from eventstore_spark.writer import ProposedEvent
+
+    store = str(tmp_path / "log")
+    cold = str(tmp_path / "cold")
+    eng = EventStoreEngine(spark, store)
+    for i in range(6):  # one commit file per append
+        eng.append(f"acct-{i % 2}", [ProposedEvent("E", f'{{"i": {i}}}')])
+    before = [(r.log_position, r.stream_id)
+              for r in eng.events().orderBy("log_position").collect()]
+
+    stats = eng.archive_cold(cold, keep_files=2)
+    assert stats["uploaded"] == 4 and stats["checkpoint"] == 4
+    # hot copies still present → reads unchanged, nothing dropped yet
+    assert [(r.log_position, r.stream_id)
+            for r in eng.events().orderBy("log_position").collect()] == before
+    assert eng.drop_archived_local(grace_s=3600)["removed"] == 0  # grace holds
+
+    # drain the hot copies; reads now resolve through the archive
+    assert eng.drop_archived_local(grace_s=0)["removed"] == 4
+    assert [(r.log_position, r.stream_id)
+            for r in eng.events().orderBy("log_position").collect()] == before
+    assert eng.read_stream("acct-0").count() == 3
+    st = eng.store_statistics()
+    assert st["archived_files"] == 4 and st["archive_checkpoint"] == 4
+    assert st["archived_bytes"] > 0
+
+    # appends continue normally on the hot tier
+    eng.append("acct-0", [ProposedEvent("E", '{"i": 99}')])
+    assert eng.events().count() == 7
+
+    # re-running is idempotent for already-archived names
+    again = eng.archive_cold(cold, keep_files=2)
+    assert again["archived_total"] >= 4
+
+    # streaming the archived history must fail loudly...
+    with pytest.raises(ValueError):
+        subscribe_all(spark, store)
+    # ...but subscribing past the (latest) checkpoint works
+    s = subscribe_all(spark, store, from_position=again["checkpoint"] + 1)
+    assert s.isStreaming
