@@ -808,6 +808,19 @@ class EventStoreEngine:
 
         return _vacuum(self.path, grace_s)
 
+    @property
+    def connectors(self):
+        """Managed subscription→filter→sink pipelines (the reference's
+        Connectors feature, docs/server/features/connectors): create /
+        start / stop / reset / reconfigure / rename / delete / list,
+        with settings persisted in the store and delivery progress in
+        Spark streaming checkpoints."""
+        if not hasattr(self, "_connectors"):
+            from .streaming.connectors import ConnectorManager
+
+            self._connectors = ConnectorManager(self.spark, self.path)
+        return self._connectors
+
     def archive_cold(self, archive_base: str,
                      up_to_position: int | None = None,
                      keep_files: int = 2) -> dict:

@@ -1,0 +1,190 @@
+"""Connectors — managed subscription→filter→sink pipelines (SURVEY add).
+
+Reference: KurrentDB Connectors (docs/server/features/connectors/README.md)
+— each connector runs server-side on a catch-up subscription, filters or
+transforms events, and pushes them to an external sink with managed
+checkpoints; the management surface is Create/Start/List/View settings/
+Reset/Stop/Reconfigure/Delete/Rename (connectors/manage.md), and filters
+are streamId / prefix / regex / JsonPath expressions over a stream or
+record scope, defaulting to `$all` minus system events
+(connectors/features.md:8-11).
+
+Spark-first translation: a connector IS a Structured Streaming query —
+``subscribe_all`` (the catch-up source) → a Catalyst predicate (the
+filter, pushed into the scan) → an optional declarative transform → a
+checkpointed sink. The reference's whole motivation ("a self-hosted
+subscription service must manage its own checkpoints and is a single
+point of failure") is what Spark's streaming checkpoints already solve;
+the manager here only persists settings and routes lifecycle calls.
+
+Sinks in this container: ``parquet`` (a real exactly-once file sink —
+the stand-in for any external system), ``memory`` (tests/queries), and a
+``foreach_batch`` seam taking a Python callable — the integration point
+where kafka/http/mongo producers plug in (network sinks are not
+available here; the seam is the documented boundary, like the codec
+seam in operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from .subscriptions import subscribe_all
+
+SYSTEM_DIR = "_connectors"
+
+
+@dataclass
+class ConnectorSettings:
+    """Subset of the reference's connector settings (manage.md Create):
+    subscription filter + sink instance type/options."""
+
+    sink: str = "memory"                 # parquet | memory | foreach_batch
+    sink_options: dict = field(default_factory=dict)
+    # subscription:filter:* (features.md) — scope 'stream' filters on
+    # stream_id, scope 'record' on the record (event_type / payload)
+    filter_scope: str | None = None      # stream | record
+    filter_type: str | None = None       # streamId | prefix | regex | jsonPath
+    filter_expression: str | None = None
+    from_position: int = 0
+
+    def predicate(self):
+        """The filter as ONE Catalyst predicate (pushed into the scan).
+        Default (no filter): consume $all minus system events —
+        features.md:11."""
+        scope, ft, expr = self.filter_scope, self.filter_type, self.filter_expression
+        if ft is None:
+            return None  # subscribe_all applies the default $all filter
+        col = F.col("stream_id") if scope == "stream" else F.col("event_type")
+        if ft == "streamId":
+            return F.col("stream_id") == expr
+        if ft == "prefix":
+            return col.startswith(expr)
+        if ft == "regex":
+            return col.rlike(expr)
+        if ft == "jsonPath":
+            # features.md: the expression is first checked as a JsonPath
+            # over the record payload; a record matches when the path
+            # yields a value
+            return F.get_json_object(F.col("data"), expr).isNotNull()
+        raise ValueError(f"unknown connector filter type {ft!r}")
+
+
+class ConnectorManager:
+    """Create/Start/Stop/Reset/Reconfigure/Rename/Delete/List — the
+    management surface of connectors/manage.md over streaming queries.
+    Settings persist under ``<store>/_connectors/<name>/settings.json``
+    so connectors survive engine restarts; the streaming checkpoint
+    under ``.../checkpoint`` carries delivery progress (Reset deletes
+    it, re-delivering from the start — manage.md Reset)."""
+
+    def __init__(self, spark, log_path: str):
+        self.spark = spark
+        self.log_path = log_path
+        self.queries: dict[str, object] = {}  # name -> StreamingQuery
+
+    # ------------------------------------------------------------- paths
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.log_path, SYSTEM_DIR, name)
+
+    def _settings_file(self, name: str) -> str:
+        return os.path.join(self._dir(name), "settings.json")
+
+    # ---------------------------------------------------------- lifecycle
+    def create(self, name: str, settings: ConnectorSettings) -> None:
+        if os.path.isdir(self._dir(name)):
+            raise ValueError(f"connector {name!r} already exists")
+        os.makedirs(self._dir(name))
+        with open(self._settings_file(name), "w") as fh:
+            json.dump(asdict(settings), fh)
+
+    def view_settings(self, name: str) -> ConnectorSettings:
+        try:
+            with open(self._settings_file(name)) as fh:
+                return ConnectorSettings(**json.load(fh))
+        except FileNotFoundError:
+            raise KeyError(f"no connector {name!r}") from None
+
+    def list(self) -> list[dict]:
+        base = os.path.join(self.log_path, SYSTEM_DIR)
+        out = []
+        if os.path.isdir(base):
+            for name in sorted(os.listdir(base)):
+                if not os.path.isfile(self._settings_file(name)):
+                    continue
+                q = self.queries.get(name)
+                out.append({
+                    "name": name,
+                    "running": q is not None and q.isActive,
+                    "sink": self.view_settings(name).sink,
+                })
+        return out
+
+    def start(self, name: str, foreach_batch=None):
+        """Start the connector's streaming query. ``foreach_batch`` is
+        required when the sink type is ``foreach_batch`` (callables do
+        not serialize into settings.json — the reference's equivalent is
+        the sink plugin assembly, resolved at start time)."""
+        st = self.view_settings(name)
+        src = subscribe_all(
+            self.spark, self.log_path,
+            from_position=st.from_position,
+            apply_default_filter=st.filter_type is None,
+        )
+        pred = st.predicate()
+        if pred is not None:
+            src = src.where(pred)
+        ck = os.path.join(self._dir(name), "checkpoint")
+        w = src.writeStream.outputMode("append").option("checkpointLocation", ck)
+        if st.sink == "parquet":
+            q = w.format("parquet").option(
+                "path", st.sink_options["path"]
+            ).start()
+        elif st.sink == "memory":
+            q = w.format("memory").queryName(
+                st.sink_options.get("table", f"connector_{name}")
+            ).start()
+        elif st.sink == "foreach_batch":
+            if foreach_batch is None:
+                raise ValueError(
+                    f"connector {name!r} uses a foreach_batch sink — pass "
+                    "the callable to start()"
+                )
+            q = w.foreachBatch(foreach_batch).start()
+        else:
+            raise ValueError(f"unknown sink {st.sink!r}")
+        self.queries[name] = q
+        return q
+
+    def stop(self, name: str) -> None:
+        q = self.queries.pop(name, None)
+        if q is not None and q.isActive:
+            q.stop()
+
+    def reset(self, name: str) -> None:
+        """Delete the checkpoint → next start re-delivers from the
+        connector's start position (manage.md Reset)."""
+        self.stop(name)
+        shutil.rmtree(os.path.join(self._dir(name), "checkpoint"),
+                      ignore_errors=True)
+
+    def reconfigure(self, name: str, settings: ConnectorSettings) -> None:
+        self.stop(name)
+        self.view_settings(name)  # must exist
+        with open(self._settings_file(name), "w") as fh:
+            json.dump(asdict(settings), fh)
+
+    def rename(self, name: str, new_name: str) -> None:
+        if os.path.isdir(self._dir(new_name)):
+            raise ValueError(f"connector {new_name!r} already exists")
+        self.stop(name)
+        os.rename(self._dir(name), self._dir(new_name))
+
+    def delete(self, name: str) -> None:
+        self.stop(name)
+        shutil.rmtree(self._dir(name), ignore_errors=True)

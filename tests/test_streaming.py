@@ -915,3 +915,90 @@ def test_subscription_after_vacuum_reads_rewrite_generation(spark, tmp_path):
         assert sorted(seen) == list(range(1, 6))
     finally:
         q.stop()
+
+
+def test_connectors_lifecycle_and_sinks(spark, tmp_path):
+    """Connectors parity (docs/server/features/connectors): a connector
+    is a managed catch-up-subscription → filter → sink pipeline with
+    server-side checkpoints. Covers create/start/stop/list/view/
+    reconfigure/reset/rename/delete, the prefix and streamId filters,
+    the parquet sink (exactly-once via the streaming checkpoint), and
+    resumed delivery of only the delta after a restart."""
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.streaming.connectors import ConnectorSettings
+
+    eng = EventStoreEngine(spark, str(tmp_path / "store"))
+    for i in range(3):
+        eng.append("order-1", [ProposedEvent("Placed", json.dumps({"i": i}))])
+        eng.append("user-1", [ProposedEvent("Seen", json.dumps({"i": i}))])
+
+    sink_dir = str(tmp_path / "sink_orders")
+    cm = eng.connectors
+    cm.create("orders", ConnectorSettings(
+        sink="parquet", sink_options={"path": sink_dir},
+        filter_scope="stream", filter_type="prefix",
+        filter_expression="order-",
+    ))
+    assert cm.list() == [{"name": "orders", "running": False, "sink": "parquet"}]
+    q = cm.start("orders")
+    try:
+        q.processAllAvailable()
+    finally:
+        cm.stop("orders")
+    out = spark.read.parquet(sink_dir)
+    assert out.count() == 3
+    assert {r.stream_id for r in out.collect()} == {"order-1"}
+
+    # restart: only the delta flows (checkpointed delivery)
+    eng.append("order-1", [ProposedEvent("Placed", '{"i": 99}')])
+    q = cm.start("orders")
+    try:
+        q.processAllAvailable()
+    finally:
+        cm.stop("orders")
+    assert spark.read.parquet(sink_dir).count() == 4
+
+    # reset re-delivers everything from scratch into a fresh sink
+    cm.reconfigure("orders", ConnectorSettings(
+        sink="parquet", sink_options={"path": str(tmp_path / "sink2")},
+        filter_scope="stream", filter_type="streamId",
+        filter_expression="user-1",
+    ))
+    cm.reset("orders")
+    q = cm.start("orders")
+    try:
+        q.processAllAvailable()
+    finally:
+        cm.stop("orders")
+    assert spark.read.parquet(str(tmp_path / "sink2")).count() == 3
+
+    # rename + delete
+    cm.rename("orders", "users")
+    assert [c["name"] for c in cm.list()] == ["users"]
+    assert cm.view_settings("users").filter_expression == "user-1"
+    cm.delete("users")
+    assert cm.list() == []
+
+
+def test_connector_foreach_batch_seam(spark, tmp_path):
+    """The foreach_batch sink is the kafka/http integration seam: the
+    callable receives each micro-batch (here: counts into a list)."""
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.streaming.connectors import ConnectorSettings
+
+    eng = EventStoreEngine(spark, str(tmp_path / "store"))
+    eng.append("acct-1", [ProposedEvent("E", '{"n": 1}'),
+                          ProposedEvent("E", '{"n": 2}')])
+    got = []
+    cm = eng.connectors
+    cm.create("push", ConnectorSettings(sink="foreach_batch"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cm.start("push")  # the callable must be supplied at start
+    q = cm.start("push", foreach_batch=lambda df, bid: got.append(df.count()))
+    try:
+        q.processAllAvailable()
+    finally:
+        cm.stop("push")
+    assert sum(got) == 2
