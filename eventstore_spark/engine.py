@@ -839,6 +839,13 @@ class EventStoreEngine:
 
         return _drop(self.path, grace_s)
 
+    def backup(self, dest: str, include_projections: bool = True) -> dict:
+        """Online, consistent, differential backup pinned to the current
+        manifest generation (docs/server/operations/backup.md analog)."""
+        from .maintenance import backup as _backup
+
+        return _backup(self.path, dest, include_projections)
+
     def close(self) -> None:
         """Release this process's single-writer claim on the store
         directory (writer fencing, round-5). Reads keep working; the next

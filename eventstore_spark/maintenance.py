@@ -331,3 +331,84 @@ def drop_archived_local(path: str, grace_s: float = 3600.0) -> dict:
         except FileNotFoundError:
             continue
     return {"removed": removed}
+
+
+# ---------------------------------------------------------------------------
+# Backup / restore (reference: docs/server/operations/backup.md)
+# ---------------------------------------------------------------------------
+
+def backup(path: str, dest: str, include_projections: bool = True) -> dict:
+    """ONLINE, consistent, differential backup of a log directory.
+
+    The reference's procedure (backup.md) orders checkpoint-then-chunk
+    copies carefully because its snapshot is implicit; here the manifest
+    IS the snapshot: pin the latest generation, copy exactly its files
+    (resolving through the archive tier when a hot copy is gone), then
+    copy that manifest — a backup taken mid-append or mid-rewrite is
+    still a consistent point-in-time image. Differential for free: log
+    files are immutable, so names already in the backup are skipped
+    (backup.md's differential step 7), and files no longer referenced
+    are pruned (step 8). Projection state/connector settings ride along
+    when ``include_projections`` (the index-directory analog)."""
+    cur = manifest.latest(path)
+    if cur is None:
+        raise ValueError(
+            f"{path} has no manifest — append once before backing up"
+        )
+    seq, files = cur
+    os.makedirs(dest, exist_ok=True)
+    copied = skipped = 0
+    for name, src in zip(files, manifest.resolve_files(path, files)):
+        out = os.path.join(dest, name)
+        if os.path.exists(out):
+            skipped += 1
+            continue
+        tmp = out + ".tmp"
+        shutil.copy2(src, tmp)
+        os.replace(tmp, out)
+        copied += 1
+    # prune names no longer referenced (differential step 8)
+    keep = set(files)
+    pruned = 0
+    for n in os.listdir(dest):
+        if n.endswith(".parquet") and n not in keep:
+            os.remove(os.path.join(dest, n))
+            pruned += 1
+    # the pinned manifest goes last — a torn backup without it is inert
+    mdir = os.path.join(dest, manifest.MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    for old in os.listdir(mdir):  # the backup carries ONE generation
+        if old.startswith("manifest-"):
+            os.remove(os.path.join(mdir, old))
+    name = f"manifest-{seq:010d}.json"
+    shutil.copy2(os.path.join(path, manifest.MANIFEST_DIR, name),
+                 os.path.join(mdir, name))
+    if include_projections:
+        for sub in ("_projections", "_connectors"):
+            srcd = os.path.join(path, sub)
+            if os.path.isdir(srcd):
+                dstd = os.path.join(dest, sub)
+                shutil.rmtree(dstd, ignore_errors=True)
+                shutil.copytree(srcd, dstd)
+    return {"generation": seq, "copied": copied, "skipped": skipped,
+            "pruned": pruned}
+
+
+def restore(backup_dir: str, dest: str) -> dict:
+    """Restore a backup into a FRESH store directory. Refuses a
+    non-empty destination (backup.md: restoring onto a running/populated
+    instance corrupts data — here the check is explicit)."""
+    if os.path.isdir(dest) and any(
+        n for n in os.listdir(dest) if not n.startswith(".")
+    ):
+        raise ValueError(f"restore destination {dest} is not empty")
+    os.makedirs(dest, exist_ok=True)
+    restored = 0
+    for n in os.listdir(backup_dir):
+        src = os.path.join(backup_dir, n)
+        if n.endswith(".parquet"):
+            shutil.copy2(src, os.path.join(dest, n))
+            restored += 1
+        elif n in (manifest.MANIFEST_DIR, "_projections", "_connectors"):
+            shutil.copytree(src, os.path.join(dest, n))
+    return {"restored_files": restored}
