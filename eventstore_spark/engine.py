@@ -839,6 +839,15 @@ class EventStoreEngine:
 
         return _drop(self.path, grace_s)
 
+    def redact(self, targets: list[str]) -> dict:
+        """Blank the data of specific events, given as
+        ``"eventNumber@streamName"`` — the reference's redactor surface
+        (docs/server/operations/redaction.md). A last resort; prefer
+        rewrite-stream + delete + scavenge."""
+        from .maintenance import redact_events
+
+        return redact_events(self.spark, self.path, targets)
+
     def backup(self, dest: str, include_projections: bool = True) -> dict:
         """Online, consistent, differential backup pinned to the current
         manifest generation (docs/server/operations/backup.md analog)."""

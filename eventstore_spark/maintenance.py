@@ -412,3 +412,90 @@ def restore(backup_dir: str, dest: str) -> dict:
         elif n in (manifest.MANIFEST_DIR, "_projections", "_connectors"):
             shutil.copytree(src, os.path.join(dest, n))
     return {"restored_files": restored}
+
+
+# ---------------------------------------------------------------------------
+# Redaction (reference: docs/server/operations/redaction.md)
+# ---------------------------------------------------------------------------
+
+def redact_events(spark: SparkSession, path: str, targets: list[str]) -> dict:
+    """Blank the data of specific events — the reference's redactor
+    (redaction.md: events given as ``eventNumber@streamName``; the data
+    section is blanked, a redacted flag is set, every other property —
+    type, timestamp, position, number — stays unchanged; a last-resort
+    GDPR tool behind the usual rewrite-and-scavenge route).
+
+    Columnar translation: ONLY the files containing target rows are
+    rewritten (found via ``input_file_name`` — a handful of files at any
+    scale, not the log); matching rows get ``data = NULL`` and
+    ``"$redacted": true`` merged into their metadata JSON (parquet has
+    no record flag bit; metadata is the envelope's extension point). The
+    rewrite is a manifest commit with the same CAS + grace-vacuum reader
+    safety as scavenge. Running subscriptions already delivered the
+    original — the reference's warning about redaction's effect on
+    subscriptions applies identically."""
+    parsed = []
+    for t in targets:
+        n, _, sid = t.partition("@")
+        if not sid or not n.lstrip("-").isdigit():
+            raise ValueError(f"bad redaction target {t!r} (want number@stream)")
+        parsed.append((sid, int(n)))
+    df, base_seq = _read_snapshot(spark, path)
+    tgt = F.array(*[
+        F.struct(F.lit(s).alias("s"), F.lit(n).cast("long").alias("n"))
+        for s, n in parsed
+    ])
+    is_target = F.array_contains(
+        tgt, F.struct(F.col("stream_id").alias("s"),
+                      F.col("event_number").alias("n"))
+    )
+    affected = [
+        os.path.basename(r[0])
+        for r in df.where(is_target)
+        .select(F.input_file_name()).distinct().collect()
+    ]
+    if not affected:
+        return {"redacted": 0, "files_rewritten": 0}
+    cur_files = manifest.snapshot_files(path) or []
+    keep = [f for f in cur_files if f not in set(affected)]
+    sub = spark.read.schema(EVENTS_SCHEMA).parquet(
+        *manifest.resolve_files(path, affected)
+    )
+    m = F.trim(F.col("metadata"))
+    merged_meta = (
+        F.when(m.isNull() | (m == "") | (F.regexp_replace(m, r"\s", "") == "{}"),
+               F.lit('{"$redacted":true}'))
+        .when(m.startswith("{"),
+              F.concat(F.lit('{"$redacted":true,'), F.expr("substring(trim(metadata), 2)")))
+        .otherwise(F.lit('{"$redacted":true}'))
+    )
+    redacted = sub.select(
+        "log_position", "stream_id", "category", "event_number", "event_id",
+        "event_type",
+        F.when(is_target, F.lit(None).cast("string")).otherwise(F.col("data")).alias("data"),
+        F.when(is_target, merged_meta).otherwise(F.col("metadata")).alias("metadata"),
+        "created", "is_json",
+    )
+    n_redacted = sub.where(is_target).count()
+    staging = path.rstrip("/") + f"._redact_{int(time.time() * 1000)}"
+    redacted.coalesce(max(len(affected), 1)).write.mode("overwrite").parquet(staging)
+    gen = int(time.time() * 1000)
+    new_names = []
+    for i, f in enumerate(sorted(os.listdir(staging))):
+        if f.endswith(".parquet"):
+            name = f"part-redact-{gen}-{i:05d}.parquet"
+            os.rename(os.path.join(staging, f), os.path.join(path, name))
+            new_names.append(name)
+    try:
+        manifest.replace_snapshot(path, keep + new_names, base_seq=base_seq)
+    except manifest.ManifestConflictError:
+        for name in new_names:
+            try:
+                os.remove(os.path.join(path, name))
+            except FileNotFoundError:
+                pass
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    shutil.rmtree(staging)
+    return {"redacted": int(n_redacted), "files_rewritten": len(affected),
+            "files_new": len(new_names)}

@@ -64,7 +64,7 @@ def _maintenance_safe_predicate(log_path: str,
     if snap is None:
         return None
     fname = F.substring_index(F.input_file_name(), "/", -1)
-    gen = F.regexp_extract(fname, r"^part-(?:scavenge|optimize)-(\d+)-", 1)
+    gen = F.regexp_extract(fname, r"^part-(?:scavenge|optimize|redact)-(\d+)-", 1)
     cut = int(time.time() * 1000) if started_at_ms is None else started_at_ms
     pred = (gen == "") | (gen.cast("long") <= cut)
     disk = {f for f in os.listdir(log_path) if f.endswith(".parquet")}

@@ -226,3 +226,60 @@ def test_backup_restore_differential_and_consistent(spark, tmp_path):
 
     with pytest.raises(ValueError):
         restore(bdir, store)  # non-empty destination refused
+
+
+def test_redaction_blanks_targets_only(spark, tmp_path):
+    """Redaction (reference redaction.md): the targeted events' data is
+    blanked and their metadata carries $redacted; every other property
+    (position, number, type, created) and every other EVENT — including
+    ones in the same file — are byte-identical. Only files containing
+    targets are rewritten, and the manifest commit keeps in-flight
+    readers safe."""
+    import json as _json
+
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.writer import ProposedEvent
+
+    store = str(tmp_path / "log")
+    eng = EventStoreEngine(spark, store)
+    # two events per commit file → redacting one must not disturb its
+    # file-mate
+    eng.append("acct-1", [
+        ProposedEvent("E", '{"secret": "a"}', metadata='{"k": 1}'),
+        ProposedEvent("E", '{"keep": 1}'),
+    ])
+    eng.append("acct-2", [ProposedEvent("E", '{"secret": "b"}')])
+    eng.append("acct-3", [ProposedEvent("E", '{"keep": 2}')])
+    before = {r.log_position: r for r in eng.events().collect()}
+    n_files_before = len(
+        [f for f in __import__("os").listdir(store) if f.endswith(".parquet")]
+    )
+
+    stats = eng.redact(["0@acct-1", "0@acct-2"])
+    assert stats["redacted"] == 2 and stats["files_rewritten"] == 2
+
+    after = {r.log_position: r for r in eng.events().collect()}
+    assert set(after) == set(before)
+    for pos, r in after.items():
+        b = before[pos]
+        assert (r.stream_id, r.event_number, r.event_type, r.event_id,
+                r.created) == (b.stream_id, b.event_number, b.event_type,
+                               b.event_id, b.created)
+        if (r.stream_id, r.event_number) in {("acct-1", 0), ("acct-2", 0)}:
+            assert r.data is None
+            meta = _json.loads(r.metadata)
+            assert meta["$redacted"] is True
+            if b.metadata:  # pre-existing metadata keys survive the merge
+                assert meta["k"] == 1
+        else:
+            assert r.data == b.data and r.metadata == b.metadata
+    # the untouched acct-3 file was NOT rewritten (name still in snapshot)
+    from eventstore_spark import manifest as M
+
+    snap = set(M.snapshot_files(store))
+    assert sum(1 for f in snap if f.startswith("part-redact-")) == stats["files_new"]
+    # bad target format rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        eng.redact(["nope"])
