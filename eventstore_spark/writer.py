@@ -292,9 +292,17 @@ class EventLogWriter:
 
     def __init__(self, spark: SparkSession, path: str,
                  max_append_size: int = DEFAULT_MAX_APPEND_SIZE,
-                 lock_timeout_s: float = 0.0):
+                 lock_timeout_s: float = 0.0,
+                 group_commit_window_ms: float = 0.0):
         self.spark = spark
         self.path = path
+        # group commit (RequestManager batching): >0 gathers concurrent
+        # append() calls for this many ms and commits them as one file
+        self._group_window = group_commit_window_ms / 1000.0
+        self._group_q: list = []
+        self._group_cond = threading.Condition()
+        self._group_thread: threading.Thread | None = None
+        self._group_stop = threading.Event()
         self.max_append_size = max_append_size
         os.makedirs(path, exist_ok=True)
         # shared per-directory write head: in-process total-order +
@@ -483,15 +491,43 @@ class EventLogWriter:
         the new ones show.
 
         Serialized through the shared per-directory mutex; the fencing
-        token is verified BEFORE any state moves, and all writer-state
-        mutations are STAGED and applied only after the commit file lands
-        — a failed/fenced commit leaves numbering intact for the retry.
-        """
-        with self._core.mutex:
-            return self._append_locked(stream_id, events, expected_version, created)
+        token is verified BEFORE any state moves, and a failed/fenced
+        commit rolls the touched streams' in-memory state back to the
+        durable log, so numbering stays intact for the retry.
 
-    def _append_locked(self, stream_id, events, expected_version, created) -> int:
-        _verify_fence(self._core)
+        With ``group_commit_window_ms`` > 0, concurrent ``append()``
+        calls are gathered by a collector thread and committed as ONE
+        parquet file + ONE manifest publish — the group-commit of the
+        reference's RequestManager pipeline (many in-flight appends, one
+        storage write), amortizing the per-commit fsync/manifest cost
+        across callers. Results (and per-append errors such as
+        WrongExpectedVersion) resolve per caller.
+        """
+        if self._group_window > 0:
+            return self._append_grouped(stream_id, events, expected_version, created)
+        with self._core.mutex:
+            _verify_fence(self._core)
+            rows: list[tuple] = []
+            touched: set[str] = set()
+            last = self._apply_append(
+                stream_id, events, expected_version, created, rows, touched
+            )
+            if rows:
+                try:
+                    self._commit(rows)
+                except BaseException:
+                    self._rollback(touched)
+                    raise
+            return last
+
+    def _apply_append(self, stream_id, events, expected_version, created,
+                      rows_sink: list, touched: set) -> int:
+        """Check one append and APPLY it to in-memory state, emitting its
+        rows into ``rows_sink`` for the caller to commit (possibly merged
+        with other appends' rows — group commit). All validations run
+        BEFORE any mutation, so a rejected append never dirties state;
+        after a failed physical commit the caller rolls ``touched``
+        streams back to the durable log via ``_rollback``."""
         self._last_position = max(
             self._last_position, self._core.last_position or 0
         )
@@ -501,37 +537,29 @@ class EventLogWriter:
             return self._stats[stream_id][0]
         now = created or datetime.now(timezone.utc)
         st = self._stream_state(stream_id)
-        # stage everything locally; apply only after _commit succeeds
-        pos, last = self._last_position, st[0]
+        touched.add(stream_id)
+        last = st[0]
         known = self._ids.setdefault(stream_id, {})
         first_new = None
-        tombstoned = False
-        new_ids: list[tuple[str, int]] = []
-        rows = []
         for ev in events:
             if ev.event_id in known:  # partial idempotent overlap → skip row
                 continue
-            pos += 1
+            self._last_position += 1
             last += 1
             if first_new is None:
                 first_new = last
-            new_ids.append((ev.event_id, last))
-            rows.append(
+            self._remember_id(stream_id, ev.event_id, last)
+            rows_sink.append(
                 (
-                    pos, stream_id, _category(stream_id), last,
+                    self._last_position, stream_id, _category(stream_id), last,
                     ev.event_id, ev.event_type, ev.data, ev.metadata, now, ev.is_json,
                 )
             )
             if ev.event_type == STREAM_DELETED_EVENT_TYPE:
-                tombstoned = True
-        if rows:
-            self._commit(rows)  # raises → nothing below runs, state intact
-            self._last_position = self._core.last_position = pos
-            st[0] = last
-            if tombstoned:
                 st[1] = True
-            for eid, en in new_ids:
-                self._remember_id(stream_id, eid, en)
+        st[0] = last
+        self._core.last_position = self._last_position
+        if first_new is not None:
             self._bump_stream_gen(stream_id)
             # keep the metadata cache current: a $metadata append to `$$X`
             # REPLACES X's document (the reference's GetStreamRawMeta always
@@ -549,18 +577,97 @@ class EventLogWriter:
             # soft-delete recreate: a stream whose $tb == MAX_LONG comes
             # back to life on append — rewrite $tb to the first new number,
             # PRESERVING the rest of the metadata document
-            # (SoftUndeleteRawMeta, StorageWriterService.cs:438-449).
-            if not stream_id.startswith("$") and first_new is not None:
+            # (SoftUndeleteRawMeta, StorageWriterService.cs:438-449). The
+            # metastream rows join the SAME sink → same atomic commit.
+            if not stream_id.startswith("$"):
                 if self._current_meta(stream_id).get("$tb") == MAX_LONG:
                     doc = dict(self._current_meta(stream_id))
                     doc["$tb"] = first_new
-                    self._append_locked(
+                    self._apply_append(
                         f"$${stream_id}",
                         [ProposedEvent(METADATA_EVENT_TYPE,
                                        data=json.dumps(doc, sort_keys=True))],
-                        ANY, created,
+                        ANY, created, rows_sink, touched,
                     )
         return last
+
+    def _rollback(self, touched: set) -> None:
+        """A physical commit failed after state was applied: restore the
+        in-memory view from the DURABLE log — drop the touched streams'
+        caches (they reload lazily), bump their shared generations so
+        sibling writer objects drop theirs too, and re-read the committed
+        head position."""
+        for sid in touched:
+            self._stats.pop(sid, None)
+            self._ids.pop(sid, None)
+            self._cache_gen.pop(sid, None)
+            self._core.stream_gen[sid] = self._core.stream_gen.get(sid, 0) + 1
+            if sid.startswith("$$"):
+                self._meta_cache.pop(sid[2:], None)
+                self._cache_gen.pop(f"meta:{sid[2:]}", None)
+        self._last_position = 0
+        self._recover()
+        self._core.last_position = self._last_position
+
+    # -- group commit (RequestManager batching analog) --
+    def _append_grouped(self, stream_id, events, expected_version, created) -> int:
+        box: dict = {"done": threading.Event()}
+        with self._group_cond:
+            self._group_q.append((stream_id, events, expected_version, created, box))
+            if self._group_thread is None or not self._group_thread.is_alive():
+                self._group_thread = threading.Thread(
+                    target=self._collector_loop, daemon=True
+                )
+                self._group_thread.start()
+            self._group_cond.notify_all()
+        box["done"].wait()
+        if "error" in box:
+            raise box["error"]
+        return box["result"]
+
+    def _collector_loop(self) -> None:
+        import time as _time
+
+        while not self._group_stop.is_set():
+            with self._group_cond:
+                while not self._group_q and not self._group_stop.is_set():
+                    self._group_cond.wait(timeout=0.5)
+                if self._group_stop.is_set() and not self._group_q:
+                    return
+            _time.sleep(self._group_window)  # gather the group
+            with self._group_cond:
+                batch = list(self._group_q)
+                self._group_q.clear()
+            with self._core.mutex:
+                self._commit_group(batch)
+
+    def _commit_group(self, batch: list) -> None:
+        rows: list[tuple] = []
+        touched: set[str] = set()
+        try:
+            _verify_fence(self._core)
+        except BaseException as e:
+            for *_ignored, box in batch:
+                box["error"] = e
+                box["done"].set()
+            return
+        for sid, events, expected, created, box in batch:
+            try:
+                box["result"] = self._apply_append(
+                    sid, events, expected, created, rows, touched
+                )
+            except BaseException as e:  # pre-mutation rejections only
+                box["error"] = e
+        if rows:
+            try:
+                self._commit(rows)
+            except BaseException as e:
+                self._rollback(touched)
+                for *_ignored, box in batch:
+                    box.pop("result", None)
+                    box.setdefault("error", e)
+        for *_ignored, box in batch:
+            box["done"].set()
 
     def _bump_stream_gen(self, stream_id: str) -> None:
         """Record a commit touching ``stream_id`` in the shared core and
@@ -809,6 +916,11 @@ class EventLogWriter:
         the log directory (all in-process writer objects share the claim
         via the _PathCore). A crashed process needs no close — its lock is
         detected stale by pid-liveness and stolen by the next writer."""
+        self._group_stop.set()
+        with self._group_cond:
+            self._group_cond.notify_all()
+        if self._group_thread is not None:
+            self._group_thread.join(timeout=5)
         with self._core.mutex:
             _release_fence(self._core)
 

@@ -402,3 +402,88 @@ def test_fencing_wait_mode_acquires_after_release(spark, tmp_path):
     th.join()
     assert took >= 0.5  # actually waited for the release
     assert w2.append("s-1", [ProposedEvent("B")], expected_version=0) == 1
+
+
+def test_group_commit_batches_concurrent_appends(spark, tmp_path):
+    """Group commit (the reference RequestManager's many-in-flight-one-
+    storage-write shape): concurrent appends through the collector land
+    in FEWER commit files than appends, with the total order and
+    per-stream numbering exactly as if appended sequentially."""
+    import os as _os
+    import threading
+
+    path = str(tmp_path / "log")
+    w = EventLogWriter(spark, path, group_commit_window_ms=40)
+    per_thread, n_threads = 8, 4
+
+    def run(tid):
+        for i in range(per_thread):
+            w.append(f"s-{tid}", [ProposedEvent("E", f'{{"i": {i}}}')])
+
+    threads = [threading.Thread(target=run, args=(t,)) for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    n = per_thread * n_threads
+    rows = w.load().collect()
+    assert len(rows) == n
+    assert sorted(r.log_position for r in rows) == list(range(1, n + 1))
+    for tid in range(n_threads):
+        nums = sorted(r.event_number for r in rows if r.stream_id == f"s-{tid}")
+        assert nums == list(range(per_thread))
+    files = [f for f in _os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) < n  # appends actually grouped
+    w.close()
+
+
+def test_group_commit_isolates_per_append_errors(spark, tmp_path):
+    """A rejected append inside a group (wrong expected version) errors
+    only its caller; group-mates commit normally."""
+    import threading
+
+    path = str(tmp_path / "log")
+    w = EventLogWriter(spark, path, group_commit_window_ms=40)
+    w.append("s-1", [ProposedEvent("A")])
+    results = {}
+
+    def good():
+        results["good"] = w.append("s-2", [ProposedEvent("B")])
+
+    def bad():
+        try:
+            w.append("s-1", [ProposedEvent("C")], expected_version=7)
+            results["bad"] = "no error"
+        except WrongExpectedVersionError:
+            results["bad"] = "raised"
+
+    ts = [threading.Thread(target=good), threading.Thread(target=bad)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert results == {"good": 0, "bad": "raised"}
+    assert w.load().count() == 2  # A and B, no C
+    # idempotency/numbering still coherent after the mixed group
+    assert w.append("s-1", [ProposedEvent("D")], expected_version=0) == 1
+    w.close()
+
+
+def test_group_commit_soft_delete_recreate_in_group(spark, tmp_path):
+    """The recreate path's metastream write joins the SAME group commit
+    (one file for stream rows + \$tb rewrite)."""
+    path = str(tmp_path / "log")
+    w = EventLogWriter(spark, path, group_commit_window_ms=30)
+    w.append("s-1", [ProposedEvent("A")])
+    w.soft_delete("s-1")
+    last = w.append("s-1", [ProposedEvent("B")])
+    assert last == 1
+    import json as _json
+
+    metas = w.load().where("stream_id = '$$s-1'").orderBy("event_number").collect()
+    from eventstore_spark.schema import MAX_LONG
+
+    assert [_json.loads(r.data)["$tb"] for r in metas] == [MAX_LONG, 1]
+    assert [r.event_number for r in
+            w.load().where("stream_id = 's-1'").orderBy("event_number").collect()] == [0, 1]
+    w.close()

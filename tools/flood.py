@@ -52,6 +52,35 @@ def wrfl(spark, streams: int = 20, per_stream: int = 10, size: int = 256) -> Non
     _report("wrfl", n, t0)
 
 
+def wrflg(spark, clients: int = 16, per_client: int = 25,
+          size: int = 256, window_ms: int = 5) -> None:
+    """Concurrent write flood through GROUP COMMIT — the reference
+    testclient runs wrfl with --clients concurrent connections and the
+    server's RequestManager batches them into shared storage writes;
+    here the writer's collector gathers concurrent append() calls into
+    one parquet commit per window."""
+    import threading
+
+    shutil.rmtree(WORKDIR, ignore_errors=True)
+    w = EventLogWriter(spark, WORKDIR, group_commit_window_ms=window_ms)
+    payload = '{"d": "' + "x" * max(size - 10, 1) + '"}'
+    t0 = time.time()
+
+    def client(cid):
+        for i in range(per_client):
+            w.append(f"flood-{cid}", [ProposedEvent("Flood", payload)])
+
+    threads = [threading.Thread(target=client, args=(c,)) for c in range(clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    _report("wrflg", clients * per_client, t0)
+    n = w.load().count()
+    assert n == clients * per_client, f"wrflg wrote {n}"
+    w.close()
+
+
 def rdfl(spark, reads: int = 200) -> None:
     w = _fresh_writer(spark)
     for s in range(8):
@@ -90,12 +119,14 @@ def main():
     spark = get_spark("flood")
     if cmd == "wrfl":
         wrfl(spark, *args)
+    elif cmd == "wrflg":
+        wrflg(spark, *args)
     elif cmd == "rdfl":
         rdfl(spark, *args)
     elif cmd == "bulk":
         bulk(spark, *args)
     else:
-        raise SystemExit(f"unknown command {cmd!r} (wrfl|rdfl|bulk)")
+        raise SystemExit(f"unknown command {cmd!r} (wrfl|wrflg|rdfl|bulk)")
     shutil.rmtree(WORKDIR, ignore_errors=True)
 
 
