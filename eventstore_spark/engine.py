@@ -61,12 +61,18 @@ class EventStoreEngine:
     """One event store = one log directory + its derived surfaces."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 lock_timeout_s: float = 0.0):
+                 lock_timeout_s: float = 0.0,
+                 group_commit_window_ms: float = 0.0):
         self.spark = spark
         self.path = path
         # lock_timeout_s > 0: wait (bounded) for another process's writer
-        # claim on this store instead of raising WriterFencedError
-        self.writer = EventLogWriter(spark, path, lock_timeout_s=lock_timeout_s)
+        # claim on this store instead of raising WriterFencedError.
+        # group_commit_window_ms > 0: batch concurrent appends into one
+        # storage commit (writer.py group commit).
+        self.writer = EventLogWriter(
+            spark, path, lock_timeout_s=lock_timeout_s,
+            group_commit_window_ms=group_commit_window_ms,
+        )
         self.projections: dict[str, _ManagedProjection] = {}
         self._system_links_query = None
 
