@@ -509,9 +509,14 @@ class EventLogWriter:
             _verify_fence(self._core)
             rows: list[tuple] = []
             touched: set[str] = set()
-            last = self._apply_append(
-                stream_id, events, expected_version, created, rows, touched
-            )
+            try:
+                last = self._apply_append(
+                    stream_id, events, expected_version, created, rows, touched
+                )
+            except BaseException:
+                if touched:  # mid-apply failure → restore from the log
+                    self._rollback(touched)
+                raise
             if rows:
                 try:
                     self._commit(rows)
@@ -638,8 +643,20 @@ class EventLogWriter:
             with self._group_cond:
                 batch = list(self._group_q)
                 self._group_q.clear()
-            with self._core.mutex:
-                self._commit_group(batch)
+            try:
+                with self._core.mutex:
+                    self._commit_group(batch)
+            finally:
+                # the collector must NEVER leave a caller parked: any
+                # box not resolved by _commit_group (unexpected error)
+                # fails loudly instead of hanging its append()
+                for *_ignored, box in batch:
+                    if not box["done"].is_set():
+                        box.setdefault(
+                            "error",
+                            RuntimeError("group commit failed unexpectedly"),
+                        )
+                        box["done"].set()
 
     def _commit_group(self, batch: list) -> None:
         rows: list[tuple] = []
@@ -651,14 +668,31 @@ class EventLogWriter:
                 box["error"] = e
                 box["done"].set()
             return
+        aborted = None
         for sid, events, expected, created, box in batch:
+            if aborted is not None:
+                box["error"] = aborted
+                continue
+            rows_before, touched_before = len(rows), set(touched)
             try:
                 box["result"] = self._apply_append(
                     sid, events, expected, created, rows, touched
                 )
-            except BaseException as e:  # pre-mutation rejections only
-                box["error"] = e
-        if rows:
+            except BaseException as e:
+                if len(rows) > rows_before or touched != touched_before:
+                    # MID-APPLY failure (infrastructure, not a rejection):
+                    # state for this append is half-applied and later
+                    # appends would check against it — abort the whole
+                    # group, restore from the durable log, commit nothing
+                    del rows[rows_before:]
+                    self._rollback(touched)
+                    aborted = e
+                box["error"] = e  # rejection, or first aborted append
+        if aborted is not None:
+            for *_ignored, box in batch:
+                box.pop("result", None)
+                box.setdefault("error", aborted)
+        if rows and aborted is None:
             try:
                 self._commit(rows)
             except BaseException as e:

@@ -487,3 +487,65 @@ def test_group_commit_soft_delete_recreate_in_group(spark, tmp_path):
     assert [r.event_number for r in
             w.load().where("stream_id = 's-1'").orderBy("event_number").collect()] == [0, 1]
     w.close()
+
+
+def test_group_commit_mid_apply_failure_aborts_group_cleanly(spark, tmp_path, monkeypatch):
+    """An INFRASTRUCTURE failure mid-apply (not a rejection) aborts the
+    whole group: nothing commits, every caller gets the error (none
+    hang), and the writer recovers — the next appends work and numbering
+    continues from the durable log."""
+    import threading
+
+    path = str(tmp_path / "log")
+    w = EventLogWriter(spark, path, group_commit_window_ms=40)
+    w.append("s-1", [ProposedEvent("A")])  # durable baseline
+
+    orig = EventLogWriter._current_meta
+
+    def poisoned(self, sid):
+        if sid == "boom-1":
+            raise RuntimeError("simulated storage failure")
+        return orig(self, sid)
+
+    monkeypatch.setattr(EventLogWriter, "_current_meta", poisoned)
+    errs, oks = [], []
+
+    def good(sid):
+        try:
+            oks.append((sid, w.append(sid, [ProposedEvent("B")])))
+        except Exception as e:
+            errs.append((sid, type(e).__name__))
+
+    def bad():
+        try:
+            w.append("boom-1", [ProposedEvent("C")])
+            oks.append(("boom-1", "?"))
+        except RuntimeError:
+            errs.append(("boom-1", "RuntimeError"))
+
+    ts = [threading.Thread(target=good, args=("s-2",)),
+          threading.Thread(target=bad),
+          threading.Thread(target=good, args=("s-3",))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=30)
+    assert all(not t.is_alive() for t in ts)  # nobody hangs
+    # the poisoned append definitely failed; group-mates either aborted
+    # with it (same group) or committed (different group) — but the LOG
+    # is consistent either way
+    assert ("boom-1", "RuntimeError") in errs
+    monkeypatch.setattr(EventLogWriter, "_current_meta", orig)
+    rows = w.load().collect()
+    committed = {r.stream_id for r in rows}
+    assert "boom-1" not in committed
+    positions = sorted(r.log_position for r in rows)
+    assert positions == list(range(1, len(rows) + 1))  # dense, no holes
+    for sid, last in oks:
+        assert sid in committed and last == 0
+    # recovery: appends keep working with correct numbering
+    assert w.append("s-1", [ProposedEvent("D")], expected_version=0) == 1
+    assert w.append("s-2", [ProposedEvent("E")]) >= 0
+    rows = w.load().collect()
+    assert sorted(r.log_position for r in rows) == list(range(1, len(rows) + 1))
+    w.close()
