@@ -126,17 +126,40 @@ def _write(path: str, seq: int, files: list[str]) -> int:
     return seq
 
 
-def append_files(path: str, new_files: list[str]) -> int:
+def append_files(path: str, new_files: list[str],
+                 base_seq: int | None = None) -> int:
     """Publish manifest N+1 = current snapshot ∪ ``new_files`` (the append
     commit). Bootstraps from the directory listing on first use — at that
-    point no superseded files can exist, so the listing IS the snapshot."""
-    cur = latest(path)
-    if cur is None:
-        base = {f for f in os.listdir(path) if f.endswith(".parquet")}
-        seq = -1
+    point no superseded files can exist, so the listing IS the snapshot.
+
+    ``base_seq`` makes the publish a true CAS against the generation the
+    WRITER last observed (not re-read here): if the snapshot moved in the
+    meantime — a maintenance rewrite, or a foreign writer that stole the
+    lock — this raises ``ManifestConflictError`` instead of silently
+    publishing over state the caller never verified (the fencing backstop
+    writer.py documents). Omitting it keeps the read-latest-then-publish
+    behavior (still exclusive per generation via ``_write``, but
+    last-reader-wins on the base)."""
+    if base_seq is None:
+        cur = latest(path)
+        if cur is None:
+            base = {f for f in os.listdir(path) if f.endswith(".parquet")}
+            seq = -1
+        else:
+            seq, files = cur
+            base = set(files)
+    elif base_seq < 0:
+        # caller observed plain-dir mode; a manifest appearing since then
+        # conflicts at _write (generation 0 already exists)
+        base, seq = {f for f in os.listdir(path) if f.endswith(".parquet")}, -1
     else:
-        seq, files = cur
-        base = set(files)
+        files = files_at(path, base_seq)
+        if files is None:
+            raise ManifestConflictError(
+                f"manifest generation {base_seq} of {path} no longer exists "
+                "(vacuumed or never published) — re-sync and retry"
+            )
+        base, seq = set(files), base_seq
     return _write(path, seq + 1, sorted(base | set(new_files)))
 
 

@@ -169,6 +169,10 @@ class _PathCore:
         self.last_position: int | None = None  # None until first recovery
         self.stream_gen: dict[str, int] = {}
         self.fence_token: str | None = None
+        # manifest generation this process last observed/published — the
+        # base every append publish CASes against (manifest.append_files
+        # base_seq). None until the first writer on this path syncs it.
+        self.manifest_seq: int | None = None
 
 
 _CORES: dict[str, _PathCore] = {}
@@ -191,6 +195,36 @@ def _pid_alive(pid: int) -> bool:
         return False
     except PermissionError:
         return True  # exists, owned by someone else
+    return True
+
+
+def _pid_start_time(pid: int) -> int | None:
+    """Kernel start time (jiffies since boot) of ``pid`` — the
+    pid-recycling disambiguator: a recycled pid has a different start
+    time, so a lock whose holder died and whose pid was reused is still
+    judged stale instead of held hostage by the unrelated new process.
+    None when /proc isn't available (non-Linux) — liveness then falls
+    back to pid-only."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read().decode("ascii", "replace")
+        # field 22 counts from 1, AFTER the parenthesized comm (which may
+        # itself contain spaces/parens) — split on the LAST ')'
+        return int(stat.rsplit(")", 1)[1].split()[19])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _holder_alive(cur: dict) -> bool:
+    """Is the lock's recorded holder still the SAME live process?"""
+    pid = cur.get("pid")
+    if pid is None or pid == os.getpid() or not _pid_alive(pid):
+        return False
+    recorded = cur.get("pid_start")
+    if recorded is not None:
+        now = _pid_start_time(pid)
+        if now is not None and now != recorded:
+            return False  # pid recycled — the recorded holder is dead
     return True
 
 
@@ -219,6 +253,7 @@ def _acquire_fence(core: _PathCore, timeout_s: float = 0.0) -> None:
     payload = json.dumps(
         {
             "pid": os.getpid(),
+            "pid_start": _pid_start_time(os.getpid()),
             "token": token,
             "acquired_at": datetime.now(timezone.utc).isoformat(),
         }
@@ -234,14 +269,14 @@ def _acquire_fence(core: _PathCore, timeout_s: float = 0.0) -> None:
             return
         except FileExistsError:
             cur = _read_lock(lock)
-            pid = cur.get("pid")
-            if pid is not None and pid != os.getpid() and _pid_alive(pid):
+            if _holder_alive(cur):
                 if _time.monotonic() < deadline:  # waiting mode: re-probe
                     _time.sleep(0.05)
                     continue
                 raise WriterFencedError(
-                    f"log {core.path} is owned by live writer pid {pid}; "
-                    "close it (or let it die) before opening a writer here"
+                    f"log {core.path} is owned by live writer pid "
+                    f"{cur.get('pid')}; close it (or let it die) before "
+                    "opening a writer here"
                 )
             # stale (dead pid / corrupt / our own pre-crash claim): steal
             tmp = lock + f".{token[:8]}.tmp"
@@ -331,6 +366,9 @@ class EventLogWriter:
                     self._last_position, self._core.last_position
                 )
             self._core.last_position = self._last_position
+            if self._core.manifest_seq is None:
+                cur = manifest.latest(path)
+                self._core.manifest_seq = -1 if cur is None else cur[0]
 
     def _has_files(self) -> bool:
         files = manifest.snapshot_files(self.path)
@@ -618,6 +656,14 @@ class EventLogWriter:
     def _append_grouped(self, stream_id, events, expected_version, created) -> int:
         box: dict = {"done": threading.Event()}
         with self._group_cond:
+            # append() after close() must FAIL like the non-grouped path
+            # does (via _verify_fence), not park forever on a collector
+            # that exited (ADVICE r5)
+            if self._group_stop.is_set():
+                raise WriterFencedError(
+                    f"writer for {self.path} was closed — open a new "
+                    "EventLogWriter"
+                )
             self._group_q.append((stream_id, events, expected_version, created, box))
             if self._group_thread is None or not self._group_thread.is_alive():
                 self._group_thread = threading.Thread(
@@ -629,6 +675,23 @@ class EventLogWriter:
         if "error" in box:
             raise box["error"]
         return box["result"]
+
+    def _drain_group_queue(self) -> None:
+        """Fail any queued appends instead of leaving their callers
+        parked (the close()-races-enqueue window: the up-front stop check
+        in _append_grouped can pass just before close() sets the flag)."""
+        with self._group_cond:
+            leftover, self._group_q[:] = list(self._group_q), []
+        for *_ignored, box in leftover:
+            if not box["done"].is_set():
+                box.setdefault(
+                    "error",
+                    WriterFencedError(
+                        f"writer for {self.path} was closed — open a new "
+                        "EventLogWriter"
+                    ),
+                )
+                box["done"].set()
 
     def _collector_loop(self) -> None:
         import time as _time
@@ -657,6 +720,7 @@ class EventLogWriter:
                             RuntimeError("group commit failed unexpectedly"),
                         )
                         box["done"].set()
+        self._drain_group_queue()  # stop raced an enqueue — fail it loudly
 
     def _commit_group(self, batch: list) -> None:
         rows: list[tuple] = []
@@ -702,6 +766,31 @@ class EventLogWriter:
                     box.setdefault("error", e)
         for *_ignored, box in batch:
             box["done"].set()
+
+    def _publish_append(self, names: list[str]) -> None:
+        """Publish an append commit's files to the manifest as a CAS
+        against the generation this process last observed. A conflict
+        means the snapshot moved underneath us: either a maintenance
+        rewrite published in between (legitimate — re-sync the base and
+        retry, the union is recomputed from the NEW snapshot) or our
+        lock was stolen and the thief published (the fencing race
+        ADVICE r5 called out) — ``_verify_fence`` then raises before any
+        retry, so a fenced-out writer's publish FAILS instead of
+        last-reader-winning over the thief's commit."""
+        attempts = 0
+        while True:
+            try:
+                self._core.manifest_seq = manifest.append_files(
+                    self.path, names, base_seq=self._core.manifest_seq
+                )
+                return
+            except manifest.ManifestConflictError:
+                _verify_fence(self._core)  # fenced → raise, never retry
+                attempts += 1
+                if attempts >= 8:
+                    raise
+                cur = manifest.latest(self.path)
+                self._core.manifest_seq = -1 if cur is None else cur[0]
 
     def _bump_stream_gen(self, stream_id: str) -> None:
         """Record a commit touching ``stream_id`` in the shared core and
@@ -865,8 +954,7 @@ class EventLogWriter:
             # disk inside their grace period
             pre = {f for f in os.listdir(self.path) if f.endswith(".parquet")}
             out.write.mode("append").parquet(self.path)
-            manifest.append_files(
-                self.path,
+            self._publish_append(
                 [f for f in os.listdir(self.path)
                  if f.endswith(".parquet") and f not in pre],
             )
@@ -919,7 +1007,7 @@ class EventLogWriter:
         tmp = os.path.join(self.path, "." + name + ".tmp")
         pq.write_table(table, tmp, compression="snappy")
         os.rename(tmp, os.path.join(self.path, name))
-        manifest.append_files(self.path, [name])
+        self._publish_append([name])
         self._notify_commit()
 
     # -- commit wake-ups (U3 long-poll support) --
@@ -955,6 +1043,7 @@ class EventLogWriter:
             self._group_cond.notify_all()
         if self._group_thread is not None:
             self._group_thread.join(timeout=5)
+        self._drain_group_queue()  # never leave an enqueued caller parked
         with self._core.mutex:
             _release_fence(self._core)
 

@@ -565,3 +565,104 @@ def test_delete_projection_with_emitted_streams(spark, tmp_path):
     assert eng.read_stream("flagged2").count() == 1
     eng.delete_projection("flags2")
     assert eng.read_stream("flagged2").count() == 1  # output kept
+
+
+# ---------------------------------------------------------------------------
+# Materialization marker lifecycle (round 6: VERDICT r5 "What's wrong #1")
+# ---------------------------------------------------------------------------
+
+
+def test_materialize_crash_midway_reads_stay_complete(engine, monkeypatch):
+    """A onetime materialization killed mid-append leaves NO marker (or a
+    stale one), and name-routed reads still match the virtual view —
+    never an incomplete/empty page."""
+    virt = {n: _rows(_virtual(engine, n))
+            for n in ("$ce-account", "$et-Deposited", "$streams")}
+    orig = type(engine.writer).append_df
+    def boom(self, df, created=None):
+        raise RuntimeError("killed mid-materialize")
+    monkeypatch.setattr(type(engine.writer), "append_df", boom)
+    with pytest.raises(RuntimeError):
+        engine.register_system_projections(mode="onetime")
+    monkeypatch.setattr(type(engine.writer), "append_df", orig)
+    assert not engine.system_links_materialized()  # marker never landed
+    for name, expect in virt.items():
+        assert _rows(engine.read_stream(name)) == expect, name
+
+
+def test_materialized_store_serves_virtual_tail_after_new_appends(engine):
+    """Reads on a materialized store whose links have gone STALE (marker
+    present, no query running, new appends since) serve materialized
+    prefix + virtual tail — complete, with continuous numbering."""
+    engine.register_system_projections(mode="onetime")
+    base = _rows(engine.read_stream("$ce-account"))
+    # new appends with NO materialization running
+    engine.append("account-7", [ProposedEvent("Deposited", '{"amount": 3}'),
+                                ProposedEvent("Withdrawn", '{"amount": 1}')])
+    engine.append("freight-1", [ProposedEvent("Shipped", "{}")])
+    got = _rows(engine.read_stream("$ce-account"))
+    assert len(got) == len(base) + 2
+    assert got[:len(base)] == base  # materialized prefix untouched
+    assert [n for n, *_ in got] == list(range(len(got)))  # dense numbering
+    assert got == _rows(_virtual(engine, "$ce-account"))  # == full virtual
+    # first-event views: new stream links appear once, old streams don't dupe
+    streams_links = _rows(engine.read_stream("$streams"))
+    targets = [d.split("@", 1)[1] for *_ignore, d in streams_links]
+    assert sorted(targets) == sorted(set(targets))  # no duplicate streams
+    assert "account-7" in targets and "freight-1" in targets
+    assert [n for n, *_ in streams_links] == list(range(len(streams_links)))
+    # $et- and $category- tails too
+    assert _rows(engine.read_stream("$et-Shipped")) == _rows(_virtual(engine, "$et-Shipped"))
+    assert _rows(engine.read_stream("$category-freight")) == _rows(
+        _virtual(engine, "$category-freight"))
+    # paging over the hybrid stream works
+    page = engine.read_stream_page("$ce-account", 0, max_count=3)
+    assert page.next_event_number == 3 and not page.is_end_of_stream
+
+
+def test_continuous_marker_advances_only_after_commit(engine, tmp_path):
+    """The continuous sink bumps the marker position per micro-batch —
+    after the batch's links COMMIT. A restart window (query stopped, new
+    appends) still reads complete via the tail."""
+    q = engine.register_system_projections(
+        mode="continuous", checkpoint_dir=str(tmp_path / "sysck6"))
+    try:
+        q.processAllAvailable()
+        pos1 = engine._system_links_info()["position"]
+        assert pos1 > 0
+    finally:
+        q.stop()
+    # stopped query + new appends: marker stays, tail serves the gap
+    engine.append("account-8", [ProposedEvent("Deposited", '{"amount": 9}')])
+    assert engine._system_links_info()["position"] == pos1
+    got = _rows(engine.read_stream("$ce-account"))
+    assert got == _rows(_virtual(engine, "$ce-account"))
+    assert any(d.endswith("@account-8") for *_ignore, d in got)
+
+
+def test_engine_auto_runs_system_projections_across_sessions(spark, tmp_path):
+    """EventStoreEngine(..., system_projections="continuous") starts the
+    Y1-Y5 query on open and resumes it from the store checkpoint on the
+    NEXT session — links stay current with no manual re-registration
+    (reference parity: ProjectionManager.cs:883-924)."""
+    path = str(tmp_path / "autosys")
+    e1 = EventStoreEngine(spark, path, system_projections="continuous")
+    e1.append("acct-1", [ProposedEvent("Op", '{"v": 1}')])
+    e1._system_links_query.processAllAvailable()
+    w1 = e1._system_links_info()["position"]
+    assert w1 > 0
+    assert e1.read_stream("$ce-acct").count() == 1
+    e1.close()
+    assert e1._system_links_query is None
+    # session 2: links resume following without any register call
+    e2 = EventStoreEngine(spark, path, system_projections="continuous")
+    e2.append("acct-2", [ProposedEvent("Op", '{"v": 2}')])
+    e2._system_links_query.processAllAvailable()
+    assert e2._system_links_info()["position"] > w1
+    got = e2.read_stream("$ce-acct").collect()
+    assert len(got) == 2
+    assert [r.event_number for r in got] == [0, 1]
+    # the links are REAL rows (materialized), not just the tail view
+    raw = e2.events().where(F.col("stream_id") == "$ce-acct").count()
+    assert raw == 2
+    e2.close()

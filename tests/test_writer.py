@@ -549,3 +549,93 @@ def test_group_commit_mid_apply_failure_aborts_group_cleanly(spark, tmp_path, mo
     rows = w.load().collect()
     assert sorted(r.log_position for r in rows) == list(range(1, len(rows) + 1))
     w.close()
+
+
+def test_group_commit_append_after_close_fails_fast(spark, tmp_path):
+    """append() on a CLOSED group-commit writer raises WriterFencedError
+    immediately (the non-grouped path's behavior) instead of parking
+    forever on a collector that exited (ADVICE r5)."""
+    from eventstore_spark.writer import WriterFencedError
+
+    w = EventLogWriter(spark, str(tmp_path / "gclose"), group_commit_window_ms=30)
+    w.append("s-1", [ProposedEvent("A")])
+    w.close()
+    with pytest.raises(WriterFencedError):
+        w.append("s-1", [ProposedEvent("B")])
+
+
+def test_append_publish_is_cas_against_observed_manifest(spark, tmp_path):
+    """The append path's manifest publish CASes against the generation
+    the writer last observed: a snapshot that moved (here: a maintenance
+    rewrite) is re-synced and retried — the commit lands and the manifest
+    carries BOTH the rewrite's files and the append's."""
+    from eventstore_spark import manifest as M
+    from eventstore_spark.maintenance import optimize_layout
+
+    path = str(tmp_path / "caslog")
+    w = EventLogWriter(spark, path)
+    w.append("s-1", [ProposedEvent("A"), ProposedEvent("B")])
+    seq_before = M.latest(path)[0]
+    # a rewrite publishes a new generation OUTSIDE the writer's knowledge
+    optimize_layout(spark, path, target_files=1)
+    assert M.latest(path)[0] == seq_before + 1
+    assert w._core.manifest_seq == seq_before  # stale on purpose
+    w.append("s-1", [ProposedEvent("C")])  # conflict → resync → retry
+    seq, files = M.latest(path)
+    assert seq == seq_before + 2
+    assert w._core.manifest_seq == seq
+    rows = w.load().orderBy("log_position").collect()
+    assert [r.event_type for r in rows] == ["A", "B", "C"]
+    w.close()
+
+
+def test_fenced_writer_publish_fails_even_on_manifest_conflict(spark, tmp_path):
+    """A writer whose lock was stolen mid-commit must NOT re-sync-and-
+    retry its way past the conflict: _publish_append re-verifies the
+    fence and raises."""
+    import json as _json
+    import os as _os
+
+    from eventstore_spark.writer import LOCK_FILE, WriterFencedError
+
+    path = str(tmp_path / "fencedcas")
+    w = EventLogWriter(spark, path)
+    w.append("s-1", [ProposedEvent("A")])
+    # simulate a thief: overwrite the lock with a foreign token AND move
+    # the manifest so the publish path hits the conflict branch
+    with open(_os.path.join(path, LOCK_FILE), "w") as f:
+        _json.dump({"pid": 2**22 + 7, "token": "stolen"}, f)
+    w._core.manifest_seq -= 1  # stale base → guaranteed conflict
+    with pytest.raises(WriterFencedError):
+        w.append("s-1", [ProposedEvent("B")])
+    # in-memory state rolled back: nothing half-applied
+    assert w.load().count() == 1
+
+
+def test_lock_records_pid_start_time_and_detects_recycling(spark, tmp_path):
+    """The lock carries the holder pid's kernel start time; a lock whose
+    pid is alive but has a DIFFERENT start time (recycled pid) is judged
+    stale and stolen instead of held hostage (VERDICT r5 polish #8)."""
+    import json as _json
+    import os as _os
+
+    from eventstore_spark.writer import (
+        LOCK_FILE, _holder_alive, _pid_start_time, _read_lock,
+    )
+
+    path = str(tmp_path / "pidlock")
+    w = EventLogWriter(spark, path)
+    cur = _read_lock(_os.path.join(path, LOCK_FILE))
+    own_start = _pid_start_time(_os.getpid())
+    if own_start is not None:  # /proc available (Linux)
+        assert cur["pid_start"] == own_start
+    w.close()
+    # a live pid (pid 1) recorded with a WRONG start time == recycled
+    if _pid_start_time(1) is not None:
+        assert not _holder_alive({"pid": 1, "pid_start": -12345})
+        lock = _os.path.join(path, LOCK_FILE)
+        with open(lock, "w") as f:
+            _json.dump({"pid": 1, "pid_start": -12345, "token": "x"}, f)
+        w2 = EventLogWriter(spark, path)  # steals the recycled-pid lock
+        assert _read_lock(lock)["pid"] == _os.getpid()
+        w2.close()
