@@ -538,6 +538,58 @@ def q_tpch_q10_returns(spark, sf):
     )
 
 
+def q_tpch_q18_large_orders(spark, sf):
+    """Q18 large-volume customers: orders whose total quantity exceeds a
+    threshold, with customer detail. The HAVING subquery is one partial-
+    agg shuffle on l_orderkey; the qualifying-key set joins back to
+    lineitem/orders (equi-joins AQE can turn into broadcasts — the
+    qualifier set is tiny by construction); top-100 is orderBy+limit
+    (TakeOrderedAndProject), never a global sort. Quantities sum in
+    exact integer cents."""
+    li = _table(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("_qty"))
+        .where(F.col("_qty") > 250 * 100)
+    )
+    orders = _table(spark, sf, "orders")
+    cust = _table(spark, sf, "customer")
+    j = (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        j.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice",
+            (F.col("_qty").cast("double") / 100.0).alias("total_qty"),
+        )
+    )
+
+
+def q_tpch_q13_custdist(spark, sf):
+    """Q13 customer-order distribution: LEFT OUTER join customer→orders
+    (zero-order customers count), per-customer order counts, then the
+    count-of-counts histogram — two shuffles total (c_custkey, then the
+    tiny c_count key), both map-side-combined."""
+    cust = _table(spark, sf, "customer")
+    orders = _table(spark, sf, "orders").where(
+        ~F.col("o_orderpriority").startswith("1")
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select("c_count", "custdist")
+    )
+
+
 def q_supplier_volume(spark, sf):
     """Shipped volume and revenue per supplier (supplier is a broadcast
     dimension; one shuffle on s_suppkey for the aggregate)."""
@@ -1034,11 +1086,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry order = the driver's sampling order. The 25 queries the r4
-    # driver did NOT sample (they were last sampled on round-3 code) come
-    # FIRST, so the r4+r5 driver union covers all 75 queries on round-4+
-    # code with at least one green row each.
+    # Registry order = the driver's sampling order. Round-6 rotation
+    # (VERDICT r5 task #7): the 27 queries the r5 driver did NOT sample
+    # (it sampled the leading 50) come FIRST, so the r5+r6 driver union
+    # re-covers all 77 queries on round-5+ code with a green row each.
     return {
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "tpch_q13_custdist": q_tpch_q13_custdist,
+        "ann_ivf": q_ann_ivf,
+        "embedding_neardup": q_embedding_neardup,
+        "s1_read_event": q_s1_read_event,
+        "s1_read_event_last": q_s1_read_event_last,
+        "s2_read_stream_forward": q_s2_read_stream_forward,
+        "s3_read_stream_backward": q_s3_read_stream_backward,
+        "s4_read_all_forward": q_s4_read_all_forward,
+        "s4_read_all_backward": q_s4_read_all_backward,
+        "s5_read_all_filtered": q_s5_read_all_filtered,
+        "f_filter_agg": q_f_filter_agg,
+        "y1_streams": q_y1_streams,
+        "y2_by_category": q_y2_by_category,
+        "y3_stream_by_category": q_y3_stream_by_category,
+        "y4_by_event_type": q_y4_by_event_type,
+        "y5_by_correlation_id": q_y5_by_correlation_id,
+        "link_resolution": q_link_resolution,
+        "sys_ce_read": q_sys_ce_read,
+        "sys_et_read": q_sys_et_read,
+        "retention_visibility": q_retention_visibility,
+        "p2_from_streams": q_p2_from_streams,
+        "p6_fold_balance": q_p6_fold_balance,
+        "p12_result_stream": q_p12_result_stream,
+        "p7_partition_by": q_p7_partition_by,
+        "p9_bistate": q_p9_bistate,
+        "p8_stream_stats": q_p8_stream_stats,
+        "p15_emit_hot": q_p15_emit_hot,
+        "p16_linkto": q_p16_linkto,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5_region_revenue": q_tpch_q5_region_revenue,
@@ -1089,33 +1170,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "rag_retrieve": q_rag_retrieve,
         "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "embedding_neardup": q_embedding_neardup,
-        "s1_read_event": q_s1_read_event,
-        "s1_read_event_last": q_s1_read_event_last,
-        "s2_read_stream_forward": q_s2_read_stream_forward,
-        "s3_read_stream_backward": q_s3_read_stream_backward,
-        "s4_read_all_forward": q_s4_read_all_forward,
-        "s4_read_all_backward": q_s4_read_all_backward,
-        "s5_read_all_filtered": q_s5_read_all_filtered,
-        "f_filter_agg": q_f_filter_agg,
-        "y1_streams": q_y1_streams,
-        "y2_by_category": q_y2_by_category,
-        "y3_stream_by_category": q_y3_stream_by_category,
-        "y4_by_event_type": q_y4_by_event_type,
-        "y5_by_correlation_id": q_y5_by_correlation_id,
-        "link_resolution": q_link_resolution,
-        "sys_ce_read": q_sys_ce_read,
-        "sys_et_read": q_sys_et_read,
-        "retention_visibility": q_retention_visibility,
-        "p2_from_streams": q_p2_from_streams,
-        "p6_fold_balance": q_p6_fold_balance,
-        "p12_result_stream": q_p12_result_stream,
-        "p7_partition_by": q_p7_partition_by,
-        "p9_bistate": q_p9_bistate,
-        "p8_stream_stats": q_p8_stream_stats,
-        "p15_emit_hot": q_p15_emit_hot,
-        "p16_linkto": q_p16_linkto,
     }
 
 
@@ -1452,6 +1506,29 @@ SELECT CAST(sum({lic['ep']} * {lic['d']}) AS DOUBLE) / 10000.0 AS revenue,
 FROM lineitem
 WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+    sqls["tpch_q18_large_orders"] = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum_qty AS DOUBLE) / 100.0 AS total_qty
+FROM (
+  SELECT l_orderkey, sum({lic['q']}) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum({lic['q']}) > 25000
+) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+    sqls["tpch_q13_custdist"] = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+    AND o_orderpriority NOT LIKE '1%'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
 """
     from eventstore_spark.operators import corpus as _cp
 

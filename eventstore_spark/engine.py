@@ -537,6 +537,62 @@ class EventStoreEngine:
     def create_projection(self, spec: Projection, mode: str = "onetime") -> None:
         self.projections[spec.name] = _ManagedProjection(spec=spec, mode=mode)
 
+    def update_projection(self, name: str, spec: Projection,
+                          reset: bool = True) -> int:
+        """Replace a managed projection's query — the reference's
+        UpdateReq (projections.proto UpdateReq.Options;
+        ProjectionManager.cs:259-307 routes Post(UpdateQuery) to the
+        managed projection, which persists a new query VERSION). Returns
+        the new version number.
+
+        Semantics: the registry entry keeps its mode/enabled flag and its
+        emitted-streams tracker (so ``delete_projection(delete_emitted_
+        streams=True)`` still covers streams emitted by EARLIER
+        versions); a running continuous query stops (restart via
+        ``run_projection``). ``reset=True`` (default) drops accumulated
+        state, results, and the state-table checkpoint identity — the new
+        query re-folds its source from scratch, as the reference does for
+        an updated query. ``reset=False`` carries the state table and
+        last result forward — only sound when the new query reads the
+        same state shape (the reference equivalently allows updating with
+        emission toggles without replay)."""
+        mp = self.projections[name]
+        if mp.query is not None:
+            try:
+                if mp.query.isActive:
+                    mp.query.stop()
+            finally:
+                mp.query = None
+        if reset:
+            state_dir = self._projection_state_dir(name)
+            shutil.rmtree(state_dir, ignore_errors=True)
+            try:
+                os.remove(os.path.join(os.path.dirname(state_dir),
+                                       "_checkpoint_id"))
+            except FileNotFoundError:
+                pass
+            mp.last_result = None
+            mp.runs = 0
+        mp.spec = spec
+        version = self.projection_version(name) + 1
+        vfile = os.path.join(self.path, "_projections", name, "version")
+        os.makedirs(os.path.dirname(vfile), exist_ok=True)
+        tmp = vfile + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, vfile)
+        return version
+
+    def projection_version(self, name: str) -> int:
+        """The persisted query version (1 until the first update) — the
+        reference's Version/Epoch on the managed projection."""
+        try:
+            with open(os.path.join(self.path, "_projections", name,
+                                   "version")) as fh:
+                return int(fh.read().strip() or 1)
+        except (FileNotFoundError, ValueError):
+            return 1
+
     def enable_projection(self, name: str) -> None:
         self.projections[name].enabled = True
 
@@ -872,6 +928,7 @@ class EventStoreEngine:
                 "enabled": mp.enabled,
                 "runs": mp.runs,
                 "running": mp.query is not None and mp.query.isActive,
+                "version": self.projection_version(name),
             }
             for name, mp in self.projections.items()
         ]
@@ -887,6 +944,15 @@ class EventStoreEngine:
             self.spark, self.path, self.stream_metadata(),
             now_ts=now_ts, target_files=target_files,
         )
+
+    def auto_scavenge_policy(self, **kwargs):
+        """A scheduled, threshold-driven maintenance runner bound to this
+        store (the reference's auto-scavenge feature,
+        docs/server/operations/auto-scavenge.md) — call ``run_if_due()``
+        from any cron loop; see ``maintenance.AutoScavengePolicy``."""
+        from .maintenance import AutoScavengePolicy
+
+        return AutoScavengePolicy(self, **kwargs)
 
     def vacuum(self, grace_s: float = 3600.0) -> dict:
         """Drop files a maintenance rewrite superseded more than
@@ -962,7 +1028,19 @@ class EventStoreEngine:
         self.writer.close()
 
     # ------------------------------------------------------------------ SQL
-    def register_views(self, prefix: str = "es") -> list[str]:
+    @classmethod
+    def restore(cls, spark: SparkSession, backup_dir: str, dest: str,
+                **engine_kwargs) -> "EventStoreEngine":
+        """Restore a backup into a fresh directory and open an engine on
+        it (the one-call disaster-recovery path; ``maintenance.restore``
+        refuses a non-empty destination)."""
+        from .maintenance import restore as _restore
+
+        _restore(backup_dir, dest)
+        return cls(spark, dest, **engine_kwargs)
+
+    def register_views(self, prefix: str = "es",
+                       max_as_of_views: int = 10) -> list[str]:
         """Expose the engine's surfaces as SQL temp views so analysts query
         the store with plain ``spark.sql`` — the capability the reference
         lacks entirely (SURVEY §2.4: no SQL, no joins) and the main reason
@@ -977,11 +1055,15 @@ class EventStoreEngine:
 
         Time travel (round-5): ``<prefix>_manifest_history`` lists the
         available manifest generations (generation, files, published_at),
-        and each generation gets an as-of view
-        ``<prefix>_events_at_<seq>`` — the visible log pinned at that
-        snapshot (``events_at``). The set is bounded by ``vacuum``: a
-        drained generation's view simply stops being registered on the
-        next call, exactly as Delta's VACUUM limits time travel.
+        and the ``max_as_of_views`` MOST RECENT generations each get an
+        as-of view ``<prefix>_events_at_<seq>`` — the visible log pinned
+        at that snapshot (``events_at``). Every append publishes a
+        generation, so registering one view per generation is unbounded
+        between vacuums (ADVICE r5) — the cap keeps this call O(recent);
+        older retained generations stay reachable via ``events_at(seq)``
+        directly, and the set is bounded below by ``vacuum`` exactly as
+        Delta's VACUUM limits time travel. Pass ``max_as_of_views=0`` to
+        skip as-of views entirely.
         """
         out = []
 
@@ -1016,7 +1098,7 @@ class EventStoreEngine:
                     "generation long, files int, published_at timestamp",
                 ),
             )
-            for seq in gens:
+            for seq in (gens[-max_as_of_views:] if max_as_of_views else []):
                 reg(f"{prefix}_events_at_{seq}", self.events_at(seq))
         meta = self.stream_metadata()
         if meta is not None:

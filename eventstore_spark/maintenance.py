@@ -230,6 +230,143 @@ def optimize_layout(spark: SparkSession, path: str, target_files: int = 8) -> di
 
 
 # ---------------------------------------------------------------------------
+# Auto-scavenge (reference: docs/server/operations/auto-scavenge.md,
+# src/EventStore.AutoScavenge/ — a scheduled, coordinated scavenge whose
+# state machine persists its schedule and resumes after restarts)
+# ---------------------------------------------------------------------------
+
+
+class AutoScavengePolicy:
+    """Scheduled, threshold-driven maintenance for one store (round 6;
+    VERDICT r5 #3). The reference ships auto-scavenge as a cluster-
+    coordinated scheduler; single-log translation: a policy object an
+    operator's cron loop calls ``run_if_due()`` on. State checkpoints in
+    ``_maintenance/autoscavenge.json`` inside the store, so the schedule
+    survives restarts, and a run that CRASHED mid-way (checkpoint says
+    started-but-not-finished) re-runs immediately on the next call
+    instead of waiting out the interval — the scheduler-state-machine
+    resume of ``src/EventStore.AutoScavenge``.
+
+    Thresholds:
+      * ``interval_s`` — minimum time between completed runs (the
+        schedule);
+      * ``min_removable_ratio`` — the scavenge rewrite only runs when at
+        least this fraction of raw log rows is estimated removable
+        (raw − visible − retained bookkeeping: latest-metadata rows and
+        tombstones survive scavenge by design), so a quiet store never
+        pays a full rewrite for nothing;
+      * ``max_state_generations`` — any STOPPED continuous projection
+        whose state table has more delta generations gets
+        ``compact_projection_state``;
+      * ``vacuum_grace_s`` — the reader-drain grace passed to ``vacuum``
+        after a successful scavenge.
+
+    ``clock`` is injectable (tests drive schedules deterministically).
+    A ``ManifestConflictError`` (append raced the rewrite) is reported,
+    not raised — the next scheduled run retries from the new snapshot,
+    matching the reference's retry-next-cycle behavior."""
+
+    def __init__(self, engine, interval_s: float = 86400.0,
+                 min_removable_ratio: float = 0.05,
+                 max_state_generations: int = 64,
+                 vacuum_grace_s: float = 3600.0,
+                 clock=time.time):
+        self.engine = engine
+        self.interval_s = interval_s
+        self.min_removable_ratio = min_removable_ratio
+        self.max_state_generations = max_state_generations
+        self.vacuum_grace_s = vacuum_grace_s
+        self.clock = clock
+
+    def _state_file(self) -> str:
+        return os.path.join(self.engine.path, "_maintenance",
+                            "autoscavenge.json")
+
+    def status(self) -> dict:
+        import json
+
+        try:
+            with open(self._state_file()) as fh:
+                return json.load(fh) or {}
+        except (FileNotFoundError, ValueError):
+            return {}
+
+    def _write_status(self, doc: dict) -> None:
+        import json
+
+        f = self._state_file()
+        os.makedirs(os.path.dirname(f), exist_ok=True)
+        tmp = f + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp, f)
+
+    def due(self, now: float | None = None) -> bool:
+        now = self.clock() if now is None else now
+        st = self.status()
+        started, finished = st.get("started"), st.get("finished")
+        if started is not None and (finished is None or finished < started):
+            return True  # crashed mid-run → resume immediately
+        last = st.get("last_run")
+        return last is None or now - last >= self.interval_s
+
+    def run_if_due(self) -> dict:
+        now = self.clock()
+        if not self.due(now):
+            return {"ran": False, "reason": "not due",
+                    "next_due": (self.status().get("last_run", now)
+                                 + self.interval_s)}
+        st = self.status()
+        # resumable checkpoint: mark started BEFORE the work — a crash
+        # here makes the next call resume instead of waiting the interval
+        self._write_status({**st, "started": now})
+        report: dict = {"ran": True}
+
+        df = self.engine.writer.load()
+        raw = df.count()
+        if raw:
+            visible = self.engine.events().count()
+            meta_keep = (
+                df.where(F.col("stream_id").startswith(METASTREAM_PREFIX))
+                .select("stream_id").distinct().count()
+            )
+            tombs = df.where(
+                F.col("event_type") == "$streamDeleted"
+            ).count()
+            removable = max(0, raw - visible - meta_keep - tombs)
+            ratio = removable / raw
+            report["removable_ratio"] = round(ratio, 4)
+            if ratio >= self.min_removable_ratio:
+                try:
+                    report["scavenge"] = self.engine.scavenge()
+                    report["vacuum"] = self.engine.vacuum(self.vacuum_grace_s)
+                except manifest.ManifestConflictError:
+                    report["conflict"] = True  # retry next cycle
+            else:
+                report["scavenge_skipped"] = "below min_removable_ratio"
+        else:
+            report["scavenge_skipped"] = "empty log"
+
+        compacted = {}
+        for name, mp in self.engine.projections.items():
+            if mp.query is not None and mp.query.isActive:
+                continue  # single-maintainer rule: never compact a live one
+            sd = self.engine._projection_state_dir(name)
+            if not os.path.isdir(sd):
+                continue
+            gens = sum(1 for d in os.listdir(sd) if d.startswith("batch="))
+            if gens > self.max_state_generations:
+                compacted[name] = self.engine.compact_projection_state(name)
+        if compacted:
+            report["compacted"] = compacted
+
+        done = self.clock()
+        self._write_status({"last_run": now, "started": now,
+                            "finished": done, "report": report})
+        return report
+
+
+# ---------------------------------------------------------------------------
 # Cold-tier archiving (reference: docs/server/features/archiving.md)
 # ---------------------------------------------------------------------------
 
@@ -290,6 +427,16 @@ def archive_cold(path: str, archive_base: str,
     os.makedirs(archive_base, exist_ok=True)
     uploaded = 0
     checkpoint = int(cfg.get("checkpoint", 0))
+    # per-file ARCHIVAL time — the clock drop_archived_local's reader-
+    # drain grace runs on. Log files are immutable, so their mtime is
+    # their CREATION time and any file selected for archiving is already
+    # old by it; grace must instead start when the hot copy became
+    # droppable, i.e. here (ADVICE r5). Legacy configs without the map
+    # backfill as "archived now" — conservative, never early-deletes.
+    archived_at = dict(cfg.get("archived_at", {}))
+    now = time.time()
+    for f in done:
+        archived_at.setdefault(f, now)
     for p, f in cold:
         checkpoint = max(checkpoint, p)
         if f in done:
@@ -298,11 +445,13 @@ def archive_cold(path: str, archive_base: str,
         shutil.copy2(os.path.join(path, f), tmp)
         os.replace(tmp, os.path.join(archive_base, f))  # atomic publish
         done.add(f)
+        archived_at[f] = now
         uploaded += 1
     manifest.write_archive_config(
         path,
         {"base": archive_base, "checkpoint": checkpoint,
-         "files": sorted(done)},
+         "files": sorted(done),
+         "archived_at": {f: archived_at[f] for f in done}},
     )
     return {"uploaded": uploaded, "archived_total": len(done),
             "checkpoint": checkpoint}
@@ -311,17 +460,32 @@ def archive_cold(path: str, archive_base: str,
 def drop_archived_local(path: str, grace_s: float = 3600.0) -> dict:
     """The retention-policy step of archiving (archiving.md: nodes remove
     chunks from their local volumes once archived): delete the HOT copy
-    of every archived file older than ``grace_s``. In-flight readers that
-    resolved the hot path keep their file for the grace window (the same
-    reader-drain contract as ``vacuum``); later readers resolve the
-    archive copy transparently."""
+    of every file ARCHIVED more than ``grace_s`` seconds ago. The grace
+    clock runs from the recorded archival time (``archived_at`` in
+    archive.json), NOT the file's mtime — log files are immutable, so
+    mtime is creation time and every archived file is already old by it;
+    a reader that pinned its snapshot seconds before this call must keep
+    its hot path for the full drain window, mirroring ``vacuum``'s
+    supersession-time clock (ADVICE r5). Files archived by a pre-round-6
+    config (no ``archived_at`` entry) are backfilled as archived-now and
+    drain on a later pass. Later readers resolve the archive copy
+    transparently."""
     cfg = manifest.archive_config(path)
+    if not cfg:
+        return {"removed": 0}
     removed = 0
-    cutoff = time.time() - grace_s
+    now = time.time()
+    archived_at = dict(cfg.get("archived_at", {}))
+    backfilled = False
     for name in cfg.get("files", []):
+        at = archived_at.get(name)
+        if at is None:  # legacy entry: start its grace clock now
+            archived_at[name] = now
+            backfilled = True
+            continue
         local = os.path.join(path, name)
         try:
-            if os.path.getmtime(local) >= cutoff:
+            if now - float(at) < grace_s:
                 continue
             # never drop a hot copy whose archive copy is missing
             if not os.path.exists(os.path.join(cfg["base"], name)):
@@ -330,6 +494,10 @@ def drop_archived_local(path: str, grace_s: float = 3600.0) -> dict:
             removed += 1
         except FileNotFoundError:
             continue
+    if backfilled:
+        manifest.write_archive_config(
+            path, {**cfg, "archived_at": archived_at}
+        )
     return {"removed": removed}
 
 
@@ -389,9 +557,50 @@ def backup(path: str, dest: str, include_projections: bool = True) -> dict:
             if os.path.isdir(srcd):
                 dstd = os.path.join(dest, sub)
                 shutil.rmtree(dstd, ignore_errors=True)
-                shutil.copytree(srcd, dstd)
+                _snapshot_tree(srcd, dstd)
     return {"generation": seq, "copied": copied, "skipped": skipped,
             "pruned": pruned}
+
+
+def _snapshot_tree(src: str, dst: str) -> None:
+    """Copy a projection/connector tree that may be MID-WRITE (an active
+    continuous projection), atomically per state generation (round 6;
+    VERDICT r5 #5): a ``batch=<id>`` generation dir travels only when its
+    ``_SUCCESS`` marker exists (Spark commits it last), and its files are
+    copied from a pinned listing with ``_SUCCESS`` copied LAST — if any
+    file vanishes mid-copy (the generation was overwritten by a replay or
+    compacted away) the partial copy is dropped, never a torn generation.
+    ``_temporary`` spill dirs and dot-files are skipped; other files that
+    vanish mid-copy (checkpoint GC) are tolerated. The restored state
+    table is therefore consistent, and the streaming checkpoint replays
+    any delta (the sinks are idempotent per micro-batch)."""
+    os.makedirs(dst, exist_ok=True)
+    for name in sorted(os.listdir(src)):
+        if name.startswith(".") or name == "_temporary":
+            continue
+        s, d = os.path.join(src, name), os.path.join(dst, name)
+        try:
+            if not os.path.isdir(s):
+                shutil.copy2(s, d)
+                continue
+            if name.startswith("batch="):
+                if not os.path.exists(os.path.join(s, "_SUCCESS")):
+                    continue  # in-flight micro-batch generation
+                files = [
+                    n for n in os.listdir(s)
+                    if not n.startswith(".") and n != "_temporary"
+                ]
+                os.makedirs(d, exist_ok=True)
+                try:
+                    for n in sorted(files, key=lambda x: x == "_SUCCESS"):
+                        shutil.copy2(os.path.join(s, n), os.path.join(d, n))
+                except FileNotFoundError:
+                    # generation replaced mid-copy — drop the partial
+                    shutil.rmtree(d, ignore_errors=True)
+                continue
+            _snapshot_tree(s, d)
+        except FileNotFoundError:
+            continue  # vanished mid-backup — consistent to skip
 
 
 def restore(backup_dir: str, dest: str) -> dict:
@@ -497,5 +706,36 @@ def redact_events(spark: SparkSession, path: str, targets: list[str]) -> dict:
         shutil.rmtree(staging, ignore_errors=True)
         raise
     shutil.rmtree(staging)
+    # The superseded files' ARCHIVE copies must go too (ADVICE r5): a
+    # redaction that leaves the unredacted bytes readable in the cold
+    # tier forever defeats its purpose whenever archiving is enabled.
+    # Redaction is the ONE maintenance op where data removal outranks
+    # the reader-drain grace — the archive copy of an affected file is
+    # deleted NOW and its name dropped from archive.json (a reader
+    # pinned to the old snapshot whose hot copy is also gone fails with
+    # FileNotFound rather than reading redacted-away data; the
+    # reference's redaction docs carry the same in-flight-reader
+    # caveat). Hot-tier originals drain through the normal vacuum
+    # window like any rewrite.
+    archive_purged = 0
+    cfg = manifest.archive_config(path)
+    if cfg.get("base"):
+        stale = set(affected) & set(cfg.get("files", []))
+        if stale:
+            for name in stale:
+                try:
+                    os.remove(os.path.join(cfg["base"], name))
+                except FileNotFoundError:
+                    pass
+                archive_purged += 1
+            remaining = [f for f in cfg.get("files", []) if f not in stale]
+            manifest.write_archive_config(
+                path,
+                {**cfg, "files": remaining,
+                 "archived_at": {
+                     f: at for f, at in cfg.get("archived_at", {}).items()
+                     if f not in stale
+                 }},
+            )
     return {"redacted": int(n_redacted), "files_rewritten": len(affected),
-            "files_new": len(new_names)}
+            "files_new": len(new_names), "archive_purged": archive_purged}

@@ -666,3 +666,92 @@ def test_engine_auto_runs_system_projections_across_sessions(spark, tmp_path):
     raw = e2.events().where(F.col("stream_id") == "$ce-acct").count()
     assert raw == 2
     e2.close()
+
+
+def test_update_projection_semantics(engine):
+    """UpdateReq parity (projections.proto; ProjectionManager.cs:259-307):
+    update replaces the query, bumps the persisted version, keeps the
+    emitted-streams tracker across versions, and by default resets state
+    so the new query re-folds from scratch."""
+    def h1(s, e, ctx):
+        ctx.emit("out-v1", "V1", {})
+        return {"n": s["n"] + 1}
+
+    spec1 = (Projection.from_category("account", name="upd")
+             .when({"$init": lambda: {"n": 0}, "$any": h1}))
+    engine.create_projection(spec1, mode="onetime")
+    engine.run_projection("upd")
+    assert engine.projection_version("upd") == 1
+    assert engine.read_stream("out-v1").count() == 3
+
+    def h2(s, e, ctx):
+        ctx.emit("out-v2", "V2", {})
+        return {"seen": s["seen"] + 2}
+
+    spec2 = (Projection.from_category("account", name="upd")
+             .when({"$init": lambda: {"seen": 0}, "$any": h2}))
+    v = engine.update_projection("upd", spec2)
+    assert v == 2 and engine.projection_version("upd") == 2
+    mp = engine.projections["upd"]
+    assert mp.last_result is None and mp.runs == 0  # reset semantics
+    engine.run_projection("upd")
+    states = {r.partition: json.loads(r.state)
+              for r in engine.projection_state("upd").collect()}
+    assert states[""] == {"seen": 6}  # new shape, re-folded from scratch
+    stats = {s["name"]: s for s in engine.projection_statistics()}
+    assert stats["upd"]["version"] == 2
+    # tracker spans BOTH versions: deleting emitted streams covers v1+v2
+    engine.delete_projection("upd", delete_emitted_streams=True)
+    assert engine.read_stream("out-v1").count() == 0
+    assert engine.read_stream("out-v2").count() == 0
+
+
+def test_update_projection_carry_state(engine):
+    """reset=False carries the state table forward (emission-toggle-style
+    updates that keep the fold)."""
+    spec1 = (Projection.from_category("account", name="carry")
+             .when({"$init": lambda: {"n": 0},
+                    "$any": lambda s, e: {"n": s["n"] + 1}}))
+    engine.create_projection(spec1, mode="onetime")
+    engine.run_projection("carry")
+    spec2 = (Projection.from_category("account", name="carry")
+             .when({"$init": lambda: {"n": 0},
+                    "$any": lambda s, e: {"n": s["n"] + 10}}))
+    engine.update_projection("carry", spec2, reset=False)
+    mp = engine.projections["carry"]
+    assert mp.last_result is not None and mp.runs == 1  # carried
+    assert engine.projection_version("carry") == 2
+
+
+def test_register_views_caps_as_of_generations(engine):
+    """One as-of view per manifest generation is unbounded between
+    vacuums (every append publishes one, ADVICE r5) — register_views caps
+    them to the most recent N while keeping the full history listing."""
+    for i in range(8):
+        engine.append("gen-1", [ProposedEvent("E", f'{{"i": {i}}}')])
+    gens = engine.manifest_history()
+    assert len(gens) >= 9
+    names = engine.register_views("capped", max_as_of_views=3)
+    as_of = [n for n in names if n.startswith("capped_events_at_")]
+    assert len(as_of) == 3
+    assert as_of == [f"capped_events_at_{s}" for s in gens[-3:]]
+    hist = engine.spark.table("capped_manifest_history")
+    assert hist.count() == len(gens)  # full listing kept
+    assert engine.register_views("noneat", max_as_of_views=0)
+    assert not [n for n in engine.spark.catalog.listTables()
+                if n.name.startswith("noneat_events_at_")]
+
+
+def test_engine_restore_classmethod(spark, tmp_path):
+    """EventStoreEngine.restore = maintenance.restore + open (one-call
+    disaster recovery)."""
+    src = EventStoreEngine(spark, str(tmp_path / "rsrc"))
+    src.append("acct-1", [ProposedEvent("Op", '{"v": 1}')])
+    src.backup(str(tmp_path / "rbak"))
+    src.close()
+    eng = EventStoreEngine.restore(spark, str(tmp_path / "rbak"),
+                                   str(tmp_path / "rdst"))
+    assert eng.read_stream("acct-1").count() == 1
+    eng.append("acct-1", [ProposedEvent("Op", '{"v": 2}')])  # writable
+    assert eng.read_stream("acct-1").count() == 2
+    eng.close()

@@ -283,3 +283,198 @@ def test_redaction_blanks_targets_only(spark, tmp_path):
 
     with pytest.raises(ValueError):
         eng.redact(["nope"])
+
+
+def test_drop_archived_grace_runs_from_archival_time(spark, tmp_path):
+    """The reader-drain grace clocks from when a file was ARCHIVED, not
+    its mtime (== creation time for immutable log files — by that clock
+    every archived file would drop immediately, ADVICE r5)."""
+    import os
+    import time
+
+    from eventstore_spark import manifest as M
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.writer import ProposedEvent
+
+    store, cold = str(tmp_path / "agr"), str(tmp_path / "agr_cold")
+    eng = EventStoreEngine(spark, store)
+    for i in range(4):
+        eng.append("s-1", [ProposedEvent("E", f'{{"i": {i}}}')])
+    # age the log files far past any grace window
+    old = time.time() - 7 * 86400
+    for f in os.listdir(store):
+        if f.endswith(".parquet"):
+            os.utime(os.path.join(store, f), (old, old))
+    eng.archive_cold(cold, keep_files=2)
+    cfg = M.archive_config(store)
+    assert set(cfg["archived_at"]) == set(cfg["files"])  # clock recorded
+    # week-old mtimes, but archived SECONDS ago: grace must hold
+    assert eng.drop_archived_local(grace_s=3600)["removed"] == 0
+    # once the ARCHIVAL time passes the grace window, the hot copies drop
+    M.write_archive_config(store, {
+        **cfg, "archived_at": {f: old for f in cfg["files"]}})
+    assert eng.drop_archived_local(grace_s=3600)["removed"] == 2
+    eng.close()
+
+
+def test_redaction_purges_archive_copies(spark, tmp_path):
+    """Redacting an event whose file was archived must remove the
+    unredacted bytes from the COLD tier too, and drop the stale name
+    from archive.json (ADVICE r5 — GDPR tool must not leave the data
+    readable in the archive forever)."""
+    import json
+    import os
+
+    from eventstore_spark import manifest as M
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.writer import ProposedEvent
+
+    store, cold = str(tmp_path / "rda"), str(tmp_path / "rda_cold")
+    eng = EventStoreEngine(spark, store)
+    for i in range(4):
+        eng.append("s-1", [ProposedEvent("E", f'{{"secret": {i}}}')])
+    eng.archive_cold(cold, keep_files=1)
+    eng.drop_archived_local(grace_s=0)  # hot copies gone → archive serves
+    cfg0 = M.archive_config(store)
+    assert len(cfg0["files"]) == 3
+    stats = eng.redact(["0@s-1"])  # resolves through the archive tier
+    assert stats["redacted"] == 1 and stats["archive_purged"] >= 1
+    cfg = M.archive_config(store)
+    # the affected file is gone from the archive dir AND the config
+    purged = set(cfg0["files"]) - set(cfg["files"])
+    assert len(purged) == stats["archive_purged"]
+    for name in purged:
+        assert not os.path.exists(os.path.join(cold, name))
+        assert name not in cfg.get("archived_at", {})
+    # the redacted row is blanked; no copy of the secret remains readable
+    rows = {r.event_number: r for r in eng.read_stream("s-1").collect()}
+    assert rows[0].data is None
+    assert json.loads(rows[0].metadata)["$redacted"] is True
+    assert rows[1].data == '{"secret": 1}'
+    eng.close()
+
+
+def test_backup_during_active_projection_skips_torn_generations(spark, tmp_path):
+    """A backup taken while a continuous projection is mid-micro-batch
+    carries only COMMITTED state generations (`batch=` dirs with
+    _SUCCESS) — restore sees a consistent state table (VERDICT r5 #5)."""
+    import json
+    import os
+
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.maintenance import restore
+    from eventstore_spark.projections.dsl import Projection
+    from eventstore_spark.writer import ProposedEvent
+
+    store, dest, rest = (str(tmp_path / n) for n in ("bks", "bkd", "bkr"))
+    eng = EventStoreEngine(spark, store)
+    eng.append("acct-1", [ProposedEvent("Op", '{"v": 1}')])
+    spec = (Projection.from_all(name="torn")
+            .when({"$init": lambda: {"n": 0},
+                   "$any": lambda s, e: {"n": s["n"] + 1}}))
+    eng.create_projection(spec, mode="continuous")
+    q = eng.run_projection("torn", checkpoint_dir=str(tmp_path / "tornck"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sd = eng._projection_state_dir("torn")
+    committed = [d for d in os.listdir(sd) if d.startswith("batch=")]
+    assert committed
+    # plant an IN-FLIGHT generation: parquet part without _SUCCESS
+    torn = os.path.join(sd, "batch=999")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "wb") as f:
+        f.write(b"not yet committed")
+    eng.backup(dest)
+    bsd = os.path.join(dest, "_projections", "torn", "state")
+    assert sorted(os.listdir(bsd)) == sorted(committed)  # torn gen skipped
+    restore(dest, rest)
+    eng.close()
+    e2 = EventStoreEngine(spark, rest)
+    e2.create_projection(spec, mode="continuous")
+    e2.projections["torn"].runs = 1  # state table exists from the backup
+    got = {r.partition: json.loads(r.state)["n"]
+           for r in e2.projection_state("torn").collect()}
+    assert got == {"": 1}
+    e2.close()
+
+
+def test_auto_scavenge_policy_schedule_and_thresholds(spark, tmp_path):
+    """Auto-scavenge parity (docs/server/operations/auto-scavenge.md):
+    with an injected clock, the policy runs exactly when the schedule AND
+    thresholds say so, checkpoints its state, resumes a crashed run
+    immediately, and skips a quiet store."""
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.writer import ProposedEvent
+
+    store = str(tmp_path / "asv")
+    eng = EventStoreEngine(spark, store)
+    for i in range(6):
+        eng.append("acct-1", [ProposedEvent("E", f'{{"i": {i}}}')])
+
+    t = {"now": 1_000_000.0}
+    pol = eng.auto_scavenge_policy(
+        interval_s=3600, min_removable_ratio=0.2, vacuum_grace_s=0,
+        clock=lambda: t["now"])
+
+    # nothing removable → scavenge skipped, but the run is recorded
+    r1 = pol.run_if_due()
+    assert r1["ran"] and r1["scavenge_skipped"] == "below min_removable_ratio"
+    assert r1["removable_ratio"] == 0.0
+
+    # within the interval → not due, even though data became removable
+    eng.set_stream_metadata("acct-1", max_count=2)  # 4 of 7 rows removable
+    r2 = pol.run_if_due()
+    assert not r2["ran"] and r2["reason"] == "not due"
+
+    # past the interval AND above threshold → scavenge + vacuum run
+    t["now"] += 3601
+    r3 = pol.run_if_due()
+    assert r3["ran"] and r3["removable_ratio"] > 0.2
+    assert r3["scavenge"]["removed"] == 4
+    assert eng.read_stream("acct-1").count() == 2
+    st = pol.status()
+    assert st["last_run"] == t["now"] and st["finished"] >= st["started"]
+
+    # crashed run (started > finished in the checkpoint) resumes NOW
+    pol._write_status({**pol.status(), "started": t["now"] + 10})
+    assert pol.due(t["now"] + 11)
+    eng.close()
+
+
+def test_auto_scavenge_policy_compacts_idle_projection_state(spark, tmp_path):
+    """The state-table threshold: a stopped continuous projection with
+    more delta generations than allowed gets compacted; a live one is
+    left alone (single-maintainer rule)."""
+    import os
+
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.projections.dsl import Projection
+    from eventstore_spark.writer import ProposedEvent
+
+    store = str(tmp_path / "asvc")
+    eng = EventStoreEngine(spark, store)
+    eng.append("acct-1", [ProposedEvent("Op", '{"v": 1}')])
+    spec = (Projection.from_all(name="deltas")
+            .when({"$init": lambda: {"n": 0},
+                   "$any": lambda s, e: {"n": s["n"] + 1}}))
+    eng.create_projection(spec, mode="continuous")
+    q = eng.run_projection("deltas", checkpoint_dir=str(tmp_path / "dck"))
+    try:
+        q.processAllAvailable()
+        eng.append("acct-1", [ProposedEvent("Op", '{"v": 2}')])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    eng.projections["deltas"].query = None
+    sd = eng._projection_state_dir("deltas")
+    gens = sum(1 for d in os.listdir(sd) if d.startswith("batch="))
+    assert gens >= 2
+    pol = eng.auto_scavenge_policy(
+        interval_s=0, min_removable_ratio=0.99, max_state_generations=1,
+        clock=lambda: 5_000_000.0)
+    r = pol.run_if_due()
+    assert r["compacted"]["deltas"]["generations_after"] == 1
+    assert sum(1 for d in os.listdir(sd) if d.startswith("batch=")) == 1
+    eng.close()

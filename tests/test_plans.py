@@ -411,3 +411,36 @@ def test_per_source_cap_and_training_order_windows_partition(parquet_docs):
     plan2 = plan_of(training_order(parquet_docs, num_shards=8))
     assert "SinglePartition" not in plan2
     assert "hashpartitioning(shard" in plan2
+
+
+def test_materialized_hybrid_read_prunes_tail(spark, tmp_path):
+    """The round-6 hybrid system-stream read (materialized prefix ∪
+    virtual tail): the materialized side is a PRUNED literal-name scan
+    (stream_id pushed), the tail side pushes its log_position > W cut to
+    the scan (min/max prunes it to zero row groups when current), and
+    the tail's rank window stays bucket-keyed — never a data-scale
+    SinglePartition."""
+    import re
+
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.writer import ProposedEvent
+
+    eng = EventStoreEngine(spark, str(tmp_path / "hyb"))
+    for i in range(6):
+        eng.append(f"user-{i % 2}", [ProposedEvent("Op", "{}")])
+    eng.register_system_projections(mode="onetime")
+    eng.append("user-0", [ProposedEvent("Op", "{}")])  # stale tail
+    page = eng.read_stream("$ce-user")
+    plan = plan_of(page)
+    # materialized side: literal link-stream name reaches the scan
+    assert "EqualTo(stream_id,$ce-user)" in plan, plan
+    # tail side: the covered-position cut reaches a scan
+    assert re.search(r"GreaterThan\(log_position,\d+\)", plan), plan
+    # every row_number window is KEYED — by the numbering bucket (tail
+    # rank) or by stream_id (metadata latest-wins); none unpartitioned
+    wins = [a for a in re.findall(r"Window.*|Arguments: \[row_number.*", plan)
+            if "row_number" in a]
+    assert wins and all("_bkt" in a or "stream_id" in a for a in wins), wins
+    assert any("_bkt" in a for a in wins), wins  # the tail rank is bucketed
+    assert "CartesianProduct" not in plan
+    eng.close()

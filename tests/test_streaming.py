@@ -1002,3 +1002,35 @@ def test_connector_foreach_batch_seam(spark, tmp_path):
     finally:
         cm.stop("push")
     assert sum(got) == 2
+
+
+def test_subscription_backlog_fell_behind(spark, log, tmp_path):
+    """FellBehind parity (streams.proto CaughtUp/FellBehind): the backlog
+    observable reports committed files the subscription's checkpoint has
+    not processed, and clears after a drain."""
+    from eventstore_spark.streaming.subscriptions import (
+        start_foreach_batch, subscription_backlog,
+    )
+
+    ckpt = str(tmp_path / "fbck")
+    path = log.path
+
+    def drain():
+        q = start_foreach_batch(
+            subscribe_all(spark, path), lambda df, bid: df.count(),
+            checkpoint_location=ckpt, available_now=True)
+        q.awaitTermination()
+
+    drain()
+    b0 = subscription_backlog(path, ckpt)
+    assert b0["pending_files"] == 0 and not b0["fell_behind"]
+    assert b0["seen_files"] == 3
+    # fall behind: three more commits with no query running
+    for i in range(3):
+        log.append("account-9", [ProposedEvent("Op", f'{{"i": {i}}}')])
+    b1 = subscription_backlog(path, ckpt)
+    assert b1["pending_files"] == 3 and b1["fell_behind"]
+    # drain from the same checkpoint → caught up again
+    drain()
+    b2 = subscription_backlog(path, ckpt)
+    assert b2["pending_files"] == 0 and not b2["fell_behind"]
