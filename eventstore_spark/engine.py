@@ -283,8 +283,15 @@ class EventStoreEngine:
             # so a commit that lands mid-scan is never missed
             epoch = self.writer.commit_epoch()
             sig = self.writer.log_signature()
+            base = self.events()
+            if sysproj.is_system_stream_name(stream_id):
+                # long-poll a system stream by NAME: probe the same base
+                # the read serves (materialized + tail, or virtual) —
+                # probing the raw log would see no `$ce-…` rows on an
+                # unmaterialized store and park until timeout
+                base = self._system_base(base, stream_id)
             head = (
-                self.events()
+                base
                 .where(F.col("stream_id") == stream_id)
                 .agg(F.max("event_number"))
                 .first()[0]

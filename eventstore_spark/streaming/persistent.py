@@ -155,9 +155,9 @@ class PersistentSubscription:
         return c
 
     # -- fetch / deliver ----------------------------------------------------
-    def _pending_batch_df(self) -> DataFrame:
-        """The pruned range scan ``_refill`` collects (exposed so plan
-        tests can pin that the stream/filter predicates reach the scan)."""
+    def _selected(self) -> DataFrame:
+        """The group's selector applied to the log (Catalyst predicates —
+        they ride the pruned scan)."""
         src = self.events
         if self._system_predicate is not None:
             # name-routed group: the system stream's predicate rides the
@@ -171,14 +171,34 @@ class PersistentSubscription:
             # range scan (pushed to parquet) — non-matching events never
             # enter the delivery buffer and never cost a retry slot
             src = src.where(self.event_filter.predicate())
+        return src
+
+    def _pending_batch_df(self) -> DataFrame:
+        """The pruned range scan ``_refill`` collects (exposed so plan
+        tests can pin that the stream/filter predicates reach the scan)."""
         return (
-            src.where(F.col("log_position") >= self._buffer_head)
+            self._selected()
+            .where(F.col("log_position") >= self._buffer_head)
             .orderBy("log_position")
             .limit(self.settings.read_batch_size)
             .select(
                 "log_position", "stream_id",
                 F.get_json_object("metadata", "$.$correlationId").alias("corr"),
             )
+        )
+
+    def backlog(self) -> int:
+        """Messages matching this group's selector NOT yet pulled into the
+        delivery buffer — the per-group behind-count the reference's
+        subscription statistics expose (PersistentSubscription.cs
+        statistics / FellBehind pressure; round 6, the group-level
+        counterpart of ``subscriptions.subscription_backlog``). One
+        pruned range count; the buffer itself is bounded by
+        read_batch_size, so this is the unbounded-side observable."""
+        return int(
+            self._selected()
+            .where(F.col("log_position") >= self._buffer_head)
+            .count()
         )
 
     def _refill(self, now: float) -> None:

@@ -755,3 +755,19 @@ def test_engine_restore_classmethod(spark, tmp_path):
     eng.append("acct-1", [ProposedEvent("Op", '{"v": 2}')])  # writable
     assert eng.read_stream("acct-1").count() == 2
     eng.close()
+
+
+def test_poll_stream_system_name(engine):
+    """Long-poll reads work on system-stream NAMES: the head probe uses
+    the same name-routed base the read serves (virtual or materialized),
+    so existing links return immediately instead of parking to timeout."""
+    import time as _t
+
+    t0 = _t.monotonic()
+    got = engine.poll_stream("$ce-account", 0, timeout_s=60.0)
+    waited = _t.monotonic() - t0
+    assert waited < 50.0  # returned on the probe, never parked to timeout
+    assert got.count() == 3
+    # materialized store: same behavior through the hybrid base
+    engine.register_system_projections(mode="onetime")
+    assert engine.poll_stream("$ce-account", 2, timeout_s=60.0).count() == 1

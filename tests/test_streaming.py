@@ -1034,3 +1034,16 @@ def test_subscription_backlog_fell_behind(spark, log, tmp_path):
     drain()
     b2 = subscription_backlog(path, ckpt)
     assert b2["pending_files"] == 0 and not b2["fell_behind"]
+
+
+def test_persistent_group_backlog(spark, ps_log):
+    """Per-group behind-count: backlog reports matching messages not yet
+    buffered, and drains as the group fetches/acks."""
+    ps = PersistentSubscription(ps_log.load(), "bg", "orders-1",
+                                PersistentSubscriptionSettings(read_batch_size=2))
+    assert ps.backlog() == 6
+    ps.add_consumer("c1")
+    got = ps.fetch(now=0.0)["c1"]
+    assert len(got) == 2
+    # the two fetched left the unbuffered backlog
+    assert ps.backlog() == 4
