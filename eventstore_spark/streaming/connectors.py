@@ -52,6 +52,16 @@ class ConnectorSettings:
     filter_type: str | None = None       # streamId | prefix | regex | jsonPath
     filter_expression: str | None = None
     from_position: int = 0
+    # Transformations (features.md §Transformations): the reference runs
+    # a user JS `transform(record)` on every record before the sink and
+    # stamps transformed records with `IsTransformed: true`. Spark-first
+    # translation: column → SQL EXPRESSION overrides evaluated by
+    # Catalyst over the envelope (codegen'd, no per-record Python), e.g.
+    # {"data": "to_json(named_struct('amount', get_json_object(data,"
+    # "'$.amount')))"} — strings, so they persist in settings.json like
+    # the reference's base64-encoded function. Transformed records get
+    # `"IsTransformed": true` merged into their metadata JSON.
+    transform: dict | None = None        # {column: sql_expression}
 
     def predicate(self):
         """The filter as ONE Catalyst predicate (pushed into the scan).
@@ -73,6 +83,33 @@ class ConnectorSettings:
             # yields a value
             return F.get_json_object(F.col("data"), expr).isNotNull()
         raise ValueError(f"unknown connector filter type {ft!r}")
+
+
+def _apply_transform(src: DataFrame, transform: dict) -> DataFrame:
+    """Apply a connector transform (features.md §Transformations): each
+    entry overrides one envelope column with a Catalyst SQL expression
+    (evaluated in the same WholeStageCodegen pass as the filter — the
+    JVM-side analog of the reference's per-record JS), then
+    ``"IsTransformed": true`` is merged into the record metadata, as the
+    reference stamps transformed records."""
+    for col, expr in transform.items():
+        if col not in src.columns:
+            raise ValueError(f"transform targets unknown column {col!r}")
+        src = src.withColumn(col, F.expr(expr).cast(dict(src.dtypes)[col]))
+    m = F.trim(F.col("metadata"))
+    marked = (
+        F.when(
+            m.isNull() | (m == "") | (F.regexp_replace(m, r"\s", "") == "{}"),
+            F.lit('{"IsTransformed":true}'),
+        )
+        .when(
+            m.startswith("{"),
+            F.concat(F.lit('{"IsTransformed":true,'),
+                     F.expr("substring(trim(metadata), 2)")),
+        )
+        .otherwise(F.lit('{"IsTransformed":true}'))
+    )
+    return src.withColumn("metadata", marked)
 
 
 class ConnectorManager:
@@ -139,6 +176,8 @@ class ConnectorManager:
         pred = st.predicate()
         if pred is not None:
             src = src.where(pred)
+        if st.transform:
+            src = _apply_transform(src, st.transform)
         ck = os.path.join(self._dir(name), "checkpoint")
         w = src.writeStream.outputMode("append").option("checkpointLocation", ck)
         if st.sink == "parquet":

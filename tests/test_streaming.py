@@ -1047,3 +1047,48 @@ def test_persistent_group_backlog(spark, ps_log):
     assert len(got) == 2
     # the two fetched left the unbuffered backlog
     assert ps.backlog() == 4
+
+
+def test_connector_transformation(spark, tmp_path):
+    """Transformations parity (connectors/features.md §Transformations):
+    the transform rewrites record columns via Catalyst SQL before the
+    sink, records are stamped IsTransformed, and the transform persists
+    in settings (survives manager restarts like the reference's
+    base64-encoded function)."""
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.streaming.connectors import ConnectorSettings
+
+    eng = EventStoreEngine(spark, str(tmp_path / "cxt"))
+    eng.append("orders-1", [ProposedEvent("Placed", '{"amount": 12, "pii": "x"}',
+                                          metadata='{"k": 1}')])
+    eng.append("orders-2", [ProposedEvent("Placed", '{"amount": 5, "pii": "y"}')])
+    cm = eng.connectors
+    cm.create("slim", ConnectorSettings(
+        sink="memory", sink_options={"table": "slim_out"},
+        filter_scope="stream", filter_type="prefix",
+        filter_expression="orders-",
+        transform={
+            "data": "to_json(named_struct('amount', "
+                    "CAST(get_json_object(data, '$.amount') AS BIGINT)))",
+        },
+    ))
+    q = cm.start("slim")
+    try:
+        q.processAllAvailable()
+    finally:
+        cm.stop("slim")
+    rows = {r.stream_id: r for r in spark.table("slim_out").collect()}
+    assert rows["orders-1"].data == '{"amount":12}'  # pii column dropped
+    assert rows["orders-2"].data == '{"amount":5}'
+    md1 = json.loads(rows["orders-1"].metadata)
+    assert md1["IsTransformed"] is True and md1["k"] == 1  # merged, kept
+    assert json.loads(rows["orders-2"].metadata) == {"IsTransformed": True}
+    # persisted: a fresh manager view still carries the transform
+    assert cm.view_settings("slim").transform["data"].startswith("to_json")
+    # bad transform fails loudly at start
+    cm.create("bad", ConnectorSettings(
+        sink="memory", transform={"nope": "1"}))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        cm.start("bad")
+    eng.close()
