@@ -132,11 +132,34 @@ class EmitContext:
 class Event(dict):
     """Event envelope handed to handlers; ``body``/``meta`` (parsed JSON)
     are computed only on first access — most folds read typed columns and
-    never pay the json.loads."""
+    never pay the json.loads.
+
+    Reference-JS property aliases (custom.md §Handlers lists the
+    camelCase names user projections see: streamId, eventType,
+    sequenceNumber, bodyRaw, metadataRaw, isJson, partition) resolve to
+    the envelope columns, so a handler ported verbatim from the
+    reference reads the same names. One deliberate difference: the JS
+    runtime's ``data`` is the PARSED body (same as ``body``); here
+    ``data`` is the raw string (the envelope column) and ``body`` is the
+    parsed view — porters reading ``data`` as an object should read
+    ``body``."""
 
     __slots__ = ()
 
+    _JS_ALIASES = {
+        "streamId": "stream_id",
+        "eventType": "event_type",
+        "sequenceNumber": "event_number",
+        "bodyRaw": "data",
+        "metadataRaw": "metadata",
+        "isJson": "is_json",
+        "linkMetadataRaw": "link_metadata",
+    }
+
     def __missing__(self, key):
+        alias = self._JS_ALIASES.get(key)
+        if alias is not None:
+            return self.get(alias)
         if key == "body":
             v = None
             if self.get("is_json") and isinstance(self.get("data"), str):
@@ -194,6 +217,7 @@ def _make_fold(proj: Projection, sort_key: str = "log_position"):
         cols = [c for c in pdf.columns if c != "_partition"]
         for row in pdf[cols].itertuples(index=False):
             ev = _event_dict(dict(zip(cols, row)))
+            ev["partition"] = partition  # custom.md §Handlers property
             ctx._pos = int(ev.get("log_position", ev.get("event_number", -1)))
             et = ev["event_type"]
             if et == STREAM_DELETED_EVENT_TYPE:
@@ -256,6 +280,7 @@ def _make_bistate_fold(proj: Projection):
             if part not in parts:
                 parts[part] = init() if init is not None else {}
             ev = _event_dict(dict(zip(cols, row)))
+            ev["partition"] = part  # custom.md §Handlers property
             ctx.partition = part
             ctx._pos = int(ev.get("log_position", -1))
             et = ev["event_type"]

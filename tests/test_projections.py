@@ -225,3 +225,38 @@ def test_include_links_resolves_before_fold(spark):
     # targets resolved, folded in LINK order (Tock@src-1, Tick@src-2, Tick@src-1)
     assert st["n"] == 3 and st["sum"] == 60
     assert st["seen"] == ["Tock", "Tick", "Tick"]
+
+
+def test_event_exposes_reference_js_property_names(spark, tmp_path):
+    """A handler ported verbatim from the reference's JS API reads the
+    camelCase properties custom.md documents (streamId, eventType,
+    sequenceNumber, bodyRaw, isJson, partition) and they resolve to the
+    envelope columns."""
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.writer import ProposedEvent
+
+    eng = EventStoreEngine(spark, str(tmp_path / "jsprops"))
+    eng.append("acct-7", [ProposedEvent("Op", '{"v": 1}',
+                                        metadata='{"m": 2}')])
+
+    seen = {}
+
+    def h(s, e):
+        return {
+            "streamId": e["streamId"], "eventType": e["eventType"],
+            "seq": e["sequenceNumber"], "bodyRaw": e["bodyRaw"],
+            "metadataRaw": e["metadataRaw"], "isJson": bool(e["isJson"]),
+            "partition": e["partition"], "body_v": e["body"]["v"],
+        }
+
+    spec = (Projection.from_stream("acct-7", name="jsp")
+            .when({"$init": lambda: {}, "$any": h}))
+    eng.create_projection(spec, mode="onetime")
+    eng.run_projection("jsp")
+    st = json.loads(eng.projection_state("jsp").collect()[0].state)
+    assert st == {
+        "streamId": "acct-7", "eventType": "Op", "seq": 0,
+        "bodyRaw": '{"v": 1}', "metadataRaw": '{"m": 2}', "isJson": True,
+        "partition": "", "body_v": 1,  # root partition (unpartitioned)
+    }
+    eng.close()
