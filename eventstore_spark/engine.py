@@ -52,6 +52,11 @@ class _ManagedProjection:
     spec: Projection
     mode: str = "onetime"  # transient | onetime | continuous
     enabled: bool = True
+    # projections.proto CreateReq/UpdateReq emit_enabled: a projection
+    # created without it must not write events; calling emit()/linkTo()
+    # then FAULTS the run (the reference's behavior) instead of silently
+    # appending.
+    emit_enabled: bool = True
     last_result: ProjectionResult | None = None
     runs: int = 0
     query: object = None  # StreamingQuery when continuous
@@ -541,11 +546,15 @@ class EventStoreEngine:
         return q
 
     # ------------------------------------------------------------ projections
-    def create_projection(self, spec: Projection, mode: str = "onetime") -> None:
-        self.projections[spec.name] = _ManagedProjection(spec=spec, mode=mode)
+    def create_projection(self, spec: Projection, mode: str = "onetime",
+                          emit_enabled: bool = True) -> None:
+        self.projections[spec.name] = _ManagedProjection(
+            spec=spec, mode=mode, emit_enabled=emit_enabled
+        )
 
     def update_projection(self, name: str, spec: Projection,
-                          reset: bool = True) -> int:
+                          reset: bool = True,
+                          emit_enabled: bool | None = None) -> int:
         """Replace a managed projection's query — the reference's
         UpdateReq (projections.proto UpdateReq.Options;
         ProjectionManager.cs:259-307 routes Post(UpdateQuery) to the
@@ -581,6 +590,8 @@ class EventStoreEngine:
             mp.last_result = None
             mp.runs = 0
         mp.spec = spec
+        if emit_enabled is not None:  # UpdateReq.Options.emit_enabled
+            mp.emit_enabled = emit_enabled
         version = self.projection_version(name) + 1
         vfile = os.path.join(self.path, "_projections", name, "version")
         os.makedirs(os.path.dirname(vfile), exist_ok=True)
@@ -725,6 +736,15 @@ class EventStoreEngine:
                             "source_log_position", "emit_seq",
                         )
                     )
+                    if not mp.emit_enabled and emissions.limit(1).first():
+                        # projections.proto emit_enabled: emitting while
+                        # disabled FAULTS the projection (the reference
+                        # faults the query; here the streaming query dies
+                        # with this error)
+                        raise RuntimeError(
+                            f"projection '{name}' called emit/linkTo but "
+                            "was created with emit_enabled=False"
+                        )
                     self.writer.append_df(emissions)
                     self._record_emitted_streams(name, emissions)
                     (
@@ -742,6 +762,12 @@ class EventStoreEngine:
             mp.query = w.start()
             return mp.query
         mp.last_result = run_batch(mp.spec, self.events())
+        if not mp.emit_enabled and mp.last_result.emitted.limit(1).first():
+            mp.last_result = None  # faulted — nothing persisted
+            raise RuntimeError(
+                f"projection '{name}' called emit/linkTo but was created "
+                "with emit_enabled=False (projections.proto emit_enabled)"
+            )
         # emitted events append back to the log with deterministic ids
         # full emitted shape: source_log_position/emit_seq keep emitted
         # streams numbered in fold order (reference appends in order)
@@ -944,13 +970,51 @@ class EventStoreEngine:
     def scavenge(self, now_ts=None, target_files: int = 8) -> dict:
         """Admin scavenge (the reference's admin API surface): retention
         rewrite of this store's log. Reader-safe — superseded files stay
-        on disk until ``vacuum``'s grace window passes (maintenance.py)."""
+        on disk until ``vacuum``'s grace window passes (maintenance.py).
+
+        Records the run in the ``$scavenges`` stream
+        ($scavengeStarted/$scavengeCompleted with scavengeId, result,
+        timeTaken, spaceSaved — streams.md §$scavenges), so scavenge
+        history reads like the reference's: ``read_stream("$scavenges")``."""
+        import time as _time
+        import uuid as _uuid
+
         from .maintenance import scavenge as _scavenge
 
-        return _scavenge(
-            self.spark, self.path, self.stream_metadata(),
-            now_ts=now_ts, target_files=target_files,
-        )
+        sid = _uuid.uuid4().hex
+        self.writer.append("$scavenges", [ProposedEvent(
+            "$scavengeStarted",
+            json.dumps({"scavengeId": sid, "nodeEndpoint": "local"},
+                       sort_keys=True),
+        )])
+        t0 = _time.monotonic()
+        size_before = self.store_statistics()["log_bytes"]
+        try:
+            stats = _scavenge(
+                self.spark, self.path, self.stream_metadata(),
+                now_ts=now_ts, target_files=target_files,
+            )
+        except BaseException as e:
+            self.writer.append("$scavenges", [ProposedEvent(
+                "$scavengeCompleted",
+                json.dumps({"scavengeId": sid, "nodeEndpoint": "local",
+                            "result": "Failed", "error": str(e)[:500],
+                            "timeTaken": int((_time.monotonic() - t0) * 1000)},
+                           sort_keys=True),
+            )])
+            raise
+        # spaceSaved materializes at vacuum (superseded files linger for
+        # the grace window) — report the live-snapshot shrink
+        size_after = self.store_statistics()["log_bytes"]
+        self.writer.append("$scavenges", [ProposedEvent(
+            "$scavengeCompleted",
+            json.dumps({"scavengeId": sid, "nodeEndpoint": "local",
+                        "result": "Success", "error": None,
+                        "timeTaken": int((_time.monotonic() - t0) * 1000),
+                        "spaceSaved": max(0, size_before - size_after)},
+                       sort_keys=True),
+        )])
+        return stats
 
     def auto_scavenge_policy(self, **kwargs):
         """A scheduled, threshold-driven maintenance runner bound to this

@@ -771,3 +771,48 @@ def test_poll_stream_system_name(engine):
     # materialized store: same behavior through the hybrid base
     engine.register_system_projections(mode="onetime")
     assert engine.poll_stream("$ce-account", 2, timeout_s=60.0).count() == 1
+
+
+def test_emit_enabled_gate(engine):
+    """projections.proto emit_enabled parity: a projection created with
+    emit_enabled=False FAULTS when its handlers emit, appends nothing,
+    and an update can re-enable emission."""
+    def h(s, e, ctx):
+        ctx.emit("gated-out", "G", {"v": 1})
+        return {"n": s["n"] + 1}
+
+    spec = (Projection.from_category("account", name="gated")
+            .when({"$init": lambda: {"n": 0}, "$any": h}))
+    engine.create_projection(spec, mode="onetime", emit_enabled=False)
+    with pytest.raises(RuntimeError, match="emit_enabled"):
+        engine.run_projection("gated")
+    assert engine.read_stream("gated-out").count() == 0  # nothing landed
+    # UpdateReq EmitOptions: toggle emission back on
+    engine.update_projection("gated", spec, emit_enabled=True)
+    engine.run_projection("gated")
+    assert engine.read_stream("gated-out").count() == 3
+    # a NON-emitting projection runs fine with emission disabled
+    quiet = (Projection.from_category("account", name="quiet")
+             .when({"$init": lambda: {"n": 0},
+                    "$any": lambda s, e: {"n": s["n"] + 1}}))
+    engine.create_projection(quiet, mode="onetime", emit_enabled=False)
+    engine.run_projection("quiet")
+    assert json.loads(engine.projection_state("quiet").collect()[0].state) == {"n": 3}
+
+
+def test_scavenge_history_stream(engine):
+    """streams.md §$scavenges parity: each engine scavenge records
+    $scavengeStarted/$scavengeCompleted (scavengeId, result, timeTaken)
+    in the $scavenges stream, readable by name like the reference's."""
+    engine.set_stream_metadata("account-1", max_count=1)
+    stats = engine.scavenge()
+    assert stats["removed"] >= 1
+    rows = engine.read_stream("$scavenges").collect()
+    assert [r.event_type for r in rows] == ["$scavengeStarted", "$scavengeCompleted"]
+    started, completed = (json.loads(r.data) for r in rows)
+    assert completed["scavengeId"] == started["scavengeId"]
+    assert completed["result"] == "Success"
+    assert completed["timeTaken"] >= 0
+    # a second run appends a second pair (paged history)
+    engine.scavenge()
+    assert engine.read_stream("$scavenges").count() == 4
