@@ -284,7 +284,12 @@ def q_p12_result_stream(spark, sf):
     (ResultEventEmitter.cs:10-25 parity; engine.run_projection appends
     exactly these rows to the log)."""
     res = run_batch(_balance_projection(), load_envelope(spark, sf))
-    return res.result_events("balance")
+    # the SUMMARY result stream (round 6 also emits per-partition
+    # $projections-balance-<partition>-result rows; the oracle models
+    # the summary — the reference's paged result read)
+    return res.result_events("balance").where(
+        F.col("stream_id") == "$projections-balance-result"
+    )
 
 
 def q_p7_partition_by(spark, sf):

@@ -778,7 +778,10 @@ class EventStoreEngine:
         # (or the outputTo override) so `read_stream("$projections-…-result")`
         # works like the reference (ResultEventEmitter.cs:10-25).
         if mp.spec.output_state_:
-            results = mp.last_result.result_events(name, mp.spec.result_stream_name)
+            results = mp.last_result.result_events(
+                name, mp.spec.result_stream_name,
+                getattr(mp.spec, "partition_result_pattern", None),
+            )
             self.writer.append_df(results)
             self._record_emitted_streams(name, results)
         # U8 parity: checkpoint stream `$projections-<name>-checkpoint`

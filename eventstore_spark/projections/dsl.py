@@ -64,6 +64,7 @@ class Projection:
     state_chain: list[tuple[str, Callable]] = field(default_factory=list)
     output_state_: bool = False
     result_stream_name: str | None = None
+    partition_result_pattern: str | None = None
     include_links: bool = False
     options_: dict = field(default_factory=dict)
     columns_: tuple[str, ...] | None = None
@@ -134,9 +135,16 @@ class Projection:
         self.output_state_ = True
         return self
 
-    def output_to(self, result_stream: str) -> "Projection":
+    def output_to(self, result_stream: str,
+                  partition_result_stream_pattern: str | None = None
+                  ) -> "Projection":
+        """JS ``outputTo(resultStream[, partitionResultStreamPattern])``
+        — the second argument overrides where PARTITIONED results land
+        (``{0}`` substitutes the partition; default
+        ``$projections-<name>-{0}-result``)."""
         self.output_state_ = True
         self.result_stream_name = result_stream
+        self.partition_result_pattern = partition_result_stream_pattern
         return self
 
     @property

@@ -348,15 +348,29 @@ class ProjectionResult:
         )
 
     def result_events(self, projection_name: str,
-                      result_stream: str | None = None) -> DataFrame:
+                      result_stream: str | None = None,
+                      partition_result_pattern: str | None = None
+                      ) -> DataFrame:
         """P12/P13: the final states as appendable `Result` events for the
         `$projections-<name>-result` stream (ResultEventEmitter.cs:10-25;
         outputTo overrides the name). Event ids hash (projection,
         partition, state), so re-running an unchanged projection dedupes
-        to exactly-once while a changed state appends a new version."""
+        to exactly-once while a changed state appends a new version.
+
+        Partitioned projections ALSO write each partition's result to its
+        own `$projections-<name>-<partition>-result` stream (streams.md
+        §projections streams; the JS outputTo's second argument overrides
+        the pattern — ``{0}`` substitutes the partition). Non-root
+        partitions get both rows; the summary stream carries every
+        partition, exactly as the reference's result emitter."""
         rs = result_stream or f"$projections-{projection_name}-result"
-        return self.states.select(
-            F.lit(rs).alias("stream_id"),
+        pattern = (
+            partition_result_pattern
+            or f"$projections-{projection_name}-{{0}}-result"
+        )
+        pre, _, post = pattern.partition("{0}")
+        base = self.states.select(
+            F.col("partition"),
             F.lit("Result").alias("event_type"),
             F.col("state").alias("data"),
             F.to_json(F.struct(F.col("partition"))).alias("metadata"),
@@ -365,6 +379,20 @@ class ProjectionResult:
                             F.col("state"))
             ).alias("event_id"),
         )
+        summary = base.select(
+            F.lit(rs).alias("stream_id"), "event_type", "data", "metadata",
+            "event_id",
+        )
+        per_part = base.where(F.col("partition") != "").select(
+            F.concat(F.lit(pre), F.col("partition"),
+                     F.lit(post)).alias("stream_id"),
+            "event_type", "data", "metadata",
+            # distinct id per target stream (same state, two streams)
+            F.md5(F.concat_ws("|", F.lit("pr"), F.col("event_id"))).alias(
+                "event_id"
+            ),
+        )
+        return summary.unionByName(per_part)
 
 
 def run_batch(proj: Projection, events: DataFrame) -> ProjectionResult:

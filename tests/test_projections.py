@@ -260,3 +260,48 @@ def test_event_exposes_reference_js_property_names(spark, tmp_path):
         "partition": "", "body_v": 1,  # root partition (unpartitioned)
     }
     eng.close()
+
+
+def test_partitioned_result_streams(spark, tmp_path):
+    """streams.md: a PARTITIONED outputState projection writes the
+    summary $projections-<name>-result AND one
+    $projections-<name>-<partition>-result per partition; outputTo's
+    second argument overrides the per-partition pattern."""
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.writer import ProposedEvent
+
+    eng = EventStoreEngine(spark, str(tmp_path / "ppres"))
+    eng.append("acct-a", [ProposedEvent("Op", '{"v": 1}')])
+    eng.append("acct-b", [ProposedEvent("Op", '{"v": 2}'),
+                          ProposedEvent("Op", '{"v": 3}')])
+    spec = (Projection.from_category("acct", name="pp")
+            .foreach_stream()
+            .when({"$init": lambda: {"n": 0},
+                   "$any": lambda s, e: {"n": s["n"] + 1}})
+            .output_state())
+    eng.create_projection(spec, mode="onetime")
+    eng.run_projection("pp")
+    summary = {json.loads(r.metadata)["partition"]: json.loads(r.data)
+               for r in eng.read_stream("$projections-pp-result").collect()}
+    assert summary == {"acct-a": {"n": 1}, "acct-b": {"n": 2}}
+    assert json.loads(
+        eng.read_stream("$projections-pp-acct-a-result").collect()[0].data
+    ) == {"n": 1}
+    assert json.loads(
+        eng.read_stream("$projections-pp-acct-b-result").collect()[0].data
+    ) == {"n": 2}
+    # pattern override via outputTo's second argument
+    spec2 = (Projection.from_category("acct", name="pp2")
+             .foreach_stream()
+             .when({"$init": lambda: {"n": 0},
+                    "$any": lambda s, e: {"n": s["n"] + 1}})
+             .output_to("totals", "totals-{0}"))
+    eng.create_projection(spec2, mode="onetime")
+    eng.run_projection("pp2")
+    assert eng.read_stream("totals").count() == 2
+    assert json.loads(eng.read_stream("totals-acct-b").collect()[0].data) == {"n": 2}
+    # idempotent re-run: same states → no duplicate result events
+    eng.run_projection("pp")
+    assert eng.read_stream("$projections-pp-result").count() == 2
+    assert eng.read_stream("$projections-pp-acct-a-result").count() == 1
+    eng.close()
