@@ -548,9 +548,28 @@ class EventStoreEngine:
     # ------------------------------------------------------------ projections
     def create_projection(self, spec: Projection, mode: str = "onetime",
                           emit_enabled: bool = True) -> None:
+        """Register a projection. The registration is also RECORDED in
+        the `$projections-$all` registry stream ($ProjectionCreated —
+        the reference persists its registry exactly there,
+        streams.md §$projections-$all), so the store itself lists what
+        ran against it across sessions. Handler code is Python (not
+        serializable like the reference's JS), so each process
+        re-attaches specs by calling this; the deterministic event id
+        makes re-registration a registry no-op."""
         self.projections[spec.name] = _ManagedProjection(
             spec=spec, mode=mode, emit_enabled=emit_enabled
         )
+        import hashlib
+
+        eid = hashlib.md5(
+            f"created|{spec.name}|{mode}|{emit_enabled}".encode()
+        ).hexdigest()
+        self.writer.append("$projections-$all", [ProposedEvent(
+            "$ProjectionCreated",
+            json.dumps({"name": spec.name, "mode": mode,
+                        "emitEnabled": emit_enabled}, sort_keys=True),
+            event_id=eid,
+        )])
 
     def update_projection(self, name: str, spec: Projection,
                           reset: bool = True,
@@ -599,6 +618,16 @@ class EventStoreEngine:
         with open(tmp, "w") as fh:
             fh.write(str(version))
         os.replace(tmp, vfile)
+        # version history as a stream — the reference persists updated
+        # queries as events of `$projections-<name>` (streams.md); the
+        # Python handlers aren't serializable, so the event records the
+        # version metadata, not the code
+        self.writer.append(f"$projections-{name}", [ProposedEvent(
+            "$ProjectionUpdated",
+            json.dumps({"name": name, "version": version, "reset": reset,
+                        "emitEnabled": mp.emit_enabled}, sort_keys=True),
+            event_id=f"projupd-{name}-{version}",
+        )])
         return version
 
     def projection_version(self, name: str) -> int:
@@ -638,6 +667,9 @@ class EventStoreEngine:
         reference's delete-then-scavenge flow)."""
         self.disable_projection(name)
         del self.projections[name]
+        self.writer.append("$projections-$all", [ProposedEvent(
+            "$ProjectionDeleted", json.dumps({"name": name}),
+        )])
         if delete_emitted_streams:
             for sid in self._emitted_streams(name):
                 self.writer.soft_delete(sid)

@@ -816,3 +816,35 @@ def test_scavenge_history_stream(engine):
     # a second run appends a second pair (paged history)
     engine.scavenge()
     assert engine.read_stream("$scavenges").count() == 4
+
+
+def test_projection_registry_streams(spark, tmp_path):
+    """streams.md registry parity: create/update/delete record
+    $ProjectionCreated/$ProjectionUpdated/$ProjectionDeleted into
+    `$projections-$all` / `$projections-<name>` — the store itself lists
+    its projection history across sessions; re-registration is a
+    registry no-op (deterministic ids)."""
+    eng = EventStoreEngine(spark, str(tmp_path / "preg"))
+    eng.append("acct-1", [ProposedEvent("Op", "{}")])
+    spec = (Projection.from_category("acct", name="reg")
+            .when({"$init": lambda: {"n": 0},
+                   "$any": lambda s, e: {"n": s["n"] + 1}}))
+    eng.create_projection(spec, mode="onetime")
+    reg = eng.read_stream("$projections-$all").collect()
+    assert [r.event_type for r in reg] == ["$ProjectionCreated"]
+    assert json.loads(reg[0].data)["name"] == "reg"
+    # same-session or cross-session re-registration: no duplicate row
+    eng.create_projection(spec, mode="onetime")
+    assert eng.read_stream("$projections-$all").count() == 1
+    eng.update_projection("reg", spec)
+    hist = eng.read_stream("$projections-reg").collect()
+    assert [r.event_type for r in hist] == ["$ProjectionUpdated"]
+    assert json.loads(hist[0].data)["version"] == 2
+    eng.delete_projection("reg")
+    kinds = [r.event_type for r in eng.read_stream("$projections-$all").collect()]
+    assert kinds == ["$ProjectionCreated", "$ProjectionDeleted"]
+    # a NEW session sees the registry history without any re-attach
+    eng.close()
+    e2 = EventStoreEngine(spark, str(tmp_path / "preg"))
+    assert e2.read_stream("$projections-$all").count() == 2
+    e2.close()
