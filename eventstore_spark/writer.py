@@ -328,9 +328,16 @@ class EventLogWriter:
     def __init__(self, spark: SparkSession, path: str,
                  max_append_size: int = DEFAULT_MAX_APPEND_SIZE,
                  lock_timeout_s: float = 0.0,
-                 group_commit_window_ms: float = 0.0):
+                 group_commit_window_ms: float = 0.0,
+                 read_only: bool = False):
         self.spark = spark
         self.path = path
+        # read_only: serve load()/load_at() WITHOUT claiming the
+        # single-writer lock — the reference serves any number of read
+        # connections beside its one writer; here N analyst processes
+        # open read-only handles while ONE process owns the append head.
+        # Appends through a read-only handle raise WriterFencedError.
+        self._read_only = read_only
         # group commit (RequestManager batching): >0 gathers concurrent
         # append() calls for this many ms and commits them as one file
         self._group_window = group_commit_window_ms / 1000.0
@@ -358,6 +365,8 @@ class EventLogWriter:
         # $metadata event), lazily read from the metastream; drives
         # soft-delete recreate. Kept current on every metastream append.
         self._meta_cache: dict[str, dict] = {}
+        if read_only:
+            return  # no fence, no recovery scan — reads resolve lazily
         with self._core.mutex:
             _acquire_fence(self._core, timeout_s=lock_timeout_s)
             self._recover()
@@ -541,6 +550,11 @@ class EventLogWriter:
         across callers. Results (and per-append errors such as
         WrongExpectedVersion) resolve per caller.
         """
+        if self._read_only:
+            raise WriterFencedError(
+                f"writer for {self.path} is read-only — appends go through "
+                "the owning writer process"
+            )
         if self._group_window > 0:
             return self._append_grouped(stream_id, events, expected_version, created)
         with self._core.mutex:
@@ -827,6 +841,11 @@ class EventLogWriter:
         only AFTER the write succeeds — a failed Spark job leaves the
         writer's dense-numbering invariant intact for the retry.
         """
+        if self._read_only:
+            raise WriterFencedError(
+                f"writer for {self.path} is read-only — appends go through "
+                "the owning writer process"
+            )
         with self._core.mutex:
             self._append_df_locked(batch, created)
 
@@ -1038,6 +1057,9 @@ class EventLogWriter:
         the log directory (all in-process writer objects share the claim
         via the _PathCore). A crashed process needs no close — its lock is
         detected stale by pid-liveness and stolen by the next writer."""
+        if self._read_only:
+            return  # never held the fence — and must not release the
+            # owning writer's claim through the shared core
         self._group_stop.set()
         with self._group_cond:
             self._group_cond.notify_all()

@@ -639,3 +639,72 @@ def test_lock_records_pid_start_time_and_detects_recycling(spark, tmp_path):
         w2 = EventLogWriter(spark, path)  # steals the recycled-pid lock
         assert _read_lock(lock)["pid"] == _os.getpid()
         w2.close()
+
+
+def test_read_only_writer_beside_live_foreign_holder(spark, tmp_path):
+    """read_only=True opens WITHOUT claiming the writer lock, even while
+    a live foreign process holds it — N reader processes beside one
+    writer (the reference's many-read-connections model). Appends and
+    close() through the read-only handle never touch the claim."""
+    from eventstore_spark.writer import LOCK_FILE, WriterFencedError, _read_lock
+
+    path = str(tmp_path / "rolog")
+    w = EventLogWriter(spark, path)
+    w.append("s-1", [ProposedEvent("A"), ProposedEvent("B")])
+    w.close()  # release our claim, then plant a LIVE foreign holder (pid 1)
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, LOCK_FILE), "w") as f:
+        _json.dump({"pid": 1, "token": "foreign"}, f)
+    with pytest.raises(WriterFencedError):
+        EventLogWriter(spark, path)  # a normal writer is refused
+    ro = EventLogWriter(spark, path, read_only=True)  # a reader is not
+    assert ro.load().count() == 2
+    with pytest.raises(WriterFencedError):
+        ro.append("s-1", [ProposedEvent("C")])
+    with pytest.raises(WriterFencedError):
+        ro.append_df(ro.load().limit(0))
+    ro.close()  # must NOT delete/alter the foreign lock
+    assert _read_lock(_os.path.join(path, LOCK_FILE))["token"] == "foreign"
+
+
+def test_read_only_engine_cross_process(spark, tmp_path):
+    """A REAL second process opens the store read_only while this
+    process owns the writer: reads (incl. name-routed system streams)
+    work; appends raise."""
+    import subprocess
+    import sys
+
+    from eventstore_spark.engine import EventStoreEngine
+
+    path = str(tmp_path / "roeng")
+    eng = EventStoreEngine(spark, path)
+    eng.append("acct-1", [ProposedEvent("Op", '{"v": 1}')])
+    eng.append("acct-2", [ProposedEvent("Op", '{"v": 2}')])
+    child = (
+        "import sys\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from eventstore_spark.session import get_spark\n"
+        "from eventstore_spark.engine import EventStoreEngine\n"
+        "from eventstore_spark.writer import ProposedEvent, WriterFencedError\n"
+        "spark = get_spark('ro-child')\n"
+        "e = EventStoreEngine(spark, sys.argv[1], read_only=True)\n"
+        "assert e.read_stream('acct-1').count() == 1\n"
+        "assert e.read_stream('$ce-acct').count() == 2\n"
+        "try:\n"
+        "    e.append('acct-1', [ProposedEvent('Nope')])\n"
+        "    print('FAIL-appended', flush=True)\n"
+        "except WriterFencedError:\n"
+        "    print('ok', flush=True)\n"
+        "e.close()\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", child, path],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.stdout.strip().endswith("ok"), (out.stdout, out.stderr[-2000:])
+    # the owner keeps appending — its claim was never disturbed
+    eng.append("acct-1", [ProposedEvent("Op", '{"v": 3}')])
+    assert eng.read_stream("acct-1").count() == 2
+    eng.close()
