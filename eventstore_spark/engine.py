@@ -383,8 +383,11 @@ class EventStoreEngine:
     def streams(self) -> DataFrame:
         return sysproj.streams_directory(self.events())
 
-    def category(self, name: str) -> DataFrame:
-        return sysproj.by_category(self.events(), name)
+    def category(self, name: str, how: str = "first",
+                 sep: str = "-") -> DataFrame:
+        """$by_category view; ``how``/``sep`` mirror the reference's
+        editable projection body (system.md: `first`/`last` + separator)."""
+        return sysproj.by_category(self.events(), name, how, sep)
 
     def event_type(self, name: str) -> DataFrame:
         return sysproj.by_event_type(self.events(), name)

@@ -32,26 +32,35 @@ def streams_directory(events: DataFrame) -> DataFrame:
     )
 
 
-def by_category(events: DataFrame, category: str | None = None) -> DataFrame:
+def by_category(events: DataFrame, category: str | None = None,
+                how: str = "first", sep: str = "-") -> DataFrame:
     """Y2 `$by_category` ($ce-<cat>): events of all streams whose category
-    matches; category = stream_id before first '-'.
+    matches; category = stream_id split at the first (default) or last
+    occurrence of ``sep`` — the reference's configurable body
+    (system.md: `first`/`last` + separator).
 
     Reference: Standard/CategorizeEventsByStreamPath.cs:17-82.
     """
-    out = events.withColumn("category", category_of(F.col("stream_id")))
+    out = events.withColumn(
+        "category", category_of(F.col("stream_id"), how, sep)
+    )
     if category is not None:
         out = out.where(F.col("category") == category)
     return out
 
 
-def stream_by_category(events: DataFrame, category: str | None = None) -> DataFrame:
-    """Y3 `$stream_by_category` ($category-<cat>): one row per STREAM.
+def stream_by_category(events: DataFrame, category: str | None = None,
+                       how: str = "first", sep: str = "-") -> DataFrame:
+    """Y3 `$stream_by_category` ($category-<cat>): one row per STREAM;
+    same configurable split as `by_category`.
 
     Reference: Standard/CategorizeStreamByPath.cs:15 — links each stream's
     first event into `$category-<cat>`.
     """
     out = (
-        events.withColumn("category", category_of(F.col("stream_id")))
+        events.withColumn(
+            "category", category_of(F.col("stream_id"), how, sep)
+        )
         .groupBy("category", "stream_id")
         .agg(F.min("log_position").alias("first_log_position"))
     )

@@ -65,16 +65,31 @@ METASTREAM_PREFIX = "$$"
 MAX_LONG = (1 << 63) - 1  # EventNumber for soft-delete ($tb = long.MaxValue)
 
 
-def category_of(stream_id: Column) -> Column:
-    """Category = stream id up to the FIRST '-' separator; null when absent.
+def category_of(stream_id: Column, how: str = "first",
+                sep: str = "-") -> Column:
+    """Category from a stream id; null when the separator is absent.
 
-    Mirrors StreamCategoryExtractorByFirstSeparator
-    (/root/reference/src/EventStore.Projections.Core/Standard/
-    StreamCategoryExtractorByFirstSeparator.cs) configured "first\\r\\n-".
-    """
-    return F.when(
-        F.instr(stream_id, "-") > 0, F.substring_index(stream_id, "-", 1)
-    ).otherwise(F.lit(None).cast("string"))
+    The reference's $by_category is CONFIGURABLE (system.md: body
+    ``first``/``last`` + a separator character) via
+    StreamCategoryExtractorByFirstSeparator / ...ByLastSeparator
+    (/root/reference/src/EventStore.Projections.Core/Standard/).
+    ``first``: id up to the FIRST separator (``shopping-cart-1`` →
+    ``shopping``); ``last``: up to the LAST (→ ``shopping-cart``). The
+    stored envelope ``category`` column bakes in the default
+    ("first", "-"); the view functions take overrides."""
+    if how == "first":
+        cat = F.substring_index(stream_id, sep, 1)
+    elif how == "last":
+        # everything BEFORE the last separator occurrence
+        tail = F.substring_index(stream_id, sep, -1)
+        cat = stream_id.substr(
+            F.lit(1), F.length(stream_id) - F.length(tail) - F.lit(len(sep))
+        )
+    else:
+        raise ValueError(f"category split must be 'first' or 'last', not {how!r}")
+    return F.when(F.instr(stream_id, sep) > 0, cat).otherwise(
+        F.lit(None).cast("string")
+    )
 
 
 def metastream_of(stream_id: Column) -> Column:

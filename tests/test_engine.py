@@ -848,3 +848,22 @@ def test_projection_registry_streams(spark, tmp_path):
     e2 = EventStoreEngine(spark, str(tmp_path / "preg"))
     assert e2.read_stream("$projections-$all").count() == 2
     e2.close()
+
+
+def test_category_split_configuration(engine):
+    """system.md: $by_category's split is configurable — `first`/`last`
+    plus any separator character."""
+    engine.append("shopping-cart-1", [ProposedEvent("Added", "{}")])
+    assert engine.category("shopping").count() == 1          # first (default)
+    assert engine.category("shopping-cart", how="last").count() == 1
+    assert engine.category("cart", how="last").count() == 0
+    engine.append("tenant.users.42", [ProposedEvent("E", "{}")])
+    assert engine.category("tenant", sep=".").count() == 1
+    assert engine.category("tenant.users", how="last", sep=".").count() == 1
+    from eventstore_spark.operators.system_projections import stream_by_category
+
+    rows = {r.category for r in stream_by_category(
+        engine.events(), how="last").collect() if r.category}
+    assert "shopping-cart" in rows
+    with pytest.raises(ValueError):
+        engine.category("x", how="middle")
