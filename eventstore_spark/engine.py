@@ -568,6 +568,11 @@ class EventStoreEngine:
         self.projections[spec.name] = _ManagedProjection(
             spec=spec, mode=mode, emit_enabled=emit_enabled
         )
+        if self.writer.read_only:
+            # a read-only analyst session may still register and run
+            # TRANSIENT folds (run_batch surfaces); only the durable
+            # registry record needs the writer
+            return
         import hashlib
 
         eid = hashlib.md5(
@@ -631,6 +636,8 @@ class EventStoreEngine:
         # queries as events of `$projections-<name>` (streams.md); the
         # Python handlers aren't serializable, so the event records the
         # version metadata, not the code
+        if self.writer.read_only:
+            return version
         self.writer.append(f"$projections-{name}", [ProposedEvent(
             "$ProjectionUpdated",
             json.dumps({"name": name, "version": version, "reset": reset,
@@ -676,9 +683,10 @@ class EventStoreEngine:
         reference's delete-then-scavenge flow)."""
         self.disable_projection(name)
         del self.projections[name]
-        self.writer.append("$projections-$all", [ProposedEvent(
-            "$ProjectionDeleted", json.dumps({"name": name}),
-        )])
+        if not self.writer.read_only:
+            self.writer.append("$projections-$all", [ProposedEvent(
+                "$ProjectionDeleted", json.dumps({"name": name}),
+            )])
         if delete_emitted_streams:
             for sid in self._emitted_streams(name):
                 self.writer.soft_delete(sid)

@@ -328,8 +328,10 @@ def system_stream_tail_events(events: DataFrame, name: str,
     sel = system_stream_selector(tail, name, correlation_property)
     if sel is None:
         return None
+    # parse the link body "n@target" at the FIRST '@' — the target
+    # stream id may itself contain '@' (same rule as links.resolve_links)
     linked = materialized.select(
-        F.substring_index("data", "@", -1).alias("_t_sid"),
+        F.expr("substring(data, instr(data, '@') + 1)").alias("_t_sid"),
         F.substring_index("data", "@", 1).cast("long").alias("_t_en"),
     )
     if name == "$streams" or name.startswith("$category-"):

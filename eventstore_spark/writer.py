@@ -379,6 +379,10 @@ class EventLogWriter:
                 cur = manifest.latest(path)
                 self._core.manifest_seq = -1 if cur is None else cur[0]
 
+    @property
+    def read_only(self) -> bool:
+        return self._read_only
+
     def _has_files(self) -> bool:
         files = manifest.snapshot_files(self.path)
         if files is None:

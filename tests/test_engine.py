@@ -867,3 +867,25 @@ def test_category_split_configuration(engine):
     assert "shopping-cart" in rows
     with pytest.raises(ValueError):
         engine.category("x", how="middle")
+
+
+def test_read_only_engine_runs_transient_folds(spark, tmp_path):
+    """A read-only session still registers and runs ad-hoc analytic
+    folds via run_batch (no writes), and no registry event is appended."""
+    path = str(tmp_path / "rofold")
+    owner = EventStoreEngine(spark, path)
+    owner.append("acct-1", [ProposedEvent("Op", '{"v": 1}'),
+                            ProposedEvent("Op", '{"v": 2}')])
+    ro = EventStoreEngine(spark, path, read_only=True)
+    spec = (Projection.from_category("acct", name="ro")
+            .when({"$init": lambda: {"n": 0},
+                   "$any": lambda s, e: {"n": s["n"] + 1}}))
+    ro.create_projection(spec, mode="transient")  # no registry write
+    assert owner.read_stream("$projections-$all").count() == 0
+    from eventstore_spark.projections.runtime import run_batch as _rb
+
+    res = _rb(spec, ro.events())
+    assert json.loads(res.states.collect()[0].state) == {"n": 2}
+    ro.close()
+    owner.append("acct-1", [ProposedEvent("Op", '{"v": 3}')])  # untouched
+    owner.close()
