@@ -94,6 +94,12 @@ class EventStoreEngine:
         # across engine sessions without manual re-registration;
         # "onetime" refreshes the links once at open.
         if system_projections:
+            if read_only:
+                raise ValueError(
+                    "system_projections auto-run appends link events — "
+                    "it needs the writer; open without read_only (the "
+                    "owning process), or rely on the owner's query"
+                )
             ckpt = None
             if system_projections == "continuous":
                 ckpt = os.path.join(path, "_projections", "_system_links_ckpt")

@@ -889,3 +889,20 @@ def test_read_only_engine_runs_transient_folds(spark, tmp_path):
     ro.close()
     owner.append("acct-1", [ProposedEvent("Op", '{"v": 3}')])  # untouched
     owner.close()
+
+
+def test_materialized_tail_with_at_sign_stream_ids(engine):
+    """Link bodies are `n@target`; a target stream id CONTAINING '@'
+    must parse at the FIRST '@' in the hybrid tail's anti-join (round-6
+    self-review fix) — no duplicated or dropped links."""
+    engine.append("mail-user@host", [ProposedEvent("Sent", "{}")])
+    engine.register_system_projections(mode="onetime")
+    engine.append("mail-user@host", [ProposedEvent("Sent", "{}")])  # tail
+    got = _rows(engine.read_stream("$ce-mail"))
+    assert [d for *_x, d in got] == ["0@mail-user@host", "1@mail-user@host"]
+    assert [n for n, *_x in got] == [0, 1]
+    assert got == _rows(_virtual(engine, "$ce-mail"))
+    # $streams dedupe by target also respects the full id
+    targets = [d.split("@", 1)[1]
+               for *_x, d in _rows(engine.read_stream("$streams"))]
+    assert targets.count("mail-user@host") == 1
