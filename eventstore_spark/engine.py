@@ -447,10 +447,33 @@ class EventStoreEngine:
         hashes the source stream (the reference's recommended
         `$by_category` + consumer-group shape,
         docs/server/features/persistent-subscriptions.md:85-92)."""
-        return PersistentSubscription(
+        ps = PersistentSubscription(
             self.events(), group, stream_id, settings, checkpoint_dir,
             event_filter=event_filter,
         )
+        # record the group's configuration in the
+        # `$persistentSubscriptionConfig` stream (streams.md: the server
+        # keeps all groups' config there, one event per change);
+        # deterministic id per (source, group, settings) → re-attaching
+        # an existing group is a config no-op
+        if not self.writer.read_only:
+            import hashlib
+
+            st = ps.settings
+            doc = {
+                "group": group, "stream": stream_id or "$all",
+                "messageTimeoutMs": int(st.message_timeout_s * 1000),
+                "maxRetryCount": st.max_retry_count,
+                "readBatchSize": st.read_batch_size,
+                "checkpointAfter": st.checkpoint_after,
+                "consumerStrategy": st.consumer_strategy,
+            }
+            payload = json.dumps(doc, sort_keys=True)
+            self.writer.append("$persistentSubscriptionConfig", [ProposedEvent(
+                "PersistentConfig1", payload,
+                event_id=hashlib.md5(payload.encode()).hexdigest(),
+            )])
+        return ps
 
     # -------------------------------------------------- system projections
     def _system_links_marker(self) -> str:

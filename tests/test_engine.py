@@ -906,3 +906,23 @@ def test_materialized_tail_with_at_sign_stream_ids(engine):
     targets = [d.split("@", 1)[1]
                for *_x, d in _rows(engine.read_stream("$streams"))]
     assert targets.count("mail-user@host") == 1
+
+
+def test_persistent_subscription_config_stream(engine):
+    """streams.md §$persistentSubscriptionConfig: creating/attaching a
+    consumer group records its configuration; re-attaching the same
+    group+settings is a config no-op (deterministic id)."""
+    from eventstore_spark.streaming.persistent import (
+        PersistentSubscriptionSettings,
+    )
+
+    engine.persistent_subscription("g1", "account-1")
+    engine.persistent_subscription("g1", "account-1")  # same → no dupe
+    rows = engine.read_stream("$persistentSubscriptionConfig").collect()
+    assert len(rows) == 1
+    doc = json.loads(rows[0].data)
+    assert doc["group"] == "g1" and doc["stream"] == "account-1"
+    engine.persistent_subscription(
+        "g1", "account-1",
+        PersistentSubscriptionSettings(max_retry_count=9))  # changed → new row
+    assert engine.read_stream("$persistentSubscriptionConfig").count() == 2
