@@ -926,3 +926,44 @@ def test_persistent_subscription_config_stream(engine):
         "g1", "account-1",
         PersistentSubscriptionSettings(max_retry_count=9))  # changed → new row
     assert engine.read_stream("$persistentSubscriptionConfig").count() == 2
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_hybrid_read_random_interleavings(spark, tmp_path, seed):
+    """Randomized append/materialize interleavings: after ANY prefix of
+    operations, every system-stream name-routed read must equal the
+    virtual view computed from scratch — the invariant the round-6
+    marker lifecycle guarantees (materialized prefix ∪ tail, crash
+    windows included via skipped marker updates)."""
+    import random
+
+    rng = random.Random(seed)
+    eng = EventStoreEngine(spark, str(tmp_path / f"hyrnd{seed}"))
+    cats = ["alpha", "beta"]
+    types = ["Op", "Tick"]
+    n = 0
+    for step in range(6):
+        op = rng.choice(["append", "append", "materialize", "stale_marker"])
+        if op == "append":
+            for _ in range(rng.randint(1, 3)):
+                n += 1
+                sid = f"{rng.choice(cats)}-{rng.randint(1, 3)}"
+                eng.append(sid, [ProposedEvent(
+                    rng.choice(types), f'{{"n": {n}}}',
+                    metadata='{"$correlationId": "c1"}' if rng.random() < 0.3
+                    else None)])
+        elif op == "materialize":
+            eng.register_system_projections(mode="onetime")
+        else:
+            # crash window: links materialized but marker NOT advanced
+            info = eng._system_links_info()
+            eng.register_system_projections(mode="onetime")
+            if info is not None:  # restore the stale position
+                eng._write_system_links_marker(
+                    info["mode"], info["position"])
+    for name in ("$ce-alpha", "$ce-beta", "$et-Op", "$et-Tick",
+                 "$bc-c1", "$streams", "$category-alpha"):
+        got = _rows(eng.read_stream(name))
+        want = _rows(_virtual(eng, name))
+        assert got == want, (name, got, want)
+    eng.close()
