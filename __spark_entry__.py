@@ -574,6 +574,138 @@ def q_tpch_q18_large_orders(spark, sf):
     )
 
 
+def q_tpch_q7_nation_volume(spark, sf):
+    """Q7 volume shipping between two nations, by direction and year:
+    lineitem⋈supplier⋈orders⋈customer with TWO nation dimension hops —
+    both nation joins broadcast; the (supp, cust) pair filter prunes
+    early; one shuffle per fact join key, aggregate keyed by the tiny
+    (nation, nation, year) space (map-side combined)."""
+    A, B = "NATION_1", "NATION_2"
+    li = _table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    sup = _table(spark, sf, "supplier")
+    orders = _table(spark, sf, "orders")
+    cust = _table(spark, sf, "customer")
+    n1 = _table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("_n1k"), F.col("n_name").alias("supp_nation"))
+    n2 = _table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("_n2k"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1k"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2k"))
+        .where(
+            ((F.col("supp_nation") == A) & (F.col("cust_nation") == B))
+            | ((F.col("supp_nation") == B) & (F.col("cust_nation") == A))
+        )
+    )
+    agg = j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(F.sum(
+        _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    ).alias("_rev"))
+    return agg.select(
+        "supp_nation", "cust_nation",
+        F.col("l_year").cast("long").alias("l_year"),
+        (F.col("_rev").cast("double") / 10_000.0).alias("revenue"),
+    )
+
+
+def q_tpch_q8_market_share(spark, sf):
+    """Q8 national market share: the part-type filter broadcasts into
+    the lineitem scan, region/nation hops broadcast, and the share is an
+    exact-integer conditional aggregate divided once at the end — the
+    whole query is one fact pipeline with a 2-row final aggregate."""
+    NATION, REGION, PTYPE = "NATION_5", "ASIA", "ECONOMY"
+    parts = _table(spark, sf, "part").where(F.col("p_type") == PTYPE)
+    li = _table(spark, sf, "lineitem")
+    orders = _table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    cust = _table(spark, sf, "customer")
+    sup = _table(spark, sf, "supplier")
+    n1 = _table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("_sn_k"), F.col("n_name").alias("_sn"))
+    n2 = _table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("_cn_k"), F.col("n_regionkey").alias("_crk"))
+    reg = _table(spark, sf, "region").where(F.col("r_name") == REGION)
+    vol = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    j = (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_k"))
+        .join(F.broadcast(reg), F.col("_crk") == F.col("r_regionkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_k"))
+    )
+    agg = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("_sn") == NATION, vol).otherwise(F.lit(0))).alias("_nat"),
+        F.sum(vol).alias("_all"),
+    )
+    return agg.select(
+        F.col("o_year").cast("long").alias("o_year"),
+        (F.col("_nat").cast("double") / F.col("_all").cast("double")).alias("mkt_share"),
+    )
+
+
+def q_tpch_q15_top_supplier(spark, sf):
+    """Q15 top supplier: per-supplier revenue for a quarter (one
+    partial-agg shuffle on l_suppkey), the maximum as a 1-row broadcast
+    (never a global sort or unkeyed window), supplier names joined on
+    the winners only."""
+    li = _table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(
+        _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    ).alias("_rev"))
+    top = rev.agg(F.max("_rev").alias("_max"))
+    sup = _table(spark, sf, "supplier")
+    return (
+        rev.join(F.broadcast(top), F.col("_rev") == F.col("_max"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name",
+            (F.col("_rev").cast("double") / 10_000.0).alias("total_revenue"),
+        )
+    )
+
+
+def q_tpch_q17_small_quantity(spark, sf):
+    """Q17 small-quantity-order revenue: the brand/size part filter
+    broadcasts into lineitem; the correlated per-part average becomes a
+    per-part aggregate re-joined to the same pruned fact subset; the
+    below-20%-of-average predicate compares EXACT integers
+    (qty*5*n < sum_qty) — no float threshold, bit-identical in the
+    oracle."""
+    parts = _table(spark, sf, "part").where(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15)
+    ).select("p_partkey")
+    li = _table(spark, sf, "lineitem").join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(_cents(F.col("l_quantity"))).alias("_sum_q"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    small = li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("_pk")).where(
+        _cents(F.col("l_quantity")) * 5 * F.col("_n") < F.col("_sum_q")
+    )
+    agg = small.agg(F.sum(_cents(F.col("l_extendedprice"))).alias("_e"),
+                    F.count(F.lit(1)).alias("n_lines"))
+    return agg.select(
+        (F.col("_e").cast("double") / 100.0 / 7.0).alias("avg_yearly"),
+        "n_lines",
+    )
+
+
 def q_tpch_q13_custdist(spark, sf):
     """Q13 customer-order distribution: LEFT OUTER join customer→orders
     (zero-order customers count), per-customer order counts, then the
@@ -1096,6 +1228,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (it sampled the leading 50) come FIRST, so the r5+r6 driver union
     # re-covers all 77 queries on round-5+ code with a green row each.
     return {
+        "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q17_small_quantity": q_tpch_q17_small_quantity,
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "tpch_q13_custdist": q_tpch_q13_custdist,
         "ann_ivf": q_ann_ivf,
@@ -1534,6 +1670,73 @@ FROM (
   GROUP BY c_custkey
 )
 GROUP BY c_count
+"""
+    sqls["tpch_q7_nation_volume"] = f"""
+SELECT supp_nation, cust_nation, CAST(l_year AS BIGINT) AS l_year,
+       CAST(rev AS DOUBLE) / 10000.0 AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         sum({lic['ep']} * (100 - {lic['d']})) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  GROUP BY 1, 2, 3
+)
+"""
+    sqls["tpch_q8_market_share"] = f"""
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       CAST(nat AS DOUBLE) / CAST(allv AS DOUBLE) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         sum(CASE WHEN n1.n_name = 'NATION_5'
+             THEN {lic['ep']} * (100 - {lic['d']}) ELSE 0 END) AS nat,
+         sum({lic['ep']} * (100 - {lic['d']})) AS allv
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+  GROUP BY 1
+)
+"""
+    sqls["tpch_q15_top_supplier"] = f"""
+WITH rev AS (
+  SELECT l_suppkey, sum({lic['ep']} * (100 - {lic['d']})) AS r
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(r AS DOUBLE) / 10000.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT max(r) FROM rev)
+"""
+    sqls["tpch_q17_small_quantity"] = f"""
+WITH pl AS (
+  SELECT l_partkey, {lic['q']} AS qc, {lic['ep']} AS ec
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1' AND p_size < 15
+), pp AS (
+  SELECT l_partkey AS pk, sum(qc) AS sum_q,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pl GROUP BY l_partkey
+)
+SELECT CAST(sum(ec) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM pl JOIN pp ON l_partkey = pk
+WHERE qc * 5 * n < sum_q
 """
     from eventstore_spark.operators import corpus as _cp
 
