@@ -776,6 +776,57 @@ def q_events_hourly(spark, sf):
     )
 
 
+def q_events_cohort_retention(spark, sf):
+    """Daily cohort retention — the product-analytics staple over an
+    event store: users grouped by first-seen day, activity counted per
+    day-offset. Two aggregations (first-seen per user; distinct active
+    days per user) and one join on the user key — at 100 TB both
+    aggregations map-side combine on user_id and the join co-locates on
+    the same key (one shuffle, reused)."""
+    ev = load_envelope(spark, sf)
+    first = ev.groupBy("stream_id").agg(
+        F.min(F.to_date("created")).alias("cohort_day"))
+    active = ev.select(
+        "stream_id", F.to_date("created").alias("day")).distinct()
+    j = active.join(first, "stream_id")
+    return (
+        j.groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("stream_id").alias("users"))
+    )
+
+
+def q_events_funnel(spark, sf):
+    """Strictly ORDERED funnel (view → click-after-view →
+    purchase-after-click): each stage is the previous stage's per-user
+    first-hit joined back to the next event type's rows — three
+    user-keyed reductions, no window over the full log, no cross join
+    (stage counts union into rows, not columns)."""
+    ev = load_envelope(spark, sf)
+    t1 = ev.where(F.col("event_type") == "view").groupBy("stream_id").agg(
+        F.min("created").alias("_t1"))
+    c2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(t1, "stream_id").where(F.col("created") >= F.col("_t1"))
+        .groupBy("stream_id").agg(F.min("created").alias("_t2"))
+    )
+    c3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c2, "stream_id").where(F.col("created") >= F.col("_t2"))
+        .groupBy("stream_id").agg(F.min("created").alias("_t3"))
+    )
+    def stage(df, label):
+        return df.agg(F.count(F.lit(1)).cast("long").alias("users")).select(
+            F.lit(label).alias("stage"), "users")
+    return (
+        stage(t1, "1_view")
+        .unionByName(stage(c2, "2_click_after_view"))
+        .unionByName(stage(c3, "3_purchase_after_click"))
+    )
+
+
 def q_user_sessions(spark, sf):
     """Sessionization: 30-min inactivity gap, per user."""
     ev = load_envelope(spark, sf)
@@ -1228,6 +1279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (it sampled the leading 50) come FIRST, so the r5+r6 driver union
     # re-covers all 77 queries on round-5+ code with a green row each.
     return {
+        "events_cohort_retention": q_events_cohort_retention,
+        "events_funnel": q_events_funnel,
         "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
         "tpch_q8_market_share": q_tpch_q8_market_share,
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
@@ -1599,6 +1652,42 @@ FROM orders GROUP BY 1
     sqls["events_hourly"] = _with_ev(
         f"SELECT date_trunc('hour', created) AS hour, CAST(count(*) AS BIGINT) AS n, "
         f"CAST(sum({v_c}) AS BIGINT) AS cents FROM ev GROUP BY 1"
+    )
+    sqls["events_cohort_retention"] = _with_ev(
+        """
+, first AS (
+  SELECT stream_id, min(CAST(created AS DATE)) AS cohort_day
+  FROM ev GROUP BY 1
+), active AS (
+  SELECT DISTINCT stream_id, CAST(created AS DATE) AS day FROM ev
+)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT active.stream_id) AS BIGINT) AS users
+FROM active JOIN first USING (stream_id)
+GROUP BY 1, 2
+"""
+    )
+    sqls["events_funnel"] = _with_ev(
+        """
+, t1 AS (
+  SELECT stream_id, min(created) AS t1 FROM ev
+  WHERE event_type = 'view' GROUP BY 1
+), c2 AS (
+  SELECT ev.stream_id, min(created) AS t2
+  FROM ev JOIN t1 USING (stream_id)
+  WHERE event_type = 'click' AND created >= t1 GROUP BY 1
+), c3 AS (
+  SELECT ev.stream_id, min(created) AS t3
+  FROM ev JOIN c2 USING (stream_id)
+  WHERE event_type = 'purchase' AND created >= t2 GROUP BY 1
+)
+SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS users FROM t1
+UNION ALL
+SELECT '2_click_after_view', CAST(count(*) AS BIGINT) FROM c2
+UNION ALL
+SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM c3
+"""
     )
     sqls["user_sessions"] = _with_ev(
         """
