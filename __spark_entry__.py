@@ -776,6 +776,15 @@ def q_events_hourly(spark, sf):
     )
 
 
+def q_readability(spark, sf):
+    """Flesch-style readability profile per document (exact integer
+    counts, row-wise double score, decile bucket) — one narrow codegen'd
+    projection over text."""
+    from eventstore_spark.operators.textops import readability
+
+    return readability(_table(spark, sf, "documents"))
+
+
 def q_events_cohort_retention(spark, sf):
     """Daily cohort retention — the product-analytics staple over an
     event store: users grouped by first-seen day, activity counted per
@@ -1279,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (it sampled the leading 50) come FIRST, so the r5+r6 driver union
     # re-covers all 77 queries on round-5+ code with a green row each.
     return {
+        "readability": q_readability,
         "events_cohort_retention": q_events_cohort_retention,
         "events_funnel": q_events_funnel,
         "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
@@ -1653,6 +1663,9 @@ FROM orders GROUP BY 1
         f"SELECT date_trunc('hour', created) AS hour, CAST(count(*) AS BIGINT) AS n, "
         f"CAST(sum({v_c}) AS BIGINT) AS cents FROM ev GROUP BY 1"
     )
+    from eventstore_spark.operators.textops import sql_readability
+
+    sqls["readability"] = sql_readability()
     sqls["events_cohort_retention"] = _with_ev(
         """
 , first AS (

@@ -635,3 +635,71 @@ SELECT doc_id,
          list_reduce(list_transform(f, t -> {w}), (x, y) -> x + y) END) > 0 AS label
 FROM feats
 """
+
+
+def readability(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Readability profiling for corpus curation: per-document word /
+    sentence / syllable-proxy counts (EXACT integers from one codegen'd
+    regex pass — no Python) and a Flesch-reading-ease-style score
+    computed row-wise from those integers, bucketed to a decile
+    histogram column for threshold filters.
+
+    The syllable proxy is the count of vowel GROUPS — the standard
+    cheap stand-in ('readability' ≈ 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words)). Row-wise double math over identical
+    integers is bit-deterministic cross-engine, so the DuckDB twin
+    (sql_readability) hash-matches including the bucket boundaries. At
+    100 TB this is one narrow projection over the text column — no
+    shuffle, no UDF."""
+    t = F.lower(F.col(text_col))
+    words = F.greatest(
+        F.size(F.split(F.trim(t), r"\s+")), F.lit(1)
+    ).cast("long")
+    sentences = F.greatest(
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")),
+        F.lit(1),
+    ).cast("long")
+    syllables = F.greatest(
+        F.size(F.expr(
+            f"regexp_extract_all(lower({text_col}), '[aeiou]+', 0)")),
+        F.lit(1),
+    ).cast("long")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double"))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        score.alias("flesch"),
+        F.floor(score / 10).cast("long").alias("flesch_decile"),
+    )
+
+
+def sql_readability(table: str = "documents", text_col: str = "text",
+                    id_col: str = "doc_id") -> str:
+    """DuckDB oracle twin of ``readability`` (same integer counts, same
+    row-wise double formula)."""
+    return f"""
+WITH c AS (
+  SELECT {id_col} AS doc_id,
+    GREATEST(len(regexp_split_to_array(trim(lower({text_col})), '\\s+')), 1) AS w,
+    GREATEST(len(regexp_extract_all({text_col}, '[.!?]+')), 1) AS s,
+    GREATEST(len(regexp_extract_all(lower({text_col}), '[aeiou]+')), 1) AS y
+  FROM {table}
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS n_words,
+       CAST(s AS BIGINT) AS n_sentences,
+       CAST(y AS BIGINT) AS n_syllables,
+       206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+               - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)) AS flesch,
+       CAST(floor((206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+               - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE))) / 10)
+            AS BIGINT) AS flesch_decile
+FROM c
+"""

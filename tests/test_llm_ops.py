@@ -738,3 +738,22 @@ def test_sniff_wav_duration_and_chunk_walk(spark):
     assert (out[2].channels, out[2].sample_rate, out[2].duration_ms) == (
         1, 16000, 730)
     assert out[3].format == "wav" and out[3].duration_ms is None
+
+
+def test_readability_scores(spark):
+    """Readability: exact integer counts; simple text scores HIGHER
+    (easier) than long-winded multi-clause text."""
+    from eventstore_spark.operators.textops import readability
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran. It was fun."),
+         (2, "Notwithstanding considerable organizational "
+             "complexities, institutional transformation requires "
+             "extraordinarily comprehensive administrative coordination "
+             "methodologies.")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in readability(docs).collect()}
+    assert out[1].n_sentences == 3 and out[2].n_sentences == 1
+    assert out[1].flesch > out[2].flesch
+    assert out[1].flesch_decile >= out[2].flesch_decile
+    assert out[1].n_words == 9
