@@ -776,6 +776,14 @@ def q_events_hourly(spark, sf):
     )
 
 
+def q_embedding_outliers(spark, sf):
+    """Norm-outlier screen over the embedding corpus (exact integer/
+    decimal arithmetic — no float mean)."""
+    from eventstore_spark.operators.similarity import embedding_outliers
+
+    return embedding_outliers(_table(spark, sf, "embeddings"))
+
+
 def q_readability(spark, sf):
     """Flesch-style readability profile per document (exact integer
     counts, row-wise double score, decile bucket) — one narrow codegen'd
@@ -1288,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (it sampled the leading 50) come FIRST, so the r5+r6 driver union
     # re-covers all 77 queries on round-5+ code with a green row each.
     return {
+        "embedding_outliers": q_embedding_outliers,
         "readability": q_readability,
         "events_cohort_retention": q_events_cohort_retention,
         "events_funnel": q_events_funnel,
@@ -1666,6 +1675,9 @@ FROM orders GROUP BY 1
     from eventstore_spark.operators.textops import sql_readability
 
     sqls["readability"] = sql_readability()
+    from eventstore_spark.operators.similarity import sql_embedding_outliers
+
+    sqls["embedding_outliers"] = sql_embedding_outliers()
     sqls["events_cohort_retention"] = _with_ev(
         """
 , first AS (

@@ -822,3 +822,62 @@ def ivf_topk_indexed(spark, index_path: str, query_ids: list[int], k: int = 10,
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "sim")
     )
+
+
+def embedding_outliers(embeddings: DataFrame,
+                       ratio_centi: int = 400) -> DataFrame:
+    """Embedding-hygiene screen for ANN/dedup pipelines: flag vectors
+    whose squared L2 norm deviates from the corpus mean by more than a
+    ratio (truncated, zeroed, or exploded embeddings poison both cosine
+    dedup and IVF training; norm screening is the standard first pass).
+
+    EXACT arithmetic end-to-end, cross-engine deterministic: vectors
+    quantize to integers (the IVF quantizer's scale), per-vector squared
+    norms are BIGINT folds, and the outlier test compares against the
+    mean as the INTEGER inequality 100·n·x > r·Σx (high side) /
+    r·n·x < 100·Σx (low side) in DECIMAL(38,0) — no float mean whose
+    partition-order-dependent summation could flip a boundary row, and
+    no overflow to ~10^12 rows. One 2-sum aggregate broadcast back over
+    one scan; ``ratio_centi`` is the ratio ×100 (400 = 4×/¼× bounds)."""
+    q = F.expr(_quantize_sql("embedding"))
+    norms = embeddings.select(
+        "vec_id",
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda acc, c: acc + c * c
+        ).alias("norm_sq"),
+    )
+    dec = "decimal(38,0)"
+    stats = norms.agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum(F.col("norm_sq").cast(dec)).alias("_s1"),
+    )
+    r = F.lit(ratio_centi).cast(dec)
+    j = norms.join(F.broadcast(stats), how="cross")
+    nx = F.col("_n") * F.col("norm_sq").cast(dec)
+    hi = F.lit(100).cast(dec) * nx > r * F.col("_s1")
+    lo = r * nx < F.lit(100).cast(dec) * F.col("_s1")
+    return j.select("vec_id", "norm_sq", (hi | lo).alias("is_outlier"))
+
+
+def sql_embedding_outliers(ratio_centi: int = 400,
+                           table: str = "embeddings") -> str:
+    """DuckDB twin of embedding_outliers (same integer inequality in
+    HUGEINT — exact, like Spark's decimal(38,0))."""
+    qv = ("list_transform(embedding, c -> "
+          f"CAST(floor(CAST(c AS DOUBLE) * {IVF_SCALE}.0) AS BIGINT))")
+    return f"""
+WITH norms AS (
+  SELECT vec_id,
+         CAST(list_reduce(list_transform({qv}, c -> c * c),
+              (a, b) -> a + b) AS BIGINT) AS norm_sq
+  FROM {table}
+), stats AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(norm_sq) AS HUGEINT) AS s1
+  FROM norms
+)
+SELECT vec_id, norm_sq,
+       (100 * n * norm_sq > {ratio_centi} * s1)
+       OR ({ratio_centi} * n * norm_sq < 100 * s1) AS is_outlier
+FROM norms, stats
+"""

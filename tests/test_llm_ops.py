@@ -757,3 +757,17 @@ def test_readability_scores(spark):
     assert out[1].flesch > out[2].flesch
     assert out[1].flesch_decile >= out[2].flesch_decile
     assert out[1].n_words == 9
+
+
+def test_embedding_outliers_flags_degenerate_vectors(spark):
+    """Norm screening: zeroed and exploded vectors flag as outliers;
+    normal-range vectors don't."""
+    from eventstore_spark.operators.similarity import embedding_outliers
+
+    base = [[0.1] * 8, [0.11] * 8, [0.09] * 8, [0.1] * 8]
+    rows = ([(i, v) for i, v in enumerate(base)]
+            + [(90, [0.0] * 8), (91, [5.0] * 8)])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.is_outlier for r in embedding_outliers(df).collect()}
+    assert out[90] is True and out[91] is True
+    assert all(out[i] is False for i in range(4))
