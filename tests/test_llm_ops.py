@@ -764,10 +764,10 @@ def test_embedding_outliers_flags_degenerate_vectors(spark):
     normal-range vectors don't."""
     from eventstore_spark.operators.similarity import embedding_outliers
 
-    base = [[0.1] * 8, [0.11] * 8, [0.09] * 8, [0.1] * 8]
-    rows = ([(i, v) for i, v in enumerate(base)]
-            + [(90, [0.0] * 8), (91, [5.0] * 8)])
+    rows = ([(i, [0.1 + 0.001 * (i % 5)] * 8) for i in range(20)]
+            + [(90, [0.0] * 8), (91, [0.5] * 8)])
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    out = {r.vec_id: r.is_outlier for r in embedding_outliers(df).collect()}
-    assert out[90] is True and out[91] is True
-    assert all(out[i] is False for i in range(4))
+    out = {r.vec_id: bool(r.is_outlier)
+           for r in embedding_outliers(df).collect()}
+    assert out[90] and out[91]
+    assert not any(out[i] for i in range(20))
