@@ -776,6 +776,27 @@ def q_events_hourly(spark, sf):
     )
 
 
+def q_payload_profile(spark, sf):
+    """JSON payload analytics — the event-store staple: extract a typed
+    field from every event body and profile it per event type (decile
+    histogram + min/max). get_json_object is a codegen'd JVM expression;
+    one narrow scan + one tiny-key aggregate."""
+    ev = load_envelope(spark, sf)
+    k = F.get_json_object("data", "$.k").cast("long")
+    return (
+        ev.where(k.isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(k / 10).cast("long").alias("k_decile"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(k).alias("k_min"),
+            F.max(k).alias("k_max"),
+        )
+    )
+
+
 def q_embedding_outliers(spark, sf):
     """Norm-outlier screen over the embedding corpus (exact integer/
     decimal arithmetic — no float mean)."""
@@ -1296,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (it sampled the leading 50) come FIRST, so the r5+r6 driver union
     # re-covers all 77 queries on round-5+ code with a green row each.
     return {
+        "payload_profile": q_payload_profile,
         "embedding_outliers": q_embedding_outliers,
         "readability": q_readability,
         "events_cohort_retention": q_events_cohort_retention,
@@ -1674,6 +1696,16 @@ FROM orders GROUP BY 1
     )
     from eventstore_spark.operators.textops import sql_readability
 
+    sqls["payload_profile"] = _with_ev(
+        "SELECT event_type, "
+        "CAST(floor(CAST(json_extract_string(data, '$.k') AS BIGINT) / 10) "
+        "  AS BIGINT) AS k_decile, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(min(CAST(json_extract_string(data, '$.k') AS BIGINT)) AS BIGINT) AS k_min, "
+        "CAST(max(CAST(json_extract_string(data, '$.k') AS BIGINT)) AS BIGINT) AS k_max "
+        "FROM ev WHERE json_extract_string(data, '$.k') IS NOT NULL "
+        "GROUP BY 1, 2"
+    )
     sqls["readability"] = sql_readability()
     from eventstore_spark.operators.similarity import sql_embedding_outliers
 
