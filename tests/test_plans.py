@@ -195,6 +195,9 @@ def test_no_accidental_cartesian_in_any_query(spark):
         "lm_score", "tfidf_keywords",
         # bounded benchmark needles broadcast into a contains() scan
         "contamination_exact",
+        # ONE-ROW corpus-stats aggregate broadcast back over the scan
+        # (the scalar-subquery shape, same as lm_score's totals)
+        "embedding_outliers",
     }
     offenders = {}
     for name, fn in sorted(entry.queries().items()):
