@@ -478,3 +478,36 @@ def test_auto_scavenge_policy_compacts_idle_projection_state(spark, tmp_path):
     assert r["compacted"]["deltas"]["generations_after"] == 1
     assert sum(1 for d in os.listdir(sd) if d.startswith("batch=")) == 1
     eng.close()
+
+
+def test_admin_cli_main(spark, tmp_path, capsys):
+    """tools/admin.py: the operator CLI drives stats/scavenge/vacuum
+    through the public engine surface (read-only for inspection
+    commands) and prints one JSON document per invocation."""
+    import json
+    import sys
+
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.writer import ProposedEvent
+
+    sys.path.insert(0, "/root/repo/tools")
+    import admin
+
+    store = str(tmp_path / "clistore")
+    eng = EventStoreEngine(spark, store)
+    eng.append("acct-1", [ProposedEvent("Op", '{"v": 1}')])
+    eng.set_stream_metadata("acct-1", max_count=1)
+    eng.append("acct-1", [ProposedEvent("Op", '{"v": 2}')])
+
+    # read-only inspection works while THIS process holds the writer
+    assert admin.main([store, "stats"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["events"] == 1 and stats["streams"] == 1
+    eng.close()  # release so the mutating command can take the lock
+    assert admin.main([store, "scavenge"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["removed"] == 1
+    assert admin.main([store, "scavenges"]) == 0
+    hist = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [h["event_type"] for h in hist] == [
+        "$scavengeStarted", "$scavengeCompleted"]
