@@ -967,3 +967,64 @@ def test_hybrid_read_random_interleavings(spark, tmp_path, seed):
         want = _rows(_virtual(eng, name))
         assert got == want, (name, got, want)
     eng.close()
+
+
+def test_round6_integration_scenario(spark, tmp_path):
+    """Capstone: one store exercising the round-6 surfaces together —
+    auto-run system projections, a transforming connector, a $ce-
+    persistent group with backlog, scavenge history, and a read-only
+    sibling handle — everything consistent at the end."""
+    path = str(tmp_path / "cap6")
+    eng = EventStoreEngine(spark, path, system_projections="continuous")
+    try:
+        for i in range(4):
+            eng.append(f"order-{i % 2}", [ProposedEvent(
+                "Placed", f'{{"amount": {10 + i}, "card": "secret"}}')])
+        eng._system_links_query.processAllAvailable()
+        # name-routed read serves materialized links, complete
+        assert eng.read_stream("$ce-order").count() == 4
+
+        # connector: strip the card field, stamp IsTransformed
+        from eventstore_spark.streaming.connectors import ConnectorSettings
+
+        eng.connectors.create("slim", ConnectorSettings(
+            sink="memory", sink_options={"table": "cap6_out"},
+            filter_scope="stream", filter_type="prefix",
+            filter_expression="order-",
+            transform={"data": "to_json(named_struct('amount', "
+                               "CAST(get_json_object(data, '$.amount') AS BIGINT)))"},
+        ))
+        q = eng.connectors.start("slim")
+        try:
+            q.processAllAvailable()
+        finally:
+            eng.connectors.stop("slim")
+        sunk = spark.table("cap6_out").collect()
+        assert len(sunk) == 4
+        assert all("card" not in r.data for r in sunk)
+
+        # $ce- persistent group: backlog drains as it consumes
+        ps = eng.persistent_subscription("grp", "$ce-order")
+        assert ps.backlog() == 4
+        ps.add_consumer("c1")
+        got = ps.fetch(now=0.0)["c1"]
+        ps.ack(got)
+        assert len(got) == 4 and ps.backlog() == 0
+        assert eng.read_stream("$persistentSubscriptionConfig").count() == 1
+
+        # retention + scavenge with history, links stay consistent
+        eng.set_stream_metadata("order-0", max_count=1)
+        stats = eng.scavenge()
+        assert stats["removed"] >= 1
+        assert eng.read_stream("$scavenges").count() == 2
+        # resolved $ce- read returns only VISIBLE targets
+        vis = eng.read_stream("$ce-order", resolve_link_tos=True).collect()
+        assert {r.stream_id for r in vis} <= {"order-0", "order-1"}
+
+        # a read-only sibling handle sees the same store state
+        ro = EventStoreEngine(spark, path, read_only=True)
+        assert ro.read_stream("$ce-order").count() == 4
+        assert ro.store_statistics()["events"] == eng.store_statistics()["events"]
+        ro.close()
+    finally:
+        eng.close()
