@@ -1097,6 +1097,22 @@ class EventStoreEngine:
         )])
         return stats
 
+    def optimize_layout(self, target_files: int = 8) -> dict:
+        """Range/sort rewrite for read locality (no rows removed) — see
+        ``maintenance.optimize_layout``; reader-safe manifest commit."""
+        from .maintenance import optimize_layout as _opt
+
+        return _opt(self.spark, self.path, target_files)
+
+    def bucket_log(self, table: str, buckets: int = 32,
+                   location: str | None = None) -> dict:
+        """Publish the log as a bucketed table hash-clustered on
+        stream_id — stream-keyed work plans with zero Exchange after
+        this; see ``maintenance.bucket_log``."""
+        from .maintenance import bucket_log as _bucket
+
+        return _bucket(self.spark, self.path, table, buckets, location)
+
     def auto_scavenge_policy(self, **kwargs):
         """A scheduled, threshold-driven maintenance runner bound to this
         store (the reference's auto-scavenge feature,
