@@ -1028,3 +1028,34 @@ def test_round6_integration_scenario(spark, tmp_path):
         ro.close()
     finally:
         eng.close()
+
+
+def test_update_projection_continuous_restart(spark, tmp_path):
+    """UpdateReq on a RUNNING continuous projection: the query stops,
+    state resets, and run_projection restarts the NEW query version
+    which re-folds from scratch into a fresh state table."""
+    eng = EventStoreEngine(spark, str(tmp_path / "updcont"))
+    eng.append("acct-1", [ProposedEvent("Op", '{"v": 1}')])
+    spec1 = (Projection.from_all(name="live")
+             .when({"$init": lambda: {"n": 0},
+                    "$any": lambda s, e: {"n": s["n"] + 1}}))
+    eng.create_projection(spec1, mode="continuous")
+    q1 = eng.run_projection("live", checkpoint_dir=str(tmp_path / "uck1"))
+    q1.processAllAvailable()
+    assert json.loads(
+        eng.projection_state("live").collect()[0].state)["n"] >= 1
+    spec2 = (Projection.from_all(name="live")
+             .when({"$init": lambda: {"seen": 100},
+                    "$any": lambda s, e: {"seen": s["seen"] + 1}}))
+    v = eng.update_projection("live", spec2)  # stops q1, resets state
+    assert v == 2 and not q1.isActive
+    eng.append("acct-1", [ProposedEvent("Op", '{"v": 2}')])
+    q2 = eng.run_projection("live", checkpoint_dir=str(tmp_path / "uck2"))
+    try:
+        q2.processAllAvailable()
+        st = json.loads(eng.projection_state("live").collect()[0].state)
+        # new shape, re-folded over the whole log (both appends + registry)
+        assert "seen" in st and st["seen"] >= 102
+    finally:
+        q2.stop()
+    eng.close()

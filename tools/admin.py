@@ -40,6 +40,11 @@ def main(argv: list[str]) -> int:
         print(__doc__)
         return 2
     store, cmd, *args = argv
+    if cmd == "restore":  # pure file op — no engine, no lock, no Spark
+        from eventstore_spark.maintenance import restore
+
+        print(json.dumps(restore(args[0], args[1])))
+        return 0
     from eventstore_spark.engine import EventStoreEngine
     from eventstore_spark.session import get_spark
 
@@ -67,10 +72,6 @@ def main(argv: list[str]) -> int:
                                   int(args[0]) if args else 8)
         elif cmd == "backup":
             out = eng.backup(args[0])
-        elif cmd == "restore":
-            from eventstore_spark.maintenance import restore
-
-            out = restore(args[0], args[1])
         elif cmd == "archive":
             out = eng.archive_cold(args[0],
                                    keep_files=int(args[1]) if len(args) > 1 else 2)
