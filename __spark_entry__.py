@@ -776,6 +776,22 @@ def q_events_hourly(spark, sf):
     )
 
 
+def q_ngram_novelty(spark, sf):
+    """Per-document 5-gram novelty (inverted-index document frequency —
+    the keep/drop signal complementing the duplication profile)."""
+    from eventstore_spark.operators.dedup import ngram_novelty
+
+    return ngram_novelty(_table(spark, sf, "documents"))
+
+
+def q_source_overlap(spark, sf):
+    """Cross-source near-dup pair matrix over the banded MinHash pair
+    generator (mixture-design contamination report)."""
+    from eventstore_spark.operators.dedup import source_overlap
+
+    return source_overlap(_table(spark, sf, "documents"))
+
+
 def q_payload_profile(spark, sf):
     """JSON payload analytics — the event-store staple: extract a typed
     field from every event body and profile it per event type (decile
@@ -1317,6 +1333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (it sampled the leading 50) come FIRST, so the r5+r6 driver union
     # re-covers all 77 queries on round-5+ code with a green row each.
     return {
+        "ngram_novelty": q_ngram_novelty,
+        "source_overlap": q_source_overlap,
         "payload_profile": q_payload_profile,
         "embedding_outliers": q_embedding_outliers,
         "readability": q_readability,
@@ -1696,6 +1714,12 @@ FROM orders GROUP BY 1
     )
     from eventstore_spark.operators.textops import sql_readability
 
+    from eventstore_spark.operators.dedup import (
+        sql_ngram_novelty, sql_source_overlap,
+    )
+
+    sqls["ngram_novelty"] = sql_ngram_novelty()
+    sqls["source_overlap"] = sql_source_overlap()
     sqls["payload_profile"] = _with_ev(
         "SELECT event_type, "
         "CAST(floor(CAST(json_extract_string(data, '$.k') AS BIGINT) / 10) "

@@ -724,3 +724,107 @@ def streaming_minhash_dedup(stream: DataFrame, spark, index_path: str,
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def ngram_novelty(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", shingle_n: int = 5) -> DataFrame:
+    """Per-document n-gram NOVELTY — the share of a document's distinct
+    shingles that appear in no other document (the inverse of the
+    duplication signal: high novelty = unique content worth keeping,
+    low = boilerplate; the doc-level aggregate of Lee et al.'s
+    substring-duplication view).
+
+    Inverted-index shape: distinct shingles explode once, document
+    frequency is one count per shingle key (map-side combined), the
+    per-doc roll-up re-joins on the shingle key and aggregates — two
+    shuffles on short keys, never doc×doc. Exact integers; one double
+    ratio per row at the end."""
+    from ..functions.text import shingles
+    from ..schema import spread
+
+    base = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sset"),
+    )
+    inv = base.select("doc_id", F.explode("sset").alias("s"))
+    dfc = inv.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        inv.join(dfc, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_unique",
+            (F.col("n_unique").cast("double")
+             / F.col("n_shingles").cast("double")).alias("novelty"),
+        )
+    )
+
+
+def sql_ngram_novelty(shingle_n: int = 5, table: str = "documents") -> str:
+    """DuckDB oracle twin of ngram_novelty."""
+    sh = sql_shingles("text", shingle_n)
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_distinct({sh}) AS sset FROM {table}
+), inv AS (
+  SELECT doc_id, unnest(sset) AS s FROM base
+), dfc AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS df FROM inv GROUP BY 1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS novelty
+FROM inv JOIN dfc USING (s)
+GROUP BY doc_id
+"""
+
+
+def source_overlap(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", source_col: str = "source",
+                   threshold: float = 0.5) -> DataFrame:
+    """Cross-source near-duplicate matrix: how many verified MinHash
+    near-dup pairs link each (source, source) combination — the
+    contamination-between-sources report a mixture designer reads before
+    setting per-source weights (a pair inside one source is ordinary
+    duplication; across sources it means the sources share upstream
+    content). Pair order is normalized (source_a <= source_b). Built on
+    the banded-LSH pair generator — never all-pairs."""
+    pairs = minhash_lsh_pairs(docs, id_col, text_col, threshold=threshold)
+    src = docs.select(F.col(id_col).alias("_sid"),
+                      F.col(source_col).alias("_src"))
+    j = (
+        pairs.join(src.withColumnRenamed("_sid", "a")
+                   .withColumnRenamed("_src", "src_a"), "a")
+        .join(src.withColumnRenamed("_sid", "b")
+              .withColumnRenamed("_src", "src_b"), "b")
+    )
+    return (
+        j.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def sql_source_overlap(threshold: float = 0.5,
+                       table: str = "documents") -> str:
+    """DuckDB oracle twin of source_overlap (wraps the exact
+    minhash-pairs oracle)."""
+    pairs = sql_minhash_pairs(threshold=threshold, table=table)
+    return f"""
+WITH p AS ({pairs})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM p
+JOIN {table} da ON p.a = da.doc_id
+JOIN {table} db ON p.b = db.doc_id
+GROUP BY 1, 2
+"""

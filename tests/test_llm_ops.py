@@ -771,3 +771,36 @@ def test_embedding_outliers_flags_degenerate_vectors(spark):
            for r in embedding_outliers(df).collect()}
     assert out[90] and out[91]
     assert not any(out[i] for i in range(20))
+
+
+def test_ngram_novelty_semantics(spark):
+    """Novelty: a doc sharing all content scores 0-ish; a unique doc
+    scores 1.0."""
+    from eventstore_spark.operators.dedup import ngram_novelty
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, shared), (2, shared),
+         (3, "completely different words never repeated anywhere else")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in ngram_novelty(docs).collect()}
+    assert out[1].novelty == 0.0 and out[2].novelty == 0.0
+    assert out[3].novelty == 1.0
+    assert out[3].n_shingles == out[3].n_unique
+
+
+def test_source_overlap_cross_source_pairs(spark):
+    """Cross-source matrix: near-identical docs in different sources
+    count under the normalized (source_a, source_b) key."""
+    from eventstore_spark.operators.dedup import source_overlap
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, text, "web"), (2, text, "books"),
+         (3, text + " ok", "web"),
+         (4, "something else entirely unrelated to the rest", "books")],
+        "doc_id long, text string, source string")
+    out = {(r.source_a, r.source_b): r.n_pairs
+           for r in source_overlap(docs, threshold=0.5).collect()}
+    assert out[("books", "web")] >= 2  # 1-2 and 2-3 cross pairs
+    assert ("books", "books") not in out  # doc 4 matches nothing
