@@ -1059,3 +1059,19 @@ def test_update_projection_continuous_restart(spark, tmp_path):
     finally:
         q2.stop()
     eng.close()
+
+
+def test_engine_layout_passthroughs(spark, tmp_path):
+    """engine.optimize_layout / engine.bucket_log route to the
+    maintenance jobs (API completeness — one facade for all admin ops)."""
+    eng = EventStoreEngine(spark, str(tmp_path / "layo"))
+    for i in range(3):
+        eng.append(f"s-{i}", [ProposedEvent("E", "{}")])
+    out = eng.optimize_layout(target_files=1)
+    assert out["events"] == 3 and out["files"] == 1
+    assert eng.read_stream("s-1").count() == 1  # reads intact post-rewrite
+    bt = eng.bucket_log("layo_bucketed", buckets=4,
+                        location=str(tmp_path / "bkt"))
+    assert bt["events"] == 3
+    assert spark.table("layo_bucketed").count() == 3
+    eng.close()
