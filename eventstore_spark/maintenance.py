@@ -562,6 +562,15 @@ def backup(path: str, dest: str, include_projections: bool = True) -> dict:
             "pruned": pruned}
 
 
+def _is_streaming_checkpoint(d: str) -> bool:
+    """A Spark Structured Streaming checkpoint dir: offsets/ + metadata
+    (the layout every query checkpoint shares)."""
+    return (
+        os.path.isdir(os.path.join(d, "offsets"))
+        and os.path.exists(os.path.join(d, "metadata"))
+    )
+
+
 def _snapshot_tree(src: str, dst: str) -> None:
     """Copy a projection/connector tree that may be MID-WRITE (an active
     continuous projection), atomically per state generation (round 6;
@@ -580,6 +589,15 @@ def _snapshot_tree(src: str, dst: str) -> None:
             continue
         s, d = os.path.join(src, name), os.path.join(dst, name)
         try:
+            if os.path.isdir(s) and _is_streaming_checkpoint(s):
+                # Spark streaming checkpoints record the SOURCE's absolute
+                # path — restored to a different directory they crash the
+                # resumed query with "Wrong basePath" (round-6 test
+                # test_restore_then_autorun_system_projections). They are
+                # deployment-bound state, not data: excluded from backups;
+                # a restored store's queries start fresh and their
+                # deterministic-id sinks dedupe the replay.
+                continue
             if not os.path.isdir(s):
                 shutil.copy2(s, d)
                 continue

@@ -511,3 +511,39 @@ def test_admin_cli_main(spark, tmp_path, capsys):
     hist = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert [h["event_type"] for h in hist] == [
         "$scavengeStarted", "$scavengeCompleted"]
+
+
+def test_restore_then_autorun_system_projections(spark, tmp_path):
+    """Backup/restore a store whose system projections ran continuously,
+    then open the RESTORED store with auto-run: streaming checkpoints
+    are EXCLUDED from backups (they pin the old directory's absolute
+    source path — restored as-is they crash the query with "Wrong
+    basePath"), so the restored query starts fresh, replays the log, and
+    the deterministic link ids dedupe the re-delivery (reads complete,
+    no duplicates)."""
+    from pyspark.sql import functions as F
+
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.writer import ProposedEvent
+
+    src, bak, dst = (str(tmp_path / n) for n in ("rsp_a", "rsp_b", "rsp_c"))
+    e1 = EventStoreEngine(spark, src, system_projections="continuous")
+    e1.append("acct-1", [ProposedEvent("Op", '{"v": 1}')])
+    e1.append("acct-2", [ProposedEvent("Op", '{"v": 2}')])
+    e1._system_links_query.processAllAvailable()
+    assert e1.read_stream("$ce-acct").count() == 2
+    e1.backup(bak)
+    e1.close()
+    e2 = EventStoreEngine.restore(spark, bak, dst,
+                                  system_projections="continuous")
+    try:
+        e2.append("acct-3", [ProposedEvent("Op", '{"v": 3}')])
+        e2._system_links_query.processAllAvailable()
+        got = [r.data for r in e2.read_stream("$ce-acct")
+               .orderBy("event_number").collect()]
+        assert got == ["0@acct-1", "0@acct-2", "0@acct-3"]
+        # no duplicate link rows landed despite the replay
+        raw = e2.events().where(F.col("stream_id") == "$ce-acct").count()
+        assert raw == 3
+    finally:
+        e2.close()
