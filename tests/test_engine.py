@@ -1075,3 +1075,20 @@ def test_engine_layout_passthroughs(spark, tmp_path):
     assert bt["events"] == 3
     assert spark.table("layo_bucketed").count() == 3
     eng.close()
+
+
+def test_hybrid_read_backward_and_paged(engine):
+    """Backward reads and page metadata over the hybrid (materialized +
+    tail) system stream: numbering stays dense across the union in both
+    directions."""
+    engine.register_system_projections(mode="onetime")
+    engine.append("account-9", [ProposedEvent("Deposited", '{"amount": 1}')])
+    fwd = _rows(engine.read_stream("$ce-account"))
+    assert len(fwd) == 4
+    back = engine.read_stream("$ce-account", backward=True, max_count=2).collect()
+    assert [r.event_number for r in back] == [3, 2]
+    assert back[0].data.endswith("@account-9")  # the tail link leads
+    page = engine.read_stream_page("$ce-account", None, max_count=2,
+                                   backward=True)
+    assert page.last_event_number == 3
+    assert page.next_event_number == 1 and not page.is_end_of_stream
