@@ -1092,3 +1092,57 @@ def test_hybrid_read_backward_and_paged(engine):
                                    backward=True)
     assert page.last_event_number == 3
     assert page.next_event_number == 1 and not page.is_end_of_stream
+
+
+def test_autoscavenge_beside_live_system_projections(spark, tmp_path):
+    """The policy runner beside a LIVE continuous materialization: the
+    scavenge either commits cleanly or reports a manifest conflict
+    (retry next cycle) — never corrupts; reads stay complete either
+    way."""
+    eng = EventStoreEngine(spark, str(tmp_path / "asvlive"),
+                           system_projections="continuous")
+    try:
+        for i in range(4):
+            eng.append("acct-1", [ProposedEvent("Op", f'{{"i": {i}}}')])
+        eng._system_links_query.processAllAvailable()
+        eng.set_stream_metadata("acct-1", max_count=2)
+        pol = eng.auto_scavenge_policy(
+            interval_s=0, min_removable_ratio=0.01, vacuum_grace_s=3600,
+            clock=lambda: 9_000_000.0)
+        r = pol.run_if_due()
+        assert r["ran"]
+        assert ("scavenge" in r) or r.get("conflict")
+        # post-run: visible stream respects retention. The MATERIALIZED
+        # link stream keeps all four links — the reference never rewrites
+        # link streams on scavenge; links to scavenged targets resolve to
+        # null shells (the documented link-stream + scavenge caveat),
+        # while live targets resolve fully.
+        eng._system_links_query.processAllAvailable()
+        assert eng.read_stream("acct-1").count() == 2
+        links = _rows(eng.read_stream("$ce-acct"))
+        assert len(links) == 4
+        res = eng.read_stream("$ce-acct", resolve_link_tos=True).collect()
+        payloads = [r.data for r in sorted(res, key=lambda r: r.event_number)]
+        assert payloads.count(None) == 2      # scavenged targets
+        assert sum(1 for p in payloads if p) == 2  # retained targets
+    finally:
+        eng.close()
+
+
+def test_hybrid_read_of_tombstoned_target(engine):
+    """Hard-deleting a stream on a MATERIALIZED store: its link rows
+    remain, but resolving them yields a NULL-payload shell carrying the
+    target identity (the reference's deleted-link ResolvedEvent — link
+    delivered, target data gone); live targets resolve fully, and the
+    tombstone marker itself is neither visible nor linked."""
+    engine.register_system_projections(mode="onetime")
+    engine.delete_stream("account-2", hard=True)
+    res = {r.data: r for r in engine.read_stream(
+        "$ce-account", resolve_link_tos=True).collect()}
+    dead = [r for r in res.values() if r.stream_id == "account-2"]
+    assert len(dead) == 1 and dead[0].data is None
+    live = [r for r in res.values() if r.stream_id == "account-1"]
+    assert len(live) == 2 and all(r.data for r in live)
+    # the $streamDeleted marker produced no link (system event type,
+    # hidden stream)
+    assert engine.read_stream("$ce-account").count() == 3
