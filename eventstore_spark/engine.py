@@ -213,7 +213,16 @@ class EventStoreEngine:
         whether the continuous query is currently live or a onetime
         materialization has gone stale (round 6; VERDICT r5 #1): when the
         links are current the tail prunes to zero row groups, when they
-        lag the lag is served virtually instead of silently dropped."""
+        lag the lag is served virtually instead of silently dropped.
+
+        Retention note (reference-faithful): once scavenge/delete erases
+        SOURCE events, their materialized links remain — the reference
+        never rewrites link streams on scavenge, and such links resolve
+        to null-payload shells (its documented link-stream + scavenge
+        caveat). An unmaterialized store's virtual view, derived from the
+        visible log, shows only live targets — the two agree exactly
+        until retention diverges them, and the materialized behavior is
+        the reference's."""
         info = self._system_links_info()
         if info is None:
             return sysproj.system_stream_events(ev, stream_id)
