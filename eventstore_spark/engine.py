@@ -644,6 +644,15 @@ class EventStoreEngine:
         same state shape (the reference equivalently allows updating with
         emission toggles without replay)."""
         mp = self.projections[name]
+        if spec.name != name:
+            # emit/linkTo event ids hash the SPEC name — a mismatched
+            # update would silently break emission determinism (replays
+            # would double-append); the reference's UpdateReq likewise
+            # addresses a projection by its registered name only
+            raise ValueError(
+                f"update_projection('{name}') got a spec named "
+                f"'{spec.name}' — rename the spec to match"
+            )
         if mp.query is not None:
             try:
                 if mp.query.isActive:

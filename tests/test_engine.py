@@ -1146,3 +1146,16 @@ def test_hybrid_read_of_tombstoned_target(engine):
     # the $streamDeleted marker produced no link (system event type,
     # hidden stream)
     assert engine.read_stream("$ce-account").count() == 3
+
+
+def test_update_projection_name_mismatch_rejected(engine):
+    """A spec whose name differs from the registered projection is
+    refused — emit ids hash the spec name, and a silent rename would
+    break emission determinism."""
+    spec = (Projection.from_category("account", name="a")
+            .when({"$init": lambda: {}, "$any": lambda s, e: s}))
+    engine.create_projection(spec, mode="onetime")
+    other = (Projection.from_category("account", name="b")
+             .when({"$init": lambda: {}, "$any": lambda s, e: s}))
+    with pytest.raises(ValueError, match="rename the spec"):
+        engine.update_projection("a", other)

@@ -1092,3 +1092,29 @@ def test_connector_transformation(spark, tmp_path):
     with _pt.raises(ValueError):
         cm.start("bad")
     eng.close()
+
+
+def test_subscription_backlog_over_maintenance_rewrite(spark, log, tmp_path):
+    """Backlog across a maintenance rewrite: the rewrite's files count as
+    pending (the subscription scans then row-filters them — honest
+    backlog work, documented over-estimate), and a drain clears them."""
+    from eventstore_spark.maintenance import optimize_layout
+    from eventstore_spark.streaming.subscriptions import (
+        start_foreach_batch, subscription_backlog,
+    )
+
+    ckpt = str(tmp_path / "mrck")
+
+    def drain():
+        q = start_foreach_batch(
+            subscribe_all(spark, log.path), lambda df, bid: df.count(),
+            checkpoint_location=ckpt, available_now=True)
+        q.awaitTermination()
+
+    drain()
+    assert subscription_backlog(log.path, ckpt)["pending_files"] == 0
+    optimize_layout(spark, log.path, target_files=1)
+    b = subscription_backlog(log.path, ckpt)
+    assert b["pending_files"] == 1  # the rewrite generation, to be scanned
+    drain()
+    assert subscription_backlog(log.path, ckpt)["pending_files"] == 0
