@@ -249,10 +249,10 @@ def vacuum(path: str, grace_s: float = 3600.0) -> dict:
     chunks unlink only after readers drain (Scavenger.cs:199)."""
     d = _dir(path)
     if not os.path.isdir(d):
-        return {"removed": 0, "manifests_removed": 0}
+        return {"removed": 0, "manifests_removed": 0, "archive_removed": 0}
     gens = history(path)
     if not gens:
-        return {"removed": 0, "manifests_removed": 0}
+        return {"removed": 0, "manifests_removed": 0, "archive_removed": 0}
     cutoff = time.time() - grace_s
     keep: set[str] = set()
     drained: list[int] = []
@@ -288,4 +288,31 @@ def vacuum(path: str, grace_s: float = 3600.0) -> dict:
             manifests_removed += 1
         except FileNotFoundError:
             continue
-    return {"removed": removed, "manifests_removed": manifests_removed}
+    # Archive-tier drain (round 6): a maintenance rewrite supersedes
+    # archived files like any others, but their COLD copies would
+    # otherwise live forever — a storage leak that grows with every
+    # scavenge of an archived store. Any archived name absent from every
+    # RETAINED generation (the same keep-set, so the same grace
+    # semantics) is purged from the archive dir and archive.json.
+    archive_removed = 0
+    cfg = archive_config(path)
+    if cfg.get("base"):
+        stale = [n for n in cfg.get("files", []) if n not in keep]
+        if stale:
+            for n in stale:
+                try:
+                    os.remove(os.path.join(cfg["base"], n))
+                except FileNotFoundError:
+                    pass
+                archive_removed += 1
+            remaining = [n for n in cfg["files"] if n in keep]
+            write_archive_config(path, {
+                **cfg,
+                "files": remaining,
+                "archived_at": {
+                    n: at for n, at in cfg.get("archived_at", {}).items()
+                    if n in keep
+                },
+            })
+    return {"removed": removed, "manifests_removed": manifests_removed,
+            "archive_removed": archive_removed}

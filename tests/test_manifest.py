@@ -36,7 +36,8 @@ def test_vacuum_grace_runs_from_supersession(tmp_path):
     # grace 1h: superseded only milliseconds ago → day-old files SURVIVE,
     # and the superseded generation stays time-travel-resolvable
     res = manifest.vacuum(path, grace_s=3600)
-    assert res == {"removed": 0, "manifests_removed": 0}
+    assert res == {"removed": 0, "manifests_removed": 0,
+                   "archive_removed": 0}
     assert os.path.exists(a) and os.path.exists(b)
     assert manifest.files_at(path, 0) == ["a.parquet", "b.parquet"]
 
@@ -604,4 +605,39 @@ def test_redaction_visible_through_materialized_links(spark, tmp_path):
     assert res[0].data is None  # redacted target through the link
     assert json.loads(res[0].metadata)["$redacted"] is True
     assert res[1].data == '{"ok": 2}'
+    eng.close()
+
+
+def test_vacuum_drains_archive_copies_of_superseded_files(spark, tmp_path):
+    """Cold-tier leak fix (round 6): scavenging an ARCHIVED store leaves
+    the superseded files' archive copies orphaned — vacuum purges them
+    (same keep-set/grace as the hot tier) and prunes archive.json, while
+    archive copies still referenced by retained generations survive."""
+    import os
+
+    from eventstore_spark import manifest as M
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.writer import ProposedEvent
+
+    store, cold = str(tmp_path / "avc"), str(tmp_path / "avc_cold")
+    eng = EventStoreEngine(spark, store)
+    for i in range(4):
+        eng.append("s-1", [ProposedEvent("E", f'{{"i": {i}}}')])
+    eng.archive_cold(cold, keep_files=1)
+    archived = set(M.archive_config(store)["files"])
+    assert len(archived) == 3
+    # retention: keep 1 event → scavenge supersedes every original file
+    eng.set_stream_metadata("s-1", max_count=1)
+    eng.scavenge()
+    # grace window holds: nothing drains, archive intact, reads fine
+    r0 = eng.vacuum(grace_s=3600)
+    assert r0["archive_removed"] == 0
+    assert all(os.path.exists(os.path.join(cold, n)) for n in archived)
+    # grace over: hot AND cold copies of fully-drained names go
+    r1 = eng.vacuum(grace_s=0)
+    assert r1["archive_removed"] == len(archived)
+    assert not any(os.path.exists(os.path.join(cold, n)) for n in archived)
+    cfg = M.archive_config(store)
+    assert cfg["files"] == [] and cfg.get("archived_at", {}) == {}
+    assert eng.read_stream("s-1").count() == 1  # retained data intact
     eng.close()
