@@ -56,7 +56,7 @@ class _ManagedProjection:
     # created without it must not write events; calling emit()/linkTo()
     # then FAULTS the run (the reference's behavior) instead of silently
     # appending.
-    emit_enabled: bool = True
+    emit_enabled: bool = False
     last_result: ProjectionResult | None = None
     runs: int = 0
     query: object = None  # StreamingQuery when continuous
@@ -594,7 +594,7 @@ class EventStoreEngine:
 
     # ------------------------------------------------------------ projections
     def create_projection(self, spec: Projection, mode: str = "onetime",
-                          emit_enabled: bool = True) -> None:
+                          emit_enabled: bool = False) -> None:
         """Register a projection. The registration is also RECORDED in
         the `$projections-$all` registry stream ($ProjectionCreated —
         the reference persists its registry exactly there,
@@ -602,7 +602,12 @@ class EventStoreEngine:
         ran against it across sessions. Handler code is Python (not
         serializable like the reference's JS), so each process
         re-attaches specs by calling this; the deterministic event id
-        makes re-registration a registry no-op."""
+        makes re-registration a registry no-op.
+
+        ``emit_enabled`` defaults FALSE, matching the reference
+        (projections.proto CreateReq.Options.emit_enabled is a proto3
+        bool, default false; emission must be explicitly enabled) — a
+        projection that calls emit()/linkTo() without it FAULTS."""
         self.projections[spec.name] = _ManagedProjection(
             spec=spec, mode=mode, emit_enabled=emit_enabled
         )
@@ -1066,6 +1071,22 @@ class EventStoreEngine:
         ]
 
     # ----------------------------------------------------------- maintenance
+    def _require_writer(self, op: str) -> None:
+        """Store-mutating maintenance is single-maintainer work: only the
+        process holding the writer lock may rewrite/delete log files. A
+        ``read_only=True`` engine deliberately holds no lock, so letting
+        it run maintenance would rewrite files out from under the owning
+        writer (ADVICE r6: vacuum/optimize/redact/archive from an analyst
+        process raced the writer's manifest CAS)."""
+        from .writer import WriterFencedError
+
+        if self.writer.read_only:
+            raise WriterFencedError(
+                f"{op} mutates the store; this engine was opened "
+                "read_only=True (no writer lock) — run it from the "
+                "owning writer process"
+            )
+
     def scavenge(self, now_ts=None, target_files: int = 8) -> dict:
         """Admin scavenge (the reference's admin API surface): retention
         rewrite of this store's log. Reader-safe — superseded files stay
@@ -1075,6 +1096,7 @@ class EventStoreEngine:
         ($scavengeStarted/$scavengeCompleted with scavengeId, result,
         timeTaken, spaceSaved — streams.md §$scavenges), so scavenge
         history reads like the reference's: ``read_stream("$scavenges")``."""
+        self._require_writer("scavenge")
         import time as _time
         import uuid as _uuid
 
@@ -1118,6 +1140,7 @@ class EventStoreEngine:
     def optimize_layout(self, target_files: int = 8) -> dict:
         """Range/sort rewrite for read locality (no rows removed) — see
         ``maintenance.optimize_layout``; reader-safe manifest commit."""
+        self._require_writer("optimize_layout")
         from .maintenance import optimize_layout as _opt
 
         return _opt(self.spark, self.path, target_files)
@@ -1127,6 +1150,7 @@ class EventStoreEngine:
         """Publish the log as a bucketed table hash-clustered on
         stream_id — stream-keyed work plans with zero Exchange after
         this; see ``maintenance.bucket_log``."""
+        self._require_writer("bucket_log")
         from .maintenance import bucket_log as _bucket
 
         return _bucket(self.spark, self.path, table, buckets, location)
@@ -1136,6 +1160,7 @@ class EventStoreEngine:
         store (the reference's auto-scavenge feature,
         docs/server/operations/auto-scavenge.md) — call ``run_if_due()``
         from any cron loop; see ``maintenance.AutoScavengePolicy``."""
+        self._require_writer("auto_scavenge_policy")
         from .maintenance import AutoScavengePolicy
 
         return AutoScavengePolicy(self, **kwargs)
@@ -1146,6 +1171,7 @@ class EventStoreEngine:
         note: manifest generations drained here stop being readable via
         ``events_at`` / the as-of SQL views — vacuum bounds history,
         exactly like Delta's VACUUM."""
+        self._require_writer("vacuum")
         from .manifest import vacuum as _vacuum
 
         return _vacuum(self.path, grace_s)
@@ -1169,6 +1195,7 @@ class EventStoreEngine:
         """Upload cold log files to the archive tier (the reference's
         Archiver-Node upload, docs/server/features/archiving.md); batch
         reads keep reaching through transparently."""
+        self._require_writer("archive_cold")
         from .maintenance import archive_cold as _archive
 
         return _archive(self.path, archive_base,
@@ -1177,6 +1204,7 @@ class EventStoreEngine:
     def drop_archived_local(self, grace_s: float = 3600.0) -> dict:
         """Retention-policy step of archiving: remove hot copies of
         archived files after the reader-drain grace window."""
+        self._require_writer("drop_archived_local")
         from .maintenance import drop_archived_local as _drop
 
         return _drop(self.path, grace_s)
@@ -1186,6 +1214,7 @@ class EventStoreEngine:
         ``"eventNumber@streamName"`` — the reference's redactor surface
         (docs/server/operations/redaction.md). A last resort; prefer
         rewrite-stream + delete + scavenge."""
+        self._require_writer("redact")
         from .maintenance import redact_events
 
         return redact_events(self.spark, self.path, targets)
