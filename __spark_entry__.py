@@ -1328,11 +1328,53 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry order = the driver's sampling order. Round-6 rotation
-    # (VERDICT r5 task #7): the 27 queries the r5 driver did NOT sample
-    # (it sampled the leading 50) come FIRST, so the r5+r6 driver union
-    # re-covers all 77 queries on round-5+ code with a green row each.
+    # Registry order = the driver's sampling order. Round-8 rotation
+    # (VERDICT r7 task #2): the 40 queries the r6/r7 drivers did NOT
+    # sample (they sampled the identical leading 50) come FIRST, so the
+    # r7+r8 driver union covers all 90 queries on round-6+ code with a
+    # green row each.
     return {
+        "text_analyze": q_text_analyze,
+        "text_quality_histogram": q_text_quality_histogram,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "token_vocabulary": q_token_vocabulary,
+        "lm_score": q_lm_score,
+        "langid_eval": q_langid_eval,
+        "tpch_q6": q_tpch_q6,
+        "source_mixture": q_source_mixture,
+        "contamination_exact": q_contamination_exact,
+        "chunk_documents": q_chunk_documents,
+        "classifier_score": q_classifier_score,
+        "span_dedup": q_span_dedup,
+        "per_source_cap": q_per_source_cap,
+        "training_order": q_training_order,
+        "knn_classify": q_knn_classify,
+        "tfidf_keywords": q_tfidf_keywords,
+        "stratified_sample": q_stratified_sample,
+        "select_corpus": q_select_corpus,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "corpus_stats": q_corpus_stats,
+        "repetition_profile": q_repetition_profile,
+        "pii_redact": q_pii_redact,
+        "pack_shards": q_pack_shards,
+        "contamination_overlap": q_contamination_overlap,
+        "cluster_survivors": q_cluster_survivors,
+        "token_stats": q_token_stats,
+        "doc_fingerprint_rolling": q_doc_fingerprint_rolling,
+        "multimodal_features": q_multimodal_features,
+        "media_sniff": q_media_sniff,
+        "media_dedup": q_media_dedup,
+        "media_frames": q_media_frames,
+        "media_chunks": q_media_chunks,
+        "ann_bruteforce": q_ann_bruteforce,
+        "rag_retrieve": q_rag_retrieve,
+        "ann_lsh": q_ann_lsh,
+        # --- r6/r7-driver-sampled block (rotated to the back in r8) ---
         "ngram_novelty": q_ngram_novelty,
         "source_overlap": q_source_overlap,
         "payload_profile": q_payload_profile,
@@ -1383,46 +1425,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_revenue": q_monthly_revenue,
         "events_hourly": q_events_hourly,
         "user_sessions": q_user_sessions,
-        "text_analyze": q_text_analyze,
-        "text_quality_histogram": q_text_quality_histogram,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_pairs": q_dedup_minhash_pairs,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "token_vocabulary": q_token_vocabulary,
-        "lm_score": q_lm_score,
-        "langid_eval": q_langid_eval,
-        "tpch_q6": q_tpch_q6,
-        "source_mixture": q_source_mixture,
-        "contamination_exact": q_contamination_exact,
-        "chunk_documents": q_chunk_documents,
-        "classifier_score": q_classifier_score,
-        "span_dedup": q_span_dedup,
-        "per_source_cap": q_per_source_cap,
-        "training_order": q_training_order,
-        "knn_classify": q_knn_classify,
-        "tfidf_keywords": q_tfidf_keywords,
-        "stratified_sample": q_stratified_sample,
-        "select_corpus": q_select_corpus,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "corpus_stats": q_corpus_stats,
-        "repetition_profile": q_repetition_profile,
-        "pii_redact": q_pii_redact,
-        "pack_shards": q_pack_shards,
-        "contamination_overlap": q_contamination_overlap,
-        "cluster_survivors": q_cluster_survivors,
-        "token_stats": q_token_stats,
-        "doc_fingerprint_rolling": q_doc_fingerprint_rolling,
-        "multimodal_features": q_multimodal_features,
-        "media_sniff": q_media_sniff,
-        "media_dedup": q_media_dedup,
-        "media_frames": q_media_frames,
-        "media_chunks": q_media_chunks,
-        "ann_bruteforce": q_ann_bruteforce,
-        "rag_retrieve": q_rag_retrieve,
-        "ann_lsh": q_ann_lsh,
     }
 
 

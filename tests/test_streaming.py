@@ -368,7 +368,7 @@ def test_continuous_projection_emits_to_log(spark, log, tmp_path):
         .foreach_stream()
         .when({"$init": lambda: {"n": 0}, "Deposited": h})
     )
-    eng.create_projection(spec, mode="continuous")
+    eng.create_projection(spec, mode="continuous", emit_enabled=True)
     q = eng.run_projection("live_ops", checkpoint_dir=str(tmp_path / "lck"))
     try:
         q.processAllAvailable()
