@@ -727,6 +727,283 @@ def q_tpch_q13_custdist(spark, sf):
     )
 
 
+def q_tpch_q2_min_cost_supplier(spark, sf):
+    """Q2 minimum-cost supplier, adapted to the slimmed schema (no
+    partsupp table — the supplier⊗part relation and its cost come from
+    lineitem: a supplier "supplies" a part it has shipped, at the
+    minimum observed extended price). Shape preserved: region-filtered
+    supplier dimension, per-part correlated MIN, argmin join-back.
+    Dimensions broadcast; the per-part min re-joins as a broadcast (its
+    key space is the filtered part set); costs compare as exact cents —
+    no float threshold."""
+    reg = _table(spark, sf, "region").where(F.col("r_name") == "EUROPE")
+    nat = _table(spark, sf, "nation").join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    sup = _table(spark, sf, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+    parts = _table(spark, sf, "part").where(
+        (F.col("p_size") < 10) & (F.col("p_type") == "SMALL"))
+    li = (
+        _table(spark, sf, "lineitem")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("_cost", _cents(F.col("l_extendedprice")))
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.min("_cost").alias("_min_cost"))
+    return (
+        li.join(F.broadcast(per_part),
+                (F.col("l_partkey") == F.col("_pk"))
+                & (F.col("_cost") == F.col("_min_cost")))
+        .select(
+            F.col("s_acctbal"), F.col("s_name"), F.col("n_name"),
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            F.col("p_name"),
+            (F.col("_min_cost").cast("double") / 100.0).alias("min_cost"),
+        )
+        .distinct()
+    )
+
+
+def q_tpch_q4_order_priority(spark, sf):
+    """Q4 order-priority checking, adapted (no commit/receipt dates —
+    "late" is shipped more than 60 days after the order date). Shape
+    preserved: EXISTS → LEFT SEMI join with a non-equi residual on the
+    order key, then a tiny-key priority histogram."""
+    orders = _table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = _table(spark, sf, "lineitem")
+    late_exists = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.expr("timestampadd(DAY, 60, o_orderdate)")),
+        "leftsemi",
+    )
+    return (
+        late_exists.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_tpch_q9_product_profit(spark, sf):
+    """Q9 product-type profit by nation and year, adapted (no partsupp
+    supplycost — cost = part retail price × quantity). Exact-integer
+    profit in 10^-4-dollar units end to end, one division at output;
+    the name-filtered part dimension broadcasts into the fact scan."""
+    parts = _table(spark, sf, "part").where(F.col("p_name").contains("widget"))
+    sup = _table(spark, sf, "supplier")
+    nat = _table(spark, sf, "nation")
+    orders = _table(spark, sf, "orders")
+    li = _table(spark, sf, "lineitem")
+    profit_u = (
+        _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+        - _cents(F.col("p_retailprice")) * _cents(F.col("l_quantity"))
+    )
+    j = (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    agg = j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").alias("o_year"),
+    ).agg(F.sum(profit_u).alias("_p"))
+    return agg.select(
+        "nation", F.col("o_year").cast("long").alias("o_year"),
+        (F.col("_p").cast("double") / 10_000.0).alias("sum_profit"),
+    )
+
+
+def q_tpch_q11_nation_value(spark, sf):
+    """Q11 important stock, adapted (no partsupp — the "value" held by a
+    nation is its suppliers' shipped revenue). Shape preserved: grouped
+    value vs a GLOBAL-fraction scalar subquery; the total is a 1-row
+    broadcast and the 5% threshold compares exact integers (v*100 >
+    total*5), never a float fraction."""
+    li = _table(spark, sf, "lineitem")
+    sup = _table(spark, sf, "supplier")
+    nat = _table(spark, sf, "nation")
+    rev = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(
+            _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+        ).alias("_v"))
+    )
+    total = rev.agg(F.sum("_v").alias("_total"))
+    return (
+        rev.join(F.broadcast(total))
+        .where(F.col("_v") * 100 > F.col("_total") * 5)
+        .select("n_name", (F.col("_v").cast("double") / 10_000.0).alias("value"))
+    )
+
+
+def q_tpch_q12_ship_delay(spark, sf):
+    """Q12 shipping modes and priority, adapted (no l_shipmode — lines
+    class as SLOW when shipped >60 days after the order date, else
+    FAST). Shape preserved: fact join + conditional priority counts on
+    a 2-row key."""
+    orders = _table(spark, sf, "orders")
+    li = _table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    delay_class = F.when(
+        F.col("l_shipdate") > F.expr("timestampadd(DAY, 60, o_orderdate)"),
+        F.lit("SLOW"),
+    ).otherwise(F.lit("FAST"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(delay_class.alias("delay_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q16_supplier_count(spark, sf):
+    """Q16 part/supplier relationship counting, adapted (no partsupp —
+    a supplier relates to a part it has shipped). Shape preserved:
+    NOT-filters on the part dimension, DISTINCT supplier count per
+    (brand, type, size) — the distinct dedupes on the grouping key plus
+    suppkey, so the exchange is on short composite keys, never a
+    row-level global distinct."""
+    parts = _table(spark, sf, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "STANDARD")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    li = _table(spark, sf, "lineitem")
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .select("p_brand", "p_type",
+                F.col("p_size").cast("long").alias("p_size"), "supplier_cnt")
+    )
+
+
+def q_tpch_q19_discounted_revenue(spark, sf):
+    """Q19 discounted revenue over OR'd predicate triples, adapted to
+    the available columns (brand × quantity band × size band). The OR of
+    brand/size predicates lands on the broadcast part dimension and the
+    quantity residual on the fact scan — Catalyst pushes the disjunction
+    into both scans; revenue is one exact-integer aggregate."""
+    parts = _table(spark, sf, "part")
+    li = _table(spark, sf, "lineitem")
+    j = li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    qty = F.col("l_quantity")
+    triple = (
+        ((F.col("p_brand") == "Brand#2") & qty.between(1, 11)
+         & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#3") & qty.between(10, 20)
+           & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#4") & qty.between(20, 30)
+           & F.col("p_size").between(1, 15))
+    )
+    agg = j.where(triple).agg(F.sum(
+        _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    ).alias("_rev"), F.count(F.lit(1)).alias("n_lines"))
+    return agg.select(
+        (F.col("_rev").cast("double") / 10_000.0).alias("revenue"), "n_lines")
+
+
+def q_tpch_q20_excess_suppliers(spark, sf):
+    """Q20 potential part promotion, adapted (no partsupp availqty —
+    a supplier is "excess" when it shipped more than 80 units of some
+    'small…' part). Shape preserved: per-(supplier, part) threshold
+    aggregate → DISTINCT qualifying suppliers → name join. The heavy agg
+    keys on the composite (suppkey, partkey); everything after it is
+    supplier-dimension-sized."""
+    parts = _table(spark, sf, "part").where(F.col("p_name").startswith("small"))
+    li = _table(spark, sf, "lineitem")
+    per_sp = (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("_q"))
+        .where(F.col("_q") > 80 * 100)
+    )
+    sup = _table(spark, sf, "supplier")
+    nat = _table(spark, sf, "nation")
+    return (
+        per_sp.select("l_suppkey").distinct()
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"),
+                "s_name", "n_name")
+    )
+
+
+def q_tpch_q21_late_supplier(spark, sf):
+    """Q21 suppliers who kept orders waiting, adapted (late = shipped
+    >60 days after the order date). The reference shape's correlated
+    EXISTS / NOT EXISTS pair becomes two per-order aggregates — distinct
+    suppliers and distinct LATE suppliers — joined back to the
+    per-(order, supplier) late flags: a supplier waits an order when it
+    is the ONLY late supplier on a multi-supplier finished order. Two
+    shuffles on l_orderkey (co-partitioned), final count keyed by
+    supplier."""
+    orders = _table(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
+    li = _table(spark, sf, "lineitem")
+    flags = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(
+            (F.col("l_shipdate")
+             > F.expr("timestampadd(DAY, 60, o_orderdate)")).cast("int")
+        ).alias("_late"))
+    )
+    per_order = flags.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.count(F.lit(1)).alias("_n_supp"),
+        F.sum("_late").alias("_n_late"),
+    )
+    waiting = flags.join(
+        per_order, F.col("l_orderkey") == F.col("_ok")
+    ).where(
+        (F.col("_late") == 1) & (F.col("_n_supp") >= 2) & (F.col("_n_late") == 1)
+    )
+    sup = _table(spark, sf, "supplier")
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+    )
+
+
+def q_tpch_q22_global_sales_opportunity(spark, sf):
+    """Q22 global sales opportunity, adapted (no c_phone — the "country
+    code" is the customer's nation bucket c_nationkey % 5 ∈ {0,1,2},
+    and "lapsed" is no orders since 1999 — the unwindowed anti join is
+    empty at this order density). Shape preserved: positive-balance
+    average as a scalar subquery (1-row broadcast), above-average
+    customers with no RECENT orders (LEFT ANTI join against the
+    date-pruned fact), tiny-key histogram. The above-average test
+    cross-multiplies exact integers (bal*n > sum) — no float average
+    compare."""
+    cust = _table(spark, sf, "customer").where(
+        (F.col("c_nationkey") % 5).isin(0, 1, 2)
+    ).withColumn("_bal", _cents(F.col("c_acctbal")))
+    stats = cust.where(F.col("_bal") > 0).agg(
+        F.sum("_bal").alias("_sum"), F.count(F.lit(1)).alias("_n"))
+    orders = _table(spark, sf, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01"))
+    return (
+        cust.join(F.broadcast(stats))
+        .where(F.col("_bal") * F.col("_n") > F.col("_sum"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "leftanti")
+        .groupBy((F.col("c_nationkey") % 5).alias("cntrycode"))
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             (F.sum("_bal").cast("double") / 100.0).alias("totacctbal"))
+    )
+
+
 def q_supplier_volume(spark, sf):
     """Shipped volume and revenue per supplier (supplier is a broadcast
     dimension; one shuffle on s_suppkey for the aggregate)."""
@@ -1334,6 +1611,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r7+r8 driver union covers all 90 queries on round-6+ code with a
     # green row each.
     return {
+        # --- new in r8 (never driver-sampled): TPC-H completion ---
+        "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+        "tpch_q4_order_priority": q_tpch_q4_order_priority,
+        "tpch_q9_product_profit": q_tpch_q9_product_profit,
+        "tpch_q11_nation_value": q_tpch_q11_nation_value,
+        "tpch_q12_ship_delay": q_tpch_q12_ship_delay,
+        "tpch_q16_supplier_count": q_tpch_q16_supplier_count,
+        "tpch_q19_discounted_revenue": q_tpch_q19_discounted_revenue,
+        "tpch_q20_excess_suppliers": q_tpch_q20_excess_suppliers,
+        "tpch_q21_late_supplier": q_tpch_q21_late_supplier,
+        "tpch_q22_global_sales_opportunity": q_tpch_q22_global_sales_opportunity,
         "text_analyze": q_text_analyze,
         "text_quality_histogram": q_text_quality_histogram,
         "dedup_exact": q_dedup_exact,
@@ -1909,6 +2197,126 @@ SELECT CAST(sum(ec) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly,
        CAST(count(*) AS BIGINT) AS n_lines
 FROM pl JOIN pp ON l_partkey = pk
 WHERE qc * 5 * n < sum_q
+"""
+    retail_c = cents.format(c="p_retailprice")
+    bal_c = cents.format(c="c_acctbal")
+    sqls["tpch_q2_min_cost_supplier"] = f"""
+WITH eu_sup AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+), pl AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+         {lic['ep']} AS cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_size < 10 AND p_type = 'SMALL'
+  JOIN eu_sup ON l_suppkey = s_suppkey
+), mins AS (SELECT p_partkey AS pk, min(cost) AS mc FROM pl GROUP BY 1)
+SELECT DISTINCT s_acctbal, s_name, n_name,
+       CAST(p_partkey AS BIGINT) AS p_partkey, p_name,
+       CAST(mc AS DOUBLE) / 100.0 AS min_cost
+FROM pl JOIN mins ON p_partkey = pk AND cost = mc
+"""
+    sqls["tpch_q4_order_priority"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1
+"""
+    sqls["tpch_q9_product_profit"] = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum({lic['ep']} * (100 - {lic['d']})
+                - {retail_c} * {lic['q']}) AS DOUBLE) / 10000.0 AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+    sqls["tpch_q11_nation_value"] = f"""
+WITH rev AS (
+  SELECT n_name, sum({lic['ep']} * (100 - {lic['d']})) AS v
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1
+)
+SELECT n_name, CAST(v AS DOUBLE) / 10000.0 AS value
+FROM rev WHERE v * 100 > (SELECT sum(v) FROM rev) * 5
+"""
+    sqls["tpch_q12_ship_delay"] = """
+SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+            THEN 'SLOW' ELSE 'FAST' END AS delay_class,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+GROUP BY 1
+"""
+    sqls["tpch_q16_supplier_count"] = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'STANDARD'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+GROUP BY 1, 2, 3
+"""
+    sqls["tpch_q19_discounted_revenue"] = f"""
+SELECT CAST(sum({lic['ep']} * (100 - {lic['d']})) AS DOUBLE) / 10000.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2' AND l_quantity BETWEEN 1 AND 11
+       AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 10 AND 20
+       AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#4' AND l_quantity BETWEEN 20 AND 30
+       AND p_size BETWEEN 1 AND 15)
+"""
+    sqls["tpch_q20_excess_suppliers"] = f"""
+WITH per_sp AS (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_name LIKE 'small%'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum({lic['q']}) > 8000
+)
+SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name
+FROM per_sp JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+"""
+    sqls["tpch_q21_late_supplier"] = """
+WITH flags AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+             THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+  GROUP BY 1, 2
+), per_o AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+  FROM flags GROUP BY 1
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM flags JOIN per_o USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE late = 1 AND n_supp >= 2 AND n_late = 1
+GROUP BY 1
+"""
+    sqls["tpch_q22_global_sales_opportunity"] = f"""
+WITH cust AS (
+  SELECT c_custkey, c_nationkey % 5 AS cntrycode, {bal_c} AS bal
+  FROM customer WHERE c_nationkey % 5 IN (0, 1, 2)
+), stats AS (SELECT sum(bal) AS s, count(*) AS n FROM cust WHERE bal > 0)
+SELECT CAST(cntrycode AS BIGINT) AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(bal) AS DOUBLE) / 100.0 AS totacctbal
+FROM cust, stats
+WHERE bal * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= '1999-01-01')
+GROUP BY 1
 """
     from eventstore_spark.operators import corpus as _cp
 

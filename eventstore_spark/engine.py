@@ -965,23 +965,7 @@ class EventStoreEngine:
                         "partition string, state string, last_position long",
                     )
                 raise RuntimeError(f"projection '{name}' has not run")
-            from pyspark.sql.window import Window
-
-            raw = self.spark.read.schema(
-                "partition string, state string, source_log_position long, "
-                "batch long"
-            ).parquet(state_dir)
-            w = Window.partitionBy("partition").orderBy(
-                F.col("batch").desc(), F.col("source_log_position").desc()
-            )
-            df = (
-                raw.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") == 1)
-                .select(
-                    "partition", "state",
-                    F.col("source_log_position").alias("last_position"),
-                )
-            )
+            df = self._state_table_latest(state_dir)
         else:
             if mp.last_result is None:
                 raise RuntimeError(f"projection '{name}' has not run")
@@ -989,6 +973,29 @@ class EventStoreEngine:
         if partition is not None:
             df = df.where(F.col("partition") == partition)
         return df
+
+    def _state_table_latest(self, state_dir: str) -> DataFrame:
+        """Latest-wins read of an LSM state table: per-micro-batch
+        `batch=<id>` delta generations, highest (batch, position) wins
+        per partition. One hash exchange on the partition key — the same
+        read a Delta MERGE target would need."""
+        from pyspark.sql.window import Window
+
+        raw = self.spark.read.schema(
+            "partition string, state string, source_log_position long, "
+            "batch long"
+        ).parquet(state_dir)
+        w = Window.partitionBy("partition").orderBy(
+            F.col("batch").desc(), F.col("source_log_position").desc()
+        )
+        return (
+            raw.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                "partition", "state",
+                F.col("source_log_position").alias("last_position"),
+            )
+        )
 
     def compact_projection_state(self, name: str) -> dict:
         """Fold the continuous-state table's per-micro-batch delta
@@ -1013,8 +1020,10 @@ class EventStoreEngine:
         redundant generations for the next compaction to fold.
         """
         self._require_writer("compact_projection_state")
-        mp = self.projections[name]
-        if mp.query is not None and mp.query.isActive:
+        # the spec need not be re-attached in this process (admin CLI
+        # compacts by name alone) — only a RUNNING registered query blocks
+        mp = self.projections.get(name)
+        if mp is not None and mp.query is not None and mp.query.isActive:
             raise RuntimeError(f"stop projection '{name}' before compacting")
         state_dir = self._projection_state_dir(name)
         if not os.path.isdir(state_dir):
@@ -1022,7 +1031,7 @@ class EventStoreEngine:
         gens = [d for d in os.listdir(state_dir) if d.startswith("batch=")]
         gen_ids = [int(d.split("=", 1)[1]) for d in gens]
         new_id = min(gen_ids + [0]) - 1  # below every existing generation
-        latest = self.projection_state(name).select(
+        latest = self._state_table_latest(state_dir).select(
             "partition", "state",
             F.col("last_position").alias("source_log_position"),
         )

@@ -316,6 +316,92 @@ def subscription_backlog(log_path: str, checkpoint_location: str,
     }
 
 
+def start_with_markers(
+    spark: SparkSession,
+    log_path: str,
+    on_batch,
+    on_marker,
+    checkpoint_location: str | None = None,
+    event_filter: EventFilter | None = None,
+    threshold_files: int = 2,
+    from_position: int = 0,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+):
+    """U1 IN-BAND subscription status markers (streams.proto:103-106
+    pairs ``CaughtUp`` with ``FellBehind``; the reference's enumerator
+    interleaves them in the subscription's message stream at the exact
+    point the transition happened, Enumerator.StreamSubscription.cs).
+    ``subscription_backlog`` is the pull-style observable; this is the
+    push-style surface: ``on_marker(kind, batch_id)`` is called BETWEEN
+    event batches, ordered with the ``on_batch(matches_df, batch_id)``
+    deliveries around it —
+
+    - ``("CaughtUp", b)`` after the batch that drained the last file
+      known committed (catch-up → live transition, and again each time
+      the subscription recovers from falling behind);
+    - ``("FellBehind", b)`` before a batch that starts with
+      ``threshold_files`` or more committed-but-unread files while the
+      subscription was live (live → catch-up transition).
+
+    Drives the UNFILTERED scan (like ``start_all_with_checkpoints``) so
+    progress is measured against files actually scanned even when the
+    event filter matches nothing in them. File bookkeeping is
+    driver-side set arithmetic over the manifest listing —
+    metadata-scale, no extra Spark jobs beyond one distinct over each
+    micro-batch's already-persisted rows."""
+    from .. import manifest as M
+
+    raw = subscribe_all(
+        spark, log_path, None, from_position,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    # input_file_name() is empty inside foreachBatch (the micro-batch
+    # plan is no longer a file scan there) — the hidden `_metadata`
+    # column, resolved against the SOURCE scan, survives into the sink
+    raw = raw.withColumn("_marker_src_file", F.col("_metadata.file_name"))
+    pred = (
+        event_filter.predicate()
+        if isinstance(event_filter, EventFilter)
+        else event_filter
+    )
+    # a restart resumes the ORIGINAL subscription's progress: seed the
+    # seen-set from the streaming checkpoint's source log
+    seen0 = (_checkpoint_seen_files(checkpoint_location)
+             if checkpoint_location else None) or set()
+    state = {"live": False, "seen": set(seen0)}
+
+    def fn(batch_df, batch_id):
+        batch_df.persist()
+        try:
+            files = {
+                os.path.basename(r[0])
+                for r in batch_df.select("_marker_src_file").distinct().collect()
+            }
+            batch_df = batch_df.drop("_marker_src_file")
+            seen_before = set(state["seen"])
+            state["seen"] |= files
+            committed = M.snapshot_files(log_path)
+            if committed is None:
+                committed = [f for f in os.listdir(log_path)
+                             if f.endswith(".parquet")]
+            pending_at_start = [f for f in committed if f not in seen_before]
+            if state["live"] and len(pending_at_start) >= threshold_files:
+                state["live"] = False
+                on_marker("FellBehind", batch_id)
+            matches = batch_df.where(pred) if pred is not None else batch_df
+            on_batch(matches, batch_id)
+            pending_after = [f for f in committed if f not in state["seen"]]
+            if not state["live"] and not pending_after:
+                state["live"] = True
+                on_marker("CaughtUp", batch_id)
+        finally:
+            batch_df.unpersist()
+
+    return start_foreach_batch(raw, fn, checkpoint_location,
+                               available_now=available_now)
+
+
 def start_foreach_batch(sub: DataFrame, fn, checkpoint_location: str | None = None,
                         available_now: bool = False):
     """Run a subscription through foreachBatch (exactly-once sinks).

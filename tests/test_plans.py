@@ -198,6 +198,10 @@ def test_no_accidental_cartesian_in_any_query(spark):
         # ONE-ROW corpus-stats aggregate broadcast back over the scan
         # (the scalar-subquery shape, same as lm_score's totals)
         "embedding_outliers",
+        # ONE-ROW scalar-subquery broadcasts (r8): q11's global revenue
+        # total, q22's positive-balance average — both build sides are a
+        # single aggregate row by construction
+        "tpch_q11_nation_value", "tpch_q22_global_sales_opportunity",
     }
     offenders = {}
     for name, fn in sorted(entry.queries().items()):

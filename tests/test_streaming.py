@@ -1118,3 +1118,48 @@ def test_subscription_backlog_over_maintenance_rewrite(spark, log, tmp_path):
     assert b["pending_files"] == 1  # the rewrite generation, to be scanned
     drain()
     assert subscription_backlog(log.path, ckpt)["pending_files"] == 0
+
+
+def test_in_band_caughtup_fellbehind_markers(spark, log, tmp_path):
+    """streams.proto:103-106 in-band markers: CaughtUp arrives between
+    batches once history drains; a live subscription that falls
+    threshold_files behind gets FellBehind BEFORE the catch-up batch and
+    CaughtUp again after recovery — interleaved with deliveries, exactly
+    the reference enumerator's message ordering (round 8; the pull-style
+    subscription_backlog observable covered the state, not the
+    in-band signal)."""
+    from eventstore_spark.streaming.subscriptions import start_with_markers
+
+    events = []
+    markers = []
+    ck = str(tmp_path / "mkck")
+    q = start_with_markers(
+        spark, log.path,
+        on_batch=lambda df, bid: events.append(df.count()),
+        on_marker=lambda kind, bid: markers.append(kind),
+        checkpoint_location=ck, max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+        # 3 history files drained (catch-up), ONE CaughtUp at the end
+        assert sum(events) == 3 and markers == ["CaughtUp"]
+        # two commits land while live -> FellBehind precedes the drain,
+        # CaughtUp follows it
+        log.append("account-9", [ProposedEvent("Op", '{"i": 1}')])
+        log.append("account-9", [ProposedEvent("Op", '{"i": 2}')])
+        q.processAllAvailable()
+        assert markers == ["CaughtUp", "FellBehind", "CaughtUp"]
+        assert sum(events) == 5
+    finally:
+        q.stop()
+    # restart from the checkpoint: seen-files seed means only the delta
+    # is re-read and one recovery CaughtUp fires (no FellBehind below
+    # threshold)
+    log.append("account-9", [ProposedEvent("Op", '{"i": 3}')])
+    q2 = start_with_markers(
+        spark, log.path,
+        on_batch=lambda df, bid: events.append(df.count()),
+        on_marker=lambda kind, bid: markers.append(kind),
+        checkpoint_location=ck, available_now=True)
+    q2.awaitTermination()
+    assert sum(events) == 6
+    assert markers == ["CaughtUp", "FellBehind", "CaughtUp", "CaughtUp"]

@@ -17,6 +17,8 @@ Commands:
   drop-archived [grace_s]        drop archived hot copies after grace
   redact <n@stream> [...]        blank specific events (GDPR last resort)
   autoscavenge [interval_s]      run the auto-scavenge policy if due
+  compact-state <projection>     fold a continuous projection's state
+                                 delta generations into one base
 
 Read-only commands open the store without the writer lock, so they work
 beside a live writer process; mutating commands take the lock and fail
@@ -83,6 +85,8 @@ def main(argv: list[str]) -> int:
             pol = eng.auto_scavenge_policy(
                 interval_s=float(args[0]) if args else 86400.0)
             out = pol.run_if_due()
+        elif cmd == "compact-state":
+            out = eng.compact_projection_state(args[0])
         else:
             print(f"unknown command {cmd!r}\n{__doc__}")
             return 2
