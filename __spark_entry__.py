@@ -943,12 +943,15 @@ def q_tpch_q20_excess_suppliers(spark, sf):
 def q_tpch_q21_late_supplier(spark, sf):
     """Q21 suppliers who kept orders waiting, adapted (late = shipped
     >60 days after the order date). The reference shape's correlated
-    EXISTS / NOT EXISTS pair becomes two per-order aggregates — distinct
-    suppliers and distinct LATE suppliers — joined back to the
-    per-(order, supplier) late flags: a supplier waits an order when it
-    is the ONLY late supplier on a multi-supplier finished order. Two
-    shuffles on l_orderkey (co-partitioned), final count keyed by
-    supplier."""
+    EXISTS / NOT EXISTS pair becomes per-(order, supplier) late flags
+    enriched by an ORDER-PARTITIONED window (supplier count + late
+    count per order): a supplier waits an order when it is the ONLY
+    late supplier on a multi-supplier finished order. The fact scans
+    ONCE — flags shuffle on (l_orderkey, l_suppkey), the window
+    re-keys on l_orderkey (order-bounded partitions, never a global
+    window), and the final count keys by supplier."""
+    from pyspark.sql.window import Window
+
     orders = _table(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
     li = _table(spark, sf, "lineitem")
     flags = (
@@ -959,14 +962,12 @@ def q_tpch_q21_late_supplier(spark, sf):
              > F.expr("timestampadd(DAY, 60, o_orderdate)")).cast("int")
         ).alias("_late"))
     )
-    per_order = flags.groupBy(F.col("l_orderkey").alias("_ok")).agg(
-        F.count(F.lit(1)).alias("_n_supp"),
-        F.sum("_late").alias("_n_late"),
-    )
-    waiting = flags.join(
-        per_order, F.col("l_orderkey") == F.col("_ok")
-    ).where(
-        (F.col("_late") == 1) & (F.col("_n_supp") >= 2) & (F.col("_n_late") == 1)
+    w = Window.partitionBy("l_orderkey")
+    waiting = (
+        flags.withColumn("_n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("_n_late", F.sum("_late").over(w))
+        .where((F.col("_late") == 1) & (F.col("_n_supp") >= 2)
+               & (F.col("_n_late") == 1))
     )
     sup = _table(spark, sf, "supplier")
     return (
