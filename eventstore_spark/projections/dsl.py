@@ -166,9 +166,16 @@ class Projection:
 
     def options(self, **opts) -> "Projection":
         """resultStreamName / $includeLinks / reorderEvents / processingLag.
-        reorderEvents is accepted for parity but a no-op: the batch runtime
-        always folds in exact log_position order, which is the semantics the
-        reorder buffer (P19) approximates."""
+
+        P19 reorderEvents (EventReorderingReaderSubscription.cs): a
+        fromStreams([...]) projection with reorderEvents=True and
+        processingLag>=50 folds its streams merged by event TIMESTAMP
+        (created, position) instead of commit order — the batch runtime
+        replays in exactly the order the reference's lag-bounded reorder
+        buffer emits; the continuous runtime applies it within each
+        micro-batch (equivalent while processingLag <= the trigger
+        interval). Validation matches ReaderStrategy.cs:64-74: rejected
+        on fromAll / single-stream sources and for lag < 50 ms."""
         self.options_.update(opts)
         if "resultStreamName" in opts:
             self.result_stream_name = opts["resultStreamName"]

@@ -249,7 +249,7 @@ def _make_fold(proj: Projection, sort_key: str = "log_position"):
     return fold
 
 
-def _make_bistate_fold(proj: Projection):
+def _make_bistate_fold(proj: Projection, sort_key="log_position"):
     """P9 bi-state fold: one global pass in log order, carrying a shared
     state plus a state per partition. Handlers see
     ``{"p": partition_state, "s": shared_state}`` and return the same
@@ -267,7 +267,7 @@ def _make_bistate_fold(proj: Projection):
         return state if out is None else out
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("log_position", kind="mergesort")
+        pdf = pdf.sort_values(sort_key, kind="mergesort")
         init = handlers.get(INIT)
         init_shared = handlers.get(INIT_SHARED)
         shared = init_shared() if init_shared is not None else {}
@@ -421,10 +421,34 @@ def run_batch(proj: Projection, events: DataFrame) -> ProjectionResult:
     by_stream_only = proj.by_stream and not emits and not proj.bi_state
     sort_key = "event_number" if by_stream_only else "log_position"
 
+    # P19 reorder buffer (EventReorderingReaderSubscription.cs:15-88):
+    # a fromStreams([...]) projection with options(reorderEvents=True,
+    # processingLag=N) folds its streams merged by TIMESTAMP instead of
+    # commit order — the reference buffers events and releases them once
+    # `lag` behind the newest timestamp seen, whose steady-state output
+    # IS (timestamp, position) order; a batch replay produces exactly
+    # that, so the sort key is the whole implementation. Validation
+    # mirrors ReaderStrategy.cs:64-74 verbatim.
+    reorder = bool(proj.options_.get("reorderEvents"))
+    if reorder:
+        if proj.all_streams:
+            raise ValueError("Event reordering cannot be used with fromAll()")
+        if not (proj.streams and len(proj.streams) > 1):
+            raise ValueError(
+                "Event reordering is only available in fromStreams([]) projections"
+            )
+        if int(proj.options_.get("processingLag", 0) or 0) < 50:
+            raise ValueError(
+                "Event reordering requires processing lag at least of 50ms"
+            )
+        sort_key = ["created", "log_position"]
+
     if proj.columns_ is not None:
         needed = ["stream_id", "event_type", "event_number"]
         if not by_stream_only:
             needed.append("log_position")
+        if reorder:
+            needed.append("created")
         keep = needed + [c for c in proj.columns_ if c not in needed and c in src.columns]
         src = src.select(*keep)
 
@@ -445,8 +469,10 @@ def run_batch(proj: Projection, events: DataFrame) -> ProjectionResult:
     else:
         src = src.withColumn("_partition", F.lit(""))
 
+    sort_cols = sort_key if isinstance(sort_key, list) else [sort_key]
+
     if proj.bi_state:
-        fold_all = _make_bistate_fold(proj)
+        fold_all = _make_bistate_fold(proj, sort_key)
 
         def run_all(batches):
             import pandas as _pd
@@ -455,7 +481,7 @@ def run_batch(proj: Projection, events: DataFrame) -> ProjectionResult:
             if pdfs:
                 yield fold_all(_pd.concat(pdfs, ignore_index=True))
 
-        one = src.repartition(1).sortWithinPartitions("log_position")
+        one = src.repartition(1).sortWithinPartitions(*sort_cols)
         return ProjectionResult(raw=one.mapInPandas(run_all, _OUT_SCHEMA))
 
     # Execution: hash-repartition on the partition key, sort within each
@@ -489,7 +515,7 @@ def run_batch(proj: Projection, events: DataFrame) -> ProjectionResult:
 
     n_part = src.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     src = src.repartition(int(n_part), "_partition").sortWithinPartitions(
-        "_partition", sort_key
+        "_partition", *sort_cols
     )
     out = src.mapInPandas(fold_partition, _OUT_SCHEMA)
     return ProjectionResult(raw=out)

@@ -37,6 +37,13 @@ _OUT_COLS = [f.name for f in _OUT_SCHEMA.fields]
 
 
 def _make_stateful(proj: Projection):
+    # P19 reorder buffer in continuous mode: within each micro-batch the
+    # fold replays by (created, log_position) instead of commit order —
+    # equivalent to the reference's lag-bounded reorder buffer whenever
+    # processingLag <= the trigger interval (the micro-batch boundary IS
+    # the buffer drain). Validation happens in run_continuous.
+    reorder = bool(proj.options_.get("reorderEvents"))
+    sort_cols = ["created", "log_position"] if reorder else "log_position"
     handlers = dict(proj.handlers)
     arity = dict(proj.handler_arity)
     chain = list(proj.state_chain)
@@ -66,7 +73,7 @@ def _make_stateful(proj: Projection):
         frames = [p for p in pdfs]
         if frames:
             pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-            pdf = pdf.sort_values("log_position", kind="mergesort")
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
             cols = [c for c in pdf.columns if c != "_partition"]
             for row in pdf[cols].itertuples(index=False):
                 ev = _event_dict(dict(zip(cols, row)))
@@ -115,6 +122,18 @@ def run_continuous(proj: Projection, subscription: DataFrame) -> DataFrame:
     that MERGEs state rows into a state table and appends emission rows to
     the log (engine.run_projection wires exactly that).
     """
+    if proj.options_.get("reorderEvents"):
+        # ReaderStrategy.cs:64-74 validation, verbatim
+        if proj.all_streams:
+            raise ValueError("Event reordering cannot be used with fromAll()")
+        if not (proj.streams and len(proj.streams) > 1):
+            raise ValueError(
+                "Event reordering is only available in fromStreams([]) projections"
+            )
+        if int(proj.options_.get("processingLag", 0) or 0) < 50:
+            raise ValueError(
+                "Event reordering requires processing lag at least of 50ms"
+            )
     src = subscription.where(source_predicate(proj))
     if proj.by_stream:
         src = src.withColumn("_partition", F.col("stream_id"))

@@ -305,3 +305,54 @@ def test_partitioned_result_streams(spark, tmp_path):
     assert eng.read_stream("$projections-pp-result").count() == 2
     assert eng.read_stream("$projections-pp-acct-a-result").count() == 1
     eng.close()
+
+
+def test_reorder_buffer_folds_by_timestamp(spark):
+    """P19 reorder buffer (EventReorderingReaderSubscription.cs:15-88):
+    fromStreams + options(reorderEvents, processingLag) replays the
+    merged streams by event TIMESTAMP (the lag-bounded buffer's
+    steady-state output order); without the option the fold replays in
+    commit order."""
+    from datetime import datetime
+
+    from eventstore_spark.schema import EVENTS_SCHEMA
+
+    rows = [
+        # commit order 1..4 but timestamps invert sens-b's two events
+        (1, "sens-a", "sens", 0, "e1", "M", '{"v": 1}', None,
+         datetime(2024, 1, 1, 0, 0, 0), True),
+        (2, "sens-b", "sens", 0, "e2", "M", '{"v": 2}', None,
+         datetime(2024, 1, 1, 0, 0, 3), True),
+        (3, "sens-a", "sens", 1, "e3", "M", '{"v": 3}', None,
+         datetime(2024, 1, 1, 0, 0, 2), True),
+        (4, "sens-b", "sens", 1, "e4", "M", '{"v": 4}', None,
+         datetime(2024, 1, 1, 0, 0, 1), True),
+    ]
+    ev = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    fold = {"$init": lambda: {"seq": []},
+            "M": lambda s, e: {"seq": s["seq"] + [e["body"]["v"]]}}
+    plain = Projection.from_streams("sens-a", "sens-b", name="plain").when(fold)
+    assert states_of(run_batch(plain, ev))[""]["seq"] == [1, 2, 3, 4]
+    reordered = (
+        Projection.from_streams("sens-a", "sens-b", name="reord")
+        .when(fold).options(reorderEvents=True, processingLag=500)
+    )
+    assert states_of(run_batch(reordered, ev))[""]["seq"] == [1, 4, 3, 2]
+
+
+def test_reorder_buffer_validation(bank_events):
+    """ReaderStrategy.cs:64-74 parity: reordering rejects fromAll(),
+    single-stream sources, and processingLag < 50 ms."""
+    import pytest
+
+    fold = {"$init": lambda: {}, "$any": lambda s, e: s}
+    with pytest.raises(ValueError, match="fromAll"):
+        run_batch(Projection.from_all(name="x").when(fold)
+                  .options(reorderEvents=True, processingLag=100), bank_events)
+    with pytest.raises(ValueError, match="fromStreams"):
+        run_batch(Projection.from_stream("account-1", name="y").when(fold)
+                  .options(reorderEvents=True, processingLag=100), bank_events)
+    with pytest.raises(ValueError, match="at least of 50ms"):
+        run_batch(Projection.from_streams("account-1", "account-2", name="z")
+                  .when(fold).options(reorderEvents=True, processingLag=10),
+                  bank_events)
