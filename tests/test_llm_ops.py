@@ -813,15 +813,70 @@ def _has(mod):
 
 
 def test_codec_probe_wiring():
-    """The decode seam resolves at import: real codecs when the
-    environment has them, deterministic stand-ins otherwise — pinned in
+    """The decode seam resolves at import: library codecs when the
+    environment has them, stdlib WAV/PNG decoders otherwise (with the
+    deterministic stand-in for formats neither can read) — pinned in
     BOTH directions so a container that gains Pillow/soundfile
     activates them without a code change (VERDICT r7 carry #7)."""
     assert mm.DECODERS["image"] is (
-        mm._pil_decode_image if _has("PIL") else mm._fake_decode_image)
+        mm._pil_decode_image if _has("PIL") else mm._stdlib_decode_image)
     assert mm.DECODERS["audio"] is (
         mm._soundfile_decode_audio if _has("soundfile")
-        else mm._fake_decode_image)
+        else mm._stdlib_decode_audio)
+
+
+def _tiny_png(w, h):
+    """Hand-assembled minimal 8-bit RGB PNG (stdlib only)."""
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(3 * w) for _ in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _tiny_wav(channels, rate, frames):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x00" * channels * frames)
+    return buf.getvalue()
+
+
+def test_stdlib_codecs_decode_real_wav_and_png(spark):
+    """No-dependency REAL decode (round 8): genuine WAV files yield
+    their true channel count / samplerate via stdlib wave, genuine PNGs
+    their true IHDR dimensions with the IDAT stream actually inflated —
+    while non-WAV/PNG bytes still take the deterministic stand-in, so
+    mixed corpora (and the synthetic-media oracle) are unaffected."""
+    png = _tiny_png(37, 21)
+    wav = _tiny_wav(2, 16000, 160)
+    junk = b"not a media file at all"
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png), "image/png"),
+         (2, "audio", bytearray(wav), "audio/wav"),
+         (3, "image", bytearray(junk), "application/octet-stream"),
+         (4, "audio", bytearray(junk), "application/octet-stream")],
+        "media_id long, kind string, content binary, mime string")
+    feats = {r.media_id: r for r in mm.extract_media_features(media).collect()}
+    assert (feats[1].width, feats[1].height) == (37, 21)        # real IHDR
+    assert (feats[2].width, feats[2].height) == (2, 160)        # real RIFF
+    fake = mm._fake_decode_image(junk)
+    assert (feats[3].width, feats[3].height) == (fake["width"], fake["height"])
+    assert feats[4].width == fake["width"]                      # fallback
+    # corrupt pixel stream is REJECTED by the inflate, not fingerprinted
+    broken = png[:45] + b"\x00\x00\x00\x00" + png[49:]
+    assert mm._stdlib_decode_image(broken)["width"] == mm._fake_decode_image(broken)["width"]
 
 
 @pytest.mark.skipif(not _has("PIL"), reason="Pillow absent: codec stand-in active")
