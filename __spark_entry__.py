@@ -999,7 +999,7 @@ def q_tpch_q22_global_sales_opportunity(spark, sf):
         cust.join(F.broadcast(stats))
         .where(F.col("_bal") * F.col("_n") > F.col("_sum"))
         .join(orders, F.col("c_custkey") == F.col("o_custkey"), "leftanti")
-        .groupBy((F.col("c_nationkey") % 5).alias("cntrycode"))
+        .groupBy((F.col("c_nationkey") % 5).cast("long").alias("cntrycode"))
         .agg(F.count(F.lit(1)).alias("numcust"),
              (F.sum("_bal").cast("double") / 100.0).alias("totacctbal"))
     )

@@ -638,18 +638,30 @@ class EventStoreEngine:
         import hashlib
 
         # registry identity is (name, mode) ONLY — emitEnabled lives in
-        # the payload but not the id, so stores registered under the old
-        # emit_enabled=True default still dedupe on re-attach after the
-        # round-7 default flip (re-registration stays a registry no-op)
+        # the payload but not the id. Re-attach dedupes on the PAYLOAD
+        # identity (a point read of the tiny registry stream), not the
+        # event id, so stores written by earlier id schemes (the pre-r7
+        # 4-part hash included emitEnabled) are registry no-ops too.
+        existing = (
+            self.writer.load()
+            .where((F.col("stream_id") == "$projections-$all")
+                   & (F.col("event_type") == "$ProjectionCreated")
+                   & (F.get_json_object("data", "$.name") == spec.name)
+                   & (F.get_json_object("data", "$.mode") == mode))
+            .limit(1)
+            .first()
+        )
+        if existing is not None:
+            return
         eid = hashlib.md5(
             f"created|{spec.name}|{mode}".encode()
         ).hexdigest()
-        self._append_config_once("$projections-$all", ProposedEvent(
+        self.writer.append("$projections-$all", [ProposedEvent(
             "$ProjectionCreated",
             json.dumps({"name": spec.name, "mode": mode,
                         "emitEnabled": emit_enabled}, sort_keys=True),
             event_id=eid,
-        ))
+        )])
 
     def update_projection(self, name: str, spec: Projection,
                           reset: bool = True,
@@ -1027,6 +1039,13 @@ class EventStoreEngine:
             raise RuntimeError(f"stop projection '{name}' before compacting")
         state_dir = self._projection_state_dir(name)
         if not os.path.isdir(state_dir):
+            if mp is None:
+                # neither registered nor on disk: a typo'd CLI name must
+                # error, not report a successful no-op compaction
+                raise KeyError(
+                    f"no projection '{name}' registered and no state table "
+                    f"at {state_dir}"
+                )
             return {"generations_before": 0, "generations_after": 0}
         gens = [d for d in os.listdir(state_dir) if d.startswith("batch=")]
         gen_ids = [int(d.split("=", 1)[1]) for d in gens]
@@ -1042,9 +1061,13 @@ class EventStoreEngine:
             shutil.rmtree(staging)
         latest.write.mode("overwrite").parquet(staging)
         # install the new base FIRST (atomic dir rename), THEN drop the
-        # folded generations — there is never a window with neither
+        # folded generations OLDEST-FIRST — the surviving set is always
+        # {new base} ∪ {newest deltas}, and a delta's row for a partition
+        # is that partition's latest whenever no newer delta carries it,
+        # so every crash point reads correctly. (Removing newest-first
+        # would let an older delta's stale row outrank the base.)
         os.rename(staging, os.path.join(state_dir, f"batch={new_id}"))
-        for d in gens:
+        for d in sorted(gens, key=lambda g: int(g.split("=", 1)[1])):
             shutil.rmtree(os.path.join(state_dir, d))
         return {"generations_before": len(gens), "generations_after": 1}
 

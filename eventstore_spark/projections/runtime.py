@@ -448,7 +448,11 @@ def run_batch(proj: Projection, events: DataFrame) -> ProjectionResult:
         if not by_stream_only:
             needed.append("log_position")
         if reorder:
-            needed.append("created")
+            # the reorder sort key is ALWAYS (created, log_position) —
+            # keep both even on the by_stream fast path, or the sort
+            # below would reference a pruned column
+            needed.extend(c for c in ("created", "log_position")
+                          if c not in needed)
         keep = needed + [c for c in proj.columns_ if c not in needed and c in src.columns]
         src = src.select(*keep)
 

@@ -372,15 +372,24 @@ def start_with_markers(
     state = {"live": False, "seen": set(seen0)}
 
     def fn(batch_df, batch_id):
-        batch_df.persist()
+        cached = batch_df.persist()  # keep THIS reference for unpersist —
+        # rebinding to .drop(...) would unpersist a different plan and
+        # leak one cached micro-batch per trigger (round-8 review)
         try:
             files = {
                 os.path.basename(r[0])
-                for r in batch_df.select("_marker_src_file").distinct().collect()
+                for r in cached.select("_marker_src_file").distinct().collect()
             }
-            batch_df = batch_df.drop("_marker_src_file")
             seen_before = set(state["seen"])
             state["seen"] |= files
+            if checkpoint_location:
+                # the source writes this batch's file list to the offset
+                # log BEFORE the batch executes, so the checkpoint also
+                # credits files whose rows were ALL filtered out (e.g. a
+                # whole file below from_position) — row-derived names
+                # alone would leave such files "pending" forever and
+                # starve CaughtUp
+                state["seen"] |= _checkpoint_seen_files(checkpoint_location) or set()
             committed = M.snapshot_files(log_path)
             if committed is None:
                 committed = [f for f in os.listdir(log_path)
@@ -389,14 +398,15 @@ def start_with_markers(
             if state["live"] and len(pending_at_start) >= threshold_files:
                 state["live"] = False
                 on_marker("FellBehind", batch_id)
-            matches = batch_df.where(pred) if pred is not None else batch_df
+            out = cached.drop("_marker_src_file")
+            matches = out.where(pred) if pred is not None else out
             on_batch(matches, batch_id)
             pending_after = [f for f in committed if f not in state["seen"]]
             if not state["live"] and not pending_after:
                 state["live"] = True
                 on_marker("CaughtUp", batch_id)
         finally:
-            batch_df.unpersist()
+            cached.unpersist()
 
     return start_foreach_batch(raw, fn, checkpoint_location,
                                available_now=available_now)

@@ -129,6 +129,13 @@ class ProposedEvent:
 
 
 def _category(stream_id: str) -> str | None:
+    # reference extractor edges (StreamCategoryExtractorByFirstSeparator
+    # .cs:15-19, matched by schema.category_of): position > 0 AND never
+    # for $-prefixed ids — stored and computed categories must agree, or
+    # category-pushdown readers that prefer the stored column would keep
+    # the old semantics (round-8 review finding)
+    if stream_id.startswith("$"):
+        return None
     i = stream_id.find("-")
     return stream_id[:i] if i > 0 else None
 
@@ -951,24 +958,22 @@ class EventLogWriter:
             order = [F.col(c) for c in order_cols] + [F.col("event_id")]
             w = Window.partitionBy("stream_id").orderBy(*order)
             now = created or datetime.now(timezone.utc)
+            from .schema import category_of as _category_of
+
             out = (
                 b.join(F.broadcast(am), "stream_id")
                 .withColumn("_rn", F.row_number().over(w).cast("long"))
                 .select(
                     (F.col("pos_base") + F.col("_rn")).alias("log_position"),
                     F.col("stream_id"),
-                    F.substring_index("stream_id", "-", 1).alias("_cat_head"),
                     (F.col("en_base") + F.col("_rn")).alias("event_number"),
                     "event_id", "event_type", "data", "metadata",
                     F.lit(now).alias("created"),
                     (F.col("event_type") != "$>").alias("is_json"),
                 )
-                .withColumn(
-                    "category",
-                    F.when(
-                        F.instr("stream_id", "-") > 0, F.col("_cat_head")
-                    ).otherwise(F.lit(None).cast("string")),
-                )
+                # one source of truth for the stored category column —
+                # schema.category_of (reference extractor edges included)
+                .withColumn("category", _category_of(F.col("stream_id")))
                 .select([f.name for f in EVENTS_SCHEMA.fields])
             )
             # capture the dir listing BEFORE the write so the manifest

@@ -1366,3 +1366,83 @@ def test_every_maintenance_entry_point_is_guarded():
         assert "_require_writer" in src, (
             f"maintenance entry point {name} does not fence read-only "
             "engines (must call self._require_writer)")
+
+
+def test_compact_crash_after_partial_removal_oldest_first(engine, monkeypatch):
+    """Round-8 review: generation removal must go OLDEST-first. Killing
+    the compaction after it removed only the oldest delta leaves
+    {new base, newest delta} — the newest delta's rows are the latest by
+    definition, so reads stay correct. (Newest-first removal would have
+    left the STALE older delta outranking the base.)"""
+    import os as _os
+    import shutil as _shutil
+
+    state_dir = _seed_continuous_state(engine, "crashy2", {
+        0: [("account-1", '{"n": 1}', 1), ("account-2", '{"n": 5}', 1)],
+        1: [("account-1", '{"n": 2}', 2)],
+    })
+    real_rmtree = _shutil.rmtree
+    calls = {"n": 0}
+
+    def dying_rmtree(path, *a, **kw):
+        if _os.path.basename(path).startswith("batch="):
+            calls["n"] += 1
+            if calls["n"] == 2:  # die AFTER the first (oldest) removal
+                raise RuntimeError("simulated crash mid-removal")
+        return real_rmtree(path, *a, **kw)
+
+    import eventstore_spark.engine as _eng_mod
+
+    monkeypatch.setattr(_eng_mod.shutil, "rmtree", dying_rmtree)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        engine.compact_projection_state("crashy2")
+    monkeypatch.setattr(_eng_mod.shutil, "rmtree", real_rmtree)
+    gens = sorted(d for d in _os.listdir(state_dir) if d.startswith("batch="))
+    assert gens == ["batch=-1", "batch=1"]  # batch=0 (oldest) went first
+    st = {r.partition: json.loads(r.state)
+          for r in engine.projection_state("crashy2").collect()}
+    assert st == {"account-1": {"n": 2}, "account-2": {"n": 5}}
+
+
+def test_compact_unknown_projection_errors(engine):
+    """A typo'd name (not registered, no state table on disk) must raise,
+    not report a successful zero-generation compaction."""
+    with pytest.raises(KeyError, match="no projection 'acounts'"):
+        engine.compact_projection_state("acounts")
+
+
+def test_registry_reattach_dedupes_pre_flip_id_scheme(engine):
+    """Round-8 review: stores written by the OLD registry id scheme
+    (md5 over name|mode|emitEnabled) must still re-attach as a no-op —
+    dedupe keys on the payload (name, mode), not the event id."""
+    import hashlib
+
+    old_id = hashlib.md5("created|legacy|onetime|True".encode()).hexdigest()
+    engine.append("$projections-$all", [ProposedEvent(
+        "$ProjectionCreated",
+        json.dumps({"emitEnabled": True, "mode": "onetime",
+                    "name": "legacy"}, sort_keys=True),
+        event_id=old_id,
+    )])
+    spec = (Projection.from_category("account", name="legacy")
+            .when({"$init": lambda: {}, "$any": lambda s, e: s}))
+    engine.create_projection(spec, mode="onetime")  # new default, new id scheme
+    assert engine.read_stream("$projections-$all").count() == 1
+
+
+def test_stored_category_matches_extractor_edges(engine):
+    """Round-8 review: the STORED envelope category column (stamped at
+    append time, both writer paths) must agree with category_of — a
+    leading-separator or $-prefixed stream id stores NULL, so
+    category-pushdown readers that prefer the stored column can't
+    resurrect the old self-categorizing semantics."""
+    engine.append("-weird", [ProposedEvent("E", "{}")])
+    engine.append("$idx-aux", [ProposedEvent("E", "{}")])
+    engine.register_system_projections(mode="onetime")  # bulk path: $ce- links
+    raw = engine.events(visible_only=False)
+    cats = {r.stream_id: r.category
+            for r in raw.select("stream_id", "category").collect()}
+    assert cats["-weird"] is None
+    assert cats["$idx-aux"] is None
+    assert all(v is None for k, v in cats.items() if k.startswith("$"))
+    assert cats["account-1"] == "account"

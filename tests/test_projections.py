@@ -356,3 +356,33 @@ def test_reorder_buffer_validation(bank_events):
         run_batch(Projection.from_streams("account-1", "account-2", name="z")
                   .when(fold).options(reorderEvents=True, processingLag=10),
                   bank_events)
+
+
+def test_reorder_with_column_pruning_keeps_sort_columns(spark):
+    """Round-8 review: reorderEvents + columns() pruning + the
+    foreach_stream fast path must retain created AND log_position (the
+    reorder sort key) in the pruned scan."""
+    from datetime import datetime
+
+    from eventstore_spark.schema import EVENTS_SCHEMA
+
+    rows = [
+        (1, "sens-a", "sens", 0, "e1", "M", '{"v": 1}', None,
+         datetime(2024, 1, 1, 0, 0, 1), True),
+        (2, "sens-a", "sens", 1, "e2", "M", '{"v": 2}', None,
+         datetime(2024, 1, 1, 0, 0, 0), True),
+        (3, "sens-b", "sens", 0, "e3", "M", '{"v": 3}', None,
+         datetime(2024, 1, 1, 0, 0, 2), True),
+    ]
+    ev = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    p = (
+        Projection.from_streams("sens-a", "sens-b", name="pruned")
+        .foreach_stream()
+        .columns("data", "is_json")
+        .when({"$init": lambda: {"seq": []},
+               "M": lambda s, e: {"seq": s["seq"] + [e["body"]["v"]]}})
+        .options(reorderEvents=True, processingLag=100)
+    )
+    st = states_of(run_batch(p, ev))
+    assert st["sens-a"]["seq"] == [2, 1]  # timestamp order inside the stream
+    assert st["sens-b"]["seq"] == [3]

@@ -1211,3 +1211,25 @@ def test_continuous_reorder_within_microbatch(spark, tmp_path):
            .options(reorderEvents=True, processingLag=100))
     with _pytest.raises(ValueError, match="fromAll"):
         run_continuous(bad, subscribe_all(spark, logdir))
+
+
+def test_markers_caughtup_with_from_position_skipping_whole_files(spark, log, tmp_path):
+    """Round-8 review: a from_position that filters out ALL of an older
+    file's rows must not starve CaughtUp — file progress is credited
+    from the streaming checkpoint's offset log (written before the batch
+    runs), not only from rows that survive the filter."""
+    from eventstore_spark.streaming.subscriptions import start_with_markers
+
+    # log fixture: 3 files, positions 1..4 (file1 holds position 1)
+    head = log._last_position
+    events, markers = [], []
+    q = start_with_markers(
+        spark, log.path,
+        on_batch=lambda df, bid: events.append(df.count()),
+        on_marker=lambda kind, bid: markers.append(kind),
+        checkpoint_location=str(tmp_path / "fpck"),
+        from_position=head + 1,  # everything on disk is below the cut
+        available_now=True)
+    q.awaitTermination()
+    assert sum(events) == 0          # all rows filtered out...
+    assert markers == ["CaughtUp"]   # ...yet the drain is still observed
