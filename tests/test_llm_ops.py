@@ -290,8 +290,10 @@ def test_sniff_jpeg_sof_and_mp4_mvhd(spark):
 
 def test_codec_seam_probes_real_libraries():
     """DECODERS carries the real PIL/soundfile implementations exactly
-    when the libraries import; in this container they don't, so the
-    deterministic stand-ins must be active (the documented fallback)."""
+    when the libraries import; without them the STDLIB decoders serve
+    (round 8: real WAV via wave, real PNG via IHDR + zlib inflate),
+    which themselves fall back to the deterministic stand-in for other
+    formats."""
     import importlib.util
 
     from eventstore_spark.operators import multimodal as m
@@ -301,7 +303,9 @@ def test_codec_seam_probes_real_libraries():
     assert (m.DECODERS["image"] is m._pil_decode_image) == has_pil
     assert (m.DECODERS["audio"] is m._soundfile_decode_audio) == has_sf
     if not has_pil:
-        assert m.DECODERS["image"] is m._fake_decode_image
+        assert m.DECODERS["image"] is m._stdlib_decode_image
+    if not has_sf:
+        assert m.DECODERS["audio"] is m._stdlib_decode_audio
 
 
 def test_span_dedup_profile_counts(spark):
