@@ -110,12 +110,19 @@ def _stdlib_decode_audio(content: bytes) -> dict:
         return _fake_decode_image(content)
 
 
+_MAX_INFLATED_BYTES = 256 << 20  # decompression-bomb ceiling (round-8 review)
+
+
 def _stdlib_decode_image(content: bytes) -> dict:
     """REAL PNG decode with stdlib only: dimensions from the IHDR chunk
-    and the concatenated IDAT stream actually INFLATED (zlib) — a
-    corrupt pixel stream is rejected, not fingerprinted. Non-PNG image
-    bytes fall back to the deterministic stand-in (Pillow, when
-    installed, replaces this with an any-format decoder)."""
+    and the concatenated IDAT stream actually INFLATED (zlib, in
+    bounded chunks with a hard output ceiling — a crafted 1000:1
+    deflate bomb cannot OOM the executor). A structurally-valid PNG
+    whose pixel stream is corrupt or oversized is REJECTED with null
+    dimensions (digest kept, so it stays identifiable/quarantinable).
+    Non-PNG image bytes fall back to the deterministic stand-in
+    (Pillow, when installed, replaces this with an any-format
+    decoder)."""
     import io
     import struct
     import zlib
@@ -124,6 +131,8 @@ def _stdlib_decode_image(content: bytes) -> dict:
         return {"width": None, "height": None, "digest": None}
     if len(content) < 33 or content[:8] != b"\x89PNG\r\n\x1a\n":
         return _fake_decode_image(content)
+    rejected = {"width": None, "height": None,
+                "digest": hashlib.sha256(content).hexdigest()[:16]}
     try:
         buf = io.BytesIO(content[8:])
         width = height = None
@@ -143,14 +152,41 @@ def _stdlib_decode_image(content: bytes) -> dict:
                 break
         if width is None or not idat:
             return _fake_decode_image(content)
-        zlib.decompress(bytes(idat))  # genuine inflate — validates pixels
+        # PNG spec bounds dimensions to 2^31-1; anything outside (or a
+        # zero dimension) is hostile metadata, not a decodable image
+        if not (0 < width < 1 << 31 and 0 < height < 1 << 31):
+            return rejected
+        # streaming inflate with a hard output cap — never materialize
+        # an attacker-chosen number of bytes
+        dec = zlib.decompressobj()
+        total = 0
+        src = bytes(idat)
+        pos = 0
+        while pos < len(src) and not dec.eof:
+            chunk = dec.decompress(src[pos:pos + (1 << 20)], 1 << 20)
+            pos += 1 << 20
+            total += len(chunk)
+            while dec.unconsumed_tail and not dec.eof:
+                chunk = dec.decompress(dec.unconsumed_tail, 1 << 20)
+                total += len(chunk)
+                if total > _MAX_INFLATED_BYTES:
+                    return rejected
+            if total > _MAX_INFLATED_BYTES:
+                return rejected
+        dec.flush()
+        if not dec.eof:
+            # deflate stream never reached its final block — truncated
+            # or corrupted pixel data (chunked decompressobj does not
+            # raise for this the way whole-buffer decompress does)
+            return rejected
         return {
             "width": int(width),
             "height": int(height),
             "digest": hashlib.sha256(content).hexdigest()[:16],
         }
     except Exception:
-        return _fake_decode_image(content)
+        # valid PNG container, corrupt pixel stream -> rejected
+        return rejected
 
 
 DECODERS = {

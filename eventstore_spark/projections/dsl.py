@@ -32,6 +32,26 @@ ANY = "$any"
 DELETED = "$deleted"
 
 
+def validate_reorder(proj: "Projection") -> bool:
+    """P19 option validation, shared by the batch and continuous
+    runtimes (ReaderStrategy.cs:64-74, verbatim): reordering needs a
+    multi-stream fromStreams source and a processing lag of >= 50 ms.
+    Returns True when the projection opted into reordering."""
+    if not proj.options_.get("reorderEvents"):
+        return False
+    if proj.all_streams:
+        raise ValueError("Event reordering cannot be used with fromAll()")
+    if not (proj.streams and len(proj.streams) > 1):
+        raise ValueError(
+            "Event reordering is only available in fromStreams([]) projections"
+        )
+    if int(proj.options_.get("processingLag", 0) or 0) < 50:
+        raise ValueError(
+            "Event reordering requires processing lag at least of 50ms"
+        )
+    return True
+
+
 def _arity(fn: Callable) -> int:
     try:
         params = [

@@ -39,7 +39,7 @@ from pyspark.sql import types as T
 
 from ..plans.reader_strategy import select_source
 from ..schema import STREAM_DELETED_EVENT_TYPE
-from .dsl import ANY, DELETED, INIT, INIT_SHARED, Projection
+from .dsl import ANY, DELETED, INIT, INIT_SHARED, Projection, validate_reorder
 
 SHARED_PARTITION = "$shared"
 
@@ -429,18 +429,8 @@ def run_batch(proj: Projection, events: DataFrame) -> ProjectionResult:
     # IS (timestamp, position) order; a batch replay produces exactly
     # that, so the sort key is the whole implementation. Validation
     # mirrors ReaderStrategy.cs:64-74 verbatim.
-    reorder = bool(proj.options_.get("reorderEvents"))
+    reorder = validate_reorder(proj)
     if reorder:
-        if proj.all_streams:
-            raise ValueError("Event reordering cannot be used with fromAll()")
-        if not (proj.streams and len(proj.streams) > 1):
-            raise ValueError(
-                "Event reordering is only available in fromStreams([]) projections"
-            )
-        if int(proj.options_.get("processingLag", 0) or 0) < 50:
-            raise ValueError(
-                "Event reordering requires processing lag at least of 50ms"
-            )
         sort_key = ["created", "log_position"]
 
     if proj.columns_ is not None:

@@ -27,7 +27,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..plans.reader_strategy import source_predicate
-from ..projections.dsl import ANY, DELETED, INIT, Projection
+from ..projections.dsl import ANY, DELETED, INIT, Projection, validate_reorder
 from ..projections.runtime import EmitContext, _OUT_SCHEMA, _event_dict
 from ..schema import STREAM_DELETED_EVENT_TYPE
 
@@ -77,7 +77,11 @@ def _make_stateful(proj: Projection):
             cols = [c for c in pdf.columns if c != "_partition"]
             for row in pdf[cols].itertuples(index=False):
                 ev = _event_dict(dict(zip(cols, row)))
-                ctx._pos = last = int(ev["log_position"])
+                pos = int(ev["log_position"])
+                ctx._pos = pos
+                # with reorderEvents the final row by timestamp need not
+                # carry the max position — report the true high-water mark
+                last = pos if pos > last else last
                 et = ev["event_type"]
                 if et == STREAM_DELETED_EVENT_TYPE:
                     if del_h is not None:
@@ -122,18 +126,7 @@ def run_continuous(proj: Projection, subscription: DataFrame) -> DataFrame:
     that MERGEs state rows into a state table and appends emission rows to
     the log (engine.run_projection wires exactly that).
     """
-    if proj.options_.get("reorderEvents"):
-        # ReaderStrategy.cs:64-74 validation, verbatim
-        if proj.all_streams:
-            raise ValueError("Event reordering cannot be used with fromAll()")
-        if not (proj.streams and len(proj.streams) > 1):
-            raise ValueError(
-                "Event reordering is only available in fromStreams([]) projections"
-            )
-        if int(proj.options_.get("processingLag", 0) or 0) < 50:
-            raise ValueError(
-                "Event reordering requires processing lag at least of 50ms"
-            )
+    validate_reorder(proj)  # shared ReaderStrategy.cs:64-74 rules
     src = subscription.where(source_predicate(proj))
     if proj.by_stream:
         src = src.withColumn("_partition", F.col("stream_id"))

@@ -349,12 +349,40 @@ def start_with_markers(
     event filter matches nothing in them. File bookkeeping is
     driver-side set arithmetic over the manifest listing —
     metadata-scale, no extra Spark jobs beyond one distinct over each
-    micro-batch's already-persisted rows."""
+    micro-batch's already-persisted rows.
+
+    ``checkpoint_location`` is REQUIRED: the streaming checkpoint's
+    offset log is how files whose rows are all filtered out (below
+    ``from_position``, or post-start maintenance rewrites) get credited
+    as seen — without it CaughtUp could starve forever. The original
+    subscription start time persists beside the checkpoint
+    (``_subscription_start_ms``) and pins the maintenance-safe
+    predicate across restarts, so a rewrite published between stop and
+    restart cannot re-deliver surviving events."""
+    import time as _time
+
     from .. import manifest as M
+
+    if not checkpoint_location:
+        raise ValueError(
+            "start_with_markers requires checkpoint_location — file "
+            "progress (and marker correctness) is derived from the "
+            "streaming checkpoint's offset log"
+        )
+    os.makedirs(checkpoint_location, exist_ok=True)
+    start_marker = os.path.join(checkpoint_location, "_subscription_start_ms")
+    try:
+        with open(start_marker) as fh:
+            started_at_ms = int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        started_at_ms = int(_time.time() * 1000)
+        with open(start_marker, "w") as fh:
+            fh.write(str(started_at_ms))
 
     raw = subscribe_all(
         spark, log_path, None, from_position,
         max_files_per_trigger=max_files_per_trigger,
+        started_at_ms=started_at_ms,
     )
     # input_file_name() is empty inside foreachBatch (the micro-batch
     # plan is no longer a file scan there) — the hidden `_metadata`
@@ -367,11 +395,60 @@ def start_with_markers(
     )
     # a restart resumes the ORIGINAL subscription's progress: seed the
     # seen-set from the streaming checkpoint's source log
-    seen0 = (_checkpoint_seen_files(checkpoint_location)
-             if checkpoint_location else None) or set()
-    state = {"live": False, "seen": set(seen0)}
+    state = {"live": False,
+             "seen": set(_checkpoint_seen_files(checkpoint_location) or ()),
+             "ckpt_parsed": set()}
+
+    def _credit_checkpoint_files():
+        # The source writes this batch's file list to the offset log
+        # BEFORE the batch executes, so the checkpoint also credits
+        # files whose rows were ALL filtered out (below from_position,
+        # or post-start rewrite files the row predicate drops) —
+        # row-derived names alone would leave such files "pending"
+        # forever and starve CaughtUp. Parse INCREMENTALLY: only offset
+        # entries not seen before (a long-running query would otherwise
+        # re-parse the full .compact history every trigger).
+        d = os.path.join(checkpoint_location, "sources", "0")
+        if not os.path.isdir(d):
+            return
+
+        def is_entry(n):  # offset entries: "<batch>" or "<batch>.compact"
+            base = n[: -len(".compact")] if n.endswith(".compact") else n
+            return base.isdigit()
+
+        fresh = [n for n in os.listdir(d)
+                 if n not in state["ckpt_parsed"] and is_entry(n)]
+        if not fresh:
+            return
+        state["ckpt_parsed"].update(fresh)
+        import json as _json
+
+        for n in fresh:
+            try:
+                with open(os.path.join(d, n)) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if not line or line.startswith("v"):
+                            continue
+                        try:
+                            doc = _json.loads(line)
+                        except ValueError:
+                            continue
+                        p = doc.get("path")
+                        if p:
+                            state["seen"].add(os.path.basename(p))
+            except (FileNotFoundError, IsADirectoryError):
+                continue
 
     def fn(batch_df, batch_id):
+        # list the committed files FIRST: files that commit while this
+        # batch executes must not count toward "pending at batch start"
+        # (they'd fire a spurious FellBehind on a subscription that is
+        # in fact keeping up)
+        committed = M.snapshot_files(log_path)
+        if committed is None:
+            committed = [f for f in os.listdir(log_path)
+                         if f.endswith(".parquet")]
         cached = batch_df.persist()  # keep THIS reference for unpersist —
         # rebinding to .drop(...) would unpersist a different plan and
         # leak one cached micro-batch per trigger (round-8 review)
@@ -382,18 +459,7 @@ def start_with_markers(
             }
             seen_before = set(state["seen"])
             state["seen"] |= files
-            if checkpoint_location:
-                # the source writes this batch's file list to the offset
-                # log BEFORE the batch executes, so the checkpoint also
-                # credits files whose rows were ALL filtered out (e.g. a
-                # whole file below from_position) — row-derived names
-                # alone would leave such files "pending" forever and
-                # starve CaughtUp
-                state["seen"] |= _checkpoint_seen_files(checkpoint_location) or set()
-            committed = M.snapshot_files(log_path)
-            if committed is None:
-                committed = [f for f in os.listdir(log_path)
-                             if f.endswith(".parquet")]
+            _credit_checkpoint_files()
             pending_at_start = [f for f in committed if f not in seen_before]
             if state["live"] and len(pending_at_start) >= threshold_files:
                 state["live"] = False

@@ -878,9 +878,18 @@ def test_stdlib_codecs_decode_real_wav_and_png(spark):
     fake = mm._fake_decode_image(junk)
     assert (feats[3].width, feats[3].height) == (fake["width"], fake["height"])
     assert feats[4].width == fake["width"]                      # fallback
-    # corrupt pixel stream is REJECTED by the inflate, not fingerprinted
+    # corrupt pixel stream is REJECTED by the inflate (null dims, digest
+    # kept for quarantine), never fingerprinted with pseudo-dims
     broken = png[:45] + b"\x00\x00\x00\x00" + png[49:]
-    assert mm._stdlib_decode_image(broken)["width"] == mm._fake_decode_image(broken)["width"]
+    rej = mm._stdlib_decode_image(broken)
+    assert rej["width"] is None and rej["height"] is None
+    assert rej["digest"] is not None
+    # hostile IHDR dims (>= 2^31) are rejected, not returned as overflow
+    import struct as _struct
+
+    huge = bytearray(png)
+    huge[16:24] = _struct.pack(">II", 0x90000000, 21)
+    assert mm._stdlib_decode_image(bytes(huge))["width"] is None
 
 
 @pytest.mark.skipif(not _has("PIL"), reason="Pillow absent: codec stand-in active")

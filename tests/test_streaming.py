@@ -1233,3 +1233,37 @@ def test_markers_caughtup_with_from_position_skipping_whole_files(spark, log, tm
     q.awaitTermination()
     assert sum(events) == 0          # all rows filtered out...
     assert markers == ["CaughtUp"]   # ...yet the drain is still observed
+
+
+def test_markers_restart_across_maintenance_rewrite(spark, tmp_path):
+    """Round-8 review: start_with_markers persists its original start
+    time beside the checkpoint, so a maintenance rewrite published
+    BETWEEN stop and restart is excluded by the maintenance-safe
+    predicate — surviving events are not delivered a second time."""
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.streaming.subscriptions import start_with_markers
+
+    eng = EventStoreEngine(spark, str(tmp_path / "rwlog"))
+    for i in range(3):
+        eng.append(f"acct-{i}", [ProposedEvent("Op", f'{{"i": {i}}}')])
+    ck = str(tmp_path / "rwck")
+    events, markers = [], []
+
+    def drain():
+        q = start_with_markers(
+            spark, eng.path,
+            on_batch=lambda df, bid: events.append(df.count()),
+            on_marker=lambda kind, bid: markers.append(kind),
+            checkpoint_location=ck, available_now=True)
+        q.awaitTermination()
+
+    drain()
+    assert sum(events) == 3 and markers[-1] == "CaughtUp"
+    # maintenance rewrite while the subscription is stopped: optimize
+    # publishes part-optimize-<now>- files carrying the SAME events
+    eng.optimize_layout(target_files=1)
+    drain()
+    assert sum(events) == 3, (
+        "rewrite files published after the original start must not "
+        "re-deliver surviving events on restart")
+    eng.close()
