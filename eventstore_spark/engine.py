@@ -1128,17 +1128,59 @@ class EventStoreEngine:
         }
 
     def projection_statistics(self) -> list[dict]:
-        return [
-            {
+        """P21 statistics parity (the reference's ProjectionStatistics:
+        status / position / lastCheckpoint / progress alongside
+        name/mode/version). ``position`` is the max SOURCE log position
+        the projection has checkpointed (`$projections-<name>-checkpoint`,
+        a pruned point read); ``progress`` measures it against the head
+        of the projection's OWN source feed (the reader-strategy
+        predicate), so a caught-up category projection reads 100.0 even
+        while unrelated streams keep appending. Admin surface — a couple
+        of pruned point aggregates per registered projection."""
+        from .plans.reader_strategy import source_predicate
+
+        out = []
+        raw = self.writer.load()
+        visible = self.events()
+        for name, mp in self.projections.items():
+            running = mp.query is not None and mp.query.isActive
+            ck = (
+                raw.where(
+                    (F.col("stream_id") == f"$projections-{name}-checkpoint")
+                    & (F.col("event_type") == "$ProjectionCheckpoint")
+                )
+                .agg(F.max(
+                    F.get_json_object("data", "$.lastPosition").cast("long")
+                ))
+                .first()[0]
+            )
+            if ck is None:
+                progress = 0.0
+            else:
+                src_head = (
+                    visible.where(source_predicate(mp.spec))
+                    .agg(F.max("log_position"))
+                    .first()[0]
+                    or 0
+                )
+                progress = (
+                    100.0 if src_head <= ck
+                    else round(100.0 * ck / src_head, 1)
+                )
+            out.append({
                 "name": name,
                 "mode": mp.mode,
                 "enabled": mp.enabled,
                 "runs": mp.runs,
-                "running": mp.query is not None and mp.query.isActive,
+                "running": running,
                 "version": self.projection_version(name),
-            }
-            for name, mp in self.projections.items()
-        ]
+                "status": ("Running" if running
+                           else "Stopped" if mp.enabled else "Disabled"),
+                "position": int(ck) if ck is not None else None,
+                "last_checkpoint": int(ck) if ck is not None else None,
+                "progress": progress,
+            })
+        return out
 
     # ----------------------------------------------------------- maintenance
     def _require_writer(self, op: str) -> None:

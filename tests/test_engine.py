@@ -1446,3 +1446,35 @@ def test_stored_category_matches_extractor_edges(engine):
     assert cats["$idx-aux"] is None
     assert all(v is None for k, v in cats.items() if k.startswith("$"))
     assert cats["account-1"] == "account"
+
+
+def test_projection_statistics_reference_fields(engine):
+    """P21 statistics parity: status/position/lastCheckpoint/progress
+    alongside the basic fields — position is the checkpointed SOURCE
+    position, and progress measures against the projection's own source
+    feed (100.0 once caught up, regardless of unrelated appends)."""
+    spec = (Projection.from_category("account", name="st")
+            .when({"$init": lambda: {"n": 0},
+                   "$any": lambda s, e: {"n": s["n"] + 1}}))
+    engine.create_projection(spec, mode="onetime")
+    st0 = {s["name"]: s for s in engine.projection_statistics()}["st"]
+    assert st0["status"] == "Stopped" and st0["position"] is None
+    assert st0["progress"] == 0.0
+    engine.run_projection("st")
+    st1 = {s["name"]: s for s in engine.projection_statistics()}["st"]
+    assert st1["progress"] == 100.0
+    assert st1["position"] == st1["last_checkpoint"] is not None
+    # an append to an UNRELATED category must not dent progress
+    engine.append("other-1", [ProposedEvent("X", "{}")])
+    st2 = {s["name"]: s for s in engine.projection_statistics()}["st"]
+    assert st2["progress"] == 100.0
+    # a new SOURCE event makes the projection behind again
+    engine.append("account-1", [ProposedEvent("Deposited", '{"amount": 1}')])
+    st3 = {s["name"]: s for s in engine.projection_statistics()}["st"]
+    assert st3["progress"] < 100.0
+    engine.run_projection("st")
+    st4 = {s["name"]: s for s in engine.projection_statistics()}["st"]
+    assert st4["progress"] == 100.0 and st4["position"] > st1["position"]
+    engine.disable_projection("st")
+    st5 = {s["name"]: s for s in engine.projection_statistics()}["st"]
+    assert st5["status"] == "Disabled"
