@@ -77,12 +77,13 @@ def _read_snapshot(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
 
 
 def _publish_rewrite(path: str, staging: str, tag: str,
-                     base_seq: int) -> list[str]:
+                     base_seq: int, keep: list[str] | None = None) -> list[str]:
     """Move staged part files into the log dir under fresh unique names
-    and publish a manifest referencing only them — a CAS against
-    ``base_seq`` (the generation the rewrite read). Superseded files
-    remain on disk for ``vacuum``'s grace window. On conflict the staged
-    files are removed before re-raising: nothing half-published."""
+    and publish a manifest referencing them (plus ``keep`` — untouched
+    files a PARTIAL rewrite like redaction carries forward) — a CAS
+    against ``base_seq`` (the generation the rewrite read). Superseded
+    files remain on disk for ``vacuum``'s grace window. On conflict the
+    staged files are removed before re-raising: nothing half-published."""
     gen = int(time.time() * 1000)
     new_names = []
     for i, f in enumerate(sorted(os.listdir(staging))):
@@ -91,7 +92,9 @@ def _publish_rewrite(path: str, staging: str, tag: str,
             os.rename(os.path.join(staging, f), os.path.join(path, name))
             new_names.append(name)
     try:
-        manifest.replace_snapshot(path, new_names, base_seq=base_seq)
+        manifest.replace_snapshot(
+            path, list(keep or []) + new_names, base_seq=base_seq
+        )
     except manifest.ManifestConflictError:
         for name in new_names:  # unwind: the rewrite lost the race
             try:
@@ -683,7 +686,14 @@ def redact_events(spark: SparkSession, path: str, targets: list[str]) -> dict:
     ]
     if not affected:
         return {"redacted": 0, "files_rewritten": 0}
-    cur_files = manifest.snapshot_files(path) or []
+    cur_files = manifest.snapshot_files(path)
+    if cur_files is None:
+        # plain-directory store (no manifest yet): the keep-set is the
+        # whole directory listing — deriving it from the absent manifest
+        # would publish a first snapshot referencing ONLY the rewritten
+        # files, orphaning (and eventually vacuuming) every untouched
+        # log file
+        cur_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
     keep = [f for f in cur_files if f not in set(affected)]
     sub = spark.read.schema(EVENTS_SCHEMA).parquet(
         *manifest.resolve_files(path, affected)
@@ -706,24 +716,10 @@ def redact_events(spark: SparkSession, path: str, targets: list[str]) -> dict:
     n_redacted = sub.where(is_target).count()
     staging = path.rstrip("/") + f"._redact_{int(time.time() * 1000)}"
     redacted.coalesce(max(len(affected), 1)).write.mode("overwrite").parquet(staging)
-    gen = int(time.time() * 1000)
-    new_names = []
-    for i, f in enumerate(sorted(os.listdir(staging))):
-        if f.endswith(".parquet"):
-            name = f"part-redact-{gen}-{i:05d}.parquet"
-            os.rename(os.path.join(staging, f), os.path.join(path, name))
-            new_names.append(name)
-    try:
-        manifest.replace_snapshot(path, keep + new_names, base_seq=base_seq)
-    except manifest.ManifestConflictError:
-        for name in new_names:
-            try:
-                os.remove(os.path.join(path, name))
-            except FileNotFoundError:
-                pass
-        shutil.rmtree(staging, ignore_errors=True)
-        raise
-    shutil.rmtree(staging)
+    # one rename/publish/unwind implementation for ALL rewrites — the
+    # subscription rewrite-file-name contract (part-<tag>-<epoch_ms>-)
+    # and the conflict unwind live in _publish_rewrite alone
+    new_names = _publish_rewrite(path, staging, "redact", base_seq, keep=keep)
     # The superseded files' ARCHIVE copies must go too (ADVICE r5): a
     # redaction that leaves the unredacted bytes readable in the cold
     # tier forever defeats its purpose whenever archiving is enabled.
@@ -743,9 +739,9 @@ def redact_events(spark: SparkSession, path: str, targets: list[str]) -> dict:
             for name in stale:
                 try:
                     os.remove(os.path.join(cfg["base"], name))
+                    archive_purged += 1
                 except FileNotFoundError:
-                    pass
-                archive_purged += 1
+                    pass  # already gone — config still cleans up below
             remaining = [f for f in cfg.get("files", []) if f not in stale]
             manifest.write_archive_config(
                 path,

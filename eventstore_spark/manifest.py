@@ -52,20 +52,13 @@ def _dir(path: str) -> str:
 
 def latest(path: str) -> tuple[int, list[str]] | None:
     """(seq, files) of the newest complete manifest, or None if the log
-    has never published one (plain-directory mode)."""
-    d = _dir(path)
-    if not os.path.isdir(d):
+    has never published one (plain-directory mode). One name-parse loop
+    lives in ``history`` — this derives from it."""
+    gens = history(path)
+    if not gens:
         return None
-    best = -1
-    for n in os.listdir(d):
-        if n.startswith("manifest-") and n.endswith(".json"):
-            try:
-                best = max(best, int(n[len("manifest-"):-len(".json")]))
-            except ValueError:
-                continue
-    if best < 0:
-        return None
-    with open(os.path.join(d, f"manifest-{best:010d}.json")) as f:
+    best = gens[-1]
+    with open(os.path.join(_dir(path), f"manifest-{best:010d}.json")) as f:
         return best, json.load(f)["files"]
 
 
@@ -150,7 +143,15 @@ def append_files(path: str, new_files: list[str],
             base = set(files)
     elif base_seq < 0:
         # caller observed plain-dir mode; a manifest appearing since then
-        # conflicts at _write (generation 0 already exists)
+        # must CONFLICT. Checking "generation 0 exists" at _write is not
+        # enough — gen 0 may have been vacuumed while later generations
+        # live, and publishing a new gen 0 below them would silently
+        # orphan this append from the live snapshot.
+        if latest(path) is not None:
+            raise ManifestConflictError(
+                f"{path} gained a manifest since this writer opened it "
+                "plain-dir — re-sync and retry"
+            )
         base, seq = {f for f in os.listdir(path) if f.endswith(".parquet")}, -1
     else:
         files = files_at(path, base_seq)
@@ -178,6 +179,14 @@ def replace_snapshot(path: str, files: list[str],
     if base_seq is None:
         cur = latest(path)
         base_seq = -1 if cur is None else cur[0]
+    elif base_seq < 0 and latest(path) is not None:
+        # the rewrite was computed from plain-dir mode but a manifest
+        # exists now — "gen 0 already exists" is not a safe proxy once
+        # gen 0 has been vacuumed under later generations
+        raise ManifestConflictError(
+            f"{path} gained a manifest since this rewrite was computed "
+            "from plain-dir mode — re-run from the new snapshot"
+        )
     return _write(path, base_seq + 1, sorted(files))
 
 
@@ -302,9 +311,9 @@ def vacuum(path: str, grace_s: float = 3600.0) -> dict:
             for n in stale:
                 try:
                     os.remove(os.path.join(cfg["base"], n))
+                    archive_removed += 1
                 except FileNotFoundError:
-                    pass
-                archive_removed += 1
+                    pass  # already gone — config still cleans up below
             remaining = [n for n in cfg["files"] if n in keep]
             write_archive_config(path, {
                 **cfg,

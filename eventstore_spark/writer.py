@@ -472,8 +472,22 @@ class EventLogWriter:
 
     # -- the commit check (IndexWriter.CheckCommit analog) --
     def _check(self, stream_id: str, events: list[ProposedEvent], expected: int):
+        """Returns ``"ok"`` or ``("idempotent", end_event_number)`` where
+        ``end_event_number`` is the REPLAYED BATCH's own final event
+        number (CommitCheckResult carries startEventNumber/endEventNumber
+        of the original commit — a delayed retry must get its own
+        positions back, not the stream's advanced head)."""
         last, tombstoned = self._stream_state(stream_id)
         if tombstoned:
+            raise StreamDeletedError(stream_id)
+        # a tombstone mid-batch would leave events committed ABOVE the
+        # $streamDeleted, breaking "the tombstone is the stream's final
+        # event" which tombstone detection depends on — reject before
+        # any mutation (the delete surface writes it as a lone event)
+        tomb_idx = next(
+            (i for i, ev in enumerate(events)
+             if ev.event_type == STREAM_DELETED_EVENT_TYPE), None)
+        if tomb_idx is not None and tomb_idx != len(events) - 1:
             raise StreamDeletedError(stream_id)
         if expected == ANY:
             pass
@@ -489,12 +503,21 @@ class EventLogWriter:
                 ev.event_id in known and known[ev.event_id] == expected + 1 + i
                 for i, ev in enumerate(events)
             ):
-                return "idempotent"
+                return ("idempotent", expected + len(events))
             raise WrongExpectedVersionError(stream_id, expected, last)
-        # ANY-mode dedupe: every id already present → idempotent no-op
+        else:
+            # EXACT expected match is CommitDecision.Ok — the write
+            # proceeds even when ids were committed at unrelated
+            # positions (IndexWriter.CheckCommit:287; the positionless
+            # dedupe below is an ANY/StreamExists-mode behavior only,
+            # :204-233)
+            return "ok"
+        # ANY/STREAM_EXISTS positionless dedupe: every id already
+        # committed to this stream → idempotent, reporting the replayed
+        # batch's own end position
         known = self._ids.get(stream_id, {})
         if events and all(ev.event_id in known for ev in events):
-            return "idempotent"
+            return ("idempotent", known[events[-1].event_id])
         return "ok"
 
     def _current_meta(self, stream_id: str) -> dict:
@@ -601,17 +624,22 @@ class EventLogWriter:
         )
         self._validate_sizes(events)
         decision = self._check(stream_id, events, expected_version)
-        if decision == "idempotent":
-            return self._stats[stream_id][0]
+        if decision != "ok":
+            return decision[1]  # ("idempotent", batch's own end number)
         now = created or datetime.now(timezone.utc)
         st = self._stream_state(stream_id)
         touched.add(stream_id)
         last = st[0]
         known = self._ids.setdefault(stream_id, {})
+        # the partial-overlap skip is positionless-idempotency behavior —
+        # ANY/STREAM_EXISTS only; an EXACT expected match is a committed
+        # fresh write for every event (CommitDecision.Ok), id reuse at
+        # unrelated positions included
+        skip_known = expected_version in (ANY, STREAM_EXISTS)
         first_new = None
         for ev in events:
-            if ev.event_id in known:  # partial idempotent overlap → skip row
-                continue
+            if skip_known and ev.event_id in known:
+                continue  # partial idempotent overlap → skip row
             self._last_position += 1
             last += 1
             if first_new is None:
@@ -1090,8 +1118,13 @@ class EventLogWriter:
 
     # -- delete surface (S8) --
     def soft_delete(self, stream_id: str, metadata_writer=None) -> None:
-        """Soft delete = set $tb to MAX_LONG via the metastream
-        (StorageWriterService.cs:374-416); new appends recreate the stream."""
+        """Soft delete = write a FRESH metadata document containing only
+        $tb = MAX_LONG (StorageWriterService.cs:510 constructs
+        ``new StreamMetadata(truncateBefore: DeletedStream)`` — prior
+        maxAge/maxCount are deliberately discarded by the delete; the
+        recreate path's SoftUndeleteRawMeta preserves whatever document
+        exists THEN, which is this $tb-only one). New appends recreate
+        the stream."""
         self.append(
             f"$${stream_id}",
             [ProposedEvent(METADATA_EVENT_TYPE, data=f'{{"$tb": {MAX_LONG}}}')],

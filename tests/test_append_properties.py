@@ -50,10 +50,17 @@ class Model:
                 eid in known and known[eid] == expected + 1 + i
                 for i, eid in enumerate(ids)
             ):
-                return last  # idempotent replay
+                # idempotent replay reports the BATCH's own end number
+                # (CommitCheckResult endEventNumber), not the advanced head
+                return expected + len(ids)
             raise WrongExpectedVersionError(sid, expected, last)
+        else:
+            # exact expected match = CommitDecision.Ok: the write
+            # proceeds; positionless dedupe is ANY/STREAM_EXISTS-only
+            # (IndexWriter.CheckCommit:204-233,287)
+            known = {}
         if ids and all(eid in known for eid in ids):
-            return last  # ANY-mode full dedupe
+            return known[ids[-1]]  # ANY-mode full dedupe, own end number
         first_new = None
         for eid in ids:
             if eid in known:

@@ -1478,3 +1478,55 @@ def test_projection_statistics_reference_fields(engine):
     engine.disable_projection("st")
     st5 = {s["name"]: s for s in engine.projection_statistics()}["st"]
     assert st5["status"] == "Disabled"
+
+
+def test_compact_crash_at_every_point_is_always_readable(engine, monkeypatch):
+    """Exhaustive crash-window sweep: kill the compaction at EVERY
+    possible point of its destructive phase (before each generation
+    removal, k = 0..n) and verify the state table reads latest-wins
+    correct at each one — the invariant the staged-install +
+    oldest-first ordering is designed to give, checked at every
+    intermediate state rather than one sampled window."""
+    import os as _os
+    import shutil as _shutil
+
+    import eventstore_spark.engine as _eng_mod
+
+    batches = {
+        0: [("account-1", '{"n": 1}', 1), ("account-2", '{"n": 5}', 1),
+            ("account-3", '{"n": 9}', 1)],
+        1: [("account-1", '{"n": 2}', 2)],
+        2: [("account-2", '{"n": 6}', 3), ("account-1", '{"n": 3}', 4)],
+    }
+    want = {"account-1": {"n": 3}, "account-2": {"n": 6},
+            "account-3": {"n": 9}}
+    real_rmtree = _shutil.rmtree
+    # n gens + 1: crash before the 1st..3rd removal, and no crash at all
+    for crash_at in [1, 2, 3, None]:
+        name = f"sweep{crash_at}"
+        _seed_continuous_state(engine, name, batches)
+        calls = {"n": 0}
+
+        def dying(path, *a, _crash_at=crash_at, _calls=calls, **kw):
+            if _os.path.basename(path).startswith("batch="):
+                _calls["n"] += 1
+                if _crash_at is not None and _calls["n"] == _crash_at:
+                    raise RuntimeError("crash")
+            return real_rmtree(path, *a, **kw)
+
+        monkeypatch.setattr(_eng_mod.shutil, "rmtree", dying)
+        if crash_at is None:
+            engine.compact_projection_state(name)
+        else:
+            with pytest.raises(RuntimeError, match="crash"):
+                engine.compact_projection_state(name)
+        monkeypatch.setattr(_eng_mod.shutil, "rmtree", real_rmtree)
+        got = {r.partition: json.loads(r.state)
+               for r in engine.projection_state(name).collect()}
+        assert got == want, (crash_at, got)
+        # and a follow-up compaction always converges to one base
+        res = engine.compact_projection_state(name)
+        assert res["generations_after"] == 1
+        got2 = {r.partition: json.loads(r.state)
+                for r in engine.projection_state(name).collect()}
+        assert got2 == want, (crash_at, got2)

@@ -641,3 +641,63 @@ def test_vacuum_drains_archive_copies_of_superseded_files(spark, tmp_path):
     assert cfg["files"] == [] and cfg.get("archived_at", {}) == {}
     assert eng.read_stream("s-1").count() == 1  # retained data intact
     eng.close()
+
+
+def test_redaction_plain_dir_keeps_untouched_files(spark, tmp_path):
+    """Round-8 review (data loss): redacting a PLAIN-DIRECTORY store (no
+    manifest yet — legacy/externally-written log) must carry every
+    untouched file into the first published snapshot. Deriving the
+    keep-set from the absent manifest orphaned them, and the next vacuum
+    deleted them permanently."""
+    from eventstore_spark.maintenance import redact_events
+    from eventstore_spark.schema import EVENTS_SCHEMA
+    from eventstore_spark import manifest as M
+
+    path = str(tmp_path / "plainlog")
+    rows_a = [(1, "orders-1", "orders", 0, "e1", "Placed", '{"card": "4111"}',
+               None, None, True)]
+    rows_b = [(2, "orders-2", "orders", 0, "e2", "Placed", '{"ok": 1}',
+               None, None, True),
+              (3, "users-1", "users", 0, "e3", "Signed", '{"ok": 2}',
+               None, None, True)]
+    spark.createDataFrame(rows_a, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(path)
+    spark.createDataFrame(rows_b, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(path)
+    assert M.latest(path) is None  # genuinely plain-dir
+    res = redact_events(spark, path, ["0@orders-1"])
+    assert res["redacted"] == 1
+    snap = M.snapshot_files(path)
+    df = spark.read.schema(EVENTS_SCHEMA).parquet(
+        *M.resolve_files(path, snap))
+    got = {r.stream_id: r.data for r in df.collect()}
+    assert got["orders-1"] is None            # redacted
+    assert got["orders-2"] == '{"ok": 1}'     # untouched file SURVIVES
+    assert got["users-1"] == '{"ok": 2}'
+    assert df.count() == 3
+
+
+def test_plain_dir_publish_conflicts_when_manifest_appeared(tmp_path):
+    """Round-8 review: a writer/rewrite that computed from plain-dir
+    mode (base_seq=-1) must CONFLICT when a manifest exists by publish
+    time — even when generation 0 itself has been vacuumed away (the
+    old existence check would silently publish gen 0 UNDER the live
+    generations, orphaning the append)."""
+    import os
+
+    from eventstore_spark import manifest as M
+
+    import pytest
+
+    path = str(tmp_path / "mlog")
+    os.makedirs(path)
+    for n in ("a.parquet", "b.parquet"):
+        open(os.path.join(path, n), "w").write("x")
+    M.append_files(path, ["a.parquet"], base_seq=None)   # gen 0
+    M.append_files(path, ["b.parquet"], base_seq=0)      # gen 1
+    os.remove(os.path.join(path, "_manifest", "manifest-0000000000.json"))
+    with pytest.raises(M.ManifestConflictError):
+        M.append_files(path, ["c.parquet"], base_seq=-1)
+    with pytest.raises(M.ManifestConflictError):
+        M.replace_snapshot(path, ["c.parquet"], base_seq=-1)
+    assert M.latest(path)[0] == 1  # live snapshot untouched

@@ -708,3 +708,97 @@ def test_read_only_engine_cross_process(spark, tmp_path):
     eng.append("acct-1", [ProposedEvent("Op", '{"v": 3}')])
     assert eng.read_stream("acct-1").count() == 2
     eng.close()
+
+
+# ---------------------------------------------------------------------------
+# Round 8 storage-core review: commit-check reference parity
+# ---------------------------------------------------------------------------
+
+
+def test_exact_expected_match_commits_despite_known_ids(log):
+    """IndexWriter.CheckCommit:287 — an EXACT expected-version match is
+    CommitDecision.Ok: the write proceeds even when the batch's ids were
+    committed earlier at unrelated positions (the positionless dedupe is
+    ANY/STREAM_EXISTS-mode behavior only, :204-233)."""
+    log.append("s-1", [ProposedEvent("A", "{}", event_id="idA")])
+    log.append("s-1", [ProposedEvent("B", "{}")])
+    # stream at version 1; idA committed at 0. Exact match -> fresh write.
+    last = log.append("s-1", [ProposedEvent("A2", "{}", event_id="idA")],
+                      expected_version=1)
+    assert last == 2
+    assert log.load().where("stream_id = 's-1'").count() == 3
+    # the SAME batch by id under ANY-mode is the positionless dedupe:
+    # no-op, reporting the id's own committed number
+    got = log.append("s-1", [ProposedEvent("A2", "{}", event_id="idA")])
+    assert got == 2
+    assert log.load().where("stream_id = 's-1'").count() == 3
+
+
+def test_idempotent_replay_reports_batch_own_positions(log):
+    """CommitCheckResult carries the replayed batch's OWN
+    start/endEventNumber — a delayed retry must get its original
+    positions back, not the stream's advanced head."""
+    evs = [ProposedEvent("A", "{}", event_id="r1"),
+           ProposedEvent("B", "{}", event_id="r2")]
+    assert log.append("s-2", evs, expected_version=-1) == 1
+    for i in range(4):
+        log.append("s-2", [ProposedEvent("C", "{}")])
+    assert log._stats["s-2"][0] == 5
+    # delayed retry of the original batch: same expected, same ids
+    assert log.append("s-2", evs, expected_version=-1) == 1  # NOT 5
+    # ANY-mode full-dedupe replay also reports the batch's own end
+    assert log.append("s-2", evs) == 1
+
+
+def test_tombstone_mid_batch_rejected_atomically(log):
+    """Events positioned after a $streamDeleted in the same batch would
+    outlive the tombstone and break 'the tombstone is the stream's final
+    event' — the whole batch is rejected before any mutation."""
+    from eventstore_spark.schema import STREAM_DELETED_EVENT_TYPE
+
+    log.append("s-3", [ProposedEvent("A", "{}")])
+    with pytest.raises(StreamDeletedError):
+        log.append("s-3", [
+            ProposedEvent(STREAM_DELETED_EVENT_TYPE, None, is_json=False),
+            ProposedEvent("B", "{}"),
+        ])
+    # nothing from the rejected batch landed; the stream is NOT deleted
+    assert log.load().where("stream_id = 's-3'").count() == 1
+    log.append("s-3", [ProposedEvent("C", "{}")])  # still writable
+    # a tombstone as the FINAL event of a batch is the legal delete shape
+    log.append("s-3", [ProposedEvent("D", "{}"),
+                       ProposedEvent(STREAM_DELETED_EVENT_TYPE, None,
+                                     is_json=False)])
+    with pytest.raises(StreamDeletedError):
+        log.append("s-3", [ProposedEvent("E", "{}")])
+
+
+def test_soft_delete_discards_prior_metadata(spark, tmp_path):
+    """StorageWriterService.cs:510 parity: the soft delete writes a
+    FRESH ``{$tb: DeletedStream}`` document — prior maxCount/maxAge are
+    deliberately discarded, so the RECREATED stream has no retention
+    (SoftUndeleteRawMeta preserves whatever document exists at recreate
+    time, which is the $tb-only one). Pinned against the tempting
+    'merge $tb into the current doc' alternative, which would carry
+    retention across deletes and diverge from the reference (and from
+    the chaos model)."""
+    import json as _json
+
+    from eventstore_spark.engine import EventStoreEngine
+
+    eng = EventStoreEngine(spark, str(tmp_path / "sdm"))
+    eng.set_stream_metadata("orders-1", max_count=2)
+    for i in range(4):
+        eng.append("orders-1", [ProposedEvent("Op", f'{{"i": {i}}}')])
+    assert eng.read_stream("orders-1").count() == 2  # maxCount active
+    eng.delete_stream("orders-1")  # soft
+    assert eng.read_stream("orders-1").count() == 0
+    # recreate: $tb moves to the first new number; maxCount is GONE
+    for i in range(4):
+        eng.append("orders-1", [ProposedEvent("Op2", f'{{"i": {i}}}')])
+    doc = _json.loads(eng.events(visible_only=False)
+                      .where("stream_id = '$$orders-1'")
+                      .orderBy("event_number", ascending=False).first().data)
+    assert "$maxCount" not in doc
+    assert eng.read_stream("orders-1").count() == 4  # no retention
+    eng.close()
