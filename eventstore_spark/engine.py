@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from .operators.filters import EventFilter
 from .operators.links import resolve_links
+from .operators import memory_streams as mem
 from .operators.retention import visible_events
 from .operators import system_projections as sysproj
 from .projections.dsl import Projection
@@ -107,6 +108,38 @@ class EventStoreEngine:
                 mode=system_projections, checkpoint_dir=ckpt
             )
 
+    # ----------------------------------------------- in-memory streams (S10)
+    @property
+    def memory_streams(self) -> "mem.MemoryStreamRouter":
+        """The `$mem-` router (lazy). Node-LOCAL, like the reference's —
+        each engine process has its own InMemoryLog and listeners; these
+        streams never reach shared storage, so no writer fence applies
+        (a read-only analyst engine still has a node state)."""
+        router = getattr(self, "_mem_router", None)
+        if router is None:
+            import uuid as _uuid
+
+            router = mem.MemoryStreamRouter(self.spark)
+            self.node_id = str(_uuid.uuid4())
+            self._node_state_listener = mem.NodeStateListener(router)
+            self._gossip_listener = mem.GossipListener(router, self.node_id)
+            self._mem_router = router
+        return router
+
+    def set_node_state(self, state: str) -> dict:
+        """Publish a node state change into `$mem-node-state`
+        (NodeStateListenerService.cs:32-36): payload `{"state": ...}`,
+        event type `$NodeStateChanged`, retained-last-only."""
+        self.memory_streams  # ensure listeners exist
+        return self._node_state_listener.handle(state)
+
+    def update_gossip(self, members: list[dict]) -> dict:
+        """Publish a gossip update into `$mem-gossip`
+        (GossipListenerService.cs:32-44): payload
+        `{"nodeId": ..., "members": [...]}`, event type `$GossipUpdated`."""
+        self.memory_streams
+        return self._gossip_listener.handle(members)
+
     # ------------------------------------------------------------------ log
     def events(self, visible_only: bool = True) -> DataFrame:
         """The canonical events DataFrame (visibility rules applied)."""
@@ -179,6 +212,14 @@ class EventStoreEngine:
     # ---------------------------------------------------------------- writes
     def append(self, stream_id: str, events: list[ProposedEvent],
                expected_version: int = ANY) -> int:
+        if mem.is_in_memory_stream(stream_id):
+            # `$mem-` streams are fed only by their node-local listeners
+            # (set_node_state / update_gossip); a client append must not
+            # leak node-status names into shared storage
+            raise ValueError(
+                f"{stream_id!r} is an in-memory system stream — it cannot "
+                "be appended to (SystemNames.cs:70-72)"
+            )
         return self.writer.append(stream_id, events, expected_version)
 
     def set_stream_metadata(self, stream_id: str, max_count: int | None = None,
@@ -236,6 +277,8 @@ class EventStoreEngine:
 
     # ----------------------------------------------------------------- reads
     def read_event(self, stream_id: str, event_number: int) -> DataFrame:
+        if mem.is_in_memory_stream(stream_id):
+            return self.memory_streams.read_event(stream_id, event_number)
         return R.read_event(self.events(), stream_id, event_number)
 
     def read_stream(self, stream_id: str, from_event_number: int | None = None,
@@ -245,6 +288,14 @@ class EventStoreEngine:
         Backward: page starts AT ``from_event_number`` counting down
         (default None = from the stream head) — an explicit 0 means
         "the page containing only event 0", not "from head"."""
+        if mem.is_in_memory_stream(stream_id):
+            # `$mem-` streams answer from node memory, never the log
+            # (InMemoryStreamReader.cs:12; SystemNames.cs:70-72); links
+            # can't occur there, so resolve_link_tos is a no-op.
+            out = self.memory_streams.read_stream(
+                stream_id, from_event_number, backward=backward
+            )
+            return out if max_count is None else out.limit(max_count)
         ev = self.events()
         # System streams are addressable by NAME like any other stream
         # (SystemNames.cs:37-99; readers resolve $ce- via the link stream,
@@ -278,6 +329,10 @@ class EventStoreEngine:
         isEndOfStream, ClientMessage.cs:533) for client-style paging.
         Backward: None or -1 = from the stream head (the reference's
         end-of-stream sentinel); forward defaults to 0."""
+        if mem.is_in_memory_stream(stream_id):
+            return self.memory_streams.read_page(
+                stream_id, from_event_number, max_count, backward
+            )
         base = self.events()
         if sysproj.is_system_stream_name(stream_id):
             # same name-routing as read_stream: page the link stream by
@@ -301,6 +356,13 @@ class EventStoreEngine:
         this engine's writer wakes the poll within milliseconds via the
         condition; appends from a FOREIGN process are detected by the
         file-set signature (one os.listdir per ``interval_s``)."""
+        if mem.is_in_memory_stream(stream_id):
+            # mem streams park on the MEM log's commit condition — the
+            # very reason InMemoryLog tracks LastCommitPosition
+            # (InMemoryLog.cs:9-12)
+            return self.memory_streams.poll(
+                stream_id, from_event_number, timeout_s
+            )
         import time as _time
 
         deadline = _time.monotonic() + timeout_s
