@@ -519,8 +519,13 @@ class EventStoreEngine:
         `$by_category` + consumer-group shape,
         docs/server/features/persistent-subscriptions.md:85-92)."""
         ps = PersistentSubscription(
-            self.events(), group, stream_id, settings, checkpoint_dir,
+            # the events CALLABLE, not a pinned snapshot — a live group
+            # must deliver events appended after it was created
+            self.events, group, stream_id, settings, checkpoint_dir,
             event_filter=event_filter,
+            # park-to-stream needs the writer; read-only engines keep
+            # parked state in the delivery table only
+            park_writer=None if self.writer.read_only else self.writer,
         )
         # record the group's configuration in the
         # `$persistentSubscriptionConfig` stream (streams.md: the server

@@ -30,10 +30,11 @@ from ..operators.system_projections import (
     system_stream_predicate,
 )
 
-# NakAction (persistent.proto / PersistentSubscription.cs)
+# NakAction (persistent.proto / PersistentSubscription.cs:474-502)
 NAK_RETRY = "retry"
 NAK_PARK = "park"
 NAK_SKIP = "skip"
+NAK_STOP = "stop"
 
 
 @dataclass
@@ -48,6 +49,10 @@ class PersistentSubscriptionSettings:
     # ConsumerStrategy/*.cs: round_robin | dispatch_to_single | pinned
     # (hash source stream) | pinned_by_correlation (hash $correlationId)
     consumer_strategy: str = "round_robin"
+    # PersistentSubscriptionParams LiveBufferSize (default 500): hard cap
+    # on TOTAL outstanding deliveries (available + inflight) — without it
+    # a slow consumer grows the delivery table one read batch per pump
+    live_buffer_size: int = 500
 
 
 @dataclass
@@ -59,6 +64,9 @@ class _Delivery:
     consumer: str | None = None
     deadline: float = 0.0
     correlation_id: str | None = None
+    # the event's number in its SOURCE stream — what the parked link's
+    # "{n}@{stream}" body points at (MessageParker GetLinkToFor)
+    event_number: int = -1
 
 
 class PersistentSubscription:
@@ -73,7 +81,13 @@ class PersistentSubscription:
         checkpoint_dir: str | None = None,
         start_from: int = 0,
         event_filter: EventFilter | None = None,
+        park_writer=None,
     ):
+        # ``events`` may be a zero-arg CALLABLE returning the current log
+        # view — a long-lived group must see appends made after creation,
+        # and ``writer.load()`` DataFrames are pinned snapshots (round 8:
+        # a group built on a captured snapshot went permanently stale).
+        # A plain DataFrame still works for fixed fixtures/tests.
         # server-side filters are a create-time property of $all groups
         # (persistent.proto:7-15 CreateReq allows a filter only with the
         # `all` stream option; PersistentSubscriptionParams.cs:10-141)
@@ -82,10 +96,20 @@ class PersistentSubscription:
                 "event_filter is only valid for $all persistent "
                 "subscriptions (stream_id=None)"
             )
-        self.events = events
+        self._events_fn = events if callable(events) else (lambda: events)
         self.group = group
         self.stream_id = stream_id
         self.event_filter = event_filter
+        # Park-to-stream (dead-letter) wiring: with a writer, parked
+        # messages are LINK events in the group's parked stream
+        # (MessageParker.cs:33 — "$persistentsubscription-" +
+        # "{source}::{group}" + "-parked", id format
+        # PersistentSubscriptionService.cs:1016); without one (fixture
+        # DataFrames), parking stays in the delivery table.
+        self.park_writer = park_writer
+        self.parked_stream_id = (
+            f"$persistentsubscription-{stream_id or '$all'}::{group}-parked"
+        )
         # Consumer groups on SYSTEM stream names ($ce-X / $et-T / $bc-id)
         # — the reference's most common real-world shape (the docs direct
         # users at `$by_category` streams via persistent groups with
@@ -108,6 +132,7 @@ class PersistentSubscription:
         self.settings = settings or PersistentSubscriptionSettings()
         self.checkpoint_dir = checkpoint_dir
         self.consumers: list[str] = []
+        self.stopped = False  # NakAction.Stop latch
         self._rr = 0
         self._deliveries: dict[int, _Delivery] = {}
         self._checkpointed_position = start_from  # everything below is done
@@ -156,9 +181,10 @@ class PersistentSubscription:
 
     # -- fetch / deliver ----------------------------------------------------
     def _selected(self) -> DataFrame:
-        """The group's selector applied to the log (Catalyst predicates —
-        they ride the pruned scan)."""
-        src = self.events
+        """The group's selector applied to the CURRENT log view (Catalyst
+        predicates — they ride the pruned scan). Resolved per call so a
+        live group sees appends made after it was created."""
+        src = self._events_fn()
         if self._system_predicate is not None:
             # name-routed group: the system stream's predicate rides the
             # same pruned range scan; stream_id stays the SOURCE stream
@@ -171,18 +197,23 @@ class PersistentSubscription:
             # range scan (pushed to parquet) — non-matching events never
             # enter the delivery buffer and never cost a retry slot
             src = src.where(self.event_filter.predicate())
+        if self.stream_id is None and self.park_writer is not None:
+            # a $all group must never consume its OWN dead-letter stream —
+            # parking would otherwise feed the group a fresh parked link,
+            # which times out and parks again, forever
+            src = src.where(F.col("stream_id") != self.parked_stream_id)
         return src
 
-    def _pending_batch_df(self) -> DataFrame:
+    def _pending_batch_df(self, limit: int | None = None) -> DataFrame:
         """The pruned range scan ``_refill`` collects (exposed so plan
         tests can pin that the stream/filter predicates reach the scan)."""
         return (
             self._selected()
             .where(F.col("log_position") >= self._buffer_head)
             .orderBy("log_position")
-            .limit(self.settings.read_batch_size)
+            .limit(self.settings.read_batch_size if limit is None else limit)
             .select(
-                "log_position", "stream_id",
+                "log_position", "stream_id", "event_number",
                 F.get_json_object("metadata", "$.$correlationId").alias("corr"),
             )
         )
@@ -203,25 +234,62 @@ class PersistentSubscription:
 
     def _refill(self, now: float) -> None:
         """Pull the next read batch of undelivered events into the buffer
-        (StreamBuffer.cs analog) — one pruned range scan of the log."""
+        (StreamBuffer.cs analog) — one pruned range scan of the log.
+        Total outstanding is capped by ``live_buffer_size`` so a slow or
+        absent consumer can't grow the delivery table unboundedly."""
         have = len([d for d in self._deliveries.values() if d.state == "available"])
-        if have >= self.settings.read_batch_size:
+        room = self.settings.live_buffer_size - len(self._deliveries)
+        if have >= self.settings.read_batch_size or room <= 0:
             return
-        batch = self._pending_batch_df().collect()
+        batch = self._pending_batch_df(
+            min(self.settings.read_batch_size, room)
+        ).collect()
         for r in batch:
             if r.log_position not in self._deliveries:
                 self._deliveries[r.log_position] = _Delivery(
-                    r.log_position, r.stream_id, correlation_id=r.corr
+                    r.log_position, r.stream_id, correlation_id=r.corr,
+                    event_number=r.event_number,
                 )
             self._buffer_head = max(self._buffer_head, r.log_position + 1)
 
+    def _park(self, d: _Delivery, reason: str) -> None:
+        """Dead-letter one delivery (PersistentSubscription.cs:504-511).
+
+        With a writer: append a LINK event to the group's parked stream —
+        body "{event_number}@{stream}", metadata {added, reason,
+        subscriptionEventNumber} (MessageParker.cs:68-90) — and DROP the
+        delivery, so the checkpoint advances past it (the reference's
+        outstanding set no longer holds parked messages). Without a
+        writer the delivery is retained in the "parked" state."""
+        if self.park_writer is None:
+            d.state, d.consumer = "parked", None
+            return
+        from datetime import datetime, timezone
+
+        from ..writer import ProposedEvent
+
+        meta = json.dumps({
+            "added": datetime.now(timezone.utc).isoformat(),
+            "reason": reason,
+            "subscriptionEventNumber": d.log_position,
+        })
+        self.park_writer.append(self.parked_stream_id, [ProposedEvent(
+            "$>", f"{d.event_number}@{d.stream_id}", metadata=meta,
+            is_json=False,
+        )])
+        self._deliveries.pop(d.log_position, None)
+
     def _redeliver_timeouts(self, now: float) -> None:
-        """MessageTimeout → retry or park (PersistentSubscription.cs:449+)."""
-        for d in self._deliveries.values():
+        """MessageTimeout → retry or park (PersistentSubscription.cs:449+,
+        retry exhaustion message :673)."""
+        for d in list(self._deliveries.values()):
             if d.state == "inflight" and now > d.deadline:
                 d.retry_count += 1
                 if d.retry_count > self.settings.max_retry_count:
-                    d.state, d.consumer = "parked", None
+                    self._park(
+                        d,
+                        f"Reached retry count of {self.settings.max_retry_count}",
+                    )
                 else:
                     d.state, d.consumer = "available", None
 
@@ -229,6 +297,10 @@ class PersistentSubscription:
         """Deliver available messages to consumers; returns
         consumer -> [log_position]. Call repeatedly (micro-batch pump)."""
         now = time.time() if now is None else now
+        if self.stopped:
+            # NakAction.Stop (PersistentSubscription.cs:492-494): the
+            # group stops pushing until resume()
+            return {c: [] for c in self.consumers}
         self._refill(now)
         self._redeliver_timeouts(now)
         out: dict[str, list[int]] = {c: [] for c in self.consumers}
@@ -251,7 +323,14 @@ class PersistentSubscription:
             self._acked_since_checkpoint += 1
         self._maybe_checkpoint()
 
-    def nack(self, positions: list[int], action: str = NAK_RETRY) -> None:
+    def nack(self, positions: list[int], action: str = NAK_RETRY,
+             reason: str = "") -> None:
+        """HandleNackedMessage (PersistentSubscription.cs:474-502):
+        retry/unknown → redeliver (park on retry exhaustion), park →
+        dead-letter now, skip → drop like an ack, stop → stop pushing."""
+        if action == NAK_STOP:
+            self.stopped = True
+            return
         for p in positions:
             d = self._deliveries.get(p)
             if d is None:
@@ -260,25 +339,123 @@ class PersistentSubscription:
                 self._deliveries.pop(p, None)
                 self._acked_since_checkpoint += 1
             elif action == NAK_PARK:
-                d.state, d.consumer = "parked", None
+                self._park(d, "Client explicitly NAK'ed message.\n" + reason)
             else:  # retry
                 d.retry_count += 1
                 if d.retry_count > self.settings.max_retry_count:
-                    d.state, d.consumer = "parked", None
+                    self._park(
+                        d,
+                        f"Reached retry count of {self.settings.max_retry_count}",
+                    )
                 else:
                     d.state, d.consumer = "available", None
         self._maybe_checkpoint()
 
+    def resume(self) -> None:
+        """Clear the NakAction.Stop latch."""
+        self.stopped = False
+
     # -- parked messages (dead-letter) ---------------------------------------
+    def _parked_truncate_before(self) -> int:
+        """$tb of the parked stream (set by replay's reprocessed marker,
+        MessageParker.cs:202-208); 0 when never truncated."""
+        row = (
+            self.park_writer.load()
+            .where(F.col("stream_id") == f"$${self.parked_stream_id}")
+            .orderBy(F.col("event_number").desc())
+            .select("data")
+            .first()
+        )
+        if row is None:
+            return 0
+        return int(json.loads(row.data).get("$tb", 0))
+
+    def _parked_rows(self):
+        """Visible (un-reprocessed) parked link rows, oldest first."""
+        tb = self._parked_truncate_before()
+        return (
+            self.park_writer.load()
+            .where(
+                (F.col("stream_id") == self.parked_stream_id)
+                & (F.col("event_number") >= tb)
+            )
+            .orderBy("event_number")
+            .collect()
+        )
+
     def parked(self) -> list[int]:
+        """Log positions currently dead-lettered. Writer mode reads the
+        parked STREAM (minus the reprocessed prefix); fixture mode reads
+        the delivery table."""
+        if self.park_writer is not None:
+            return sorted(
+                int(json.loads(r.metadata)["subscriptionEventNumber"])
+                for r in self._parked_rows()
+            )
         return sorted(p for p, d in self._deliveries.items() if d.state == "parked")
 
-    def replay_parked(self) -> int:
-        """ReplayParked: parked → available with reset retry count."""
+    def parked_message_count(self) -> int:
+        """ParkedMessageCount statistic (MessageParker.cs:22-28)."""
+        if self.park_writer is not None:
+            return len(self._parked_rows())
+        return len(self.parked())
+
+    def replay_parked(self, stop_at: int | None = None) -> int:
+        """ReplayParked (PersistentSubscription.cs:530-608): re-inject
+        parked messages as available deliveries with reset retry count.
+
+        Writer mode resolves each parked LINK against the current log
+        (links whose target was since deleted are skipped, :583-585),
+        re-buffers the originals, then marks the replayed prefix
+        reprocessed by truncating the parked stream ($tb = last replayed
+        + 1 — the metadata write of MessageParker.cs:202-208).
+        ``stop_at``: only parked entries with parked-stream event number
+        BELOW it replay (:581, exclusive like the reference)."""
+        if self.park_writer is None:
+            n = 0
+            for d in self._deliveries.values():
+                if d.state == "parked":
+                    d.state, d.retry_count, n = "available", 0, n + 1
+            return n
+        rows = self._parked_rows()
+        if stop_at is not None:
+            rows = [r for r in rows if r.event_number < stop_at]
+        if not rows:
+            return 0
+        # resolve all links in ONE pruned semi-join against the current
+        # log instead of a point read per parked message
+        targets = {}
+        for r in rows:
+            num, _, stream = r.data.partition("@")
+            targets.setdefault(stream, set()).add(int(num))
+        conds = None
+        for stream, nums in targets.items():
+            c = (F.col("stream_id") == stream) & F.col("event_number").isin(
+                [int(n) for n in nums]
+            )
+            conds = c if conds is None else (conds | c)
+        resolved = (
+            self._events_fn()
+            .where(conds)
+            .select("log_position", "stream_id", "event_number",
+                    F.get_json_object("metadata", "$.$correlationId").alias("corr"))
+            .collect()
+        )
         n = 0
-        for d in self._deliveries.values():
-            if d.state == "parked":
-                d.state, d.retry_count, n = "available", 0, n + 1
+        for r in resolved:
+            if r.log_position not in self._deliveries:
+                self._deliveries[r.log_position] = _Delivery(
+                    r.log_position, r.stream_id, correlation_id=r.corr,
+                    event_number=r.event_number,
+                )
+                n += 1
+        from ..writer import ProposedEvent
+
+        self.park_writer.append(
+            f"$${self.parked_stream_id}",
+            [ProposedEvent("$metadata", json.dumps(
+                {"$tb": rows[-1].event_number + 1}, sort_keys=True))],
+        )
         return n
 
     # -- checkpointing --------------------------------------------------------
@@ -307,6 +484,7 @@ class PersistentSubscription:
                     "retry_count": d.retry_count,
                     "state": "available" if d.state == "inflight" else d.state,
                     "correlation_id": d.correlation_id,
+                    "event_number": d.event_number,
                 }
                 for d in self._deliveries.values()
             ],
@@ -329,6 +507,7 @@ class PersistentSubscription:
             self._deliveries[d["log_position"]] = _Delivery(
                 d["log_position"], d["stream_id"], d["retry_count"], d["state"],
                 correlation_id=d.get("correlation_id"),
+                event_number=d.get("event_number", -1),
             )
 
     def stats(self) -> dict:

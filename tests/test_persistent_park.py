@@ -1,0 +1,170 @@
+"""U4 park-to-stream dead-lettering + consumer-group liveness.
+
+Reference semantics under test:
+  PersistentSubscriptionMessageParker.cs:33,68-90 (parked stream name +
+  LinkTo body/metadata), :202-208 (replay truncates via $tb);
+  PersistentSubscription.cs:474-502 (NakAction handling incl. Stop),
+  :530-608 (ReplayParked), :673 (retry-exhaustion park reason);
+  PersistentSubscriptionParams LiveBufferSize (outstanding cap).
+Plus the round-8 liveness fix: a group must deliver events appended
+AFTER it was created (the engine passes the events callable, not a
+pinned snapshot).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from eventstore_spark.engine import EventStoreEngine
+from eventstore_spark.streaming.persistent import (
+    NAK_PARK,
+    NAK_STOP,
+    PersistentSubscriptionSettings,
+)
+from eventstore_spark.writer import ProposedEvent
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    e = EventStoreEngine(spark, str(tmp_path / "store"))
+    yield e
+    e.close()
+
+
+def _pump(ps, consumer="c1", now=1000.0):
+    out = ps.fetch(now=now)
+    return out.get(consumer, [])
+
+
+def test_live_group_sees_post_creation_appends(engine):
+    engine.append("orders-1", [ProposedEvent("Placed", '{"n":1}')])
+    ps = engine.persistent_subscription("grp", "orders-1")
+    ps.add_consumer("c1")
+    assert len(_pump(ps)) == 1
+    # appended AFTER the group existed — a pinned-snapshot group would
+    # never see these (the round-8 staleness fix)
+    engine.append("orders-1", [ProposedEvent("Placed", '{"n":2}'),
+                               ProposedEvent("Placed", '{"n":3}')])
+    assert len(_pump(ps)) == 2
+
+
+def test_nak_park_writes_dead_letter_stream(engine):
+    engine.append("orders-1", [ProposedEvent("Placed", '{"n":1}'),
+                               ProposedEvent("Placed", '{"n":2}')])
+    ps = engine.persistent_subscription("grp", "orders-1")
+    ps.add_consumer("c1")
+    got = _pump(ps)
+    assert len(got) == 2
+    ps.nack([got[0]], NAK_PARK, reason="poison")
+    # the delivery is dropped (checkpoint can advance past it) …
+    assert got[0] not in ps._deliveries
+    ps.checkpoint()
+    assert ps._checkpointed_position > got[0]
+    # … and the dead letter is a LINK event in the group's parked stream
+    rows = engine.read_stream(ps.parked_stream_id).collect()
+    assert len(rows) == 1
+    assert rows[0].event_type == "$>"
+    # body "{event_number}@{source}" (MessageParker GetLinkToFor)
+    assert rows[0].data == "0@orders-1"
+    meta = json.loads(rows[0].metadata)
+    assert meta["subscriptionEventNumber"] == got[0]
+    assert "poison" in meta["reason"]
+    assert ps.parked() == [got[0]]
+    assert ps.parked_message_count() == 1
+    # parked link resolves to the original event like any link stream
+    resolved = engine.read_stream(
+        ps.parked_stream_id, resolve_link_tos=True
+    ).collect()
+    assert json.loads(resolved[0].data)["n"] == 1
+
+
+def test_replay_parked_resolves_and_truncates(engine):
+    engine.append("orders-1", [ProposedEvent("Placed", f'{{"n":{i}}}')
+                               for i in range(3)])
+    ps = engine.persistent_subscription("grp", "orders-1")
+    ps.add_consumer("c1")
+    got = _pump(ps)
+    ps.nack(got[:2], NAK_PARK)
+    ps.ack(got[2:])
+    assert ps.parked_message_count() == 2
+    # replay: both re-buffered with fresh retry counts, stream truncated
+    assert ps.replay_parked() == 2
+    assert ps.parked() == []
+    assert ps.parked_message_count() == 0
+    redelivered = _pump(ps, now=2000.0)
+    assert sorted(redelivered) == sorted(got[:2])
+    assert all(ps._deliveries[p].retry_count == 0 for p in redelivered)
+    # parking after a replay lands BEYOND the truncation point
+    ps.nack([redelivered[0]], NAK_PARK)
+    assert ps.parked_message_count() == 1
+    assert ps.parked() == [redelivered[0]]
+
+
+def test_retry_exhaustion_parks_to_stream(engine):
+    engine.append("orders-1", [ProposedEvent("Placed", '{"n":1}')])
+    s = PersistentSubscriptionSettings(message_timeout_s=1.0, max_retry_count=1)
+    ps = engine.persistent_subscription("grp", "orders-1", settings=s)
+    ps.add_consumer("c1")
+    t = 1000.0
+    assert len(_pump(ps, now=t)) == 1
+    # two timeouts blow max_retry_count=1 → parked, not redelivered
+    t += 5.0
+    assert _pump(ps, now=t) == [ps._buffer_head - 1]  # first redelivery
+    t += 5.0
+    assert _pump(ps, now=t) == []
+    assert ps.parked_message_count() == 1
+    meta = json.loads(
+        engine.read_stream(ps.parked_stream_id).collect()[0].metadata
+    )
+    assert meta["reason"] == "Reached retry count of 1"
+
+
+def test_live_buffer_size_caps_outstanding(engine):
+    engine.append("orders-1", [ProposedEvent("Placed", f'{{"n":{i}}}')
+                               for i in range(10)])
+    s = PersistentSubscriptionSettings(live_buffer_size=3, read_batch_size=100)
+    ps = engine.persistent_subscription("grp", "orders-1", settings=s)
+    ps.add_consumer("c1")
+    got = _pump(ps)
+    assert len(got) == 3  # capped, not 10
+    assert len(ps._deliveries) == 3
+    # without acks the table stays capped …
+    assert _pump(ps, now=1001.0) == []
+    assert len(ps._deliveries) == 3
+    # … acking frees slots for the next range
+    ps.ack(got)
+    assert len(_pump(ps, now=1002.0)) == 3
+    assert ps.backlog() == 4  # 10 - 6 pulled
+
+
+def test_nak_stop_halts_delivery_until_resume(engine):
+    engine.append("orders-1", [ProposedEvent("Placed", '{"n":1}'),
+                               ProposedEvent("Placed", '{"n":2}')])
+    ps = engine.persistent_subscription("grp", "orders-1")
+    ps.add_consumer("c1")
+    got = _pump(ps)
+    ps.nack([got[0]], NAK_STOP)
+    assert ps.stopped is True
+    assert _pump(ps, now=2000.0) == []
+    ps.resume()
+    # the stopped message was never consumed — it redelivers after its
+    # timeout like any other outstanding message
+    assert len(_pump(ps, now=3000.0)) > 0
+
+
+def test_all_group_never_consumes_own_parked_stream(engine):
+    engine.append("orders-1", [ProposedEvent("Placed", '{"n":1}')])
+    ps = engine.persistent_subscription("grp")  # $all group
+    ps.add_consumer("c1")
+    got = _pump(ps)
+    # unfiltered $all also delivers the group's own config event —
+    # park everything delivered so far
+    assert len(got) >= 1
+    ps.nack(got, NAK_PARK)
+    # the parked link row is in the log now, but must NOT feed the group
+    # back its own dead letters (infinite park loop otherwise)
+    again = _pump(ps, now=2000.0)
+    delivered_streams = {ps._deliveries[p].stream_id for p in again}
+    assert ps.parked_stream_id not in delivered_streams
