@@ -133,6 +133,7 @@ class PersistentSubscription:
         self.checkpoint_dir = checkpoint_dir
         self.consumers: list[str] = []
         self.stopped = False  # NakAction.Stop latch
+        self._items_processed = 0  # persistent_sub_items_processed_total
         self._rr = 0
         self._deliveries: dict[int, _Delivery] = {}
         self._checkpointed_position = start_from  # everything below is done
@@ -319,7 +320,8 @@ class PersistentSubscription:
     # -- ack / nack ---------------------------------------------------------
     def ack(self, positions: list[int]) -> None:
         for p in positions:
-            self._deliveries.pop(p, None)
+            if self._deliveries.pop(p, None) is not None:
+                self._items_processed += 1
             self._acked_since_checkpoint += 1
         self._maybe_checkpoint()
 
@@ -336,7 +338,8 @@ class PersistentSubscription:
             if d is None:
                 continue
             if action == NAK_SKIP:
-                self._deliveries.pop(p, None)
+                if self._deliveries.pop(p, None) is not None:
+                    self._items_processed += 1
                 self._acked_since_checkpoint += 1
             elif action == NAK_PARK:
                 self._park(d, "Client explicitly NAK'ed message.\n" + reason)
@@ -510,14 +513,56 @@ class PersistentSubscription:
                 event_number=d.get("event_number", -1),
             )
 
-    def stats(self) -> dict:
+    def oldest_parked_message_age_s(self, now: float | None = None) -> float | None:
+        """persistent_sub_oldest_parked_message_seconds (metrics.md; the
+        parker tracks the oldest parked Added time, MessageParker.cs:
+        37-41,63): age of the oldest un-reprocessed parked message, None
+        when nothing is parked (or in fixture mode, which has no park
+        timestamps)."""
+        if self.park_writer is None:
+            return None
+        rows = self._parked_rows()
+        if not rows:
+            return None
+        from datetime import datetime, timezone
+
+        added = min(
+            datetime.fromisoformat(json.loads(r.metadata)["added"])
+            for r in rows
+        )
+        now_dt = (
+            datetime.now(timezone.utc)
+            if now is None
+            else datetime.fromtimestamp(now, timezone.utc)
+        )
+        return max(0.0, (now_dt - added).total_seconds())
+
+    def stats(self, now: float | None = None) -> dict:
+        """Per-group statistics in the shape of the server's
+        persistent-subscription metric set (diagnostics/metrics.md
+        §Persistent Subscriptions): connections, parked/in-flight
+        gauges, processed counter, last-known vs checkpointed positions.
+        The last-known position is one pruned footer-max over the
+        group's selector; everything else is driver-side state."""
         states: dict[str, int] = {}
         for d in self._deliveries.values():
             states[d.state] = states.get(d.state, 0) + 1
+        head = (
+            self._selected().agg(F.max("log_position")).first()[0]
+        )
         return {
             "group": self.group,
             "checkpointed_position": self._checkpointed_position,
             "buffer_head": self._buffer_head,
             "outstanding": states,
             "consumers": list(self.consumers),
+            # metrics.md gauge/counter names, kurrentdb_persistent_sub_*
+            "connections": len(self.consumers),
+            "parked_messages": self.parked_message_count(),
+            "in_flight_messages": states.get("inflight", 0),
+            "items_processed_total": self._items_processed,
+            "last_known_event_commit_position": (
+                -1 if head is None else int(head)
+            ),
+            "oldest_parked_message_seconds": self.oldest_parked_message_age_s(now),
         }

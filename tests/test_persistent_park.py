@@ -154,6 +154,30 @@ def test_nak_stop_halts_delivery_until_resume(engine):
     assert len(_pump(ps, now=3000.0)) > 0
 
 
+def test_stats_metric_shape(engine):
+    engine.append("orders-1", [ProposedEvent("Placed", f'{{"n":{i}}}')
+                               for i in range(4)])
+    ps = engine.persistent_subscription("grp", "orders-1")
+    ps.add_consumer("c1")
+    got = _pump(ps)
+    ps.ack(got[:2])
+    ps.nack([got[2]], NAK_PARK)
+    st = ps.stats()
+    # metrics.md §Persistent Subscriptions gauge/counter names
+    assert st["connections"] == 1
+    assert st["parked_messages"] == 1
+    assert st["in_flight_messages"] == 1  # got[3] still out
+    assert st["items_processed_total"] == 2
+    assert st["last_known_event_commit_position"] == max(got)
+    age = st["oldest_parked_message_seconds"]
+    assert age is not None and 0.0 <= age < 3600.0
+    # acking the rest empties the gauges but not the counter
+    ps.ack([got[3]])
+    st2 = ps.stats()
+    assert st2["in_flight_messages"] == 0
+    assert st2["items_processed_total"] == 3
+
+
 def test_all_group_never_consumes_own_parked_stream(engine):
     engine.append("orders-1", [ProposedEvent("Placed", '{"n":1}')])
     ps = engine.persistent_subscription("grp")  # $all group
