@@ -441,7 +441,12 @@ class EventLogWriter:
         tomb = bool(rows) and rows[0]["event_type"] == STREAM_DELETED_EVENT_TYPE
         st = [last, tomb]
         self._stats[stream_id] = st
-        self._ids[stream_id] = {r["event_id"]: int(r["event_number"]) for r in rows}
+        # latest position wins for a re-committed id (rows arrive DESC;
+        # build ASC so the most recent commit overwrites) — matches
+        # _remember_id's append-time bookkeeping
+        self._ids[stream_id] = {
+            r["event_id"]: int(r["event_number"]) for r in reversed(rows)
+        }
         self._cache_gen[stream_id] = self._core.stream_gen.get(stream_id, 0)
         return st
 
@@ -492,17 +497,37 @@ class EventLogWriter:
         if expected == ANY:
             pass
         elif expected == STREAM_EXISTS:
+            # StreamExists on a soft-deleted stream is CommitDecision.
+            # Deleted (IndexWriter.CheckCommit:192-193) — unlike ANY /
+            # NoStream, it does NOT recreate.
+            if self._is_soft_deleted(stream_id):
+                raise StreamDeletedError(stream_id)
             if last == NO_STREAM:
-                raise WrongExpectedVersionError(stream_id, expected, last)
+                # the stream also "exists" when only its METASTREAM has
+                # events — metadata was set before the first append
+                # (CheckCommit:195-200)
+                meta_last, _ = self._stream_state(f"$${stream_id}")
+                if meta_last == NO_STREAM:
+                    raise WrongExpectedVersionError(stream_id, expected, last)
         elif expected != last:
-            # NO_STREAM is exact version -1. On mismatch, check idempotent
-            # replay (CommitDecision.Idempotent): the same ids already
-            # committed at expected+1..expected+len.
+            # NO_STREAM is exact version -1. On mismatch, walk the batch
+            # against expected+1..expected+len (CheckCommit:236-280):
+            # full positional match → CommitDecision.Idempotent; a
+            # PARTIAL prefix match → CorruptedIdempotency, which the
+            # reference answers as WrongExpectedVersion
+            # (StorageWriterService.cs:688-691); a first-position miss
+            # with NoStream on a soft-deleted stream → Ok (the recreate
+            # path, CheckCommit:255-256).
             known = self._ids.get(stream_id, {})
-            if events and all(
-                ev.event_id in known and known[ev.event_id] == expected + 1 + i
-                for i, ev in enumerate(events)
-            ):
+            if expected < last and events:
+                for i, ev in enumerate(events):
+                    if known.get(ev.event_id) == expected + 1 + i:
+                        continue
+                    if i == 0 and expected == NO_STREAM \
+                            and self._is_soft_deleted(stream_id):
+                        return "ok"  # soft-delete recreate
+                    raise WrongExpectedVersionError(stream_id, expected, last)
+                # idempotent replay reports the BATCH's own end number
                 return ("idempotent", expected + len(events))
             raise WrongExpectedVersionError(stream_id, expected, last)
         else:
@@ -512,13 +537,25 @@ class EventLogWriter:
             # dedupe below is an ANY/StreamExists-mode behavior only,
             # :204-233)
             return "ok"
-        # ANY/STREAM_EXISTS positionless dedupe: every id already
-        # committed to this stream → idempotent, reporting the replayed
-        # batch's own end position
+        # ANY/STREAM_EXISTS positionless dedupe (CheckCommit:204-233):
+        # the FIRST event id decides — unknown first id is a fresh write
+        # for the WHOLE batch (later ids are not consulted; re-used ids
+        # commit again at new positions); known first id requires every
+        # id known → idempotent with the replayed batch's own end
+        # position, else CorruptedIdempotency → WrongExpectedVersion
         known = self._ids.get(stream_id, {})
-        if events and all(ev.event_id in known for ev in events):
-            return ("idempotent", known[events[-1].event_id])
+        if events and events[0].event_id in known:
+            if all(ev.event_id in known for ev in events):
+                return ("idempotent", known[events[-1].event_id])
+            raise WrongExpectedVersionError(stream_id, expected, last)
         return "ok"
+
+    def _is_soft_deleted(self, stream_id: str) -> bool:
+        """The reference's IIndexWriter.IsSoftDeleted: current metadata
+        carries TruncateBefore == long.Max (`$tb` = MAX_LONG)."""
+        if stream_id.startswith("$"):
+            return False
+        return self._current_meta(stream_id).get("$tb") == MAX_LONG
 
     def _current_meta(self, stream_id: str) -> dict:
         """The stream's current metadata document (latest $metadata event of
@@ -630,16 +667,13 @@ class EventLogWriter:
         st = self._stream_state(stream_id)
         touched.add(stream_id)
         last = st[0]
-        known = self._ids.setdefault(stream_id, {})
-        # the partial-overlap skip is positionless-idempotency behavior —
-        # ANY/STREAM_EXISTS only; an EXACT expected match is a committed
-        # fresh write for every event (CommitDecision.Ok), id reuse at
-        # unrelated positions included
-        skip_known = expected_version in (ANY, STREAM_EXISTS)
+        # once _check said "ok" the WHOLE batch commits fresh — the
+        # reference never partially skips rows inside one transaction
+        # (CheckCommit:204-233: a known id after an unknown FIRST id is
+        # simply re-committed at a new position; a known FIRST id with a
+        # later unknown one was already rejected as CorruptedIdempotency)
         first_new = None
         for ev in events:
-            if skip_known and ev.event_id in known:
-                continue  # partial idempotent overlap → skip row
             self._last_position += 1
             last += 1
             if first_new is None:

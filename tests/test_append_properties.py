@@ -31,42 +31,58 @@ class Model:
         self.events: dict[str, list[str]] = {}   # stream -> event_ids in order
         self.tomb: dict[str, bool] = {}
         self.tb: dict[str, int | None] = {}      # $tb from soft delete
+        self.meta_exists: dict[str, bool] = {}   # metastream has events
 
     def last(self, sid):
         return len(self.events.get(sid, [])) - 1
 
     def append(self, sid, ids, expected):
+        # latest position wins — duplicate ids CAN be re-committed at new
+        # positions (fresh-first-id ANY writes), like the reference's
+        # committed-events cache
         known = {eid: n for n, eid in enumerate(self.events.get(sid, []))}
         if self.tomb.get(sid):
             raise StreamDeletedError(sid)
         last = self.last(sid)
+        soft_deleted = self.tb.get(sid) == "deleted"
         if expected == ANY:
-            pass
+            dedupe = True
         elif expected == STREAM_EXISTS:
-            if last == NO_STREAM:
+            # soft-deleted → CommitDecision.Deleted (CheckCommit:192-193)
+            if soft_deleted:
+                raise StreamDeletedError(sid)
+            # metastream-only existence passes (CheckCommit:195-200)
+            if last == NO_STREAM and not self.meta_exists.get(sid):
                 raise WrongExpectedVersionError(sid, expected, last)
+            dedupe = True
         elif expected != last:
-            if ids and all(
-                eid in known and known[eid] == expected + 1 + i
-                for i, eid in enumerate(ids)
-            ):
-                # idempotent replay reports the BATCH's own end number
-                # (CommitCheckResult endEventNumber), not the advanced head
-                return expected + len(ids)
-            raise WrongExpectedVersionError(sid, expected, last)
+            # exact-mode positional walk (CheckCommit:236-280)
+            if not (expected < last and ids):
+                raise WrongExpectedVersionError(sid, expected, last)
+            for i, eid in enumerate(ids):
+                if known.get(eid) == expected + 1 + i:
+                    continue
+                if i == 0 and expected == NO_STREAM and soft_deleted:
+                    break  # recreate path: whole batch appends fresh
+                # first-miss → WrongExpectedVersion; later miss →
+                # CorruptedIdempotency → same client-visible error
+                raise WrongExpectedVersionError(sid, expected, last)
+            else:
+                return expected + len(ids)  # idempotent replay
+            dedupe = False
         else:
             # exact expected match = CommitDecision.Ok: the write
             # proceeds; positionless dedupe is ANY/STREAM_EXISTS-only
             # (IndexWriter.CheckCommit:204-233,287)
-            known = {}
-        if ids and all(eid in known for eid in ids):
-            return known[ids[-1]]  # ANY-mode full dedupe, own end number
+            dedupe = False
+        if dedupe and ids and ids[0] in known:
+            if all(eid in known for eid in ids):
+                return known[ids[-1]]  # full dedupe, own end number
+            # partial prefix → CorruptedIdempotency → WrongExpectedVersion
+            raise WrongExpectedVersionError(sid, expected, last)
         first_new = None
         for eid in ids:
-            if eid in known:
-                continue  # partial idempotent overlap skips the row
             self.events.setdefault(sid, []).append(eid)
-            known[eid] = self.last(sid)
             if first_new is None:
                 first_new = self.last(sid)
         # soft-delete recreate: $tb moves to the first new number
@@ -76,6 +92,7 @@ class Model:
 
     def soft_delete(self, sid):
         self.tb[sid] = "deleted"
+        self.meta_exists[sid] = True
 
     def hard_delete(self, sid):
         if self.tomb.get(sid):

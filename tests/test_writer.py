@@ -802,3 +802,101 @@ def test_soft_delete_discards_prior_metadata(spark, tmp_path):
     assert "$maxCount" not in doc
     assert eng.read_stream("orders-1").count() == 4  # no retention
     eng.close()
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): CheckCommit parity — CorruptedIdempotency, StreamExists
+# edges, NoStream recreate (IndexWriter.CheckCommit:179-287,
+# StorageWriterService.cs:672-703)
+# ---------------------------------------------------------------------------
+
+
+def test_any_mode_partial_prefix_is_corrupted_idempotency(log):
+    """ANY-mode: a KNOWN first id followed by an unknown one is
+    CommitDecision.CorruptedIdempotency (CheckCommit:210), which the
+    reference answers as WrongExpectedVersion
+    (StorageWriterService.cs:688-691) — nothing is appended, never a
+    partial skip-and-append."""
+    log.append("ci-1", [ProposedEvent("A", "{}", event_id="k1"),
+                        ProposedEvent("B", "{}", event_id="k2")])
+    with pytest.raises(WrongExpectedVersionError):
+        log.append("ci-1", [ProposedEvent("A", "{}", event_id="k1"),
+                            ProposedEvent("C", "{}", event_id="fresh")])
+    assert log.load().where("stream_id = 'ci-1'").count() == 2
+
+
+def test_any_mode_fresh_first_id_recommits_later_known_ids(log):
+    """ANY-mode: an UNKNOWN first id decides Ok for the WHOLE batch
+    (CheckCommit:204-217 walks until the first miss and returns Ok when
+    it IS the first) — previously-committed ids later in the batch are
+    re-committed at new positions, not skipped."""
+    log.append("ci-2", [ProposedEvent("A", "{}", event_id="old1")])
+    last = log.append("ci-2", [ProposedEvent("B", "{}", event_id="new1"),
+                               ProposedEvent("A", "{}", event_id="old1")])
+    assert last == 2
+    rows = sorted(
+        (r.event_number, r.event_id)
+        for r in log.load().where("stream_id = 'ci-2'").collect()
+    )
+    assert rows == [(0, "old1"), (1, "new1"), (2, "old1")]
+
+
+def test_exact_mode_partial_prefix_is_corrupted_idempotency(log):
+    """Exact-mode positional walk: first id matches expected+1, second
+    diverges → CorruptedIdempotency → WrongExpectedVersion, nothing
+    appended (CheckCommit:236-258)."""
+    log.append("ci-3", [ProposedEvent("A", "{}", event_id="x1"),
+                        ProposedEvent("B", "{}", event_id="x2")],
+               expected_version=NO_STREAM)
+    log.append("ci-3", [ProposedEvent("C", "{}")])
+    with pytest.raises(WrongExpectedVersionError):
+        log.append("ci-3", [ProposedEvent("A", "{}", event_id="x1"),
+                            ProposedEvent("B2", "{}", event_id="other")],
+                   expected_version=NO_STREAM)
+    assert log.load().where("stream_id = 'ci-3'").count() == 3
+
+
+def test_stream_exists_passes_on_metastream_only(log):
+    """StreamExists succeeds when the stream has no events but its
+    METASTREAM does (CheckCommit:195-200) — metadata set before the
+    first append makes the stream 'exist'."""
+    from eventstore_spark.schema import METADATA_EVENT_TYPE
+
+    with pytest.raises(WrongExpectedVersionError):
+        log.append("se-1", [ProposedEvent("A")],
+                   expected_version=STREAM_EXISTS)
+    log.append("$$se-1", [ProposedEvent(METADATA_EVENT_TYPE,
+                                        data='{"$maxCount": 100}')])
+    last = log.append("se-1", [ProposedEvent("A", "{}")],
+                      expected_version=STREAM_EXISTS)
+    assert last == 0
+
+
+def test_stream_exists_on_soft_deleted_is_deleted(log):
+    """StreamExists on a soft-deleted stream is CommitDecision.Deleted
+    (CheckCommit:192-193) — unlike ANY/NoStream it does NOT recreate."""
+    log.append("se-2", [ProposedEvent("A", "{}")])
+    log.soft_delete("se-2")
+    with pytest.raises(StreamDeletedError):
+        log.append("se-2", [ProposedEvent("B", "{}")],
+                   expected_version=STREAM_EXISTS)
+    # ANY still recreates
+    last = log.append("se-2", [ProposedEvent("B", "{}")])
+    assert last == 1
+
+
+def test_no_stream_recreates_soft_deleted_stream(log):
+    """NoStream on a soft-deleted stream is the recreate path
+    (CheckCommit:255-256): Ok, numbering continues after the old last,
+    $tb moves to the first new number."""
+    log.append("se-3", [ProposedEvent("A", "{}"), ProposedEvent("B", "{}")],
+               expected_version=NO_STREAM)
+    log.soft_delete("se-3")
+    last = log.append("se-3", [ProposedEvent("C", "{}")],
+                      expected_version=NO_STREAM)
+    assert last == 2  # continues, not renumbered
+    import json as _json
+    meta = _json.loads(
+        log.load().where("stream_id = '$$se-3'")
+        .orderBy("event_number", ascending=False).first().data)
+    assert meta["$tb"] == 2
