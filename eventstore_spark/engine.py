@@ -30,6 +30,7 @@ from .projections.dsl import Projection
 from .projections.runtime import ProjectionResult, run_batch
 from .schema import (
     EVENTS_SCHEMA,
+    LINK_EVENT_TYPE,
     METASTREAM_PREFIX,
     STREAM_METADATA_SCHEMA,
     MAX_LONG,
@@ -94,6 +95,16 @@ class EventStoreEngine:
         # resumes from its store-local checkpoint, so links stay current
         # across engine sessions without manual re-registration;
         # "onetime" refreshes the links once at open.
+        # complete scavenges a dead process left in flight (the
+        # reference's TFChunkScavengerLogManager.Initialise at first
+        # election). One listdir when nothing was interrupted.
+        if not read_only:
+            try:
+                if any(n.endswith(".json")
+                       for n in os.listdir(self._scavenge_marker_dir())):
+                    self.recover_scavenge_log()
+            except FileNotFoundError:
+                pass
         if system_projections:
             if read_only:
                 raise ValueError(
@@ -1266,27 +1277,117 @@ class EventStoreEngine:
                 "owning writer process"
             )
 
+    # ----------------------------------------------------- scavenge log
+    # Reference structure (TFChunkScavengerLog.cs:44,70-96,98-128;
+    # TFChunkScavengerLogManager.cs:54-96): every run gets a per-run
+    # DETAIL stream `$scavenges-<scavengeId>` holding
+    # $scavengeStarted / $scavengeChunksCompleted / $scavengeCompleted,
+    # capped by $maxAge = scavenge-history-max-age; each detail event is
+    # also LINKED ($>) into the `$scavenges` index stream, so history
+    # reads are `read_stream("$scavenges", resolve_link_tos=True)`.
+    # Interrupted runs (process died mid-scavenge) are completed on the
+    # next writer attach / next scavenge with result "Interrupted" and
+    # stats summed from the detail stream
+    # (TFChunkScavengerLogManager.cs:98-269).
+    scavenge_history_max_age_days: int = 30  # --scavenge-history-max-age
+
+    def _scavenge_marker_dir(self) -> str:
+        return os.path.join(self.path, "_maintenance", "scavenges_inflight")
+
+    def _scavenge_log_append(self, detail_stream: str, event_type: str,
+                             payload: dict) -> int:
+        """Append one detail event and link it into `$scavenges`
+        (WriteScavengeDetailEvent + WriteScavengeIndexEvent)."""
+        n = self.writer.append(detail_stream, [ProposedEvent(
+            event_type, json.dumps(payload, sort_keys=True),
+        )])
+        self.writer.append("$scavenges", [ProposedEvent(
+            LINK_EVENT_TYPE, f"{n}@{detail_stream}", is_json=False,
+        )])
+        return n
+
+    def _ensure_scavenges_metadata(self) -> None:
+        """$maxAge on the `$scavenges` index stream, set once
+        (TFChunkScavengerLogManager.SetScavengeStreamMetadata) — links to
+        aged-out detail events age out with them."""
+        want = self.scavenge_history_max_age_days * 86400
+        if self.writer._current_meta("$scavenges").get("$maxAge") != want:
+            self.set_stream_metadata("$scavenges", max_age_seconds=want)
+
+    def recover_scavenge_log(self) -> list[str]:
+        """Complete interrupted scavenges (manager Initialise analog):
+        for each in-flight marker left by a dead process, sum spaceSaved/
+        timeTaken/maxChunkScavenged from the run's detail stream and
+        append a $scavengeCompleted with result "Interrupted"
+        (TFChunkScavengerLogManager.cs:243-253). Returns the completed
+        scavengeIds. Cheap when nothing was interrupted (one listdir)."""
+        mdir = self._scavenge_marker_dir()
+        try:
+            markers = sorted(os.listdir(mdir))
+        except FileNotFoundError:
+            return []
+        if not markers:
+            return []
+        self._require_writer("recover_scavenge_log")
+        completed: list[str] = []
+        for name in markers:
+            if not name.endswith(".json"):
+                continue
+            sid = name[:-5]
+            detail = f"$scavenges-{sid}"
+            rows = self.read_stream(detail).collect()
+            if not any(r.event_type == "$scavengeCompleted" for r in rows):
+                space, took, max_chunk = 0, 0, -1
+                for r in rows:
+                    if r.event_type != "$scavengeChunksCompleted":
+                        continue
+                    doc = json.loads(r.data)
+                    space += int(doc.get("spaceSaved", 0))
+                    took += int(doc.get("timeTaken", 0))
+                    max_chunk = max(max_chunk,
+                                    int(doc.get("chunkEndNumber", -1)))
+                self._scavenge_log_append(detail, "$scavengeCompleted", {
+                    "scavengeId": sid, "nodeEndpoint": "local",
+                    "result": "Interrupted",
+                    "error": "The node was restarted.",
+                    "timeTaken": took, "spaceSaved": space,
+                    "maxChunkScavenged": max_chunk,
+                })
+                completed.append(sid)
+            os.remove(os.path.join(mdir, name))
+        return completed
+
     def scavenge(self, now_ts=None, target_files: int = 8) -> dict:
         """Admin scavenge (the reference's admin API surface): retention
         rewrite of this store's log. Reader-safe — superseded files stay
         on disk until ``vacuum``'s grace window passes (maintenance.py).
 
-        Records the run in the ``$scavenges`` stream
-        ($scavengeStarted/$scavengeCompleted with scavengeId, result,
-        timeTaken, spaceSaved — streams.md §$scavenges), so scavenge
-        history reads like the reference's: ``read_stream("$scavenges")``."""
+        Records the run like the reference (see scavenge-log comment
+        above): detail events in `$scavenges-<scavengeId>` (with $maxAge
+        history retention), linked into `$scavenges`; read history with
+        ``read_stream("$scavenges", resolve_link_tos=True)``."""
         self._require_writer("scavenge")
         import time as _time
         import uuid as _uuid
 
         from .maintenance import scavenge as _scavenge
 
+        self.recover_scavenge_log()
+        self._ensure_scavenges_metadata()
         sid = _uuid.uuid4().hex
-        self.writer.append("$scavenges", [ProposedEvent(
-            "$scavengeStarted",
-            json.dumps({"scavengeId": sid, "nodeEndpoint": "local"},
-                       sort_keys=True),
-        )])
+        detail = f"$scavenges-{sid}"
+        self.set_stream_metadata(
+            detail,
+            max_age_seconds=self.scavenge_history_max_age_days * 86400,
+        )
+        mdir = self._scavenge_marker_dir()
+        os.makedirs(mdir, exist_ok=True)
+        marker = os.path.join(mdir, f"{sid}.json")
+        with open(marker, "w") as fh:
+            json.dump({"scavengeId": sid, "nodeEndpoint": "local"}, fh)
+        self._scavenge_log_append(detail, "$scavengeStarted", {
+            "scavengeId": sid, "nodeEndpoint": "local",
+        })
         t0 = _time.monotonic()
         size_before = self.store_statistics()["log_bytes"]
         try:
@@ -1295,25 +1396,35 @@ class EventStoreEngine:
                 now_ts=now_ts, target_files=target_files,
             )
         except BaseException as e:
-            self.writer.append("$scavenges", [ProposedEvent(
-                "$scavengeCompleted",
-                json.dumps({"scavengeId": sid, "nodeEndpoint": "local",
-                            "result": "Failed", "error": str(e)[:500],
-                            "timeTaken": int((_time.monotonic() - t0) * 1000)},
-                           sort_keys=True),
-            )])
+            self._scavenge_log_append(detail, "$scavengeCompleted", {
+                "scavengeId": sid, "nodeEndpoint": "local",
+                "result": "Failed", "error": str(e)[:500],
+                "timeTaken": int((_time.monotonic() - t0) * 1000),
+                "spaceSaved": 0, "maxChunkScavenged": -1,
+            })
+            os.remove(marker)
             raise
         # spaceSaved materializes at vacuum (superseded files linger for
         # the grace window) — report the live-snapshot shrink
         size_after = self.store_statistics()["log_bytes"]
-        self.writer.append("$scavenges", [ProposedEvent(
-            "$scavengeCompleted",
-            json.dumps({"scavengeId": sid, "nodeEndpoint": "local",
-                        "result": "Success", "error": None,
-                        "timeTaken": int((_time.monotonic() - t0) * 1000),
-                        "spaceSaved": max(0, size_before - size_after)},
-                       sort_keys=True),
-        )])
+        took = int((_time.monotonic() - t0) * 1000)
+        space = max(0, size_before - size_after)
+        nfiles = int(stats["files"])
+        # one chunk-range event for the whole rewrite (our scavenge is a
+        # single declarative pass over the snapshot, not per-chunk;
+        # chunk numbers = output file ordinals)
+        self._scavenge_log_append(detail, "$scavengeChunksCompleted", {
+            "scavengeId": sid, "chunkStartNumber": 0,
+            "chunkEndNumber": nfiles - 1, "timeTaken": took,
+            "wasScavenged": True, "spaceSaved": space,
+            "nodeEndpoint": "local", "errorMessage": "",
+        })
+        self._scavenge_log_append(detail, "$scavengeCompleted", {
+            "scavengeId": sid, "nodeEndpoint": "local",
+            "result": "Success", "error": None, "timeTaken": took,
+            "spaceSaved": space, "maxChunkScavenged": nfiles - 1,
+        })
+        os.remove(marker)
         return stats
 
     def optimize_layout(self, target_files: int = 8) -> dict:

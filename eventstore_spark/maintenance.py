@@ -147,6 +147,7 @@ def scavenge(
         "events_after": after,
         "removed": before - after,
         "files": len(files),
+        "file_names": files,
     }
 
 

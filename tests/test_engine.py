@@ -801,21 +801,117 @@ def test_emit_enabled_gate(engine):
 
 
 def test_scavenge_history_stream(engine):
-    """streams.md §$scavenges parity: each engine scavenge records
-    $scavengeStarted/$scavengeCompleted (scavengeId, result, timeTaken)
-    in the $scavenges stream, readable by name like the reference's."""
+    """$scavenges parity (TFChunkScavengerLog.cs:44,70-128): each run
+    writes $scavengeStarted/$scavengeChunksCompleted/$scavengeCompleted
+    into its own `$scavenges-<scavengeId>` detail stream and LINKS each
+    into the `$scavenges` index stream — history reads resolved."""
     engine.set_stream_metadata("account-1", max_count=1)
     stats = engine.scavenge()
     assert stats["removed"] >= 1
-    rows = engine.read_stream("$scavenges").collect()
-    assert [r.event_type for r in rows] == ["$scavengeStarted", "$scavengeCompleted"]
-    started, completed = (json.loads(r.data) for r in rows)
+    links = engine.read_stream("$scavenges").collect()
+    assert [r.event_type for r in links] == ["$>", "$>", "$>"]
+    rows = engine.read_stream("$scavenges", resolve_link_tos=True).collect()
+    assert [r.event_type for r in rows] == [
+        "$scavengeStarted", "$scavengeChunksCompleted", "$scavengeCompleted"]
+    started, chunks, completed = (json.loads(r.data) for r in rows)
     assert completed["scavengeId"] == started["scavengeId"]
+    sid = started["scavengeId"]
+    # resolved rows come FROM the per-run detail stream
+    assert {r.stream_id for r in rows} == {f"$scavenges-{sid}"}
     assert completed["result"] == "Success"
     assert completed["timeTaken"] >= 0
-    # a second run appends a second pair (paged history)
+    assert chunks["wasScavenged"] is True
+    assert chunks["chunkEndNumber"] == completed["maxChunkScavenged"]
+    # history retention: $maxAge stamped on index + detail streams
+    md = {r.stream_id: r for r in engine.stream_metadata().collect()}
+    want = engine.scavenge_history_max_age_days * 86400
+    assert md["$scavenges"].max_age_seconds == want
+    assert md[f"$scavenges-{sid}"].max_age_seconds == want
+    # a second run appends a second triple (paged history)
     engine.scavenge()
-    assert engine.read_stream("$scavenges").count() == 4
+    assert engine.read_stream("$scavenges").count() == 6
+
+
+def _plant_interrupted_scavenge(eng, sid, space=123, chunk_end=2, took=40):
+    """Simulate a process that died mid-scavenge: in-flight marker +
+    started + partial chunk progress, no completion."""
+    import os
+
+    detail = f"$scavenges-{sid}"
+    mdir = eng._scavenge_marker_dir()
+    os.makedirs(mdir, exist_ok=True)
+    with open(os.path.join(mdir, f"{sid}.json"), "w") as fh:
+        json.dump({"scavengeId": sid, "nodeEndpoint": "local"}, fh)
+    eng._scavenge_log_append(detail, "$scavengeStarted",
+                             {"scavengeId": sid, "nodeEndpoint": "local"})
+    eng._scavenge_log_append(detail, "$scavengeChunksCompleted", {
+        "scavengeId": sid, "chunkStartNumber": 0,
+        "chunkEndNumber": chunk_end, "timeTaken": took,
+        "wasScavenged": True, "spaceSaved": space,
+        "nodeEndpoint": "local", "errorMessage": "",
+    })
+    return detail
+
+
+def test_interrupted_scavenge_completed_on_reopen(spark, tmp_path):
+    """TFChunkScavengerLogManager.cs:98-269: a scavenge whose process
+    died is completed at the next writer attach with result
+    "Interrupted" and spaceSaved/timeTaken/maxChunkScavenged summed
+    back out of the run's detail stream."""
+    import os
+
+    path = str(tmp_path / "iscv")
+    eng = EventStoreEngine(spark, path)
+    eng.append("acct-1", [ProposedEvent("Op", "{}")])
+    detail = _plant_interrupted_scavenge(eng, "deadbeef")
+    eng.close()
+
+    eng2 = EventStoreEngine(spark, path)  # next "election"
+    comp = [json.loads(r.data)
+            for r in eng2.read_stream(detail).collect()
+            if r.event_type == "$scavengeCompleted"]
+    assert len(comp) == 1
+    assert comp[0]["result"] == "Interrupted"
+    assert comp[0]["error"] == "The node was restarted."
+    assert comp[0]["spaceSaved"] == 123
+    assert comp[0]["maxChunkScavenged"] == 2
+    assert comp[0]["timeTaken"] == 40
+    assert not os.listdir(eng2._scavenge_marker_dir())
+    resolved = eng2.read_stream(
+        "$scavenges", resolve_link_tos=True).collect()
+    assert sum(1 for r in resolved
+               if r.event_type == "$scavengeCompleted") == 1
+    eng2.close()
+
+
+def test_scavenge_recovery_skips_completed_and_readonly(spark, tmp_path):
+    """A marker whose run DID complete (crash between the completion
+    append and marker removal) is just dropped; a read-only engine
+    leaves markers for the owning writer."""
+    import os
+
+    path = str(tmp_path / "iscv2")
+    eng = EventStoreEngine(spark, path)
+    eng.append("acct-1", [ProposedEvent("Op", "{}")])
+    detail = _plant_interrupted_scavenge(eng, "feedface")
+    eng._scavenge_log_append(detail, "$scavengeCompleted", {
+        "scavengeId": "feedface", "nodeEndpoint": "local",
+        "result": "Success", "error": None, "timeTaken": 40,
+        "spaceSaved": 123, "maxChunkScavenged": 2,
+    })  # completed, but marker still on disk
+
+    # read-only sibling: sees the marker, must not touch it
+    ro = EventStoreEngine(spark, path, read_only=True)
+    assert os.listdir(eng._scavenge_marker_dir())
+    ro.close()
+    eng.close()
+
+    eng2 = EventStoreEngine(spark, path)
+    assert not os.listdir(eng2._scavenge_marker_dir())
+    comp = [r for r in eng2.read_stream(detail).collect()
+            if r.event_type == "$scavengeCompleted"]
+    assert len(comp) == 1  # no duplicate "Interrupted" completion
+    eng2.close()
 
 
 def test_projection_registry_streams(spark, tmp_path):
@@ -1016,7 +1112,7 @@ def test_round6_integration_scenario(spark, tmp_path):
         eng.set_stream_metadata("order-0", max_count=1)
         stats = eng.scavenge()
         assert stats["removed"] >= 1
-        assert eng.read_stream("$scavenges").count() == 2
+        assert eng.read_stream("$scavenges").count() == 3  # 3 linked details
         # resolved $ce- read returns only VISIBLE targets
         vis = eng.read_stream("$ce-order", resolve_link_tos=True).collect()
         assert {r.stream_id for r in vis} <= {"order-0", "order-1"}

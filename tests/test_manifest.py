@@ -511,7 +511,7 @@ def test_admin_cli_main(spark, tmp_path, capsys):
     assert admin.main([store, "scavenges"]) == 0
     hist = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert [h["event_type"] for h in hist] == [
-        "$scavengeStarted", "$scavengeCompleted"]
+        "$scavengeStarted", "$scavengeChunksCompleted", "$scavengeCompleted"]
 
 
 def test_restore_then_autorun_system_projections(spark, tmp_path):

@@ -61,8 +61,12 @@ def main(argv: list[str]) -> int:
                 for r in eng.read_stream("$projections-$all").collect()
             ]
         elif cmd == "scavenges":
+            # $scavenges holds LINKS to per-run $scavenges-<id> detail
+            # streams (TFChunkScavengerLog.cs) — read resolved
             out = [json.loads(r.data) | {"event_type": r.event_type}
-                   for r in eng.read_stream("$scavenges").collect()]
+                   for r in eng.read_stream(
+                       "$scavenges", resolve_link_tos=True).collect()
+                   if r.data is not None]
         elif cmd == "scavenge":
             out = eng.scavenge()
         elif cmd == "vacuum":
