@@ -1205,6 +1205,49 @@ class EventStoreEngine:
             "archive_checkpoint": int(arch.get("checkpoint", 0)),
         }
 
+    # node stats stream (MonitoringService.cs:99): one per node endpoint;
+    # single-process engine = "local"
+    NODE_STATS_STREAM = "$stats-local"
+
+    def collect_statistics(self) -> dict:
+        """One monitoring snapshot appended as a ``$statsCollected``
+        event to the node stats stream (MonitoringService.cs:160-178:
+        ``SaveStatsToStream`` writes SystemEventTypes.StatsCollection to
+        ``$stats-<nodeEndpoint>``). First use stamps the stream's
+        ``$maxAge`` = 10 days (``StreamMetadata``, :44-45), so stats
+        history self-expires on reads and scavenges away.
+
+        The reference collects on a timer (``--stats-period-sec``); here
+        the host calls this on its own schedule, like
+        ``auto_scavenge_policy.run_if_due``. The document is the flat
+        ungrouped key style the reference stores (``rawStats`` with
+        ``useGrouping=false``): ``proc-*`` process figures plus ``es-*``
+        store figures."""
+        self._require_writer("collect_statistics")
+        import resource
+
+        ru = resource.getrusage(resource.RUSAGE_SELF)
+        doc = {
+            "proc-mem": int(ru.ru_maxrss) * 1024,
+            "proc-cpu": float(ru.ru_utime + ru.ru_stime),
+            "proc-id": os.getpid(),
+        }
+        store = self.store_statistics()
+        for k, v in store.items():
+            if isinstance(v, dict):
+                for k2, v2 in v.items():
+                    doc[f"es-{k}-{k2}"] = v2
+            else:
+                doc[f"es-{k}"] = v
+        if self.writer._current_meta(
+                self.NODE_STATS_STREAM).get("$maxAge") is None:
+            self.set_stream_metadata(
+                self.NODE_STATS_STREAM, max_age_seconds=10 * 86400)
+        self.writer.append(self.NODE_STATS_STREAM, [ProposedEvent(
+            "$statsCollected", json.dumps(doc, sort_keys=True),
+        )])
+        return doc
+
     def projection_statistics(self) -> list[dict]:
         """P21 statistics parity (the reference's ProjectionStatistics:
         status / position / lastCheckpoint / progress alongside

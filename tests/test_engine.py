@@ -853,6 +853,35 @@ def _plant_interrupted_scavenge(eng, sid, space=123, chunk_end=2, took=40):
     return detail
 
 
+def test_node_stats_stream(engine):
+    """MonitoringService parity (MonitoringService.cs:99,160-178): each
+    collect_statistics() appends a $statsCollected snapshot to
+    `$stats-local`; first use stamps $maxAge = 10 days (the reference's
+    stats-stream StreamMetadata, :44-45) exactly once."""
+    from eventstore_spark.writer import WriterFencedError
+
+    doc = engine.collect_statistics()
+    assert doc["es-events"] == 4 and doc["es-streams"] == 3
+    assert doc["proc-mem"] > 0 and doc["proc-cpu"] > 0
+    engine.collect_statistics()
+    rows = engine.read_stream("$stats-local").collect()
+    assert [r.event_type for r in rows] == ["$statsCollected"] * 2
+    snap = json.loads(rows[-1].data)
+    # the second snapshot counts the first snapshot's own event
+    assert snap["es-events"] == doc["es-events"] + 1
+    md = {r.stream_id: r for r in engine.stream_metadata().collect()}
+    assert md["$stats-local"].max_age_seconds == 10 * 86400
+    # metadata stamped once, not per-collect
+    metas = engine.writer.load().where(
+        "stream_id = '$$$stats-local'").count()
+    assert metas == 1
+    # fenced: a read-only engine cannot write stats
+    ro = EventStoreEngine(engine.spark, engine.path, read_only=True)
+    with pytest.raises(WriterFencedError):
+        ro.collect_statistics()
+    ro.close()
+
+
 def test_interrupted_scavenge_completed_on_reopen(spark, tmp_path):
     """TFChunkScavengerLogManager.cs:98-269: a scavenge whose process
     died is completed at the next writer attach with result
@@ -1455,7 +1484,8 @@ def test_every_maintenance_entry_point_is_guarded():
     MUTATORS = [
         "scavenge", "vacuum", "optimize_layout", "bucket_log",
         "auto_scavenge_policy", "archive_cold", "drop_archived_local",
-        "redact", "compact_projection_state",
+        "redact", "compact_projection_state", "recover_scavenge_log",
+        "collect_statistics",
     ]
     for name in MUTATORS:
         src = inspect.getsource(getattr(EventStoreEngine, name))
