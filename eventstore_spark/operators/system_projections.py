@@ -18,6 +18,25 @@ from pyspark.sql.window import Window
 from ..schema import LINK_EVENT_TYPE, category_of
 
 
+def link_metadata() -> F.Column:
+    """The metadata the reference stamps on every projection-emitted
+    link (EmittedStream.cs:470-509: CausedByTag.ToJsonBytes +
+    ExtraMetaData; EmittedLinkToWithRecategorization.cs:37-42): the
+    causing position tag ($v projection version, $c/$p commit/prepare
+    positions — one log_position here), the original stream id ($o,
+    used to recategorize links of deleted streams), and the causing
+    event id ($causedBy). Computed from the SOURCE row's columns; the
+    virtual view and the materialized writer share this stamp, so both
+    read identically."""
+    return F.to_json(F.struct(
+        F.lit("0:-1:-1").alias("$v"),
+        F.col("log_position").alias("$c"),
+        F.col("log_position").alias("$p"),
+        F.col("stream_id").alias("$o"),
+        F.col("event_id").alias("$causedBy"),
+    ))
+
+
 def streams_directory(events: DataFrame) -> DataFrame:
     """Y1 `$streams`: one row per stream = its first event's position.
 
@@ -200,7 +219,7 @@ def system_link_rows(events: DataFrame,
     return (
         events.where(default_all_filter())
         .select(
-            "stream_id", "event_number", "log_position",
+            "stream_id", "event_number", "log_position", "event_id",
             F.explode(F.filter(targets, lambda x: x.isNotNull())).alias("_ls"),
         )
         .select(
@@ -208,7 +227,7 @@ def system_link_rows(events: DataFrame,
             F.lit(LINK_EVENT_TYPE).alias("event_type"),
             F.concat(F.col("event_number").cast("string"), F.lit("@"),
                      F.col("stream_id")).alias("data"),
-            F.lit(None).cast("string").alias("metadata"),
+            link_metadata().alias("metadata"),
             F.md5(F.concat_ws(
                 "|", F.col("_ls"), F.col("stream_id"),
                 F.col("event_number").cast("string"),
@@ -373,7 +392,7 @@ def _shape_links(sel: DataFrame, name: str) -> DataFrame:
         F.lit(LINK_EVENT_TYPE).alias("event_type"),
         F.concat(F.col("event_number").cast("string"), F.lit("@"),
                  F.col("stream_id")).alias("data"),
-        F.lit(None).cast("string").alias("metadata"),
+        link_metadata().alias("metadata"),
         F.col("created"),
         F.lit(False).alias("is_json"),
     ).select(

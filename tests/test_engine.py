@@ -449,9 +449,23 @@ def _virtual(engine, name):
 
 def _rows(df):
     return [
-        (r.event_number, r.event_id, r.event_type, r.data)
+        (r.event_number, r.event_id, r.event_type, r.data, r.metadata)
         for r in df.orderBy("event_number").collect()
     ]
+
+
+def test_system_link_metadata_stamps_cause(engine):
+    """Link rows carry the reference's cause metadata
+    (EmittedStream.cs:470-509: CausedByTag.ToJsonBytes + ExtraMetaData;
+    EmittedLinkToWithRecategorization.cs:37-42): position tag $v/$c/$p,
+    original stream id $o, causing event id $causedBy."""
+    row = engine.read_stream("$ce-account").orderBy("event_number").first()
+    src = engine.read_event("account-1", 0).first()
+    md = json.loads(row.metadata)
+    assert md["$o"] == "account-1"
+    assert md["$causedBy"] == src.event_id
+    assert md["$c"] == md["$p"] == src.log_position
+    assert md["$v"] == "0:-1:-1"
 
 
 def test_register_system_projections_onetime(engine):
@@ -607,7 +621,7 @@ def test_materialized_store_serves_virtual_tail_after_new_appends(engine):
     assert got == _rows(_virtual(engine, "$ce-account"))  # == full virtual
     # first-event views: new stream links appear once, old streams don't dupe
     streams_links = _rows(engine.read_stream("$streams"))
-    targets = [d.split("@", 1)[1] for *_ignore, d in streams_links]
+    targets = [r[3].split("@", 1)[1] for r in streams_links]
     assert sorted(targets) == sorted(set(targets))  # no duplicate streams
     assert "account-7" in targets and "freight-1" in targets
     assert [n for n, *_ in streams_links] == list(range(len(streams_links)))
@@ -637,7 +651,7 @@ def test_continuous_marker_advances_only_after_commit(engine, tmp_path):
     assert engine._system_links_info()["position"] == pos1
     got = _rows(engine.read_stream("$ce-account"))
     assert got == _rows(_virtual(engine, "$ce-account"))
-    assert any(d.endswith("@account-8") for *_ignore, d in got)
+    assert any(r[3].endswith("@account-8") for r in got)
 
 
 def test_engine_auto_runs_system_projections_across_sessions(spark, tmp_path):
@@ -1024,12 +1038,12 @@ def test_materialized_tail_with_at_sign_stream_ids(engine):
     engine.register_system_projections(mode="onetime")
     engine.append("mail-user@host", [ProposedEvent("Sent", "{}")])  # tail
     got = _rows(engine.read_stream("$ce-mail"))
-    assert [d for *_x, d in got] == ["0@mail-user@host", "1@mail-user@host"]
+    assert [r[3] for r in got] == ["0@mail-user@host", "1@mail-user@host"]
     assert [n for n, *_x in got] == [0, 1]
     assert got == _rows(_virtual(engine, "$ce-mail"))
     # $streams dedupe by target also respects the full id
-    targets = [d.split("@", 1)[1]
-               for *_x, d in _rows(engine.read_stream("$streams"))]
+    targets = [r[3].split("@", 1)[1]
+               for r in _rows(engine.read_stream("$streams"))]
     assert targets.count("mail-user@host") == 1
 
 
