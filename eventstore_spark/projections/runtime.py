@@ -63,7 +63,8 @@ class EmitContext:
     """Passed to handlers as ``ctx``: collects emit/linkTo output
     (JintProjectionStateHandler.cs:239-326)."""
 
-    __slots__ = ("rows", "partition", "projection_name", "_pos", "_seq")
+    __slots__ = ("rows", "partition", "projection_name", "_pos", "_seq",
+                 "_cause_id", "_cause_meta")
 
     def __init__(self, projection_name: str, partition: str):
         self.rows: list[tuple] = []
@@ -71,6 +72,8 @@ class EmitContext:
         self.projection_name = projection_name
         self._pos = -1
         self._seq = 0
+        self._cause_id = None    # causing event's event_id
+        self._cause_meta = None  # causing event's metadata JSON (raw)
 
     def _id(self) -> str:
         import hashlib
@@ -80,12 +83,39 @@ class EmitContext:
         ).hexdigest()
         return h[:32]
 
+    def _meta(self, user_metadata: Any) -> str:
+        """Final emitted-event metadata, the reference's composition
+        (EmittedStream.cs:470-509: CausedByTag.ToJsonBytes wraps the
+        handler's extra metadata with MetadataWithCausedByAndCorrelationId):
+        position tag ($v/$c/$p), the handler's own pairs (a user
+        $causedBy is stripped), $causedBy = the causing event's id, and
+        $correlationId propagated from the cause unless the handler set
+        one. Parsed lazily here — emits are rarer than events, so the
+        fold's hot loop never parses cause metadata."""
+        doc = {}
+        if isinstance(user_metadata, dict):
+            doc = {k: v for k, v in user_metadata.items() if k != "$causedBy"}
+        elif user_metadata is not None:
+            doc = {"$metadata": user_metadata}
+        out = {"$v": "0:-1:-1", "$c": self._pos, "$p": self._pos}
+        out.update(doc)
+        if self._cause_id:
+            out["$causedBy"] = self._cause_id
+        if "$correlationId" not in out and self._cause_meta:
+            try:
+                corr = json.loads(self._cause_meta).get("$correlationId")
+            except (ValueError, AttributeError):
+                corr = None
+            if corr is not None:
+                out["$correlationId"] = corr
+        return json.dumps(out, sort_keys=True)
+
     def emit(self, stream: str, event_type: str, body: Any, metadata: Any = None):
         self.rows.append(
             (
                 self.partition, "emit", None, stream, event_type,
                 json.dumps(body, sort_keys=True) if not isinstance(body, str) else body,
-                json.dumps(metadata, sort_keys=True) if metadata is not None else None,
+                self._meta(metadata),
                 self._id(), self._pos, self._seq,
             )
         )
@@ -96,7 +126,7 @@ class EmitContext:
         self.rows.append(
             (
                 self.partition, "link", None, stream, "$>", body,
-                json.dumps(metadata, sort_keys=True) if metadata is not None else None,
+                self._meta(metadata),
                 self._id(), self._pos, self._seq,
             )
         )
@@ -108,7 +138,7 @@ class EmitContext:
         self.rows.append(
             (
                 self.partition, "link", None, stream, "$@", source_stream,
-                json.dumps(metadata, sort_keys=True) if metadata is not None else None,
+                self._meta(metadata),
                 self._id(), self._pos, self._seq,
             )
         )
@@ -219,6 +249,8 @@ def _make_fold(proj: Projection, sort_key: str = "log_position"):
             ev = _event_dict(dict(zip(cols, row)))
             ev["partition"] = partition  # custom.md §Handlers property
             ctx._pos = int(ev.get("log_position", ev.get("event_number", -1)))
+            ctx._cause_id = ev.get("event_id")
+            ctx._cause_meta = ev.get("metadata")
             et = ev["event_type"]
             if et == STREAM_DELETED_EVENT_TYPE:
                 if del_h is not None:
@@ -283,6 +315,8 @@ def _make_bistate_fold(proj: Projection, sort_key="log_position"):
             ev["partition"] = part  # custom.md §Handlers property
             ctx.partition = part
             ctx._pos = int(ev.get("log_position", -1))
+            ctx._cause_id = ev.get("event_id")
+            ctx._cause_meta = ev.get("metadata")
             et = ev["event_type"]
             if et == STREAM_DELETED_EVENT_TYPE:
                 h = del_h

@@ -79,6 +79,8 @@ def _make_stateful(proj: Projection):
                 ev = _event_dict(dict(zip(cols, row)))
                 pos = int(ev["log_position"])
                 ctx._pos = pos
+                ctx._cause_id = ev.get("event_id")
+                ctx._cause_meta = ev.get("metadata")
                 # with reorderEvents the final row by timestamp need not
                 # carry the max position — report the true high-water mark
                 last = pos if pos > last else last

@@ -124,6 +124,37 @@ def test_emit_and_link_to(bank_events):
     ids1 = [r.event_id for r in emitted]
     ids2 = [r.event_id for r in res2.emitted.orderBy("source_log_position", "emit_seq").collect()]
     assert ids1 == ids2
+    # emitted metadata names its cause (EmittedStream.cs:470-509:
+    # CausedByTag.ToJsonBytes + MetadataWithCausedByAndCorrelationId):
+    # $v/$c/$p position tag, $causedBy = causing event id, and
+    # $correlationId propagated from the cause when the handler set none
+    md0 = json.loads(emitted[0].metadata)
+    assert md0["$causedBy"] == "a1"
+    assert md0["$c"] == md0["$p"] == 1
+    assert md0["$correlationId"] == "c1"
+    assert md0["$v"] == "0:-1:-1"
+    md2 = json.loads(emitted[2].metadata)   # cause b1 carries no metadata
+    assert md2["$causedBy"] == "b1" and "$correlationId" not in md2
+
+
+def test_emit_user_metadata_merges_with_cause(bank_events):
+    """Handler-supplied metadata pairs ride along; a handler $causedBy is
+    stripped (the engine's own wins) and a handler $correlationId is
+    kept over the cause's (EmittedStream.cs:489-509)."""
+    def h(s, e, ctx):
+        ctx.emit("out-s", "E", {"v": 1},
+                 metadata={"x": 7, "$causedBy": "forged",
+                           "$correlationId": "mine"})
+        return s
+
+    p = Projection.from_all(name="meta-merge").when(
+        {"$init": lambda: {}, "Deposited": h})
+    emitted = run_batch(p, bank_events).emitted.orderBy(
+        "source_log_position").collect()
+    md = json.loads(emitted[0].metadata)
+    assert md["x"] == 7
+    assert md["$causedBy"] == "a1"          # forged value stripped
+    assert md["$correlationId"] == "mine"   # handler's wins over cause's
 
 
 def test_typed_pushdown_prunes_scan(bank_events):
