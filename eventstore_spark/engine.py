@@ -253,6 +253,21 @@ class EventStoreEngine:
         else:
             self.writer.soft_delete(stream_id)
 
+    def _link_source_events(self) -> DataFrame:
+        """What the standard projections CONSUME: visible user events
+        plus stream-deletion notices — hard tombstones and soft-delete
+        metastream writes (CategorizeEventsByStreamPath.cs:57-76 via
+        StreamDeletedHelper.cs:35-63). The notices are invisible to
+        ordinary reads (visible_events hides tombstoned streams;
+        metastreams are excluded wholesale), so they are pulled from the
+        raw log here — the reference's projection reader likewise sees
+        them in $all before visibility applies."""
+        raw = self.writer.load()
+        notices = raw.where(
+            sysproj.tombstone_row() | sysproj.softdelete_meta_row()
+        )
+        return self.events().unionByName(notices)
+
     def _system_base(self, ev: DataFrame, stream_id: str) -> DataFrame:
         """The DataFrame a system-stream NAME reads from.
 
@@ -275,12 +290,13 @@ class EventStoreEngine:
         visible log, shows only live targets — the two agree exactly
         until retention diverges them, and the materialized behavior is
         the reference's."""
+        src = self._link_source_events()
         info = self._system_links_info()
         if info is None:
-            return sysproj.system_stream_events(ev, stream_id)
+            return sysproj.system_stream_events(src, stream_id)
         mat = ev.where(F.col("stream_id") == stream_id)
         tail = sysproj.system_stream_tail_events(
-            ev, stream_id, mat, int(info.get("position", 0))
+            src, stream_id, mat, int(info.get("position", 0))
         )
         if tail is None:
             return mat
@@ -651,7 +667,7 @@ class EventStoreEngine:
         prev = self._system_links_info() or {}
         prev_pos = int(prev.get("position", 0))
         if mode == "onetime":
-            src = self.events()
+            src = self._link_source_events()
             head = src.agg(F.max("log_position")).first()[0] or 0
             self.writer.append_df(sysproj.system_link_rows(src))
             # data landed — only now (re)write the marker, covering the

@@ -15,25 +15,75 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..schema import LINK_EVENT_TYPE, category_of
+from ..schema import (
+    LINK_EVENT_TYPE,
+    MAX_LONG,
+    METADATA_EVENT_TYPE,
+    METASTREAM_PREFIX,
+    STREAM_DELETED_EVENT_TYPE,
+    category_of,
+)
 
 
-def link_metadata() -> F.Column:
+def tombstone_row() -> F.Column:
+    """A hard-delete tombstone in a user stream."""
+    return (
+        (F.col("event_type") == STREAM_DELETED_EVENT_TYPE)
+        & ~F.col("stream_id").startswith("$")
+    )
+
+
+def softdelete_meta_row() -> F.Column:
+    """A metastream write that soft-deletes its stream: `$$X` $metadata
+    carrying $tb = long.Max (StreamDeletedHelper.cs:35-63 detects
+    exactly this shape)."""
+    return (
+        F.col("stream_id").startswith(METASTREAM_PREFIX)
+        & (F.col("event_type") == METADATA_EVENT_TYPE)
+        & (F.get_json_object("data", "$.$tb").cast("long") == F.lit(MAX_LONG))
+    )
+
+
+def deletion_row() -> F.Column:
+    """A stream-deletion notice the by-category projection links
+    (CategorizeEventsByStreamPath.cs:57-76 via StreamDeletedHelper):
+    hard tombstone or soft-delete metadata write."""
+    return tombstone_row() | softdelete_meta_row()
+
+
+def origin_stream() -> F.Column:
+    """The stream a row is ABOUT: the metastream's owner for a
+    soft-delete notice, else the row's own stream."""
+    return F.when(
+        softdelete_meta_row(),
+        F.expr(f"substring(stream_id, {len(METASTREAM_PREFIX) + 1})"),
+    ).otherwise(F.col("stream_id"))
+
+
+def link_metadata(origin: F.Column | None = None,
+                  deleted: F.Column | None = None) -> F.Column:
     """The metadata the reference stamps on every projection-emitted
     link (EmittedStream.cs:470-509: CausedByTag.ToJsonBytes +
     ExtraMetaData; EmittedLinkToWithRecategorization.cs:37-42): the
     causing position tag ($v projection version, $c/$p commit/prepare
     positions — one log_position here), the original stream id ($o,
-    used to recategorize links of deleted streams), and the causing
-    event id ($causedBy). Computed from the SOURCE row's columns; the
-    virtual view and the materialized writer share this stamp, so both
-    read identically."""
+    used to recategorize links of deleted streams), the causing event
+    id ($causedBy), and $deleted = -1 on stream-deletion notices.
+    Computed from the SOURCE row's columns (pass ``origin``/``deleted``
+    when they were precomputed upstream); the virtual view and the
+    materialized writer share this stamp, so both read identically
+    (to_json drops the null $deleted field on ordinary rows)."""
+    if origin is None:
+        origin = origin_stream()
+    if deleted is None:
+        deleted = deletion_row()
     return F.to_json(F.struct(
         F.lit("0:-1:-1").alias("$v"),
         F.col("log_position").alias("$c"),
         F.col("log_position").alias("$p"),
-        F.col("stream_id").alias("$o"),
+        origin.alias("$o"),
         F.col("event_id").alias("$causedBy"),
+        F.when(deleted, F.lit(-1)).alias("$deleted"),
     ))
 
 
@@ -150,11 +200,19 @@ def system_stream_predicate(name: str,
 def system_stream_selector(events: DataFrame, name: str,
                            correlation_property: str = "$.$correlationId"
                            ) -> DataFrame | None:
-    """The log subset a system stream links to (None if not one)."""
+    """The log subset a system stream links to (None if not one).
+
+    Stream-deletion notices (hard tombstones; soft-delete metastream
+    writes) link into `$ce-` ONLY — the by-category projection
+    recategorizes them under the deleted stream's category
+    (CategorizeEventsByStreamPath.cs:57-76); the first-event views and
+    the type/correlation indexes never link them (IndexStreams /
+    IndexEventsByEventType skip system shapes)."""
     if name == "$streams" or name.startswith("$category-"):
         w = Window.partitionBy("stream_id").orderBy("event_number")
         sel = (
-            events.withColumn("_rn", F.row_number().over(w))
+            events.where(~deletion_row())
+            .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
@@ -164,13 +222,18 @@ def system_stream_selector(events: DataFrame, name: str,
             )
         return sel
     if name.startswith("$ce-"):
-        return events.where(category_of(F.col("stream_id")) == name[len("$ce-"):])
+        return events.where(
+            (~F.col("stream_id").startswith("$") | softdelete_meta_row())
+            & (category_of(origin_stream()) == name[len("$ce-"):])
+        )
     if name.startswith("$et-"):
-        return events.where(F.col("event_type") == name[len("$et-"):])
+        return events.where(
+            (F.col("event_type") == name[len("$et-"):]) & ~deletion_row()
+        )
     if name.startswith("$bc-"):
         return events.where(
-            F.get_json_object(F.col("metadata"), correlation_property)
-            == name[len("$bc-"):]
+            (F.get_json_object(F.col("metadata"), correlation_property)
+             == name[len("$bc-"):]) & ~deletion_row()
         )
     return None
 
@@ -201,25 +264,33 @@ def system_link_rows(events: DataFrame,
     """
     from .filters import default_all_filter
 
-    cat = category_of(F.col("stream_id"))
+    deletion = deletion_row()
+    cat = category_of(origin_stream())
     corr = F.get_json_object(F.col("metadata"), correlation_property)
     first = F.col("event_number") == 0
     nul = F.lit(None).cast("string")
     targets = F.array(
+        # $ce- also carries stream-DELETION notices, recategorized under
+        # the deleted stream's category (CategorizeEventsByStreamPath.cs
+        # :57-76 via StreamDeletedHelper — hard tombstones AND
+        # soft-delete $$X metadata writes)
         F.when(cat.isNotNull(), F.concat(F.lit("$ce-"), cat)).otherwise(nul),
         # system event types ($>, $streamDeleted, …) are never indexed
-        # by type (IndexEventsByEventType.cs:64-71)
-        F.when(~F.col("event_type").startswith("$"),
+        # by type (IndexEventsByEventType.cs:64-71); deletion notices
+        # stay out of every non-$ce- view
+        F.when(~deletion & ~F.col("event_type").startswith("$"),
                F.concat(F.lit("$et-"), F.col("event_type"))).otherwise(nul),
-        F.when(corr.isNotNull(), F.concat(F.lit("$bc-"), corr)).otherwise(nul),
-        F.when(first, F.lit("$streams")).otherwise(nul),
-        F.when(first & cat.isNotNull(),
+        F.when(~deletion & corr.isNotNull(),
+               F.concat(F.lit("$bc-"), corr)).otherwise(nul),
+        F.when(~deletion & first, F.lit("$streams")).otherwise(nul),
+        F.when(~deletion & first & cat.isNotNull(),
                F.concat(F.lit("$category-"), cat)).otherwise(nul),
     )
     return (
-        events.where(default_all_filter())
+        events.where(default_all_filter() | softdelete_meta_row())
         .select(
             "stream_id", "event_number", "log_position", "event_id",
+            origin_stream().alias("_origin"), deletion.alias("_del"),
             F.explode(F.filter(targets, lambda x: x.isNotNull())).alias("_ls"),
         )
         .select(
@@ -227,7 +298,8 @@ def system_link_rows(events: DataFrame,
             F.lit(LINK_EVENT_TYPE).alias("event_type"),
             F.concat(F.col("event_number").cast("string"), F.lit("@"),
                      F.col("stream_id")).alias("data"),
-            link_metadata().alias("metadata"),
+            link_metadata(origin=F.col("_origin"),
+                          deleted=F.col("_del")).alias("metadata"),
             F.md5(F.concat_ws(
                 "|", F.col("_ls"), F.col("stream_id"),
                 F.col("event_number").cast("string"),

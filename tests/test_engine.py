@@ -1273,18 +1273,59 @@ def test_hybrid_read_of_tombstoned_target(engine):
     remain, but resolving them yields a NULL-payload shell carrying the
     target identity (the reference's deleted-link ResolvedEvent — link
     delivered, target data gone); live targets resolve fully, and the
-    tombstone marker itself is neither visible nor linked."""
+    deletion itself is LINKED into the category stream with $deleted
+    metadata (CategorizeEventsByStreamPath.cs:57-76)."""
     engine.register_system_projections(mode="onetime")
     engine.delete_stream("account-2", hard=True)
-    res = {r.data: r for r in engine.read_stream(
-        "$ce-account", resolve_link_tos=True).collect()}
-    dead = [r for r in res.values() if r.stream_id == "account-2"]
-    assert len(dead) == 1 and dead[0].data is None
-    live = [r for r in res.values() if r.stream_id == "account-1"]
+    rows = engine.read_stream("$ce-account", resolve_link_tos=True).collect()
+    dead = [r for r in rows if r.stream_id == "account-2"]
+    # the original event's link AND the tombstone's deletion link both
+    # resolve to null shells (target data gone either way)
+    assert len(dead) == 2 and all(r.data is None for r in dead)
+    live = [r for r in rows if r.stream_id == "account-1"]
     assert len(live) == 2 and all(r.data for r in live)
-    # the $streamDeleted marker produced no link (system event type,
-    # hidden stream)
-    assert engine.read_stream("$ce-account").count() == 3
+    # unresolved: 3 ordinary links + the deletion notice ($deleted: -1)
+    links = engine.read_stream("$ce-account").orderBy("event_number").collect()
+    assert len(links) == 4
+    notice = json.loads(links[-1].metadata)
+    assert notice["$deleted"] == -1 and notice["$o"] == "account-2"
+    assert links[-1].data == "1@account-2"  # points at the tombstone
+
+
+def test_stream_deletion_links_into_category_stream(spark, tmp_path):
+    """CategorizeEventsByStreamPath.cs:57-76 via StreamDeletedHelper:
+    $ce- carries stream-DELETION notices — the hard tombstone as
+    `n@stream`, the soft-delete metastream write as `n@$$stream` — with
+    $o = the deleted stream and $deleted = -1; virtual and onetime
+    materialization produce identical rows; other views never link
+    deletions."""
+    eng = EventStoreEngine(spark, str(tmp_path / "delinks"))
+    eng.append("acct-1", [ProposedEvent("A", "{}")])
+    eng.append("acct-2", [ProposedEvent("A", "{}")])
+    eng.delete_stream("acct-2", hard=True)
+    eng.append("acct-3", [ProposedEvent("A", "{}")])
+    eng.delete_stream("acct-3")  # soft
+
+    def rows():
+        return [(r.event_number, r.data, json.loads(r.metadata))
+                for r in eng.read_stream("$ce-acct")
+                .orderBy("event_number").collect()]
+
+    virt = rows()
+    assert [(n, d) for n, d, _m in virt] == [
+        (0, "0@acct-1"), (1, "1@acct-2"), (2, "0@$$acct-3")]
+    hard, soft = virt[1][2], virt[2][2]
+    assert hard["$o"] == "acct-2" and hard["$deleted"] == -1
+    assert soft["$o"] == "acct-3" and soft["$deleted"] == -1
+    assert "$deleted" not in virt[0][2]
+    # materialized rows identical (stamp shared between both paths)
+    eng.register_system_projections(mode="onetime")
+    assert rows() == virt
+    # deletion notices stay out of $streams / $et- / $category-
+    assert [r.data for r in eng.read_stream("$streams").collect()] == ["0@acct-1"]
+    assert eng.read_stream("$et-$streamDeleted").count() == 0
+    assert [r.data for r in eng.read_stream("$category-acct").collect()] == ["0@acct-1"]
+    eng.close()
 
 
 def test_update_projection_name_mismatch_rejected(engine):
