@@ -186,13 +186,20 @@ def system_stream_predicate(name: str,
     (subscribe("$ce-user") etc). None for `$streams`/`$category-` — those
     are first-event-per-stream views (stateful), not row predicates."""
     if name.startswith("$ce-"):
-        return category_of(F.col("stream_id")) == name[len("$ce-"):]
+        return (
+            (~F.col("stream_id").startswith("$") | softdelete_meta_row())
+            & (category_of(origin_stream()) == name[len("$ce-"):])
+        )
+    if name == "$et-$deleted":
+        return deletion_row() & (
+            ~F.col("stream_id").startswith("$") | softdelete_meta_row()
+        )
     if name.startswith("$et-"):
-        return F.col("event_type") == name[len("$et-"):]
+        return (F.col("event_type") == name[len("$et-"):]) & ~deletion_row()
     if name.startswith("$bc-"):
         return (
-            F.get_json_object(F.col("metadata"), correlation_property)
-            == name[len("$bc-"):]
+            (F.get_json_object(F.col("metadata"), correlation_property)
+             == name[len("$bc-"):]) & ~deletion_row()
         )
     return None
 
@@ -203,11 +210,12 @@ def system_stream_selector(events: DataFrame, name: str,
     """The log subset a system stream links to (None if not one).
 
     Stream-deletion notices (hard tombstones; soft-delete metastream
-    writes) link into `$ce-` ONLY — the by-category projection
-    recategorizes them under the deleted stream's category
-    (CategorizeEventsByStreamPath.cs:57-76); the first-event views and
-    the type/correlation indexes never link them (IndexStreams /
-    IndexEventsByEventType skip system shapes)."""
+    writes) link into `$ce-` — recategorized under the deleted stream's
+    category (CategorizeEventsByStreamPath.cs:57-76) — and into the
+    special `$et-$deleted` type index (IndexEventsByEventType.cs:66-80);
+    the first-event views and the correlation index never link them
+    (IndexStreams / CategorizeStreamByPath / ByCorrelationId have no
+    deletion path)."""
     if name == "$streams" or name.startswith("$category-"):
         w = Window.partitionBy("stream_id").orderBy("event_number")
         sel = (
@@ -225,6 +233,13 @@ def system_stream_selector(events: DataFrame, name: str,
         return events.where(
             (~F.col("stream_id").startswith("$") | softdelete_meta_row())
             & (category_of(origin_stream()) == name[len("$ce-"):])
+        )
+    if name == "$et-$deleted":
+        # the type index routes deletion notices to the special
+        # "$deleted" type (IndexEventsByEventType.cs:66-80)
+        return events.where(
+            (~F.col("stream_id").startswith("$") | softdelete_meta_row())
+            & deletion_row()
         )
     if name.startswith("$et-"):
         return events.where(
@@ -275,11 +290,12 @@ def system_link_rows(events: DataFrame,
         # :57-76 via StreamDeletedHelper — hard tombstones AND
         # soft-delete $$X metadata writes)
         F.when(cat.isNotNull(), F.concat(F.lit("$ce-"), cat)).otherwise(nul),
-        # system event types ($>, $streamDeleted, …) are never indexed
-        # by type (IndexEventsByEventType.cs:64-71); deletion notices
-        # stay out of every non-$ce- view
-        F.when(~deletion & ~F.col("event_type").startswith("$"),
-               F.concat(F.lit("$et-"), F.col("event_type"))).otherwise(nul),
+        # the type index skips links and routes deletion notices to the
+        # special "$deleted" type (IndexEventsByEventType.cs:62-80);
+        # other system event types are never indexed by type
+        F.when(deletion, F.lit("$et-$deleted"))
+        .when(~F.col("event_type").startswith("$"),
+              F.concat(F.lit("$et-"), F.col("event_type"))).otherwise(nul),
         F.when(~deletion & corr.isNotNull(),
                F.concat(F.lit("$bc-"), corr)).otherwise(nul),
         F.when(~deletion & first, F.lit("$streams")).otherwise(nul),
@@ -296,8 +312,13 @@ def system_link_rows(events: DataFrame,
         .select(
             F.col("_ls").alias("stream_id"),
             F.lit(LINK_EVENT_TYPE).alias("event_type"),
+            # $et-$deleted bodies use the STRIPPED owner stream for
+            # soft-delete notices; every other view links the source row
+            # as-is (see _shape_links body asymmetry note)
             F.concat(F.col("event_number").cast("string"), F.lit("@"),
-                     F.col("stream_id")).alias("data"),
+                     F.when(F.col("_ls") == "$et-$deleted",
+                            F.col("_origin"))
+                     .otherwise(F.col("stream_id"))).alias("data"),
             link_metadata(origin=F.col("_origin"),
                           deleted=F.col("_del")).alias("metadata"),
             F.md5(F.concat_ws(
@@ -413,9 +434,9 @@ def system_stream_tail_events(events: DataFrame, name: str,
     a no-op scan, and reads stay the pruned-literal-scan scale path."""
     from .filters import default_all_filter
 
-    tail = events.where(default_all_filter()).where(
-        F.col("log_position") > covered_position
-    )
+    tail = events.where(
+        default_all_filter() | softdelete_meta_row()
+    ).where(F.col("log_position") > covered_position)
     sel = system_stream_selector(tail, name, correlation_property)
     if sel is None:
         return None
@@ -425,16 +446,20 @@ def system_stream_tail_events(events: DataFrame, name: str,
         F.expr("substring(data, instr(data, '@') + 1)").alias("_t_sid"),
         F.substring_index("data", "@", 1).cast("long").alias("_t_en"),
     )
+    # $et-$deleted bodies name the STRIPPED owner for soft-delete
+    # notices (_shape_links body asymmetry) — match on the same key
+    sel_sid = (origin_stream() if name == "$et-$deleted"
+               else F.col("stream_id"))
     if name == "$streams" or name.startswith("$category-"):
         sel = sel.join(
             linked.select("_t_sid").distinct(),
-            sel["stream_id"] == F.col("_t_sid"),
+            sel_sid == F.col("_t_sid"),
             "left_anti",
         )
     else:
         sel = sel.join(
             linked,
-            (sel["stream_id"] == F.col("_t_sid"))
+            (sel_sid == F.col("_t_sid"))
             & (sel["event_number"] == F.col("_t_en")),
             "left_anti",
         )
@@ -451,11 +476,18 @@ def system_stream_tail_events(events: DataFrame, name: str,
 
 def _shape_links(sel: DataFrame, name: str) -> DataFrame:
     """Shape a numbered selection (``_lnk`` = link event_number) as the
-    link stream's event rows."""
+    link stream's event rows.
+
+    Body asymmetry for soft-delete notices, faithful to the reference:
+    $ce- links the metastream event as-is (`n@$$X`,
+    CategorizeEventsByStreamPath.cs:66-70 uses EventStreamId) while
+    $et-$deleted links the STRIPPED owner (`n@X`,
+    IndexEventsByEventType.cs:66-76 uses the helper's out param)."""
     link_id = F.md5(
         F.concat_ws("|", F.lit(name), F.col("stream_id"),
                     F.col("event_number").cast("string"))
     )
+    body_stream = origin_stream() if name == "$et-$deleted" else F.col("stream_id")
     return sel.select(
         F.col("log_position"),
         F.lit(name).alias("_link_stream"),
@@ -463,7 +495,7 @@ def _shape_links(sel: DataFrame, name: str) -> DataFrame:
         link_id.alias("event_id"),
         F.lit(LINK_EVENT_TYPE).alias("event_type"),
         F.concat(F.col("event_number").cast("string"), F.lit("@"),
-                 F.col("stream_id")).alias("data"),
+                 body_stream).alias("data"),
         link_metadata().alias("metadata"),
         F.col("created"),
         F.lit(False).alias("is_json"),

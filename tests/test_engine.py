@@ -1321,7 +1321,13 @@ def test_stream_deletion_links_into_category_stream(spark, tmp_path):
     # materialized rows identical (stamp shared between both paths)
     eng.register_system_projections(mode="onetime")
     assert rows() == virt
-    # deletion notices stay out of $streams / $et- / $category-
+    # the type index routes notices to $et-$deleted with STRIPPED owner
+    # bodies (IndexEventsByEventType.cs:66-80)
+    et_del = [(r.data, json.loads(r.metadata)) for r in
+              eng.read_stream("$et-$deleted").orderBy("event_number").collect()]
+    assert [d for d, _m in et_del] == ["1@acct-2", "0@acct-3"]
+    assert all(m["$deleted"] == -1 for _d, m in et_del)
+    # deletion notices stay out of $streams / $et-<type> / $category-
     assert [r.data for r in eng.read_stream("$streams").collect()] == ["0@acct-1"]
     assert eng.read_stream("$et-$streamDeleted").count() == 0
     assert [r.data for r in eng.read_stream("$category-acct").collect()] == ["0@acct-1"]
