@@ -450,4 +450,12 @@ def test_materialized_hybrid_read_prunes_tail(spark, tmp_path):
     assert wins and all("_bkt" in a or "stream_id" in a for a in wins), wins
     assert any("_bkt" in a for a in wins), wins  # the tail rank is bucketed
     assert "CartesianProduct" not in plan
+    # deletion-notice branch (round 8): both notice shapes reach the
+    # parquet reader as pushed event_type equalities, so the rare-type
+    # row-group stats prune the notice scans to near-zero splits
+    assert "EqualTo(event_type,$streamDeleted)" in plan, plan
+    assert re.search(
+        r"StringStartsWith\(stream_id,\$\$\).*EqualTo\(event_type,\$metadata\)"
+        r"|EqualTo\(event_type,\$metadata\).*StringStartsWith\(stream_id,\$\$\)",
+        plan), plan
     eng.close()
