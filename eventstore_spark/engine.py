@@ -991,7 +991,12 @@ class EventStoreEngine:
                 w = w.option("checkpointLocation", checkpoint_dir)
             mp.query = w.start()
             return mp.query
-        mp.last_result = run_batch(mp.spec, self.events())
+        # feed deletion notices beside the visible log so `$deleted`
+        # handlers fire for deleted partitions (the reference's
+        # projection reader sees $all pre-visibility; tombstones and
+        # soft-delete metastream writes become partition-deleted
+        # notifications — StreamDeletedHelper.cs:35-63)
+        mp.last_result = run_batch(mp.spec, self._link_source_events())
         if not mp.emit_enabled and mp.last_result.emitted.limit(1).first():
             mp.last_result = None  # faulted — nothing persisted
             raise RuntimeError(

@@ -48,5 +48,61 @@ def source_predicate(proj) -> Column:
     return pred
 
 
+def deletion_notice_source(events: DataFrame, proj) -> DataFrame | None:
+    """Soft-delete metastream writes (`$$X` $metadata with $tb = max),
+    normalized to `$streamDeleted`-shaped rows of the OWNER stream, for
+    specs with a `$deleted` handler — the reference's projection
+    subscription turns BOTH deletion shapes into the partition-deleted
+    notification (StreamDeletedHelper.cs:35-63;
+    EventSubscriptionBasedProjectionProcessingPhase). Hard tombstones
+    need no normalization: they are ordinary rows of the user stream and
+    already flow through the spec predicate. None when the spec has no
+    `$deleted` handler (the fold would skip the rows anyway — same
+    semantics, no extra scan branch).
+
+    A separate pushed-filter branch UNIONed by the caller, never a
+    per-row rewrite of the main scan — the spec predicate stays on
+    storage columns so stream/category/type pushdown survives."""
+    if "$deleted" not in getattr(proj, "handlers", {}):
+        return None
+    from ..operators.system_projections import (
+        origin_stream,
+        softdelete_meta_row,
+    )
+
+    owner = origin_stream()
+    pred = softdelete_meta_row()
+    if proj.streams:
+        pred = pred & (
+            owner == proj.streams[0] if len(proj.streams) == 1
+            else owner.isin(*proj.streams)
+        )
+    elif proj.categories:
+        oc = category_of(owner)
+        pred = pred & (
+            oc == proj.categories[0] if len(proj.categories) == 1
+            else oc.isin(*proj.categories)
+        )
+    else:
+        pred = pred & ~owner.startswith("$")
+    nul = F.lit(None).cast("string")
+    return events.where(pred).select(
+        F.col("log_position"),
+        owner.alias("stream_id"),
+        category_of(owner).alias("category"),
+        F.col("event_number"),
+        F.col("event_id"),
+        F.lit("$streamDeleted").alias("event_type"),
+        nul.alias("data"),
+        nul.alias("metadata"),
+        F.col("created"),
+        F.lit(False).alias("is_json"),
+    )
+
+
 def select_source(events: DataFrame, proj) -> DataFrame:
-    return events.where(source_predicate(proj))
+    base = events.where(source_predicate(proj))
+    soft = deletion_notice_source(events, proj)
+    if soft is not None:
+        base = base.unionByName(soft.select(*base.columns))
+    return base

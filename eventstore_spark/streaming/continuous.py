@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..plans.reader_strategy import source_predicate
+from ..plans.reader_strategy import select_source
 from ..projections.dsl import ANY, DELETED, INIT, Projection, validate_reorder
 from ..projections.runtime import EmitContext, _OUT_SCHEMA, _event_dict
 from ..schema import STREAM_DELETED_EVENT_TYPE
@@ -129,7 +129,7 @@ def run_continuous(proj: Projection, subscription: DataFrame) -> DataFrame:
     the log (engine.run_projection wires exactly that).
     """
     validate_reorder(proj)  # shared ReaderStrategy.cs:64-74 rules
-    src = subscription.where(source_predicate(proj))
+    src = select_source(subscription, proj)
     if proj.by_stream:
         src = src.withColumn("_partition", F.col("stream_id"))
     elif proj.partition_col is not None:

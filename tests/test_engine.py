@@ -1292,6 +1292,44 @@ def test_hybrid_read_of_tombstoned_target(engine):
     assert links[-1].data == "1@account-2"  # points at the tombstone
 
 
+def test_deleted_handler_fires_through_engine_for_both_delete_kinds(
+        spark, tmp_path):
+    """Engine-run projections receive partition-deleted notifications
+    for HARD and SOFT deletes (StreamDeletedHelper.cs:35-63 — the
+    reference's projection reader sees $all pre-visibility and turns
+    both shapes into the $deleted notification). The soft notice is
+    normalized to a $streamDeleted-shaped row of the OWNER stream."""
+    eng = EventStoreEngine(spark, str(tmp_path / "delproj"))
+    eng.append("acct-1", [ProposedEvent("A", "{}")])
+    eng.append("acct-2", [ProposedEvent("A", "{}")])
+    eng.append("acct-3", [ProposedEvent("A", "{}")])
+    eng.delete_stream("acct-2", hard=True)
+    eng.delete_stream("acct-3")  # soft
+
+    def on_deleted(s, e):
+        # capture the notification SHAPE in state (handlers run in
+        # executor workers — driver-side closures can't observe them)
+        return {"deleted": True, "notice_type": e["event_type"],
+                "notice_stream": e["stream_id"], "notice_data": e["data"]}
+
+    spec = (Projection.from_category("acct", name="deltrack")
+            .foreach_stream()
+            .when({"$init": lambda: {"deleted": False},
+                   "$any": lambda s, e: s,
+                   "$deleted": on_deleted}))
+    eng.create_projection(spec, mode="onetime")
+    eng.run_projection("deltrack")
+    states = {r.partition: json.loads(r.state)
+              for r in eng.projection_state("deltrack").collect()}
+    assert states["acct-1"] == {"deleted": False}
+    for sid in ("acct-2", "acct-3"):
+        assert states[sid]["deleted"] is True
+        assert states[sid]["notice_type"] == "$streamDeleted"
+        assert states[sid]["notice_stream"] == sid  # soft one normalized
+        assert states[sid]["notice_data"] is None
+    eng.close()
+
+
 def test_stream_deletion_links_into_category_stream(spark, tmp_path):
     """CategorizeEventsByStreamPath.cs:57-76 via StreamDeletedHelper:
     $ce- carries stream-DELETION notices — the hard tombstone as

@@ -349,6 +349,39 @@ def test_caught_up_marker(spark, log, tmp_path):
         q.stop()
 
 
+def test_continuous_deleted_handler_fires_for_soft_delete(spark, tmp_path):
+    """A LIVE projection receives the partition-deleted notification for
+    a soft delete: the `$$X` metadata write streams through and is
+    normalized to a $streamDeleted-shaped row of the owner
+    (StreamDeletedHelper.cs:35-63; reader_strategy.deletion_notice_source)."""
+    from eventstore_spark.engine import EventStoreEngine
+
+    eng = EventStoreEngine(spark, str(tmp_path / "contdel"))
+    eng.append("acct-1", [ProposedEvent("Op", "{}")])
+    eng.append("acct-2", [ProposedEvent("Op", "{}")])
+
+    spec = (
+        Projection.from_category("acct", name="livedel")
+        .foreach_stream()
+        .when({"$init": lambda: {"n": 0, "deleted": False},
+               "$any": lambda s, e: {**s, "n": s["n"] + 1},
+               "$deleted": lambda s, e: {**s, "deleted": True}})
+    )
+    eng.create_projection(spec, mode="continuous")
+    q = eng.run_projection("livedel", checkpoint_dir=str(tmp_path / "cdl"))
+    try:
+        q.processAllAvailable()
+        eng.delete_stream("acct-2")  # soft, mid-run
+        q.processAllAvailable()
+        st = {r.partition: json.loads(r.state)
+              for r in eng.projection_state("livedel").collect()}
+        assert st["acct-2"]["deleted"] is True
+        assert st["acct-1"]["deleted"] is False
+    finally:
+        q.stop()
+    eng.close()
+
+
 def test_continuous_projection_emits_to_log(spark, log, tmp_path):
     """Continuous-mode emissions reach the log exactly once, and the
     state snapshot tracks partitions across micro-batches (P20 continuous
