@@ -102,6 +102,18 @@ def deletion_notice_source(events: DataFrame, proj) -> DataFrame | None:
 
 def select_source(events: DataFrame, proj) -> DataFrame:
     base = events.where(source_predicate(proj))
+    if (getattr(proj, "partition_fn", None) is not None
+            or getattr(proj, "partition_col", None) is not None):
+        # custom partitionBy: deletion rows never reach the user's
+        # partition extractor — a null-body tombstone through a user
+        # partition fn would crash or mis-partition, and the reference
+        # maps deletions to custom partitions through its stream→
+        # partition checkpoint state, which the columnar runtime does
+        # not model. (foreachStream's partition IS the stream, so
+        # deletions partition naturally there.)
+        from ..operators.system_projections import tombstone_row
+
+        return base.where(~tombstone_row())
     soft = deletion_notice_source(events, proj)
     if soft is not None:
         base = base.unionByName(soft.select(*base.columns))

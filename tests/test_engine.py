@@ -1330,6 +1330,33 @@ def test_deleted_handler_fires_through_engine_for_both_delete_kinds(
     eng.close()
 
 
+def test_custom_partition_fn_never_sees_deletion_rows(spark, tmp_path):
+    """partition_by(fn) specs: deletion rows are excluded from the
+    source — a user partition fn parsing the body would crash on a
+    null-data tombstone, and custom-partition deletion mapping needs
+    the reference's stream→partition state, which isn't modeled."""
+    eng = EventStoreEngine(spark, str(tmp_path / "custpart"))
+    eng.append("acct-1", [ProposedEvent("Op", '{"region": "eu"}')])
+    eng.append("acct-2", [ProposedEvent("Op", '{"region": "us"}')])
+    eng.append("acct-3", [ProposedEvent("Op", '{"region": "eu"}')])
+    eng.delete_stream("acct-1", hard=True)
+    eng.delete_stream("acct-2")  # soft
+
+    spec = (Projection.from_category("acct", name="byregion")
+            .partition_by(lambda e: e["body"]["region"])  # crashes on null
+            .when({"$init": lambda: {"n": 0},
+                   "$any": lambda s, e: {"n": s["n"] + 1},
+                   "$deleted": lambda s, e: s}))
+    eng.create_projection(spec, mode="onetime")
+    eng.run_projection("byregion")  # must not crash on tombstones
+    states = {r.partition: json.loads(r.state)
+              for r in eng.projection_state("byregion").collect()}
+    # only acct-3's live event folds: deleted streams' events are hidden
+    # by visibility and the deletion rows are excluded pre-partitioning
+    assert states == {"eu": {"n": 1}}
+    eng.close()
+
+
 def test_stream_deletion_links_into_category_stream(spark, tmp_path):
     """CategorizeEventsByStreamPath.cs:57-76 via StreamDeletedHelper:
     $ce- carries stream-DELETION notices — the hard tombstone as
