@@ -303,10 +303,21 @@ class EventStoreEngine:
         return mat.unionByName(tail.select(*mat.columns))
 
     # ----------------------------------------------------------------- reads
+    def _read_base(self, stream_id: str) -> DataFrame:
+        """What a stream read sources from: metastreams (`$$X`) read the
+        RAW log — S9 metadata-HISTORY reads; the reference serves
+        metastreams through the ordinary read path
+        (SystemStreams.MetastreamOf, IndexReader) — everything else the
+        visible log."""
+        if stream_id.startswith(METASTREAM_PREFIX):
+            return self.writer.load().where(
+                F.col("stream_id").startswith(METASTREAM_PREFIX))
+        return self.events()
+
     def read_event(self, stream_id: str, event_number: int) -> DataFrame:
         if mem.is_in_memory_stream(stream_id):
             return self.memory_streams.read_event(stream_id, event_number)
-        return R.read_event(self.events(), stream_id, event_number)
+        return R.read_event(self._read_base(stream_id), stream_id, event_number)
 
     def read_stream(self, stream_id: str, from_event_number: int | None = None,
                     max_count: int | None = None, backward: bool = False,
@@ -323,7 +334,7 @@ class EventStoreEngine:
                 stream_id, from_event_number, backward=backward
             )
             return out if max_count is None else out.limit(max_count)
-        ev = self.events()
+        ev = self._read_base(stream_id)
         # System streams are addressable by NAME like any other stream
         # (SystemNames.cs:37-99; readers resolve $ce- via the link stream,
         # ReaderStrategy.cs:179-216): `$ce-/$et-/$bc-/$category-/$streams`
@@ -360,7 +371,7 @@ class EventStoreEngine:
             return self.memory_streams.read_page(
                 stream_id, from_event_number, max_count, backward
             )
-        base = self.events()
+        base = self._read_base(stream_id)
         if sysproj.is_system_stream_name(stream_id):
             # same name-routing as read_stream: page the link stream by
             # its own event numbers (materialized when registered)
@@ -398,7 +409,7 @@ class EventStoreEngine:
             # so a commit that lands mid-scan is never missed
             epoch = self.writer.commit_epoch()
             sig = self.writer.log_signature()
-            base = self.events()
+            base = self._read_base(stream_id)
             if sysproj.is_system_stream_name(stream_id):
                 # long-poll a system stream by NAME: probe the same base
                 # the read serves (materialized + tail, or virtual) —

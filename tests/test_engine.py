@@ -867,6 +867,24 @@ def _plant_interrupted_scavenge(eng, sid, space=123, chunk_end=2, took=40):
     return detail
 
 
+def test_metastream_read_by_name(engine):
+    """S9 metadata-HISTORY reads: `$$X` is addressable through the
+    ordinary read path like the reference (SystemStreams.MetastreamOf +
+    IndexReader) — every $metadata write is an event of the metastream."""
+    engine.set_stream_metadata("account-1", max_count=5)
+    engine.set_stream_metadata("account-1", max_count=9)
+    rows = engine.read_stream("$$account-1").collect()
+    assert [r.event_number for r in rows] == [0, 1]
+    assert [json.loads(r.data)["$maxCount"] for r in rows] == [5, 9]
+    assert rows[0].event_type == "$metadata"
+    # point read + backward page + long-poll of the metastream
+    last = engine.read_event("$$account-1", -1).first()
+    assert json.loads(last.data)["$maxCount"] == 9
+    page = engine.read_stream_page("$$account-1", None, 1, backward=True)
+    assert [r.event_number for r in page.events.collect()] == [1]
+    assert engine.poll_stream("$$account-1", 1, timeout_s=1.0).count() == 1
+
+
 def test_node_stats_stream(engine):
     """MonitoringService parity (MonitoringService.cs:99,160-178): each
     collect_statistics() appends a $statsCollected snapshot to
