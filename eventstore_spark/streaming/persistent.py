@@ -110,6 +110,13 @@ class PersistentSubscription:
         self.parked_stream_id = (
             f"$persistentsubscription-{stream_id or '$all'}::{group}-parked"
         )
+        # store-backed checkpoint stream
+        # (PersistentSubscriptionCheckpointWriter.cs:22:
+        # "$persistentsubscription-" + subscriptionId + "-checkpoint")
+        self.checkpoint_stream_id = (
+            f"$persistentsubscription-{stream_id or '$all'}::{group}-checkpoint"
+        )
+        self._ckpt_stream_loaded = False
         # Consumer groups on SYSTEM stream names ($ce-X / $et-T / $bc-id)
         # — the reference's most common real-world shape (the docs direct
         # users at `$by_category` streams via persistent groups with
@@ -227,6 +234,7 @@ class PersistentSubscription:
         counterpart of ``subscriptions.subscription_backlog``). One
         pruned range count; the buffer itself is bounded by
         read_batch_size, so this is the unbounded-side observable."""
+        self._ensure_checkpoint_loaded()
         return int(
             self._selected()
             .where(F.col("log_position") >= self._buffer_head)
@@ -298,6 +306,7 @@ class PersistentSubscription:
         """Deliver available messages to consumers; returns
         consumer -> [log_position]. Call repeatedly (micro-batch pump)."""
         now = time.time() if now is None else now
+        self._ensure_checkpoint_loaded()
         if self.stopped:
             # NakAction.Stop (PersistentSubscription.cs:492-494): the
             # group stops pushing until resume()
@@ -462,6 +471,51 @@ class PersistentSubscription:
         return n
 
     # -- checkpointing --------------------------------------------------------
+    def _ensure_checkpoint_loaded(self) -> None:
+        """Resume from the group's `-checkpoint` STREAM (the reference
+        persists consumer-group positions as $SubscriptionCheckpoint
+        events there and reads the last one back on load,
+        PersistentSubscriptionCheckpointWriter.cs:48-52). Lazy — one
+        pushed-filter point read at the group's first delivery work, only
+        for store-attached groups (park_writer present). The file
+        checkpoint (richer: carries outstanding deliveries) wins when it
+        is further along."""
+        if self._ckpt_stream_loaded or self.park_writer is None:
+            return
+        self._ckpt_stream_loaded = True
+        rows = (
+            self._events_fn()
+            .where(F.col("stream_id") == self.checkpoint_stream_id)
+            .where(F.col("event_type") == "$SubscriptionCheckpoint")
+            .orderBy(F.col("event_number").desc())
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            return
+        pos = int(json.loads(rows[0].data))
+        if pos > self._checkpointed_position:
+            self._checkpointed_position = pos
+            self._buffer_head = max(self._buffer_head, pos)
+
+    def _write_checkpoint_event(self) -> None:
+        """One $SubscriptionCheckpoint event per checkpoint; first use
+        stamps $maxCount = 2 on the stream (CreateStreamMetadataEvent,
+        PersistentSubscriptionCheckpointWriter.cs:69-77) so only the two
+        most recent checkpoints stay visible."""
+        from ..writer import ProposedEvent
+
+        w = self.park_writer
+        if w._current_meta(self.checkpoint_stream_id).get("$maxCount") != 2:
+            w.append(f"$${self.checkpoint_stream_id}", [ProposedEvent(
+                "$metadata", json.dumps({"$maxCount": 2}, sort_keys=True))])
+        # data = the position's string form as JSON
+        # (state.ToString().ToJson(), :48-50)
+        w.append(self.checkpoint_stream_id, [ProposedEvent(
+            "$SubscriptionCheckpoint",
+            json.dumps(str(self._checkpointed_position)),
+        )])
+
     def _maybe_checkpoint(self) -> None:
         if self._acked_since_checkpoint >= self.settings.checkpoint_after:
             self.checkpoint()
@@ -474,6 +528,8 @@ class PersistentSubscription:
             outstanding[0] if outstanding else self._buffer_head
         )
         self._acked_since_checkpoint = 0
+        if self.park_writer is not None:
+            self._write_checkpoint_event()
         if not self.checkpoint_dir:
             return
         os.makedirs(self.checkpoint_dir, exist_ok=True)

@@ -192,3 +192,49 @@ def test_all_group_never_consumes_own_parked_stream(engine):
     again = _pump(ps, now=2000.0)
     delivered_streams = {ps._deliveries[p].stream_id for p in again}
     assert ps.parked_stream_id not in delivered_streams
+
+
+def test_checkpoint_stream_resumes_group_across_attachments(engine):
+    """The group's position survives in the `-checkpoint` STREAM
+    (PersistentSubscriptionCheckpointWriter.cs:22,48-77): checkpoints
+    append $SubscriptionCheckpoint events ($maxCount=2 stamped once);
+    a fresh attachment with NO file checkpoint resumes past everything
+    acked before."""
+    import json as _json
+
+    for i in range(6):
+        engine.append("pay-1", [ProposedEvent("Paid", '{"n": %d}' % i)])
+    s = PersistentSubscriptionSettings(checkpoint_after=3)
+    ps = engine.persistent_subscription("ck", "pay-1", settings=s)
+    ps.add_consumer("c1")
+    got = _pump(ps)
+    assert len(got) == 6
+    ps.ack(got[:4])  # 4 acks >= checkpoint_after -> checkpoint written
+    rows = engine.read_stream(ps.checkpoint_stream_id).collect()
+    assert [r.event_type for r in rows] == ["$SubscriptionCheckpoint"]
+    pos = int(_json.loads(rows[0].data))
+    assert pos == got[4]  # lowest OUTSTANDING delivery
+    # $maxCount=2 stamped once on the checkpoint stream
+    md = {r.stream_id: r for r in engine.stream_metadata().collect()}
+    assert md[ps.checkpoint_stream_id].max_count == 2
+    # fresh attachment, no checkpoint_dir: resumes from the stream —
+    # the 4 acked messages are never redelivered
+    ps2 = engine.persistent_subscription("ck", "pay-1", settings=s)
+    ps2.add_consumer("c1")
+    got2 = _pump(ps2)
+    assert got2 == got[4:]
+
+
+def test_checkpoint_stream_retention_keeps_two(engine):
+    """Repeated checkpoints stay bounded: $maxCount=2 keeps only the two
+    most recent $SubscriptionCheckpoint events visible."""
+    for i in range(9):
+        engine.append("pay-2", [ProposedEvent("Paid", '{"n": %d}' % i)])
+    s = PersistentSubscriptionSettings(checkpoint_after=1)
+    ps = engine.persistent_subscription("ck2", "pay-2", settings=s)
+    ps.add_consumer("c1")
+    got = _pump(ps)
+    for p in got:
+        ps.ack([p])  # one checkpoint per ack
+    vis = engine.read_stream(ps.checkpoint_stream_id).count()
+    assert vis == 2
