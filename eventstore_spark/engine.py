@@ -589,6 +589,36 @@ class EventStoreEngine:
             ))
         return ps
 
+    def delete_persistent_subscription(self, group: str,
+                                       stream_id: str | None = None) -> dict:
+        """PersistentSubscriptions.Delete analog: drop the group's
+        server-side state — soft-delete its `-checkpoint` stream
+        (PersistentSubscriptionCheckpointWriter.BeginDelete:42-45) and
+        its `-parked` dead-letter stream (the message parker's
+        BeginDelete), and record the removal in
+        `$persistentSubscriptionConfig` (the server rewrites its config
+        on every group change). Returns which streams were dropped."""
+        from .writer import NO_STREAM
+
+        self._require_writer("delete_persistent_subscription")
+        base = f"$persistentsubscription-{stream_id or '$all'}::{group}"
+        dropped = []
+        for s in (f"{base}-checkpoint", f"{base}-parked"):
+            if self.writer.last_event_number(s) == NO_STREAM:
+                continue  # the group never wrote this stream
+            self.writer.soft_delete(s)
+            dropped.append(s)
+        import hashlib
+
+        doc = {"group": group, "stream": stream_id or "$all",
+               "deleted": True}
+        payload = json.dumps(doc, sort_keys=True)
+        self._append_config_once("$persistentSubscriptionConfig", ProposedEvent(
+            "PersistentConfig1", payload,
+            event_id=hashlib.md5(payload.encode()).hexdigest(),
+        ))
+        return {"group": group, "dropped_streams": dropped}
+
     def _append_config_once(self, stream_id: str, ev: ProposedEvent) -> None:
         """Unbounded idempotent append for tiny config/registry streams
         (`$persistentSubscriptionConfig`, `$projections-$all`). The

@@ -1151,6 +1151,12 @@ class EventLogWriter:
         return frozenset(n for n in names if n.endswith(".parquet"))
 
     # -- delete surface (S8) --
+    def last_event_number(self, stream_id: str) -> int:
+        """The stream's last event number, NO_STREAM when never written
+        (IndexReader.GetStreamLastEventNumber — the head lookup every
+        commit check starts from)."""
+        return int(self._stream_state(stream_id)[0])
+
     def soft_delete(self, stream_id: str, metadata_writer=None) -> None:
         """Soft delete = write a FRESH metadata document containing only
         $tb = MAX_LONG (StorageWriterService.cs:510 constructs

@@ -1629,7 +1629,7 @@ def test_every_maintenance_entry_point_is_guarded():
         "scavenge", "vacuum", "optimize_layout", "bucket_log",
         "auto_scavenge_policy", "archive_cold", "drop_archived_local",
         "redact", "compact_projection_state", "recover_scavenge_log",
-        "collect_statistics",
+        "collect_statistics", "delete_persistent_subscription",
     ]
     for name in MUTATORS:
         src = inspect.getsource(getattr(EventStoreEngine, name))

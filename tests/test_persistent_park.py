@@ -238,3 +238,34 @@ def test_checkpoint_stream_retention_keeps_two(engine):
         ps.ack([p])  # one checkpoint per ack
     vis = engine.read_stream(ps.checkpoint_stream_id).count()
     assert vis == 2
+
+
+def test_delete_persistent_subscription_drops_group_state(engine):
+    """PersistentSubscriptions.Delete analog: the group's -checkpoint and
+    -parked streams are soft-deleted
+    (PersistentSubscriptionCheckpointWriter.BeginDelete) and the removal
+    lands in $persistentSubscriptionConfig; a later re-creation starts
+    the group fresh."""
+    engine.append("ship-1", [ProposedEvent("Shipped", '{"n": 0}'),
+                             ProposedEvent("Shipped", '{"n": 1}')])
+    s = PersistentSubscriptionSettings(checkpoint_after=1, max_retry_count=0)
+    ps = engine.persistent_subscription("dg", "ship-1", settings=s)
+    ps.add_consumer("c1")
+    got = _pump(ps)
+    ps.ack(got[:1])                       # -> checkpoint stream exists
+    ps.nack(got[1:], action="park")       # -> parked stream exists
+    assert engine.read_stream(ps.checkpoint_stream_id).count() >= 1
+    assert engine.read_stream(ps.parked_stream_id).count() == 1
+
+    out = engine.delete_persistent_subscription("dg", "ship-1")
+    assert sorted(out["dropped_streams"]) == sorted(
+        [ps.checkpoint_stream_id, ps.parked_stream_id])
+    assert engine.read_stream(ps.checkpoint_stream_id).count() == 0
+    assert engine.read_stream(ps.parked_stream_id).count() == 0
+    cfg = [json.loads(r.data) for r in
+           engine.read_stream("$persistentSubscriptionConfig").collect()]
+    assert {"group": "dg", "stream": "ship-1", "deleted": True} in cfg
+    # re-created group starts fresh (no stale checkpoint resurrection)
+    ps2 = engine.persistent_subscription("dg", "ship-1", settings=s)
+    ps2.add_consumer("c1")
+    assert len(_pump(ps2)) == 2
