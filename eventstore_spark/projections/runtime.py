@@ -452,7 +452,12 @@ def run_batch(proj: Projection, events: DataFrame) -> ProjectionResult:
     # whose handlers take ctx (emit/linkTo) also need log_position for
     # deterministic emitted-event ids.
     emits = any(a >= 3 for a in proj.handler_arity.values())
-    by_stream_only = proj.by_stream and not emits and not proj.bi_state
+    # $deleted specs must fold in LOG order: a soft-delete notice carries
+    # the METASTREAM's event number (its own stream's numbering), which
+    # would mis-sort against the owner stream's numbers on the
+    # event_number fast path (round-8 self-review)
+    by_stream_only = (proj.by_stream and not emits and not proj.bi_state
+                      and DELETED not in proj.handlers)
     sort_key = "event_number" if by_stream_only else "log_position"
 
     # P19 reorder buffer (EventReorderingReaderSubscription.cs:15-88):

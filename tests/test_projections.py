@@ -137,6 +137,29 @@ def test_emit_and_link_to(bank_events):
     assert md2["$causedBy"] == "b1" and "$correlationId" not in md2
 
 
+def test_soft_delete_notice_folds_in_log_order(spark):
+    """A $deleted spec folds by LOG position: the soft-delete notice
+    (normalized from the metastream write, whose OWN event number is 0)
+    must fold AFTER the stream's real events, not sort between them on
+    the per-stream event_number fast path (round-8 self-review)."""
+    from eventstore_spark.schema import EVENTS_SCHEMA, MAX_LONG
+
+    rows = [
+        (1, "acct-1", "acct", 0, "e0", "Op", "{}", None, None, True),
+        (2, "acct-1", "acct", 1, "e1", "Op", "{}", None, None, True),
+        (3, "$$acct-1", None, 0, "m0", "$metadata",
+         '{"$tb": %d}' % MAX_LONG, None, None, True),
+    ]
+    ev = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    p = (Projection.from_category("acct", name="order-check")
+         .foreach_stream()
+         .when({"$init": lambda: {"seq": []},
+                "$any": lambda s, e: {"seq": s["seq"] + ["ev"]},
+                "$deleted": lambda s, e: {"seq": s["seq"] + ["del"]}}))
+    st = states_of(run_batch(p, ev))
+    assert st["acct-1"] == {"seq": ["ev", "ev", "del"]}
+
+
 def test_emit_user_metadata_merges_with_cause(bank_events):
     """Handler-supplied metadata pairs ride along; a handler $causedBy is
     stripped (the engine's own wins) and a handler $correlationId is
