@@ -576,6 +576,8 @@ class EventStoreEngine:
             st = ps.settings
             doc = {
                 "group": group, "stream": stream_id or "$all",
+                "generation": self._group_config_state(
+                    group, stream_id or "$all")[0],
                 "messageTimeoutMs": int(st.message_timeout_s * 1000),
                 "maxRetryCount": st.max_retry_count,
                 "readBatchSize": st.read_batch_size,
@@ -610,14 +612,48 @@ class EventStoreEngine:
             dropped.append(s)
         import hashlib
 
-        doc = {"group": group, "stream": stream_id or "$all",
-               "deleted": True}
-        payload = json.dumps(doc, sort_keys=True)
-        self._append_config_once("$persistentSubscriptionConfig", ProposedEvent(
-            "PersistentConfig1", payload,
-            event_id=hashlib.md5(payload.encode()).hexdigest(),
-        ))
+        deletions, currently_deleted = self._group_config_state(
+            group, stream_id or "$all")
+        if not currently_deleted:
+            doc = {"group": group, "stream": stream_id or "$all",
+                   "generation": deletions, "deleted": True}
+            payload = json.dumps(doc, sort_keys=True)
+            self._append_config_once(
+                "$persistentSubscriptionConfig", ProposedEvent(
+                    "PersistentConfig1", payload,
+                    event_id=hashlib.md5(payload.encode()).hexdigest(),
+                ))
         return {"group": group, "dropped_streams": dropped}
+
+    def _group_config_state(self, group: str, stream: str) -> tuple:
+        """(deletions, currently_deleted) for a group from the config
+        stream, in record order. The deletion count is the group's
+        "generation", stamped into creation/deletion records so a group
+        re-created after deletion produces NEW records instead of
+        deduping against its first life's — a config replay then ends in
+        the right state — while re-attach and double-delete within one
+        life still dedupe. One pushed-filter read of the metadata-scale
+        config stream."""
+        rows = (
+            self.writer.load()
+            .where(F.col("stream_id") == "$persistentSubscriptionConfig")
+            .orderBy("event_number")
+            .select("data").collect()
+        )
+        deletions, currently_deleted = 0, False
+        for r in rows:
+            try:
+                doc = json.loads(r.data)
+            except (TypeError, ValueError):
+                continue
+            if doc.get("group") != group or doc.get("stream") != stream:
+                continue
+            if doc.get("deleted"):
+                deletions += 1
+                currently_deleted = True
+            else:
+                currently_deleted = False
+        return deletions, currently_deleted
 
     def _append_config_once(self, stream_id: str, ev: ProposedEvent) -> None:
         """Unbounded idempotent append for tiny config/registry streams

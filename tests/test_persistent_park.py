@@ -264,8 +264,29 @@ def test_delete_persistent_subscription_drops_group_state(engine):
     assert engine.read_stream(ps.parked_stream_id).count() == 0
     cfg = [json.loads(r.data) for r in
            engine.read_stream("$persistentSubscriptionConfig").collect()]
-    assert {"group": "dg", "stream": "ship-1", "deleted": True} in cfg
+    assert {"group": "dg", "stream": "ship-1", "deleted": True,
+            "generation": 0} in cfg
     # re-created group starts fresh (no stale checkpoint resurrection)
     ps2 = engine.persistent_subscription("dg", "ship-1", settings=s)
     ps2.add_consumer("c1")
     assert len(_pump(ps2)) == 2
+
+
+def test_group_config_replay_survives_recreation(engine):
+    """Config records carry the group's deletion GENERATION, so a
+    create→delete→re-create sequence appends three distinct records (a
+    replay ends 'live', not 'deleted'), while double-deleting or
+    re-attaching within one life still dedupes."""
+    engine.append("inv-1", [ProposedEvent("Inv", "{}")])
+    s = PersistentSubscriptionSettings()
+    engine.persistent_subscription("gr", "inv-1", settings=s)
+    engine.persistent_subscription("gr", "inv-1", settings=s)  # re-attach
+    engine.delete_persistent_subscription("gr", "inv-1")
+    engine.delete_persistent_subscription("gr", "inv-1")  # double delete
+    engine.persistent_subscription("gr", "inv-1", settings=s)  # 2nd life
+
+    docs = [json.loads(r.data) for r in
+            engine.read_stream("$persistentSubscriptionConfig").collect()
+            if json.loads(r.data).get("group") == "gr"]
+    shapes = [(d.get("generation"), bool(d.get("deleted"))) for d in docs]
+    assert shapes == [(0, False), (0, True), (1, False)]
