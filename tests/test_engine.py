@@ -1348,6 +1348,37 @@ def test_deleted_handler_fires_through_engine_for_both_delete_kinds(
     eng.close()
 
 
+def test_continuous_materializer_links_deletions_live(spark, tmp_path):
+    """The CONTINUOUS standard-projection query materializes deletion
+    notices as they stream by — hard tombstones and soft-delete
+    metastream writes land in `$ce-` / `$et-$deleted` with the same
+    rows the virtual view derives."""
+    eng = EventStoreEngine(spark, str(tmp_path / "contdl"))
+    eng.append("ord-1", [ProposedEvent("A", "{}")])
+    q = eng.register_system_projections(
+        mode="continuous", checkpoint_dir=str(tmp_path / "cdlk"))
+    try:
+        q.processAllAvailable()
+        eng.append("ord-2", [ProposedEvent("A", "{}")])
+        eng.delete_stream("ord-2", hard=True)
+        eng.append("ord-3", [ProposedEvent("A", "{}")])
+        eng.delete_stream("ord-3")  # soft
+        q.processAllAvailable()
+        ce = [(r.event_number, r.data, json.loads(r.metadata).get("$deleted"))
+              for r in eng.read_stream("$ce-ord")
+              .orderBy("event_number").collect()]
+        # pre-delete events WERE materialized live (links are never
+        # rewritten on delete), and the notices follow in log order
+        assert [d for _n, d, _dd in ce] == [
+            "0@ord-1", "0@ord-2", "1@ord-2", "0@ord-3", "0@$$ord-3"]
+        assert [dd for _n, _d, dd in ce] == [None, None, -1, None, -1]
+        et = [r.data for r in eng.read_stream("$et-$deleted").collect()]
+        assert et == ["1@ord-2", "0@ord-3"]
+    finally:
+        q.stop()
+    eng.close()
+
+
 def test_custom_partition_fn_never_sees_deletion_rows(spark, tmp_path):
     """partition_by(fn) specs: deletion rows are excluded from the
     source — a user partition fn parsing the body would crash on a
