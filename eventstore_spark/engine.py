@@ -485,8 +485,18 @@ class EventStoreEngine:
 
     def read_all(self, from_position: int = 0, max_count: int | None = None,
                  backward: bool = False, event_filter: EventFilter | None = None,
-                 include_system: bool = False) -> DataFrame:
-        ev = self.events()
+                 include_system: bool = False,
+                 visible_only: bool = True) -> DataFrame:
+        """S4/S5. ``visible_only=False`` is the reference's literal $all
+        semantics: retention (maxCount/maxAge/$tb) is a STREAM-read
+        bound, so $all keeps showing retention-expired and
+        deleted-stream records until a scavenge physically removes them
+        (IndexReader applies the bounds, AllReader reads the raw log;
+        the docs call this out for scavenge-pending events). The default
+        stays the VISIBLE view — the right answer for analytics and the
+        oracle-checked surface; the raw view is the admin/debug parity
+        knob."""
+        ev = self.events(visible_only=visible_only)
         if backward:
             return R.read_all_backward(ev, from_position or None, max_count)
         return R.read_all_filtered(

@@ -1831,3 +1831,27 @@ def test_compact_crash_at_every_point_is_always_readable(engine, monkeypatch):
         got2 = {r.partition: json.loads(r.state)
                 for r in engine.projection_state(name).collect()}
         assert got2 == want, (crash_at, got2)
+
+
+def test_read_all_raw_shows_retention_expired_until_scavenge(engine):
+    """visible_only=False is the reference's literal $all: retention is
+    a stream-read bound, so $all keeps showing maxCount-expired rows and
+    deleted-stream records until scavenge removes them physically."""
+    engine.set_stream_metadata("account-1", max_count=1)
+    engine.delete_stream("chat-1", hard=True)
+    vis = {(r.stream_id, r.event_number)
+           for r in engine.read_all(include_system=True).collect()}
+    raw = {(r.stream_id, r.event_number)
+           for r in engine.read_all(include_system=True,
+                                    visible_only=False).collect()}
+    assert ("account-1", 0) not in vis          # maxCount hides it
+    assert ("account-1", 0) in raw              # still in the log
+    assert ("chat-1", 0) not in vis             # tombstoned
+    assert ("chat-1", 0) in raw and ("chat-1", 1) in raw  # + tombstone
+    # scavenge physically removes them; the raw view converges
+    engine.scavenge()
+    raw2 = {(r.stream_id, r.event_number)
+            for r in engine.read_all(include_system=True,
+                                     visible_only=False).collect()}
+    assert ("account-1", 0) not in raw2
+    assert ("chat-1", 0) not in raw2
