@@ -1,8 +1,10 @@
 """Link resolution + retention visibility, mirroring the reference's
 MaxAgeMaxCount / TruncateBefore storage-test fixtures."""
 
+import json
 from datetime import datetime, timezone
 
+import pytest
 from pyspark.sql import functions as F
 
 from eventstore_spark.operators.links import resolve_links
@@ -83,3 +85,56 @@ def test_system_projection_views(bank_events):
     assert sp.by_event_type(bank_events, "MessageSent").count() == 3
     corr = sp.by_correlation_id(bank_events, "c1")
     assert sorted(r.event_id for r in corr.collect()) == ["a1", "a2"]
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_randomized_deletion_sequences_keep_views_identical(
+        spark, tmp_path, seed):
+    """Invariant pin over random append / soft-delete / hard-delete /
+    recreate interleavings: the virtual `$ce-` and `$et-$deleted` views
+    and a onetime materialization read row-for-row identically
+    (numbers, ids, bodies, metadata incl. $deleted stamps)."""
+    import random
+
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.writer import ProposedEvent, StreamDeletedError
+
+    rng = random.Random(seed)
+    eng = EventStoreEngine(spark, str(tmp_path / f"rnd{seed}"))
+    streams = [f"acc-{i}" for i in range(4)]
+    hard_deleted = set()
+    for _ in range(14):
+        sid = rng.choice(streams)
+        op = rng.random()
+        try:
+            if op < 0.55:
+                eng.append(sid, [ProposedEvent("Op", '{"v": %d}'
+                                               % rng.randrange(100))])
+            elif op < 0.75:
+                eng.delete_stream(sid)  # soft (recreatable)
+            elif op < 0.9:
+                eng.delete_stream(sid, hard=True)
+                hard_deleted.add(sid)
+            else:
+                # recreate a soft-deleted stream
+                eng.append(sid, [ProposedEvent("Op", '{"v": -1}')])
+        except StreamDeletedError:
+            assert sid in hard_deleted  # only tombstoned streams refuse
+
+    def rows(name):
+        return [(r.event_number, r.event_id, r.data, r.metadata)
+                for r in eng.read_stream(name)
+                .orderBy("event_number").collect()]
+
+    virt = {n: rows(n) for n in ("$ce-acc", "$et-$deleted", "$streams")}
+    eng.register_system_projections(mode="onetime")
+    for name, expect in virt.items():
+        assert rows(name) == expect, (seed, name)
+    # dense numbering and consistent $deleted stamps in $ce-
+    ce = virt["$ce-acc"]
+    assert [n for n, *_ in ce] == list(range(len(ce)))
+    for _n, _i, d, m in ce:
+        doc = json.loads(m)
+        if "$deleted" in doc:
+            assert d.endswith("@" + "$$" + doc["$o"]) or "@" in d
+    eng.close()
