@@ -19,6 +19,11 @@ Commands:
   autoscavenge [interval_s]      run the auto-scavenge policy if due
   compact-state <projection>     fold a continuous projection's state
                                  delta generations into one base
+  collect-stats                  append a $statsCollected snapshot to
+                                 the $stats-local node stats stream
+  stats-history                  $stats-local snapshots (visible window)
+  delete-group <group> [stream]  drop a consumer group's server state
+                                 (-checkpoint/-parked streams + config)
 
 Read-only commands open the store without the writer lock, so they work
 beside a live writer process; mutating commands take the lock and fail
@@ -34,7 +39,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-READ_ONLY_CMDS = {"stats", "projections", "scavenges"}
+READ_ONLY_CMDS = {"stats", "projections", "scavenges", "stats-history"}
 
 
 def main(argv: list[str]) -> int:
@@ -69,6 +74,14 @@ def main(argv: list[str]) -> int:
                    if r.data is not None]
         elif cmd == "scavenge":
             out = eng.scavenge()
+        elif cmd == "collect-stats":
+            out = eng.collect_statistics()
+        elif cmd == "stats-history":
+            out = [json.loads(r.data) for r in
+                   eng.read_stream(eng.NODE_STATS_STREAM).collect()]
+        elif cmd == "delete-group":
+            out = eng.delete_persistent_subscription(
+                args[0], args[1] if len(args) > 1 else None)
         elif cmd == "vacuum":
             out = eng.vacuum(float(args[0]) if args else 3600.0)
         elif cmd == "optimize":
