@@ -376,9 +376,26 @@ class EventStoreEngine:
             # same name-routing as read_stream: page the link stream by
             # its own event numbers (materialized when registered)
             base = self._system_base(base, stream_id)
-        return R.read_stream_page(
+        page = R.read_stream_page(
             base, stream_id, from_event_number, max_count, backward
         )
+        if (not sysproj.is_system_stream_name(stream_id)
+                and not stream_id.startswith("$")):
+            # ReadStreamResult parity (IndexReader.ReadStreamEventsForward
+            # :221-330): a tombstoned stream READS as StreamDeleted — the
+            # client-visible exception, same error appends raise; a
+            # never-written or soft-deleted (un-recreated) stream reads
+            # as NoStream. One cached writer-state lookup, no extra job.
+            from .writer import NO_STREAM, StreamDeletedError
+
+            last, tomb = self.writer._stream_state(stream_id)
+            if tomb:
+                raise StreamDeletedError(stream_id)
+            if last == NO_STREAM or (
+                    self.writer._is_soft_deleted(stream_id)
+                    and page.last_event_number < 0):
+                page.result = "NoStream"
+        return page
 
     def poll_stream(self, stream_id: str, from_event_number: int = 0,
                     max_count: int | None = None, timeout_s: float = 5.0,

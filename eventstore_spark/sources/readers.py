@@ -84,6 +84,11 @@ class StreamPage:
     next_event_number: int
     last_event_number: int
     is_end_of_stream: bool
+    # ReadStreamResult analog (SRangeReadResult: Success / NoStream /
+    # StreamDeleted — the last surfaces as a raised StreamDeletedError
+    # at the engine instead). Standalone reader calls report "Success";
+    # the engine, which can consult writer state, refines it.
+    result: str = "Success"
 
 
 def read_stream_page(

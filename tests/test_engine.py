@@ -1855,3 +1855,22 @@ def test_read_all_raw_shows_retention_expired_until_scavenge(engine):
                                      visible_only=False).collect()}
     assert ("account-1", 0) not in raw2
     assert ("chat-1", 0) not in raw2
+
+
+def test_read_stream_page_result_codes(engine):
+    """ReadStreamResult parity (IndexReader.cs:221-330): Success for a
+    live stream, NoStream for never-written and soft-deleted streams,
+    StreamDeleted RAISED for tombstoned ones; a soft-delete recreate
+    returns to Success."""
+    from eventstore_spark.writer import StreamDeletedError
+
+    assert engine.read_stream_page("account-1").result == "Success"
+    assert engine.read_stream_page("nope-1").result == "NoStream"
+    engine.delete_stream("account-2")  # soft
+    assert engine.read_stream_page("account-2").result == "NoStream"
+    engine.append("account-2", [ProposedEvent("Op", "{}")])  # recreate
+    page = engine.read_stream_page("account-2")
+    assert page.result == "Success" and page.events.count() == 1
+    engine.delete_stream("chat-1", hard=True)
+    with pytest.raises(StreamDeletedError):
+        engine.read_stream_page("chat-1")
