@@ -1874,3 +1874,24 @@ def test_read_stream_page_result_codes(engine):
     engine.delete_stream("chat-1", hard=True)
     with pytest.raises(StreamDeletedError):
         engine.read_stream_page("chat-1")
+
+
+def test_subscribe_et_deleted_delivers_both_deletion_shapes(engine, tmp_path):
+    """Live subscription to `$et-$deleted` (the type index's deletion
+    route, IndexEventsByEventType.cs:66-80): hard tombstones AND
+    soft-delete metastream writes match the predicate."""
+    engine.delete_stream("account-2", hard=True)
+    engine.delete_stream("chat-1")  # soft
+    sub = engine.subscribe("$et-$deleted")
+    q = sub.writeStream.outputMode("append").format("memory").queryName(
+        "etdel_sub"
+    ).option("checkpointLocation", str(tmp_path / "etdk")).start()
+    try:
+        q.processAllAvailable()
+        got = engine.spark.sql(
+            "SELECT stream_id, event_type FROM etdel_sub").collect()
+        shapes = sorted((r.stream_id, r.event_type) for r in got)
+        assert shapes == [("$$chat-1", "$metadata"),
+                          ("account-2", "$streamDeleted")]
+    finally:
+        q.stop()
