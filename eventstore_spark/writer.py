@@ -67,6 +67,7 @@ from . import manifest
 from .schema import (
     EVENTS_SCHEMA,
     METADATA_EVENT_TYPE,
+    METASTREAM_PREFIX,
     STREAM_DELETED_EVENT_TYPE,
     MAX_LONG,
 )
@@ -626,6 +627,7 @@ class EventLogWriter:
                 f"writer for {self.path} is read-only — appends go through "
                 "the owning writer process"
             )
+        self._validate_append(stream_id, events, expected_version)
         if self._group_window > 0:
             return self._append_grouped(stream_id, events, expected_version, created)
         with self._core.mutex:
@@ -1151,6 +1153,34 @@ class EventLogWriter:
         return frozenset(n for n in names if n.endswith(".parquet"))
 
     # -- delete surface (S8) --
+    @staticmethod
+    def _validate_append(stream_id: str, events, expected_version: int) -> None:
+        """Structural write validation, the reference's exact rules:
+
+        * stream id must not be empty or the bare metastream prefix
+          (`SystemStreams.IsInvalidStream`: null/empty or "$$" —
+          SystemNames.cs:55-58; ClientMessage.WriteEvents:186);
+        * expected version must be an exact number ≥ 0 or one of
+          NoStream/Any/StreamExists — below StreamExists(-4) or the
+          historical Invalid(-3) are rejected (ClientMessage.cs:189-191);
+        * every event needs a non-empty type and id (Data/Event.cs:30-35).
+
+        ACL-style rules (who may write `$`-streams) are out of scope —
+        this is the access-independent validation every writer applies."""
+        if not stream_id or stream_id == METASTREAM_PREFIX:
+            raise ValueError(
+                f"invalid stream id {stream_id!r} (empty or bare '$$')")
+        if expected_version < STREAM_EXISTS or expected_version == -3:
+            raise ValueError(
+                f"invalid expected_version {expected_version} (exact ≥ 0, "
+                f"NO_STREAM {NO_STREAM}, ANY {ANY}, or "
+                f"STREAM_EXISTS {STREAM_EXISTS})")
+        for ev in events:
+            if not ev.event_type:
+                raise ValueError("empty eventType provided")
+            if not ev.event_id:
+                raise ValueError("empty eventId provided")
+
     def last_event_number(self, stream_id: str) -> int:
         """The stream's last event number, NO_STREAM when never written
         (IndexReader.GetStreamLastEventNumber — the head lookup every

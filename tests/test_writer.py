@@ -900,3 +900,27 @@ def test_no_stream_recreates_soft_deleted_stream(log):
         log.load().where("stream_id = '$$se-3'")
         .orderBy("event_number", ascending=False).first().data)
     assert meta["$tb"] == 2
+
+
+def test_structural_append_validation(log):
+    """The reference's access-independent write validation
+    (SystemNames.IsInvalidStream:55-58, ClientMessage.WriteEvents:186-191,
+    Data/Event.cs:30-35): empty / bare-"$$" stream ids, out-of-range
+    expected versions, and empty event type/id are rejected before any
+    state moves; whitespace ids and $-stream ids remain structurally
+    valid (access rules are ACL territory, out of scope)."""
+    ok = [ProposedEvent("A", "{}")]
+    for bad_sid in ("", "$$"):
+        with pytest.raises(ValueError):
+            log.append(bad_sid, ok)
+    for bad_ver in (-3, -5, -100):
+        with pytest.raises(ValueError):
+            log.append("v-1", ok, expected_version=bad_ver)
+    with pytest.raises(ValueError):
+        log.append("v-1", [ProposedEvent("", "{}")])
+    with pytest.raises(ValueError):
+        log.append("v-1", [ProposedEvent("A", "{}", event_id="")])
+    assert log.load().where("stream_id = 'v-1'").count() == 0  # nothing landed
+    # structurally valid edge ids still append
+    assert log.append("  ", ok) == 0
+    assert log.append("$oddball", [ProposedEvent("A", "{}")]) == 0
