@@ -205,6 +205,13 @@ class MemoryStreamRouter:
         mechanism covers mem streams (InMemoryLog.cs:9-12)."""
         deadline = time.monotonic() + timeout_s
         while True:
+            # Capture the commit baseline BEFORE inspecting stream state:
+            # a write landing between the check and the wait would
+            # otherwise be absorbed into the baseline and the poll would
+            # stall until the NEXT write or the full timeout despite the
+            # event already being present (same ordering the log-side
+            # long-poll uses against the writer's commit condition).
+            baseline = self.mem_log.last_commit_position()
             s = self._streams.get(stream_id)
             last = s._last if s is not None else None
             if last is not None and last["event_number"] >= from_event_number:
@@ -212,9 +219,7 @@ class MemoryStreamRouter:
             remaining = deadline - time.monotonic()
             if remaining <= 0:
                 return self.read_stream(stream_id, from_event_number)
-            self.mem_log.wait_for_commit(
-                self.mem_log.last_commit_position(), remaining
-            )
+            self.mem_log.wait_for_commit(baseline, remaining)
 
 
 class NodeStateListener:

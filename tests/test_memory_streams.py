@@ -139,3 +139,62 @@ def test_mem_long_poll_wakes_on_mem_commit(engine):
     # timeout path: no matching event → empty result after the deadline
     assert engine.poll_stream("$mem-node-state", from_event_number=5,
                               timeout_s=0.3).count() == 0
+
+
+def test_mem_long_poll_write_landing_inside_the_wait_baseline_capture(engine):
+    """Check-then-wait race (fixed r9): a write landing between the
+    poll's stream-state check and its wait-baseline capture must not be
+    absorbed into the baseline — the old ordering (check, THEN capture
+    `last_commit_position()`) stalled such a poll until the NEXT mem
+    commit or the full timeout despite the event being present. The fix
+    captures the baseline BEFORE the check (the same ordering the
+    log-side long-poll uses against the writer's commit condition)."""
+    router = engine.memory_streams
+    stream = router.stream("$mem-node-state")
+    stream.write("$NodeStateChanged", json.dumps({"state": "Initializing"}))
+
+    orig = router.mem_log.last_commit_position
+    fired = []
+
+    def racing_last_commit_position():
+        # Land the write "inside" the position capture — visible in the
+        # returned position, concurrent with the check.
+        if not fired:
+            fired.append(True)
+            stream.write("$NodeStateChanged", json.dumps({"state": "Leader"}))
+        return orig()
+
+    router.mem_log.last_commit_position = racing_last_commit_position
+    try:
+        t0 = time.monotonic()
+        rows = router.poll("$mem-node-state", from_event_number=1,
+                           timeout_s=5.0).collect()
+        elapsed = time.monotonic() - t0
+    finally:
+        router.mem_log.last_commit_position = orig
+    assert len(rows) == 1
+    assert json.loads(rows[0].data) == {"state": "Leader"}
+    assert elapsed < 2.0  # answered on the check, not the 5 s timeout
+
+
+def test_mem_long_poll_concurrent_writes_never_stall_to_timeout(engine):
+    """Stress the window with real concurrency: a writer thread racing
+    each poll at varying offsets around the check. Every poll must
+    return the event well before its timeout (the old race showed up as
+    a full-timeout stall despite the event being present)."""
+    router = engine.memory_streams
+    stream = router.stream("$mem-gossip")
+    timeout_s = 2.0
+    for i in range(12):
+        delay = (i % 4) * 0.0005  # straddle the check window
+        t = threading.Thread(
+            target=lambda n=i, d=delay: (time.sleep(d), stream.write(
+                "$GossipUpdated", json.dumps({"n": n}))))
+        t0 = time.monotonic()
+        t.start()
+        page = router.poll("$mem-gossip", from_event_number=i,
+                           timeout_s=timeout_s)
+        elapsed = time.monotonic() - t0
+        t.join()
+        assert page.count() == 1
+        assert elapsed < 1.5, f"iteration {i} stalled ({elapsed:.2f}s)"
