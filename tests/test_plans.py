@@ -169,6 +169,41 @@ def test_repetition_profile_is_single_pass(parquet_docs):
     assert all(e == "RoundRobinPartitioning" for e in exchanges), exchanges
 
 
+# build side = the broadcast query-vector set (bounded K) or a ONE-ROW
+# scalar aggregate (the scalar-subquery shape: corpus totals in
+# lm_score/tfidf), reviewed case by case; anything NOT listed here
+# that plans a nested loop is a would-be cartesian at warehouse scale
+# and must fail the gate.
+BNLJ_OK = {
+    "ann_bruteforce", "ann_lsh", "rag_retrieve", "knn_classify",
+    "lm_score", "tfidf_keywords",
+    # bounded benchmark needles broadcast into a contains() scan
+    "contamination_exact",
+    # ONE-ROW corpus-stats aggregate broadcast back over the scan
+    # (the scalar-subquery shape, same as lm_score's totals)
+    "embedding_outliers",
+    # ONE-ROW scalar-subquery broadcasts (r8): q11's global revenue
+    # total, q22's positive-balance average — both build sides are a
+    # single aggregate row by construction
+    "tpch_q11_nation_value", "tpch_q22_global_sales_opportunity",
+}
+
+SF1_DIR = "/root/repo/.localdata/sf1"  # tools/gen_sf.py output
+
+
+def _walk_no_cartesian(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    offenders = {}
+    for name, fn in sorted(entry.queries().items()):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
+
+
 def test_no_accidental_cartesian_in_any_query(spark):
     """Global scale-regression gate: every queries() entry must plan
     without CartesianProduct, and without BroadcastNestedLoopJoin except
@@ -183,34 +218,66 @@ def test_no_accidental_cartesian_in_any_query(spark):
     sf_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(sf_dir):
         _pytest.skip("driver testdata not present")
+    _walk_no_cartesian(spark, sf_dir)
+
+
+def test_no_accidental_cartesian_at_sf1(spark):
+    """The same global gate one decade up: plan statistics change with
+    input size (file counts, estimated sizes, AQE thresholds), so a
+    query that plans keyed at sf0.001 could in principle flip at sf1.
+    Runs when the local scale-step dataset exists (tools/gen_sf.py)."""
+    import os
+
+    import pytest as _pytest
+
+    if not os.path.isdir(SF1_DIR):
+        _pytest.skip("local sf1 dataset not generated (tools/gen_sf.py)")
+    _walk_no_cartesian(spark, SF1_DIR)
+
+
+def test_sf1_join_heavy_plans_degrade_to_keyed_smj_not_bnlj(spark):
+    """The AQE broadcast→shuffle flip must be GRACEFUL: when the build
+    sides of the join-heavy headline queries (q3: orders⋈customer +
+    lineitem⋈orders; q18: the group-by-orderkey qualifier set) outgrow
+    the broadcast threshold at some SF, the joins must degrade to KEYED
+    sort-merge/shuffled-hash joins — never a nested loop, never a
+    SinglePartition exchange. Simulated by forcing the threshold to 0
+    at sf1 and driving AQE to the final plan (isFinalPlan=true), which
+    is exactly what a 10–100× larger input would do to these plans."""
+    import os
+
+    import pytest as _pytest
+
+    if not os.path.isdir(SF1_DIR):
+        _pytest.skip("local sf1 dataset not generated (tools/gen_sf.py)")
     import __spark_entry__ as entry
 
-    # build side = the broadcast query-vector set (bounded K) or a ONE-ROW
-    # scalar aggregate (the scalar-subquery shape: corpus totals in
-    # lm_score/tfidf), reviewed case by case; anything NOT listed here
-    # that plans a nested loop is a would-be cartesian at warehouse scale
-    # and must fail this test.
-    bnlj_ok = {
-        "ann_bruteforce", "ann_lsh", "rag_retrieve", "knn_classify",
-        "lm_score", "tfidf_keywords",
-        # bounded benchmark needles broadcast into a contains() scan
-        "contamination_exact",
-        # ONE-ROW corpus-stats aggregate broadcast back over the scan
-        # (the scalar-subquery shape, same as lm_score's totals)
-        "embedding_outliers",
-        # ONE-ROW scalar-subquery broadcasts (r8): q11's global revenue
-        # total, q22's positive-balance average — both build sides are a
-        # single aggregate row by construction
-        "tpch_q11_nation_value", "tpch_q22_global_sales_opportunity",
+    qs = entry.queries()
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.autoBroadcastJoinThreshold",
+                  "spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
-    offenders = {}
-    for name, fn in sorted(entry.queries().items()):
-        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        if "CartesianProduct" in plan:
-            offenders[name] = "CartesianProduct"
-        elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
-            offenders[name] = "BroadcastNestedLoopJoin"
-    assert not offenders, offenders
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        for name in ("tpch_q3", "tpch_q18_large_orders"):
+            df = qs[name](spark, SF1_DIR)
+            df.collect()  # drive AQE on THIS plan to its final form
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in plan, name
+            assert "CartesianProduct" not in plan, name
+            assert "BroadcastNestedLoopJoin" not in plan, name
+            assert "Exchange SinglePartition" not in plan, name
+            # with broadcast off, every join must still be keyed
+            assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan), \
+                f"{name}: no keyed join in forced-shuffle plan"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_bucketed_log_makes_stream_keyed_work_shuffle_free(spark, parquet_events, tmp_path_factory):
