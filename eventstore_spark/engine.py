@@ -639,7 +639,7 @@ class EventStoreEngine:
             dropped.append(s)
         import hashlib
 
-        deletions, currently_deleted = self._group_config_state(
+        deletions, currently_deleted, _ = self._group_config_state(
             group, stream_id or "$all")
         if not currently_deleted:
             doc = {"group": group, "stream": stream_id or "$all",
@@ -652,22 +652,145 @@ class EventStoreEngine:
                 ))
         return {"group": group, "dropped_streams": dropped}
 
+    def update_persistent_subscription(
+            self, group: str, stream_id: str | None = None,
+            settings: PersistentSubscriptionSettings | None = None,
+            checkpoint_dir: str | None = None,
+            event_filter: EventFilter | None = None) -> PersistentSubscription:
+        """PersistentSubscriptions.Update analog (persistent.proto:9;
+        PersistentSubscriptionService.cs:456-550 UpdatePersistentSubscription):
+        change a group's delivery settings IN PLACE. The reference builds
+        a NEW subscription object under the SAME subscription key, handing
+        it the same checkpoint reader/writer and message parker — so the
+        store-backed `-checkpoint` stream and the `-parked` dead-letter
+        stream carry over untouched, and messages unacked at update time
+        redeliver from the checkpoint under the NEW settings. (The old
+        path here — delete + recreate — dropped the parked stream, which
+        is exactly what operators of long-lived groups must not lose.)
+
+        Fails like the reference: LookupError when the group does not
+        exist (onNotExist, :486-489), ValueError on an unknown consumer
+        strategy (ValidateStrategy, :491-494). Records the change in
+        `$persistentSubscriptionConfig` (UpdateSubscriptionConfig +
+        SaveConfiguration, :547-549), rev-stamped so replaying the config
+        stream ends in the updated state even across A→B→A sequences."""
+        from .streaming.persistent import CONSUMER_STRATEGIES
+
+        self._require_writer("update_persistent_subscription")
+        stream = stream_id or "$all"
+        st = settings or PersistentSubscriptionSettings()
+        if st.consumer_strategy not in CONSUMER_STRATEGIES:
+            raise ValueError(
+                f"Consumer strategy {st.consumer_strategy} does not exist."
+            )
+        deletions, currently_deleted, records = self._group_config_state(
+            group, stream)
+        if records == 0 or currently_deleted:
+            raise LookupError(f"Group '{group}' does not exist.")
+        ps = PersistentSubscription(
+            self.events, group, stream_id, st, checkpoint_dir,
+            event_filter=event_filter,
+            park_writer=None if self.writer.read_only else self.writer,
+        )
+        import hashlib
+
+        doc = {
+            "group": group, "stream": stream,
+            "generation": deletions,
+            "rev": records,  # makes every update record unique in replay
+            "messageTimeoutMs": int(st.message_timeout_s * 1000),
+            "maxRetryCount": st.max_retry_count,
+            "readBatchSize": st.read_batch_size,
+            "checkpointAfter": st.checkpoint_after,
+            "consumerStrategy": st.consumer_strategy,
+        }
+        payload = json.dumps(doc, sort_keys=True)
+        self._append_config_once("$persistentSubscriptionConfig", ProposedEvent(
+            "PersistentConfig1", payload,
+            event_id=hashlib.md5(payload.encode()).hexdigest(),
+        ))
+        return ps
+
+    def list_persistent_subscriptions(self) -> list[dict]:
+        """PersistentSubscriptions List RPC analog (persistent.proto
+        ListReq; PersistentSubscriptionService.cs config entries): the
+        CURRENT consumer groups, reconstructed by replaying
+        `$persistentSubscriptionConfig` in record order — exactly how the
+        server rebuilds its group table from saved configuration on
+        start, so the listing survives process restarts with no
+        in-memory registry. Deleted groups drop out; re-created and
+        updated groups show their latest settings. One pushed-filter
+        read of the metadata-scale config stream."""
+        rows = (
+            self.events()
+            .where(F.col("stream_id") == "$persistentSubscriptionConfig")
+            .orderBy("event_number")
+            .select("data").collect()
+        )
+        current: dict[tuple, dict] = {}
+        for r in rows:
+            try:
+                doc = json.loads(r.data)
+            except (TypeError, ValueError):
+                continue
+            key = (doc.get("group"), doc.get("stream"))
+            if doc.get("deleted"):
+                current.pop(key, None)
+            else:
+                current[key] = {k: v for k, v in doc.items()
+                                if k not in ("rev",)}
+        return [current[k] for k in sorted(current, key=lambda t: (
+            str(t[0]), str(t[1])))]
+
+    def get_persistent_subscription_info(
+            self, group: str, stream_id: str | None = None) -> dict:
+        """PersistentSubscriptions GetInfo analog: the group's current
+        config (from the config-stream replay) plus its store-backed
+        positions — last checkpoint and parked-stream size, each one
+        pushed-filter point read. LookupError when the group does not
+        exist (GetInfo's NotFound)."""
+        stream = stream_id or "$all"
+        for entry in self.list_persistent_subscriptions():
+            if entry.get("group") == group and entry.get("stream") == stream:
+                break
+        else:
+            raise LookupError(f"Group '{group}' does not exist.")
+        base = f"$persistentsubscription-{stream}::{group}"
+        ckpt_rows = (
+            self.events()
+            .where(F.col("stream_id") == f"{base}-checkpoint")
+            .where(F.col("event_type") == "$SubscriptionCheckpoint")
+            .orderBy(F.col("event_number").desc())
+            .limit(1).collect()
+        )
+        entry["checkpointedPosition"] = (
+            int(json.loads(ckpt_rows[0].data)) if ckpt_rows else None
+        )
+        entry["parkedMessageCount"] = (
+            self.read_stream(f"{base}-parked").count()
+        )
+        return entry
+
     def _group_config_state(self, group: str, stream: str) -> tuple:
-        """(deletions, currently_deleted) for a group from the config
-        stream, in record order. The deletion count is the group's
+        """(deletions, currently_deleted, records) for a group from the
+        config stream, in record order. The deletion count is the group's
         "generation", stamped into creation/deletion records so a group
         re-created after deletion produces NEW records instead of
         deduping against its first life's — a config replay then ends in
         the right state — while re-attach and double-delete within one
-        life still dedupe. One pushed-filter read of the metadata-scale
-        config stream."""
+        life still dedupe. ``records`` counts every config record the
+        group has ever produced; update records stamp it as their "rev"
+        so an A→B→A settings sequence yields three distinct records (a
+        plain settings-hash id would dedupe the third against the first
+        and replay would end at B). One pushed-filter read of the
+        metadata-scale config stream."""
         rows = (
             self.writer.load()
             .where(F.col("stream_id") == "$persistentSubscriptionConfig")
             .orderBy("event_number")
             .select("data").collect()
         )
-        deletions, currently_deleted = 0, False
+        deletions, currently_deleted, records = 0, False, 0
         for r in rows:
             try:
                 doc = json.loads(r.data)
@@ -675,12 +798,13 @@ class EventStoreEngine:
                 continue
             if doc.get("group") != group or doc.get("stream") != stream:
                 continue
+            records += 1
             if doc.get("deleted"):
                 deletions += 1
                 currently_deleted = True
             else:
                 currently_deleted = False
-        return deletions, currently_deleted
+        return deletions, currently_deleted, records
 
     def _append_config_once(self, stream_id: str, ev: ProposedEvent) -> None:
         """Unbounded idempotent append for tiny config/registry streams

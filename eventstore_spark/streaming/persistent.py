@@ -37,6 +37,13 @@ NAK_SKIP = "skip"
 NAK_STOP = "stop"
 
 
+#: the registered strategies (PersistentSubscriptionConsumerStrategyRegistry
+#: .cs ValidateStrategy — Update/Create fail on an unknown name)
+CONSUMER_STRATEGIES = (
+    "round_robin", "dispatch_to_single", "pinned", "pinned_by_correlation",
+)
+
+
 @dataclass
 class PersistentSubscriptionSettings:
     """Mirrors PersistentSubscriptionParams.cs:10-141 (subset that affects
