@@ -121,6 +121,19 @@ def q_s5_read_all_filtered(spark, sf):
     )
 
 
+def q_s5_read_all_filtered_backward(spark, sf):
+    """S5 backward: FilteredReadAllEventsBackward (ClientMessage.cs:957,
+    AllReader.cs:190 + EventFilter) — from_position is the UPPER bound,
+    page in descending commit order."""
+    ev = load_envelope(spark, sf)
+    filt = EventFilter(
+        event_type_prefixes=("p", "s"), stream_regex="user-[0-9]*[02468]$"
+    )
+    return R.read_all_filtered(
+        ev, filt, from_position=5000, max_count=300, direction="backward"
+    ).select("log_position", "stream_id", "event_number", "event_type")
+
+
 def q_f_filter_agg(spark, sf):
     """F1+F4 composed: prefix + regex filters feeding an aggregate."""
     ev = load_envelope(spark, sf)
@@ -1686,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_read_all_forward": q_s4_read_all_forward,
         "s4_read_all_backward": q_s4_read_all_backward,
         "s5_read_all_filtered": q_s5_read_all_filtered,
+        "s5_read_all_filtered_backward": q_s5_read_all_filtered_backward,
         "f_filter_agg": q_f_filter_agg,
         "y1_streams": q_y1_streams,
         "y2_by_category": q_y2_by_category,
@@ -1760,6 +1774,13 @@ def oracle_sql() -> dict[str, str]:
         "AND (event_type LIKE 'p%' OR event_type LIKE 's%') "
         "AND regexp_matches(stream_id, 'user-[0-9]*[02468]$') "
         "QUALIFY row_number() OVER (ORDER BY log_position) <= 300"
+    )
+    sqls["s5_read_all_filtered_backward"] = _with_ev(
+        "SELECT log_position, stream_id, event_number, event_type FROM ev "
+        "WHERE log_position <= 5000 "
+        "AND (event_type LIKE 'p%' OR event_type LIKE 's%') "
+        "AND regexp_matches(stream_id, 'user-[0-9]*[02468]$') "
+        "QUALIFY row_number() OVER (ORDER BY log_position DESC) <= 300"
     )
     sqls["f_filter_agg"] = _with_ev(
         f"SELECT stream_id, event_type, CAST(count(*) AS BIGINT) AS n, "

@@ -514,11 +514,10 @@ class EventStoreEngine:
         oracle-checked surface; the raw view is the admin/debug parity
         knob."""
         ev = self.events(visible_only=visible_only)
-        if backward:
-            return R.read_all_backward(ev, from_position or None, max_count)
         return R.read_all_filtered(
-            ev, event_filter, from_position, max_count,
-            apply_default_filter=not include_system,
+            ev, event_filter, from_position or (0 if not backward else None),
+            max_count, apply_default_filter=not include_system,
+            direction="backward" if backward else "forward",
         )
 
     # system-projection views

@@ -220,16 +220,23 @@ def read_all_backward(
 def read_all_filtered(
     events: DataFrame,
     event_filter: EventFilter | Column | None = None,
-    from_position: int = 0,
+    from_position: int | None = 0,
     max_count: int | None = None,
     apply_default_filter: bool = False,
+    direction: str = "forward",
 ) -> DataFrame:
-    """S5: filtered $all read (AllReader.cs:66-188).
+    """S5: filtered $all read, both directions (forward
+    AllReader.cs:66-188; backward FilteredReadAllEventsBackward —
+    ClientMessage.cs:957, AllReader.cs:190 with an EventFilter).
 
     The reference bounds the scan with maxSearchWindow because its filter
     runs row-at-a-time over the log; the Catalyst predicate is pushed into
-    the parquet scan so no window bound is needed.
+    the parquet scan so no window bound is needed. Backward reads treat
+    ``from_position`` as the UPPER bound (None = from the end) and return
+    rows in descending commit order.
     """
+    if direction not in ("forward", "backward"):
+        raise ValueError(f"direction must be forward|backward, got {direction!r}")
     pred = F.lit(True)
     if apply_default_filter:
         pred = pred & default_all_filter()
@@ -237,9 +244,14 @@ def read_all_filtered(
         pred = pred & (
             event_filter.predicate() if isinstance(event_filter, EventFilter) else event_filter
         )
-    out = events.where(pred & (F.col("log_position") >= from_position)).orderBy(
-        "log_position"
-    )
+    if direction == "backward":
+        if from_position is not None:
+            pred = pred & (F.col("log_position") <= from_position)
+        out = events.where(pred).orderBy(F.col("log_position").desc())
+    else:
+        out = events.where(
+            pred & (F.col("log_position") >= (from_position or 0))
+        ).orderBy("log_position")
     if max_count is not None:
         out = out.limit(max_count)
     return out

@@ -150,3 +150,60 @@ def test_virtual_link_numbering_correct_across_buckets(spark, monkeypatch):
     }
     want = {p: i for i, (p,) in enumerate(sorted(rows))}
     assert got == want
+
+
+def test_read_all_filtered_backward(bank_events):
+    """S5 backward — FilteredReadAllEventsBackward (ClientMessage.cs:957,
+    AllReader.cs:190 + EventFilter): from_position is the UPPER bound,
+    descending commit order, filter still pushed."""
+    from eventstore_spark.operators.filters import EventFilter
+    from eventstore_spark.sources.readers import read_all_filtered
+
+    filt = EventFilter(stream_prefixes=("account-",))
+    rows = read_all_filtered(
+        bank_events, filt, from_position=8, direction="backward"
+    ).collect()
+    assert [r.log_position for r in rows] == [8, 5, 3, 2, 1]
+    assert all(r.stream_id.startswith("account-") for r in rows)
+    # None upper bound = from the end; max_count pages the head
+    head = read_all_filtered(
+        bank_events, filt, from_position=None, max_count=2,
+        direction="backward",
+    ).collect()
+    assert [r.log_position for r in head] == [8, 5]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="forward|backward"):
+        read_all_filtered(bank_events, filt, direction="sideways")
+
+
+def test_engine_read_all_backward_applies_filters(spark, tmp_path):
+    """engine.read_all(backward=True) now honors event_filter and the
+    default $all system-stream hiding, symmetric with forward (the old
+    backward path silently dropped both)."""
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.operators.filters import EventFilter
+    from eventstore_spark.writer import ProposedEvent
+
+    e = EventStoreEngine(spark, str(tmp_path / "store"))
+    try:
+        e.append("acct-1", [ProposedEvent("Deposited", "{}"),
+                            ProposedEvent("Withdrawn", "{}")])
+        e.append("chat-1", [ProposedEvent("MessageSent", "{}")])
+        e.set_stream_metadata("acct-1", max_count=10)  # a $$ system row
+        back = e.read_all(backward=True).collect()
+        assert [r.stream_id for r in back] == ["chat-1", "acct-1", "acct-1"]
+        assert back[0].log_position > back[-1].log_position
+        filt = e.read_all(backward=True,
+                          event_filter=EventFilter(
+                              event_type_prefixes=("Deposited",))).collect()
+        assert [r.event_type for r in filt] == ["Deposited"]
+        # the raw literal-$all backward view surfaces the metastream row
+        # (visible view hides $$ metastreams at the base, fwd and back)
+        sys_rows = e.read_all(backward=True, include_system=True,
+                              visible_only=False).collect()
+        assert any(r.stream_id.startswith("$$") for r in sys_rows)
+        pos = [r.log_position for r in sys_rows]
+        assert pos == sorted(pos, reverse=True)
+    finally:
+        e.close()
