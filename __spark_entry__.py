@@ -1619,12 +1619,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry order = the driver's sampling order. Round-8 rotation
-    # (VERDICT r7 task #2): the 40 queries the r6/r7 drivers did NOT
-    # sample (they sampled the identical leading 50) come FIRST, so the
-    # r7+r8 driver union covers all 90 queries on round-6+ code with a
-    # green row each.
-    return {
+    # Registry order = the driver's sampling order. The r8 literal order
+    # below is kept; the ROTATION list after it reorders per round so the
+    # driver's 50-query sample always covers the least-recently-sampled
+    # entries (the freshness discipline from rounds 7-9).
+    q = {
         # --- new in r8 (never driver-sampled): TPC-H completion ---
         "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
         "tpch_q4_order_priority": q_tpch_q4_order_priority,
@@ -1729,6 +1728,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "user_sessions": q_user_sessions,
     }
+    # Round-9 rotation (VERDICT r8 task #4): the 51 entries the r8 driver
+    # did NOT sample come FIRST, so the r9 driver's 50-query sample gives
+    # them green rows on round-8+ code and the r8+r9 union covers the
+    # whole registry fresh. (s5_read_all_filtered_backward is new in r9
+    # and ordered 23rd, safely inside the sample window.)
+    head = [
+        "s1_read_event", "s1_read_event_last", "s2_read_stream_forward",
+        "s3_read_stream_backward", "s4_read_all_forward",
+        "s4_read_all_backward", "s5_read_all_filtered",
+        "s5_read_all_filtered_backward", "f_filter_agg",
+        "y1_streams", "y2_by_category", "y3_stream_by_category",
+        "y4_by_event_type", "y5_by_correlation_id", "link_resolution",
+        "sys_ce_read", "sys_et_read", "retention_visibility",
+        "p2_from_streams", "p6_fold_balance", "p12_result_stream",
+        "p7_partition_by", "p9_bistate", "p8_stream_stats",
+        "p15_emit_hot", "p16_linkto",
+        "tpch_q1", "tpch_q3", "tpch_q5_region_revenue", "tpch_q14_promo",
+        "tpch_q10_returns", "tpch_q7_nation_volume",
+        "tpch_q8_market_share", "tpch_q15_top_supplier",
+        "tpch_q17_small_quantity", "tpch_q18_large_orders",
+        "tpch_q13_custdist",
+        "supplier_volume", "top_order_per_customer", "monthly_revenue",
+        "events_hourly", "user_sessions", "events_cohort_retention",
+        "events_funnel",
+        "ngram_novelty", "source_overlap", "payload_profile",
+        "embedding_outliers", "readability", "ann_ivf",
+        "embedding_neardup",
+    ]
+    return {**{n: q[n] for n in head},
+            **{n: fn for n, fn in q.items() if n not in set(head)}}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -199,6 +199,10 @@ class EventStoreEngine:
                 F.get_json_object("data", "$.$maxAge").cast("long").alias("max_age_seconds"),
                 F.get_json_object("data", "$.$tb").cast("long").alias("truncate_before"),
                 F.lit(False).alias("tombstoned"),
+                # $acl rides through as its JSON document (StreamAcl.cs:
+                # 11-34); $tmp as a boolean (StreamMetadata.cs:24,141)
+                F.get_json_object("data", "$.$acl").alias("acl"),
+                F.get_json_object("data", "$.$tmp").cast("boolean").alias("is_temp"),
             )
         )
         # ONE row per stream: full-outer-merge metadata with tombstones so
@@ -218,6 +222,7 @@ class EventStoreEngine:
                 F.coalesce(F.col("tombstoned"), F.lit(False))
                 | F.coalesce(F.col("_tomb"), F.lit(False))
             ).alias("tombstoned"),
+            "acl", "is_temp",
         )
 
     # ---------------------------------------------------------------- writes
@@ -235,7 +240,9 @@ class EventStoreEngine:
 
     def set_stream_metadata(self, stream_id: str, max_count: int | None = None,
                             max_age_seconds: int | None = None,
-                            truncate_before: int | None = None) -> None:
+                            truncate_before: int | None = None,
+                            acl: dict | None = None,
+                            temp: bool | None = None) -> None:
         doc = {}
         if max_count is not None:
             doc["$maxCount"] = max_count
@@ -243,6 +250,12 @@ class EventStoreEngine:
             doc["$maxAge"] = max_age_seconds
         if truncate_before is not None:
             doc["$tb"] = truncate_before
+        if acl is not None:
+            # StreamAcl document ($r/$w/$d/$mr/$mw) — stored verbatim,
+            # surfaced via the stream_metadata dimension's `acl` column
+            doc["$acl"] = acl
+        if temp is not None:
+            doc["$tmp"] = temp  # SystemMetadata.TempStream
         self.writer.append(
             f"$${stream_id}", [ProposedEvent("$metadata", json.dumps(doc, sort_keys=True))]
         )

@@ -57,7 +57,7 @@ from pyspark.sql import functions as F
 from . import manifest
 from .manifest import vacuum  # noqa: F401  (public maintenance surface)
 from .operators.retention import visible_events
-from .schema import EVENTS_SCHEMA, METASTREAM_PREFIX
+from .schema import EVENTS_SCHEMA, MAX_LONG, METASTREAM_PREFIX
 
 
 def _read_snapshot(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
@@ -132,7 +132,28 @@ def scavenge(
 
     tombstones = user.where(F.col("event_type") == "$streamDeleted")
 
-    kept_user = visible_events(user, stream_metadata, now_ts=now_ts)
+    # Soft-deleted TEMP streams are scavenged COMPLETELY — the reference
+    # drops even the metastream when the latest metadata carries both
+    # $tb = DeletedStream and $tmp = true (TFChunkScavenger.cs:677,
+    # IsSoftDeletedTempStreamWithinSameChunk :724-736; a normal
+    # soft-deleted stream keeps its $tb-only metadata so the stream can
+    # be recreated). The flag set is a metadata-scale dimension, so the
+    # anti-joins broadcast.
+    temp_deleted_metas = latest_meta.where(
+        (F.get_json_object("data", "$.$tmp").cast("boolean"))
+        & (F.get_json_object("data", "$.$tb").cast("long") == MAX_LONG)
+    ).select("stream_id")
+    temp_deleted = temp_deleted_metas.select(
+        F.expr(f"substring(stream_id, {len(METASTREAM_PREFIX) + 1})")
+        .alias("stream_id")
+    )
+    latest_meta = latest_meta.join(
+        F.broadcast(temp_deleted_metas), "stream_id", "left_anti"
+    )
+
+    kept_user = visible_events(user, stream_metadata, now_ts=now_ts).join(
+        F.broadcast(temp_deleted), "stream_id", "left_anti"
+    )
     kept = kept_user.unionByName(latest_meta).unionByName(tombstones).dropDuplicates(
         ["log_position"]
     )

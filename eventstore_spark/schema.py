@@ -52,6 +52,13 @@ STREAM_METADATA_SCHEMA = T.StructType(
         T.StructField("max_age_seconds", T.LongType(), True),
         T.StructField("truncate_before", T.LongType(), True),
         T.StructField("tombstoned", T.BooleanType(), False),
+        # $acl document passthrough (StreamAcl.cs:11-34 — $r/$w/$d/$mr/$mw
+        # role lists), carried as its JSON text; enforcement is out of
+        # scope (SURVEY §1.1) but the dimension must expose it
+        T.StructField("acl", T.StringType(), True),
+        # $tmp (SystemMetadata.TempStream, StreamMetadata.cs:24): temp
+        # streams are scavenged COMPLETELY once soft-deleted
+        T.StructField("is_temp", T.BooleanType(), True),
     ]
 )
 

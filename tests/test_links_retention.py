@@ -39,7 +39,11 @@ def test_resolve_links_disabled(bank_events):
 
 
 def _md(spark, rows):
-    return spark.createDataFrame(rows, STREAM_METADATA_SCHEMA)
+    # fixture rows carry the 5 retention fields; pad the r9 passthrough
+    # columns (acl, is_temp) which retention logic never reads
+    return spark.createDataFrame(
+        [tuple(r) + (None, None) for r in rows], STREAM_METADATA_SCHEMA
+    )
 
 
 def test_max_count(spark, bank_events):
