@@ -200,9 +200,12 @@ class EventStoreEngine:
                 F.get_json_object("data", "$.$tb").cast("long").alias("truncate_before"),
                 F.lit(False).alias("tombstoned"),
                 # $acl rides through as its JSON document (StreamAcl.cs:
-                # 11-34); $tmp as a boolean (StreamMetadata.cs:24,141)
+                # 11-34); $tmp as a boolean (StreamMetadata.cs:24,141);
+                # $cacheControl in seconds (StreamMetadata.cs:26)
                 F.get_json_object("data", "$.$acl").alias("acl"),
                 F.get_json_object("data", "$.$tmp").cast("boolean").alias("is_temp"),
+                F.get_json_object("data", "$.$cacheControl").cast("long")
+                .alias("cache_control_seconds"),
             )
         )
         # ONE row per stream: full-outer-merge metadata with tombstones so
@@ -222,7 +225,7 @@ class EventStoreEngine:
                 F.coalesce(F.col("tombstoned"), F.lit(False))
                 | F.coalesce(F.col("_tomb"), F.lit(False))
             ).alias("tombstoned"),
-            "acl", "is_temp",
+            "acl", "is_temp", "cache_control_seconds",
         )
 
     # ---------------------------------------------------------------- writes
@@ -242,7 +245,8 @@ class EventStoreEngine:
                             max_age_seconds: int | None = None,
                             truncate_before: int | None = None,
                             acl: dict | None = None,
-                            temp: bool | None = None) -> None:
+                            temp: bool | None = None,
+                            cache_control_seconds: int | None = None) -> None:
         doc = {}
         if max_count is not None:
             doc["$maxCount"] = max_count
@@ -256,9 +260,62 @@ class EventStoreEngine:
             doc["$acl"] = acl
         if temp is not None:
             doc["$tmp"] = temp  # SystemMetadata.TempStream
+        if cache_control_seconds is not None:
+            doc["$cacheControl"] = cache_control_seconds
         self.writer.append(
             f"$${stream_id}", [ProposedEvent("$metadata", json.dumps(doc, sort_keys=True))]
         )
+
+    # default SystemSettings (SystemSettings.cs:14-17): user streams are
+    # open to $all, system streams locked to $admins — five verbs each
+    # (StreamAcl.cs: read/write/delete/meta-read/meta-write)
+    DEFAULT_USER_ACL = {k: "$all" for k in ("$r", "$w", "$d", "$mr", "$mw")}
+    DEFAULT_SYSTEM_ACL = {k: "$admins" for k in ("$r", "$w", "$d", "$mr", "$mw")}
+
+    def system_settings(self) -> dict:
+        """The current default-ACL document from the `$settings` stream
+        (SystemNames.cs:41; IndexCommitter.cs:316-317 deserializes the
+        LAST event's data as SystemSettings on commit): keys
+        `$userStreamAcl` / `$systemStreamAcl`, each a StreamAcl document.
+        Empty dict when never written (the reference then uses
+        SystemSettings.Default). One pushed-filter point read."""
+        rows = (
+            self.writer.load()
+            .where(F.col("stream_id") == "$settings")
+            .orderBy(F.col("event_number").desc())
+            .limit(1).collect()
+        )
+        if not rows:
+            return {}
+        try:
+            doc = json.loads(rows[0].data)
+        except (TypeError, ValueError):
+            return {}
+        return doc if isinstance(doc, dict) else {}
+
+    def effective_acl(self, stream_id: str) -> dict:
+        """GetEffectiveAcl (IndexReader.cs:832-850): the stream's own
+        `$acl` if set, else the `$settings` default for its class (system
+        = `$`-prefixed, SystemStreams.IsSystemStream), else the built-in
+        SystemSettings.Default. Returns the reference's EffectiveAcl
+        triple shape: {"acl", "system_acl", "default_acl"}."""
+        is_system = stream_id.startswith("$")
+        settings = self.system_settings()
+        def_acl = (self.DEFAULT_SYSTEM_ACL if is_system
+                   else self.DEFAULT_USER_ACL)
+        sys_acl = settings.get(
+            "$systemStreamAcl" if is_system else "$userStreamAcl") or def_acl
+        row = (
+            self.stream_metadata()
+            .where(F.col("stream_id") == stream_id)
+            .select("acl").first()
+        )
+        own = json.loads(row.acl) if row is not None and row.acl else None
+        return {
+            "acl": own or sys_acl,
+            "system_acl": sys_acl,
+            "default_acl": def_acl,
+        }
 
     def delete_stream(self, stream_id: str, hard: bool = False) -> None:
         if hard:
@@ -583,6 +640,30 @@ class EventStoreEngine:
         return start_all_with_checkpoints(
             self.spark, self.path, event_filter, on_batch,
             checkpoint_location, from_position, checkpoint_interval,
+        )
+
+    def subscribe_with_markers(self, on_batch, on_marker,
+                               checkpoint_location: str,
+                               event_filter: EventFilter | None = None,
+                               from_position: int = 0,
+                               available_now: bool = False,
+                               max_files_per_trigger: int | None = None):
+        """U1 $all subscription with IN-BAND CaughtUp/FellBehind markers
+        — the reference enumerator's default contract (streams.proto:
+        103-106; Enumerator.StreamSubscription.cs interleaves the
+        markers in every subscription's message stream, not as an
+        opt-in). First-class on the engine so callers get the
+        catch-up→live transition signal without reaching into
+        ``streaming.subscriptions``; see ``start_with_markers`` for the
+        marker ordering guarantees and checkpoint requirements."""
+        from .streaming.subscriptions import start_with_markers
+
+        return start_with_markers(
+            self.spark, self.path, on_batch, on_marker,
+            checkpoint_location=checkpoint_location,
+            event_filter=event_filter, from_position=from_position,
+            available_now=available_now,
+            max_files_per_trigger=max_files_per_trigger,
         )
 
     def persistent_subscription(self, group: str, stream_id: str | None = None,

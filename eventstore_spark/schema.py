@@ -59,6 +59,9 @@ STREAM_METADATA_SCHEMA = T.StructType(
         # $tmp (SystemMetadata.TempStream, StreamMetadata.cs:24): temp
         # streams are scavenged COMPLETELY once soft-deleted
         T.StructField("is_temp", T.BooleanType(), True),
+        # $cacheControl (StreamMetadata.cs:26, seconds): how long a head
+        # read may be cached — passthrough like acl, no enforcement
+        T.StructField("cache_control_seconds", T.LongType(), True),
     ]
 )
 

@@ -84,3 +84,56 @@ def test_scavenge_removes_soft_deleted_temp_streams_completely(engine):
     engine.append("norm-1", [ProposedEvent("Noted", '{"again":1}')])
     rows = engine.read_stream("norm-1").collect()
     assert len(rows) == 1 and rows[0].event_number >= 1
+
+
+def test_cache_control_passthrough(engine):
+    engine.append("acct-2", [ProposedEvent("Deposited", "{}")])
+    engine.set_stream_metadata("acct-2", cache_control_seconds=120)
+    row = engine.stream_metadata().where("stream_id = 'acct-2'").first()
+    assert row.cache_control_seconds == 120
+
+
+def test_effective_acl_fallback_chain(engine):
+    """GetEffectiveAcl (IndexReader.cs:832-850): own $acl > $settings
+    default for the stream's class > SystemSettings.Default."""
+    engine.append("acct-1", [ProposedEvent("Deposited", "{}")])
+    # 1. nothing set anywhere: built-in defaults
+    eff = engine.effective_acl("acct-1")
+    assert eff["acl"] == engine.DEFAULT_USER_ACL
+    assert engine.effective_acl("$ce-acct")["acl"] == engine.DEFAULT_SYSTEM_ACL
+    # 2. a $settings document overrides the class default
+    #    (IndexCommitter.cs:316-317: LAST $settings event wins)
+    engine.append("$settings", [ProposedEvent(
+        "$settings", json.dumps({
+            "$userStreamAcl": {"$r": "readers", "$w": "writers"},
+            "$systemStreamAcl": {"$r": "$ops"},
+        }))])
+    eff = engine.effective_acl("acct-1")
+    assert eff["acl"] == {"$r": "readers", "$w": "writers"}
+    assert eff["default_acl"] == engine.DEFAULT_USER_ACL
+    assert engine.effective_acl("$ce-acct")["acl"] == {"$r": "$ops"}
+    # 3. the stream's own $acl beats the settings default
+    engine.set_stream_metadata("acct-1", acl={"$r": "vip"})
+    eff = engine.effective_acl("acct-1")
+    assert eff["acl"] == {"$r": "vip"}
+    assert eff["system_acl"] == {"$r": "readers", "$w": "writers"}
+    # system_settings() exposes the raw current document
+    assert engine.system_settings()["$systemStreamAcl"] == {"$r": "$ops"}
+
+
+def test_subscribe_with_markers_engine_surface(engine, tmp_path):
+    """engine.subscribe_with_markers delegates to start_with_markers —
+    the reference enumerator's in-band CaughtUp contract, first-class
+    on the engine."""
+    engine.append("acct-1", [ProposedEvent("Deposited", "{}"),
+                             ProposedEvent("Withdrawn", "{}")])
+    seen, markers = [], []
+    q = engine.subscribe_with_markers(
+        lambda df, b: seen.extend(r.stream_id for r in df.collect()),
+        lambda kind, b: markers.append(kind),
+        checkpoint_location=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    assert seen == ["acct-1", "acct-1"]
+    assert "CaughtUp" in markers

@@ -40,9 +40,10 @@ def test_resolve_links_disabled(bank_events):
 
 def _md(spark, rows):
     # fixture rows carry the 5 retention fields; pad the r9 passthrough
-    # columns (acl, is_temp) which retention logic never reads
+    # columns (acl, is_temp, cache_control...) which retention never reads
+    pad = len(STREAM_METADATA_SCHEMA.fields) - 5
     return spark.createDataFrame(
-        [tuple(r) + (None, None) for r in rows], STREAM_METADATA_SCHEMA
+        [tuple(r) + (None,) * pad for r in rows], STREAM_METADATA_SCHEMA
     )
 
 
