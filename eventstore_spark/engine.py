@@ -686,10 +686,15 @@ class EventStoreEngine:
             park_writer=None if self.writer.read_only else self.writer,
         )
         # record the group's configuration in the
-        # `$persistentSubscriptionConfig` stream (streams.md: the server
-        # keeps all groups' config there, one event per change);
-        # deterministic id per (source, group, settings) → re-attaching
-        # an existing group is a config no-op
+        # `$persistentSubscriptionConfig` stream as `$PersistentConfig`
+        # events (SystemNames.cs:118; SaveConfiguration,
+        # PersistentSubscriptionService.cs:1258-1267). Deliberate shape
+        # divergence: the reference snapshot-writes the WHOLE config
+        # document each change and stamps $maxCount=2 (only the last
+        # snapshot matters); ours appends one record PER change and
+        # replays — same observable listing, but the per-change records
+        # give deterministic ids per (source, group, settings) so
+        # re-attaching an existing group is a config no-op
         if not self.writer.read_only:
             import hashlib
 
@@ -706,7 +711,7 @@ class EventStoreEngine:
             }
             payload = json.dumps(doc, sort_keys=True)
             self._append_config_once("$persistentSubscriptionConfig", ProposedEvent(
-                "PersistentConfig1", payload,
+                "$PersistentConfig", payload,
                 event_id=hashlib.md5(payload.encode()).hexdigest(),
             ))
         return ps
@@ -740,7 +745,7 @@ class EventStoreEngine:
             payload = json.dumps(doc, sort_keys=True)
             self._append_config_once(
                 "$persistentSubscriptionConfig", ProposedEvent(
-                    "PersistentConfig1", payload,
+                    "$PersistentConfig", payload,
                     event_id=hashlib.md5(payload.encode()).hexdigest(),
                 ))
         return {"group": group, "dropped_streams": dropped}
@@ -799,7 +804,7 @@ class EventStoreEngine:
         }
         payload = json.dumps(doc, sort_keys=True)
         self._append_config_once("$persistentSubscriptionConfig", ProposedEvent(
-            "PersistentConfig1", payload,
+            "$PersistentConfig", payload,
             event_id=hashlib.md5(payload.encode()).hexdigest(),
         ))
         return ps
