@@ -647,7 +647,8 @@ class EventStoreEngine:
                                event_filter: EventFilter | None = None,
                                from_position: int = 0,
                                available_now: bool = False,
-                               max_files_per_trigger: int | None = None):
+                               max_files_per_trigger: int | None = None,
+                               resolve_link_tos: bool = False):
         """U1 $all subscription with IN-BAND CaughtUp/FellBehind markers
         — the reference enumerator's default contract (streams.proto:
         103-106; Enumerator.StreamSubscription.cs interleaves the
@@ -664,6 +665,7 @@ class EventStoreEngine:
             event_filter=event_filter, from_position=from_position,
             available_now=available_now,
             max_files_per_trigger=max_files_per_trigger,
+            resolve_link_tos=resolve_link_tos,
         )
 
     def persistent_subscription(self, group: str, stream_id: str | None = None,

@@ -327,6 +327,7 @@ def start_with_markers(
     from_position: int = 0,
     available_now: bool = False,
     max_files_per_trigger: int | None = None,
+    resolve_link_tos: bool = False,
 ):
     """U1 IN-BAND subscription status markers (streams.proto:103-106
     pairs ``CaughtUp`` with ``FellBehind``; the reference's enumerator
@@ -466,6 +467,28 @@ def start_with_markers(
                 on_marker("FellBehind", batch_id)
             out = cached.drop("_marker_src_file")
             matches = out.where(pred) if pred is not None else out
+            if resolve_link_tos:
+                # ResolveLinkTos on the subscription surface (the gRPC
+                # subscription option, streams.proto ReadReq.Options):
+                # resolve THIS batch's `$>` rows against a FRESH log
+                # snapshot — links can point at targets committed after
+                # the subscription started, so the target side must be
+                # re-pinned per micro-batch, not at query start. One
+                # broadcast-sized join per batch (the batch is the build
+                # side); unresolved links keep null targets like the
+                # reference's null-event ResolvedEvent.
+                from ..operators.links import resolve_links
+                from .. import manifest as _M
+                from ..schema import EVENTS_SCHEMA as _ES
+
+                snap = _M.snapshot_files(log_path)
+                log_df = (
+                    spark.read.schema(_ES).parquet(
+                        *_M.resolve_files(log_path, snap))
+                    if snap else
+                    spark.read.schema(_ES).parquet(log_path)
+                )
+                matches = resolve_links(matches, targets_from=log_df)
             on_batch(matches, batch_id)
             pending_after = [f for f in committed if f not in state["seen"]]
             if not state["live"] and not pending_after:

@@ -19,6 +19,7 @@ import pytest
 
 from eventstore_spark.engine import EventStoreEngine
 from eventstore_spark.schema import MAX_LONG
+from eventstore_spark.operators.filters import EventFilter
 from eventstore_spark.writer import ProposedEvent
 
 
@@ -137,3 +138,29 @@ def test_subscribe_with_markers_engine_surface(engine, tmp_path):
     q.awaitTermination()
     assert seen == ["acct-1", "acct-1"]
     assert "CaughtUp" in markers
+
+
+def test_subscription_resolve_link_tos(engine, tmp_path):
+    """ResolveLinkTos on the subscription surface (streams.proto
+    ReadReq.Options; the reference enumerator resolves `$>` rows into
+    ResolvedEvent link+target pairs): the batch's links resolve against
+    a FRESH log snapshot, so targets committed after the subscription
+    started still resolve."""
+    engine.append("acct-1", [ProposedEvent("Deposited", '{"amt":1}')])
+    engine.append("idx-1", [ProposedEvent("$>", "0@acct-1", is_json=False)])
+    got = []
+    q = engine.subscribe_with_markers(
+        lambda df, b: got.extend(df.collect()),
+        lambda kind, b: None,
+        checkpoint_location=str(tmp_path / "ckpt2"),
+        event_filter=EventFilter(stream_prefixes=("idx-",)),
+        available_now=True,
+        resolve_link_tos=True,
+    )
+    q.awaitTermination()
+    assert len(got) == 1
+    (r,) = got
+    assert r.stream_id == "acct-1"          # the TARGET's identity
+    assert json.loads(r.data)["amt"] == 1   # target payload delivered
+    assert r.link_stream_id == "idx-1"      # link identity rides along
+    assert r.link_event_number == 0
