@@ -671,17 +671,23 @@ class EventStoreEngine:
     def persistent_subscription(self, group: str, stream_id: str | None = None,
                                 settings: PersistentSubscriptionSettings | None = None,
                                 checkpoint_dir: str | None = None,
-                                event_filter: EventFilter | None = None) -> PersistentSubscription:
+                                event_filter: EventFilter | None = None,
+                                start_from: int = 0) -> PersistentSubscription:
         """U4: create/attach a consumer group. ``stream_id`` may be a
         SYSTEM stream name (`$ce-X`/`$et-T`/`$bc-id`) — the group then
         consumes that stream's resolved targets, and pinned dispatch
         hashes the source stream (the reference's recommended
         `$by_category` + consumer-group shape,
-        docs/server/features/persistent-subscriptions.md:85-92)."""
+        docs/server/features/persistent-subscriptions.md:85-92).
+        ``start_from`` is the create-time StartFrom position
+        (persistent.proto CreateReq settings); a store-backed checkpoint
+        further along always wins, like the reference's checkpoint
+        reader."""
         ps = PersistentSubscription(
             # the events CALLABLE, not a pinned snapshot — a live group
             # must deliver events appended after it was created
             self.events, group, stream_id, settings, checkpoint_dir,
+            start_from=start_from,
             event_filter=event_filter,
             # park-to-stream needs the writer; read-only engines keep
             # parked state in the delivery table only
@@ -711,6 +717,15 @@ class EventStoreEngine:
                 "checkpointAfter": st.checkpoint_after,
                 "consumerStrategy": st.consumer_strategy,
             }
+            # the config entry carries the group's filter and StartFrom
+            # (the reference's PersistentSubscriptionEntry stores
+            # Filter + StartPosition) — omitted when default so
+            # pre-round-9 stores' payloads stay byte-identical and
+            # re-attach keeps deduping
+            if event_filter is not None:
+                doc["filter"] = event_filter.to_doc()
+            if start_from:
+                doc["startFrom"] = start_from
             payload = json.dumps(doc, sort_keys=True)
             self._append_config_once("$persistentSubscriptionConfig", ProposedEvent(
                 "$PersistentConfig", payload,
@@ -739,7 +754,7 @@ class EventStoreEngine:
             dropped.append(s)
         import hashlib
 
-        deletions, currently_deleted, _ = self._group_config_state(
+        deletions, currently_deleted, _, _ = self._group_config_state(
             group, stream_id or "$all")
         if not currently_deleted:
             doc = {"group": group, "stream": stream_id or "$all",
@@ -783,12 +798,20 @@ class EventStoreEngine:
             raise ValueError(
                 f"Consumer strategy {st.consumer_strategy} does not exist."
             )
-        deletions, currently_deleted, records = self._group_config_state(
+        deletions, currently_deleted, records, last_doc = self._group_config_state(
             group, stream)
         if records == 0 or currently_deleted:
             raise LookupError(f"Group '{group}' does not exist.")
+        if event_filter is None and last_doc and last_doc.get("filter"):
+            # the reference's Update keeps the OLD subscription's event
+            # source — filter included (genEventSource(oldSubscription),
+            # :500) — so an update that doesn't name a filter inherits
+            # the group's stored one instead of silently dropping it
+            event_filter = EventFilter.from_doc(last_doc["filter"])
+        start_from = (last_doc or {}).get("startFrom", 0)
         ps = PersistentSubscription(
             self.events, group, stream_id, st, checkpoint_dir,
+            start_from=start_from,
             event_filter=event_filter,
             park_writer=None if self.writer.read_only else self.writer,
         )
@@ -804,6 +827,10 @@ class EventStoreEngine:
             "checkpointAfter": st.checkpoint_after,
             "consumerStrategy": st.consumer_strategy,
         }
+        if event_filter is not None:
+            doc["filter"] = event_filter.to_doc()
+        if start_from:
+            doc["startFrom"] = start_from
         payload = json.dumps(doc, sort_keys=True)
         self._append_config_once("$persistentSubscriptionConfig", ProposedEvent(
             "$PersistentConfig", payload,
@@ -872,8 +899,13 @@ class EventStoreEngine:
         return entry
 
     def _group_config_state(self, group: str, stream: str) -> tuple:
-        """(deletions, currently_deleted, records) for a group from the
-        config stream, in record order. The deletion count is the group's
+        """(deletions, currently_deleted, records, last_doc) for a group
+        from the config stream, in record order. ``last_doc`` is the
+        group's most recent config document (None if none) — update
+        inherits the group's stored filter/startFrom from it, the way
+        the reference's Update keeps the OLD subscription's event source
+        (genEventSource(oldSubscription),
+        PersistentSubscriptionService.cs:500). The deletion count is the group's
         "generation", stamped into creation/deletion records so a group
         re-created after deletion produces NEW records instead of
         deduping against its first life's — a config replay then ends in
@@ -890,7 +922,7 @@ class EventStoreEngine:
             .orderBy("event_number")
             .select("data").collect()
         )
-        deletions, currently_deleted, records = 0, False, 0
+        deletions, currently_deleted, records, last_doc = 0, False, 0, None
         for r in rows:
             try:
                 doc = json.loads(r.data)
@@ -899,12 +931,13 @@ class EventStoreEngine:
             if doc.get("group") != group or doc.get("stream") != stream:
                 continue
             records += 1
+            last_doc = doc
             if doc.get("deleted"):
                 deletions += 1
                 currently_deleted = True
             else:
                 currently_deleted = False
-        return deletions, currently_deleted, records
+        return deletions, currently_deleted, records, last_doc
 
     def _append_config_once(self, stream_id: str, ev: ProposedEvent) -> None:
         """Unbounded idempotent append for tiny config/registry streams

@@ -30,6 +30,30 @@ class EventFilter:
     event_type_prefixes: tuple[str, ...] = field(default=())
     event_type_regex: str | None = None
 
+    def to_doc(self) -> dict:
+        """JSON-serializable form — the analog of the reference's
+        EventFilter.ParseToDto (EventFilter.cs:213-245), which persists a
+        consumer group's filter inside its config entry so the group can
+        be rebuilt from configuration. Our filter composes stream + type
+        criteria, so the document carries all four fields (omitting
+        unset ones) rather than the single-strategy DTO."""
+        doc = {
+            "streamPrefixes": list(self.stream_prefixes) or None,
+            "streamRegex": self.stream_regex,
+            "eventTypePrefixes": list(self.event_type_prefixes) or None,
+            "eventTypeRegex": self.event_type_regex,
+        }
+        return {k: v for k, v in doc.items() if v is not None}
+
+    @classmethod
+    def from_doc(cls, doc: dict) -> "EventFilter":
+        return cls(
+            stream_prefixes=tuple(doc.get("streamPrefixes") or ()),
+            stream_regex=doc.get("streamRegex"),
+            event_type_prefixes=tuple(doc.get("eventTypePrefixes") or ()),
+            event_type_regex=doc.get("eventTypeRegex"),
+        )
+
     def predicate(self) -> Column:
         preds: list[Column] = []
         if self.stream_prefixes:

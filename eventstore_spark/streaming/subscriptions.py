@@ -473,21 +473,36 @@ def start_with_markers(
                 # resolve THIS batch's `$>` rows against a FRESH log
                 # snapshot — links can point at targets committed after
                 # the subscription started, so the target side must be
-                # re-pinned per micro-batch, not at query start. One
-                # broadcast-sized join per batch (the batch is the build
-                # side); unresolved links keep null targets like the
-                # reference's null-event ResolvedEvent.
-                from ..operators.links import resolve_links
-                from .. import manifest as _M
-                from ..schema import EVENTS_SCHEMA as _ES
+                # re-pinned per micro-batch, not at query start.
+                # Unresolved links keep null targets like the
+                # reference's null-event ResolvedEvent. The target scan
+                # is PRUNED to the batch's link-target streams (the
+                # batch is already materialized, so collecting its few
+                # distinct targets is a driver-side set; the isin
+                # predicate pushes into the parquet scan) — without
+                # this, every micro-batch would shuffle the whole log
+                # through the resolve join at warehouse scale.
+                from ..operators.links import parse_link, resolve_links
+                from ..schema import EVENTS_SCHEMA as _ES, LINK_EVENT_TYPE
 
-                snap = _M.snapshot_files(log_path)
+                target_streams = [
+                    r[0] for r in matches
+                    .where(F.col("event_type") == LINK_EVENT_TYPE)
+                    .select(parse_link(F.col("data")).alias("t"))
+                    .select("t.target_stream").distinct().collect()
+                ]
+                snap = M.snapshot_files(log_path)
                 log_df = (
                     spark.read.schema(_ES).parquet(
-                        *_M.resolve_files(log_path, snap))
+                        *M.resolve_files(log_path, snap))
                     if snap else
                     spark.read.schema(_ES).parquet(log_path)
+                ).where(
+                    F.col("stream_id").isin(target_streams)
+                    if target_streams else F.lit(False)
                 )
+                # resolve even when the batch has no links so every
+                # batch delivers the same (envelope + link_*) schema
                 matches = resolve_links(matches, targets_from=log_df)
             on_batch(matches, batch_id)
             pending_after = [f for f in committed if f not in state["seen"]]

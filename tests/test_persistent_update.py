@@ -140,3 +140,44 @@ def test_get_info_reports_positions_and_parked(engine):
     assert info["checkpointedPosition"] >= got[1]
     with pytest.raises(LookupError):
         engine.get_persistent_subscription_info("nope", "orders-1")
+
+
+def test_update_inherits_stored_filter_and_start_from(engine):
+    """The reference's Update keeps the OLD subscription's event source
+    (genEventSource(oldSubscription), PersistentSubscriptionService.cs
+    :500) — filter included. The group's filter and StartFrom live in
+    its config entry (PersistentSubscriptionEntry Filter/StartPosition),
+    so an update that names neither inherits both."""
+    from eventstore_spark.operators.filters import EventFilter
+
+    engine.append("acct-1", [ProposedEvent("Deposited", "{}")])
+    engine.append("chat-1", [ProposedEvent("MessageSent", "{}")])
+    filt = EventFilter(stream_prefixes=("acct-",))
+    engine.persistent_subscription("flt", None, event_filter=filt)
+    updated = engine.update_persistent_subscription(
+        "flt", None, settings=_settings(message_timeout_s=9.0))
+    # inherited filter still selects only acct- events
+    updated.add_consumer("c1")
+    got = updated.fetch(now=100.0).get("c1", [])
+    assert len(got) == 1
+    assert updated.event_filter == filt
+    # and the config records carry the filter document
+    g = engine.list_persistent_subscriptions()[0]
+    assert g["filter"] == {"streamPrefixes": ["acct-"]}
+    assert g["messageTimeoutMs"] == 9000
+
+
+def test_create_start_from_skips_history_until_checkpoint_wins(engine):
+    engine.append("acct-1", [ProposedEvent("Deposited", "{}"),
+                             ProposedEvent("Deposited", "{}")])
+    pos = max(r.log_position for r in engine.read_stream("acct-1").collect())
+    # start the group at the log head: history is not delivered
+    ps = engine.persistent_subscription("tail", "acct-1",
+                                        start_from=pos + 1)
+    ps.add_consumer("c1")
+    assert ps.fetch(now=10.0).get("c1", []) == []
+    engine.append("acct-1", [ProposedEvent("Deposited", '{"new":1}')])
+    got = ps.fetch(now=11.0).get("c1", [])
+    assert len(got) == 1
+    g = engine.list_persistent_subscriptions()[0]
+    assert g["startFrom"] == pos + 1
