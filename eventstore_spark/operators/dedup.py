@@ -179,7 +179,14 @@ def minhash_lsh_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
         .distinct()
     )
 
-    sets = sigs.select("doc_id", "sset")
+    # The verify joins re-fetch shingle SETS by id. Catalyst's size
+    # estimate for the sets side is systematically LOW (the array
+    # expansion from a short text column isn't reflected in scan stats),
+    # so left alone Spark broadcasts it — at 500k docs that's a ~250 MB+
+    # build side and the executor dies on a humongous allocation
+    # (measured at sf10). A keyed shuffle-hash join is the honest plan at
+    # every scale here: both sides shuffle on the id, nothing broadcasts.
+    sets = sigs.select("doc_id", "sset").hint("shuffle_hash")
     verified = (
         cand.join(sets.withColumnRenamed("doc_id", "a").withColumnRenamed("sset", "sa"), "a")
         .join(sets.withColumnRenamed("doc_id", "b").withColumnRenamed("sset", "sb"), "b")
@@ -574,6 +581,9 @@ def _incremental_pairs(sigs: DataFrame, spark, index_path: str, bands: int,
         idx_sets.unionByName(sigs.select("doc_id", "sset"))
         # a doc indexed AND in the new batch would verify twice
         .dropDuplicates(["doc_id"])
+        # keyed shuffle join, never broadcast: the sets side's array
+        # payload defeats Catalyst's size estimate (see minhash_lsh_pairs)
+        .hint("shuffle_hash")
     )
     return (
         cand.join(sets.withColumnRenamed("doc_id", "a").withColumnRenamed("sset", "sa"), "a")
