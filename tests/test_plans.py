@@ -191,11 +191,13 @@ BNLJ_OK = {
 SF1_DIR = "/root/repo/.localdata/sf1"  # tools/gen_sf.py output
 
 
-def _walk_no_cartesian(spark, sf_dir):
+def _walk_no_cartesian(spark, sf_dir, exclude=()):
     import __spark_entry__ as entry
 
     offenders = {}
     for name, fn in sorted(entry.queries().items()):
+        if name in exclude:
+            continue
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
             offenders[name] = "CartesianProduct"
@@ -221,6 +223,9 @@ def test_no_accidental_cartesian_in_any_query(spark):
     _walk_no_cartesian(spark, sf_dir)
 
 
+SF10_DIR = "/root/repo/.localdata/sf10"
+
+
 def test_no_accidental_cartesian_at_sf1(spark):
     """The same global gate one decade up: plan statistics change with
     input size (file counts, estimated sizes, AQE thresholds), so a
@@ -233,6 +238,40 @@ def test_no_accidental_cartesian_at_sf1(spark):
     if not os.path.isdir(SF1_DIR):
         _pytest.skip("local sf1 dataset not generated (tools/gen_sf.py)")
     _walk_no_cartesian(spark, SF1_DIR)
+
+
+def test_no_accidental_cartesian_at_sf10(spark):
+    """Two decades up. This walk is what caught the round-9 sets-side
+    broadcast misestimate (PLANS.md §Second decade), so it stays as a
+    gate whenever the sf10 dataset is present (tools/gen_sf.py --sf 10)."""
+    import os
+
+    import pytest as _pytest
+
+    if not os.path.isdir(SF10_DIR):
+        _pytest.skip("local sf10 dataset not generated (tools/gen_sf.py)")
+    # the two connected-components entries EXECUTE their iterative loop
+    # at DataFrame-construction time (~4 min each at sf10); their join
+    # shapes are covered by the sf1 walk and the manual sf10 run
+    # documented in PLANS.md, so the automated gate skips them here
+    _walk_no_cartesian(spark, SF10_DIR,
+                       exclude=("dedup_clusters", "cluster_survivors"))
+    # the round-9 regression itself, pinned: the minhash verify stage
+    # must never broadcast the shingle-sets side (Catalyst underestimates
+    # its array payload; a broadcast at this size killed the executor)
+    import __spark_entry__ as entry
+
+    plan = entry.queries()["dedup_minhash_pairs"](
+        spark, SF10_DIR)._jdf.queryExecution().executedPlan().toString()
+    # both set re-fetches (join keys a and b) must be shuffled-hash,
+    # never broadcast — the band self-join's slim (doc_id, band, bh)
+    # side may still broadcast locally, which is harmless and
+    # AQE-reversible
+    import re as _re
+
+    assert plan.count("ShuffledHashJoin") >= 2, plan[:2000]
+    bcast_keys = _re.findall(r"BroadcastHashJoin \[(\w+)#", plan)
+    assert not set(bcast_keys) & {"a", "b"}, bcast_keys
 
 
 def test_sf1_join_heavy_plans_degrade_to_keyed_smj_not_bnlj(spark):
