@@ -436,9 +436,84 @@ QUALIFY rank <= {k}
 """
 
 
-def _sql_ivf_topk_trained(query_ids: list[int], k: int, n_centroids: int,
-                          nprobe: int, dim: int, table: str, iters: int) -> str:
-    ids = ", ".join(str(i) for i in query_ids)
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.5,
+                   n_centroids: int = 16, iters: int = 2,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — cluster the embedding space, then drop
+    near-duplicates WITHIN each cluster): k-means = the engine's exact
+    integer quantizer (``train_ivf_centroids``), duplicates = pairs with
+    cosine >= ``threshold`` inside one cell, survivor = the LOWEST id of
+    each duplicate relation (the deterministic canonical rule every
+    dedup operator here uses). Returns (vec_id, cell, kept) for EVERY
+    vector.
+
+    Plan shape at 100 TB: centroid training is ``iters`` partial-agg
+    passes; cell assignment is ONE literal-inlined codegen projection
+    (no shuffle); the pairwise check is a self-join keyed ON CELL, so
+    the quadratic term is bounded by Σ(cell²) — never corpus² — exactly
+    the banded-LSH bound the text dedups carry. Both join sides hint
+    shuffle_hash: the vector payload defeats Catalyst's size estimate
+    the same way minhash's shingle sets did (PLANS.md §Second decade).
+    """
+    base = spread(embeddings).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    cents_i = train_ivf_centroids(embeddings, n_centroids, iters,
+                                  id_col, vec_col)
+    scored = _int_scored_sql(_quantize_sql("vec"), cents_i)
+    assigned = base.withColumn(
+        "cell", F.expr(f"-array_max({scored}).nid").cast("long")
+    )
+    x = assigned.select(F.col("vec_id").alias("a_id"),
+                        F.col("vec").alias("avec"), "cell")
+    y = assigned.select(F.col("vec_id").alias("b_id"),
+                        F.col("vec").alias("bvec"), "cell")
+    dropped = (
+        x.hint("shuffle_hash").join(y.hint("shuffle_hash"), "cell")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(cosine(F.col("avec"), F.col("bvec")) >= threshold)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(dropped.withColumn("_dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id", "cell",
+            (~F.coalesce(F.col("_dup"), F.lit(False))).alias("kept"),
+        )
+    )
+
+
+def sql_semantic_dedup(threshold: float = 0.5, n_centroids: int = 16,
+                       iters: int = 2, dim: int = 64,
+                       table: str = "embeddings") -> str:
+    """DuckDB oracle for semantic_dedup — same integer k-means CTEs as
+    the trained-IVF oracle, same within-cell pairwise rule."""
+    ctes = _sql_trained_assigned_ctes(n_centroids, dim, table, iters)
+    pcos = sql_cosine("a.vec", "b.vec", dim)
+    ctes.append(f"""drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {pcos} >= {threshold}
+)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT s.vec_id, s.cell, d.vec_id IS NULL AS kept
+FROM assigned s LEFT JOIN drops d ON d.vec_id = s.vec_id
+"""
+
+
+def _sql_trained_assigned_ctes(n_centroids: int, dim: int, table: str,
+                               iters: int) -> list[str]:
+    """The CTE chain that re-derives `train_ivf_centroids`'s integer
+    k-means in DuckDB and lands at
+    ``fa(vec_id, vec, cell, sim)`` / ``assigned(vec_id, vec, cell)`` —
+    shared by the trained-IVF oracle and the semantic-dedup oracle, so
+    both verify against the exact same quantizer."""
 
     def idot(a: str, b: str) -> str:
         return (
@@ -490,7 +565,6 @@ def _sql_ivf_topk_trained(query_ids: list[int], k: int, n_centroids: int,
   SELECT c.cell, COALESCE(m.cvec, c.cvec) AS cvec
   FROM c{t} c LEFT JOIN m{t} m USING (cell)
 )""")
-    qcos = sql_cosine("p.qvec", "a.vec", dim)
     ctes.append(f"""fa AS (
   SELECT v.vec_id, v.embedding AS vec, c.cell, {isim("v.qvec", "c.cvec")} AS sim
   FROM qz v CROSS JOIN c{iters} c
@@ -499,6 +573,14 @@ def _sql_ivf_topk_trained(query_ids: list[int], k: int, n_centroids: int,
   SELECT vec_id, vec, cell FROM fa
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) = 1
 )""")
+    return ctes
+
+
+def _sql_ivf_topk_trained(query_ids: list[int], k: int, n_centroids: int,
+                          nprobe: int, dim: int, table: str, iters: int) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    ctes = _sql_trained_assigned_ctes(n_centroids, dim, table, iters)
+    qcos = sql_cosine("p.qvec", "a.vec", dim)
     ctes.append(f"""probes AS (
   SELECT vec_id AS query_id, vec AS qvec, cell FROM fa
   WHERE vec_id IN ({ids})

@@ -928,3 +928,26 @@ def test_real_audio_codec_when_available(spark):
         "media_id long, kind string, content binary, mime string")
     feat = mm.extract_media_features(media).collect()[0]
     assert (feat.width, feat.height) == (2, 160)
+
+
+def test_semantic_dedup_semantics(vectors):
+    """SemDeDup (round 9): within-cell cosine dedup with min-id
+    survivors — every vector appears exactly once, near-identical
+    same-cluster vectors drop while the cluster's lowest id survives,
+    and cross-cluster vectors never mark each other."""
+    out = sim.semantic_dedup(vectors, threshold=0.999, n_centroids=8)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == 40                      # total function over ids
+    # the fixture's 4 clusters are near-identical within themselves at
+    # this jitter scale, so each cluster keeps a head and drops a tail
+    kept = [i for i, r in rows.items() if r.kept]
+    dropped = [i for i, r in rows.items() if not r.kept]
+    assert dropped, "threshold 0.999 on jittered clones must drop some"
+    for i in (0, 1, 2, 3):                      # lowest id per cluster
+        assert rows[i].kept, f"min-id {i} must survive"
+    # a dropped vector always has a kept lower-id vector in its cell
+    for i in dropped:
+        assert any(rows[j].cell == rows[i].cell and j < i for j in kept)
+    # loosening the threshold past any real similarity keeps everything
+    all_kept = sim.semantic_dedup(vectors, threshold=1.01, n_centroids=8)
+    assert all_kept.where("NOT kept").count() == 0
