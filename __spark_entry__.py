@@ -1574,6 +1574,14 @@ def q_embedding_neardup(spark, sf):
     return sim.embedding_neardup_pairs(_table(spark, sf, "embeddings"), threshold=0.45)
 
 
+def q_gopher_quality(spark, sf):
+    """Gopher rule-set quality filter (arXiv:2112.11446 §A1.1) as a
+    per-doc diagnostic table (textops.gopher_quality)."""
+    from eventstore_spark.operators.textops import gopher_quality
+
+    return gopher_quality(_table(spark, sf, "documents"))
+
+
 def q_semantic_dedup(spark, sf):
     """SemDeDup-style: integer-k-means cells + within-cell cosine
     dedup; the oracle re-trains the identical quantizer (similarity.py:
@@ -1698,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13_custdist": q_tpch_q13_custdist,
         "ann_ivf": q_ann_ivf,
         "semantic_dedup": q_semantic_dedup,
+        "gopher_quality": q_gopher_quality,
         "embedding_neardup": q_embedding_neardup,
         "s1_read_event": q_s1_read_event,
         "s1_read_event_last": q_s1_read_event_last,
@@ -1761,10 +1770,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly", "user_sessions", "events_cohort_retention",
         "events_funnel",
         "ngram_novelty", "source_overlap", "payload_profile",
-        "embedding_outliers", "semantic_dedup", "readability",
-        # 51-52 fall just outside the 50-query sample window: both are
-        # r7-driver-green and re-verified in the local 100% oracle run
-        "ann_ivf", "embedding_neardup",
+        "embedding_outliers", "semantic_dedup", "gopher_quality",
+        # 51-53 fall just outside the 50-query sample window: all three
+        # are r7-driver-green and re-verified in the local 100% oracle run
+        "readability", "ann_ivf", "embedding_neardup",
     ]
     return {**{n: q[n] for n in head},
             **{n: fn for n, fn in q.items() if n not in set(head)}}
@@ -2494,5 +2503,8 @@ WHERE p.quality >= 0.3
     sqls["ann_lsh"] = sim.sql_lsh_topk(ANN_QUERY_IDS, k=10)
     sqls["ann_ivf"] = sim.sql_ivf_topk(ANN_QUERY_IDS, k=10, trained=True)
     sqls["semantic_dedup"] = sim.sql_semantic_dedup(threshold=0.4)
+    from eventstore_spark.operators.textops import sql_gopher_quality
+
+    sqls["gopher_quality"] = sql_gopher_quality()
     sqls["embedding_neardup"] = sim.sql_embedding_neardup(threshold=0.45)
     return sqls

@@ -95,6 +95,102 @@ def quality_filter(docs: DataFrame, min_quality: float = 0.3,
     )
 
 
+#: Gopher stop words (Rae et al. 2021, arXiv:2112.11446 §A1.1 — the
+#: eight-word list the "minimum stop words" rule counts)
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   min_alpha_frac: float = 0.8,
+                   min_stops: int = 2) -> DataFrame:
+    """The Gopher quality-rule set (Rae et al. 2021, arXiv:2112.11446
+    §A1.1 — the standard named heuristic filter in large-scale training
+    pipelines): word count in [min,max], mean word length in [3,10],
+    hash/ellipsis symbol-to-word ratio <= 0.1, >= 80% of words carrying
+    an alphabetic character, and at least 2 of the 8 Gopher stop words.
+
+    Returns per-doc metrics plus the verdict — a diagnostic table, not a
+    silent filter — so a pipeline can both gate and AUDIT which rule
+    fired. Single whole-stage-codegen pass over the text column, no
+    shuffle, no UDF: every rule is array/regex arithmetic on the split
+    tokens. At 100 TB this is scan-bound, exactly like analyze_documents.
+    """
+    c = F.col(text_col)
+    toks = F.split(F.trim(c), r"\s+")
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_t"),
+        (F.regexp_count(c, F.lit(r"[#…]|\.\.\.")).cast("long")).alias("_sym"),
+    ).select(
+        "doc_id",
+        F.size("_t").cast("long").alias("n_words"),
+        (
+            F.aggregate(F.col("_t"), F.lit(0).cast("long"),
+                        lambda a, x: a + F.length(x)).cast("double")
+            / F.greatest(F.size("_t").cast("double"), F.lit(1.0))
+        ).alias("mean_word_len"),
+        (F.col("_sym").cast("double")
+         / F.greatest(F.size("_t").cast("double"), F.lit(1.0))
+         ).alias("symbol_ratio"),
+        (
+            F.size(F.filter(F.col("_t"),
+                            lambda x: x.rlike("[A-Za-z]"))).cast("double")
+            / F.greatest(F.size("_t").cast("double"), F.lit(1.0))
+        ).alias("alpha_frac"),
+        F.size(F.filter(
+            F.col("_t"), lambda x: F.lower(x).isin(*GOPHER_STOPS)
+        )).cast("long").alias("n_stops"),
+    )
+    return staged.withColumn(
+        "kept",
+        (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_len)
+        & (F.col("mean_word_len") <= max_mean_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("alpha_frac") >= min_alpha_frac)
+        & (F.col("n_stops") >= min_stops),
+    )
+
+
+def sql_gopher_quality(min_words: int = 50, max_words: int = 100_000,
+                       min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                       max_symbol_ratio: float = 0.1,
+                       min_alpha_frac: float = 0.8, min_stops: int = 2,
+                       table: str = "documents",
+                       text_col: str = "text") -> str:
+    """DuckDB oracle reproducing gopher_quality exactly (same splits,
+    same folds, same thresholds)."""
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim({text_col}), '\\s+') AS t,
+         CAST(len(regexp_extract_all({text_col}, '[#…]|\\.\\.\\.')) AS BIGINT) AS sym
+  FROM {table}
+), m AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+           / greatest(CAST(len(t) AS DOUBLE), 1.0) AS mean_word_len,
+         CAST(sym AS DOUBLE) / greatest(CAST(len(t) AS DOUBLE), 1.0) AS symbol_ratio,
+         CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+           / greatest(CAST(len(t) AS DOUBLE), 1.0) AS alpha_frac,
+         CAST(len(list_filter(t, x -> lower(x) IN ({stops}))) AS BIGINT) AS n_stops
+  FROM toks
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stops,
+       (n_words >= {min_words} AND n_words <= {max_words}
+        AND mean_word_len >= {min_mean_len} AND mean_word_len <= {max_mean_len}
+        AND symbol_ratio <= {max_symbol_ratio}
+        AND alpha_frac >= {min_alpha_frac}
+        AND n_stops >= {min_stops}) AS kept
+FROM m
+"""
+
+
 def token_vocabulary(docs: DataFrame, k: int = 100,
                      text_col: str = "text") -> DataFrame:
     """Corpus vocabulary: top-k tokens by document-frequency-weighted count

@@ -951,3 +951,25 @@ def test_semantic_dedup_semantics(vectors):
     # loosening the threshold past any real similarity keeps everything
     all_kept = sim.semantic_dedup(vectors, threshold=1.01, n_centroids=8)
     assert all_kept.where("NOT kept").count() == 0
+
+
+def test_gopher_quality_rules(spark):
+    """Gopher §A1.1 rules fire individually: too-short, symbol-heavy,
+    stopword-free, and long-word docs drop; a plain long doc keeps."""
+    from eventstore_spark.operators.textops import gopher_quality
+
+    good = "the quick brown fox jumps with energy and " * 8  # 64 words
+    rows = [
+        (1, good),
+        (2, "the short one with few words"),              # < 50 words
+        (3, ("### " * 30 + good)),                         # symbol ratio
+        (4, "zebra " * 60),                                # no stop words
+        (5, "pneumonoultramicroscopic " * 60),             # mean len > 10
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_quality(docs).collect()}
+    assert out[1].kept
+    assert not out[2].kept and out[2].n_words < 50
+    assert not out[3].kept and out[3].symbol_ratio > 0.1
+    assert not out[4].kept and out[4].n_stops == 0
+    assert not out[5].kept and out[5].mean_word_len > 10
