@@ -463,9 +463,13 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.5,
     cents_i = train_ivf_centroids(embeddings, n_centroids, iters,
                                   id_col, vec_col)
     scored = _int_scored_sql(_quantize_sql("vec"), cents_i)
+    # the assignment expression feeds three plan branches (pair join x/y
+    # + the final verdict join) — materialize it once, as
+    # minhash_lsh_pairs does with its signature table; at warehouse
+    # scale this is the persisted cell-assignment table
     assigned = base.withColumn(
         "cell", F.expr(f"-array_max({scored}).nid").cast("long")
-    )
+    ).cache()
     x = assigned.select(F.col("vec_id").alias("a_id"),
                         F.col("vec").alias("avec"), "cell")
     y = assigned.select(F.col("vec_id").alias("b_id"),
