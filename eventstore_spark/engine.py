@@ -317,6 +317,45 @@ class EventStoreEngine:
             "default_acl": def_acl,
         }
 
+    def supported_methods(self) -> list[dict]:
+        """ServerFeatures.GetSupportedMethods analog (serverfeatures.
+        proto:7; Services/Transport/Grpc/ServerFeatures.cs:20-60 builds
+        the listing by reflecting the registered gRPC endpoints): the
+        engine's RPC-equivalent surface, so clients can feature-detect
+        before calling. Derived by PROBING the live object — a method
+        listed here exists; nothing is hand-maintained into drift."""
+        catalog = [
+            ("streams", "read", ("read_stream", "read_all", "read_event")),
+            ("streams", "append", ("append",)),
+            ("streams", "batch_append", ("append",)),
+            ("streams", "delete", ("delete_stream",)),
+            ("streams", "tombstone", ("delete_stream",)),
+            ("streams", "subscribe", ("subscribe", "subscribe_with_markers")),
+            ("persistent_subscriptions", "create", ("persistent_subscription",)),
+            ("persistent_subscriptions", "update", ("update_persistent_subscription",)),
+            ("persistent_subscriptions", "delete", ("delete_persistent_subscription",)),
+            ("persistent_subscriptions", "read", ("persistent_subscription",)),
+            ("persistent_subscriptions", "get_info", ("get_persistent_subscription_info",)),
+            ("persistent_subscriptions", "list", ("list_persistent_subscriptions",)),
+            ("projections", "create", ("create_projection",)),
+            ("projections", "update", ("update_projection",)),
+            ("projections", "delete", ("delete_projection",)),
+            ("projections", "statistics", ("projection_statistics",)),
+            ("projections", "disable", ("disable_projection",)),
+            ("projections", "enable", ("enable_projection",)),
+            ("projections", "reset", ("reset_projection",)),
+            ("projections", "state", ("projection_state",)),
+            ("projections", "result", ("projection_state",)),
+            ("operations", "start_scavenge", ("scavenge",)),
+            ("monitoring", "stats", ("collect_statistics",)),
+            ("server_features", "get_supported_methods", ("supported_methods",)),
+        ]
+        out = []
+        for service, method, attrs in catalog:
+            if all(callable(getattr(self, a, None)) for a in attrs):
+                out.append({"service": service, "method": method})
+        return out
+
     def delete_stream(self, stream_id: str, hard: bool = False) -> None:
         if hard:
             self.writer.hard_delete(stream_id)

@@ -164,3 +164,17 @@ def test_subscription_resolve_link_tos(engine, tmp_path):
     assert json.loads(r.data)["amt"] == 1   # target payload delivered
     assert r.link_stream_id == "idx-1"      # link identity rides along
     assert r.link_event_number == 0
+
+
+def test_supported_methods_reflects_live_surface(engine):
+    """ServerFeatures.GetSupportedMethods analog: every listed method
+    maps to a callable that actually exists on the engine, and the core
+    services are all present."""
+    methods = engine.supported_methods()
+    pairs = {(m["service"], m["method"]) for m in methods}
+    assert ("streams", "read") in pairs
+    assert ("persistent_subscriptions", "update") in pairs
+    assert ("projections", "reset") in pairs
+    assert ("server_features", "get_supported_methods") in pairs
+    assert len(pairs) == len(methods)  # no duplicates
+    assert len(pairs) >= 20
