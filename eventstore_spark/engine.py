@@ -877,6 +877,37 @@ class EventStoreEngine:
         ))
         return ps
 
+    def restart_persistent_subscriptions(self) -> list[PersistentSubscription]:
+        """Operations.RestartPersistentSubscriptions analog
+        (operations.proto:14): rebuild EVERY current consumer group from
+        the config stream — config replay is exactly how the reference's
+        subsystem reconstructs its groups on (re)start
+        (PersistentSubscriptionService.LoadConfiguration:1179-1250).
+        Each rebuilt group carries its recorded settings, filter, and
+        StartFrom; its store-backed checkpoint and parked streams attach
+        by key, so delivery resumes where the group left off."""
+        out = []
+        for g in self.list_persistent_subscriptions():
+            st = PersistentSubscriptionSettings()
+            if "messageTimeoutMs" in g:
+                st.message_timeout_s = g["messageTimeoutMs"] / 1000.0
+            for key, attr in (("maxRetryCount", "max_retry_count"),
+                              ("readBatchSize", "read_batch_size"),
+                              ("checkpointAfter", "checkpoint_after"),
+                              ("consumerStrategy", "consumer_strategy")):
+                if key in g:
+                    setattr(st, attr, g[key])
+            filt = (EventFilter.from_doc(g["filter"])
+                    if g.get("filter") else None)
+            stream_id = None if g["stream"] == "$all" else g["stream"]
+            out.append(PersistentSubscription(
+                self.events, g["group"], stream_id, st,
+                start_from=g.get("startFrom", 0),
+                event_filter=filt,
+                park_writer=None if self.writer.read_only else self.writer,
+            ))
+        return out
+
     def list_persistent_subscriptions(self) -> list[dict]:
         """PersistentSubscriptions List RPC analog (persistent.proto
         ListReq; PersistentSubscriptionService.cs config entries): the

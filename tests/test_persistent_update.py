@@ -181,3 +181,31 @@ def test_create_start_from_skips_history_until_checkpoint_wins(engine):
     assert len(got) == 1
     g = engine.list_persistent_subscriptions()[0]
     assert g["startFrom"] == pos + 1
+
+
+def test_restart_persistent_subscriptions_rebuilds_from_config(engine):
+    """Operations.RestartPersistentSubscriptions (operations.proto:14):
+    every current group rebuilds from config replay with its recorded
+    settings/filter, resuming from its store-backed checkpoint."""
+    from eventstore_spark.operators.filters import EventFilter
+
+    engine.append("acct-1", [ProposedEvent("Deposited", '{"n":%d}' % i)
+                             for i in range(3)])
+    ps = engine.persistent_subscription(
+        "g1", "acct-1", settings=_settings(message_timeout_s=12.0,
+                                           checkpoint_after=1))
+    ps.add_consumer("c1")
+    got = ps.fetch(now=10.0)["c1"]
+    ps.ack(got[:2])
+    ps.checkpoint()
+    engine.persistent_subscription(
+        "g2", None, event_filter=EventFilter(stream_prefixes=("acct-",)))
+    engine.delete_persistent_subscription("g2", None)  # deleted -> absent
+
+    rebuilt = engine.restart_persistent_subscriptions()
+    assert [p.group for p in rebuilt] == ["g1"]
+    (p1,) = rebuilt
+    assert p1.settings.message_timeout_s == 12.0
+    p1.add_consumer("cx")
+    # resumes AFTER the store-backed checkpoint: only the unacked third
+    assert p1.fetch(now=20.0)["cx"] == got[2:]
