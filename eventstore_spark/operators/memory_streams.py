@@ -58,18 +58,34 @@ class MemoryLog:
     park on mem commits exactly like log reads park on the writer's."""
 
     def __init__(self):
-        self._pos = 0
+        self._pos = 0   # published: every event at <= _pos is visible
+        self._next = 0  # reserved: positions handed to in-flight writes
         self._cond = threading.Condition()
 
     def last_commit_position(self) -> int:
         with self._cond:
             return self._pos
 
-    def next_commit_position(self) -> int:
+    def reserve_commit_position(self) -> int:
+        """Hand out the next position WITHOUT publishing it. The writer
+        makes its event visible first and only then publishes — a
+        publish-before-visible order lets a poller absorb the write into
+        its next wait baseline (it wakes, sees no event yet, re-captures
+        a baseline that already includes this position) and stall until
+        the NEXT write or its full timeout."""
         with self._cond:
-            self._pos += 1
+            self._next += 1
+            return self._next
+
+    def publish_commit_position(self, pos: int) -> None:
+        """Make ``pos`` observable and wake parked polls. max() keeps the
+        published position monotonic when two streams' writes publish out
+        of reservation order (per-stream order is still serialized by the
+        stream's own write lock)."""
+        with self._cond:
+            if pos > self._pos:
+                self._pos = pos
             self._cond.notify_all()
-            return self._pos
 
     def wait_for_commit(self, seen_position: int, timeout_s: float) -> int:
         """Park until the commit position advances past ``seen_position``
@@ -102,7 +118,7 @@ class SingleEventMemoryStream:
         """SingleEventInMemoryStream.cs:119-139: stamp the next mem
         commit position and REPLACE the retained event."""
         with self._write_lock:
-            pos = self._log.next_commit_position()
+            pos = self._log.reserve_commit_position()
             row = {
                 "log_position": pos,
                 "stream_id": self.stream_name,
@@ -119,6 +135,8 @@ class SingleEventMemoryStream:
             }
             self._last = row
             self._event_number += 1
+            # Event is visible; NOW publish the position (wakes polls).
+            self._log.publish_commit_position(pos)
             return row
 
     # -- reads: (rows, next_event_number, last_event_number) -----------

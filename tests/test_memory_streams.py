@@ -184,6 +184,11 @@ def test_mem_long_poll_concurrent_writes_never_stall_to_timeout(engine):
     a full-timeout stall despite the event being present)."""
     router = engine.memory_streams
     stream = router.stream("$mem-gossip")
+    # Warm the Spark DataFrame-construction path (the page materializer)
+    # outside the timed loop: the loop times the WAIT mechanism, and the
+    # first createDataFrame call costs ~1 s on a cold/loaded session —
+    # enough to breach the bound without any stall.
+    router.read_page("$mem-gossip").events.count()
     timeout_s = 2.0
     for i in range(12):
         delay = (i % 4) * 0.0005  # straddle the check window
@@ -198,3 +203,29 @@ def test_mem_long_poll_concurrent_writes_never_stall_to_timeout(engine):
         t.join()
         assert page.count() == 1
         assert elapsed < 1.5, f"iteration {i} stalled ({elapsed:.2f}s)"
+
+
+def test_mem_write_publishes_only_after_event_visible(engine):
+    """The write path's ordering invariant, pinned deterministically: at
+    publish time the retained event must already be visible. The inverse
+    order (publish, then assign) re-opens the stall — a poller woken by
+    the publish sees no event, re-captures a baseline that includes this
+    position, and parks until the NEXT write or its full timeout."""
+    router = engine.memory_streams
+    stream = router.stream("$mem-node-state")
+    log = router.mem_log
+    orig = log.publish_commit_position
+    seen = []
+
+    def checking_publish(pos):
+        last = stream._last
+        seen.append(last is not None and last["log_position"] == pos)
+        orig(pos)
+
+    log.publish_commit_position = checking_publish
+    try:
+        stream.write("$NodeStateChanged", json.dumps({"state": "leader"}))
+        stream.write("$NodeStateChanged", json.dumps({"state": "follower"}))
+    finally:
+        log.publish_commit_position = orig
+    assert seen == [True, True]
