@@ -88,6 +88,11 @@ class EventStoreEngine:
             read_only=read_only,
         )
         self.projections: dict[str, _ManagedProjection] = {}
+        # groups rebuilt by a service-level ReplayParked with no live
+        # instance: the next attach for the key ADOPTS the rebuilt group
+        # so its re-buffered (already-truncated-from-parked) deliveries
+        # reach a consumer instead of dying with a throwaway object
+        self._replay_adoptions: dict[tuple, PersistentSubscription] = {}
         self._system_links_query = None
         # system_projections="continuous": auto-run Y1-Y5 on open — the
         # reference registers and runs the standard projections at node
@@ -337,6 +342,9 @@ class EventStoreEngine:
             ("persistent_subscriptions", "read", ("persistent_subscription",)),
             ("persistent_subscriptions", "get_info", ("get_persistent_subscription_info",)),
             ("persistent_subscriptions", "list", ("list_persistent_subscriptions",)),
+            ("persistent_subscriptions", "replay_parked", ("replay_parked_messages",)),
+            ("persistent_subscriptions", "restart_subsystem",
+             ("restart_persistent_subscriptions",)),
             ("projections", "create", ("create_projection",)),
             ("projections", "update", ("update_projection",)),
             ("projections", "delete", ("delete_projection",)),
@@ -347,6 +355,10 @@ class EventStoreEngine:
             ("projections", "state", ("projection_state",)),
             ("projections", "result", ("projection_state",)),
             ("operations", "start_scavenge", ("scavenge",)),
+            ("operations", "restart_persistent_subscriptions",
+             ("restart_persistent_subscriptions",)),
+            ("redaction", "get_event_positions", ("redact",)),
+            ("redaction", "switch_chunks", ("redact",)),
             ("monitoring", "stats", ("collect_statistics",)),
             ("server_features", "get_supported_methods", ("supported_methods",)),
         ]
@@ -722,6 +734,13 @@ class EventStoreEngine:
         (persistent.proto CreateReq settings); a store-backed checkpoint
         further along always wins, like the reference's checkpoint
         reader."""
+        pending = self._replay_adoptions.pop((group, stream_id or "$all"), None)
+        if pending is not None and checkpoint_dir is None and (
+                settings is None or settings == pending.settings):
+            # adopt the group a service-level ReplayParked rebuilt: its
+            # re-buffered messages were already truncated out of the
+            # parked stream, so a fresh instance would lose them
+            return pending
         ps = PersistentSubscription(
             # the events CALLABLE, not a pinned snapshot — a live group
             # must deliver events appended after it was created
@@ -784,6 +803,8 @@ class EventStoreEngine:
         from .writer import NO_STREAM
 
         self._require_writer("delete_persistent_subscription")
+        # a deleted group's pending replay adoption dies with it
+        self._replay_adoptions.pop((group, stream_id or "$all"), None)
         base = f"$persistentsubscription-{stream_id or '$all'}::{group}"
         dropped = []
         for s in (f"{base}-checkpoint", f"{base}-parked"):
@@ -907,6 +928,53 @@ class EventStoreEngine:
                 park_writer=None if self.writer.read_only else self.writer,
             ))
         return out
+
+    def replay_parked_messages(self, group: str,
+                               stream_id: str | None = None,
+                               stop_at: int | None = None) -> int:
+        """PersistentSubscriptions.ReplayParked analog (persistent.
+        proto:13; PersistentSubscriptionService.cs ReplayParkedMessages):
+        re-inject a group's dead-lettered messages as available
+        deliveries, addressed by (group, stream) the way the RPC is —
+        no live subscription object needed. The group is rebuilt from
+        its config record (the same replay restart uses), so the call
+        works across process restarts; ``stop_at`` bounds the replay to
+        parked entries below that parked-stream event number (exclusive,
+        like the reference). Returns the number replayed. LookupError
+        when the group does not exist (the RPC's NotFound)."""
+        from .streaming.persistent import PersistentSubscriptionSettings
+
+        stream = stream_id or "$all"
+        for g in self.list_persistent_subscriptions():
+            if g.get("group") == group and g.get("stream") == stream:
+                break
+        else:
+            raise LookupError(f"Group '{group}' does not exist.")
+        st = PersistentSubscriptionSettings()
+        if "messageTimeoutMs" in g:
+            st.message_timeout_s = g["messageTimeoutMs"] / 1000.0
+        for key, attr in (("maxRetryCount", "max_retry_count"),
+                          ("readBatchSize", "read_batch_size"),
+                          ("checkpointAfter", "checkpoint_after"),
+                          ("consumerStrategy", "consumer_strategy")):
+            if key in g:
+                setattr(st, attr, g[key])
+        ps = PersistentSubscription(
+            self.events, group,
+            None if stream == "$all" else stream, st,
+            start_from=g.get("startFrom", 0),
+            event_filter=(EventFilter.from_doc(g["filter"])
+                          if g.get("filter") else None),
+            park_writer=None if self.writer.read_only else self.writer,
+        )
+        n = ps.replay_parked(stop_at)
+        if n > 0:
+            # the replayed messages now live ONLY in this rebuilt group's
+            # delivery buffer (the parked stream is truncated — the same
+            # post-truncate in-memory window the reference has); hand the
+            # group to the next attach rather than dropping it
+            self._replay_adoptions[(group, stream)] = ps
+        return n
 
     def list_persistent_subscriptions(self) -> list[dict]:
         """PersistentSubscriptions List RPC analog (persistent.proto

@@ -290,3 +290,29 @@ def test_group_config_replay_survives_recreation(engine):
             if json.loads(r.data).get("group") == "gr"]
     shapes = [(d.get("generation"), bool(d.get("deleted"))) for d in docs]
     assert shapes == [(0, False), (0, True), (1, False)]
+
+
+def test_engine_replay_parked_messages_rpc_shape(engine):
+    """ReplayParked at the SERVICE level (persistent.proto:13): addressed
+    by (group, stream) with no live subscription object — the group is
+    rebuilt from its config record, so the call works after a restart.
+    Unknown groups raise (the RPC's NotFound)."""
+    engine.append("orders-1", [ProposedEvent("Placed", f'{{"n":{i}}}')
+                               for i in range(3)])
+    ps = engine.persistent_subscription("grp", "orders-1")
+    ps.add_consumer("c1")
+    got = _pump(ps)
+    ps.nack(got[:2], NAK_PARK)
+    ps.ack(got[2:])
+    ps.checkpoint()
+    assert ps.parked_message_count() == 2
+    del ps  # nothing live holds the group
+    assert engine.replay_parked_messages("grp", "orders-1") == 2
+    # the rebuilt group sees the replayed messages as available again
+    ps2 = engine.persistent_subscription("grp", "orders-1")
+    ps2.add_consumer("c1")
+    assert ps2.parked_message_count() == 0
+    redelivered = _pump(ps2, now=2000.0)
+    assert len(redelivered) == 2
+    with pytest.raises(LookupError):
+        engine.replay_parked_messages("nope", "orders-1")
