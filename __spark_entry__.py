@@ -1617,6 +1617,16 @@ def q_quality_sample(spark, sf):
     return cp.quality_sample(_table(spark, sf, "documents"))
 
 
+def q_ccnet_buckets(spark, sf):
+    """CCNet head/middle/tail quality tiers (arXiv:1911.00359 §4.3):
+    per-language thirds by LM score, rank computed distributively
+    (score-quantile offsets + keyed windows) and oracle-pinned equal to
+    the true global per-language window (corpus.ccnet_buckets)."""
+    from eventstore_spark.operators import corpus as cp
+
+    return cp.ccnet_buckets(_table(spark, sf, "documents"))
+
+
 def q_contamination_semantic(spark, sf):
     """Embedding-space decontamination: nearest benchmark vector by
     bit-exact cosine, hit counts at threshold 0.25 (benchmark stand-in =
@@ -1787,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "quality_sample": q_quality_sample,
         "contamination_semantic": q_contamination_semantic,
+        "ccnet_buckets": q_ccnet_buckets,
     }
     # Round-9 rotation (VERDICT r8 task #4): the 51 entries the r8 driver
     # did NOT sample come FIRST, so the r9 driver's 50-query sample gives
@@ -2556,4 +2567,5 @@ WHERE p.quality >= 0.3
     sqls["dsir_select"] = _cp.sql_dsir_select()
     sqls["quality_sample"] = _cp.sql_quality_sample()
     sqls["contamination_semantic"] = sim.sql_contamination_semantic()
+    sqls["ccnet_buckets"] = _cp.sql_ccnet_buckets()
     return sqls

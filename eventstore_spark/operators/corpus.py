@@ -911,3 +911,102 @@ SELECT {id_col} AS doc_id, {source_col} AS source,
        {u} < CAST(round(({q}) * 1e6) AS BIGINT) AS kept
 FROM {table}
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity buckets
+# ---------------------------------------------------------------------------
+
+def ccnet_buckets(docs: DataFrame, top_v: int | None = 1000,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  lang_col: str = "lang") -> DataFrame:
+    """CCNet's quality tiers (Wenzek et al. 2019, arXiv:1911.00359 §4.3):
+    split each LANGUAGE's documents into head/middle/tail thirds by
+    language-model score — the standard way web corpora ship graded
+    quality slices. The LM here is the corpus unigram model of
+    ``textops.lm_score`` (CCNet uses per-language KenLM perplexity; the
+    per-language PERCENTILE mechanics, which is what this operator is
+    about, are identical).
+
+    bucket = head if 3*rank <= n_lang, middle if 3*rank <= 2*n_lang,
+    else tail, with rank by (lm_score desc, doc_id) within the language.
+
+    Scale shape — the per-language rank is DISTRIBUTED, never a one-task
+    sort of a whole language: scores quantize to a coarse integer key
+    (floor(score*100), monotone in score); per-(lang, key) counts — a few
+    thousand rows — prefix-sum per language on the driver into literal
+    offsets (the ``pack_shards`` recipe); the fine rank is a row_number
+    window partitioned by (lang, key). offset + within-rank reproduces
+    the global per-language rank EXACTLY (the key is a function of the
+    score, so (key desc, score desc, doc_id) == (score desc, doc_id)) —
+    and the oracle pins that equality against a true global window.
+
+    Returns (doc_id, lang, lm_score, lang_rank, bucket).
+    """
+    from .textops import lm_score
+
+    scored = lm_score(docs, top_v=top_v, text_col=text_col).join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")),
+        "doc_id",
+    )
+    based = scored.withColumn(
+        "_q", F.floor(F.col("lm_score") * 100).cast("long")
+    )
+    counts = based.groupBy("lang", "_q").agg(
+        F.count(F.lit(1)).alias("c")).collect()
+    if not counts:
+        return based.select(
+            "doc_id", "lang", "lm_score",
+            F.lit(0).cast("long").alias("lang_rank"),
+            F.lit("head").alias("bucket"),
+        ).where(F.lit(False))
+    per_lang: dict[str, dict[int, int]] = {}
+    for r in counts:
+        per_lang.setdefault(r["lang"], {})[int(r["_q"])] = int(r["c"])
+    okvs, nkvs = [], []
+    for lang, qs in per_lang.items():
+        acc = 0
+        for qk in sorted(qs, reverse=True):  # higher key == higher score
+            okvs += [F.lit(f"{lang}|{qk}"), F.lit(acc)]
+            acc += qs[qk]
+        nkvs += [F.lit(lang), F.lit(acc)]
+    omap, nmap = F.create_map(*okvs), F.create_map(*nkvs)
+    w = Window.partitionBy("lang", "_q").orderBy(
+        F.col("lm_score").desc(), F.col("doc_id"))
+    key = F.concat(F.col("lang"), F.lit("|"), F.col("_q").cast("string"))
+    ranked = based.withColumn(
+        "lang_rank",
+        (omap[key] + F.row_number().over(w)).cast("long"),
+    ).withColumn("_n", nmap[F.col("lang")])
+    return ranked.select(
+        "doc_id", "lang", "lm_score", "lang_rank",
+        F.when(F.col("lang_rank") * 3 <= F.col("_n"), "head")
+        .when(F.col("lang_rank") * 3 <= F.col("_n") * 2, "middle")
+        .otherwise("tail").alias("bucket"),
+    )
+
+
+def sql_ccnet_buckets(top_v: int | None = 1000, table: str = "documents",
+                      id_col: str = "doc_id", text_col: str = "text",
+                      lang_col: str = "lang") -> str:
+    """DuckDB oracle: the TRUE global per-language window — pinning that
+    the distributed offset+within-bucket rank equals it exactly."""
+    from .textops import sql_lm_score
+
+    lm = sql_lm_score(top_v=top_v, table=table, text_col=text_col)
+    return f"""
+WITH j AS (
+  SELECT a.doc_id, a.lm_score, d.{lang_col} AS lang
+  FROM ({lm}) a JOIN {table} d ON a.doc_id = d.{id_col}
+), r AS (
+  SELECT doc_id, lang, lm_score,
+         row_number() OVER (PARTITION BY lang ORDER BY lm_score DESC, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM j
+)
+SELECT doc_id, lang, lm_score, CAST(rnk AS BIGINT) AS lang_rank,
+       CASE WHEN rnk * 3 <= n THEN 'head'
+            WHEN rnk * 3 <= n * 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r
+"""

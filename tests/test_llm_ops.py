@@ -1080,3 +1080,36 @@ def test_contamination_semantic_flags_planted_neighbor(spark):
     assert set(out) == {10, 11}
     assert out[10].contaminated and out[10].best_bench_id == 2 and out[10].n_hits == 1
     assert not out[11].contaminated and out[11].n_hits == 0 and out[11].max_sim == 0.0
+
+
+def test_ccnet_buckets_thirds_and_rank_permutation(spark):
+    """Per-language thirds: ranks are a 1..n permutation inside each
+    language, bucket sizes follow the 3*rank <= n / <= 2n boundaries, and
+    higher-scoring (more fluent) docs land in head."""
+    from eventstore_spark.operators.corpus import ccnet_buckets
+
+    rows = []
+    # 9 'en' docs: 3 fluent (common words), 3 mixed, 3 rare-garbage
+    for i in range(3):
+        rows.append((i, "the the the and and of of to is", "en"))
+    for i in range(3, 6):
+        rows.append((i, "the and zebra quartz of to fjord", "en"))
+    for i in range(6, 9):
+        rows.append((i, f"xylophone{i} quixotic{i} jackdaw{i}", "en"))
+    # 4 'de' docs: an n=4 language exercises uneven thirds (1/1/2)
+    for i in range(9, 13):
+        rows.append((i, "der die das und ist " + "der " * (13 - i), "de"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = ccnet_buckets(docs, top_v=None).collect()
+    en = sorted((r for r in out if r.lang == "en"), key=lambda r: r.lang_rank)
+    de = sorted((r for r in out if r.lang == "de"), key=lambda r: r.lang_rank)
+    assert [r.lang_rank for r in en] == list(range(1, 10))
+    assert [r.lang_rank for r in de] == list(range(1, 5))
+    assert [r.bucket for r in en] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    assert [r.bucket for r in de] == ["head", "middle", "tail", "tail"]
+    # fluent docs rank above garbage docs
+    assert {r.doc_id for r in en[:3]} == {0, 1, 2}
+    assert {r.doc_id for r in en[-3:]} == {6, 7, 8}
+    # rank order is (score desc, doc_id asc): the three identical fluent
+    # docs tie-break by id
+    assert [r.doc_id for r in en[:3]] == [0, 1, 2]
