@@ -785,15 +785,15 @@ def dsir_select(docs: DataFrame, target_lang: str = "de", k: int = 50,
         .where(F.col("g") != "")
         .select("doc_id", "lang", bucket.alias("b"))
     )
-    raw = grams.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
-    tgt = (
-        grams.where(F.col("lang") == target_lang)
-        .groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
-    )
+    # ONE aggregation pass builds both bucket models (raw + target) — a
+    # separate target aggregate would re-scan and re-hash the exploded
+    # n-gram stream (the expensive part) a second time
     w = Window.partitionBy()
     stats = (
-        raw.join(tgt, "b", "left")
-        .withColumn("tc", F.coalesce(F.col("tc"), F.lit(0)))
+        grams.groupBy("b").agg(
+            F.count(F.lit(1)).alias("rc"),
+            F.count(F.when(F.col("lang") == target_lang, F.lit(1))).alias("tc"),
+        )
         .withColumn("_T", F.sum("tc").over(w))
         .withColumn("_R", F.sum("rc").over(w))
     )
@@ -836,14 +836,12 @@ WITH base AS (
   SELECT doc_id, lang,
          CAST('0x' || substr(md5('{salt}|' || g), 1, 8) AS BIGINT) % {buckets} AS b
   FROM ng, unnest(ngs) AS z(g) WHERE g <> ''
-), raw AS (
-  SELECT b, CAST(count(*) AS BIGINT) AS rc FROM grams GROUP BY b
-), tgt AS (
-  SELECT b, CAST(count(*) AS BIGINT) AS tc FROM grams WHERE lang = '{target_lang}' GROUP BY b
 ), stats AS (
-  SELECT raw.b, coalesce(tgt.tc, 0) AS tc, raw.rc,
-         sum(coalesce(tgt.tc, 0)) OVER () AS T, sum(raw.rc) OVER () AS R
-  FROM raw LEFT JOIN tgt USING (b)
+  SELECT b, CAST(count(*) AS BIGINT) AS rc,
+         CAST(count(*) FILTER (WHERE lang = '{target_lang}') AS BIGINT) AS tc,
+         sum(CAST(count(*) FILTER (WHERE lang = '{target_lang}') AS BIGINT)) OVER () AS T,
+         sum(CAST(count(*) AS BIGINT)) OVER () AS R
+  FROM grams GROUP BY b
 ), lam AS (
   SELECT b,
          CAST(round(ln(CAST(tc + 1 AS DOUBLE) / CAST(T + {buckets} AS DOUBLE)) * 1e6) AS BIGINT)

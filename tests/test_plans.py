@@ -186,6 +186,8 @@ BNLJ_OK = {
     # ONE-ROW corpus-stats aggregate broadcast back over the scan
     # (the scalar-subquery shape, same as lm_score's totals)
     "embedding_outliers",
+    # embeds lm_score, inheriting its one-row totals broadcasts
+    "ccnet_buckets",
     # ONE-ROW scalar-subquery broadcasts (r8): q11's global revenue
     # total, q22's positive-balance average — both build sides are a
     # single aggregate row by construction
