@@ -58,10 +58,15 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 # Spark-SQL text: adjacent-token bigrams of a staged `_toks` array column.
 # Guarded so size<2 yields [] — sequence(1,0) would count DOWN in Spark.
+# zip_with over two slices, NOT transform(sequence, i -> _toks[i-1] ...):
+# after projection collapse, every `_toks[i]` subscript re-evaluates the
+# whole upstream split expression, turning bigram construction O(len^2)
+# per row — measured 94 s -> 5.4 s on a 6.1M-gram explode at sf1. The
+# slice form references the array a constant number of times.
 SPARK_SQL_BIGRAMS = (
     "IF(size(_toks) < 2, array(), "
-    "transform(sequence(1, size(_toks) - 1), "
-    "i -> concat(_toks[i-1], ' ', _toks[i])))"
+    "zip_with(slice(_toks, 1, size(_toks) - 1), "
+    "slice(_toks, 2, size(_toks) - 1), (a, b) -> concat(a, ' ', b)))"
 )
 
 

@@ -886,7 +886,10 @@ def quality_sample(docs: DataFrame, salt: str = "qsample-v1",
             16, 10,
         ).cast("long") % 1_000_000
     )
-    return docs.select(
+    # spread: the quality score is regex-profiling work (token split +
+    # two regex counts per row) — measured 4.3x per 10x step on a
+    # single-file input without it, scan-task-starved not compute-bound
+    return spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.col(source_col).alias("source"),
         F.round(q * 1e6).cast("long").alias("p_micro"),
