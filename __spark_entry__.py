@@ -1617,6 +1617,16 @@ def q_quality_sample(spark, sf):
     return cp.quality_sample(_table(spark, sf, "documents"))
 
 
+def q_kmv_distinct(spark, sf):
+    """Per-source distinct-token cardinality via the deterministic KMV
+    (bottom-k) sketch — mergeable k-values state instead of a full
+    COUNT(DISTINCT) shuffle (textops.kmv_distinct); the fixed md5 hash
+    makes even the ESTIMATE oracle-checkable bit-for-bit."""
+    from eventstore_spark.operators.textops import kmv_distinct
+
+    return kmv_distinct(_table(spark, sf, "documents"))
+
+
 def q_ccnet_buckets(spark, sf):
     """CCNet head/middle/tail quality tiers (arXiv:1911.00359 §4.3):
     per-language thirds by LM score, rank computed distributively
@@ -1798,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_sample": q_quality_sample,
         "contamination_semantic": q_contamination_semantic,
         "ccnet_buckets": q_ccnet_buckets,
+        "kmv_distinct": q_kmv_distinct,
     }
     # Round-9 rotation (VERDICT r8 task #4): the 51 entries the r8 driver
     # did NOT sample come FIRST, so the r9 driver's 50-query sample gives
@@ -2568,4 +2579,7 @@ WHERE p.quality >= 0.3
     sqls["quality_sample"] = _cp.sql_quality_sample()
     sqls["contamination_semantic"] = sim.sql_contamination_semantic()
     sqls["ccnet_buckets"] = _cp.sql_ccnet_buckets()
+    from eventstore_spark.operators.textops import sql_kmv_distinct
+
+    sqls["kmv_distinct"] = sql_kmv_distinct()
     return sqls

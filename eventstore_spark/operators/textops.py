@@ -868,3 +868,77 @@ SELECT doc_id,
             AS BIGINT) AS flesch_decile
 FROM c
 """
+
+
+def kmv_distinct(docs: DataFrame, k: int = 64, group_col: str = "source",
+                 text_col: str = "text") -> DataFrame:
+    """Distinct-token cardinality per group via the K-Minimum-Values
+    sketch (Bar-Yossef et al. 2002 — the bottom-k theta-sketch family):
+    keep each group's k smallest md5 token hashes; the k-th smallest
+    value t estimates distinct count as (k-1) / t with t scaled to
+    (0, 1]. The standard way to size vocabularies / monitor dedup ratios
+    at 100 TB without paying a full COUNT(DISTINCT) shuffle of every
+    token — the sketch is mergeable and the per-group state is k values
+    no matter how many tokens stream past.
+
+    Unlike HyperLogLog (Spark's approx_count_distinct), KMV on a FIXED
+    hash is exactly deterministic: the same k-th minimum falls out of any
+    engine, so the estimate itself is oracle-checkable bit-for-bit.
+
+    Scale shape: map-side partial aggregation collapses the exploded
+    token stream to (group, hash) candidates; the bottom-k per group is
+    a keyed window over the per-group DISTINCT hashes — never a global
+    sort. Exact distincts below k report exactly (est = seen count).
+
+    Returns (group, n_sketch, kth_hash, est_distinct).
+    """
+    h = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    SCALE = float(16 ** 15)  # hash domain size: 15 hex chars
+    toks = spread(docs).select(
+        F.col(group_col).alias("group"),
+        F.explode(X.tokens(F.col(text_col))).alias("token"),
+    ).where(F.col("token") != "")
+    hashes = toks.select("group", h.alias("h")).distinct()
+    w = Window.partitionBy("group").orderBy("h")
+    bottom = (
+        hashes.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .groupBy("group")
+        .agg(F.count(F.lit(1)).alias("n_sketch"), F.max("h").alias("kth_hash"))
+    )
+    return bottom.select(
+        "group", "n_sketch", "kth_hash",
+        F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double"))
+        .otherwise(
+            (F.lit(float(k - 1)) * F.lit(SCALE))
+            / F.col("kth_hash").cast("double")
+        ).alias("est_distinct"),
+    )
+
+
+def sql_kmv_distinct(k: int = 64, group_col: str = "source",
+                     table: str = "documents", text_col: str = "text") -> str:
+    toks = X.SQL_TOKENS.format(c=text_col)
+    scale = float(16 ** 15)
+    return f"""
+WITH t AS (
+  SELECT {group_col} AS "group", unnest({toks}) AS token FROM {table}
+), h AS (
+  SELECT DISTINCT "group",
+         CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+  FROM t WHERE token <> ''
+), r AS (
+  SELECT "group", h, row_number() OVER (PARTITION BY "group" ORDER BY h) AS rk
+  FROM h
+)
+SELECT "group", CAST(count(*) AS BIGINT) AS n_sketch,
+       CAST(max(h) AS BIGINT) AS kth_hash,
+       CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+            ELSE ({float(k - 1)!r} * {scale!r}) / CAST(max(h) AS DOUBLE)
+       END AS est_distinct
+FROM r WHERE rk <= {k}
+GROUP BY "group"
+"""

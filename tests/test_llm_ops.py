@@ -1113,3 +1113,25 @@ def test_ccnet_buckets_thirds_and_rank_permutation(spark):
     # rank order is (score desc, doc_id asc): the three identical fluent
     # docs tie-break by id
     assert [r.doc_id for r in en[:3]] == [0, 1, 2]
+
+
+def test_kmv_distinct_exact_below_k_and_estimates_above(spark):
+    """Groups with < k distinct tokens report EXACT counts; a group with
+    many distincts estimates within the sketch's expected error band
+    (~1/sqrt(k)); the sketch state never exceeds k values."""
+    from eventstore_spark.operators.textops import kmv_distinct
+
+    rows = [(1, "alpha beta gamma alpha beta", "small")]
+    # 2000 distinct tokens spread over 20 docs in one group
+    for d in range(20):
+        words = " ".join(f"w{d}_{i}" for i in range(100))
+        rows.append((10 + d, words, "big"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.group: r for r in kmv_distinct(docs, k=64).collect()}
+    assert out["small"].n_sketch == 3
+    assert out["small"].est_distinct == 3.0        # exact below k
+    assert out["big"].n_sketch == 64               # state capped at k
+    assert 2000 * 0.7 < out["big"].est_distinct < 2000 * 1.3
+    # determinism: a second run reproduces the estimate bit-for-bit
+    again = {r.group: r for r in kmv_distinct(docs, k=64).collect()}
+    assert again["big"].est_distinct == out["big"].est_distinct
