@@ -1627,6 +1627,16 @@ def q_kmv_distinct(spark, sf):
     return kmv_distinct(_table(spark, sf, "documents"))
 
 
+def q_bpe_train(spark, sf):
+    """Iterative BPE merge training (arXiv:1508.07909): 4 rounds of
+    most-frequent-pair fusion over the word-frequency table, greedy
+    left-to-right merge application as a codegen'd fold; the oracle
+    unrolls the identical loop into one CTE chain (textops.bpe_train)."""
+    from eventstore_spark.operators.textops import bpe_train
+
+    return bpe_train(_table(spark, sf, "documents"), merges=4)
+
+
 def q_ccnet_buckets(spark, sf):
     """CCNet head/middle/tail quality tiers (arXiv:1911.00359 §4.3):
     per-language thirds by LM score, rank computed distributively
@@ -1809,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_semantic": q_contamination_semantic,
         "ccnet_buckets": q_ccnet_buckets,
         "kmv_distinct": q_kmv_distinct,
+        "bpe_train": q_bpe_train,
     }
     # Round-9 rotation (VERDICT r8 task #4): the 51 entries the r8 driver
     # did NOT sample come FIRST, so the r9 driver's 50-query sample gives
@@ -2582,4 +2593,7 @@ WHERE p.quality >= 0.3
     from eventstore_spark.operators.textops import sql_kmv_distinct
 
     sqls["kmv_distinct"] = sql_kmv_distinct()
+    from eventstore_spark.operators.textops import sql_bpe_train
+
+    sqls["bpe_train"] = sql_bpe_train(merges=4)
     return sqls

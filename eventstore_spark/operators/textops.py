@@ -942,3 +942,165 @@ SELECT "group", CAST(count(*) AS BIGINT) AS n_sketch,
 FROM r WHERE rk <= {k}
 GROUP BY "group"
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (iterative)
+# ---------------------------------------------------------------------------
+
+# Internal separators for the merge fold's serialized accumulator
+# ("out<SEP1>carry", out symbols joined by SEP2). Control chars never
+# survive the whitespace tokenizer, so they cannot collide with symbols.
+_BPE_SEP1, _BPE_SEP2 = "\x01", "\x02"
+
+
+def _bpe_pairs(syms: Column) -> Column:
+    """Adjacent symbol pairs "a b" (zip_with slices — see
+    functions/text.SPARK_SQL_BIGRAMS for why not subscripts)."""
+    n = F.size(syms)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(syms, 1, n - 1), F.slice(syms, 2, n - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    )
+
+
+def _bpe_merge_fold(syms: Column, a: Column, b: Column) -> Column:
+    """Greedy left-to-right non-overlapping merge of adjacent (a, b) into
+    ab — THE BPE merge application — as one codegen'd left fold. The
+    accumulator is a serialized (out, carry) pair: carry holds the last
+    unmatched symbol so (carry==a, next==b) can fuse; "aaa" under (a,a)
+    correctly yields [aa, a]."""
+    s1, s2 = F.lit(_BPE_SEP1), F.lit(_BPE_SEP2)
+
+    def join2(x, y):
+        return F.when(y == "", x).otherwise(
+            F.when(x == "", y).otherwise(F.concat(x, s2, y))
+        )
+
+    def step(acc, x):
+        out = F.split_part(acc, s1, F.lit(1))
+        carry = F.split_part(acc, s1, F.lit(2))
+        return F.when(
+            (carry == a) & (x == b),
+            F.concat(join2(out, F.concat(a, b)), s1),
+        ).otherwise(F.concat(join2(out, carry), s1, x))
+
+    folded = F.aggregate(syms, s1, step)
+    full = join2(
+        F.split_part(folded, s1, F.lit(1)), F.split_part(folded, s1, F.lit(2))
+    )
+    return F.filter(F.split(full, _BPE_SEP2), lambda s: s != "")
+
+
+def bpe_train(docs: DataFrame, merges: int = 3,
+              text_col: str = "text") -> DataFrame:
+    """Train byte-pair-encoding merges (Sennrich et al. 2016,
+    arXiv:1508.07909) — the ITERATIVE tokenizer-training loop itself, not
+    just one counting round (``bpe_pair_counts``): start from characters,
+    repeatedly fuse the most frequent adjacent symbol pair (count desc,
+    pair asc tie-break), apply the merge greedily left-to-right, repeat.
+
+    Scale shape — classic BPE trains on the WORD-FREQUENCY table, and so
+    does this: one explode+groupBy collapses the corpus to (word, count)
+    — the only corpus-sized pass, cached across rounds — after which each
+    round is two tiny jobs over the vocabulary (a weighted pair count
+    with map-side partial aggregation + a TakeOrdered(1) argmax) and a
+    codegen'd fold rewriting the symbol arrays. The driver holds one
+    (pair, count) row per round — the reference pattern of the trained
+    IVF quantizer (bounded model state, never corpus data).
+
+    Stops early when no pair remains. Returns the ordered merge table
+    (step, left_sym, right_sym, merged, n) — the trained artifact a
+    tokenizer loads.
+    """
+    spark = docs.sparkSession
+    toks = spread(docs).select(
+        F.explode(X.tokens(F.col(text_col))).alias("w")
+    ).where(F.col("w") != "")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(F.col("w"))),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    vocab = (
+        toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+        .select("w", "n", chars.alias("syms"))
+        .cache()
+    )
+    syms = vocab
+    out_rows = []
+    for step in range(1, merges + 1):
+        best = (
+            syms.select(F.col("n"), F.explode(_bpe_pairs(F.col("syms"))).alias("pair"))
+            .groupBy("pair").agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair"))
+            .limit(1).collect()
+        )
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+        a, b = pair.split(" ", 1)
+        out_rows.append((step, a, b, a + b, cnt))
+        syms = syms.withColumn(
+            "syms", _bpe_merge_fold(F.col("syms"), F.lit(a), F.lit(b))
+        )
+    return spark.createDataFrame(
+        out_rows, "step long, left_sym string, right_sym string, "
+                  "merged string, n long"
+    )
+
+
+def sql_bpe_train(merges: int = 3, table: str = "documents",
+                  text_col: str = "text") -> str:
+    """DuckDB oracle: the same loop UNROLLED into one CTE chain per merge
+    round — pair counts, argmax, and the identical serialized-accumulator
+    fold (list_reduce with a prepended initial element), so the trained
+    merge tables match row-for-row."""
+    toks = X.SQL_TOKENS.format(c=text_col)
+    sep1, sep2 = "chr(1)", "chr(2)"
+
+    def join2(x, y):
+        return (f"(CASE WHEN {y} = '' THEN {x} WHEN {x} = '' THEN {y} "
+                f"ELSE {x} || {sep2} || {y} END)")
+
+    def fold(syms, a, b):
+        out = f"split_part(acc, {sep1}, 1)"
+        carry = f"split_part(acc, {sep1}, 2)"
+        step = (
+            f"CASE WHEN {carry} = {a} AND x = {b} "
+            f"THEN {join2(out, f'({a} || {b})')} || {sep1} "
+            f"ELSE {join2(out, carry)} || {sep1} || x END"
+        )
+        folded = f"list_reduce(list_prepend({sep1}, {syms}), (acc, x) -> {step})"
+        full = join2(f"split_part({folded}, {sep1}, 1)",
+                     f"split_part({folded}, {sep1}, 2)")
+        return f"list_filter(string_split({full}, {sep2}), s -> s <> '')"
+
+    pairs = "list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i+1])"
+    ctes = [f"""t AS (
+  SELECT u AS w FROM {table}, unnest({toks}) AS z(u) WHERE u <> ''
+)""", """s0 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n,
+         list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)) AS syms
+  FROM t GROUP BY w
+)"""]
+    finals = []
+    for i in range(1, merges + 1):
+        prev = f"s{i - 1}"
+        ctes.append(f"""p{i} AS (
+  SELECT u AS pair, CAST(sum(n) AS BIGINT) AS cnt
+  FROM {prev}, unnest({pairs}) AS z(u) GROUP BY u
+)""")
+        ctes.append(f"""b{i} AS (
+  SELECT split_part(pair, ' ', 1) AS la, split_part(pair, ' ', 2) AS lb, cnt
+  FROM p{i} ORDER BY cnt DESC, pair LIMIT 1
+)""")
+        ctes.append(f"""s{i} AS (
+  SELECT w, n, {fold("syms", "la", "lb")} AS syms FROM {prev}, b{i}
+)""")
+        finals.append(
+            f"SELECT CAST({i} AS BIGINT) AS step, la AS left_sym, lb AS right_sym, "
+            f"la || lb AS merged, cnt AS n FROM b{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)

@@ -1135,3 +1135,35 @@ def test_kmv_distinct_exact_below_k_and_estimates_above(spark):
     # determinism: a second run reproduces the estimate bit-for-bit
     again = {r.group: r for r in kmv_distinct(docs, k=64).collect()}
     assert again["big"].est_distinct == out["big"].est_distinct
+
+
+def test_bpe_train_merge_sequence_hand_computed(spark):
+    """The classic BPE walkthrough: with hug x4, pug/pun/bun x1 the merge
+    order is (u,g) -> (h,ug) -> (u,n) -> then the count-1 tie breaks
+    lexicographically to (b,un)."""
+    from eventstore_spark.operators.textops import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "hug hug hug hug pug pun bun")], "doc_id long, text string")
+    got = [(r.step, r.left_sym, r.right_sym, r.merged, r.n)
+           for r in bpe_train(docs, merges=4).orderBy("step").collect()]
+    assert got == [
+        (1, "u", "g", "ug", 5),
+        (2, "h", "ug", "hug", 4),
+        (3, "u", "n", "un", 2),
+        (4, "b", "un", "bun", 1),
+    ]
+
+
+def test_bpe_train_greedy_overlap_and_early_stop(spark):
+    """Greedy left-to-right application: "aaa" under (a,a) becomes
+    [aa, a] (NOT [a, aa] or [aa, aa]), visible in round 2's counts; the
+    loop stops early once words are fully merged."""
+    from eventstore_spark.operators.textops import bpe_train
+
+    docs = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
+    got = [(r.step, r.merged, r.n)
+           for r in bpe_train(docs, merges=10).orderBy("step").collect()]
+    # round1: two (a,a) pairs per word x2 words = 4; greedy -> [aa, a]
+    # round2: one (aa,a) pair per word x2 words = 2; then single symbols
+    assert got == [(1, "aa", 4), (2, "aaa", 2)]
