@@ -1637,6 +1637,16 @@ def q_bpe_train(spark, sf):
     return bpe_train(_table(spark, sf, "documents"), merges=4)
 
 
+def q_bpe_apply(spark, sf):
+    """BPE tokenization with the trained merge table (the inference side
+    of bpe_train): chained greedy merge folds inside one shuffle-free
+    projection; the oracle re-trains the same merges in SQL
+    (textops.bpe_apply)."""
+    from eventstore_spark.operators.textops import bpe_apply
+
+    return bpe_apply(_table(spark, sf, "documents"), merges=4)
+
+
 def q_ccnet_buckets(spark, sf):
     """CCNet head/middle/tail quality tiers (arXiv:1911.00359 §4.3):
     per-language thirds by LM score, rank computed distributively
@@ -1820,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "kmv_distinct": q_kmv_distinct,
         "bpe_train": q_bpe_train,
+        "bpe_apply": q_bpe_apply,
     }
     # Round-9 rotation (VERDICT r8 task #4): the 51 entries the r8 driver
     # did NOT sample come FIRST, so the r9 driver's 50-query sample gives
@@ -2596,4 +2607,7 @@ WHERE p.quality >= 0.3
     from eventstore_spark.operators.textops import sql_bpe_train
 
     sqls["bpe_train"] = sql_bpe_train(merges=4)
+    from eventstore_spark.operators.textops import sql_bpe_apply
+
+    sqls["bpe_apply"] = sql_bpe_apply(merges=4)
     return sqls

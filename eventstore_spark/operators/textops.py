@@ -988,8 +988,17 @@ def _bpe_merge_fold(syms: Column, a: Column, b: Column) -> Column:
         ).otherwise(F.concat(join2(out, carry), s1, x))
 
     folded = F.aggregate(syms, s1, step)
-    full = join2(
-        F.split_part(folded, s1, F.lit(1)), F.split_part(folded, s1, F.lit(2))
+    # let-binding via a one-element array: `folded` (whose tree contains
+    # the whole upstream fold chain) is referenced ONCE — inlining it into
+    # join2's when-branches would multiply the expression tree ~6x per
+    # chained merge, exponential over a merge table
+    full = F.element_at(
+        F.transform(
+            F.array(folded),
+            lambda f: join2(F.split_part(f, s1, F.lit(1)),
+                            F.split_part(f, s1, F.lit(2))),
+        ),
+        1,
     )
     return F.filter(F.split(full, _BPE_SEP2), lambda s: s != "")
 
@@ -1073,8 +1082,10 @@ def sql_bpe_train(merges: int = 3, table: str = "documents",
             f"ELSE {join2(out, carry)} || {sep1} || x END"
         )
         folded = f"list_reduce(list_prepend({sep1}, {syms}), (acc, x) -> {step})"
-        full = join2(f"split_part({folded}, {sep1}, 1)",
-                     f"split_part({folded}, {sep1}, 2)")
+        # same let-binding-via-singleton-list as the Spark side: reference
+        # the folded chain once, not once per when-branch
+        full = (f"list_transform([{folded}], f -> "
+                f"{join2(f'split_part(f, {sep1}, 1)', f'split_part(f, {sep1}, 2)')})[1]")
         return f"list_filter(string_split({full}, {sep2}), s -> s <> '')"
 
     pairs = "list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i+1])"
@@ -1104,3 +1115,101 @@ def sql_bpe_train(merges: int = 3, table: str = "documents",
             f"la || lb AS merged, cnt AS n FROM b{i}"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+def bpe_apply(docs: DataFrame, merges: int = 4, id_col: str = "doc_id",
+              text_col: str = "text",
+              merge_table: list[tuple[str, str]] | None = None) -> DataFrame:
+    """Tokenize with a TRAINED BPE merge table — the inference side of
+    ``bpe_train`` (the pair: train the merges once, then tokenize the
+    whole corpus with them). ``merge_table`` is the ordered (left, right)
+    list; when None it is trained from ``docs`` itself (``bpe_train``
+    collects ``merges`` driver rows — bounded model state, the trained-IVF
+    pattern).
+
+    Scale shape: application is ONE shuffle-free codegen projection —
+    per word, the chars split and the chained greedy merge folds run
+    inside a `transform` over the token array (each fold references its
+    predecessor once via the let-binding idiom, so the expression stays
+    LINEAR in the merge count), then one in-array sum. The corpus never
+    shuffles; the merge table rides in as literals exactly like the
+    inlined IVF centroids.
+
+    Returns (doc_id, n_words, n_bpe_tokens) — n_bpe_tokens is the
+    post-merge symbol count (== chars when the table is empty, shrinking
+    as merges apply).
+    """
+    if merge_table is None:
+        merge_table = [
+            (r["left_sym"], r["right_sym"])
+            for r in bpe_train(docs, merges=merges, text_col=text_col)
+            .orderBy("step").collect()
+        ]
+
+    def word_symbols(w: Column) -> Column:
+        syms = F.transform(
+            F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+        )
+        for a, b in merge_table:
+            syms = _bpe_merge_fold(syms, F.lit(a), F.lit(b))
+        return syms
+
+    toks = F.filter(X.tokens(F.col(text_col)), lambda t: t != "")
+    return spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(toks, lambda w: F.size(word_symbols(w))),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_bpe_tokens"),
+    )
+
+
+def sql_bpe_apply(merges: int = 4, table: str = "documents",
+                  id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB oracle: re-derives the merge table with ``sql_bpe_train``'s
+    CTE chain (the oracle trains its own model, trained-IVF style), then
+    applies the identical chained folds per word."""
+    toks = X.SQL_TOKENS.format(c=text_col)
+    sep1, sep2 = "chr(1)", "chr(2)"
+
+    def join2(x, y):
+        return (f"(CASE WHEN {y} = '' THEN {x} WHEN {x} = '' THEN {y} "
+                f"ELSE {x} || {sep2} || {y} END)")
+
+    def fold(syms, a, b):
+        out = f"split_part(acc, {sep1}, 1)"
+        carry = f"split_part(acc, {sep1}, 2)"
+        step = (
+            f"CASE WHEN {carry} = {a} AND x = {b} "
+            f"THEN {join2(out, f'({a} || {b})')} || {sep1} "
+            f"ELSE {join2(out, carry)} || {sep1} || x END"
+        )
+        folded = f"list_reduce(list_prepend({sep1}, {syms}), (acc, x) -> {step})"
+        full = (f"list_transform([{folded}], f -> "
+                f"{join2(f'split_part(f, {sep1}, 1)', f'split_part(f, {sep1}, 2)')})[1]")
+        return f"list_filter(string_split({full}, {sep2}), s -> s <> '')"
+
+    # the training CTE chain (t, s0, p1, b1, s1, ... b<merges>)
+    train = sql_bpe_train(merges=merges, table=table, text_col=text_col)
+    train_ctes = train[len("WITH "):train.index("\nSELECT CAST(1")]
+    syms = "list_transform(range(1, len(w) + 1), i -> substr(w, i, 1))"
+    for i in range(1, merges + 1):
+        syms = fold(syms, f"m.la{i}", f"m.lb{i}")
+    merge_cols = ", ".join(
+        f"b{i}.la AS la{i}, b{i}.lb AS lb{i}" for i in range(1, merges + 1)
+    )
+    merge_tables = ", ".join(f"b{i}" for i in range(1, merges + 1))
+    return f"""WITH {train_ctes},
+m AS (SELECT {merge_cols} FROM {merge_tables}),
+docs_w AS (
+  SELECT {id_col} AS doc_id, list_filter({toks}, t -> t <> '') AS ws
+  FROM {table}
+)
+SELECT d.doc_id,
+       CAST(len(d.ws) AS BIGINT) AS n_words,
+       CAST(list_sum(list_transform(d.ws, w -> len({syms}))) AS BIGINT)
+         AS n_bpe_tokens
+FROM docs_w d, m
+"""

@@ -1167,3 +1167,24 @@ def test_bpe_train_greedy_overlap_and_early_stop(spark):
     # round1: two (a,a) pairs per word x2 words = 4; greedy -> [aa, a]
     # round2: one (aa,a) pair per word x2 words = 2; then single symbols
     assert got == [(1, "aa", 4), (2, "aaa", 2)]
+
+
+def test_bpe_apply_counts_shrink_with_merges(spark):
+    """Applying the trained table compresses: zero merges == char count;
+    each applied merge reduces a word's symbol count by its occurrence
+    count; an explicit merge table bypasses training."""
+    from eventstore_spark.operators.textops import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(1, "hug hug"), (2, "pug")], "doc_id long, text string")
+    zero = {r.doc_id: r for r in bpe_apply(docs, merge_table=[]).collect()}
+    assert zero[1].n_words == 2 and zero[1].n_bpe_tokens == 6  # chars
+    assert zero[2].n_bpe_tokens == 3
+    # explicit table: (u,g) then (h,ug) -> hug = 1 symbol, pug = [p, ug]
+    table = [("u", "g"), ("h", "ug")]
+    out = {r.doc_id: r for r in bpe_apply(docs, merge_table=table).collect()}
+    assert out[1].n_bpe_tokens == 2   # [hug] x2
+    assert out[2].n_bpe_tokens == 2   # [p, ug]
+    # trained-from-corpus path: merges=2 trains (u,g) then (h,ug) here
+    trained = {r.doc_id: r for r in bpe_apply(docs, merges=2).collect()}
+    assert trained[1].n_bpe_tokens == 2 and trained[2].n_bpe_tokens == 2
