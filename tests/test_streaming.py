@@ -1300,3 +1300,58 @@ def test_markers_restart_across_maintenance_rewrite(spark, tmp_path):
         "rewrite files published after the original start must not "
         "re-deliver surviving events on restart")
     eng.close()
+
+
+def test_streaming_minhash_neardup_flags_candidates_across_batches(spark, tmp_path):
+    """Bucket-keyed LSH state across micro-batches: an exact copy arriving
+    in a LATER batch matches every band of its original (bool_and(is_first)
+    = false); novel docs own all their buckets; near-dup text shares at
+    least one band."""
+    import pandas as pd
+
+    from eventstore_spark.operators.dedup import streaming_minhash_neardup
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    src = tmp_path / "nd_in"
+    src.mkdir()
+    pd.DataFrame(
+        [(1, base), (2, "completely different text about spark query engines here")],
+        columns=["doc_id", "text"],
+    ).to_parquet(src / "b1.parquet")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    out = streaming_minhash_neardup(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("nd")
+        .option("checkpointLocation", str(tmp_path / "ndck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        verdict = {
+            r.doc_id: r for r in spark.sql(
+                "SELECT doc_id, bool_and(is_first) AS novel, "
+                "count(*) AS n_bands FROM nd GROUP BY doc_id").collect()
+        }
+        assert verdict[1].novel and verdict[2].novel
+        assert verdict[1].n_bands == 3
+        # batch 2: doc 3 = exact copy of 1, doc 4 = near-dup, doc 5 novel
+        pd.DataFrame(
+            [(3, base), (4, base.replace("quick", "slow")),
+             (5, "unrelated words entirely new content stream processing")],
+            columns=["doc_id", "text"],
+        ).to_parquet(src / "b2.parquet")
+        q.processAllAvailable()
+        verdict = {
+            r.doc_id: r for r in spark.sql(
+                "SELECT doc_id, bool_and(is_first) AS novel FROM nd "
+                "GROUP BY doc_id").collect()
+        }
+        assert not verdict[3].novel            # every band hits doc 1
+        assert not verdict[4].novel            # >= 1 band hits doc 1
+        assert verdict[5].novel
+        owners = {r.first_doc_id for r in spark.sql(
+            "SELECT first_doc_id FROM nd WHERE doc_id = 3").collect()}
+        assert owners == {1}
+    finally:
+        q.stop()
