@@ -1647,6 +1647,16 @@ def q_bpe_apply(spark, sf):
     return bpe_apply(_table(spark, sf, "documents"), merges=4)
 
 
+def q_boilerplate_ngrams(spark, sf):
+    """Per-source boilerplate template n-grams: document-frequency ratio
+    over each source's docs (corpus.boilerplate_ngrams); n=2 and a low
+    floor fit the synthetic word-soup corpus's source sizes."""
+    from eventstore_spark.operators import corpus as cp
+
+    return cp.boilerplate_ngrams(_table(spark, sf, "documents"),
+                                 n=2, min_doc_frac=0.2, min_docs=2)
+
+
 def q_ccnet_buckets(spark, sf):
     """CCNet head/middle/tail quality tiers (arXiv:1911.00359 §4.3):
     per-language thirds by LM score, rank computed distributively
@@ -1831,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "bpe_train": q_bpe_train,
         "bpe_apply": q_bpe_apply,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
     }
     # Round-9 rotation (VERDICT r8 task #4): the 51 entries the r8 driver
     # did NOT sample come FIRST, so the r9 driver's 50-query sample gives
@@ -2610,4 +2621,6 @@ WHERE p.quality >= 0.3
     from eventstore_spark.operators.textops import sql_bpe_apply
 
     sqls["bpe_apply"] = sql_bpe_apply(merges=4)
+    sqls["boilerplate_ngrams"] = _cp.sql_boilerplate_ngrams(
+        n=2, min_doc_frac=0.2, min_docs=2)
     return sqls

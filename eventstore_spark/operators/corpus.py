@@ -1011,3 +1011,82 @@ SELECT doc_id, lang, lm_score, CAST(rnk AS BIGINT) AS lang_rank,
             ELSE 'tail' END AS bucket
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram detection
+# ---------------------------------------------------------------------------
+
+def boilerplate_ngrams(docs: DataFrame, n: int = 3, min_doc_frac: float = 0.2,
+                       min_docs: int = 5, source_col: str = "source",
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Boilerplate detection: token ``n``-grams appearing in an outsized
+    fraction of ONE SOURCE's documents — headers, footers, navigation
+    text, license blurbs — the per-site template text C4-style pipelines
+    strip before training. An n-gram is flagged when it occurs in
+    >= ``min_doc_frac`` of a source's docs AND >= ``min_docs`` docs
+    (the floor keeps tiny sources from flagging everything).
+
+    Scale shape: distinct shingles per doc (array_distinct before the
+    explode — document frequency, not term frequency), map-side partial
+    aggregation collapses the stream to (source, shingle) rows, one
+    shuffle; per-source doc totals are a tiny broadcast join. Output is
+    the flagged template table a cleaning pass would join against.
+
+    Returns (source, shingle, df_docs, n_docs, doc_frac) sorted nowhere —
+    order-insensitive like every oracle-compared table.
+    """
+    staged = spread(docs).select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        X.tokens(F.col(text_col)).alias("_toks"),
+    ).withColumn("_sh", F.expr(_shingle_expr(n)))
+    totals = staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    df_counts = (
+        staged.select("source", F.explode("_sh").alias("shingle"))
+        .groupBy("source", "shingle")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+    )
+    joined = df_counts.join(F.broadcast(totals), "source")
+    return (
+        joined.where(
+            (F.col("df_docs") >= min_docs)
+            & (F.col("df_docs").cast("double")
+               >= F.lit(float(min_doc_frac)) * F.col("n_docs").cast("double"))
+        )
+        .select(
+            "source", "shingle", "df_docs", "n_docs",
+            (F.col("df_docs").cast("double") / F.col("n_docs").cast("double"))
+            .alias("doc_frac"),
+        )
+    )
+
+
+def sql_boilerplate_ngrams(n: int = 3, min_doc_frac: float = 0.2,
+                           min_docs: int = 5, table: str = "documents",
+                           source_col: str = "source", id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    toks = X.SQL_TOKENS.format(c=text_col)
+    return f"""
+WITH base AS (
+  SELECT {source_col} AS source, {id_col} AS doc_id, {toks} AS toks FROM {table}
+), sh AS (
+  SELECT source, doc_id,
+         CASE WHEN len(toks) < {n} THEN []
+              ELSE list_distinct(list_transform(range(1, len(toks) - {n} + 2),
+                     i -> array_to_string(array_slice(toks, i, i + {n} - 1), ' ')))
+         END AS shs
+  FROM base
+), totals AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM base GROUP BY source
+), dfc AS (
+  SELECT source, u AS shingle, CAST(count(*) AS BIGINT) AS df_docs
+  FROM sh, unnest(shs) AS z(u) GROUP BY source, u
+)
+SELECT d.source, d.shingle, d.df_docs, t.n_docs,
+       CAST(d.df_docs AS DOUBLE) / CAST(t.n_docs AS DOUBLE) AS doc_frac
+FROM dfc d JOIN totals t USING (source)
+WHERE d.df_docs >= {min_docs}
+  AND CAST(d.df_docs AS DOUBLE) >= {float(min_doc_frac)!r} * CAST(t.n_docs AS DOUBLE)
+"""

@@ -1188,3 +1188,29 @@ def test_bpe_apply_counts_shrink_with_merges(spark):
     # trained-from-corpus path: merges=2 trains (u,g) then (h,ug) here
     trained = {r.doc_id: r for r in bpe_apply(docs, merges=2).collect()}
     assert trained[1].n_bpe_tokens == 2 and trained[2].n_bpe_tokens == 2
+
+
+def test_boilerplate_ngrams_flags_per_source_templates(spark):
+    """A footer repeated across one source's docs is flagged for THAT
+    source only; unique body text never flags; the min_docs floor
+    protects tiny sources."""
+    from eventstore_spark.operators.corpus import boilerplate_ngrams
+
+    footer = "subscribe to our newsletter"
+    rows = []
+    for i in range(10):
+        rows.append((i, f"alpha{i} beta{i} gamma{i} delta{i} " + footer, "siteA"))
+    for i in range(10, 20):
+        rows.append((i, f"epsilon{i} zeta{i} eta{i} theta{i} iota{i}", "siteB"))
+    rows.append((20, footer, "tiny"))  # 1 doc < min_docs floor
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = boilerplate_ngrams(docs, n=3, min_doc_frac=0.5, min_docs=3).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, set()).add(r.shingle)
+    assert "subscribe to our" in by_src.get("siteA", set())
+    assert all(r.df_docs == 10 and r.doc_frac == 1.0 for r in out)
+    assert set(by_src) == {"siteA"}  # per-source docs unique elsewhere;
+    # the tiny source's footer is floored out by min_docs
+    assert all("subscribe" in s or "to our" in s or "our newsletter" in s
+               for s in by_src["siteA"])
