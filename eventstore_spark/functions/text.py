@@ -46,13 +46,22 @@ def shingles(text: Column, n: int = 3) -> Column:
 
     Docs shorter than n tokens get one shingle = the whole normalized text,
     so every doc participates in minhash.
+
+    Built as a zip_with CHAIN over n shifted slices — not
+    transform(sequence, i -> slice(toks, i, n)): a derived array
+    referenced inside a per-element lambda re-evaluates its whole
+    expression per element after projection collapse (O(len²) splits;
+    measured 53 s -> 6.5 s on a 3M-shingle explode at sf1).
     """
     toks = tokens(text)
     k = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), k - n + 1),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    m = k - n + 1
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, 1 + j, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.when(k >= n, grams).otherwise(F.array(normalize(text)))
 
 

@@ -225,12 +225,16 @@ SELECT doc_id, n_tokens, CAST(floor(start / {budget_tokens}) AS BIGINT) AS shard
 # ---------------------------------------------------------------------------
 
 def _shingle_expr(n: int) -> str:
-    # 1-based slice(start, length); size < n yields [].
-    return (
-        f"IF(size(_toks) < {n}, array(), "
-        f"array_distinct(transform(sequence(1, size(_toks) - {n} + 1), "
-        f"i -> concat_ws(' ', slice(_toks, i, {n})))))"
-    )
+    # zip-chain over n shifted slices (size < n yields []) — never
+    # slice(_toks, i, n) inside the per-element lambda (the derived array
+    # re-evaluates per element after projection collapse; see
+    # functions/text.shingles).
+    m = f"size(_toks) - {n} + 1"
+    grams = f"slice(_toks, 1, {m})"
+    for j in range(1, n):
+        grams = (f"zip_with({grams}, slice(_toks, {1 + j}, {m}), "
+                 f"(a, b) -> concat(a, ' ', b))")
+    return f"IF(size(_toks) < {n}, array(), array_distinct({grams}))"
 
 
 def contamination_overlap(docs: DataFrame, bench_max_id: int = 20, n: int = 8,
@@ -568,14 +572,25 @@ def span_dedup_profile(docs: DataFrame, span_tokens: int = 10,
     staged = spread(docs).select(
         F.col(id_col).alias("doc_id"), X.tokens(F.col(text_col)).alias("_toks")
     )
-    span_sql = (
-        f"transform(sequence(1, size(_toks) - {span_tokens} + 1, {stride}), "
-        f"i -> CAST(conv(substring(md5(array_join(slice(_toks, i, {span_tokens}), ' ')), "
-        f"1, 15), 16, 10) AS BIGINT))"
+    # zip-chain over span_tokens shifted slices + index-filter for the
+    # stride — never slice(_toks, i, n) inside a per-element lambda (the
+    # derived array re-evaluates per element after projection collapse;
+    # see functions/text.shingles)
+    toks = F.col("_toks")
+    m = F.size(toks) - span_tokens + 1
+    grams = F.slice(toks, 1, m)
+    for j in range(1, span_tokens):
+        grams = F.zip_with(grams, F.slice(toks, 1 + j, m),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+    if stride > 1:
+        grams = F.filter(grams, lambda x, i: i % stride == 0)
+    span_hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
     )
     spans = (
         staged.where(F.size("_toks") >= span_tokens)
-        .select("doc_id", F.explode(F.expr(span_sql)).alias("h"))
+        .select("doc_id", F.explode(span_hashes).alias("h"))
     )
     counts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("copies"))
     flagged = (
