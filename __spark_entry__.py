@@ -1657,6 +1657,44 @@ def q_boilerplate_ngrams(spark, sf):
                                  n=2, min_doc_frac=0.2, min_docs=2)
 
 
+def q_hashed_doc_vectors(spark, sf):
+    """Feature-hashing text vectors (Weinberger et al. 2009, the
+    HashingVectorizer trick): signed token-count buckets as exact sparse
+    BIGINT rows — the in-engine text->vector bridge to the ANN/near-dup
+    operators (operators/feature_hash.py)."""
+    from eventstore_spark.operators import feature_hash as fh
+
+    return fh.feature_hash_vectors(_table(spark, sf, "documents"))
+
+
+def q_text_neardup_hashed(spark, sf):
+    """Model-free text near-dup: cosine over feature-hashed vectors,
+    sign-LSH candidate buckets, exact cross-multiplied-integer verify
+    (operators/feature_hash.py)."""
+    from eventstore_spark.operators import feature_hash as fh
+
+    return fh.text_neardup_hashed(_table(spark, sf, "documents"))
+
+
+def q_winnowing_fingerprints(spark, sf):
+    """Winnowing local fingerprints (Schleimer et al., SIGMOD 2003 /
+    MOSS): per-window min n-gram hash, rightmost ties — any shared
+    win+n-1-word run between two docs shares a fingerprint
+    (operators/dedup.py)."""
+    from eventstore_spark.operators import dedup as dd
+
+    return dd.winnowing_fingerprints(_table(spark, sf, "documents"))
+
+
+def q_leakage_safe_split(spark, sf):
+    """Cluster-aware train/val/test split: the split hash is taken on the
+    near-dup cluster representative, so paraphrases can never straddle
+    train and test (operators/corpus.py)."""
+    from eventstore_spark.operators import corpus as cp
+
+    return cp.leakage_safe_split(_table(spark, sf, "documents"), threshold=0.5)
+
+
 def q_ccnet_buckets(spark, sf):
     """CCNet head/middle/tail quality tiers (arXiv:1911.00359 §4.3):
     per-language thirds by LM score, rank computed distributively
@@ -1842,6 +1880,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_apply": q_bpe_apply,
         "boilerplate_ngrams": q_boilerplate_ngrams,
+        "hashed_doc_vectors": q_hashed_doc_vectors,
+        "text_neardup_hashed": q_text_neardup_hashed,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
+        "leakage_safe_split": q_leakage_safe_split,
     }
     # Round-9 rotation (VERDICT r8 task #4): the 51 entries the r8 driver
     # did NOT sample come FIRST, so the r9 driver's 50-query sample gives
@@ -2623,4 +2665,12 @@ WHERE p.quality >= 0.3
     sqls["bpe_apply"] = sql_bpe_apply(merges=4)
     sqls["boilerplate_ngrams"] = _cp.sql_boilerplate_ngrams(
         n=2, min_doc_frac=0.2, min_docs=2)
+    from eventstore_spark.operators import feature_hash as _fh
+
+    sqls["hashed_doc_vectors"] = _fh.sql_feature_hash_vectors()
+    sqls["text_neardup_hashed"] = _fh.sql_text_neardup_hashed()
+    from eventstore_spark.operators.dedup import sql_winnowing_fingerprints
+
+    sqls["winnowing_fingerprints"] = sql_winnowing_fingerprints()
+    sqls["leakage_safe_split"] = _cp.sql_leakage_safe_split(threshold=0.5)
     return sqls

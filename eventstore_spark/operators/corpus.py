@@ -1105,3 +1105,72 @@ FROM dfc d JOIN totals t USING (source)
 WHERE d.df_docs >= {min_docs}
   AND CAST(d.df_docs AS DOUBLE) >= {float(min_doc_frac)!r} * CAST(t.n_docs AS DOUBLE)
 """
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test splits (cluster-aware splitting)
+# ---------------------------------------------------------------------------
+
+def leakage_safe_split(docs: DataFrame, threshold: float = 0.5,
+                       val_pct: int = 10, test_pct: int = 10,
+                       salt: str = "split-v1", id_col: str = "doc_id",
+                       text_col: str = "text", **minhash_kw) -> DataFrame:
+    """Train/val/test assignment that can never leak a near-duplicate
+    across splits: the split is a deterministic hash of the document's
+    near-dup CLUSTER representative (``duplicate_clusters`` transitive
+    closure), not of the document itself — so every member of a near-dup
+    cluster lands in the same split. Splitting by doc hash alone puts
+    paraphrases of one document in both train and test, the contamination
+    failure mode documented for web-scale corpora (Lee et al. 2021,
+    arXiv:2107.06499 §5; GPT-3 appendix C) that motivates dedup-aware
+    splitting.
+
+    bucket = md5(salt | canonical_id) % 100; [0, 100-val-test) -> train,
+    then val, then test. Returns (doc_id, canonical_id, bucket, split)
+    for every doc.
+
+    Plan: the cluster closure's label table covers only docs appearing in
+    some near-dup pair (tiny vs corpus); assignment back to docs is one
+    keyed join; the bucket hash is a codegen'd projection. No extra
+    shuffle beyond duplicate_clusters itself.
+    """
+    train_hi = 100 - val_pct - test_pct
+    clus = duplicate_clusters(docs, id_col=id_col, text_col=text_col,
+                              threshold=threshold, **minhash_kw)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"),
+                               F.col("canonical_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % 100
+    )
+    out = clus.select("doc_id", "canonical_id", bucket.alias("bucket"))
+    return out.withColumn(
+        "split",
+        F.when(F.col("bucket") < train_hi, "train")
+        .when(F.col("bucket") < train_hi + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def sql_leakage_safe_split(threshold: float = 0.5, val_pct: int = 10,
+                           test_pct: int = 10, salt: str = "split-v1",
+                           table: str = "documents", **minhash_kw) -> str:
+    train_hi = 100 - val_pct - test_pct
+    clus = sql_duplicate_clusters(threshold=threshold, table=table,
+                                  **minhash_kw)
+    return f"""
+WITH clus AS ({clus}),
+b AS (
+  SELECT doc_id, canonical_id,
+         CAST('0x' || substr(md5('{salt}|' || CAST(canonical_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 100 AS bucket
+  FROM clus
+)
+SELECT doc_id, canonical_id, bucket,
+       CASE WHEN bucket < {train_hi} THEN 'train'
+            WHEN bucket < {train_hi + val_pct} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""

@@ -898,3 +898,101 @@ JOIN {table} da ON p.a = da.doc_id
 JOIN {table} db ON p.b = db.doc_id
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (local document fingerprinting)
+# ---------------------------------------------------------------------------
+
+def winnowing_fingerprints(docs: DataFrame, n: int = 3, win: int = 4,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS
+    fingerprinting algorithm): hash every word ``n``-gram, slide a window
+    of ``win`` consecutive hashes, and keep the minimum hash of each
+    window (rightmost position on ties). The selected (hash, position)
+    set is a position-robust fingerprint — any shared substring of at
+    least ``win + n - 1`` words between two documents is GUARANTEED to
+    share a fingerprint, which whole-doc hashes (``fingerprint``) and
+    sampled shingles (minhash) cannot promise.
+
+    Returns (doc_id, pos, fp) — one row per selected fingerprint, pos is
+    the 1-based n-gram position. Documents with fewer than ``win``
+    n-grams contribute their single global-min hash, so every document is
+    represented.
+
+    Implementation: rather than per-row array gymnastics, the window
+    minimum runs as two KEYED window functions over the exploded
+    (doc, pos, hash) rows — both partitioned by doc_id, so at 100 TB this
+    is one shuffle on doc_id and two linear passes per partition, no
+    corpus-wide sort.  Selection rule: with key = hash * 2^21 - pos
+    (min-hash, rightmost tie), a position j is selected iff its key
+    equals the min-key of SOME window covering j; since every window
+    containing j has min <= key_j, that is equivalent to
+    max over windows covering j of (window min) == key_j — the forward
+    rolling min followed by a backward rolling max, both O(1) per row.
+    Positions cap at 2^21 grams/doc before key collision (a ~10 MB text
+    document at avg 5 chars/word); beyond that widen the constant.
+    """
+    grams = shingles(F.col(text_col), n)
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(grams).alias("m"),
+        F.posexplode(grams).alias("pos0", "gram"),
+    )
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("win|"), F.col("gram"))), 1, 8),
+               16, 10).cast("long")
+    g = g.select(
+        "doc_id", "m", (F.col("pos0") + 1).alias("pos"), h.alias("fp")
+    ).withColumn("key", F.col("fp") * (1 << 21) - F.col("pos"))
+    fwd = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, win - 1)
+    )
+    bwd = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(-(win - 1), Window.currentRow)
+    )
+    wmin = F.when(
+        F.col("pos") <= F.greatest(F.col("m") - win + 1, F.lit(1)),
+        F.min("key").over(fwd),
+    )
+    sel = g.withColumn("wmin", wmin).withColumn("sel", F.max("wmin").over(bwd))
+    return sel.where(F.col("sel") == F.col("key")).select("doc_id", "pos", "fp")
+
+
+def sql_winnowing_fingerprints(n: int = 3, win: int = 4,
+                               table: str = "documents",
+                               id_col: str = "doc_id",
+                               text_col: str = "text") -> str:
+    """DuckDB oracle twin — identical hash, key encoding and two-pass
+    window-min/max selection."""
+    grams = sql_shingles(text_col, n)
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id, {grams} AS grams FROM {table}
+), e AS (
+  SELECT doc_id, len(grams) AS m,
+         unnest(generate_series(1, len(grams))) AS pos, grams
+  FROM t
+), g AS (
+  SELECT doc_id, m, CAST(pos AS BIGINT) AS pos,
+         CAST('0x' || substr(md5('win|' || grams[pos]), 1, 8) AS BIGINT) AS fp
+  FROM e
+), k AS (
+  SELECT doc_id, m, pos, fp, fp * 2097152 - pos AS key FROM g
+), w AS (
+  SELECT doc_id, pos, fp, key,
+         CASE WHEN pos <= greatest(m - {win} + 1, 1)
+              THEN min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND {win - 1} FOLLOWING)
+         END AS wmin
+  FROM k
+), s AS (
+  SELECT doc_id, pos, fp, key,
+         max(wmin) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN {win - 1} PRECEDING AND CURRENT ROW) AS sel
+  FROM w
+)
+SELECT doc_id, pos, fp FROM s WHERE sel = key
+"""
