@@ -1657,6 +1657,24 @@ def q_boilerplate_ngrams(spark, sf):
                                  n=2, min_doc_frac=0.2, min_docs=2)
 
 
+def q_bm25_search(spark, sf):
+    """Okapi BM25 top-k full-text retrieval (Robertson & Zaragoza 2009,
+    Lucene +1 idf) for a fixed keyword query; scores in exact integer
+    micro-units, ties to doc_id (operators/textops.py)."""
+    from eventstore_spark.operators.textops import bm25_search
+
+    return bm25_search(_table(spark, sf, "documents"),
+                       "hash join stream window dup", k=20)
+
+
+def q_winnowing_neardup(spark, sf):
+    """MOSS-style copy-detection pairs: documents sharing >= 2 winnowing
+    fingerprints, counted once per fingerprint (operators/dedup.py)."""
+    from eventstore_spark.operators import dedup as dd
+
+    return dd.winnowing_neardup(_table(spark, sf, "documents"))
+
+
 def q_hashed_doc_vectors(spark, sf):
     """Feature-hashing text vectors (Weinberger et al. 2009, the
     HashingVectorizer trick): signed token-count buckets as exact sparse
@@ -1880,6 +1898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_apply": q_bpe_apply,
         "boilerplate_ngrams": q_boilerplate_ngrams,
+        "bm25_search": q_bm25_search,
+        "winnowing_neardup": q_winnowing_neardup,
         "hashed_doc_vectors": q_hashed_doc_vectors,
         "text_neardup_hashed": q_text_neardup_hashed,
         "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -2667,6 +2687,11 @@ WHERE p.quality >= 0.3
         n=2, min_doc_frac=0.2, min_docs=2)
     from eventstore_spark.operators import feature_hash as _fh
 
+    from eventstore_spark.operators.dedup import sql_winnowing_neardup
+    from eventstore_spark.operators.textops import sql_bm25_search
+
+    sqls["bm25_search"] = sql_bm25_search("hash join stream window dup", k=20)
+    sqls["winnowing_neardup"] = sql_winnowing_neardup()
     sqls["hashed_doc_vectors"] = _fh.sql_feature_hash_vectors()
     sqls["text_neardup_hashed"] = _fh.sql_text_neardup_hashed()
     from eventstore_spark.operators.dedup import sql_winnowing_fingerprints

@@ -996,3 +996,51 @@ WITH t AS (
 )
 SELECT doc_id, pos, fp FROM s WHERE sel = key
 """
+
+
+def winnowing_neardup(docs: DataFrame, n: int = 3, win: int = 4,
+                      min_shared: int = 2, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Copy-detection pairs from shared winnowing fingerprints (the MOSS
+    match step): two documents pair when they share at least
+    ``min_shared`` selected fingerprints — by the winnowing guarantee,
+    that witnesses shared word runs, robust to where in each document
+    the copied span sits.
+
+    Returns (a, b, shared) — fingerprint-count per pair.
+
+    Scale shape: an inverted-index self-join keyed on fp (the n-gram
+    overlap bound Σ df(fp)²), distinct per (pair, fp) so repeated spans
+    count once, then one pair-keyed aggregate. High-frequency hashes are
+    the skew keys; AQE's skew-join split handles them, and raising
+    ``win`` thins selections ~1/win before the join.
+    """
+    wf = winnowing_fingerprints(docs, n, win, id_col, text_col)
+    uniq = wf.select("doc_id", "fp").distinct()
+    a = uniq.select(F.col("doc_id").alias("a"), "fp")
+    b = uniq.select(F.col("doc_id").alias("b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    return shared
+
+
+def sql_winnowing_neardup(n: int = 3, win: int = 4, min_shared: int = 2,
+                          table: str = "documents",
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    wf = sql_winnowing_fingerprints(n, win, table, id_col, text_col)
+    return f"""
+WITH wf AS ({wf})
+SELECT a, b, shared FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+  FROM (SELECT DISTINCT doc_id, fp FROM wf) x
+  JOIN (SELECT DISTINCT doc_id, fp FROM wf) y
+    ON x.fp = y.fp AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+) WHERE shared >= {min_shared}
+"""

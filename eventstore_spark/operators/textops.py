@@ -1213,3 +1213,126 @@ SELECT d.doc_id,
          AS n_bpe_tokens
 FROM docs_w d, m
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 full-text retrieval
+# ---------------------------------------------------------------------------
+
+def bm25_search(docs: DataFrame, query: str, k: int = 20,
+                k1: float = 1.2, b: float = 0.75,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Okapi BM25 top-k retrieval (Robertson & Zaragoza 2009, the Lucene
+    ``+1`` idf form) for a literal keyword query — full-text search as a
+    first-class engine operator, no index service required.
+
+      idf(t)   = ln((N - df + 0.5) / (df + 0.5) + 1)
+      score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Determinism: idf and each per-term contribution round to integer
+    MICRO-units (the lm_score micronat convention) so the DuckDB oracle
+    reproduces scores bit-for-bit; ranking ties break on doc_id.
+
+    Returns the top ``k`` as (doc_id, score_micro, rank).
+
+    Plan shape at 100 TB: the exploded token stream filters to the
+    query's terms IMMEDIATELY (an isin over a literal list — pushed into
+    the scan's generate), so the tf aggregate sees |q|·matching rows, not
+    the corpus token stream; N/avgdl is a one-row aggregate broadcast
+    (the scalar-subquery shape, BNLJ-allowlisted); the idf table is |q|
+    rows broadcast into the per-doc score; the final top-k is
+    TakeOrderedAndProject — no global sort, no corpus-wide window.
+    """
+    qts = sorted({t for t in query.lower().split() if t})
+    toks = F.filter(X.tokens(F.col(text_col)), lambda t: t != "")
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    dl = base.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("t"))
+        .where(F.col("t").isin(qts))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.crossJoin(F.broadcast(stats.select("n_docs"))).select(
+        "t",
+        F.round(
+            F.log(
+                (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+                / (F.col("df").cast("double") + 0.5)
+                + 1.0
+            ) * 1e6
+        ).cast("long").alias("idf_micro"),
+    )
+    term = (
+        tf.join(F.broadcast(idf), "t")
+        .join(dl.hint("shuffle_hash"), "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf_micro").cast("double")
+                * (F.col("tf").cast("double") * (k1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+                )
+            ).cast("long").alias("term_micro"),
+        )
+    )
+    scored = term.groupBy("doc_id").agg(F.sum("term_micro").alias("score_micro"))
+    top = scored.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def sql_bm25_search(query: str, k: int = 20, k1: float = 1.2, b: float = 0.75,
+                    table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    qts = sorted({t for t in query.lower().split() if t})
+    qlist = ", ".join(f"'{t}'" for t in qts)
+    toks = X.SQL_TOKENS.format(c=text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, list_filter({toks}, x -> x <> '') AS toks FROM {table}
+), dl AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+  WHERE t IN ({qlist}) GROUP BY doc_id, t
+), df_t AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t
+), idf AS (
+  SELECT t, CAST(round(ln(
+           (CAST(s.n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+           / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1e6) AS BIGINT) AS idf_micro
+  FROM df_t, stats s
+), term AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           CAST(idf.idf_micro AS DOUBLE)
+           * (CAST(tf.tf AS DOUBLE) * {k1 + 1.0!r})
+           / (CAST(tf.tf AS DOUBLE)
+              + {k1!r} * (1.0 - {b!r} + {b!r} * CAST(dl.dl AS DOUBLE) / s.avgdl))
+         ) AS BIGINT) AS term_micro
+  FROM tf JOIN idf USING (t) JOIN dl USING (doc_id), stats s
+), scored AS (
+  SELECT doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro
+  FROM term GROUP BY doc_id
+), top AS (
+  SELECT doc_id, score_micro FROM scored
+  ORDER BY score_micro DESC, doc_id LIMIT {k}
+)
+SELECT doc_id, score_micro,
+       CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+FROM top
+"""

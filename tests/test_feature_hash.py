@@ -114,3 +114,50 @@ def test_leakage_safe_split_clusters_stay_together(docs):
 def test_leakage_safe_split_pct_bounds(docs):
     out = cp.leakage_safe_split(docs, threshold=0.4, val_pct=0, test_pct=0)
     assert {r.split for r in out.collect()} == {"train"}
+
+
+def test_bm25_ranks_rare_term_doc_first(spark):
+    from eventstore_spark.operators.textops import bm25_search
+
+    rows = [
+        (1, "rareword common common common", "en", "s", 30),
+        (2, "common common common common common", "en", "s", 35),
+        (3, "common other words entirely", "en", "s", 27),
+        (4, "unrelated text here", "en", "s", 19),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    top = bm25_search(docs, "rareword common", k=4).collect()
+    assert top[0].doc_id == 1  # rare term dominates
+    assert [r.rank for r in top] == list(range(1, len(top) + 1))
+    assert all(top[i].score_micro >= top[i + 1].score_micro
+               for i in range(len(top) - 1))
+    assert not any(r.doc_id == 4 for r in top)  # no query term -> absent
+
+
+def test_bm25_length_normalization(spark):
+    from eventstore_spark.operators.textops import bm25_search
+
+    # same tf for the query term; shorter doc must score higher (b > 0)
+    rows = [
+        (1, "target one two", "en", "s", 10),
+        (2, "target one two three four five six seven eight nine", "en", "s", 40),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    top = bm25_search(docs, "target", k=2).collect()
+    assert top[0].doc_id == 1 and top[0].score_micro > top[1].score_micro
+
+
+def test_winnowing_neardup_detects_copied_span(docs):
+    from eventstore_spark.operators.dedup import winnowing_neardup
+
+    # the winnowing guarantee is >= 1 shared fingerprint per shared
+    # win+n-1-word run, so detect the single copied span at min_shared=1
+    pairs = {(r.a, r.b): r.shared
+             for r in winnowing_neardup(docs, min_shared=1).collect()}
+    assert (1, 2) in pairs          # identical docs share everything
+    assert (5, 6) in pairs          # copied 8-word run at different offsets
+    assert not any(4 in (a, b) for a, b in pairs)  # unrelated doc stays out
+    # identical docs share every fingerprint; the span pair shares fewer
+    assert pairs[(1, 2)] > pairs[(5, 6)]

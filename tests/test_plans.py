@@ -192,6 +192,9 @@ BNLJ_OK = {
     # total, q22's positive-balance average — both build sides are a
     # single aggregate row by construction
     "tpch_q11_nation_value", "tpch_q22_global_sales_opportunity",
+    # ONE-ROW N/avgdl corpus-stats aggregate broadcast (scalar-subquery
+    # shape); the idf and tf sides join keyed
+    "bm25_search",
 }
 
 SF1_DIR = "/root/repo/.localdata/sf1"  # tools/gen_sf.py output
