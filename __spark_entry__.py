@@ -1675,6 +1675,37 @@ def q_winnowing_neardup(spark, sf):
     return dd.winnowing_neardup(_table(spark, sf, "documents"))
 
 
+def q_ann_pq(spark, sf):
+    """Product-quantization ANN (Jégou et al. 2011): all-integer
+    per-subspace k-means codebooks + ADC scoring over the 8-byte code
+    table — the third ANN strategy beside IVF and sign-LSH
+    (similarity.py: pq_topk); the oracle re-trains the identical
+    codebooks, every distance an exact BIGINT."""
+    return sim.pq_topk(_table(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10)
+
+
+def q_heavy_hitters(spark, sf):
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    top-30 tokens by sketch estimate at depth 4 x width 16 — fixed md5
+    row hashes make the estimate itself oracle-checkable, and the
+    narrow width exercises real collision mass (overcount > 0)
+    (textops.heavy_hitters)."""
+    from eventstore_spark.operators.textops import heavy_hitters
+
+    return heavy_hitters(_table(spark, sf, "documents"), depth=4, width=16, k=30)
+
+
+def q_line_dedup(spark, sf):
+    """RefinedWeb/CCNet line-level dedup (arXiv:2306.01116 §3.2): drop
+    lines repeating across >= 2 documents, reassemble surviving lines in
+    order (corpus.line_dedup). On the single-line synthetic corpus this
+    degenerates to exact-document boilerplate removal — multi-line
+    behavior is pinned by unit tests."""
+    from eventstore_spark.operators.corpus import line_dedup
+
+    return line_dedup(_table(spark, sf, "documents"), min_docs=2)
+
+
 def q_hashed_doc_vectors(spark, sf):
     """Feature-hashing text vectors (Weinberger et al. 2009, the
     HashingVectorizer trick): signed token-count buckets as exact sparse
@@ -1900,6 +1931,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "bm25_search": q_bm25_search,
         "winnowing_neardup": q_winnowing_neardup,
+        "ann_pq": q_ann_pq,
+        "heavy_hitters": q_heavy_hitters,
+        "line_dedup": q_line_dedup,
         "hashed_doc_vectors": q_hashed_doc_vectors,
         "text_neardup_hashed": q_text_neardup_hashed,
         "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -2692,6 +2726,13 @@ WHERE p.quality >= 0.3
 
     sqls["bm25_search"] = sql_bm25_search("hash join stream window dup", k=20)
     sqls["winnowing_neardup"] = sql_winnowing_neardup()
+    sqls["ann_pq"] = sim.sql_pq_topk(ANN_QUERY_IDS, k=10)
+    from eventstore_spark.operators.textops import sql_heavy_hitters
+
+    sqls["heavy_hitters"] = sql_heavy_hitters(depth=4, width=16, k=30)
+    from eventstore_spark.operators.corpus import sql_line_dedup
+
+    sqls["line_dedup"] = sql_line_dedup(min_docs=2)
     sqls["hashed_doc_vectors"] = _fh.sql_feature_hash_vectors()
     sqls["text_neardup_hashed"] = _fh.sql_text_neardup_hashed()
     from eventstore_spark.operators.dedup import sql_winnowing_fingerprints

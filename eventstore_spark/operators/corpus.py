@@ -1174,3 +1174,91 @@ SELECT doc_id, canonical_id, bucket,
             ELSE 'test' END AS split
 FROM b
 """
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup (RefinedWeb / CCNet paragraph dedup)
+# ---------------------------------------------------------------------------
+
+def line_dedup(docs: DataFrame, min_docs: int = 3, sep: str = "\n",
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Remove lines that repeat across ``min_docs``+ documents — the
+    line-wise dedup step of RefinedWeb (arXiv:2306.01116 §3.2, "removal
+    of duplicated lines/spans") and CCNet's paragraph dedup
+    (arXiv:1911.00359 §3): navigation chrome, cookie banners, and
+    boilerplate headers repeat VERBATIM across pages, so an exact
+    line-hash frequency cut removes them while leaving unique prose
+    untouched.
+
+    Returns every document as (doc_id, clean_text, n_lines, n_removed) —
+    clean_text preserves surviving lines in order ('' when everything was
+    boilerplate).
+
+    Scale shape: one posexplode pass; line frequency is a map-side-
+    combined count over (line_hash, doc) distincts; the verdict join is
+    keyed on line_hash (the hot boilerplate hashes are the skew keys —
+    AQE skew split applies); reassembly is one groupBy(doc) with an
+    in-array sort of (pos, line) structs, never a corpus-wide window.
+    The frequency table is the persisted artifact at warehouse scale.
+    """
+    base = spread(docs).select(F.col(id_col).alias("doc_id"),
+                               F.col(text_col).alias("text"))
+    lines = base.select(
+        "doc_id",
+        F.posexplode(F.split("text", F.lit(sep), -1)).alias("pos", "line"),
+    ).withColumn("lh", F.md5("line"))
+    freq = (
+        lines.select("lh", "doc_id").distinct()
+        .groupBy("lh").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    flagged = lines.join(freq, "lh").withColumn(
+        "drop", F.col("n_docs") >= min_docs
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("drop").cast("long")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("drop"),
+                                   F.struct("pos", "line")).otherwise(None)
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+        .select("doc_id", "clean_text", "n_lines", "n_removed")
+    )
+
+
+def sql_line_dedup(min_docs: int = 3, sep: str = "\n",
+                   table: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text") -> str:
+    sep_sql = "chr(10)" if sep == "\n" else f"'{sep}'"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, string_split({text_col}, {sep_sql}) AS ls FROM {table}
+), lines AS (
+  SELECT doc_id, unnest(ls) AS line,
+         unnest(range(1, len(ls) + 1)) AS pos, md5(unnest(ls)) AS lh
+  FROM base
+), freq AS (
+  SELECT lh, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM lines GROUP BY lh
+), flagged AS (
+  SELECT l.doc_id, l.pos, l.line, f.n_docs >= {min_docs} AS drop
+  FROM lines l JOIN freq f USING (lh)
+)
+SELECT doc_id,
+       COALESCE(array_to_string(
+         list(line ORDER BY pos) FILTER (WHERE NOT drop), {sep_sql}), '')
+         AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (WHERE drop) AS BIGINT) AS n_removed
+FROM flagged GROUP BY doc_id
+"""

@@ -1044,3 +1044,283 @@ SELECT a.vec_id, a.label, a.max_sim, CAST(best.bench_id AS BIGINT) AS best_bench
        a.n_hits, a.max_sim >= {threshold} AS contaminated
 FROM agg a JOIN best USING (vec_id)
 """
+
+
+# -- product quantization ----------------------------------------------------
+#
+# Jégou, Douze & Schmid 2011, "Product Quantization for Nearest Neighbor
+# Search" (IEEE TPAMI 33(1)) — the standard memory answer for ANN at
+# warehouse scale: a D-dim float vector becomes m one-byte codes
+# (64 floats = 256 B -> 8 B here), and query scoring reads ONLY the code
+# table through a per-query lookup table (ADC), never the vectors.
+# Reference parity: the reference has no vector index at all; this slots
+# beside ivf_topk/lsh_topk as the third ANN strategy (SURVEY §2 pipeline
+# ops), sharing their deterministic integer-quantizer conventions.
+
+
+def train_pq_codebooks(embeddings: DataFrame, m: int = 8, k: int = 16,
+                       iters: int = 2, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> list[list[list[int]]]:
+    """Deterministic per-subspace k-means codebooks (m × k × D/m ints).
+
+    The D dims split into ``m`` contiguous subspaces; each gets its own
+    ``k``-centroid codebook trained by exact-integer L2 k-means: seeds =
+    the k vectors with the smallest (md5(vec_id), vec_id) — the same
+    seeded shuffle ``train_ivf_centroids`` uses — sliced per subspace;
+    each fixed round assigns every subvector to its L2²-nearest centroid
+    (exact BIGINT distances at IVF_SCALE, ties → lowest code) and
+    replaces centroids with exact floor-means (empty codes keep their
+    centroid). Zero floating point anywhere, so the DuckDB oracle
+    (``sql_pq_topk``) re-derives identical codebooks bit-for-bit.
+
+    Scale shape: per round, ONE codegen argmin pass over the corpus (all
+    m subspaces in the same projection) + one (sub, code, pos) partial
+    agg whose result is m·k·(D/m) = k·D rows — only that reaches the
+    driver. At 100 TB you train on a deterministic md5-gated sample with
+    the same machinery, exactly like the IVF coarse quantizer.
+    """
+    base = (
+        spread(embeddings)
+        .select(F.col(id_col).alias("vec_id"),
+                F.expr(_quantize_sql(vec_col)).alias("qvec"))
+        .cache()
+    )
+    try:
+        seeds = (
+            base.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+            .orderBy("_h", "vec_id")
+            .limit(k)
+            .collect()
+        )
+        dim = len(seeds[0]["qvec"])
+        assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+        d = dim // m
+        k = min(k, len(seeds))  # corpus smaller than the codebook; the
+        # oracle's `rn <= k` seed CTE clamps identically
+        books = [
+            [[int(x) for x in r["qvec"][s * d:(s + 1) * d]] for r in seeds]
+            for s in range(m)
+        ]
+        for _ in range(iters):
+            cols = [
+                F.expr(_pq_code_sql("qvec", books[s], s * d + 1, d)).alias(f"c{s}")
+                for s in range(m)
+            ]
+            assigned = base.select("qvec", *cols)
+            parts = assigned.select(
+                F.posexplode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(s).alias("sub"),
+                            F.col(f"c{s}").alias("code"),
+                            F.slice("qvec", s * d + 1, d).alias("sub_v"),
+                        )
+                        for s in range(m)
+                    ])
+                ).alias("_i", "p")
+            ).select("p.sub", "p.code", F.posexplode("p.sub_v").alias("pos", "comp"))
+            sums = (
+                parts.groupBy("sub", "code", "pos")
+                .agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            acc: dict[tuple, tuple] = {}
+            for r in sums:
+                acc[(int(r["sub"]), int(r["code"]), int(r["pos"]))] = (
+                    int(r["s"]), int(r["n"]),
+                )
+            books = [
+                [
+                    [
+                        acc[(s, j, p)][0] // acc[(s, j, p)][1]
+                        if (s, j, p) in acc else books[s][j][p]
+                        for p in range(d)
+                    ]
+                    for j in range(k)
+                ]
+                for s in range(m)
+            ]
+        return books
+    finally:
+        base.unpersist()
+
+
+def _pq_code_sql(qvec_sql: str, book: list[list[int]], start: int, d: int) -> str:
+    """argmin code over one subspace's codebook (Spark SQL text).
+
+    Exact-BIGINT squared-L2 per centroid; array_min over (dist, code)
+    structs gives (smallest distance, lowest code) — struct comparison
+    is lexicographic, so ties break to the lower code with no doubles.
+    """
+    sub = f"slice({qvec_sql}, {start}, {d})"
+    terms = []
+    for j, cv in enumerate(book):
+        dist = (
+            f"aggregate(zip_with({sub}, {_int_lit_array(cv)}, "
+            f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        terms.append(f"named_struct('d', {dist}, 'j', {j})")
+    return f"array_min(array({', '.join(terms)})).j"
+
+
+def pq_encode(embeddings: DataFrame, books: list[list[list[int]]],
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Corpus → (vec_id, codes array<int> of length m): ONE literal-inlined
+    codegen projection, no shuffle — the persisted PQ code table."""
+    m = len(books)
+    d = len(books[0][0])
+    q = _quantize_sql(vec_col)
+    cols = [_pq_code_sql(q, books[s], s * d + 1, d) for s in range(m)]
+    return spread(embeddings).select(
+        F.col(id_col).alias("vec_id"),
+        F.expr("array({})".format(", ".join(cols))).alias("codes"),
+    )
+
+
+def pq_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+            m: int = 8, n_codes: int = 16, iters: int = 2,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """PQ/ADC approximate top-k: for each query, rank the corpus by the
+    asymmetric distance Σ_s ||q_s − book_s[code_s]||² read from a
+    per-query lookup table — the corpus contributes ONLY its code table.
+
+    Returns (query_id, vec_id, rank, adist) — adist an exact BIGINT
+    (IVF_SCALE² units), so the oracle comparison is bit-exact.
+
+    Plan shape at 100 TB: encoding is one no-shuffle projection (cached
+    here; persisted as the code table in a warehouse). Each query's LUT
+    (m·k integers) is computed driver-side from the query vector — the
+    bounded ``query_ids`` collect every ANN operator here shares — and
+    INLINED as literals, so scoring is a codegen scan over 8-byte codes
+    with per-query TakeOrderedAndProject: no join, no shuffle, no vector
+    reads. |Q|·k result rows total.
+    """
+    books = train_pq_codebooks(embeddings, m, n_codes, iters, id_col, vec_col)
+    d = len(books[0][0])
+    codes = pq_encode(embeddings, books, id_col, vec_col).cache()
+    qrows = (
+        spread(embeddings)
+        .where(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"),
+                F.expr(_quantize_sql(vec_col)).alias("qvec"))
+        .collect()
+    )
+    per_query = []
+    for r in sorted(qrows, key=lambda r: r["query_id"]):
+        qv = [int(x) for x in r["qvec"]]
+        luts = [
+            [
+                sum((qv[s * d + p] - cv[p]) ** 2 for p in range(d))
+                for cv in books[s]
+            ]
+            for s in range(m)
+        ]
+        lut_lit = "array({})".format(
+            ", ".join(_int_lit_array(l) for l in luts))
+        adist = (
+            f"aggregate(zip_with(codes, {lut_lit}, "
+            f"(c, lut) -> element_at(lut, c + 1)), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        per_query.append(
+            codes.where(F.col("vec_id") != int(r["query_id"]))
+            .select(
+                F.lit(int(r["query_id"])).cast("long").alias("query_id"),
+                "vec_id",
+                F.expr(adist).alias("adist"),
+            )
+            .orderBy(F.asc("adist"), F.asc("vec_id"))
+            .limit(k)
+        )
+    out = per_query[0]
+    for q in per_query[1:]:
+        out = out.unionAll(q)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return out.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "query_id", "vec_id", "rank", "adist"
+    )
+
+
+def sql_pq_topk(query_ids: list[int], k: int = 10, m: int = 8,
+                n_codes: int = 16, iters: int = 2, dim: int = 64,
+                table: str = "embeddings") -> str:
+    """DuckDB oracle for pq_topk: unrolls the identical all-integer
+    per-subspace k-means (md5-seeded init, exact L2² assignment with
+    ties → lowest code, exact floor-mean updates, empty codes carried by
+    LEFT JOIN), then scores through the same relational LUT — every step
+    is BIGINT-exact in both engines, so codebooks, codes, and distances
+    match bit-for-bit."""
+    ids = ", ".join(str(i) for i in query_ids)
+    d = dim // m
+    ctes = [
+        f"""qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           c -> CAST(floor(CAST(c AS DOUBLE) * {IVF_SCALE}.0) AS BIGINT)) AS qvec
+  FROM {table}
+)""",
+        f"""subs AS (
+  SELECT vec_id, s, list_slice(qvec, s * {d} + 1, (s + 1) * {d}) AS sub_v
+  FROM qz CROSS JOIN (SELECT unnest(range({m})) AS s)
+)""",
+        f"""cb0 AS (
+  SELECT s, CAST(rn - 1 AS BIGINT) AS j,
+         list_slice(qvec, s * {d} + 1, (s + 1) * {d}) AS cvec
+  FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+           qvec
+    FROM qz
+  ) CROSS JOIN (SELECT unnest(range({m})) AS s)
+  WHERE rn <= {n_codes}
+)""",
+    ]
+    l2 = (
+        f"list_reduce(list_transform(range(1, {d + 1}), "
+        f"i -> (v.sub_v[i] - c.cvec[i]) * (v.sub_v[i] - c.cvec[i])), "
+        f"(x, y) -> x + y)"
+    )
+    for t in range(iters):
+        ctes.append(f"""a{t} AS (
+  SELECT vec_id, s, j, sub_v FROM (
+    SELECT v.vec_id, v.s, c.j, v.sub_v, {l2} AS dist
+    FROM subs v JOIN cb{t} c USING (s)
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) = 1
+)""")
+        ctes.append(f"""m{t} AS (
+  SELECT s, j, list(CAST((sm - ((sm % n) + n) % n) / n AS BIGINT) ORDER BY pos) AS cvec
+  FROM (
+    SELECT s, j, pos, SUM(comp) AS sm, COUNT(*) AS n FROM (
+      SELECT s, j, unnest(sub_v) AS comp, unnest(range(1, {d + 1})) AS pos FROM a{t}
+    ) GROUP BY s, j, pos
+  ) GROUP BY s, j
+)""")
+        ctes.append(f"""cb{t + 1} AS (
+  SELECT c.s, c.j, COALESCE(m.cvec, c.cvec) AS cvec
+  FROM cb{t} c LEFT JOIN m{t} m USING (s, j)
+)""")
+    ctes.append(f"""codes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT v.vec_id, v.s, c.j, {l2} AS dist
+    FROM subs v JOIN cb{iters} c USING (s)
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) = 1
+)""")
+    ctes.append(f"""lut AS (
+  SELECT v.vec_id AS query_id, v.s, c.j, {l2} AS ld
+  FROM subs v JOIN cb{iters} c USING (s)
+  WHERE v.vec_id IN ({ids})
+)""")
+    ctes.append("""scored AS (
+  SELECT l.query_id, co.vec_id, CAST(SUM(l.ld) AS BIGINT) AS adist
+  FROM codes co JOIN lut l ON co.s = l.s AND co.code = l.j
+  WHERE co.vec_id <> l.query_id
+  GROUP BY l.query_id, co.vec_id
+)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS BIGINT) AS rank,
+       adist
+FROM scored
+QUALIFY rank <= {k}
+"""

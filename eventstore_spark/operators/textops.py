@@ -1336,3 +1336,99 @@ SELECT doc_id, score_micro,
        CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
 FROM top
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+def heavy_hitters(docs: DataFrame, depth: int = 4, width: int = 256,
+                  k: int = 30, text_col: str = "text") -> DataFrame:
+    """Corpus-wide frequent tokens through a count-min sketch (Cormode &
+    Muthukrishnan 2005, "An improved data stream summary") — the
+    heavy-hitter primitive a 100-TB pipeline uses to find boilerplate
+    tokens / hot n-grams without a full-vocabulary shuffle: the sketch is
+    ``depth × width`` counters (mergeable, fixed size) no matter how many
+    distinct tokens stream past, and est(t) = min_r sketch[r][h_r(t)]
+    ≥ true(t) always (one-sided error).
+
+    Fixed md5 row hashes (h_r(t) = md5("cm<r>|" + t) mod width) make the
+    sketch — and therefore the ESTIMATE itself — deterministic and
+    oracle-checkable bit-for-bit, the same trick ``kmv_distinct`` pulls
+    on HyperLogLog.
+
+    Returns the top ``k`` tokens by estimate: (token, est, exact,
+    overcount) — exact ≤ est by construction, overcount = collision mass.
+
+    Scale shape: ONE map-side-combined pass collapses the token stream to
+    per-token partial counts; the sketch is a groupBy over depth·width
+    keys (tiny, broadcastable); estimates re-join tokens to the sketch on
+    (row, bucket) — a broadcast hash join against the 1k-row sketch; the
+    final top-k is TakeOrderedAndProject. At 100 TB the candidate set
+    feeding the estimate join would be gated (e.g. per-partition local
+    heavy hitters first); here every distinct token is scored so the
+    oracle can check the whole table.
+    """
+    def bucket(r: int) -> Column:
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"cm{r}|"), F.col("token"))),
+                               1, 15), 16, 10)
+            .cast("long") % width
+        )
+
+    toks = (
+        spread(docs)
+        .select(F.explode(X.tokens(F.col(text_col))).alias("token"))
+        .where(F.col("token") != "")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
+    keyed = counts.select(
+        "token", "exact",
+        F.posexplode(F.array(*[bucket(r) for r in range(depth)])).alias("r", "b"),
+    )
+    sketch = keyed.groupBy("r", "b").agg(F.sum("exact").alias("cell"))
+    est = (
+        keyed.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("token", "exact")
+        .agg(F.min("cell").alias("est"))
+    )
+    return (
+        est.select(
+            "token", "est", "exact", (F.col("est") - F.col("exact")).alias("overcount"),
+        )
+        .orderBy(F.desc("est"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def sql_heavy_hitters(depth: int = 4, width: int = 256, k: int = 30,
+                      table: str = "documents", text_col: str = "text") -> str:
+    toks = X.SQL_TOKENS.format(c=text_col)
+    buckets = ", ".join(
+        f"CAST('0x' || substr(md5('cm{r}|' || token), 1, 15) AS BIGINT) % {width} AS b{r}"
+        for r in range(depth)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT token, exact, {r} AS r, b{r} AS b FROM hashed"
+        for r in range(depth)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest({toks}) AS token FROM {table}
+), counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact FROM toks
+  WHERE token <> '' GROUP BY token
+), hashed AS (
+  SELECT token, exact, {buckets} FROM counts
+), keyed AS (
+  {rows}
+), sketch AS (
+  SELECT r, b, CAST(sum(exact) AS BIGINT) AS cell FROM keyed GROUP BY r, b
+), est AS (
+  SELECT k.token, k.exact, CAST(min(s.cell) AS BIGINT) AS est
+  FROM keyed k JOIN sketch s USING (r, b)
+  GROUP BY k.token, k.exact
+)
+SELECT token, est, exact, est - exact AS overcount
+FROM est ORDER BY est DESC, token LIMIT {k}
+"""

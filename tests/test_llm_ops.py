@@ -1214,3 +1214,98 @@ def test_boilerplate_ngrams_flags_per_source_templates(spark):
     # the tiny source's footer is floored out by min_docs
     assert all("subscribe" in s or "to our" in s or "our newsletter" in s
                for s in by_src["siteA"])
+
+
+def test_pq_topk_finds_cluster_mates(vectors):
+    out = sim.pq_topk(vectors, [0, 1], k=5, m=4, n_codes=8).collect()
+    assert {r.query_id for r in out} == {0, 1}
+    for qid in (0, 1):
+        ranks = sorted(r.rank for r in out if r.query_id == qid)
+        assert ranks == [1, 2, 3, 4, 5]
+    # ADC over 8-code-per-subspace books must keep the 4 obvious
+    # clusters separated: top-5 are same-cluster, never the query itself
+    assert all(r.vec_id % 4 == r.query_id % 4 for r in out)
+    assert all(r.vec_id != r.query_id for r in out)
+    # distances ascend within each query
+    for qid in (0, 1):
+        ds = [r.adist for r in sorted(
+            (r for r in out if r.query_id == qid), key=lambda r: r.rank)]
+        assert ds == sorted(ds)
+
+
+def test_pq_zero_quantization_error_is_exact_l2(spark):
+    """With n_codes >= n_vectors every subvector is its own centroid
+    (seeds = the vectors, assignment distance 0, floor-mean = identity),
+    so ADC == the exact L2^2 of the quantized vectors — pin it vs numpy."""
+    import numpy as np
+
+    rows = [(i, [0.1 * ((i * 3 + j) % 7) - 0.2 for j in range(8)]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.pq_topk(emb, [0], k=5, m=4, n_codes=8, iters=1).collect()
+    q = np.floor(np.array(
+        [np.array(r[1], dtype=np.float32).astype(np.float64) * 1_000_000
+         for r in rows]))
+    exact = {i: int(((q[0] - q[i]) ** 2).sum()) for i in range(1, 6)}
+    got = {r.vec_id: r.adist for r in out}
+    assert got == exact
+
+
+def test_pq_codes_shape_and_determinism(vectors):
+    books = sim.train_pq_codebooks(vectors, m=4, k=8, iters=2)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    assert all(len(c) == 2 for b in books for c in b)  # dim 8 / m 4
+    again = sim.train_pq_codebooks(vectors, m=4, k=8, iters=2)
+    assert books == again
+    codes = sim.pq_encode(vectors, books).collect()
+    assert all(len(r.codes) == 4 for r in codes)
+    assert all(0 <= c < 8 for r in codes for c in r.codes)
+
+
+def test_heavy_hitters_sketch_invariants(spark):
+    from eventstore_spark.operators.textops import heavy_hitters
+
+    rows = [
+        (1, " ".join(["hot"] * 50 + ["warm"] * 20 + ["cold", "rare"]), "en", "s", 0),
+        (2, " ".join(["hot"] * 30 + ["warm"] * 10 + ["tepid"]), "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = heavy_hitters(docs, depth=3, width=8, k=10).collect()
+    by_tok = {r.token: r for r in out}
+    # count-min is one-sided: estimate never undercounts
+    assert all(r.est >= r.exact for r in out)
+    assert all(r.overcount == r.est - r.exact for r in out)
+    # the true heavy hitter leads and its exact count is exact
+    assert out[0].token == "hot" and by_tok["hot"].exact == 80
+    assert by_tok["warm"].exact == 30
+    # estimates are sorted desc, ties by token
+    ests = [(-r.est, r.token) for r in out]
+    assert ests == sorted(ests)
+
+
+def test_line_dedup_removes_boilerplate_keeps_prose(spark):
+    from eventstore_spark.operators.corpus import line_dedup
+
+    rows = [
+        (1, "COOKIE BANNER\nunique prose one\nfooter text", "en", "s", 0),
+        (2, "COOKIE BANNER\nanother doc body\nfooter text", "en", "s", 0),
+        (3, "COOKIE BANNER\nthird body line\nfooter text", "en", "s", 0),
+        (4, "totally unique document", "en", "s", 0),
+        (5, "COOKIE BANNER\nfooter text", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r.doc_id: r for r in line_dedup(docs, min_docs=3).collect()}
+    assert out[1].clean_text == "unique prose one" and out[1].n_removed == 2
+    assert out[2].clean_text == "another doc body"
+    assert out[4].clean_text == "totally unique document" and out[4].n_removed == 0
+    # a doc that is ALL boilerplate survives as an empty row, not a drop
+    assert out[5].clean_text == "" and out[5].n_removed == 2
+    assert out[5].n_lines == 2
+    # surviving lines keep original order
+    rows2 = [(9, "z last\nCOMMON\na first", "en", "s", 0),
+             (10, "COMMON", "en", "s", 0), (11, "COMMON", "en", "s", 0)]
+    docs2 = spark.createDataFrame(
+        rows2, "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r.doc_id: r.clean_text for r in line_dedup(docs2, min_docs=3).collect()}
+    assert got[9] == "z last\na first"
