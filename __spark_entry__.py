@@ -1706,6 +1706,16 @@ def q_line_dedup(spark, sf):
     return line_dedup(_table(spark, sf, "documents"), min_docs=2)
 
 
+def q_lsh_calibration(spark, sf):
+    """MinHash estimator calibration (Broder 1997 / MMDS §3.4): banded
+    candidate pairs with signature-estimated vs true Jaccard in exact
+    floor-micro units — the pre-run measurement for choosing
+    (num_hashes, bands) at scale (dedup.lsh_calibration)."""
+    from eventstore_spark.operators.dedup import lsh_calibration
+
+    return lsh_calibration(_table(spark, sf, "documents"))
+
+
 def q_hashed_doc_vectors(spark, sf):
     """Feature-hashing text vectors (Weinberger et al. 2009, the
     HashingVectorizer trick): signed token-count buckets as exact sparse
@@ -1934,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "heavy_hitters": q_heavy_hitters,
         "line_dedup": q_line_dedup,
+        "lsh_calibration": q_lsh_calibration,
         "hashed_doc_vectors": q_hashed_doc_vectors,
         "text_neardup_hashed": q_text_neardup_hashed,
         "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -2733,6 +2744,9 @@ WHERE p.quality >= 0.3
     from eventstore_spark.operators.corpus import sql_line_dedup
 
     sqls["line_dedup"] = sql_line_dedup(min_docs=2)
+    from eventstore_spark.operators.dedup import sql_lsh_calibration
+
+    sqls["lsh_calibration"] = sql_lsh_calibration()
     sqls["hashed_doc_vectors"] = _fh.sql_feature_hash_vectors()
     sqls["text_neardup_hashed"] = _fh.sql_text_neardup_hashed()
     from eventstore_spark.operators.dedup import sql_winnowing_fingerprints

@@ -1044,3 +1044,110 @@ SELECT a, b, shared FROM (
   GROUP BY x.doc_id, y.doc_id
 ) WHERE shared >= {min_shared}
 """
+
+
+def lsh_calibration(docs: DataFrame, num_hashes: int = 9, bands: int = 3,
+                    shingle_n: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """MinHash estimator calibration: for every LSH-banded candidate
+    pair, the signature-estimated Jaccard next to the TRUE shingle-set
+    Jaccard and their signed error — the measurement you run on a sample
+    before committing a (num_hashes, bands) configuration to a 100-TB
+    dedup pass (Broder 1997's estimator; banding analysis per Leskovec,
+    Rajaraman & Ullman, "Mining of Massive Datasets" §3.4).
+
+    est = |matching signature components| / num_hashes; both ratios are
+    reported in exact floor-micro units ((x * 1e6) div y over BIGINTs) so
+    the oracle comparison is bit-exact.
+
+    Returns (a, b, est_micro, true_micro, err_micro), err = est − true.
+
+    Scale shape: identical to ``minhash_lsh_pairs`` (band equi-join for
+    candidates, shuffle-hash set re-fetch joins — Catalyst under-sizes
+    the array-carrying side, PLANS.md §Second decade); the calibration
+    adds only the component-match fold per candidate pair.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signature(docs, id_col, text_col, num_hashes, shingle_n)
+    sigs = sigs.withColumn("sset", F.array_distinct("shingles")).drop("shingles").cache()
+
+    banded = _band_rows(sigs, bands, rows)
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bh"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    refetch = sigs.select("doc_id", "sig", "sset").hint("shuffle_hash")
+    sa = refetch.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"),
+                        F.col("sset").alias("seta"))
+    sb = refetch.select(F.col("doc_id").alias("b"), F.col("sig").alias("sigb"),
+                        F.col("sset").alias("setb"))
+    j = cand.join(sa, "a").join(sb, "b")
+    matches = F.aggregate(
+        F.zip_with("siga", "sigb",
+                   lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    inter = F.size(F.array_intersect("seta", "setb")).cast("long")
+    union = (F.size("seta") + F.size("setb")).cast("long") - inter
+    out = j.select(
+        "a", "b",
+        (matches * F.lit(1_000_000)).alias("_m"),
+        inter.alias("_i"), union.alias("_u"),
+    )
+    return out.select(
+        "a", "b",
+        F.expr(f"_m div {num_hashes}").alias("est_micro"),
+        F.expr("(_i * 1000000) div _u").alias("true_micro"),
+        (F.expr(f"_m div {num_hashes}") - F.expr("(_i * 1000000) div _u")).alias("err_micro"),
+    )
+
+
+def sql_lsh_calibration(num_hashes: int = 9, bands: int = 3,
+                        shingle_n: int = 3, table: str = "documents") -> str:
+    rows = num_hashes // bands
+    sh = sql_shingles("text", shingle_n)
+    sig_elems = ", ".join(
+        f"list_min(list_transform(h, x -> (x * {_mh_a(i)} + {_mh_b(i)}) % {MINHASH_P}))"
+        for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, md5({parts}) AS bh FROM sigs".format(
+            j=j,
+            parts=" || '|' || ".join(
+                f"CAST(sig[{j * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for j in range(bands)
+    )
+    match_sum = (
+        f"list_reduce(list_transform(range(1, {num_hashes + 1}), "
+        f"i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END), (x, y) -> x + y)"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {sh} AS sh FROM {table}
+), hashed AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS h
+  FROM base
+), sigs AS (
+  SELECT doc_id, [{sig_elems}] AS sig, list_distinct(sh) AS sset FROM hashed
+), banded AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+), scored AS (
+  SELECT c.a, c.b,
+         CAST({match_sum} AS BIGINT) * 1000000 AS m,
+         CAST(len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS i,
+         CAST(len(list_distinct(list_concat(sa.sset, sb.sset))) AS BIGINT) AS u
+  FROM cand c JOIN sigs sa ON c.a = sa.doc_id JOIN sigs sb ON c.b = sb.doc_id
+)
+SELECT a, b, m // {num_hashes} AS est_micro, (i * 1000000) // u AS true_micro,
+       m // {num_hashes} - (i * 1000000) // u AS err_micro
+FROM scored
+"""

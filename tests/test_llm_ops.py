@@ -1309,3 +1309,28 @@ def test_line_dedup_removes_boilerplate_keeps_prose(spark):
         rows2, "doc_id long, text string, lang string, source string, n_chars long")
     got = {r.doc_id: r.clean_text for r in line_dedup(docs2, min_docs=3).collect()}
     assert got[9] == "z last\na first"
+
+
+def test_lsh_calibration_identical_docs_est_and_true_full(spark):
+    from eventstore_spark.operators.dedup import lsh_calibration
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 0),
+        (2, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 0),
+        (3, "alpha beta gamma delta epsilon zeta iota kappa", "en", "s", 0),
+        (4, "completely different words here entirely now", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = {(r.a, r.b): r for r in lsh_calibration(docs).collect()}
+    # identical docs: every signature component AND every shingle match
+    r12 = out[(1, 2)]
+    assert r12.est_micro == 1_000_000 and r12.true_micro == 1_000_000
+    assert r12.err_micro == 0
+    # est and err are consistent by construction on every pair
+    for r in out.values():
+        assert r.err_micro == r.est_micro - r.true_micro
+        assert 0 <= r.est_micro <= 1_000_000
+        assert 0 <= r.true_micro <= 1_000_000
+    # the unrelated doc is never a banded candidate
+    assert not any(4 in pair for pair in out)
