@@ -1716,6 +1716,16 @@ def q_lsh_calibration(spark, sf):
     return lsh_calibration(_table(spark, sf, "documents"))
 
 
+def q_kn_perplexity(spark, sf):
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; the
+    KenLM/CCNet fluency-scoring shape): train on source='src0', score
+    every document in exact integer micronats
+    (textops.kn_perplexity)."""
+    from eventstore_spark.operators.textops import kn_perplexity
+
+    return kn_perplexity(_table(spark, sf, "documents"))
+
+
 def q_hashed_doc_vectors(spark, sf):
     """Feature-hashing text vectors (Weinberger et al. 2009, the
     HashingVectorizer trick): signed token-count buckets as exact sparse
@@ -1945,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "line_dedup": q_line_dedup,
         "lsh_calibration": q_lsh_calibration,
+        "kn_perplexity": q_kn_perplexity,
         "hashed_doc_vectors": q_hashed_doc_vectors,
         "text_neardup_hashed": q_text_neardup_hashed,
         "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -2747,6 +2758,9 @@ WHERE p.quality >= 0.3
     from eventstore_spark.operators.dedup import sql_lsh_calibration
 
     sqls["lsh_calibration"] = sql_lsh_calibration()
+    from eventstore_spark.operators.textops import sql_kn_perplexity
+
+    sqls["kn_perplexity"] = sql_kn_perplexity()
     sqls["hashed_doc_vectors"] = _fh.sql_feature_hash_vectors()
     sqls["text_neardup_hashed"] = _fh.sql_text_neardup_hashed()
     from eventstore_spark.operators.dedup import sql_winnowing_fingerprints

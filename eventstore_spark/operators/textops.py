@@ -1432,3 +1432,177 @@ WITH toks AS (
 SELECT token, est, exact, est - exact AS overcount
 FROM est ORDER BY est DESC, token LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM + perplexity
+# ---------------------------------------------------------------------------
+
+def kn_perplexity(docs: DataFrame, train_source: str = "src0",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document cross-entropy under an interpolated Kneser-Ney bigram
+    LM (Kneser & Ney 1995; the KenLM/CCNet fluency-scoring shape — CCNet
+    arXiv:1911.00359 trains a small LM on a clean slice and scores the
+    whole crawl with it): train on ``source == train_source``, score
+    EVERY document.
+
+    Discount fixed at D = 3/4 so every probability is the exact integer
+    rational  num/den:
+
+      seen (w1,w2):  num = (4·c2−3)⁺·B + 3·n1f(w1)·n1p⁺(w2), den = 4·B·c1(w1)
+      unseen, w1 seen: num = 3·n1f(w1)·n1p⁺(w2),              den = 4·B·c1(w1)
+      w1 unseen:       num = n1p⁺(w2),                        den = 4·B
+
+    with c2 = bigram count, c1 = Σ_w2 c2, n1f(w1) = |{w2 : c2>0}|,
+    n1p(w2) = |{w1 : c2>0}| (the continuation count), B = distinct
+    bigram types, and n1p⁺ = max(n1p, 1) as the unseen-word floor.
+    Only the final ln crosses to double — rounded to integer micronats
+    (the lm_score convention), so per-doc totals are exact BIGINT sums.
+
+    Returns (doc_id, n_bigrams, sum_lp_micro, mean_lp_micro) for every
+    document (0/0/0 when the doc has no bigram).
+
+    Scale shape: the model is three aggregates over the TRAIN slice only
+    (pushed source filter); scoring is the corpus bigram stream through
+    three BROADCAST joins — the LM ships to workers, the 100-TB corpus
+    never shuffles; the one real shuffle is the per-doc aggregate.
+    """
+    staged = spread(docs).select(
+        F.col("doc_id"), F.col("source"), X.tokens(F.col(text_col)).alias("_toks")
+    )
+    bigram_structs = (
+        "zip_with(slice(_toks, 1, size(_toks) - 1), "
+        "slice(_toks, 2, size(_toks) - 1), "
+        "(a, b) -> named_struct('w1', a, 'w2', b))"
+    )
+    def bigrams(df):
+        return (
+            df.select("doc_id", F.explode(F.expr(
+                f"IF(size(_toks) < 2, array(), {bigram_structs})")).alias("p"))
+            .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+            .where((F.col("w1") != "") & (F.col("w2") != ""))
+        )
+
+    tb = bigrams(staged.where(F.col("source") == train_source))
+    c2 = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    h = c2.groupBy("w1").agg(F.sum("c2").alias("c1"),
+                             F.count(F.lit(1)).alias("n1f"))
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p"))
+    btot = c2.agg(F.count(F.lit(1)).alias("B"))
+
+    eb = bigrams(staged)
+    scored = (
+        eb.join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(F.broadcast(h), "w1", "left")
+        .join(F.broadcast(cont), "w2", "left")
+        .crossJoin(F.broadcast(btot))
+        .withColumn("n1p_eff", F.greatest(F.coalesce(F.col("n1p"), F.lit(0)), F.lit(1)))
+        .withColumn(
+            "num",
+            F.when(
+                F.col("c2").isNotNull(),
+                F.greatest(F.lit(4) * F.col("c2") - 3, F.lit(0)) * F.col("B")
+                + F.lit(3) * F.col("n1f") * F.col("n1p_eff"),
+            )
+            .when(F.col("c1").isNotNull(),
+                  F.lit(3) * F.col("n1f") * F.col("n1p_eff"))
+            .otherwise(F.col("n1p_eff"))
+            .cast("long"),
+        )
+        .withColumn(
+            "den",
+            F.when(F.col("c1").isNotNull(),
+                   F.lit(4) * F.col("B") * F.col("c1"))
+            .otherwise(F.lit(4) * F.col("B"))
+            .cast("long"),
+        )
+        .withColumn(
+            "lp_micro",
+            F.round(F.log(F.col("num").cast("double") / F.col("den").cast("double"))
+                    * 1e6).cast("long"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("lp_micro").alias("sum_lp_micro"),
+    )
+    base = staged.select("doc_id").distinct()
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("sum_lp_micro", F.lit(0)).cast("long").alias("sum_lp_micro"),
+            # floor-toward-minus-infinity mean on a NON-POSITIVE sum,
+            # written as -((-s) div n): truncation on the non-negative
+            # operand is floor in BOTH engines (Spark div truncates,
+            # DuckDB // floors — they disagree on negatives)
+            F.when(F.coalesce("n_bigrams", F.lit(0)) > 0,
+                   -F.expr("(-sum_lp_micro) div n_bigrams"))
+            .otherwise(F.lit(0)).cast("long").alias("mean_lp_micro"),
+        )
+    )
+
+
+def sql_kn_perplexity(train_source: str = "src0", table: str = "documents",
+                      text_col: str = "text") -> str:
+    toks = X.SQL_TOKENS.format(c=text_col)
+    return f"""
+WITH staged AS (
+  SELECT doc_id, source, {toks} AS toks FROM {table}
+), tb AS (
+  SELECT w1, w2 FROM (
+    SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+           unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+    FROM staged WHERE source = '{train_source}'
+  ) WHERE w1 <> '' AND w2 <> ''
+), c2 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM tb GROUP BY w1, w2
+), h AS (
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1f
+  FROM c2 GROUP BY w1
+), cont AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n1p FROM c2 GROUP BY w2
+), btot AS (
+  SELECT CAST(count(*) AS BIGINT) AS B FROM c2
+), eb AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+           unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+    FROM staged
+  ) WHERE w1 <> '' AND w2 <> ''
+), scored AS (
+  SELECT e.doc_id,
+         CAST(round(ln(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * 1e6) AS BIGINT)
+           AS lp_micro
+  FROM (
+    SELECT e0.doc_id,
+           CASE WHEN c2.c2 IS NOT NULL THEN
+                  greatest(4 * c2.c2 - 3, 0) * b.B
+                  + 3 * h.n1f * greatest(COALESCE(cont.n1p, 0), 1)
+                WHEN h.c1 IS NOT NULL THEN
+                  3 * h.n1f * greatest(COALESCE(cont.n1p, 0), 1)
+                ELSE greatest(COALESCE(cont.n1p, 0), 1) END AS num,
+           CASE WHEN h.c1 IS NOT NULL THEN 4 * b.B * h.c1
+                ELSE 4 * b.B END AS den
+    FROM eb e0
+    LEFT JOIN c2 USING (w1, w2)
+    LEFT JOIN h USING (w1)
+    LEFT JOIN cont USING (w2)
+    CROSS JOIN btot b
+  ) e
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(lp_micro) AS BIGINT) AS sum_lp_micro
+  FROM scored GROUP BY doc_id
+)
+SELECT s.doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       COALESCE(p.sum_lp_micro, 0) AS sum_lp_micro,
+       CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+            THEN -((-p.sum_lp_micro) // p.n_bigrams)
+            ELSE 0 END AS mean_lp_micro
+FROM (SELECT DISTINCT doc_id FROM staged) s
+LEFT JOIN per_doc p USING (doc_id)
+"""

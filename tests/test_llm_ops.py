@@ -1334,3 +1334,33 @@ def test_lsh_calibration_identical_docs_est_and_true_full(spark):
         assert 0 <= r.true_micro <= 1_000_000
     # the unrelated doc is never a banded candidate
     assert not any(4 in pair for pair in out)
+
+
+def test_kn_perplexity_model_properties(spark):
+    from eventstore_spark.operators.textops import kn_perplexity
+
+    rows = [
+        # train slice: "a b" dominates, "a c" seen once
+        (1, "a b a b a b a c", "en", "src0", 0),
+        (2, "a b a b", "en", "src0", 0),
+        # eval-only docs
+        (3, "a b a b", "en", "src1", 0),       # all seen, frequent
+        (4, "a c a c", "en", "src1", 0),       # seen but rare
+        (5, "x y z", "en", "src1", 0),         # w1 unseen everywhere
+        (6, "word", "en", "src1", 0),          # no bigram at all
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r.doc_id: r for r in kn_perplexity(docs, train_source="src0").collect()}
+    # every doc surfaces; bigram-free doc is 0/0/0
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    assert out[6].n_bigrams == 0 and out[6].sum_lp_micro == 0 and out[6].mean_lp_micro == 0
+    # log-probabilities are negative and sums are consistent
+    for d in (1, 2, 3, 4, 5):
+        assert out[d].sum_lp_micro < 0
+        assert out[d].n_bigrams == len(rows[d - 1][1].split()) - 1
+    # frequent seen bigrams beat rare ones beat fully-unseen text
+    assert out[3].mean_lp_micro > out[4].mean_lp_micro > out[5].mean_lp_micro
+    # mean is the floored per-bigram average
+    r = out[3]
+    assert r.mean_lp_micro == -((-r.sum_lp_micro) // r.n_bigrams)
