@@ -1726,6 +1726,14 @@ def q_kn_perplexity(spark, sf):
     return kn_perplexity(_table(spark, sf, "documents"))
 
 
+def q_kmeans_clusters(spark, sf):
+    """First-class k-means cluster profile (the SemDeDup pre-step):
+    deterministic integer k-means, per-cluster size and micro-exact
+    cohesion stats; oracle re-trains the identical quantizer via the
+    shared CTE chain (similarity.kmeans_clusters)."""
+    return sim.kmeans_clusters(_table(spark, sf, "embeddings"))
+
+
 def q_hashed_doc_vectors(spark, sf):
     """Feature-hashing text vectors (Weinberger et al. 2009, the
     HashingVectorizer trick): signed token-count buckets as exact sparse
@@ -1956,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "lsh_calibration": q_lsh_calibration,
         "kn_perplexity": q_kn_perplexity,
+        "kmeans_clusters": q_kmeans_clusters,
         "hashed_doc_vectors": q_hashed_doc_vectors,
         "text_neardup_hashed": q_text_neardup_hashed,
         "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -2761,6 +2770,7 @@ WHERE p.quality >= 0.3
     from eventstore_spark.operators.textops import sql_kn_perplexity
 
     sqls["kn_perplexity"] = sql_kn_perplexity()
+    sqls["kmeans_clusters"] = sim.sql_kmeans_clusters()
     sqls["hashed_doc_vectors"] = _fh.sql_feature_hash_vectors()
     sqls["text_neardup_hashed"] = _fh.sql_text_neardup_hashed()
     from eventstore_spark.operators.dedup import sql_winnowing_fingerprints

@@ -1324,3 +1324,72 @@ SELECT query_id, vec_id,
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+# -- k-means cluster profile -------------------------------------------------
+
+def kmeans_clusters(embeddings: DataFrame, n_centroids: int = 16,
+                    iters: int = 2, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """First-class k-means clustering profile over the embedding space —
+    the pre-step of SemDeDup-style curation (arXiv:2303.09540) and
+    cluster-balanced data mixtures, surfaced as its own operator: train
+    the engine's deterministic integer k-means (``train_ivf_centroids``),
+    assign every vector, and report per-cluster size and cohesion.
+
+    Cohesion is deterministic: each member's cosine-to-centroid rounds to
+    integer micro-units BEFORE aggregation, so the per-cell mean/min are
+    exact integer folds — never an order-dependent double sum.
+
+    Returns (cell, n_members, mean_sim_micro, min_sim_micro).
+
+    Scale shape: training is ``iters`` partial-agg passes; assignment is
+    ONE literal-inlined codegen projection; the profile is a single
+    groupBy over ``n_centroids`` keys (map-side combined). Nothing ever
+    shuffles the vectors themselves.
+    """
+    base = spread(embeddings).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    cents_i = train_ivf_centroids(embeddings, n_centroids, iters,
+                                  id_col, vec_col)
+    scored = _int_scored_sql(_quantize_sql("vec"), cents_i)
+    assigned = base.select(
+        F.expr(f"array_max({scored})").alias("_best")
+    ).select(
+        (-F.col("_best.nid")).cast("long").alias("cell"),
+        F.round(F.col("_best.sim") * 1e6).cast("long").alias("sim_micro"),
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            # exact floor mean of the micro-rounded sims (sims may be
+            # negative: floor via -((-s) div n) is wrong when s > 0 —
+            # use the sign-safe ((s % n) + n) % n correction instead
+            F.expr("(sum(sim_micro) - ((sum(sim_micro) % count(1)) + count(1)) % count(1)) "
+                   "div count(1)").cast("long").alias("mean_sim_micro"),
+            F.min("sim_micro").alias("min_sim_micro"),
+        )
+        .select("cell", "n_members", "mean_sim_micro", "min_sim_micro")
+    )
+
+
+def sql_kmeans_clusters(n_centroids: int = 16, iters: int = 2, dim: int = 64,
+                        table: str = "embeddings") -> str:
+    """DuckDB oracle for kmeans_clusters via the SHARED trained-quantizer
+    CTE chain (the exact same codebooks as ann_ivf/semantic_dedup)."""
+    ctes = _sql_trained_assigned_ctes(n_centroids, dim, table, iters)
+    ctes.append("""best AS (
+  SELECT vec_id, cell, CAST(round(sim * 1e6) AS BIGINT) AS sim_micro FROM fa
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) = 1
+)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+       CAST((sum(sim_micro) - ((sum(sim_micro) % count(*)) + count(*)) % count(*))
+            / count(*) AS BIGINT) AS mean_sim_micro,
+       CAST(min(sim_micro) AS BIGINT) AS min_sim_micro
+FROM best GROUP BY cell
+"""

@@ -1364,3 +1364,13 @@ def test_kn_perplexity_model_properties(spark):
     # mean is the floored per-bigram average
     r = out[3]
     assert r.mean_lp_micro == -((-r.sum_lp_micro) // r.n_bigrams)
+
+
+def test_kmeans_clusters_partitions_obvious_clusters(vectors):
+    out = sim.kmeans_clusters(vectors, n_centroids=4, iters=2).collect()
+    # every vector lands in exactly one cell
+    assert sum(r.n_members for r in out) == 40
+    assert all(0 <= r.cell < 4 for r in out)
+    # micro-cohesion stats are internally consistent
+    for r in out:
+        assert r.min_sim_micro <= r.mean_sim_micro <= 1_000_000
