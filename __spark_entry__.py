@@ -1734,6 +1734,16 @@ def q_kmeans_clusters(spark, sf):
     return sim.kmeans_clusters(_table(spark, sf, "embeddings"))
 
 
+def q_lsh_recall(spark, sf):
+    """LSH recall audit: true near-dup pairs (exact Jaccard) vs pairs
+    the banded MinHash path surfaces, as one row with floor-micro
+    recall — the go/no-go check on a banding config
+    (dedup.lsh_recall)."""
+    from eventstore_spark.operators.dedup import lsh_recall
+
+    return lsh_recall(_table(spark, sf, "documents"))
+
+
 def q_hashed_doc_vectors(spark, sf):
     """Feature-hashing text vectors (Weinberger et al. 2009, the
     HashingVectorizer trick): signed token-count buckets as exact sparse
@@ -1965,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_calibration": q_lsh_calibration,
         "kn_perplexity": q_kn_perplexity,
         "kmeans_clusters": q_kmeans_clusters,
+        "lsh_recall": q_lsh_recall,
         "hashed_doc_vectors": q_hashed_doc_vectors,
         "text_neardup_hashed": q_text_neardup_hashed,
         "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -2771,6 +2782,9 @@ WHERE p.quality >= 0.3
 
     sqls["kn_perplexity"] = sql_kn_perplexity()
     sqls["kmeans_clusters"] = sim.sql_kmeans_clusters()
+    from eventstore_spark.operators.dedup import sql_lsh_recall
+
+    sqls["lsh_recall"] = sql_lsh_recall()
     sqls["hashed_doc_vectors"] = _fh.sql_feature_hash_vectors()
     sqls["text_neardup_hashed"] = _fh.sql_text_neardup_hashed()
     from eventstore_spark.operators.dedup import sql_winnowing_fingerprints

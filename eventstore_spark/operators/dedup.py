@@ -1151,3 +1151,62 @@ SELECT a, b, m // {num_hashes} AS est_micro, (i * 1000000) // u AS true_micro,
        m // {num_hashes} - (i * 1000000) // u AS err_micro
 FROM scored
 """
+
+
+def lsh_recall(docs: DataFrame, threshold: float = 0.5, num_hashes: int = 9,
+               bands: int = 3, shingle_n: int = 3, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """LSH recall audit: of all TRUE near-duplicate pairs (exact shingle
+    Jaccard >= threshold, via the inverted-index ``ngram_jaccard_pairs``),
+    how many does the banded MinHash path actually surface? The one-row
+    answer to "is (num_hashes, bands) catching enough at this threshold"
+    — run on a sample before a full corpus pass, beside
+    ``lsh_calibration``'s per-pair error view. Verified LSH output is a
+    subset of the truth by construction, so missed = true − found.
+
+    Returns one row (n_true, n_found, n_missed, recall_micro) with
+    recall in exact floor-micro units.
+
+    Scale shape: both sides are the engine's own banded/inverted
+    equi-join operators (Σ df² candidates, never corpus²); the audit
+    adds one anti-join on (a, b) pair keys and three one-row aggregates
+    cross-joined broadcast (the scalar-subquery shape).
+    """
+    t = ngram_jaccard_pairs(docs, id_col, text_col, shingle_n, threshold)
+    f = minhash_lsh_pairs(docs, id_col, text_col, num_hashes, bands,
+                          shingle_n, threshold)
+    tp = t.select("a", "b")
+    fp = f.select("a", "b")
+    n_true = tp.agg(F.count(F.lit(1)).alias("n_true"))
+    n_found = fp.agg(F.count(F.lit(1)).alias("n_found"))
+    n_missed = tp.join(fp, ["a", "b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_missed"))
+    return (
+        n_true.crossJoin(F.broadcast(n_found))
+        .crossJoin(F.broadcast(n_missed))
+        .select(
+            "n_true", "n_found", "n_missed",
+            F.expr("IF(n_true = 0, 1000000, (n_found * 1000000) div n_true)")
+            .alias("recall_micro"),
+        )
+    )
+
+
+def sql_lsh_recall(threshold: float = 0.5, num_hashes: int = 9,
+                   bands: int = 3, shingle_n: int = 3,
+                   table: str = "documents") -> str:
+    t = sql_ngram_jaccard_pairs(shingle_n, threshold, table)
+    f = sql_minhash_pairs(num_hashes, bands, shingle_n, threshold, table)
+    return f"""
+WITH t AS ({t}), f AS ({f}),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM t),
+nf AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM f),
+nm AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_missed
+  FROM t WHERE NOT EXISTS (SELECT 1 FROM f WHERE f.a = t.a AND f.b = t.b)
+)
+SELECT n_true, n_found, n_missed,
+       CASE WHEN n_true = 0 THEN 1000000
+            ELSE (n_found * 1000000) // n_true END AS recall_micro
+FROM nt, nf, nm
+"""

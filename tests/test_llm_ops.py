@@ -1374,3 +1374,29 @@ def test_kmeans_clusters_partitions_obvious_clusters(vectors):
     # micro-cohesion stats are internally consistent
     for r in out:
         assert r.min_sim_micro <= r.mean_sim_micro <= 1_000_000
+
+
+def test_lsh_recall_counts_are_consistent(spark):
+    from eventstore_spark.operators.dedup import lsh_recall
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 0),
+        (2, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 0),
+        (3, "alpha beta gamma delta epsilon zeta iota kappa", "en", "s", 0),
+        (4, "completely different words over here entirely", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    r = lsh_recall(docs, threshold=0.5).collect()[0]
+    # verified LSH output is a subset of the truth
+    assert r.n_found <= r.n_true
+    assert r.n_missed == r.n_true - r.n_found
+    assert 0 <= r.recall_micro <= 1_000_000
+    # identical docs are both a true and a found pair
+    assert r.n_true >= 1 and r.n_found >= 1
+    # empty-truth edge: unrelated docs only -> recall defined as 1.0
+    solo = spark.createDataFrame(
+        [rows[0], rows[3]],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    r0 = lsh_recall(solo, threshold=0.99).collect()[0]
+    assert r0.n_true == 0 and r0.recall_micro == 1_000_000
