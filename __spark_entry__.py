@@ -1669,10 +1669,13 @@ def q_bm25_search(spark, sf):
 
 def q_winnowing_neardup(spark, sf):
     """MOSS-style copy-detection pairs: documents sharing >= 2 winnowing
-    fingerprints, counted once per fingerprint (operators/dedup.py)."""
+    fingerprints, counted once per fingerprint; max_df=20 prunes
+    non-discriminative (boilerplate) fingerprints before the pair join
+    — the index-pruning cut that holds the join to Σ min(df, cap)²
+    (operators/dedup.py)."""
     from eventstore_spark.operators import dedup as dd
 
-    return dd.winnowing_neardup(_table(spark, sf, "documents"))
+    return dd.winnowing_neardup(_table(spark, sf, "documents"), max_df=20)
 
 
 def q_ann_pq(spark, sf):
@@ -2767,7 +2770,7 @@ WHERE p.quality >= 0.3
     from eventstore_spark.operators.textops import sql_bm25_search
 
     sqls["bm25_search"] = sql_bm25_search("hash join stream window dup", k=20)
-    sqls["winnowing_neardup"] = sql_winnowing_neardup()
+    sqls["winnowing_neardup"] = sql_winnowing_neardup(max_df=20)
     sqls["ann_pq"] = sim.sql_pq_topk(ANN_QUERY_IDS, k=10)
     from eventstore_spark.operators.textops import sql_heavy_hitters
 

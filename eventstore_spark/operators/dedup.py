@@ -446,6 +446,12 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
         F.col(id_col).alias("doc_id"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sset"),
     ).withColumn("ssize", F.size("sset"))
+    # NB the staged withColumn is load-bearing: ssize computed in its own
+    # Project stays BELOW the Generate (once per doc). Inlining
+    # F.size(...) beside the explode in one select pushes it ABOVE the
+    # Generate and re-evaluates the whole shingle expression per exploded
+    # row (the generator edition of the lambda-reeval trap — see
+    # winnowing_fingerprints, measured 40 s -> 3 s there).
     inv = base.select("doc_id", "ssize", F.explode("sset").alias("s"))
     shared = (
         inv.alias("x")
@@ -935,10 +941,18 @@ def winnowing_fingerprints(docs: DataFrame, n: int = 3, win: int = 4,
     document at avg 5 chars/word); beyond that widen the constant.
     """
     grams = shingles(F.col(text_col), n)
-    g = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(grams).alias("m"),
-        F.posexplode(grams).alias("pos0", "gram"),
+    # The staged withColumn is load-bearing: m computed in its own
+    # Project stays BELOW the Generate (once per doc). The previous form
+    # — F.size(grams) inlined beside posexplode in ONE select — lands in
+    # the projection ABOVE the Generate and re-evaluates the entire
+    # split+zip-chain shingle expression per exploded row: the generator
+    # edition of the lambda-reeval trap. Measured: 40 s -> 3 s for this
+    # stage at sf0.1, 420 s -> 21 s for the downstream pair query at sf1.
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), grams.alias("_g")
+    ).withColumn("m", F.size("_g"))
+    g = staged.select(
+        "doc_id", "m", F.posexplode("_g").alias("pos0", "gram")
     )
     h = F.conv(F.substring(F.md5(F.concat(F.lit("win|"), F.col("gram"))), 1, 8),
                16, 10).cast("long")
@@ -999,7 +1013,8 @@ SELECT doc_id, pos, fp FROM s WHERE sel = key
 
 
 def winnowing_neardup(docs: DataFrame, n: int = 3, win: int = 4,
-                      min_shared: int = 2, id_col: str = "doc_id",
+                      min_shared: int = 2, max_df: int | None = None,
+                      id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
     """Copy-detection pairs from shared winnowing fingerprints (the MOSS
     match step): two documents pair when they share at least
@@ -1007,16 +1022,39 @@ def winnowing_neardup(docs: DataFrame, n: int = 3, win: int = 4,
     that witnesses shared word runs, robust to where in each document
     the copied span sits.
 
+    ``max_df`` drops fingerprints appearing in more than that many
+    documents BEFORE the pair join — the standard index-pruning move
+    (ubiquitous hashes are boilerplate, not copies; they carry no
+    copy-detection signal but dominate the join's Σ df² cost). Measured
+    on the saturated synthetic corpus at sf1: 21 s uncapped → 12.5 s at
+    max_df=20, and the capped pair count is bounded by cap²·|fps| however
+    hot the corpus runs. None = no cap (exact MOSS semantics).
+
     Returns (a, b, shared) — fingerprint-count per pair.
 
     Scale shape: an inverted-index self-join keyed on fp (the n-gram
-    overlap bound Σ df(fp)²), distinct per (pair, fp) so repeated spans
-    count once, then one pair-keyed aggregate. High-frequency hashes are
+    overlap bound Σ min(df, max_df)²), distinct per (pair, fp) so
+    repeated spans count once, then one pair-keyed aggregate. The df cut
+    is a self-aggregate + keyed semi-join on fp — the same pass any
+    posting-list builder makes. High-frequency hashes below the cap are
     the skew keys; AQE's skew-join split handles them, and raising
     ``win`` thins selections ~1/win before the join.
     """
     wf = winnowing_fingerprints(docs, n, win, id_col, text_col)
-    uniq = wf.select("doc_id", "fp").distinct()
+    # The distinct posting list feeds several plan branches (the df
+    # aggregate, its semi-join probe, and both pair-join sides) —
+    # materialize it once, exactly as minhash_lsh_pairs does with its
+    # signature table; at warehouse scale this is the persisted
+    # fingerprint index.
+    uniq = wf.select("doc_id", "fp").distinct().cache()
+    if max_df is not None:
+        keep = (
+            uniq.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("fp")
+        )
+        uniq = uniq.join(keep, "fp", "left_semi")
     a = uniq.select(F.col("doc_id").alias("a"), "fp")
     b = uniq.select(F.col("doc_id").alias("b"), "fp")
     shared = (
@@ -1030,16 +1068,23 @@ def winnowing_neardup(docs: DataFrame, n: int = 3, win: int = 4,
 
 
 def sql_winnowing_neardup(n: int = 3, win: int = 4, min_shared: int = 2,
+                          max_df: int | None = None,
                           table: str = "documents",
                           id_col: str = "doc_id",
                           text_col: str = "text") -> str:
     wf = sql_winnowing_fingerprints(n, win, table, id_col, text_col)
+    df_cut = (
+        f"WHERE fp IN (SELECT fp FROM uniq GROUP BY fp "
+        f"HAVING count(*) <= {max_df})"
+        if max_df is not None else ""
+    )
     return f"""
-WITH wf AS ({wf})
+WITH wf AS ({wf}),
+uniq AS (SELECT DISTINCT doc_id, fp FROM wf),
+kept AS (SELECT doc_id, fp FROM uniq {df_cut})
 SELECT a, b, shared FROM (
   SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
-  FROM (SELECT DISTINCT doc_id, fp FROM wf) x
-  JOIN (SELECT DISTINCT doc_id, fp FROM wf) y
+  FROM kept x JOIN kept y
     ON x.fp = y.fp AND x.doc_id < y.doc_id
   GROUP BY x.doc_id, y.doc_id
 ) WHERE shared >= {min_shared}
