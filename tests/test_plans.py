@@ -195,6 +195,12 @@ BNLJ_OK = {
     # ONE-ROW N/avgdl corpus-stats aggregate broadcast (scalar-subquery
     # shape); the idf and tf sides join keyed
     "bm25_search",
+    # ONE-ROW distinct-bigram total (B) broadcast into the scoring
+    # stream; the three model joins are keyed broadcasts
+    "kn_perplexity",
+    # THREE one-row count aggregates cross-joined into the single
+    # result row — the audit's entire output is one row
+    "lsh_recall",
 }
 
 SF1_DIR = "/root/repo/.localdata/sf1"  # tools/gen_sf.py output
@@ -574,3 +580,33 @@ def test_materialized_hybrid_read_prunes_tail(spark, tmp_path):
         r"|EqualTo\(event_type,\$metadata\).*StringStartsWith\(stream_id,\$\$\)",
         plan), plan
     eng.close()
+
+
+def test_winnowing_size_stays_below_the_generate(parquet_docs):
+    """Regression gate for the generator-edition re-evaluation trap:
+    the gram-count column must be computed BELOW the Generate (once per
+    doc). If the shingle zip-chain appears in any projection above the
+    Generate node, every exploded row re-evaluates the whole
+    split+zip-chain expression — measured 40 s -> 3 s at sf0.1 when
+    fixed (dedup.winnowing_fingerprints)."""
+    from eventstore_spark.operators.dedup import winnowing_fingerprints
+
+    plan = plan_of(winnowing_fingerprints(parquet_docs))
+    assert "Generate" in plan
+    above_generate = plan.split("Generate")[0]
+    assert "zip_with" not in above_generate, above_generate
+
+
+def test_pq_adc_scan_has_no_join_at_query_time(parquet_docs, spark):
+    """PQ's promise is that query scoring reads ONLY the code table:
+    literal LUTs + per-query TakeOrdered, no join, no vector re-fetch.
+    Training/encoding collects happen at build time; the final scoring
+    plan must stay join-free."""
+    from eventstore_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = plan_of(pq_topk(emb, [1, 7], k=5))
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, op
+    assert "TakeOrderedAndProject" in plan
