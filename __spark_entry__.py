@@ -1747,6 +1747,15 @@ def q_lsh_recall(spark, sf):
     return lsh_recall(_table(spark, sf, "documents"))
 
 
+def q_knn_eval(spark, sf):
+    """Hold-one-out kNN label evaluation over an md5-gated corpus
+    sample as a confusion matrix — nprobe=1 neighbors from the trained
+    integer-k-means cells, shuffle-hash pinned on the vector-carrying
+    cell join (similarity.knn_eval); the oracle re-trains the identical
+    quantizer."""
+    return sim.knn_eval(_table(spark, sf, "embeddings"))
+
+
 def q_hashed_doc_vectors(spark, sf):
     """Feature-hashing text vectors (Weinberger et al. 2009, the
     HashingVectorizer trick): signed token-count buckets as exact sparse
@@ -1979,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_perplexity": q_kn_perplexity,
         "kmeans_clusters": q_kmeans_clusters,
         "lsh_recall": q_lsh_recall,
+        "knn_eval": q_knn_eval,
         "hashed_doc_vectors": q_hashed_doc_vectors,
         "text_neardup_hashed": q_text_neardup_hashed,
         "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -2788,6 +2798,7 @@ WHERE p.quality >= 0.3
     from eventstore_spark.operators.dedup import sql_lsh_recall
 
     sqls["lsh_recall"] = sql_lsh_recall()
+    sqls["knn_eval"] = sim.sql_knn_eval()
     sqls["hashed_doc_vectors"] = _fh.sql_feature_hash_vectors()
     sqls["text_neardup_hashed"] = _fh.sql_text_neardup_hashed()
     from eventstore_spark.operators.dedup import sql_winnowing_fingerprints

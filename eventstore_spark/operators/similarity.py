@@ -1393,3 +1393,114 @@ SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
        CAST(min(sim_micro) AS BIGINT) AS min_sim_micro
 FROM best GROUP BY cell
 """
+
+
+# -- corpus-wide kNN hold-one-out evaluation ---------------------------------
+
+def knn_eval(embeddings: DataFrame, k: int = 5, sample_mod: int = 10,
+             n_centroids: int = 16, iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             label_col: str = "label") -> DataFrame:
+    """Hold-one-out kNN label evaluation over a deterministic corpus
+    sample, as a confusion matrix — the "can I trust label propagation"
+    measurement a curation pipeline runs BEFORE ``knn_classify`` fans a
+    small gold set across 100 TB.
+
+    Queries = every vector whose md5(vec_id) lands in the 1/``sample_mod``
+    hash gate (deterministic, engine-portable). Neighbors come from the
+    query's OWN k-means cell (the trained integer quantizer, nprobe=1 —
+    the documented recall trade of the IVF path), excluding the query
+    itself; majority vote with ties to the smallest label.
+
+    Returns (true_label, pred_label, n) — the confusion matrix over the
+    sampled queries.
+
+    Scale shape: cell assignment is one literal-inlined codegen pass; the
+    candidate join is keyed ON CELL with shuffle-hash pinned on both
+    vector-carrying sides (Catalyst under-sizes array payloads —
+    PLANS.md §Second decade), so candidate volume is Σ(cell × sampled
+    cell), bounded by Σcell² / sample_mod — never corpus². The top-k
+    window partitions by query (cell-sized partitions); the matrix is a
+    tiny final aggregate.
+    """
+    base = spread(embeddings).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"),
+        F.col(label_col).cast("long").alias("label"),
+    )
+    cents_i = train_ivf_centroids(embeddings, n_centroids, iters,
+                                  id_col, vec_col)
+    scored = _int_scored_sql(_quantize_sql("vec"), cents_i)
+    assigned = base.withColumn(
+        "cell", F.expr(f"-array_max({scored}).nid").cast("long")
+    ).cache()
+    gate = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % sample_mod == 0
+    )
+    q = assigned.where(gate).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"),
+        F.col("label").alias("true_label"), "cell",
+    )
+    cand = (
+        q.hint("shuffle_hash")
+        .join(assigned.hint("shuffle_hash"), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qvec"), F.col("vec")))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    topk = cand.withColumn("_r", F.row_number().over(wk)).where(F.col("_r") <= k)
+    votes = topk.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes"))
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("label"))
+    pred = (
+        votes.withColumn("_v", F.row_number().over(wv))
+        .where(F.col("_v") == 1)
+        .select("query_id", "true_label", F.col("label").alias("pred_label"))
+    )
+    return (
+        pred.groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def sql_knn_eval(k: int = 5, sample_mod: int = 10, n_centroids: int = 16,
+                 iters: int = 2, dim: int = 64,
+                 table: str = "embeddings") -> str:
+    """DuckDB oracle for knn_eval — the shared trained-quantizer CTE
+    chain, the same hash gate, cell join, top-k and vote tie-breaks."""
+    ctes = _sql_trained_assigned_ctes(n_centroids, dim, table, iters)
+    cos = sql_cosine("q.qvec", "a.vec", dim)
+    ctes.append(f"""lab AS (
+  SELECT a.vec_id, a.vec, a.cell, CAST(e.label AS BIGINT) AS label
+  FROM assigned a JOIN {table} e USING (vec_id)
+)""")
+    ctes.append(f"""q AS (
+  SELECT vec_id AS query_id, vec AS qvec, label AS true_label, cell
+  FROM lab
+  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+        % {sample_mod} = 0
+)""")
+    ctes.append(f"""topk AS (
+  SELECT query_id, true_label, a.label FROM (
+    SELECT q.query_id, q.true_label, a.label, a.vec_id, {cos} AS sim
+    FROM q JOIN lab a USING (cell)
+    WHERE a.vec_id <> q.query_id
+  ) a
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= {k}
+)""")
+    ctes.append("""votes AS (
+  SELECT query_id, true_label, label, CAST(count(*) AS BIGINT) AS n_votes
+  FROM topk GROUP BY query_id, true_label, label
+)""")
+    ctes.append("""pred AS (
+  SELECT query_id, true_label, label AS pred_label FROM votes
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY n_votes DESC, label) = 1
+)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY true_label, pred_label
+"""

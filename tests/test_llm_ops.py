@@ -1400,3 +1400,25 @@ def test_lsh_recall_counts_are_consistent(spark):
         "doc_id long, text string, lang string, source string, n_chars long")
     r0 = lsh_recall(solo, threshold=0.99).collect()[0]
     assert r0.n_true == 0 and r0.recall_micro == 1_000_000
+
+
+def test_knn_eval_confusion_matrix_on_separable_clusters(spark):
+    import math
+
+    # 4 tight, well-separated clusters; labels == cluster -> the matrix
+    # should be (near-)diagonal for every sampled query
+    rows = []
+    for i in range(80):
+        c = i % 4
+        base = [0.0] * 8
+        base[c] = 1.0
+        base[4 + c] = 0.5
+        jitter = [x + 0.001 * ((i * 11 + j) % 7) for j, x in enumerate(base)]
+        rows.append((i, jitter, c))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = sim.knn_eval(emb, k=3, sample_mod=4, n_centroids=4).collect()
+    assert out  # the hash gate sampled something
+    total = sum(r.n for r in out)
+    diag = sum(r.n for r in out if r.true_label == r.pred_label)
+    assert diag == total  # perfectly separable -> perfect propagation
+    assert all(0 <= r.true_label < 4 and 0 <= r.pred_label < 4 for r in out)
