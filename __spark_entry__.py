@@ -1756,6 +1756,17 @@ def q_knn_eval(spark, sf):
     return sim.knn_eval(_table(spark, sf, "embeddings"))
 
 
+def q_clean_text(spark, sf):
+    """Deterministic unicode text cleaning (the C4/CCNet preprocessing
+    pass): control/zero-width strip, space folding, quote/dash/ellipsis
+    straightening — one codegen regexp chain, rules written as literal
+    characters so Java regex and RE2 apply them identically; the oracle
+    hash-matches the cleaned strings (textops.clean_text)."""
+    from eventstore_spark.operators.textops import clean_text
+
+    return clean_text(_table(spark, sf, "documents"))
+
+
 def q_hashed_doc_vectors(spark, sf):
     """Feature-hashing text vectors (Weinberger et al. 2009, the
     HashingVectorizer trick): signed token-count buckets as exact sparse
@@ -1989,6 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "lsh_recall": q_lsh_recall,
         "knn_eval": q_knn_eval,
+        "clean_text": q_clean_text,
         "hashed_doc_vectors": q_hashed_doc_vectors,
         "text_neardup_hashed": q_text_neardup_hashed,
         "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -2799,6 +2811,9 @@ WHERE p.quality >= 0.3
 
     sqls["lsh_recall"] = sql_lsh_recall()
     sqls["knn_eval"] = sim.sql_knn_eval()
+    from eventstore_spark.operators.textops import sql_clean_text
+
+    sqls["clean_text"] = sql_clean_text()
     sqls["hashed_doc_vectors"] = _fh.sql_feature_hash_vectors()
     sqls["text_neardup_hashed"] = _fh.sql_text_neardup_hashed()
     from eventstore_spark.operators.dedup import sql_winnowing_fingerprints

@@ -1606,3 +1606,77 @@ SELECT s.doc_id,
 FROM (SELECT DISTINCT doc_id FROM staged) s
 LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Text cleaning / unicode normalization
+# ---------------------------------------------------------------------------
+
+# (pattern, replacement) pairs applied IN ORDER by both engines. Patterns
+# hold literal unicode characters (no \u/\x{} escapes) so the Java-regex
+# and RE2 dialects read them identically.
+CLEAN_RULES = (
+    # control chars as \xhh escape TEXT (parsed identically by Java
+    # regex and RE2) — raw control bytes would truncate the SQL literal
+    (r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""),
+    ("[    　"                      # unicode spaces
+     "          ]", " "),
+    ("[​‌‍﻿]", ""),                     # zero-width
+    ("[‘’‚′]", "'"),                    # curly singles
+    ("[“”„″]", '"'),                    # curly doubles
+    ("[‐‑‒–—―]", "-"),        # dash family
+    ("…", "..."),                                      # ellipsis
+    ("[ \t]+", " "),                                        # space runs
+)
+
+
+def clean_text(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Deterministic unicode text cleaning — the normalization pass every
+    pipeline runs BEFORE hashing/dedup/tokenization (the C4/CCNet
+    preprocessing step): strip control and zero-width characters, fold
+    unicode spaces, straighten typographic quotes/dashes/ellipses,
+    collapse horizontal-space runs. Newlines are preserved (line
+    structure feeds ``line_dedup``).
+
+    Returns (doc_id, clean_text, orig_chars, clean_chars, changed).
+
+    The rule list holds literal characters, not escape syntax, so the
+    Spark (Java regex) and DuckDB (RE2) engines apply byte-identical
+    rules — the oracle hash-matches the cleaned strings themselves.
+
+    Scale shape: ONE codegen projection pass, zero shuffles, zero UDFs —
+    a chain of regexp_replace on the scan.
+    """
+    c = F.col(text_col)
+    for pat, rep in CLEAN_RULES:
+        c = F.regexp_replace(c, pat, rep)
+    c = F.trim(c)
+    return spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        c.alias("clean_text"),
+        F.length(text_col).cast("long").alias("orig_chars"),
+        F.length(c).cast("long").alias("clean_chars"),
+        (c != F.col(text_col)).alias("changed"),
+    )
+
+
+def sql_clean_text(table: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text") -> str:
+    expr = text_col
+    for pat, rep in CLEAN_RULES:
+        # DuckDB single-quoted strings are literal (no backslash
+        # processing) — only quotes need escaping; backslashes must
+        # reach RE2 verbatim
+        pat_sql = pat.replace("'", "''")
+        rep_sql = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{rep_sql}', 'g')"
+    expr = f"trim({expr})"
+    return f"""
+SELECT {id_col} AS doc_id,
+       {expr} AS clean_text,
+       CAST(length({text_col}) AS BIGINT) AS orig_chars,
+       CAST(length({expr}) AS BIGINT) AS clean_chars,
+       {expr} <> {text_col} AS changed
+FROM {table}
+"""

@@ -1422,3 +1422,22 @@ def test_knn_eval_confusion_matrix_on_separable_clusters(spark):
     diag = sum(r.n for r in out if r.true_label == r.pred_label)
     assert diag == total  # perfectly separable -> perfect propagation
     assert all(0 <= r.true_label < 4 and 0 <= r.pred_label < 4 for r in out)
+
+
+def test_clean_text_normalizes_and_preserves_newlines(spark):
+    from eventstore_spark.operators.textops import clean_text
+
+    rows = [
+        (1, "plain stays", "en", "s", 0),
+        (2, "curly ‘q’ “d” em—dash nb space "
+            "zero​width ell… ctrl\x01x  runs", "en", "s", 0),
+        (3, "line one\nline two", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r.doc_id: r for r in clean_text(docs).collect()}
+    assert out[1].clean_text == "plain stays" and not out[1].changed
+    c = out[2].clean_text
+    assert c == "curly 'q' \"d\" em-dash nb space zerowidth ell... ctrlx runs"
+    assert out[2].changed and out[2].orig_chars >= out[2].clean_chars
+    assert out[3].clean_text == "line one\nline two"  # newlines survive
