@@ -610,3 +610,38 @@ def test_pq_adc_scan_has_no_join_at_query_time(parquet_docs, spark):
                "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert op not in plan, op
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_filters_query_terms_before_the_tf_aggregate(parquet_docs):
+    """The exploded token stream must shrink to the query's terms BEFORE
+    any aggregation — the tf groupBy sees |q|-matching rows, not the
+    corpus token stream; the final top-k must be TakeOrderedAndProject,
+    never a global sort."""
+    from eventstore_spark.operators.textops import bm25_search
+
+    plan = plan_of(bm25_search(parquet_docs, "some words here", k=5))
+    assert "TakeOrderedAndProject" in plan
+    # the isin shows up as an IN-list filter over the exploded tokens
+    assert plan.count("Filter") >= 1 and " IN (" in plan.replace("\n", " ")
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_heavy_hitters_sketch_joins_broadcast(parquet_docs):
+    """The depth×width sketch is tiny by construction — the estimate
+    join must broadcast it, never shuffle the token-count table."""
+    from eventstore_spark.operators.textops import heavy_hitters
+
+    plan = plan_of(heavy_hitters(parquet_docs, depth=3, width=16, k=10))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_line_dedup_has_no_unpartitioned_window(parquet_docs):
+    """Reassembly is a keyed groupBy with an in-array sort — a corpus-
+    wide window (SinglePartition exchange) must never appear."""
+    from eventstore_spark.operators.corpus import line_dedup
+
+    plan = plan_of(line_dedup(parquet_docs, min_docs=2))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
