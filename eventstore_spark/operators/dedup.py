@@ -435,12 +435,21 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
-                        shingle_n: int = 3, threshold: float = 0.5) -> DataFrame:
+                        shingle_n: int = 3, threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
     """Exact Jaccard over shingle sets for every pair sharing >= 1 shingle.
 
     Inverted-index join: explode distinct shingles → self-join on shingle →
     count shared → |A∩B| / (|A|+|B|-|A∩B|). Scales as sum over shingles of
     df², not n² — hot shingles are the skew risk (AQE skew-join handles).
+
+    ``max_df`` (opt-in, default off = exact semantics) drops shingles
+    whose document frequency exceeds the cap from the CANDIDATE join
+    only — the winnowing_neardup index-pruning move for saturated
+    vocabularies. Intersections still count every shared shingle
+    (ssize and the verify arithmetic are unchanged), so pairs that
+    share at least one sub-cap shingle keep their EXACT Jaccard; only
+    pairs whose entire overlap is capped-hot shingles drop out.
     """
     base = spread(docs).select(
         F.col(id_col).alias("doc_id"),
@@ -453,20 +462,49 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
     # row (the generator edition of the lambda-reeval trap — see
     # winnowing_fingerprints, measured 40 s -> 3 s there).
     inv = base.select("doc_id", "ssize", F.explode("sset").alias("s"))
-    shared = (
-        inv.alias("x")
-        .join(inv.alias("y"), "s")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"),
-                 F.col("x.ssize").alias("na"), F.col("y.ssize").alias("nb"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        shared.withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+    if max_df is None:
+        shared = (
+            inv.alias("x")
+            .join(inv.alias("y"), "s")
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"),
+                     F.col("x.ssize").alias("na"), F.col("y.ssize").alias("nb"))
+            .agg(F.count(F.lit(1)).alias("inter"))
         )
+        return (
+            shared.withColumn(
+                "jaccard",
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard")
+        )
+    # Capped path: the pruned index generates CANDIDATES only; the
+    # Jaccard itself is verified exactly on re-fetched shingle sets
+    # (the minhash verify shape — shuffle-hash pinned: Catalyst
+    # under-sizes the array-carrying side, PLANS.md §Second decade).
+    base = base.cache()
+    keep = (
+        inv.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_df).select("s")
+    )
+    capped = inv.join(keep, "s", "left_semi")
+    cand = (
+        capped.alias("x")
+        .join(capped.alias("y"), "s")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    sets = base.select("doc_id", "sset").hint("shuffle_hash")
+    sa = sets.select(F.col("doc_id").alias("a"), F.col("sset").alias("seta"))
+    sb = sets.select(F.col("doc_id").alias("b"), F.col("sset").alias("setb"))
+    j = cand.join(sa, "a").join(sb, "b")
+    inter = F.size(F.array_intersect("seta", "setb")).cast("long")
+    union = (F.size("seta") + F.size("setb")).cast("long") - inter
+    return (
+        j.withColumn("jaccard", inter.cast("double") / union.cast("double"))
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )

@@ -1441,3 +1441,28 @@ def test_clean_text_normalizes_and_preserves_newlines(spark):
     assert c == "curly 'q' \"d\" em-dash nb space zerowidth ell... ctrlx runs"
     assert out[2].changed and out[2].orig_chars >= out[2].clean_chars
     assert out[3].clean_text == "line one\nline two"  # newlines survive
+
+
+def test_ngram_jaccard_max_df_keeps_exact_values_for_survivors(spark):
+    from eventstore_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        # docs 1/2 share a rare run; every doc shares the hot prefix
+        (1, "common common common common alpha beta gamma delta", "en", "s", 0),
+        (2, "common common common common alpha beta gamma epsilon", "en", "s", 0),
+        (3, "common common common common zeta eta theta iota", "en", "s", 0),
+        (4, "common common common common kappa lam mu nu", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    exact = {(r.a, r.b): r.jaccard
+             for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    capped = {(r.a, r.b): r.jaccard
+              for r in ngram_jaccard_pairs(docs, threshold=0.0, max_df=3).collect()}
+    # survivors keep their EXACT jaccard (verify runs on the full sets)
+    for pair, jac in capped.items():
+        assert abs(jac - exact[pair]) < 1e-12
+    # the (1,2) pair survives via its sub-cap rare shingles
+    assert (1, 2) in capped
+    # pairs overlapping ONLY on the ubiquitous prefix drop out
+    assert (3, 4) in exact and (3, 4) not in capped
