@@ -462,10 +462,17 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
     # row (the generator edition of the lambda-reeval trap — see
     # winnowing_fingerprints, measured 40 s -> 3 s there).
     inv = base.select("doc_id", "ssize", F.explode("sset").alias("s"))
+    # The self-join sides are the exploded shingle stream — tens of
+    # millions of rows at sf10, yet Catalyst's estimate (descended from
+    # array expressions over text) stays tiny and it BROADCASTS the
+    # build side: measured driver OOM at sf10. Sort-merge is the honest
+    # plan here — unlike shuffle-hash (whose per-key build side also
+    # OOMs under df saturation, measured) SMJ streams each key group
+    # and is the join shape AQE's skew-split can subdivide.
     if max_df is None:
         shared = (
             inv.alias("x")
-            .join(inv.alias("y"), "s")
+            .join(inv.alias("y").hint("merge"), "s")
             .where(F.col("x.doc_id") < F.col("y.doc_id"))
             .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"),
                      F.col("x.ssize").alias("na"), F.col("y.ssize").alias("nb"))
@@ -492,7 +499,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
     capped = inv.join(keep, "s", "left_semi")
     cand = (
         capped.alias("x")
-        .join(capped.alias("y"), "s")
+        .join(capped.alias("y").hint("merge"), "s")
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
@@ -1262,7 +1269,13 @@ def lsh_recall(docs: DataFrame, threshold: float = 0.5, num_hashes: int = 9,
     fp = f.select("a", "b")
     n_true = tp.agg(F.count(F.lit(1)).alias("n_true"))
     n_found = fp.agg(F.count(F.lit(1)).alias("n_found"))
-    n_missed = tp.join(fp, ["a", "b"], "left_anti").agg(
+    # the anti-join's right side is "all found pairs" — millions of rows
+    # under shingle saturation, yet Catalyst's estimate stays tiny (it
+    # descends from aggregates over array-typed intermediates), so left
+    # alone it broadcasts and the driver dies at sf10. Keyed shuffle-hash
+    # is the honest plan (the minhash verify-join lesson, PLANS.md
+    # §Second decade).
+    n_missed = tp.join(fp.hint("shuffle_hash"), ["a", "b"], "left_anti").agg(
         F.count(F.lit(1)).alias("n_missed"))
     return (
         n_true.crossJoin(F.broadcast(n_found))
