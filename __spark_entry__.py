@@ -2006,35 +2006,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "leakage_safe_split": q_leakage_safe_split,
     }
-    # Round-9 rotation (VERDICT r8 task #4): the 51 entries the r8 driver
-    # did NOT sample come FIRST, so the r9 driver's 50-query sample gives
-    # them green rows on round-8+ code and the r8+r9 union covers the
-    # whole registry fresh. (s5_read_all_filtered_backward is new in r9
-    # and ordered 23rd, safely inside the sample window.)
+    # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
+    # that have NEVER had a driver-green row come first, then the three
+    # entries last driver-sampled in r7 (they sat at positions 51-53 of
+    # the r9 head, just outside the window), then the 23 longest-unsampled
+    # r8-block entries — exactly 50, so the r10 driver sample certifies
+    # all of them and the r8+r9+r10 union covers the whole 127-entry
+    # registry driver-green.
     head = [
-        "s1_read_event", "s1_read_event_last", "s2_read_stream_forward",
-        "s3_read_stream_backward", "s4_read_all_forward",
-        "s4_read_all_backward", "s5_read_all_filtered",
-        "s5_read_all_filtered_backward", "f_filter_agg",
-        "y1_streams", "y2_by_category", "y3_stream_by_category",
-        "y4_by_event_type", "y5_by_correlation_id", "link_resolution",
-        "sys_ce_read", "sys_et_read", "retention_visibility",
-        "p2_from_streams", "p6_fold_balance", "p12_result_stream",
-        "p7_partition_by", "p9_bistate", "p8_stream_stats",
-        "p15_emit_hot", "p16_linkto",
-        "tpch_q1", "tpch_q3", "tpch_q5_region_revenue", "tpch_q14_promo",
-        "tpch_q10_returns", "tpch_q7_nation_volume",
-        "tpch_q8_market_share", "tpch_q15_top_supplier",
-        "tpch_q17_small_quantity", "tpch_q18_large_orders",
-        "tpch_q13_custdist",
-        "supplier_volume", "top_order_per_customer", "monthly_revenue",
-        "events_hourly", "user_sessions", "events_cohort_retention",
-        "events_funnel",
-        "ngram_novelty", "source_overlap", "payload_profile",
-        "embedding_outliers", "semantic_dedup", "gopher_quality",
-        # 51-53 fall just outside the 50-query sample window: all three
-        # are r7-driver-green and re-verified in the local 100% oracle run
+        # -- the 24 never-driver-sampled (local-oracle green r9) --
+        "c4_quality", "dsir_select", "quality_sample",
+        "contamination_semantic", "ccnet_buckets", "kmv_distinct",
+        "bpe_train", "bpe_apply", "boilerplate_ngrams", "bm25_search",
+        "winnowing_neardup", "ann_pq", "heavy_hitters", "line_dedup",
+        "lsh_calibration", "kn_perplexity", "kmeans_clusters",
+        "lsh_recall", "knn_eval", "clean_text", "hashed_doc_vectors",
+        "text_neardup_hashed", "winnowing_fingerprints",
+        "leakage_safe_split",
+        # -- last driver-sampled in r7 --
         "readability", "ann_ivf", "embedding_neardup",
+        # -- last driver-sampled in r8 (oldest 23 of that block) --
+        "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
+        "tpch_q9_product_profit", "tpch_q11_nation_value",
+        "tpch_q12_ship_delay", "tpch_q16_supplier_count",
+        "tpch_q19_discounted_revenue", "tpch_q20_excess_suppliers",
+        "tpch_q21_late_supplier", "tpch_q22_global_sales_opportunity",
+        "text_analyze", "text_quality_histogram", "dedup_exact",
+        "dedup_minhash_pairs", "dedup_simhash", "dedup_simhash_pairs",
+        "dedup_ngram_jaccard", "dedup_clusters", "token_vocabulary",
+        "lm_score", "langid_eval", "tpch_q6", "source_mixture",
     ]
     return {**{n: q[n] for n in head},
             **{n: fn for n, fn in q.items() if n not in set(head)}}

@@ -1203,9 +1203,14 @@ def line_dedup(docs: DataFrame, min_docs: int = 3, sep: str = "\n",
     """
     base = spread(docs).select(F.col(id_col).alias("doc_id"),
                                F.col(text_col).alias("text"))
+    # F.split takes a Java REGEX; the DuckDB twin's string_split is
+    # literal. Quote the separator (\Q...\E, the Pattern.quote rule) so
+    # metacharacter separators like '|' or '.' split literally on both
+    # engines (ADVICE r9).
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = base.select(
         "doc_id",
-        F.posexplode(F.split("text", F.lit(sep), -1)).alias("pos", "line"),
+        F.posexplode(F.split("text", F.lit(sep_rx), -1)).alias("pos", "line"),
     ).withColumn("lh", F.md5("line"))
     freq = (
         lines.select("lh", "doc_id").distinct()
@@ -1239,7 +1244,7 @@ def line_dedup(docs: DataFrame, min_docs: int = 3, sep: str = "\n",
 def sql_line_dedup(min_docs: int = 3, sep: str = "\n",
                    table: str = "documents", id_col: str = "doc_id",
                    text_col: str = "text") -> str:
-    sep_sql = "chr(10)" if sep == "\n" else f"'{sep}'"
+    sep_sql = "chr(10)" if sep == "\n" else "'" + sep.replace("'", "''") + "'"
     return f"""
 WITH base AS (
   SELECT {id_col} AS doc_id, string_split({text_col}, {sep_sql}) AS ls FROM {table}

@@ -1244,6 +1244,15 @@ def bm25_search(docs: DataFrame, query: str, k: int = 20,
     TakeOrderedAndProject — no global sort, no corpus-wide window.
     """
     qts = sorted({t for t in query.lower().split() if t})
+    if not qts:
+        # Empty/whitespace-only query: zero matching terms by definition.
+        # Short-circuit to an empty result with the exact output schema
+        # (the SQL twin emits WHERE FALSE for the same input).
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(0).cast("long").alias("score_micro"),
+            F.lit(0).cast("long").alias("rank"),
+        ).where(F.lit(False))
     toks = F.filter(X.tokens(F.col(text_col)), lambda t: t != "")
     base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
     dl = base.select("doc_id", F.size("toks").alias("dl"))
@@ -1294,7 +1303,13 @@ def sql_bm25_search(query: str, k: int = 20, k1: float = 1.2, b: float = 0.75,
                     table: str = "documents", id_col: str = "doc_id",
                     text_col: str = "text") -> str:
     qts = sorted({t for t in query.lower().split() if t})
-    qlist = ", ".join(f"'{t}'" for t in qts)
+    if not qts:
+        # 't IN ()' is a DuckDB syntax error; mirror the Spark side's
+        # empty-query short-circuit with an always-false predicate.
+        return (f"SELECT {id_col} AS doc_id, CAST(0 AS BIGINT) AS score_micro, "
+                f"CAST(0 AS BIGINT) AS rank FROM {table} WHERE FALSE")
+    # single-quote escape so a term containing ' cannot break the statement
+    qlist = ", ".join("'" + t.replace("'", "''") + "'" for t in qts)
     toks = X.SQL_TOKENS.format(c=text_col)
     return f"""
 WITH base AS (
@@ -1497,24 +1512,33 @@ def kn_perplexity(docs: DataFrame, train_source: str = "src0",
         .join(F.broadcast(cont), "w2", "left")
         .crossJoin(F.broadcast(btot))
         .withColumn("n1p_eff", F.greatest(F.coalesce(F.col("n1p"), F.lit(0)), F.lit(1)))
+        # num/den as DECIMAL(38,0): at 100-TB scale B (distinct bigram
+        # types) times c1 (head count) can exceed 2^63/4, which Spark's
+        # non-ANSI BIGINT arithmetic would WRAP silently while the DuckDB
+        # twin errors — the divergence ADVICE r9 flagged. Decimal holds
+        # ~1e38, far above any reachable B·c1; only the final ln crosses
+        # to double. The SQL twin mirrors with HUGEINT.
         .withColumn(
             "num",
             F.when(
                 F.col("c2").isNotNull(),
-                F.greatest(F.lit(4) * F.col("c2") - 3, F.lit(0)) * F.col("B")
-                + F.lit(3) * F.col("n1f") * F.col("n1p_eff"),
+                F.greatest(F.lit(4) * F.col("c2") - 3, F.lit(0))
+                .cast("decimal(38,0)") * F.col("B")
+                + (F.lit(3) * F.col("n1f")).cast("decimal(38,0)")
+                * F.col("n1p_eff"),
             )
             .when(F.col("c1").isNotNull(),
-                  F.lit(3) * F.col("n1f") * F.col("n1p_eff"))
-            .otherwise(F.col("n1p_eff"))
-            .cast("long"),
+                  (F.lit(3) * F.col("n1f")).cast("decimal(38,0)")
+                  * F.col("n1p_eff"))
+            .otherwise(F.col("n1p_eff").cast("decimal(38,0)"))
+            .cast("decimal(38,0)"),
         )
         .withColumn(
             "den",
             F.when(F.col("c1").isNotNull(),
-                   F.lit(4) * F.col("B") * F.col("c1"))
-            .otherwise(F.lit(4) * F.col("B"))
-            .cast("long"),
+                   (F.lit(4) * F.col("B")).cast("decimal(38,0)") * F.col("c1"))
+            .otherwise((F.lit(4) * F.col("B")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)"),
         )
         .withColumn(
             "lp_micro",
@@ -1579,13 +1603,13 @@ WITH staged AS (
   FROM (
     SELECT e0.doc_id,
            CASE WHEN c2.c2 IS NOT NULL THEN
-                  greatest(4 * c2.c2 - 3, 0) * b.B
-                  + 3 * h.n1f * greatest(COALESCE(cont.n1p, 0), 1)
+                  greatest(4 * c2.c2 - 3, 0) * CAST(b.B AS HUGEINT)
+                  + 3 * h.n1f * CAST(greatest(COALESCE(cont.n1p, 0), 1) AS HUGEINT)
                 WHEN h.c1 IS NOT NULL THEN
-                  3 * h.n1f * greatest(COALESCE(cont.n1p, 0), 1)
-                ELSE greatest(COALESCE(cont.n1p, 0), 1) END AS num,
-           CASE WHEN h.c1 IS NOT NULL THEN 4 * b.B * h.c1
-                ELSE 4 * b.B END AS den
+                  3 * h.n1f * CAST(greatest(COALESCE(cont.n1p, 0), 1) AS HUGEINT)
+                ELSE CAST(greatest(COALESCE(cont.n1p, 0), 1) AS HUGEINT) END AS num,
+           CASE WHEN h.c1 IS NOT NULL THEN 4 * CAST(b.B AS HUGEINT) * h.c1
+                ELSE 4 * CAST(b.B AS HUGEINT) END AS den
     FROM eb e0
     LEFT JOIN c2 USING (w1, w2)
     LEFT JOIN h USING (w1)

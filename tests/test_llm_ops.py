@@ -1466,3 +1466,71 @@ def test_ngram_jaccard_max_df_keeps_exact_values_for_survivors(spark):
     assert (1, 2) in capped
     # pairs overlapping ONLY on the ubiquitous prefix drop out
     assert (3, 4) in exact and (3, 4) not in capped
+
+
+def test_bm25_empty_query_and_quoted_terms_cross_engine(spark, tmp_path):
+    """ADVICE r9: an empty/whitespace query must yield zero rows on BOTH
+    engines (the SQL twin used to render the invalid 't IN ()'), and a
+    term containing a single quote must not break the SQL statement."""
+    import duckdb
+
+    from eventstore_spark.operators.textops import bm25_search, sql_bm25_search
+
+    rows = [
+        (1, "o'brien wrote code", "en", "s", 0),
+        (2, "plain text here entirely", "en", "s", 0),
+        (3, "code and more code here", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    path = str(tmp_path / "docs_parq")
+    docs.coalesce(1).write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')")
+
+    empty = bm25_search(docs, "   ")
+    assert empty.columns == ["doc_id", "score_micro", "rank"]
+    assert empty.count() == 0
+    assert con.execute(sql_bm25_search("   ")).fetchdf().empty
+
+    got = {
+        (r.doc_id, r.score_micro, r.rank)
+        for r in bm25_search(docs, "o'brien code", k=10).collect()
+    }
+    odf = con.execute(sql_bm25_search("o'brien code", k=10)).fetchdf()
+    assert {(int(a), int(b), int(c))
+            for a, b, c in odf.itertuples(index=False)} == got
+    assert any(r[0] == 1 for r in got)  # the quoted term actually matched
+
+
+def test_line_dedup_regex_metachar_separator_cross_engine(spark, tmp_path):
+    """ADVICE r9: Spark's F.split takes a Java regex while DuckDB's
+    string_split is literal — a '|' separator must split literally on
+    both engines (it used to split between every character on Spark)."""
+    import duckdb
+
+    from eventstore_spark.operators.corpus import line_dedup, sql_line_dedup
+
+    rows = [
+        (1, "SHARED CHROME|unique body one|SHARED FOOTER", "en", "s", 0),
+        (2, "SHARED CHROME|another body here|SHARED FOOTER", "en", "s", 0),
+        (3, "SHARED CHROME|third doc body|SHARED FOOTER", "en", "s", 0),
+        (4, "no separator at all", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r.doc_id: (r.clean_text, r.n_lines, r.n_removed)
+           for r in line_dedup(docs, min_docs=3, sep="|").collect()}
+    assert got[1] == ("unique body one", 3, 2)
+    assert got[4] == ("no separator at all", 1, 0)
+
+    path = str(tmp_path / "docs_parq")
+    docs.coalesce(1).write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    odf = con.execute(sql_line_dedup(min_docs=3, sep="|")).fetchdf()
+    oracle = {int(r.doc_id): (r.clean_text, int(r.n_lines), int(r.n_removed))
+              for r in odf.itertuples(index=False)}
+    assert oracle == got
