@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as X
+from ..plans.join_strategy import guarded_broadcast
 from ..schema import spread
 from .dedup import duplicate_clusters, sql_duplicate_clusters
 from .textops import analyze_documents, sql_analyze_documents
@@ -259,8 +260,11 @@ def contamination_overlap(docs: DataFrame, bench_max_id: int = 20, n: int = 8,
         staged.where(F.col("doc_id") < bench_max_id)
         .select(F.col("doc_id").alias("bench_id"), F.explode("_sh").alias("shingle"))
     )
+    # bench is an EXPLODED shingle stream of the benchmark docs — small
+    # for the default stand-in benchmark, but it grows with whatever eval
+    # table a user swaps in; measure before shipping it to every worker.
     return (
-        corpus.join(F.broadcast(bench), "shingle")
+        corpus.join(guarded_broadcast(bench), "shingle")
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= min_shared)

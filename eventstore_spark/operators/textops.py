@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as X
+from ..plans.join_strategy import guarded_broadcast
 from ..schema import spread
 
 
@@ -550,8 +551,12 @@ def lm_score(docs: DataFrame, top_v: int | None = 1000,
     # OOV tokens take the floor AFTER the per-doc agg: count known vs total
     # per doc, then one 1-row totals join supplies n_corpus for the floor —
     # no per-token n_corpus column, no extra wide join
+    # top_v-capped vocab is broadcast-safe by construction; the uncapped
+    # (top_v=None) vocabulary grows with the corpus, so measure it first.
+    lp_side = (F.broadcast(lp.drop("n_corpus")) if top_v is not None
+               else guarded_broadcast(lp.drop("n_corpus")))
     agg = (
-        toks.join(F.broadcast(lp.drop("n_corpus")), "token", "left")
+        toks.join(lp_side, "token", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -1506,10 +1511,16 @@ def kn_perplexity(docs: DataFrame, train_source: str = "src0",
     btot = c2.agg(F.count(F.lit(1)).alias("B"))
 
     eb = bigrams(staged)
+    # c2 is the raw bigram-TYPE table of the train slice — it grows with
+    # the slice, so its broadcast must be guarded by measurement, not by
+    # the "train slices are small by design" assumption (the builder-sized
+    # edition of the r9 broadcast-OOM class). h/cont are aggregates of c2
+    # and usually far smaller, but they inherit the same growth law.
+    # btot stays a plain broadcast: 1 row by construction.
     scored = (
-        eb.join(F.broadcast(c2), ["w1", "w2"], "left")
-        .join(F.broadcast(h), "w1", "left")
-        .join(F.broadcast(cont), "w2", "left")
+        eb.join(guarded_broadcast(c2), ["w1", "w2"], "left")
+        .join(guarded_broadcast(h), "w1", "left")
+        .join(guarded_broadcast(cont), "w2", "left")
         .crossJoin(F.broadcast(btot))
         .withColumn("n1p_eff", F.greatest(F.coalesce(F.col("n1p"), F.lit(0)), F.lit(1)))
         # num/den as DECIMAL(38,0): at 100-TB scale B (distinct bigram

@@ -136,3 +136,294 @@ def test_pq_codebooks_match_plain_python_reference(spark, int_vecs):
             for sub in range(m)
         ]
     assert got == books
+
+
+# ---------------------------------------------------------------------------
+# Round-10: references for the remaining formula-twinned operators.
+# Shared plain-Python mirrors of the engine's token/hash conventions.
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+
+def _py_norm(text: str) -> str:
+    return " ".join(text.lower().split())
+
+
+def _py_tokens(text: str) -> list[str]:
+    return _py_norm(text).split(" ")
+
+
+def _h32(s: str) -> int:
+    """conv(substring(md5(s), 1, 8), 16, 10)"""
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _py_shingles(text: str, n: int) -> list[str]:
+    toks = _py_tokens(text)
+    if len(toks) >= n:
+        return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    return [_py_norm(text)]
+
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12),
+    min_size=2, max_size=8,
+)
+
+
+def _mkdocs(spark, token_lists, langs=None, sources=None):
+    rows = [
+        (i, " ".join(toks),
+         (langs[i] if langs else "en"),
+         (sources[i] if sources else "s"), 0)
+        for i, toks in enumerate(token_lists)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs_strategy)
+def test_bm25_matches_plain_python_reference(spark, token_lists):
+    from eventstore_spark.operators.textops import bm25_search
+
+    k1, b = 1.2, 0.75
+    query = "alpha gamma"
+    qts = sorted(set(query.split()))
+    dls = {i: len(toks) for i, toks in enumerate(token_lists)}
+    n_docs = len(token_lists)
+    avgdl = sum(dls.values()) / n_docs
+    tf = {}  # (doc, term) -> count
+    for i, toks in enumerate(token_lists):
+        for t in toks:
+            if t in qts:
+                tf[(i, t)] = tf.get((i, t), 0) + 1
+    df = {t: sum(1 for (_, tt) in tf if tt == t) for t in qts}
+    idf = {t: int(round(math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                        * 1e6))
+           for t in qts if df[t] > 0}
+    scores = {}
+    for (i, t), f in tf.items():
+        term = int(round(idf[t] * (f * (k1 + 1.0))
+                         / (f + k1 * (1.0 - b + b * dls[i] / avgdl))))
+        scores[i] = scores.get(i, 0) + term
+    expected = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    expected = [(doc, s, r + 1) for r, (doc, s) in enumerate(expected)]
+
+    docs = _mkdocs(spark, token_lists)
+    got = [(r.doc_id, r.score_micro, r.rank)
+           for r in bm25_search(docs, query, k=100).orderBy("rank").collect()]
+    assert got == expected
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs_strategy)
+def test_heavy_hitters_matches_plain_python_reference(spark, token_lists):
+    from eventstore_spark.operators.textops import heavy_hitters
+
+    depth, width = 4, 16  # narrow width so collisions actually occur
+    counts = {}
+    for toks in token_lists:
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+    sketch = {}
+    buckets = {}
+    for t, c in counts.items():
+        for r in range(depth):
+            b = int(hashlib.md5(f"cm{r}|{t}".encode()).hexdigest()[:15], 16) % width
+            buckets[(t, r)] = b
+            sketch[(r, b)] = sketch.get((r, b), 0) + c
+    expected = sorted(
+        ((t, min(sketch[(r, buckets[(t, r)])] for r in range(depth)), c)
+         for t, c in counts.items()),
+        key=lambda x: (-x[1], x[0]),
+    )
+    docs = _mkdocs(spark, token_lists)
+    got = [(r.token, r.est, r.exact, r.overcount)
+           for r in heavy_hitters(docs, depth=depth, width=width, k=100)
+           .collect()]
+    assert got == [(t, e, c, e - c) for t, e, c in expected]
+    for t, e, c in expected:
+        assert e >= c  # the CM one-sided-error invariant
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.sampled_from(["AA", "BB", "CC", "DD"]),
+                         min_size=1, max_size=5),
+                min_size=2, max_size=6))
+def test_line_dedup_matches_plain_python_reference(spark, line_lists):
+    from eventstore_spark.operators.corpus import line_dedup
+
+    min_docs = 2
+    texts = ["\n".join(lines) for lines in line_lists]
+    docfreq = {}
+    for lines in line_lists:
+        for ln in set(lines):
+            docfreq[ln] = docfreq.get(ln, 0) + 1
+    expected = {}
+    for i, lines in enumerate(line_lists):
+        keep = [ln for ln in lines if docfreq[ln] < min_docs]
+        expected[i] = ("\n".join(keep), len(lines),
+                       sum(1 for ln in lines if docfreq[ln] >= min_docs))
+
+    rows = [(i, t, "en", "s", 0) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r.doc_id: (r.clean_text, r.n_lines, r.n_removed)
+           for r in line_dedup(docs, min_docs=min_docs).collect()}
+    assert got == expected
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs_strategy)
+def test_winnowing_fingerprints_match_plain_python_reference(spark, token_lists):
+    from eventstore_spark.operators.dedup import winnowing_fingerprints
+
+    n, win = 3, 4
+    expected = set()
+    for i, toks in enumerate(token_lists):
+        grams = _py_shingles(" ".join(toks), n)
+        m = len(grams)
+        keyed = [(int(hashlib.md5(("win|" + g).encode()).hexdigest()[:8], 16),
+                  p + 1) for p, g in enumerate(grams)]
+        # key = fp * 2^21 - pos: min fp wins, rightmost position on ties
+        for j in range(1, max(m - win + 1, 1) + 1):
+            window = [(fp * (1 << 21) - pos, pos, fp)
+                      for fp, pos in keyed[j - 1:j + win - 1]]
+            _, pos, fp = min(window)
+            expected.add((i, pos, fp))
+
+    docs = _mkdocs(spark, token_lists)
+    got = {(r.doc_id, r.pos, r.fp)
+           for r in winnowing_fingerprints(docs, n=n, win=win).collect()}
+    assert got == expected
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs_strategy)
+def test_lsh_calibration_matches_plain_python_reference(spark, token_lists):
+    from eventstore_spark.operators.dedup import (MINHASH_P, _mh_a, _mh_b,
+                                                  lsh_calibration)
+
+    num_hashes, bands, shingle_n = 9, 3, 3
+    rows_per_band = num_hashes // bands
+    sigs, ssets = {}, {}
+    for i, toks in enumerate(token_lists):
+        sh = _py_shingles(" ".join(toks), shingle_n)
+        hs = [_h32(s) for s in sh]
+        sigs[i] = [min((h * _mh_a(j) + _mh_b(j)) % MINHASH_P for h in hs)
+                   for j in range(num_hashes)]
+        ssets[i] = set(sh)
+    cand = set()
+    for a in sigs:
+        for b in sigs:
+            if a < b and any(
+                sigs[a][j * rows_per_band:(j + 1) * rows_per_band]
+                == sigs[b][j * rows_per_band:(j + 1) * rows_per_band]
+                for j in range(bands)
+            ):
+                cand.add((a, b))
+    expected = {}
+    for a, b in cand:
+        matches = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+        inter = len(ssets[a] & ssets[b])
+        union = len(ssets[a]) + len(ssets[b]) - inter
+        est = (matches * 1_000_000) // num_hashes
+        true = (inter * 1_000_000) // union
+        expected[(a, b)] = (est, true, est - true)
+
+    docs = _mkdocs(spark, token_lists)
+    got = {(r.a, r.b): (r.est_micro, r.true_micro, r.err_micro)
+           for r in lsh_calibration(docs, num_hashes, bands, shingle_n)
+           .collect()}
+    assert got == expected
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.lists(st.sampled_from(_WORDS), min_size=1, max_size=10),
+              st.sampled_from(["en", "de"])),
+    min_size=2, max_size=8))
+def test_dsir_select_matches_plain_python_reference(spark, rows_in):
+    from eventstore_spark.operators.corpus import dsir_select
+
+    buckets, salt, target = 8, "dsir-v1", "de"  # few buckets → collisions
+    grams_by_doc = {}
+    for i, (toks, _) in enumerate(rows_in):
+        ng = list(toks) + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        grams_by_doc[i] = [
+            int(hashlib.md5(f"{salt}|{g}".encode()).hexdigest()[:8], 16)
+            % buckets for g in ng]
+    rc, tc = {}, {}
+    for i, (_, lang) in enumerate(rows_in):
+        for b in grams_by_doc[i]:
+            rc[b] = rc.get(b, 0) + 1
+            if lang == target:
+                tc[b] = tc.get(b, 0) + 1
+    T, R = sum(tc.values()), sum(rc.values())
+    lam = {b: int(round(math.log((tc.get(b, 0) + 1) / (T + buckets)) * 1e6))
+           - int(round(math.log((rc[b] + 1) / (R + buckets)) * 1e6))
+           for b in rc}
+    weights = {i: (len(bs), sum(lam[b] for b in bs))
+               for i, bs in grams_by_doc.items()}
+    expected = sorted(
+        ((i, rows_in[i][1], n, w) for i, (n, w) in weights.items()),
+        key=lambda x: (-x[3], x[0]))
+
+    docs = _mkdocs(spark, [t for t, _ in rows_in],
+                   langs=[lg for _, lg in rows_in])
+    got = [(r.doc_id, r.lang, r.n_ngrams, r.weight_micro)
+           for r in dsir_select(docs, target_lang=target, k=100,
+                                buckets=buckets, salt=salt).collect()]
+    assert got == expected
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.lists(st.sampled_from(_WORDS), min_size=1, max_size=10),
+              st.sampled_from(["en", "de"])),
+    min_size=3, max_size=9))
+def test_ccnet_buckets_match_plain_python_reference(spark, rows_in):
+    from eventstore_spark.operators.corpus import ccnet_buckets
+
+    top_v = 4  # small cap so the OOV floor path is exercised
+    all_toks = [t for toks, _ in rows_in for t in toks]
+    n_corpus = len(all_toks)
+    counts = {}
+    for t in all_toks:
+        counts[t] = counts.get(t, 0) + 1
+    vocab = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_v]
+    lp = {t: int(round(math.log(c / n_corpus) * 1e6)) for t, c in vocab}
+    floor = int(round(math.log(1.0 / n_corpus) * 1e6))
+    lm = {}
+    for i, (toks, _) in enumerate(rows_in):
+        total = sum(lp.get(t, floor) for t in toks)
+        lm[i] = (len(toks), total, total / len(toks) / 1e6)
+    ranks = {}
+    for lang in {lg for _, lg in rows_in}:
+        members = sorted(
+            (i for i, (_, lg) in enumerate(rows_in) if lg == lang),
+            key=lambda i: (-lm[i][2], i))
+        n = len(members)
+        for r, i in enumerate(members, start=1):
+            bucket = ("head" if 3 * r <= n
+                      else "middle" if 3 * r <= 2 * n else "tail")
+            ranks[i] = (r, bucket)
+    expected = {i: (rows_in[i][1], lm[i][2], ranks[i][0], ranks[i][1])
+                for i in lm}
+
+    docs = _mkdocs(spark, [t for t, _ in rows_in],
+                   langs=[lg for _, lg in rows_in])
+    got = {r.doc_id: (r.lang, r.lm_score, r.lang_rank, r.bucket)
+           for r in ccnet_buckets(docs, top_v=top_v).collect()}
+    assert got == expected

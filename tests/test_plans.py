@@ -645,3 +645,59 @@ def test_line_dedup_has_no_unpartitioned_window(parquet_docs):
     plan = plan_of(line_dedup(parquet_docs, min_docs=2))
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# guarded_broadcast: measured model-side sizing (the r9 OOM-class guard)
+# ---------------------------------------------------------------------------
+
+def test_guarded_broadcast_small_side_broadcasts(spark):
+    """Within the bound, the guard must still produce the broadcast plan —
+    the fast path for genuinely small model tables is not sacrificed."""
+    from eventstore_spark.plans.join_strategy import guarded_broadcast
+
+    big = spark.range(0, 1000).withColumnRenamed("id", "k")
+    side = spark.range(0, 20).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k") * 2)
+    plan = plan_of(big.join(guarded_broadcast(side), "k"))
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_guarded_broadcast_large_side_degrades_to_keyed_join(spark):
+    """Above the bound, the guard must refuse to broadcast and pin a keyed
+    shuffle-hash join — the executor-memory-safe shape."""
+    from eventstore_spark.plans.join_strategy import guarded_broadcast
+
+    big = spark.range(0, 1000).withColumnRenamed("id", "k")
+    side = spark.range(0, 100).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k") * 2)
+    joined = big.join(guarded_broadcast(side, max_rows=10), "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert joined.count() == 100  # same answer on the fallback path
+
+
+def test_kn_perplexity_oversized_model_degrades_and_stays_correct(spark, monkeypatch):
+    """A train slice whose bigram-type table exceeds the broadcast bound
+    must degrade kn_perplexity's model joins to keyed joins (not OOM) and
+    return IDENTICAL scores. Bound lowered via the module constant — the
+    same code path a genuinely 10M-type model would take."""
+    from eventstore_spark.operators.textops import kn_perplexity
+    from eventstore_spark.plans import join_strategy as js
+
+    rows = [
+        (1, "a b c d e f g a b", "en", "src0", 0),
+        (2, "b c d e f g h", "en", "src0", 0),
+        (3, "a b x y z", "en", "src1", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    baseline = sorted(map(tuple, kn_perplexity(docs).collect()))
+
+    monkeypatch.setattr(js, "DEFAULT_MAX_BROADCAST_ROWS", 2)
+    guarded = kn_perplexity(docs)
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan  # the c2/h/cont joins fell back
+    assert sorted(map(tuple, guarded.collect())) == baseline
