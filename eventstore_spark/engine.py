@@ -71,9 +71,16 @@ class EventStoreEngine:
                  lock_timeout_s: float = 0.0,
                  group_commit_window_ms: float = 0.0,
                  system_projections: str | None = None,
-                 read_only: bool = False):
+                 read_only: bool = False,
+                 correlation_id_property: str = "$correlationId"):
         self.spark = spark
         self.path = path
+        # correlation_id_property: the metadata property Y5
+        # ($by_correlation_id / $bc- routing) groups by — the reference's
+        # configurable correlationIdProperty (ByCorrelationId.cs:19-42,
+        # default registration ProjectionManager.cs:919-924). Stored as
+        # the property NAME; helpers take the "$."-prefixed JSON path.
+        self.correlation_id_property = correlation_id_property
         # lock_timeout_s > 0: wait (bounded) for another process's writer
         # claim on this store instead of raising WriterFencedError.
         # group_commit_window_ms > 0: batch concurrent appends into one
@@ -414,10 +421,12 @@ class EventStoreEngine:
         src = self._link_source_events()
         info = self._system_links_info()
         if info is None:
-            return sysproj.system_stream_events(src, stream_id)
+            return sysproj.system_stream_events(src, stream_id,
+                                                self._corr_path())
         mat = ev.where(F.col("stream_id") == stream_id)
         tail = sysproj.system_stream_tail_events(
-            src, stream_id, mat, int(info.get("position", 0))
+            src, stream_id, mat, int(info.get("position", 0)),
+            self._corr_path(),
         )
         if tail is None:
             return mat
@@ -655,7 +664,18 @@ class EventStoreEngine:
         return sysproj.by_event_type(self.events(), name)
 
     def correlation(self, correlation_id: str) -> DataFrame:
-        return sysproj.by_correlation_id(self.events(), correlation_id)
+        return sysproj.by_correlation_id(
+            self.events(), correlation_id, self._corr_path())
+
+    def _corr_path(self) -> str:
+        """JSON path of the configured correlation property. A store
+        materialized under a DIFFERENT property keeps serving that one
+        (the marker records it — the projection's persisted config,
+        like the reference's stored projection definition)."""
+        info = self._system_links_info()
+        prop = ((info or {}).get("correlation_property")
+                or self.correlation_id_property)
+        return "$." + prop
 
     # ---------------------------------------------------------- subscriptions
     def subscribe(self, stream_id: str | None = None,
@@ -666,7 +686,7 @@ class EventStoreEngine:
             # subscribe("$ce-user") etc: the live feed of the system
             # stream's TARGETS — a filtered $all subscription (what a
             # resolve-link-tos subscriber observes in the reference).
-            pred = sysproj.system_stream_predicate(stream_id)
+            pred = sysproj.system_stream_predicate(stream_id, self._corr_path())
             if pred is None:
                 raise ValueError(
                     f"system stream '{stream_id}' is not subscribable "
@@ -750,6 +770,7 @@ class EventStoreEngine:
             # park-to-stream needs the writer; read-only engines keep
             # parked state in the delivery table only
             park_writer=None if self.writer.read_only else self.writer,
+            correlation_property=self._corr_path(),
         )
         # record the group's configuration in the
         # `$persistentSubscriptionConfig` stream as `$PersistentConfig`
@@ -874,6 +895,7 @@ class EventStoreEngine:
             start_from=start_from,
             event_filter=event_filter,
             park_writer=None if self.writer.read_only else self.writer,
+            correlation_property=self._corr_path(),
         )
         import hashlib
 
@@ -926,6 +948,7 @@ class EventStoreEngine:
                 start_from=g.get("startFrom", 0),
                 event_filter=filt,
                 park_writer=None if self.writer.read_only else self.writer,
+                correlation_property=self._corr_path(),
             ))
         return out
 
@@ -966,6 +989,7 @@ class EventStoreEngine:
             event_filter=(EventFilter.from_doc(g["filter"])
                           if g.get("filter") else None),
             park_writer=None if self.writer.read_only else self.writer,
+            correlation_property=self._corr_path(),
         )
         n = ps.replay_parked(stop_at)
         if n > 0:
@@ -1124,7 +1148,8 @@ class EventStoreEngine:
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"mode": mode, "position": int(position)}, fh)
+            json.dump({"mode": mode, "position": int(position),
+                       "correlation_property": self._corr_path()[2:]}, fh)
         os.replace(tmp, marker)
 
     def system_links_materialized(self) -> bool:
@@ -1165,10 +1190,16 @@ class EventStoreEngine:
         """
         prev = self._system_links_info() or {}
         prev_pos = int(prev.get("position", 0))
+        # the property is FIXED at first materialization (recorded in the
+        # marker): re-registrations keep extending the same link streams,
+        # so they must keep the same grouping — the reference likewise
+        # persists the projection's config with its definition
+        corr_path = self._corr_path()
         if mode == "onetime":
             src = self._link_source_events()
             head = src.agg(F.max("log_position")).first()[0] or 0
-            self.writer.append_df(sysproj.system_link_rows(src))
+            self.writer.append_df(
+                sysproj.system_link_rows(src, corr_path))
             # data landed — only now (re)write the marker, covering the
             # snapshot head the links were derived from
             self._write_system_links_marker("onetime", max(prev_pos, int(head)))
@@ -1183,7 +1214,8 @@ class EventStoreEngine:
         def sink(batch_df, batch_id):
             batch_df.persist()
             try:
-                self.writer.append_df(sysproj.system_link_rows(batch_df))
+                self.writer.append_df(
+                    sysproj.system_link_rows(batch_df, corr_path))
                 head = batch_df.agg(F.max("log_position")).first()[0]
             finally:
                 batch_df.unpersist()

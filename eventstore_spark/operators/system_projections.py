@@ -150,15 +150,23 @@ def by_event_type(events: DataFrame, event_type: str | None = None) -> DataFrame
     return events.where(F.col("event_type") == event_type)
 
 
-def by_correlation_id(events: DataFrame, correlation_id: str | None = None) -> DataFrame:
+def by_correlation_id(events: DataFrame, correlation_id: str | None = None,
+                      correlation_property: str = "$.$correlationId"
+                      ) -> DataFrame:
     """Y5 `$by_correlation_id` ($bc-<id>): group events by the
-    `$correlationId` property of their metadata JSON.
+    correlation property of their metadata JSON.
 
-    Reference: Standard/ByCorrelationId.cs:19 (correlationIdProperty
-    defaults to "$correlationId").
+    Reference: Standard/ByCorrelationId.cs:19-42 — correlationIdProperty
+    defaults to "$correlationId" and is CONFIGURABLE via the projection's
+    config JSON ({"correlationIdProperty": ...}, parsed in
+    ByCorrelationId.cs:30); registration passes the default
+    (ProjectionManager.cs:919-924). ``correlation_property`` is the
+    JSON-path form ("$." + property name), matching the sibling
+    system-stream helpers.
     """
     out = events.withColumn(
-        "correlation_id", F.get_json_object(F.col("metadata"), "$.$correlationId")
+        "correlation_id",
+        F.get_json_object(F.col("metadata"), correlation_property),
     )
     if correlation_id is not None:
         out = out.where(F.col("correlation_id") == correlation_id)

@@ -89,6 +89,7 @@ class PersistentSubscription:
         start_from: int = 0,
         event_filter: EventFilter | None = None,
         park_writer=None,
+        correlation_property: str = "$.$correlationId",
     ):
         # ``events`` may be a zero-arg CALLABLE returning the current log
         # view — a long-lived group must see appends made after creation,
@@ -135,7 +136,7 @@ class PersistentSubscription:
         # PinnedPersistentSubscriptionConsumerStrategy.cs:9.
         self._system_predicate = None
         if stream_id is not None and is_system_stream_name(stream_id):
-            pred = system_stream_predicate(stream_id)
+            pred = system_stream_predicate(stream_id, correlation_property)
             if pred is None:
                 raise ValueError(
                     f"system stream '{stream_id}' cannot back a persistent "

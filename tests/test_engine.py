@@ -1895,3 +1895,47 @@ def test_subscribe_et_deleted_delivers_both_deletion_shapes(engine, tmp_path):
                           ("account-2", "$streamDeleted")]
     finally:
         q.stop()
+
+
+def test_correlation_id_property_is_configurable(spark, tmp_path):
+    """Y5 with a custom correlationIdProperty (ByCorrelationId.cs:19-42:
+    the property name comes from the projection's config JSON; the repo
+    default matches the reference's default registration). The custom
+    property must drive the correlation view, $bc- name routing, AND the
+    materialized link streams — and the property is FIXED at first
+    materialization via the marker, like the reference's persisted
+    projection definition."""
+    e = EventStoreEngine(spark, str(tmp_path / "store"),
+                         correlation_id_property="corrKey")
+    e.append("order-1", [
+        ProposedEvent("Placed", '{"v": 1}', metadata='{"corrKey": "cx"}'),
+        ProposedEvent("Shipped", '{"v": 2}', metadata='{"corrKey": "cy"}'),
+    ])
+    e.append("invoice-1", [
+        ProposedEvent("Issued", '{"v": 3}', metadata='{"corrKey": "cx"}'),
+        # default-named property is IGNORED under the custom config
+        ProposedEvent("Paid", '{"v": 4}',
+                      metadata='{"$correlationId": "cx"}'),
+    ])
+
+    # correlation view groups by the configured property
+    got = e.correlation("cx").select("stream_id", "event_type").collect()
+    assert {(r.stream_id, r.event_type) for r in got} == {
+        ("order-1", "Placed"), ("invoice-1", "Issued")}
+
+    # $bc- name routing (virtual): same two events, as link rows
+    bc = e.read_stream("$bc-cx").collect()
+    assert [r.data for r in bc] == ["0@order-1", "0@invoice-1"]
+
+    # materialized links group by the same property
+    e.register_system_projections(mode="onetime")
+    bc_mat = e.read_stream("$bc-cx").collect()
+    assert [r.data for r in bc_mat] == ["0@order-1", "0@invoice-1"]
+    assert e.read_stream("$bc-cy").count() == 1
+
+    # a reopened engine with a DIFFERENT configured property keeps
+    # serving the marker-recorded one (the stored projection config)
+    e2 = EventStoreEngine(spark, e.path, read_only=True)
+    assert e2.correlation("cx").count() == 2
+    assert [r.data for r in e2.read_stream("$bc-cx").collect()] == [
+        "0@order-1", "0@invoice-1"]
