@@ -185,6 +185,48 @@ def q_y5_by_correlation_id(spark, sf):
     )
 
 
+_HTML_WRAP_PRE = ('<html><head><title>t</title><style>p{color:red}</style>'
+                  '</head><body><h1>Doc</h1><p>')
+_HTML_WRAP_POST = ('</p><script>var x = "1 < 2 && y > 0";</script>'
+                   '<p>tail &amp; more</p></body></html>')
+
+
+def q_html_extract(spark, sf):
+    """HTML text extraction (r10): each document's text wrapped in a
+    deterministic page skeleton (head/style/script/entities — the parts
+    extraction must remove), then extracted back
+    (textops.html_extract_text). One codegen regexp pass, no shuffle."""
+    from eventstore_spark.operators.textops import html_extract_text
+
+    docs = _table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit(_HTML_WRAP_PRE), F.col("text"),
+                 F.lit(_HTML_WRAP_POST)).alias("text"),
+    )
+    return html_extract_text(docs)
+
+
+def q_y5_custom_property(spark, sf):
+    """$by_correlation_id through the REAL operator with a configured
+    correlationIdProperty (ByCorrelationId.cs:19-42's config JSON knob,
+    r10): property 'k', read from the event payload standing in as
+    metadata — the same aggregate as y5_by_correlation_id but exercising
+    operators/system_projections.by_correlation_id's property plumbing."""
+    from eventstore_spark.operators import system_projections as sysproj
+
+    ev = load_envelope(spark, sf).withColumn("metadata", F.col("data"))
+    tagged = sysproj.by_correlation_id(ev, correlation_property="$.k")
+    return (
+        tagged.where(F.col("correlation_id").isNotNull())
+        .groupBy(F.col("correlation_id").alias("corr"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("stream_id").alias("n_streams"),
+            F.min("log_position").alias("first_pos"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Links + retention
 # ---------------------------------------------------------------------------
@@ -2005,6 +2047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_neardup_hashed": q_text_neardup_hashed,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "leakage_safe_split": q_leakage_safe_split,
+        # --- new in r10 (tail-positioned: r11-rotation material) ---
+        "y5_custom_property": q_y5_custom_property,
+        "html_extract": q_html_extract,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the three
@@ -2117,6 +2162,13 @@ def oracle_sql() -> dict[str, str]:
         "FROM ev WHERE event_type = 'purchase' GROUP BY stream_id"
     )
     sqls["y5_by_correlation_id"] = _with_ev(
+        "SELECT json_extract_string(data, '$.k') AS corr, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(count(DISTINCT stream_id) AS BIGINT) AS n_streams, "
+        "min(log_position) AS first_pos "
+        "FROM ev WHERE json_extract_string(data, '$.k') IS NOT NULL GROUP BY 1"
+    )
+    sqls["y5_custom_property"] = _with_ev(
         "SELECT json_extract_string(data, '$.k') AS corr, "
         "CAST(count(*) AS BIGINT) AS n, "
         "CAST(count(DISTINCT stream_id) AS BIGINT) AS n_streams, "
@@ -2820,4 +2872,11 @@ WHERE p.quality >= 0.3
 
     sqls["winnowing_fingerprints"] = sql_winnowing_fingerprints()
     sqls["leakage_safe_split"] = _cp.sql_leakage_safe_split(threshold=0.5)
+    from eventstore_spark.operators.textops import sql_html_extract_text
+
+    sqls["html_extract"] = (
+        "WITH hdocs AS (SELECT doc_id, "
+        f"'{_HTML_WRAP_PRE}' || text || '{_HTML_WRAP_POST}' AS text "
+        "FROM documents)\n" + sql_html_extract_text(table="hdocs")
+    )
     return sqls

@@ -1715,3 +1715,86 @@ SELECT {id_col} AS doc_id,
        {expr} <> {text_col} AS changed
 FROM {table}
 """
+
+
+# ---------------------------------------------------------------------------
+# HTML text extraction
+# ---------------------------------------------------------------------------
+
+# (pattern, replacement) pairs applied IN ORDER by both engines — the
+# clean_text recipe one step upstream: web pipelines (C4 §2.1 "we
+# extracted text from the scraped HTML", CCNet, RefinedWeb §3.1) start
+# from markup, and every downstream filter assumes it's gone. Regex
+# subset chosen to mean the same thing in Java regex and RE2: inline
+# (?is) flags, lazy quantifiers, character classes — no backreferences
+# (RE2 has none), so script and style get separate rules.
+HTML_RULES = (
+    # script/style/comment BLOCKS vanish wholesale — their content is
+    # code, not prose, and must not leak into token statistics
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    # block-level boundaries become newlines, so extracted documents
+    # keep the line structure line_dedup/boilerplate passes key on
+    (r"(?i)<(br|p|div|li|tr|h[1-6]|ul|ol|table|blockquote)\b[^>]*>", "\n"),
+    (r"(?i)</(p|div|li|tr|h[1-6]|ul|ol|table|blockquote)\s*>", "\n"),
+    # every remaining tag is a word separator
+    (r"(?s)<[^>]*>", " "),
+    # minimal entity decode; &amp; LAST so a double-encoded entity
+    # (&amp;lt;) decodes exactly ONE level, as a real parser would
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", "\""),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+    # whitespace discipline: horizontal runs collapse, newlines keep
+    # (and de-duplicate) themselves
+    (r"[ \t\r]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n{2,}", "\n"),
+)
+
+
+def html_extract_text(docs: DataFrame, id_col: str = "doc_id",
+                      html_col: str = "text") -> DataFrame:
+    """Markup → training text: drop script/style/comment blocks, turn
+    block-element boundaries into newlines, strip remaining tags, decode
+    the six core entities, tidy whitespace — the extraction step at the
+    head of every web-corpus pipeline (C4 arXiv:1910.10683 §2.1; CCNet
+    arXiv:1911.00359; RefinedWeb arXiv:2306.01116 §3.1). Heuristic by
+    design (a regex pass, not an HTML5 tree builder) — the same tradeoff
+    the WET extracts in Common Crawl make.
+
+    Returns (doc_id, extracted, html_chars, text_chars).
+
+    Scale shape: ONE codegen projection pass over the scan — a chain of
+    regexp_replace, zero shuffles, zero UDFs (the clean_text shape).
+    """
+    c = F.col(html_col)
+    for pat, rep in HTML_RULES:
+        c = F.regexp_replace(c, pat, rep)
+    c = F.trim(c)
+    return spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        c.alias("extracted"),
+        F.length(html_col).cast("long").alias("html_chars"),
+        F.length(c).cast("long").alias("text_chars"),
+    )
+
+
+def sql_html_extract_text(table: str = "documents", id_col: str = "doc_id",
+                          html_col: str = "text") -> str:
+    expr = html_col
+    for pat, rep in HTML_RULES:
+        pat_sql = pat.replace("'", "''")
+        rep_sql = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{rep_sql}', 'g')"
+    expr = f"trim({expr})"
+    return f"""
+SELECT {id_col} AS doc_id,
+       {expr} AS extracted,
+       CAST(length({html_col}) AS BIGINT) AS html_chars,
+       CAST(length({expr}) AS BIGINT) AS text_chars
+FROM {table}
+"""

@@ -33,7 +33,10 @@ from eventstore_spark.writer import (
 import os as _os
 
 SEED = int(_os.environ.get("SPARK_GRAFT_CHAOS_SEED", "20260813"))
-N_OPS = 120
+# overridable for SOAK runs: SPARK_GRAFT_CHAOS_OPS=3000 drives the same
+# randomized interleaving ~25× longer (the r10 scale-soak; a run is
+# recorded in CHANGES_r10.md) — default stays CI-sized
+N_OPS = int(_os.environ.get("SPARK_GRAFT_CHAOS_OPS", "120"))
 STREAMS = [f"acct-{i}" for i in range(8)] + [f"cart-{i}" for i in range(4)]
 
 

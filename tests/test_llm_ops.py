@@ -1534,3 +1534,55 @@ def test_line_dedup_regex_metachar_separator_cross_engine(spark, tmp_path):
     oracle = {int(r.doc_id): (r.clean_text, int(r.n_lines), int(r.n_removed))
               for r in odf.itertuples(index=False)}
     assert oracle == got
+
+
+def test_ngram_jaccard_warns_on_hot_shingles_by_default(spark):
+    """r10 scale valve: the exact default must measure df and warn when a
+    shingle's document frequency crosses the bound (the Σdf² quadratic
+    regime, PLANS.md §"Zipf df measurement") — and stay silent on
+    diverse corpora and when the probe is explicitly disabled."""
+    import warnings as w
+
+    from eventstore_spark.operators.dedup import ngram_jaccard_pairs
+
+    hot = [(i, "the quick brown fox jumps", "en", "s", 0) for i in range(12)]
+    hot_docs = spark.createDataFrame(
+        hot, "doc_id long, text string, lang string, source string, n_chars long")
+    with pytest.warns(RuntimeWarning, match="max_df"):
+        ngram_jaccard_pairs(hot_docs, warn_df_above=5)
+
+    with w.catch_warnings():
+        w.simplefilter("error", RuntimeWarning)
+        # diverse corpus: no shingle is shared, no warning
+        div = [(i, f"w{i}a w{i}b w{i}c w{i}d", "en", "s", 0) for i in range(12)]
+        div_docs = spark.createDataFrame(
+            div, "doc_id long, text string, lang string, source string, n_chars long")
+        ngram_jaccard_pairs(div_docs, warn_df_above=5)
+        # probe disabled: silent even on the saturated corpus
+        ngram_jaccard_pairs(hot_docs, warn_df_above=None)
+
+
+def test_html_extract_text_semantics(spark):
+    """r10 HTML extraction: script/style/comment blocks vanish, block
+    boundaries become newlines, tags separate words, entities decode
+    exactly one level (&amp;lt; stays &lt;), whitespace tidied."""
+    from eventstore_spark.operators.textops import html_extract_text
+
+    html = (
+        '<html><head><style type="text/css">h1 {x: y}</style></head>'
+        "<body><!-- chrome --><h1>Title</h1>"
+        "<p>one &amp;lt; two</p>"
+        '<script>var s = "<p>not text</p>";</script>'
+        "<ul><li>a</li><li>b</li></ul>"
+        "<span>inline</span>-joined tail &amp; more &nbsp;x</body></html>"
+    )
+    rows = [(1, html, "en", "s", 0),
+            (2, "plain text, no markup", "en", "s", 0)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r.doc_id: r for r in html_extract_text(docs).collect()}
+    assert got[1].extracted == (
+        "\nTitle\none &lt; two\na\nb\ninline -joined tail & more x")
+    assert got[2].extracted == "plain text, no markup"
+    assert got[1].html_chars == len(html)
+    assert got[1].text_chars == len(got[1].extracted)
