@@ -206,6 +206,39 @@ def q_html_extract(spark, sf):
     return html_extract_text(docs)
 
 
+def q_url_normalize(spark, sf):
+    """URL canonicalization (r10): deterministic messy URLs built from
+    doc_id (mixed-case scheme/host, default ports, tracking params,
+    fragments), normalized back (corpus.url_normalize). One codegen
+    regexp pass, no shuffle."""
+    from eventstore_spark.operators import corpus as cp
+
+    d = _table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS://WWW.Site"))
+            .otherwise(F.lit("http://Blog.site")),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit(".COM"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(":443"))
+            .otherwise(F.lit(":80")),
+            F.lit("/Articles/Piece-"), F.col("doc_id").cast("string"),
+            F.lit("?utm_source=feed&id="), (F.col("doc_id") % 7).cast("string"),
+            F.lit("&utm_medium=email&gclid=abc123#section-2"),
+        ).alias("url"),
+    )
+    return cp.url_normalize(d)
+
+
+def q_dedup_doc_lines(spark, sf):
+    """Within-document line dedup (r10): repeated lines inside each doc
+    dropped keep-first (Gopher/RefinedWeb in-doc repetition removal) —
+    pure array lambdas, zero shuffle (corpus.dedup_doc_lines)."""
+    from eventstore_spark.operators import corpus as cp
+
+    return cp.dedup_doc_lines(_table(spark, sf, "documents"), sep=" ")
+
+
 def q_y5_custom_property(spark, sf):
     """$by_correlation_id through the REAL operator with a configured
     correlationIdProperty (ByCorrelationId.cs:19-42's config JSON knob,
@@ -2050,6 +2083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r10 (tail-positioned: r11-rotation material) ---
         "y5_custom_property": q_y5_custom_property,
         "html_extract": q_html_extract,
+        "url_normalize": q_url_normalize,
+        "dedup_doc_lines": q_dedup_doc_lines,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the three
@@ -2879,4 +2914,18 @@ WHERE p.quality >= 0.3
         f"'{_HTML_WRAP_PRE}' || text || '{_HTML_WRAP_POST}' AS text "
         "FROM documents)\n" + sql_html_extract_text(table="hdocs")
     )
+    sqls["url_normalize"] = (
+        "WITH udocs AS (SELECT doc_id, "
+        "(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.Site' "
+        "ELSE 'http://Blog.site' END) "
+        "|| CAST(doc_id % 40 AS VARCHAR) || '.COM' "
+        "|| (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END) "
+        "|| '/Articles/Piece-' || CAST(doc_id AS VARCHAR) "
+        "|| '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR) "
+        "|| '&utm_medium=email&gclid=abc123#section-2' AS url "
+        "FROM documents)"
+        # merge the operator twin's own WITH into this one's CTE list
+        + _cp.sql_url_normalize(table="udocs").replace("\nWITH ", ",\n", 1)
+    )
+    sqls["dedup_doc_lines"] = _cp.sql_dedup_doc_lines(sep=" ")
     return sqls

@@ -1271,3 +1271,168 @@ SELECT doc_id,
        CAST(count(*) FILTER (WHERE drop) AS BIGINT) AS n_removed
 FROM flagged GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (r10)
+# ---------------------------------------------------------------------------
+
+# (pattern, spark_replacement, duckdb_replacement) applied IN ORDER.
+# Replacement backreference syntax differs (Java $1 vs RE2 \1) — the
+# tuple carries both; patterns avoid lookarounds (RE2 has none), so the
+# default-port strip uses an optional trailing group instead of (?=...).
+URL_RULES = (
+    # fragment never reaches the server — drop it first
+    (r"#.*$", "", ""),
+    # tracking parameters (C4-style URL dedup normalizes these away);
+    # keeps the introducing [?&] so separator repair below stays local
+    (r"([?&])(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|ref_src)=[^&#]*",
+     "$1", r"\1"),
+    # separator repair after param removal: '?&&x' -> '?x', trailing ?/&
+    (r"\?&+", "?", "?"),
+    (r"&&+", "&", "&"),
+    (r"[?&]+$", "", ""),
+    # default ports are identity-free ((?i): the scheme may still be
+    # uppercase here — authority lowercasing happens after the rules)
+    (r"(?i)^(https?://[^/?#:]*):(80|443)([/?#].*)?$", "$1$3", r"\1\3"),
+)
+
+_URL_SCHEME_HOST = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+
+
+def url_normalize(docs: DataFrame, url_col: str = "url",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Canonicalize URLs for URL-level dedup (the C4 pipeline's first
+    dedup key, arXiv:1910.10683 §2.1; also the WARC `WARC-Target-URI`
+    normalization every crawl pipeline runs): strip fragments and
+    tracking parameters, drop default ports, lowercase scheme+authority
+    (the case-insensitive parts per RFC 3986 §6.2.2.1 — path/query case
+    is PRESERVED, it is significant).
+
+    Returns (doc_id, url, url_norm, host, domain, changed); ``domain``
+    is the last two host labels — a serviceable grouping key, with the
+    public-suffix caveat (co.uk-style registries need a suffix list)
+    documented rather than half-solved.
+
+    Scale shape: one codegen projection pass (regexp chain + extract/
+    concat), zero shuffles, zero UDFs — dedup on url_norm is then
+    exact_duplicates on a column.
+    """
+    u = F.trim(F.col(url_col))
+    for pat, rep, _ in URL_RULES:
+        u = F.regexp_replace(u, pat, rep)
+    # staged columns (own projections) so the regexp chain evaluates once
+    # per row and the scheme_host extract reads the STAGED value
+    staged = spread(docs).select(
+        F.col(id_col).alias("doc_id"), F.col(url_col).alias("url"),
+        u.alias("_u"),
+    ).withColumn("_sh", F.regexp_extract("_u", _URL_SCHEME_HOST, 1))
+    norm = F.when(
+        F.col("_sh") != "",
+        F.concat(F.lower("_sh"),
+                 F.expr("substring(_u, length(_sh) + 1)")),
+    ).otherwise(F.col("_u"))
+    out = staged.withColumn("url_norm", norm)
+    host = F.regexp_replace(
+        F.regexp_extract("url_norm", r"^[a-z][a-z0-9+.-]*://([^/?#:]*)", 1),
+        r"^www\.", "")
+    return out.select(
+        "doc_id", "url", "url_norm",
+        host.alias("host"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),
+        (F.col("url_norm") != F.col("url")).alias("changed"),
+    )
+
+
+def sql_url_normalize(table: str, url_col: str = "url",
+                      id_col: str = "doc_id") -> str:
+    expr = f"trim({url_col})"
+    for pat, _, rep in URL_RULES:
+        pat_sql = pat.replace("'", "''")
+        rep_sql = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{rep_sql}', 'g')"
+    sh = f"regexp_extract(_u, '{_URL_SCHEME_HOST}', 1)"
+    host = ("regexp_replace(regexp_extract(url_norm, "
+            "'^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1), '^www\\.', '', 'g')")
+    return f"""
+WITH staged AS (
+  SELECT {id_col} AS doc_id, {url_col} AS url, {expr} AS _u FROM {table}
+), shd AS (
+  SELECT doc_id, url, _u, {sh} AS _sh FROM staged
+), normed AS (
+  SELECT doc_id, url,
+         CASE WHEN _sh <> '' THEN lower(_sh) || substring(_u, length(_sh) + 1)
+              ELSE _u END AS url_norm
+  FROM shd
+)
+SELECT doc_id, url, url_norm,
+       {host} AS host,
+       regexp_extract({host}, '([^.]+\\.[^.]+)$', 1) AS domain,
+       url_norm <> url AS changed
+FROM normed
+"""
+
+
+# ---------------------------------------------------------------------------
+# Within-document line dedup (r10)
+# ---------------------------------------------------------------------------
+
+def dedup_doc_lines(docs: DataFrame, sep: str = "\n",
+                    id_col: str = "doc_id", text_col: str = "text"
+                    ) -> DataFrame:
+    """Remove REPEATED lines inside each document, keeping the first
+    occurrence in place — the within-document repetition removal of
+    Gopher (arXiv:2112.11446 §A1.1, "duplicate line fraction" gating)
+    and RefinedWeb (arXiv:2306.01116 §3.2), complementing ``line_dedup``
+    (which removes lines repeated ACROSS documents).
+
+    keep-first is expressed identically in both engines as the literal
+    definition — element kept iff its index is the first position of its
+    value — so the oracle hash-matches the cleaned strings. O(lines²)
+    comparisons per document (lines per doc are bounded small; this is
+    NOT a corpus-scale term).
+
+    Returns (doc_id, clean_text, n_lines, n_removed).
+
+    Scale shape: one codegen projection pass over the scan, zero
+    shuffles, zero UDFs, no explode — the whole transform is array
+    lambdas on a STAGED column (own projection, so the split is
+    evaluated once per doc, not per element — the lambda re-eval trap).
+    """
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    staged = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), sep_rx, -1).alias("_ls"),
+    )
+    kept = F.filter(
+        F.col("_ls"),
+        lambda x, i: F.array_position(F.col("_ls"), x) == i + 1,
+    )
+    out = staged.withColumn("_kept", kept)
+    return out.select(
+        "doc_id",
+        F.array_join("_kept", sep).alias("clean_text"),
+        F.size("_ls").cast("long").alias("n_lines"),
+        (F.size("_ls") - F.size("_kept")).cast("long").alias("n_removed"),
+    )
+
+
+def sql_dedup_doc_lines(sep: str = "\n", table: str = "documents",
+                        id_col: str = "doc_id", text_col: str = "text"
+                        ) -> str:
+    sep_sql = "chr(10)" if sep == "\n" else "'" + sep.replace("'", "''") + "'"
+    return f"""
+WITH staged AS (
+  SELECT {id_col} AS doc_id, string_split({text_col}, {sep_sql}) AS ls
+  FROM {table}
+), kept AS (
+  SELECT doc_id, ls,
+         list_filter(ls, (x, i) -> list_position(ls, x) = i) AS kl
+  FROM staged
+)
+SELECT doc_id,
+       array_to_string(kl, {sep_sql}) AS clean_text,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(ls) - len(kl) AS BIGINT) AS n_removed
+FROM kept
+"""

@@ -1586,3 +1586,44 @@ def test_html_extract_text_semantics(spark):
     assert got[2].extracted == "plain text, no markup"
     assert got[1].html_chars == len(html)
     assert got[1].text_chars == len(got[1].extracted)
+
+
+def test_url_normalize_semantics(spark):
+    """r10 URL canonicalization: fragment/tracking-param/default-port
+    stripping, scheme+authority lowercasing with path case PRESERVED,
+    www-stripped host and last-two-label domain."""
+    from eventstore_spark.operators.corpus import url_normalize
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/Articles/X?utm_source=a&id=3&gclid=z#top"),
+        (2, "http://sub.site.org:80/Path"),
+        (3, "http://plain.net/p?a=1&b=2"),
+        (4, "not a url at all"),
+        (5, "https://x.io/?utm_a=1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r for r in url_normalize(docs).collect()}
+    assert got[1].url_norm == "https://www.example.com/Articles/X?id=3"
+    assert got[1].host == "example.com" and got[1].domain == "example.com"
+    assert got[2].url_norm == "http://sub.site.org/Path"
+    assert got[2].host == "sub.site.org" and got[2].domain == "site.org"
+    assert got[3].url_norm == "http://plain.net/p?a=1&b=2" and not got[3].changed
+    assert got[4].url_norm == "not a url at all" and got[4].host == ""
+    assert got[5].url_norm == "https://x.io/"  # empty query dropped
+
+
+def test_dedup_doc_lines_keeps_first_in_place(spark):
+    from eventstore_spark.operators.corpus import dedup_doc_lines
+
+    rows = [
+        (1, "alpha\nbeta\nalpha\ngamma\nbeta", "en", "s", 0),
+        (2, "unique only", "en", "s", 0),
+        (3, "x\nx\nx", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r.doc_id: (r.clean_text, r.n_lines, r.n_removed)
+           for r in dedup_doc_lines(docs).collect()}
+    assert got[1] == ("alpha\nbeta\ngamma", 5, 2)
+    assert got[2] == ("unique only", 1, 0)
+    assert got[3] == ("x", 3, 2)
