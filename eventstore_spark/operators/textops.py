@@ -1749,10 +1749,12 @@ HTML_RULES = (
     ("&#39;", "'"),
     ("&amp;", "&"),
     # whitespace discipline: horizontal runs collapse, newlines keep
-    # (and de-duplicate) themselves
+    # (and de-duplicate) themselves; boundary newlines go (trim in both
+    # engines strips only spaces)
     (r"[ \t\r]+", " "),
     (r" ?\n ?", "\n"),
     (r"\n{2,}", "\n"),
+    (r"^\n+|\n+$", ""),
 )
 
 

@@ -1,0 +1,97 @@
+"""Ingestion-source tests (r10): JSONL/CSV with pinned schemas and
+corrupt-row quarantine; distributed WARC record splitting."""
+
+import pytest
+
+
+def test_documents_from_jsonl_quarantines_corrupt_rows(spark, tmp_path):
+    from eventstore_spark.sources.ingest import documents_from_jsonl
+
+    p = tmp_path / "shard.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s", "n_chars": 11}\n'
+        'THIS IS NOT JSON\n'
+        '{"doc_id": 2, "text": "zwei", "lang": "de", "source": "s", "n_chars": 4, "extra": true}\n'
+    )
+    df = documents_from_jsonl(spark, str(p))
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[1].text == "hello world" and not rows[1].is_corrupt
+    assert rows[2].lang == "de" and not rows[2].is_corrupt  # extra field ignored
+    bad = [r for r in rows.values() if r.is_corrupt]
+    assert len(bad) == 1 and bad[0].doc_id is None  # quarantined, not dropped
+    assert df.count() == 3
+
+
+def test_documents_from_csv_roundtrip(spark, tmp_path):
+    from eventstore_spark.sources.ingest import documents_from_csv
+
+    p = tmp_path / "export.csv"
+    p.write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        "1,plain text,en,s,10\n"
+        '2,"quoted, with comma",en,s,18\n'
+    )
+    rows = {r.doc_id: r for r in documents_from_csv(spark, str(p)).collect()}
+    assert rows[1].text == "plain text"
+    assert rows[2].text == "quoted, with comma"
+    assert not rows[1].is_corrupt and not rows[2].is_corrupt
+
+
+_WARC = (
+    "WARC/1.0\r\n"
+    "WARC-Type: warcinfo\r\n"
+    "WARC-Record-ID: <urn:uuid:aaa>\r\n"
+    "Content-Length: 10\r\n"
+    "\r\n"
+    "info: body\r\n"
+    "\r\n"
+    "WARC/1.0\r\n"
+    "WARC-Type: response\r\n"
+    "WARC-Target-URI: <http://example.com/page>\r\n"
+    "WARC-Record-ID: <urn:uuid:bbb>\r\n"
+    "Content-Length: 78\r\n"
+    "\r\n"
+    "HTTP/1.1 200 OK\r\n"
+    "Content-Type: text/html\r\n"
+    "\r\n"
+    "<html><body><p>Crawled content</p></body></html>\r\n"
+    "\r\n"
+    "WARC/1.0\r\n"
+    "WARC-Type: response\r\n"
+    "WARC-Target-URI: http://example.com/two\r\n"
+    "WARC-Record-ID: <urn:uuid:ccc>\r\n"
+    "Content-Length: 40\r\n"
+    "\r\n"
+    "HTTP/1.1 200 OK\r\n"
+    "\r\n"
+    "plain second page\r\n"
+)
+
+
+def test_warc_records_split_and_parse(spark, tmp_path):
+    from eventstore_spark.sources.ingest import documents_from_warc, warc_records
+
+    p = tmp_path / "crawl.warc"
+    p.write_text(_WARC)
+    recs = {r.record_id: r for r in warc_records(spark, str(p)).collect()}
+    assert len(recs) == 3
+    assert recs["urn:uuid:aaa"].warc_type == "warcinfo"
+    r2 = recs["urn:uuid:bbb"]
+    assert r2.target_uri == "http://example.com/page"
+    assert r2.payload == "<html><body><p>Crawled content</p></body></html>"
+    assert r2.content_length == 78
+    # angle brackets optional on the URI; HTTP header block stripped
+    assert recs["urn:uuid:ccc"].payload == "plain second page"
+
+    docs = documents_from_warc(spark, str(p)).collect()
+    assert {d.text for d in docs} == {
+        "<html><body><p>Crawled content</p></body></html>",
+        "plain second page",
+    }
+    assert all(d.doc_id is not None and d.source == "warc" for d in docs)
+    # compose with the extraction operator: markup payload -> text
+    from eventstore_spark.operators.textops import html_extract_text
+
+    ext = {r.extracted for r in html_extract_text(
+        documents_from_warc(spark, str(p))).collect()}
+    assert "Crawled content" in ext

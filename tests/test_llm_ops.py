@@ -1582,7 +1582,7 @@ def test_html_extract_text_semantics(spark):
         rows, "doc_id long, text string, lang string, source string, n_chars long")
     got = {r.doc_id: r for r in html_extract_text(docs).collect()}
     assert got[1].extracted == (
-        "\nTitle\none &lt; two\na\nb\ninline -joined tail & more x")
+        "Title\none &lt; two\na\nb\ninline -joined tail & more x")
     assert got[2].extracted == "plain text, no markup"
     assert got[1].html_chars == len(html)
     assert got[1].text_chars == len(got[1].extracted)

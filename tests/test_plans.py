@@ -701,3 +701,21 @@ def test_kn_perplexity_oversized_model_degrades_and_stays_correct(spark, monkeyp
     plan = guarded._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan  # the c2/h/cont joins fell back
     assert sorted(map(tuple, guarded.collect())) == baseline
+
+
+def test_r10_codegen_ops_have_no_shuffle(spark):
+    """html_extract_text / url_normalize / dedup_doc_lines are single
+    codegen projection passes by contract — an Exchange appearing in any
+    of them is a scale regression (these run over EVERY document)."""
+    from eventstore_spark.operators.corpus import dedup_doc_lines, url_normalize
+    from eventstore_spark.operators.textops import html_extract_text
+
+    docs = spark.createDataFrame(
+        [(1, "<p>a</p>", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    urls = spark.createDataFrame([(1, "http://x.com/")], "doc_id long, url string")
+    for df in (html_extract_text(docs), dedup_doc_lines(docs),
+               url_normalize(urls)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
