@@ -1302,7 +1302,10 @@ def lsh_recall(docs: DataFrame, threshold: float = 0.5, num_hashes: int = 9,
     adds one anti-join on (a, b) pair keys and three one-row aggregates
     cross-joined broadcast (the scalar-subquery shape).
     """
-    t = ngram_jaccard_pairs(docs, id_col, text_col, shingle_n, threshold)
+    # warn_df_above=None: the recall audit IS the caller who knows the
+    # exact side's cost — no point paying the eager df probe here
+    t = ngram_jaccard_pairs(docs, id_col, text_col, shingle_n, threshold,
+                            warn_df_above=None)
     f = minhash_lsh_pairs(docs, id_col, text_col, num_hashes, bands,
                           shingle_n, threshold)
     tp = t.select("a", "b")

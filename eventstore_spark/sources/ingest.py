@@ -161,3 +161,28 @@ def documents_from_warc(spark: SparkSession, path: str,
         F.lit(source).alias("source"),
         F.length("payload").cast("long").alias("n_chars"),
     )
+
+
+def documents_stream_from_jsonl(spark: SparkSession, path: str,
+                                schema: T.StructType = DOCUMENTS_SCHEMA,
+                                max_files_per_trigger: int | None = None
+                                ) -> DataFrame:
+    """Structured-Streaming twin of ``documents_from_jsonl``: new JSONL
+    shards landing under ``path`` flow through the same pinned schema and
+    quarantine contract as micro-batches — the continuous-ingest shape
+    (crawl output directory → cleaning pipeline) with exactly-once file
+    tracking from the source's checkpoint.
+
+    ``max_files_per_trigger`` bounds each micro-batch (backpressure when
+    a backfill dumps thousands of shards at once).
+    """
+    r = (
+        spark.readStream.schema(_with_quarantine(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return r.json(path).withColumn(
+        "is_corrupt", F.col("_corrupt_record").isNotNull()
+    ).drop("_corrupt_record")

@@ -95,3 +95,31 @@ def test_warc_records_split_and_parse(spark, tmp_path):
     ext = {r.extracted for r in html_extract_text(
         documents_from_warc(spark, str(p))).collect()}
     assert "Crawled content" in ext
+
+
+def test_documents_stream_from_jsonl_micro_batches(spark, tmp_path):
+    """Streaming ingest: shards become micro-batches under the same
+    schema/quarantine contract (availableNow drains what exists)."""
+    from eventstore_spark.sources.ingest import documents_stream_from_jsonl
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "first shard", "lang": "en", "source": "s", "n_chars": 11}\n')
+    (src / "b.jsonl").write_text(
+        '{"doc_id": 2, "text": "second shard", "lang": "en", "source": "s", "n_chars": 12}\n'
+        "garbage line\n")
+    stream = documents_stream_from_jsonl(spark, str(src))
+    assert stream.isStreaming
+    out = str(tmp_path / "out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.where(~got.is_corrupt).count() == 2
+    assert got.where(got.is_corrupt).count() == 1  # quarantined, present
