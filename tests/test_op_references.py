@@ -427,3 +427,173 @@ def test_ccnet_buckets_match_plain_python_reference(spark, rows_in):
     got = {r.doc_id: (r.lang, r.lm_score, r.lang_rank, r.bucket)
            for r in ccnet_buckets(docs, top_v=top_v).collect()}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch 2: remaining sketch/signature/tokenizer formulas.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.lists(st.sampled_from(_WORDS), min_size=1, max_size=10),
+              st.sampled_from(["s0", "s1"])),
+    min_size=2, max_size=8))
+def test_kmv_distinct_matches_plain_python_reference(spark, rows_in):
+    from eventstore_spark.operators.textops import kmv_distinct
+
+    k = 4  # small so the estimate path (n_sketch == k) is exercised
+    SCALE = float(16 ** 15)
+    groups: dict[str, set] = {}
+    for toks, src in rows_in:
+        groups.setdefault(src, set()).update(toks)
+    expected = {}
+    for g, vocab in groups.items():
+        hs = sorted(int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                    for t in vocab)
+        bottom = hs[:k]
+        kth = bottom[-1]
+        est = (float(len(bottom)) if len(bottom) < k
+               else (k - 1) * SCALE / float(kth))
+        expected[g] = (len(bottom), kth, est)
+
+    docs = _mkdocs(spark, [t for t, _ in rows_in],
+                   sources=[s for _, s in rows_in])
+    got = {r.group: (r.n_sketch, r.kth_hash, r.est_distinct)
+           for r in kmv_distinct(docs, k=k).collect()}
+    assert got == expected
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs_strategy)
+def test_simhash_signature_matches_plain_python_reference(spark, token_lists):
+    from eventstore_spark.operators.dedup import SIMHASH_BITS, simhash_signature
+
+    expected = {}
+    for i, toks in enumerate(token_lists):
+        votes = [0] * SIMHASH_BITS
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for j in range(SIMHASH_BITS):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        expected[i] = sum(1 << j for j in range(SIMHASH_BITS) if votes[j] > 0)
+
+    docs = _mkdocs(spark, token_lists)
+    got = {r.doc_id: r.simhash for r in simhash_signature(docs).collect()}
+    assert got == expected
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs_strategy)
+def test_rolling_fingerprint_matches_plain_python_reference(spark, token_lists):
+    from pyspark.sql import functions as F
+
+    from eventstore_spark.functions.text import (ROLL_B, ROLL_P,
+                                                 rolling_fingerprint)
+
+    expected = {}
+    for i, toks in enumerate(token_lists):
+        acc = 0
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % ROLL_P
+            acc = (acc * ROLL_B + h) % ROLL_P
+        expected[i] = acc
+
+    docs = _mkdocs(spark, token_lists)
+    got = {r.doc_id: r.fp
+           for r in docs.select("doc_id",
+                                rolling_fingerprint(F.col("text")).alias("fp"))
+           .collect()}
+    assert got == expected
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs_strategy)
+def test_tfidf_keywords_match_plain_python_reference(spark, token_lists):
+    from eventstore_spark.operators.textops import tfidf_keywords
+
+    k = 3
+    n_docs = len(token_lists)
+    tf: dict[tuple, int] = {}
+    for i, toks in enumerate(token_lists):
+        for t in toks:
+            tf[(i, t)] = tf.get((i, t), 0) + 1
+    df_: dict[str, int] = {}
+    for (_, t) in tf:
+        df_[t] = df_.get(t, 0) + 1
+    idf = {t: int(round(math.log(n_docs / d) * 1e6)) for t, d in df_.items()}
+    expected = set()
+    for i in range(n_docs):
+        scored = sorted(
+            ((t, f, f * idf[t]) for (d, t), f in tf.items() if d == i),
+            key=lambda x: (-x[2], x[0]))
+        for r, (t, f, s) in enumerate(scored[:k], start=1):
+            expected.add((i, t, r, f, s))
+
+    docs = _mkdocs(spark, token_lists)
+    got = {(r.doc_id, r.term, r.rank, r.tf, r.tfidf_micro)
+           for r in tfidf_keywords(docs, k=k).collect()}
+    assert got == expected
+
+
+def _bpe_merge_py(syms: list[str], a: str, b: str) -> list[str]:
+    """Greedy left-to-right non-overlapping merge — the fold's contract."""
+    out, carry = [], ""
+    for x in syms:
+        if carry == a and x == b:
+            out.append(a + b)
+            carry = ""
+        else:
+            if carry:
+                out.append(carry)
+            carry = x
+    if carry:
+        out.append(carry)
+    return out
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.lists(st.sampled_from(["ab", "aab", "abab", "ba", "b", "aa"]),
+             min_size=1, max_size=8),
+    min_size=2, max_size=6))
+def test_bpe_train_and_apply_match_plain_python_reference(spark, token_lists):
+    from eventstore_spark.operators.textops import bpe_apply, bpe_train
+
+    merges = 3
+    wc: dict[str, int] = {}
+    for toks in token_lists:
+        for w in toks:
+            wc[w] = wc.get(w, 0) + 1
+    syms = {w: list(w) for w in wc}
+    table = []
+    for step in range(1, merges + 1):
+        pairs: dict[str, int] = {}
+        for w, ss in syms.items():
+            for x, y in zip(ss, ss[1:]):
+                pairs[f"{x} {y}"] = pairs.get(f"{x} {y}", 0) + wc[w]
+        if not pairs:
+            break
+        pair, cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        a, b = pair.split(" ", 1)
+        table.append((step, a, b, a + b, cnt))
+        syms = {w: _bpe_merge_py(ss, a, b) for w, ss in syms.items()}
+
+    docs = _mkdocs(spark, token_lists)
+    got = [(r.step, r.left_sym, r.right_sym, r.merged, r.n)
+           for r in bpe_train(docs, merges=merges).orderBy("step").collect()]
+    assert got == table
+
+    # apply with the trained table: per-doc post-merge symbol counts
+    expected_counts = {
+        i: (len(toks), sum(len(syms[w]) for w in toks))
+        for i, toks in enumerate(token_lists)
+    }
+    app = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+           for r in bpe_apply(docs, merges=merges).collect()}
+    assert app == expected_counts
