@@ -1762,6 +1762,17 @@ def q_ann_pq(spark, sf):
     return sim.pq_topk(_table(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10)
 
 
+def q_ann_ivfpq(spark, sf):
+    """IVF-PQ with asymmetric distance (IVFADC, Jégou et al. 2011 §IV —
+    the FAISS production index shape, r10): trained coarse quantizer
+    routes vectors to cells, PQ codebooks over the integer RESIDUALS,
+    queries scan only nprobe cells through per-(query, cell) LUTs
+    (similarity.ivfpq_topk). The oracle re-derives centroids, residual
+    codebooks, codes and distances — all BIGINT-exact."""
+    return sim.ivfpq_topk(_table(spark, sf, "embeddings"), ANN_QUERY_IDS,
+                          k=10, n_centroids=8, nprobe=3, m=8, n_codes=8)
+
+
 def q_heavy_hitters(spark, sf):
     """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
     top-30 tokens by sketch estimate at depth 4 x width 16 — fixed md5
@@ -2085,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "url_normalize": q_url_normalize,
         "dedup_doc_lines": q_dedup_doc_lines,
+        "ann_ivfpq": q_ann_ivfpq,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the three
@@ -2881,6 +2893,8 @@ WHERE p.quality >= 0.3
     sqls["bm25_search"] = sql_bm25_search("hash join stream window dup", k=20)
     sqls["winnowing_neardup"] = sql_winnowing_neardup(max_df=20)
     sqls["ann_pq"] = sim.sql_pq_topk(ANN_QUERY_IDS, k=10)
+    sqls["ann_ivfpq"] = sim.sql_ivfpq_topk(
+        ANN_QUERY_IDS, k=10, n_centroids=8, nprobe=3, m=8, n_codes=8)
     from eventstore_spark.operators.textops import sql_heavy_hitters
 
     sqls["heavy_hitters"] = sql_heavy_hitters(depth=4, width=16, k=30)

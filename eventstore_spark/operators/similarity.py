@@ -1060,7 +1060,8 @@ FROM agg a JOIN best USING (vec_id)
 
 def train_pq_codebooks(embeddings: DataFrame, m: int = 8, k: int = 16,
                        iters: int = 2, id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> list[list[list[int]]]:
+                       vec_col: str = "embedding",
+                       pre_quantized: bool = False) -> list[list[list[int]]]:
     """Deterministic per-subspace k-means codebooks (m × k × D/m ints).
 
     The D dims split into ``m`` contiguous subspaces; each gets its own
@@ -1079,10 +1080,13 @@ def train_pq_codebooks(embeddings: DataFrame, m: int = 8, k: int = 16,
     driver. At 100 TB you train on a deterministic md5-gated sample with
     the same machinery, exactly like the IVF coarse quantizer.
     """
+    # pre_quantized: the column already holds integer vectors (e.g. the
+    # IVFADC residuals, r10) — skip the float→IVF_SCALE quantization
+    qexpr = vec_col if pre_quantized else _quantize_sql(vec_col)
     base = (
         spread(embeddings)
         .select(F.col(id_col).alias("vec_id"),
-                F.expr(_quantize_sql(vec_col)).alias("qvec"))
+                F.expr(qexpr).alias("qvec"))
         .cache()
     )
     try:
@@ -1503,4 +1507,223 @@ def sql_knn_eval(k: int = 5, sample_mod: int = 10, n_centroids: int = 16,
 WITH {body}
 SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
 FROM pred GROUP BY true_label, pred_label
+"""
+
+
+# -- IVF-PQ (IVFADC) -----------------------------------------------------------
+
+def ivfpq_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+               n_centroids: int = 8, nprobe: int = 3, m: int = 8,
+               n_codes: int = 8, iters: int = 2, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ with asymmetric distance (IVFADC — Jégou, Douze & Schmid
+    2011, "Product Quantization for Nearest Neighbor Search" §IV; the
+    FAISS `IVFxx,PQyy` production index): the coarse quantizer routes
+    each vector to a cell, PQ codebooks are trained on the RESIDUALS
+    (vector − its centroid), and a query scans only its ``nprobe``
+    nearest cells, scoring candidates by a per-(query, cell) lookup
+    table over 1-byte codes. This composes the engine's two trained
+    quantizers (``train_ivf_centroids``, ``train_pq_codebooks``) into
+    the shape that serves billion-vector corpora.
+
+    All training arithmetic is exact integer (residuals are differences
+    of IVF_SCALE-quantized ints), so the DuckDB oracle re-derives the
+    same centroids, codebooks, codes and distances bit-for-bit.
+
+    Returns (query_id, vec_id, rank, adist) — candidates ONLY from the
+    probed cells (true IVFADC semantics: unprobed cells are never read).
+
+    Plan shape at 100 TB: training collects k·D-row aggregates per round
+    (never vectors); cell assignment + residual + codes are literal-
+    inlined codegen projections over the corpus — one pass, no shuffle
+    (the persisted artifact is (vec_id, cell, codes): 1 long + m bytes
+    per vector); per (query, probed cell) the scan filters to the cell
+    (partition-prunable when the code table is written partitioned by
+    cell) and folds the literal LUT — TakeOrderedAndProject per branch,
+    |Q|·nprobe bounded branches, no join, no vector reads at query time.
+    """
+    import math
+
+    cents = train_ivf_centroids(embeddings, n_centroids, iters,
+                                id_col, vec_col)
+    dim = len(cents[0])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    d = dim // m
+
+    cents_lit = "array({})".format(
+        ", ".join(_int_lit_array(c) for c in cents))
+    base = spread(embeddings).select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(_quantize_sql(vec_col)).alias("qvec"),
+    ).withColumn(
+        "cell", F.expr(f"-array_max({_int_scored_sql('qvec', cents)}).nid")
+    ).withColumn(
+        "rvec",
+        F.expr(f"zip_with(qvec, element_at({cents_lit}, "
+               f"CAST(cell + 1 AS INT)), (x, c) -> x - c)"),
+    )
+
+    resid = base.select("vec_id", "cell", "rvec")
+    books = train_pq_codebooks(resid, m, n_codes, iters,
+                               id_col="vec_id", vec_col="rvec",
+                               pre_quantized=True)
+    codes = resid.select(
+        "vec_id", "cell",
+        F.expr("array({})".format(", ".join(
+            _pq_code_sql("rvec", books[s], s * d + 1, d) for s in range(m)
+        ))).alias("codes"),
+    ).cache()
+
+    # probe selection through the same expression path the trained-IVF
+    # operator uses (bit-parity with the oracle's window), then LUTs in
+    # exact Python ints per (query, probed cell)
+    probe_sql = (
+        f"transform(slice(reverse(array_sort("
+        f"{_int_scored_sql('qvec', cents)})), 1, {int(nprobe)}), s -> -s.nid)"
+    )
+    qrows = (
+        base.where(F.col("vec_id").isin(query_ids))
+        .select("vec_id", "qvec", F.expr(probe_sql).alias("cells"))
+        .collect()
+    )
+    branches = []
+    for r in sorted(qrows, key=lambda r: r["vec_id"]):
+        qv = [int(x) for x in r["qvec"]]
+        for cell in r["cells"]:
+            cent = cents[int(cell)]
+            qres = [qv[p] - cent[p] for p in range(dim)]
+            luts = [
+                [
+                    sum((qres[s * d + p] - cv[p]) ** 2 for p in range(d))
+                    for cv in books[s]
+                ]
+                for s in range(m)
+            ]
+            lut_lit = "array({})".format(
+                ", ".join(_int_lit_array(l) for l in luts))
+            adist = (
+                f"aggregate(zip_with(codes, {lut_lit}, "
+                f"(c, lut) -> element_at(lut, c + 1)), "
+                f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            )
+            branches.append(
+                codes.where((F.col("cell") == int(cell))
+                            & (F.col("vec_id") != int(r["vec_id"])))
+                .select(
+                    F.lit(int(r["vec_id"])).cast("long").alias("query_id"),
+                    "vec_id",
+                    F.expr(adist).alias("adist"),
+                )
+            )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "adist")
+    )
+
+
+def sql_ivfpq_topk(query_ids: list[int], k: int = 10, n_centroids: int = 8,
+                   nprobe: int = 3, m: int = 8, n_codes: int = 8,
+                   iters: int = 2, dim: int = 64,
+                   table: str = "embeddings") -> str:
+    """DuckDB oracle for ivfpq_topk: the shared trained-IVF CTE chain
+    (same centroids as ann_ivf/kmeans/semantic_dedup), residuals against
+    the final centroids, the PQ training rounds re-derived over the
+    residual subspaces (CTEs prefixed p* — the IVF chain already owns
+    m{t}), and relational LUT scoring restricted to each query's nprobe
+    cells. Every step is BIGINT-exact in both engines."""
+    ids = ", ".join(str(i) for i in query_ids)
+    d = dim // m
+    ctes = _sql_trained_assigned_ctes(n_centroids, dim, table, iters)
+    ctes.append(f"""resid AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(range(1, {dim + 1}), i -> q.qvec[i] - c.cvec[i]) AS rvec
+  FROM assigned a
+  JOIN qz q USING (vec_id)
+  JOIN c{iters} c USING (cell)
+)""")
+    ctes.append(f"""rsubs AS (
+  SELECT vec_id, s, list_slice(rvec, s * {d} + 1, (s + 1) * {d}) AS sub_v
+  FROM resid CROSS JOIN (SELECT unnest(range({m})) AS s)
+)""")
+    ctes.append(f"""pcb0 AS (
+  SELECT s, CAST(rn - 1 AS BIGINT) AS j,
+         list_slice(rvec, s * {d} + 1, (s + 1) * {d}) AS cvec
+  FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+           rvec
+    FROM resid
+  ) CROSS JOIN (SELECT unnest(range({m})) AS s)
+  WHERE rn <= {n_codes}
+)""")
+    l2 = (
+        f"list_reduce(list_transform(range(1, {d + 1}), "
+        f"i -> (v.sub_v[i] - c.cvec[i]) * (v.sub_v[i] - c.cvec[i])), "
+        f"(x, y) -> x + y)"
+    )
+    for t in range(iters):
+        ctes.append(f"""pa{t} AS (
+  SELECT vec_id, s, j, sub_v FROM (
+    SELECT v.vec_id, v.s, c.j, v.sub_v, {l2} AS dist
+    FROM rsubs v JOIN pcb{t} c USING (s)
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) = 1
+)""")
+        ctes.append(f"""pm{t} AS (
+  SELECT s, j, list(CAST((sm - ((sm % n) + n) % n) / n AS BIGINT) ORDER BY pos) AS cvec
+  FROM (
+    SELECT s, j, pos, SUM(comp) AS sm, COUNT(*) AS n FROM (
+      SELECT s, j, unnest(sub_v) AS comp, unnest(range(1, {d + 1})) AS pos FROM pa{t}
+    ) GROUP BY s, j, pos
+  ) GROUP BY s, j
+)""")
+        ctes.append(f"""pcb{t + 1} AS (
+  SELECT c.s, c.j, COALESCE(m.cvec, c.cvec) AS cvec
+  FROM pcb{t} c LEFT JOIN pm{t} m USING (s, j)
+)""")
+    ctes.append(f"""pcodes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT v.vec_id, v.s, c.j, {l2} AS dist
+    FROM rsubs v JOIN pcb{iters} c USING (s)
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) = 1
+)""")
+    ctes.append(f"""probes AS (
+  SELECT vec_id AS query_id, cell FROM fa
+  WHERE vec_id IN ({ids})
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) <= {nprobe}
+)""")
+    ctes.append(f"""qres AS (
+  SELECT p.query_id, p.cell,
+         list_transform(range(1, {dim + 1}), i -> q.qvec[i] - c.cvec[i]) AS rvec
+  FROM probes p
+  JOIN qz q ON q.vec_id = p.query_id
+  JOIN c{iters} c USING (cell)
+)""")
+    ctes.append(f"""qsubs AS (
+  SELECT query_id, cell, s, list_slice(rvec, s * {d} + 1, (s + 1) * {d}) AS sub_v
+  FROM qres CROSS JOIN (SELECT unnest(range({m})) AS s)
+)""")
+    ctes.append(f"""lut AS (
+  SELECT v.query_id, v.cell, v.s, c.j, {l2} AS ld
+  FROM qsubs v JOIN pcb{iters} c USING (s)
+)""")
+    ctes.append("""cand AS (
+  SELECT l.query_id, pc.vec_id, CAST(SUM(l.ld) AS BIGINT) AS adist
+  FROM pcodes pc
+  JOIN resid r ON r.vec_id = pc.vec_id
+  JOIN lut l ON l.cell = r.cell AND l.s = pc.s AND l.j = pc.code
+  WHERE pc.vec_id <> l.query_id
+  GROUP BY l.query_id, pc.vec_id
+)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS BIGINT) AS rank,
+       adist
+FROM cand
+QUALIFY rank <= {k}
 """

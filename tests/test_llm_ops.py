@@ -1627,3 +1627,35 @@ def test_dedup_doc_lines_keeps_first_in_place(spark):
     assert got[1] == ("alpha\nbeta\ngamma", 5, 2)
     assert got[2] == ("unique only", 1, 0)
     assert got[3] == ("x", 3, 2)
+
+
+def test_ivfpq_probes_only_and_finds_neighbors(spark):
+    """r10 IVFADC: candidates come ONLY from probed cells, ranks are
+    dense per query, and on a well-clustered corpus the top hit is the
+    query's true cluster-mate."""
+    import math
+
+    from eventstore_spark.operators.similarity import ivfpq_topk
+
+    # 4 tight clusters of 8 vectors in 16 dims
+    rows = []
+    for c in range(4):
+        for i in range(8):
+            vec = [0.0] * 16
+            vec[c * 4] = 1.0
+            vec[c * 4 + 1] = 0.1 * i
+            vec[(c * 4 + 2) % 16] = 0.05
+            rows.append((c * 8 + i, [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = ivfpq_topk(emb, query_ids=[0, 9, 17], k=5,
+                     n_centroids=4, nprobe=2, m=4, n_codes=4).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == list(
+            range(1, len(rs) + 1))
+        assert all(r.adist >= 0 for r in rs)
+        # the nearest hit is a member of the query's own cluster
+        top = min(rs, key=lambda r: (r.adist, r.vec_id))
+        assert top.vec_id // 8 == q // 8, (q, top)
