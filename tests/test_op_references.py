@@ -597,3 +597,55 @@ def test_bpe_train_and_apply_match_plain_python_reference(spark, token_lists):
     app = {r.doc_id: (r.n_words, r.n_bpe_tokens)
            for r in bpe_apply(docs, merges=merges).collect()}
     assert app == expected_counts
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    # strictly positive components: a zero vector has no cosine (NaN
+    # ordering would make the test flaky, not wrong)
+    st.lists(st.integers(1, 100), min_size=6, max_size=6),
+    min_size=4, max_size=12, unique_by=lambda v: tuple(v)))
+def test_ivf_centroids_match_plain_python_reference(spark, int_vecs):
+    """The integer spherical k-means behind ann_ivf / ann_ivfpq /
+    kmeans_clusters / semantic_dedup, recomputed in plain Python:
+    md5-seeded init, cosine assignment with ties to the lowest cell,
+    floor-mean updates, empty cells carried."""
+    import numpy as np
+
+    from eventstore_spark.operators.similarity import (IVF_SCALE,
+                                                       train_ivf_centroids)
+
+    k, iters = 3, 2
+    vecs = [[x / 100.0 for x in v] for v in int_vecs]
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = train_ivf_centroids(emb, n_centroids=k, iters=iters)
+
+    qv = {i: [int(math.floor(float(np.float32(x)) * IVF_SCALE)) for x in v]
+          for i, v in rows}
+    order = sorted(qv, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = [list(qv[s]) for s in order[:k]]
+    dim = len(cents[0])
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(float(sum(x * x for x in a)))
+        nb = math.sqrt(float(sum(x * x for x in b)))
+        return float(dot) / (na * nb)
+
+    for _ in range(iters):
+        sums: dict[int, list] = {}
+        for i, v in qv.items():
+            # argmax cosine, ties -> lowest cell (max over (sim, -cell))
+            _, ncell = max((cos(v, c), -j) for j, c in enumerate(cents))
+            acc = sums.setdefault(-ncell, [0] * dim + [0])
+            for p in range(dim):
+                acc[p] += v[p]
+            acc[dim] += 1
+        cents = [
+            [sums[j][p] // sums[j][dim] for p in range(dim)]
+            if j in sums else cents[j]
+            for j in range(k)
+        ]
+    assert got == cents
