@@ -649,3 +649,100 @@ def test_ivf_centroids_match_plain_python_reference(spark, int_vecs):
             for j in range(k)
         ]
     assert got == cents
+
+
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.lists(st.integers(1, 100), min_size=4, max_size=4),
+    min_size=6, max_size=10, unique_by=lambda v: tuple(v)))
+def test_ivfpq_matches_plain_python_reference(spark, int_vecs):
+    """Full IVFADC recomputation: integer centroids (reference above),
+    residual PQ codebooks, codes, and per-(query, probed-cell) LUT
+    scoring restricted to nprobe cells — composition-level pin on top of
+    the component references."""
+    import numpy as np
+
+    from eventstore_spark.operators.similarity import IVF_SCALE, ivfpq_topk
+
+    n_centroids, nprobe, m, n_codes, iters, k = 2, 1, 2, 2, 1, 3
+    vecs = [[x / 100.0 for x in v] for v in int_vecs]
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query_ids = [0, 1]
+    got = {(r.query_id, r.vec_id): (r.rank, r.adist)
+           for r in ivfpq_topk(emb, query_ids, k=k, n_centroids=n_centroids,
+                               nprobe=nprobe, m=m, n_codes=n_codes,
+                               iters=iters).collect()}
+
+    # --- plain-Python re-derivation ---
+    qv = {i: [int(math.floor(float(np.float32(x)) * IVF_SCALE)) for x in v]
+          for i, v in rows}
+    dim = 4
+    d = dim // m
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return float(dot) / (math.sqrt(float(sum(x * x for x in a)))
+                             * math.sqrt(float(sum(x * x for x in b))))
+
+    order = sorted(qv, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = [list(qv[s]) for s in order[:n_centroids]]
+    for _ in range(iters):
+        sums = {}
+        for i, v in qv.items():
+            _, nc = max((cos(v, c), -j) for j, c in enumerate(cents))
+            acc = sums.setdefault(-nc, [0] * dim + [0])
+            for p in range(dim):
+                acc[p] += v[p]
+            acc[dim] += 1
+        cents = [[sums[j][p] // sums[j][dim] for p in range(dim)]
+                 if j in sums else cents[j] for j in range(n_centroids)]
+    cell = {i: -max((cos(v, c), -j) for j, c in enumerate(cents))[1]
+            for i, v in qv.items()}
+    resid = {i: [qv[i][p] - cents[cell[i]][p] for p in range(dim)] for i in qv}
+
+    # residual PQ: md5-seeded, exact L2², floor-mean (k-means per subspace)
+    seeds = order[:n_codes]
+    books = [[[resid[s][sub * d + p] for p in range(d)] for s in seeds]
+             for sub in range(m)]
+    for _ in range(iters):
+        sums = {}
+        for i in resid:
+            for sub in range(m):
+                sv = resid[i][sub * d:(sub + 1) * d]
+                _, code = min((sum((sv[p] - cv[p]) ** 2 for p in range(d)), j)
+                              for j, cv in enumerate(books[sub]))
+                acc = sums.setdefault((sub, code), [0] * d + [0])
+                for p in range(d):
+                    acc[p] += sv[p]
+                acc[d] += 1
+        books = [[[sums[(sub, j)][p] // sums[(sub, j)][d] for p in range(d)]
+                  if (sub, j) in sums else books[sub][j]
+                  for j in range(n_codes)] for sub in range(m)]
+    codes = {}
+    for i in resid:
+        codes[i] = [
+            min((sum((resid[i][sub * d + p] - cv[p]) ** 2 for p in range(d)), j)
+                for j, cv in enumerate(books[sub]))[1]
+            for sub in range(m)
+        ]
+
+    expected = {}
+    for q in query_ids:
+        probed = sorted(range(len(cents)),
+                        key=lambda j: (-cos(qv[q], cents[j]), j))[:nprobe]
+        cand = []
+        for c in probed:
+            qres = [qv[q][p] - cents[c][p] for p in range(dim)]
+            for i in qv:
+                if i == q or cell[i] != c:
+                    continue
+                adist = sum(
+                    sum((qres[sub * d + p] - books[sub][codes[i][sub]][p]) ** 2
+                        for p in range(d))
+                    for sub in range(m))
+                cand.append((adist, i))
+        for rank, (adist, i) in enumerate(sorted(cand)[:k], start=1):
+            expected[(q, i)] = (rank, adist)
+    assert got == expected
