@@ -1546,14 +1546,22 @@ def ivfpq_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     cell) and folds the literal LUT — TakeOrderedAndProject per branch,
     |Q|·nprobe bounded branches, no join, no vector reads at query time.
     """
-    import math
+    cents, books, base, codes = _ivfpq_model(
+        embeddings, n_centroids, m, n_codes, iters, id_col, vec_col)
+    codes = codes.cache()
+    qrows = _ivfpq_query_rows(base, cents, query_ids, nprobe)
+    return _ivfpq_score(codes, qrows, cents, books, m, k)
 
+
+def _ivfpq_model(embeddings: DataFrame, n_centroids: int, m: int,
+                 n_codes: int, iters: int, id_col: str, vec_col: str):
+    """Train the IVFADC model: (centroids, residual codebooks,
+    base(vec_id, qvec, cell, rvec), codes(vec_id, cell, codes))."""
     cents = train_ivf_centroids(embeddings, n_centroids, iters,
                                 id_col, vec_col)
     dim = len(cents[0])
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     d = dim // m
-
     cents_lit = "array({})".format(
         ", ".join(_int_lit_array(c) for c in cents))
     base = spread(embeddings).select(
@@ -1566,7 +1574,6 @@ def ivfpq_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
         F.expr(f"zip_with(qvec, element_at({cents_lit}, "
                f"CAST(cell + 1 AS INT)), (x, c) -> x - c)"),
     )
-
     resid = base.select("vec_id", "cell", "rvec")
     books = train_pq_codebooks(resid, m, n_codes, iters,
                                id_col="vec_id", vec_col="rvec",
@@ -1576,20 +1583,34 @@ def ivfpq_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
         F.expr("array({})".format(", ".join(
             _pq_code_sql("rvec", books[s], s * d + 1, d) for s in range(m)
         ))).alias("codes"),
-    ).cache()
+    )
+    return cents, books, base, codes
 
-    # probe selection through the same expression path the trained-IVF
-    # operator uses (bit-parity with the oracle's window), then LUTs in
-    # exact Python ints per (query, probed cell)
+
+def _ivfpq_query_rows(base: DataFrame, cents: list[list[int]],
+                      query_ids: list[int], nprobe: int):
+    """Collect (vec_id, qvec, probed cells) for the bounded query set —
+    probe selection through the same expression path the trained-IVF
+    operator uses (bit-parity with the oracle's window)."""
     probe_sql = (
         f"transform(slice(reverse(array_sort("
         f"{_int_scored_sql('qvec', cents)})), 1, {int(nprobe)}), s -> -s.nid)"
     )
-    qrows = (
+    return (
         base.where(F.col("vec_id").isin(query_ids))
         .select("vec_id", "qvec", F.expr(probe_sql).alias("cells"))
         .collect()
     )
+
+
+def _ivfpq_score(codes: DataFrame, qrows, cents: list[list[int]],
+                 books: list[list[list[int]]], m: int, k: int) -> DataFrame:
+    """ADC scoring: per (query, probed cell), the LUT is computed in
+    exact Python ints and inlined as literals over the codes scan —
+    one cell-filtered branch per pair (partition-pruned when ``codes``
+    is a cell-partitioned table on disk)."""
+    dim = len(cents[0])
+    d = dim // m
     branches = []
     for r in sorted(qrows, key=lambda r: r["vec_id"]):
         qv = [int(x) for x in r["qvec"]]
@@ -1628,6 +1649,70 @@ def ivfpq_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "adist")
     )
+
+
+def build_ivfpq_index(embeddings: DataFrame, path: str, n_centroids: int = 8,
+                      m: int = 8, n_codes: int = 8, iters: int = 2,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> dict:
+    """Persist the IVFADC index: integer centroids
+    (`<path>/centroids`), residual codebooks (`<path>/codebooks`), and
+    the code table PARTITIONED BY CELL (`<path>/codes`) — 1 long + m
+    small ints per vector, the compact artifact a billion-vector corpus
+    keeps hot while the raw embeddings go cold.
+
+    The build/query split mirrors ``build_ivf_index``: training and the
+    full-corpus encode pass run once here; ``ivfpq_topk_indexed`` then
+    opens ONLY the probed cells' directories (static partition pruning on
+    the cell filter) and reads codes, never vectors.
+    """
+    spark = embeddings.sparkSession
+    cents, books, _, codes = _ivfpq_model(
+        embeddings, n_centroids, m, n_codes, iters, id_col, vec_col)
+    spark.createDataFrame(
+        [(c, cv) for c, cv in enumerate(cents)],
+        "cent_id long, qvec array<long>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(s, j, cv) for s, book in enumerate(books)
+         for j, cv in enumerate(book)],
+        "sub long, code long, cvec array<long>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    codes.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/codes")
+    n = spark.read.parquet(f"{path}/codes").count()
+    return {"vectors_indexed": n, "n_centroids": len(cents), "m": m,
+            "n_codes": len(books[0]), "path": path}
+
+
+def ivfpq_topk_indexed(spark, index_path: str, embeddings: DataFrame,
+                       query_ids: list[int], k: int = 10, nprobe: int = 3,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """IVFADC over a persisted index: identical results to
+    ``ivfpq_topk`` (same centroids/codebooks/codes — they are read, not
+    retrained), but the corpus pass is replaced by a pruned read of the
+    probed cells' code partitions. ``embeddings`` supplies only the
+    QUERY vectors (an isin point-lookup) — query time never touches the
+    corpus vectors, only the m-byte codes of nprobe cells.
+    """
+    cents = [
+        [int(x) for x in r["qvec"]]
+        for r in sorted(spark.read.parquet(f"{index_path}/centroids")
+                        .collect(), key=lambda r: r["cent_id"])
+    ]
+    brows = spark.read.parquet(f"{index_path}/codebooks").collect()
+    m = 1 + max(int(r["sub"]) for r in brows)
+    n_codes = 1 + max(int(r["code"]) for r in brows)
+    books = [[None] * n_codes for _ in range(m)]
+    for r in brows:
+        books[int(r["sub"])][int(r["code"])] = [int(x) for x in r["cvec"]]
+    qbase = spread(embeddings).select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(_quantize_sql(vec_col)).alias("qvec"),
+    )
+    qrows = _ivfpq_query_rows(qbase, cents, query_ids, nprobe)
+    codes = spark.read.parquet(f"{index_path}/codes")
+    return _ivfpq_score(codes, qrows, cents, books, m, k)
 
 
 def sql_ivfpq_topk(query_ids: list[int], k: int = 10, n_centroids: int = 8,

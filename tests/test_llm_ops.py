@@ -1659,3 +1659,35 @@ def test_ivfpq_probes_only_and_finds_neighbors(spark):
         # the nearest hit is a member of the query's own cluster
         top = min(rs, key=lambda r: (r.adist, r.vec_id))
         assert top.vec_id // 8 == q // 8, (q, top)
+
+
+def test_ivfpq_index_roundtrip_matches_oneshot_and_prunes(spark, tmp_path):
+    """r10 persisted IVFADC: build/query split returns IDENTICAL results
+    to the one-shot operator, and the query's code scans carry the cell
+    partition filter (only probed directories are opened)."""
+    from eventstore_spark.operators.similarity import (build_ivfpq_index,
+                                                       ivfpq_topk,
+                                                       ivfpq_topk_indexed)
+
+    rows = []
+    for c in range(4):
+        for i in range(8):
+            vec = [0.0] * 16
+            vec[c * 4] = 1.0
+            vec[c * 4 + 1] = 0.1 * i
+            rows.append((c * 8 + i, [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    one = sorted(map(tuple, ivfpq_topk(
+        emb, [0, 9], k=5, n_centroids=4, nprobe=2, m=4, n_codes=4).collect()))
+
+    path = str(tmp_path / "ivfpq")
+    info = build_ivfpq_index(emb, path, n_centroids=4, m=4, n_codes=4)
+    assert info["vectors_indexed"] == 32 and info["m"] == 4
+
+    idx = ivfpq_topk_indexed(spark, path, emb, [0, 9], k=5, nprobe=2)
+    assert sorted(map(tuple, idx.collect())) == one
+
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cell" in plan or \
+           "PartitionFilters: [(cell" in plan or "cell#" in plan.split(
+               "PartitionFilters")[1][:120]
