@@ -239,6 +239,16 @@ def q_dedup_doc_lines(spark, sf):
     return cp.dedup_doc_lines(_table(spark, sf, "documents"), sep=" ")
 
 
+def q_source_temperature_sample(spark, sf):
+    """Temperature-based source rebalancing (XLM-R §3.1, r10): q_s ∝
+    p_s^0.5 acceptance rates, one micro-rounded rate per source
+    broadcast onto the scan, salted-md5 coin per doc
+    (corpus.source_temperature_sample)."""
+    from eventstore_spark.operators import corpus as cp
+
+    return cp.source_temperature_sample(_table(spark, sf, "documents"))
+
+
 def q_y5_custom_property(spark, sf):
     """$by_correlation_id through the REAL operator with a configured
     correlationIdProperty (ByCorrelationId.cs:19-42's config JSON knob,
@@ -2097,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "dedup_doc_lines": q_dedup_doc_lines,
         "ann_ivfpq": q_ann_ivfpq,
+        "source_temperature_sample": q_source_temperature_sample,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the three
@@ -2942,4 +2953,5 @@ WHERE p.quality >= 0.3
         + _cp.sql_url_normalize(table="udocs").replace("\nWITH ", ",\n", 1)
     )
     sqls["dedup_doc_lines"] = _cp.sql_dedup_doc_lines(sep=" ")
+    sqls["source_temperature_sample"] = _cp.sql_source_temperature_sample()
     return sqls

@@ -1436,3 +1436,108 @@ SELECT doc_id,
        CAST(len(ls) - len(kl) AS BIGINT) AS n_removed
 FROM kept
 """
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source resampling (r10)
+# ---------------------------------------------------------------------------
+
+def source_temperature_sample(docs: DataFrame, alpha: float = 0.5,
+                              salt: str = "tsample-v1",
+                              id_col: str = "doc_id",
+                              source_col: str = "source") -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual-sampling
+    rule of XLM-R, Conneau et al. 2020 arXiv:1911.02116 §3.1, and the
+    mT5/PaLM data-mixing recipe): target source shares q_s ∝ p_s^α with
+    p_s the empirical share — α < 1 UPWEIGHTS small sources (tail
+    languages / rare domains) and flattens the head. Each document keeps
+    with probability min(1, q_s·N/n_s), the acceptance rate that realizes
+    the target mixture by downsampling only (no duplication).
+
+    Determinism (the quality_sample recipe): the per-SOURCE rate rounds
+    to integer micro-units once — p^α runs once per source over a tiny
+    table, never per document — and the coin is a salted md5 of the doc
+    id, so both engines keep exactly the same documents.
+
+    Returns every doc as (doc_id, source, n_source, p_micro, u, kept) —
+    auditable gate columns, filter on ``kept`` to apply.
+
+    Scale shape: one tiny groupBy builds the source table (map-side
+    combined, |sources| rows); its share math runs in an unpartitioned
+    window over THAT table (never the corpus); the rate table broadcasts
+    back onto the scan — one codegen projection pass per document, one
+    shuffle total.
+    """
+    w = Window.partitionBy()
+    rates = (
+        spread(docs).groupBy(F.col(source_col).alias("source"))
+        .agg(F.count(F.lit(1)).alias("n_source"))
+        .withColumn("_N", F.sum("n_source").over(w))
+        # p_s^alpha as exp(alpha * ln(p_s)) — the identical op sequence
+        # in both engines (the ln/exp determinism contract lm_score uses)
+        .withColumn(
+            "_w",
+            F.exp(F.lit(float(alpha))
+                  * F.log(F.col("n_source").cast("double")
+                          / F.col("_N").cast("double"))),
+        )
+        .withColumn("_Z", F.sum("_w").over(w))
+        .withColumn(
+            "p_micro",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.col("_w") / F.col("_Z"))
+                    * F.col("_N").cast("double")
+                    / F.col("n_source").cast("double"),
+                ) * 1e6
+            ).cast("long"),
+        )
+        .select("source", "n_source", "p_micro")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "|"),
+                                       F.col(id_col).cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % 1_000_000
+    )
+    return (
+        spread(docs)
+        .select(F.col(id_col).alias("doc_id"),
+                F.col(source_col).alias("source"))
+        .join(F.broadcast(rates), "source")
+        .select(
+            "doc_id", "source", "n_source", "p_micro", u.alias("u"),
+        )
+        .withColumn("kept", F.col("u") < F.col("p_micro"))
+    )
+
+
+def sql_source_temperature_sample(alpha: float = 0.5,
+                                  salt: str = "tsample-v1",
+                                  table: str = "documents",
+                                  id_col: str = "doc_id",
+                                  source_col: str = "source") -> str:
+    u = (f"CAST('0x' || substr(md5('{salt}|' || CAST({id_col} AS VARCHAR)), "
+         "1, 8) AS BIGINT) % 1000000")
+    return f"""
+WITH counts AS (
+  SELECT {source_col} AS source, CAST(count(*) AS BIGINT) AS n_source,
+         sum(CAST(count(*) AS BIGINT)) OVER () AS N
+  FROM {table} GROUP BY {source_col}
+), weighted AS (
+  SELECT source, n_source, N,
+         exp({alpha!r} * ln(CAST(n_source AS DOUBLE) / CAST(N AS DOUBLE))) AS w
+  FROM counts
+), rates AS (
+  SELECT source, n_source,
+         CAST(round(least(1.0,
+           (w / sum(w) OVER ()) * CAST(N AS DOUBLE) / CAST(n_source AS DOUBLE)
+         ) * 1e6) AS BIGINT) AS p_micro
+  FROM weighted
+)
+SELECT d.{id_col} AS doc_id, r.source, r.n_source, r.p_micro,
+       {u} AS u, {u} < r.p_micro AS kept
+FROM {table} d JOIN rates r ON d.{source_col} = r.source
+"""

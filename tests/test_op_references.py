@@ -746,3 +746,35 @@ def test_ivfpq_matches_plain_python_reference(spark, int_vecs):
         for rank, (adist, i) in enumerate(sorted(cand)[:k], start=1):
             expected[(q, i)] = (rank, adist)
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.sampled_from(["s0", "s1", "s2"]), min_size=3, max_size=20))
+def test_source_temperature_sample_matches_plain_python_reference(spark, sources):
+    """q_s ∝ p_s^α acceptance rates and the salted-md5 coin, recomputed
+    in plain Python — and the XLM-R property itself: with α < 1 the
+    SMALLEST source's acceptance rate is the largest."""
+    from eventstore_spark.operators.corpus import source_temperature_sample
+
+    alpha, salt = 0.5, "tsample-v1"
+    n = {}
+    for s in sources:
+        n[s] = n.get(s, 0) + 1
+    N = len(sources)
+    w = {s: math.exp(alpha * math.log(c / N)) for s, c in n.items()}
+    Z = sum(w.values())
+    p_micro = {s: int(round(min(1.0, (w[s] / Z) * N / n[s]) * 1e6))
+               for s in n}
+    expected = {}
+    for i, s in enumerate(sources):
+        u = int(hashlib.md5(f"{salt}|{i}".encode()).hexdigest()[:8], 16) % 1_000_000
+        expected[i] = (s, n[s], p_micro[s], u, u < p_micro[s])
+
+    docs = _mkdocs(spark, [["w"] for _ in sources], sources=sources)
+    got = {r.doc_id: (r.source, r.n_source, r.p_micro, r.u, r.kept)
+           for r in source_temperature_sample(docs, alpha=alpha).collect()}
+    assert got == expected
+    if len(n) > 1:
+        smallest = min(n, key=lambda s: (n[s], s))
+        assert p_micro[smallest] == max(p_micro.values())
