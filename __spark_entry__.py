@@ -2110,11 +2110,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_temperature_sample": q_source_temperature_sample,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
-    # that have NEVER had a driver-green row come first, then the three
+    # that have NEVER had a driver-green row come first, then the six
+    # operators NEW this round (never sampled either), then the three
     # entries last driver-sampled in r7 (they sat at positions 51-53 of
-    # the r9 head, just outside the window), then the 23 longest-unsampled
-    # r8-block entries — exactly 50, so the r10 driver sample certifies
-    # all of them and the r8+r9+r10 union covers the whole 127-entry
+    # the r9 head, just outside the window), then the 17 longest-unsampled
+    # r8-block entries — exactly 50. Every never-sampled entry is in the
+    # window, and the six r8-block entries displaced by the new ops were
+    # driver-green in r8, so the r8+r9+r10 union still covers the whole
     # registry driver-green.
     head = [
         # -- the 24 never-driver-sampled (local-oracle green r9) --
@@ -2126,9 +2128,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall", "knn_eval", "clean_text", "hashed_doc_vectors",
         "text_neardup_hashed", "winnowing_fingerprints",
         "leakage_safe_split",
+        # -- new in r10 (never driver-sampled) --
+        "y5_custom_property", "html_extract", "url_normalize",
+        "dedup_doc_lines", "ann_ivfpq", "source_temperature_sample",
         # -- last driver-sampled in r7 --
         "readability", "ann_ivf", "embedding_neardup",
-        # -- last driver-sampled in r8 (oldest 23 of that block) --
+        # -- last driver-sampled in r8 (oldest 17 of that block) --
         "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
         "tpch_q9_product_profit", "tpch_q11_nation_value",
         "tpch_q12_ship_delay", "tpch_q16_supplier_count",
@@ -2136,8 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21_late_supplier", "tpch_q22_global_sales_opportunity",
         "text_analyze", "text_quality_histogram", "dedup_exact",
         "dedup_minhash_pairs", "dedup_simhash", "dedup_simhash_pairs",
-        "dedup_ngram_jaccard", "dedup_clusters", "token_vocabulary",
-        "lm_score", "langid_eval", "tpch_q6", "source_mixture",
+        "dedup_ngram_jaccard",
     ]
     return {**{n: q[n] for n in head},
             **{n: fn for n, fn in q.items() if n not in set(head)}}
