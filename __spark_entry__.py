@@ -270,6 +270,104 @@ def q_y5_custom_property(spark, sf):
     )
 
 
+def q_sequence_pack(spark, sf):
+    """GPT-style concat-and-chunk sequence packing (r10 s2): every doc
+    placed in its shard's token stream, block span arithmetic exact
+    BIGINT — one keyed window per shard, no global window
+    (corpus.sequence_pack)."""
+    from eventstore_spark.operators import corpus as cp
+
+    return cp.sequence_pack(_table(spark, sf, "documents"), ctx_tokens=256)
+
+
+def q_blocklist_filter(spark, sf):
+    """C4-style domain/URL blocklist gate (r10 s2): deterministic messy
+    URLs (the url_normalize fixture), canonicalized then gated on a
+    literal domain blocklist + an RE2-safe pattern
+    (corpus.blocklist_filter)."""
+    from eventstore_spark.operators import corpus as cp
+
+    d = _table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS://WWW.Site"))
+            .otherwise(F.lit("http://Blog.site")),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit(".COM"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(":443"))
+            .otherwise(F.lit(":80")),
+            F.lit("/Articles/Piece-"), F.col("doc_id").cast("string"),
+            F.lit("?utm_source=feed&id="), (F.col("doc_id") % 7).cast("string"),
+            F.lit("&utm_medium=email&gclid=abc123#section-2"),
+        ).alias("url"),
+    )
+    return cp.blocklist_filter(
+        d, blocked_domains=["site7.com", "site13.com", "site25.com"],
+        pattern="Piece-[0-9]*0[?]",
+    )
+
+
+def q_zipf_fit(spark, sf):
+    """Zipf exponent of the corpus token distribution (r10 s2): log-log
+    OLS over the top-128 terms, micro-quantized ln so the regression
+    sums are exact integers (textops.zipf_fit)."""
+    from eventstore_spark.operators.textops import zipf_fit
+
+    return zipf_fit(_table(spark, sf, "documents"), top_r=128)
+
+
+def q_extract_links(spark, sf):
+    """Anchor/href extraction (r10 s2): each doc wrapped in a page with
+    two deterministic <a> tags, extracted back as (doc_id, link_no,
+    href, anchor) — one regexp_extract_all pass + posexplode
+    (textops.extract_links)."""
+    from eventstore_spark.operators.textops import extract_links
+
+    d = _table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body><p>intro</p><a class="x" href="https://s'),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(".com/a/"), F.col("doc_id").cast("string"),
+            F.lit('">link '), (F.col("doc_id") % 5).cast("string"),
+            F.lit("</a><p>"), F.col("text"),
+            F.lit('</p><a href="/rel/'), (F.col("doc_id") % 7).cast("string"),
+            F.lit('" rel="nofollow">rel link</a></body></html>'),
+        ).alias("text"),
+    )
+    return extract_links(d)
+
+
+def q_link_pagerank(spark, sf):
+    """Fixed-point integer PageRank (r10 s2) over a deterministic
+    domain graph derived from the documents table (two modular-affine
+    edge families per doc — hubs and cycles, so in-degrees vary);
+    2 unrolled rounds, exact BIGINT floor-division recurrence
+    (graph.pagerank)."""
+    from eventstore_spark.operators.graph import pagerank
+
+    d = _table(spark, sf, "documents")
+    e1 = d.select(
+        F.concat(F.lit("d"), (F.col("doc_id") % 37).cast("string")).alias("src"),
+        F.concat(F.lit("d"), ((F.col("doc_id") * 3 + 1) % 37).cast("string")).alias("dst"),
+    )
+    e2 = d.select(
+        F.concat(F.lit("d"), (F.col("doc_id") % 37).cast("string")).alias("src"),
+        F.concat(F.lit("d"), ((F.col("doc_id") * 5 + 2) % 37).cast("string")).alias("dst"),
+    )
+    return pagerank(e1.unionByName(e2), iterations=2)
+
+
+def q_ndcg_eval(spark, sf):
+    """NDCG@10 of the IVF(nprobe=1) path vs exact brute-force truth
+    over the deterministic 1/50 query sample (r10 s2): literal
+    micro-integer log2 discounts, exact BIGINT DCG/IDCG
+    (similarity.ndcg_eval)."""
+    from eventstore_spark.operators.similarity import ndcg_eval
+
+    return ndcg_eval(_table(spark, sf, "embeddings"), k=10, sample_mod=50)
+
+
 # ---------------------------------------------------------------------------
 # Links + retention
 # ---------------------------------------------------------------------------
@@ -2108,6 +2206,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_doc_lines": q_dedup_doc_lines,
         "ann_ivfpq": q_ann_ivfpq,
         "source_temperature_sample": q_source_temperature_sample,
+        # --- r10 session 2 (tail-positioned: r11-rotation material) ---
+        "sequence_pack": q_sequence_pack,
+        "blocklist_filter": q_blocklist_filter,
+        "zipf_fit": q_zipf_fit,
+        "extract_links": q_extract_links,
+        "link_pagerank": q_link_pagerank,
+        "ndcg_eval": q_ndcg_eval,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -2958,4 +3063,48 @@ WHERE p.quality >= 0.3
     )
     sqls["dedup_doc_lines"] = _cp.sql_dedup_doc_lines(sep=" ")
     sqls["source_temperature_sample"] = _cp.sql_source_temperature_sample()
+
+    # --- r10 session-2 operators ---
+    sqls["sequence_pack"] = _cp.sql_sequence_pack(ctx_tokens=256)
+    _udocs_cte = (
+        "WITH udocs AS (SELECT doc_id, "
+        "(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.Site' "
+        "ELSE 'http://Blog.site' END) "
+        "|| CAST(doc_id % 40 AS VARCHAR) || '.COM' "
+        "|| (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END) "
+        "|| '/Articles/Piece-' || CAST(doc_id AS VARCHAR) "
+        "|| '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR) "
+        "|| '&utm_medium=email&gclid=abc123#section-2' AS url "
+        "FROM documents)"
+    )
+    sqls["blocklist_filter"] = _udocs_cte + _cp.sql_blocklist_filter(
+        blocked_domains=["site7.com", "site13.com", "site25.com"],
+        pattern="Piece-[0-9]*0[?]", table="udocs",
+    ).replace("\nWITH ", ",\n", 1)
+    from eventstore_spark.operators.textops import (sql_extract_links,
+                                                    sql_zipf_fit)
+
+    sqls["zipf_fit"] = sql_zipf_fit(top_r=128)
+    sqls["extract_links"] = (
+        "WITH ldocs AS (SELECT doc_id, "
+        "'<html><body><p>intro</p><a class=\"x\" href=\"https://s' "
+        "|| CAST(doc_id % 10 AS VARCHAR) || '.com/a/' "
+        "|| CAST(doc_id AS VARCHAR) || '\">link ' "
+        "|| CAST(doc_id % 5 AS VARCHAR) || '</a><p>' || text "
+        "|| '</p><a href=\"/rel/' || CAST(doc_id % 7 AS VARCHAR) "
+        "|| '\" rel=\"nofollow\">rel link</a></body></html>' AS text "
+        "FROM documents)"
+        + sql_extract_links(table="ldocs").replace("\nWITH ", ",\n", 1)
+    )
+    from eventstore_spark.operators.graph import sql_pagerank
+
+    _edges_sql = (
+        "SELECT 'd' || CAST(doc_id % 37 AS VARCHAR) AS src, "
+        "'d' || CAST((doc_id * 3 + 1) % 37 AS VARCHAR) AS dst FROM documents "
+        "UNION ALL "
+        "SELECT 'd' || CAST(doc_id % 37 AS VARCHAR) AS src, "
+        "'d' || CAST((doc_id * 5 + 2) % 37 AS VARCHAR) AS dst FROM documents"
+    )
+    sqls["link_pagerank"] = sql_pagerank(_edges_sql, iterations=2)
+    sqls["ndcg_eval"] = sim.sql_ndcg_eval(k=10, sample_mod=50)
     return sqls

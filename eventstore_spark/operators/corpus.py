@@ -1541,3 +1541,159 @@ SELECT d.{id_col} AS doc_id, r.source, r.n_source, r.p_micro,
        {u} AS u, {u} < r.p_micro AS kept
 FROM {table} d JOIN rates r ON d.{source_col} = r.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk) — r10
+# ---------------------------------------------------------------------------
+
+def sequence_pack(docs: DataFrame, ctx_tokens: int = 512,
+                  num_shards: int = 8, seed: str = "pack-v1",
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """GPT-style sequence packing: concatenate the token stream of many
+    documents and cut it into fixed ``ctx_tokens`` training blocks (the
+    "concat-and-chunk" batching of GPT-2/3 and The Pile — documents span
+    block boundaries; no padding waste). This maps each document to its
+    placement in that stream so a trainer can materialize any block by
+    reading only the documents that overlap it.
+
+    Order is the ``training_order`` permutation (md5(seed|doc_id) shard +
+    in-shard hash order), NOT raw doc_id — packing must follow the
+    shuffled training order or each block holds correlated neighbors.
+    Each shard is an independent token stream (its own block space), so
+    a trainer consumes shards in parallel.
+
+    Returns (doc_id, shard, position, n_tokens, tok_start, first_block,
+    last_block, n_blocks): ``tok_start`` is the document's offset in its
+    shard's token stream; a document with ``n_tokens = 0`` occupies the
+    block its offset points at (first = last, width treated as 1 token
+    for block arithmetic so both engines agree on empty docs).
+
+    Scale shape: one hash projection, then ONE keyed window per shard
+    (the biggest sort is |corpus|/num_shards rows — pick num_shards >=
+    cluster parallelism at 100 TB); no global window, no driver state.
+    """
+    hkey = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + "|"),
+                                   F.col(id_col).cast("string"))), 1, 12),
+        16, 10,
+    ).cast("long")
+    base = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        hkey.alias("_h"),
+        X.token_count(F.col(text_col)).alias("n_tokens"),
+    ).withColumn("shard", (F.col("_h") % num_shards).cast("long"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("shard").orderBy(F.col("_h").asc(),
+                                             F.col("doc_id").asc())
+    placed = (
+        base.withColumn("position", F.row_number().over(wp).cast("long"))
+        .withColumn("tok_start",
+                    (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"))
+    )
+    first_b = F.expr(f"tok_start div {int(ctx_tokens)}")
+    last_b = F.expr(
+        f"(tok_start + greatest(n_tokens, CAST(1 AS BIGINT)) - 1) div {int(ctx_tokens)}"
+    )
+    return placed.select(
+        "doc_id", "shard", "position", "n_tokens", "tok_start",
+        first_b.cast("long").alias("first_block"),
+        last_b.cast("long").alias("last_block"),
+        (last_b - first_b + 1).cast("long").alias("n_blocks"),
+    )
+
+
+def sql_sequence_pack(ctx_tokens: int = 512, num_shards: int = 8,
+                      seed: str = "pack-v1", table: str = "documents",
+                      id_col: str = "doc_id", text_col: str = "text") -> str:
+    h = (f"CAST('0x' || substr(md5('{seed}|' || CAST({id_col} AS VARCHAR)), "
+         "1, 12) AS BIGINT)")
+    ntok = X.SQL_TOKEN_COUNT.format(c=text_col)
+    c = int(ctx_tokens)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {h} AS h, {h} % {num_shards} AS shard,
+         {ntok} AS n_tokens
+  FROM {table}
+), placed AS (
+  SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+         CAST(row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC) AS BIGINT) AS position,
+         n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS tok_start
+  FROM base
+)
+SELECT doc_id, shard, position, n_tokens, tok_start,
+       CAST(tok_start // {c} AS BIGINT) AS first_block,
+       CAST((tok_start + greatest(n_tokens, 1) - 1) // {c} AS BIGINT) AS last_block,
+       CAST((tok_start + greatest(n_tokens, 1) - 1) // {c}
+            - tok_start // {c} + 1 AS BIGINT) AS n_blocks
+FROM placed
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL blocklist filter — r10
+# ---------------------------------------------------------------------------
+
+def blocklist_filter(docs: DataFrame, blocked_domains: list[str],
+                     pattern: str | None = None, url_col: str = "url",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Domain/URL blocklist filtering (the C4 badlist pass, arXiv:1910.10683
+    §2.2, and every crawl pipeline's first gate): canonicalize the URL
+    (``url_normalize``), then drop documents whose registered domain is on
+    ``blocked_domains`` or whose normalized URL matches ``pattern`` (a
+    regex kept to RE2-safe alternation so Java regex and RE2 agree).
+
+    Returns every doc as (doc_id, url_norm, host, domain, blocked_domain,
+    blocked_pattern, kept) — auditable gate columns; filter on ``kept``.
+
+    Scale shape: the url_normalize codegen chain plus an ``isin`` against
+    a literal set (Catalyst compiles small lists to hash-set lookups —
+    no join at all for the list sizes a real blocklist broadcast needs;
+    swap to a broadcast join above ~100k entries) and one regexp — a
+    single projection pass, zero shuffles.
+    """
+    normed = url_normalize(spread(docs), url_col=url_col, id_col=id_col)
+    blocked_d = (
+        F.col("domain").isin(list(blocked_domains))
+        if blocked_domains else F.lit(False)
+    )
+    blocked_p = (
+        F.col("url_norm").rlike(pattern) if pattern else F.lit(False)
+    )
+    return (
+        normed.select(
+            "doc_id", "url_norm", "host", "domain",
+            blocked_d.alias("blocked_domain"),
+            blocked_p.alias("blocked_pattern"),
+        )
+        .withColumn("kept", ~F.col("blocked_domain") & ~F.col("blocked_pattern"))
+    )
+
+
+def sql_blocklist_filter(blocked_domains: list[str],
+                         pattern: str | None = None, table: str = "documents",
+                         url_col: str = "url", id_col: str = "doc_id") -> str:
+    inner = sql_url_normalize(table, url_col=url_col, id_col=id_col)
+    if blocked_domains:
+        lst = ", ".join("'" + d.replace("'", "''") + "'"
+                        for d in blocked_domains)
+        bd = f"domain IN ({lst})"
+    else:
+        bd = "FALSE"
+    if pattern:
+        bp = "regexp_matches(url_norm, '{}')".format(pattern.replace("'", "''"))
+    else:
+        bp = "FALSE"
+    return f"""
+WITH normed AS ({inner})
+SELECT doc_id, url_norm, host, domain,
+       {bd} AS blocked_domain, {bp} AS blocked_pattern,
+       NOT ({bd}) AND NOT ({bp}) AS kept
+FROM normed
+"""

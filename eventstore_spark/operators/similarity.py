@@ -1825,3 +1825,173 @@ SELECT query_id, vec_id,
 FROM cand
 QUALIFY rank <= {k}
 """
+
+
+# -- NDCG retrieval eval -------------------------------------------------------
+
+def _ndcg_weights(k: int) -> tuple[list[int], list[int]]:
+    """Micro-integer DCG discount weights W[i] = round(1e6 / log2(i+1))
+    and their prefix sums, computed ONCE in Python and injected as
+    literals into BOTH engines — DCG/IDCG become exact BIGINT sums, so
+    no float accumulation-order hazard can split the engines."""
+    import math
+
+    w = [round(1_000_000 / math.log2(i + 1)) for i in range(1, k + 1)]
+    prefix, acc = [], 0
+    for x in w:
+        acc += x
+        prefix.append(acc)
+    return w, prefix
+
+
+def ndcg_eval(embeddings: DataFrame, k: int = 10, sample_mod: int = 50,
+              n_centroids: int = 16, iters: int = 2,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """NDCG@k of the IVF(nprobe=1) retrieval path against EXACT
+    brute-force ground truth over a deterministic query sample — the
+    ranking-quality companion to ``knn_eval`` (label agreement) and
+    ``lsh_recall`` (set recall): recall says WHETHER the true neighbors
+    surface, NDCG@k (Järvelin & Kekäläinen 2002) says whether they
+    surface in the right ORDER, with log2 position discounts.
+
+    Relevance is binary (retrieved vector is in the exact top-k);
+    discounts are micro-integer literals (``_ndcg_weights``) so
+    DCG/IDCG are exact BIGINT sums and ndcg_ppm = (dcg * 1e6) // idcg
+    is bit-identical across engines.
+
+    Returns (query_id, n_truth, n_hits, ndcg_ppm) per sampled query.
+
+    Scale shape: sample-scale audit BY DECLARED DESIGN (the lsh_recall
+    convention) — the exact-truth side is a |corpus| x |corpus|/
+    ``sample_mod`` broadcast nested-loop scored scan; run it on a
+    sample/holdout slice, not the full 100 TB (the IVF side itself is
+    the production path: cell-keyed shuffle-hash join, Σcell² bounded).
+    """
+    w_lits, p_lits = _ndcg_weights(k)
+    base = spread(embeddings).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    cents_i = train_ivf_centroids(embeddings, n_centroids, iters,
+                                  id_col, vec_col)
+    scored = _int_scored_sql(_quantize_sql("vec"), cents_i)
+    assigned = base.withColumn(
+        "cell", F.expr(f"-array_max({scored}).nid").cast("long")
+    ).cache()
+    gate = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % sample_mod == 0
+    )
+    q = assigned.where(gate).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "cell",
+    ).cache()
+
+    wt = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    truth = (
+        base.crossJoin(F.broadcast(q.select("query_id", "qvec")))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qvec"), F.col("vec")))
+        .withColumn("_r", F.row_number().over(wt))
+        .where(F.col("_r") <= k)
+        .select("query_id", "vec_id")
+    )
+    approx = (
+        q.hint("shuffle_hash")
+        .join(assigned.hint("shuffle_hash"), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qvec"), F.col("vec")))
+        .withColumn("arank", F.row_number().over(wt))
+        .where(F.col("arank") <= k)
+        .select("query_id", "vec_id", "arank")
+    )
+    w_arr = F.array(*[F.lit(int(x)) for x in w_lits])
+    p_arr = F.array(*[F.lit(int(x)) for x in p_lits])
+    hits = (
+        approx.join(truth.withColumn("rel", F.lit(1)),
+                    ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("rel"), F.lit(0))).alias("n_hits"),
+            F.sum(
+                F.when(F.col("rel").isNotNull(),
+                       F.element_at(w_arr, F.col("arank")))
+                .otherwise(F.lit(0))
+            ).alias("dcg"),
+        )
+    )
+    nt = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        q.select("query_id")
+        .join(nt, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_truth"), F.lit(0)).cast("long").alias("n_truth"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(
+                "IF(n_truth IS NULL OR n_truth = 0, CAST(0 AS BIGINT), "
+                f" (coalesce(dcg, 0) * 1000000) div element_at("
+                f"array({', '.join(str(int(x)) for x in p_lits)}), "
+                "CAST(n_truth AS INT)))"
+            ).cast("long").alias("ndcg_ppm"),
+        )
+    )
+
+
+def sql_ndcg_eval(k: int = 10, sample_mod: int = 50, n_centroids: int = 16,
+                  iters: int = 2, dim: int = 64,
+                  table: str = "embeddings") -> str:
+    """DuckDB oracle for ndcg_eval — the shared trained-quantizer CTE
+    chain, the same hash gate, brute-force truth, IVF approx ranks and
+    literal micro-weight DCG arithmetic."""
+    w_lits, p_lits = _ndcg_weights(k)
+    ctes = _sql_trained_assigned_ctes(n_centroids, dim, table, iters)
+    cos_t = sql_cosine("q.qvec", "b.vec", dim)
+    cos_a = sql_cosine("q.qvec", "a.vec", dim)
+    wl = ", ".join(str(int(x)) for x in w_lits)
+    pl = ", ".join(str(int(x)) for x in p_lits)
+    ctes.append(f"""q AS (
+  SELECT vec_id AS query_id, vec AS qvec, cell FROM assigned
+  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+        % {sample_mod} = 0
+)""")
+    ctes.append(f"""truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, b.vec_id, {cos_t} AS sim
+    FROM q JOIN assigned b ON b.vec_id <> q.query_id
+  ) s
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= {k}
+)""")
+    ctes.append(f"""approx AS (
+  SELECT query_id, vec_id, arank FROM (
+    SELECT q.query_id, a.vec_id, {cos_a} AS sim,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos_a} DESC, a.vec_id) AS arank
+    FROM q JOIN assigned a USING (cell)
+    WHERE a.vec_id <> q.query_id
+  ) s WHERE arank <= {k}
+)""")
+    ctes.append(f"""hits AS (
+  SELECT a.query_id,
+         CAST(count(t.vec_id) AS BIGINT) AS n_hits,
+         CAST(COALESCE(sum(CASE WHEN t.vec_id IS NOT NULL
+                  THEN (LIST_VALUE({wl}))[a.arank] ELSE 0 END), 0) AS BIGINT) AS dcg
+  FROM approx a LEFT JOIN truth t
+    ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+  GROUP BY a.query_id
+)""")
+    ctes.append("""nt AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+  FROM truth GROUP BY query_id
+)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT q.query_id,
+       CAST(COALESCE(nt.n_truth, 0) AS BIGINT) AS n_truth,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN COALESCE(nt.n_truth, 0) = 0 THEN 0
+            ELSE (COALESCE(h.dcg, 0) * 1000000)
+                 // (LIST_VALUE({pl}))[CAST(nt.n_truth AS INT)]
+       END AS BIGINT) AS ndcg_ppm
+FROM q LEFT JOIN nt ON q.query_id = nt.query_id
+LEFT JOIN hits h ON q.query_id = h.query_id
+"""

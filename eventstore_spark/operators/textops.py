@@ -1800,3 +1800,169 @@ SELECT {id_col} AS doc_id,
        CAST(length({expr}) AS BIGINT) AS text_chars
 FROM {table}
 """
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit — r10
+# ---------------------------------------------------------------------------
+
+def zipf_fit(docs: DataFrame, top_r: int = 128,
+             text_col: str = "text") -> DataFrame:
+    """Fit the Zipf exponent of the corpus's token frequency distribution:
+    OLS on (ln rank, ln count) over the top ``top_r`` terms — the
+    classic log-log regression (Zipf 1949; Piantadosi 2014 review).
+    A natural corpus fits slope ~ -1; generated/templated text and
+    boilerplate-heavy crawls bend the head, making this a one-row corpus
+    health probe (the same role as corpus_stats, one level deeper).
+
+    Determinism across engines: per-row ln(rank)/ln(count) are micro-
+    quantized to BIGINT immediately (the ln determinism contract
+    lm_score/source_temperature_sample use), so every regression sum is
+    EXACT integer/DECIMAL(38,0) arithmetic — no float accumulation-order
+    hazard — and only the final slope/intercept/r² divisions run in
+    DOUBLE (identical op sequence both engines), then micro-round.
+
+    Returns one row: (n_terms, slope_micro, intercept_micro, r2_micro).
+
+    Scale shape: token counts are one map-side-combined groupBy; the
+    top-R cut is orderBy+limit (TakeOrderedAndProject — per-partition
+    heaps, never a vocabulary-wide sort); the regression runs over R
+    rows (bounded, tiny) with a single-partition window over THAT set
+    only. One shuffle total over the corpus.
+    """
+    toks = spread(docs).select(
+        F.explode(X.tokens(F.col(text_col))).alias("token")
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(top_r)
+    wr = Window.orderBy(F.col("n").desc(), F.col("token"))
+    ranked = top.withColumn("rank", F.row_number().over(wr).cast("long"))
+    q = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")) * 1e6)
+         .cast("decimal(38,0)").alias("x"),
+        F.round(F.log(F.col("n").cast("double")) * 1e6)
+         .cast("decimal(38,0)").alias("y"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("r"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("r") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("r") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    syy = (F.col("r") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / den
+    # x/y are micro-scaled, so slope is scale-free; intercept carries the
+    # 1e6 y-scale and is divided back out before micro-rounding.
+    intercept = (F.col("sy").cast("double")
+                 - slope * F.col("sx").cast("double")) / F.col("r").cast("double")
+    # degenerate corpora: den = 0 with a single distinct term (slope
+    # undefined), syy = 0 when every count is equal (r² undefined) — NULL,
+    # never a NaN cast (engines disagree on CAST(NaN AS BIGINT))
+    return s.select(
+        F.col("r").cast("long").alias("n_terms"),
+        F.when(den != 0, F.round(slope * 1e6).cast("long")).alias("slope_micro"),
+        F.when(den != 0, F.round(intercept).cast("long")).alias("intercept_micro"),
+        F.when((den != 0) & (syy != 0),
+               F.round(num * num / (den * syy) * 1e6).cast("long"))
+        .alias("r2_micro"),
+    )
+
+
+def sql_zipf_fit(top_r: int = 128, table: str = "documents",
+                 text_col: str = "text") -> str:
+    toks = X.SQL_TOKENS.format(c=text_col)
+    return f"""
+WITH t AS (
+  SELECT unnest({toks}) AS token FROM {table}
+), counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n
+  FROM t WHERE token <> '' GROUP BY token
+), top AS (
+  SELECT token, n FROM counts ORDER BY n DESC, token LIMIT {int(top_r)}
+), ranked AS (
+  SELECT n, CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+  FROM top
+), q AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS HUGEINT) AS x,
+         CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS HUGEINT) AS y
+  FROM ranked
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS r,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM q
+), d AS (
+  SELECT r, sx, sy,
+         CAST(r * sxy - sx * sy AS DOUBLE) AS num,
+         CAST(r * sxx - sx * sx AS DOUBLE) AS den,
+         CAST(r * syy - sy * sy AS DOUBLE) AS syy_d
+  FROM s
+)
+SELECT CAST(r AS BIGINT) AS n_terms,
+       CAST(CASE WHEN den <> 0 THEN round(num / den * 1e6) END AS BIGINT) AS slope_micro,
+       CAST(CASE WHEN den <> 0 THEN round(
+           (CAST(sy AS DOUBLE) - num / den * CAST(sx AS DOUBLE))
+           / CAST(r AS DOUBLE)) END AS BIGINT) AS intercept_micro,
+       CAST(CASE WHEN den <> 0 AND syy_d <> 0 THEN round(
+           num * num / (den * syy_d) * 1e6) END AS BIGINT) AS r2_micro
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# Anchor / link extraction — r10
+# ---------------------------------------------------------------------------
+
+_LINK_PATTERN = '<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>'
+
+
+def extract_links(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Extract (href, anchor text) pairs from HTML documents — the edge
+    stream a crawl pipeline feeds into link-graph ranking (see
+    ``operators.graph.pagerank``) and anchor-text retrieval corpora.
+    Pattern kept to RE2-safe alternation-free groups (the
+    html_extract_text portability rule) so Java regex and RE2 agree.
+
+    Returns (doc_id, link_no, href, anchor) — link_no is the 1-based
+    occurrence order within the document.
+
+    Scale shape: one codegen regexp_extract_all pass + posexplode —
+    per-doc work linear in the markup, zero shuffles, zero UDFs.
+    """
+    tags = F.expr(
+        f"regexp_extract_all({text_col}, '{_LINK_PATTERN}', 0)"
+    )
+    exploded = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tags).alias("_i", "tag"),
+    )
+    return exploded.select(
+        "doc_id",
+        (F.col("_i") + 1).cast("long").alias("link_no"),
+        F.expr(f"regexp_extract(tag, '{_LINK_PATTERN}', 1)").alias("href"),
+        F.expr(f"regexp_extract(tag, '{_LINK_PATTERN}', 2)").alias("anchor"),
+    )
+
+
+def sql_extract_links(table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    pat = _LINK_PATTERN.replace("'", "''")
+    return f"""
+WITH tags AS (
+  SELECT {id_col} AS doc_id,
+         regexp_extract_all({text_col}, '{pat}', 0) AS arr
+  FROM {table}
+), x AS (
+  SELECT doc_id, unnest(arr) AS tag,
+         CAST(unnest(range(1, len(arr) + 1)) AS BIGINT) AS link_no
+  FROM tags
+)
+SELECT doc_id, link_no,
+       regexp_extract(tag, '{pat}', 1) AS href,
+       regexp_extract(tag, '{pat}', 2) AS anchor
+FROM x
+"""

@@ -778,3 +778,277 @@ def test_source_temperature_sample_matches_plain_python_reference(spark, sources
     if len(n) > 1:
         smallest = min(n, key=lambda s: (n[s], s))
         assert p_micro[smallest] == max(p_micro.values())
+
+
+# ---------------------------------------------------------------------------
+# r10 session-2 operators
+# ---------------------------------------------------------------------------
+
+def _rhu(v: float) -> int:
+    """HALF_UP round to int, away from zero — Spark's round(double) and
+    DuckDB's round() agree with this on every non-.5-boundary input."""
+    return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                min_size=1, max_size=25))
+def test_pagerank_matches_plain_python_reference(spark, raw_edges):
+    """Fixed-point integer PageRank recomputed in plain Python: distinct
+    edges minus self-loops, base//n init, (r*85)//(100*out) contribs,
+    teleport + inflow, two rounds."""
+    from eventstore_spark.operators.graph import pagerank
+
+    base, dp, iters = 1_000_000_000, 85, 2
+    edges = sorted({(a, b) for a, b in raw_edges if a != b})
+    df = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in raw_edges] or [("x", "x")],
+        "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df, iterations=iters).collect()}
+
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    if not nodes:
+        assert got == {}
+        return
+    n = len(nodes)
+    out: dict[int, int] = {}
+    for a, _ in edges:
+        out[a] = out.get(a, 0) + 1
+    tele = (base * (100 - dp) // 100) // n
+    r = {u: base // n for u in nodes}
+    for _ in range(iters):
+        inflow: dict[int, int] = {}
+        for a, b in edges:
+            inflow[b] = inflow.get(b, 0) + (r[a] * dp) // (100 * out[a])
+        r = {u: tele + inflow.get(u, 0) for u in nodes}
+    assert got == {f"n{u}": v for u, v in r.items()}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs_strategy)
+def test_sequence_pack_matches_plain_python_reference(spark, token_lists):
+    """Concat-and-chunk placement recomputed in plain Python: md5 shard
+    assignment, (hash, doc_id) order, exact cumulative offsets and
+    block-span arithmetic."""
+    from eventstore_spark.operators.corpus import sequence_pack
+
+    ctx, shards, seed = 16, 4, "pack-v1"
+    docs = _mkdocs(spark, token_lists)
+    got = {
+        r.doc_id: (r.shard, r.position, r.n_tokens, r.tok_start,
+                   r.first_block, r.last_block, r.n_blocks)
+        for r in sequence_pack(docs, ctx_tokens=ctx, num_shards=shards,
+                               seed=seed).collect()
+    }
+
+    rows = []
+    for i, toks in enumerate(token_lists):
+        h = int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:12], 16)
+        rows.append((h % shards, h, i, len(_py_tokens(" ".join(toks)))))
+    expect = {}
+    for shard in range(shards):
+        in_shard = sorted([x for x in rows if x[0] == shard],
+                          key=lambda x: (x[1], x[2]))
+        start = 0
+        for pos, (sh, h, i, nt) in enumerate(in_shard, start=1):
+            first_b = start // ctx
+            last_b = (start + max(nt, 1) - 1) // ctx
+            expect[i] = (sh, pos, nt, start, first_b, last_b,
+                         last_b - first_b + 1)
+            start += nt
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs_strategy)
+def test_zipf_fit_matches_plain_python_reference(spark, token_lists):
+    """Log-log OLS recomputed in plain Python: micro-quantized ln(rank)/
+    ln(count), exact integer regression sums, final double divisions."""
+    from eventstore_spark.operators.textops import zipf_fit
+
+    top_r = 10
+    docs = _mkdocs(spark, token_lists)
+    row = zipf_fit(docs, top_r=top_r).collect()[0]
+
+    counts: dict[str, int] = {}
+    for toks in token_lists:
+        for t in _py_tokens(" ".join(toks)):
+            if t:
+                counts[t] = counts.get(t, 0) + 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_r]
+    pts = [(_rhu(math.log(rank) * 1e6), _rhu(math.log(nc) * 1e6))
+           for rank, (_, nc) in enumerate(top, start=1)]
+    R = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    num = float(R * sxy - sx * sy)
+    den = float(R * sxx - sx * sx)
+    syy_d = float(R * syy - sy * sy)
+    assert row.n_terms == R
+    if den == 0:
+        assert row.slope_micro is None and row.intercept_micro is None
+        assert row.r2_micro is None
+        return
+    slope = num / den
+    assert row.slope_micro == _rhu(slope * 1e6)
+    assert row.intercept_micro == _rhu((float(sy) - slope * float(sx)) / R)
+    if syy_d == 0:
+        assert row.r2_micro is None
+    else:
+        assert row.r2_micro == _rhu(num * num / (den * syy_d) * 1e6)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 6),
+              st.lists(st.sampled_from(_WORDS), min_size=0, max_size=3)),
+    min_size=1, max_size=6))
+def test_extract_links_matches_python_re(spark, specs):
+    """Anchor extraction vs plain-Python re.findall of the same pattern
+    on the same synthesized markup."""
+    import re
+
+    from eventstore_spark.operators.textops import _LINK_PATTERN, extract_links
+
+    pages = []
+    for i, (pid, hid, anchor_words) in enumerate(specs):
+        anchor = " ".join(anchor_words)
+        html = (
+            f'<p>before</p><a rel="x" href="https://h{hid}.example/p/{pid}">'
+            f"{anchor}</a><div>mid</div>"
+            f'<a href="/local/{pid}">second {i}</a>'
+        )
+        pages.append((i, html))
+    docs = spark.createDataFrame(pages, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.link_no, r.href, r.anchor)
+        for r in extract_links(docs).collect()
+    )
+    expect = []
+    for i, html in pages:
+        for j, m in enumerate(re.finditer(_LINK_PATTERN, html), start=1):
+            expect.append((i, j, m.group(1), m.group(2)))
+    assert got == sorted(expect)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.lists(st.integers(1, 100), min_size=4, max_size=4),
+    min_size=4, max_size=10, unique_by=lambda v: tuple(v)))
+def test_ndcg_eval_is_perfect_when_ivf_has_one_cell(spark, int_vecs):
+    """With a single IVF cell the approximate candidate set IS the exact
+    corpus, so every sampled query must score ndcg_ppm == 1e6 exactly
+    and hit all of its truth — any weight-table or floor-division bug in
+    the DCG/IDCG arithmetic breaks the equality."""
+    from eventstore_spark.operators.similarity import ndcg_eval
+
+    vecs = [[x / 100.0 for x in v] for v in int_vecs]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    rows = ndcg_eval(emb, k=3, sample_mod=2, n_centroids=1, iters=1).collect()
+    assert rows, "sample gate should catch at least one query"
+    for r in rows:
+        assert r.n_hits == r.n_truth
+        assert r.ndcg_ppm == 1_000_000, r
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.lists(st.integers(1, 100), min_size=4, max_size=4),
+    min_size=6, max_size=10, unique_by=lambda v: tuple(v)))
+def test_ndcg_eval_matches_plain_python_reference(spark, int_vecs):
+    """Full independent NDCG recomputation: integer IVF centroids (the
+    test_ivf_centroids reference), cosine cell assignment, md5 sample
+    gate, double-fold cosine rankings for truth and the probed cell,
+    literal micro-weight DCG/IDCG."""
+    import numpy as np
+
+    from eventstore_spark.operators.similarity import (IVF_SCALE,
+                                                       _ndcg_weights,
+                                                       ndcg_eval)
+
+    k, mod, ncent, iters = 3, 2, 2, 1
+    vecs = [[x / 100.0 for x in v] for v in int_vecs]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    got = {
+        r.query_id: (r.n_truth, r.n_hits, r.ndcg_ppm)
+        for r in ndcg_eval(emb, k=k, sample_mod=mod, n_centroids=ncent,
+                           iters=iters).collect()
+    }
+
+    # -- trained integer centroids (same reference as the IVF test) --
+    qv = {i: [int(math.floor(float(np.float32(x)) * IVF_SCALE)) for x in v]
+          for i, v in enumerate(vecs)}
+    order = sorted(qv, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = [list(qv[s]) for s in order[:ncent]]
+    dim = 4
+
+    def icos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(float(sum(x * x for x in a)))
+        nb = math.sqrt(float(sum(x * x for x in b)))
+        return float(dot) / (na * nb)
+
+    for _ in range(iters):
+        sums: dict[int, list] = {}
+        for i, v in qv.items():
+            _, ncell = max((icos(v, c), -j) for j, c in enumerate(cents))
+            acc = sums.setdefault(-ncell, [0] * dim + [0])
+            for p in range(dim):
+                acc[p] += v[p]
+            acc[dim] += 1
+        cents = [
+            [sums[j][p] // sums[j][dim] for p in range(dim)]
+            if j in sums else cents[j]
+            for j in range(ncent)
+        ]
+    cell = {}
+    for i, v in qv.items():
+        _, nc = max((icos(v, c), -j) for j, c in enumerate(cents))
+        cell[i] = -nc
+
+    # -- float cosine exactly as the engine folds it (left-to-right) --
+    fv = {i: [float(np.float32(x)) for x in v] for i, v in enumerate(vecs)}
+
+    def fcos(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        na = 0.0
+        nb = 0.0
+        for x in a:
+            na = na + x * x
+        for y in b:
+            nb = nb + y * y
+        return acc / (math.sqrt(na) * math.sqrt(nb))
+
+    w_lits, p_lits = _ndcg_weights(k)
+    expect = {}
+    for qid in fv:
+        if int(hashlib.md5(str(qid).encode()).hexdigest()[:15], 16) % mod != 0:
+            continue
+        scored = sorted(
+            ((-fcos(fv[qid], fv[c]), c) for c in fv if c != qid))
+        truth = [c for _, c in scored[:k]]
+        in_cell = sorted(
+            ((-fcos(fv[qid], fv[c]), c) for c in fv
+             if c != qid and cell[c] == cell[qid]))
+        approx = [c for _, c in in_cell[:k]]
+        dcg = sum(w_lits[r] for r, c in enumerate(approx) if c in truth)
+        n_hits = sum(1 for c in approx if c in truth)
+        idcg = p_lits[len(truth) - 1] if truth else 0
+        ppm = (dcg * 1_000_000) // idcg if idcg else 0
+        expect[qid] = (len(truth), n_hits, ppm)
+    assert got == expect

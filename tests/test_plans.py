@@ -146,6 +146,33 @@ def test_pack_shards_window_partitions_by_bucket(parquet_docs):
     assert "hashpartitioning(_b" in plan
 
 
+def test_sequence_pack_window_partitions_by_shard(parquet_docs):
+    """Both the position and the cumulative-offset window must partition
+    by shard — an unpartitioned cumsum would serialize the whole corpus
+    through one task (the pack_shards lesson)."""
+    from eventstore_spark.operators.corpus import sequence_pack
+
+    plan = plan_of(sequence_pack(parquet_docs, ctx_tokens=64, num_shards=4))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan
+
+
+def test_pagerank_rounds_are_keyed_joins(spark):
+    """Every PageRank round must be node/src-keyed shuffle or broadcast
+    HASH joins — no nested-loop, no cartesian, no single-partition
+    exchange: the iteration plan is what survives a billion-edge graph."""
+    from eventstore_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(f"d{i % 17}", f"d{(3 * i + 1) % 17}") for i in range(400)],
+        "src string, dst string")
+    plan = plan_of(pagerank(edges, iterations=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_contamination_broadcasts_benchmark_side(parquet_docs):
     """The benchmark (small) side must broadcast; the corpus side must
     never be on the build side of a nested-loop join."""
@@ -201,6 +228,9 @@ BNLJ_OK = {
     # THREE one-row count aggregates cross-joined into the single
     # result row — the audit's entire output is one row
     "lsh_recall",
+    # sample-scale audit BY DECLARED DESIGN: the exact-truth side is the
+    # brute-force ann_bruteforce shape over the 1/sample_mod query gate
+    "ndcg_eval",
 }
 
 SF1_DIR = "/root/repo/.localdata/sf1"  # tools/gen_sf.py output
