@@ -358,6 +358,36 @@ def q_link_pagerank(spark, sf):
     return pagerank(e1.unionByName(e2), iterations=2)
 
 
+def q_block_manifest(spark, sf):
+    """Per-block read plan (r10 s2): the inverse of sequence_pack — one
+    row per (shard, block, doc) overlap with doc-relative token slices,
+    linear posexplode over block spans (corpus.block_manifest)."""
+    from eventstore_spark.operators import corpus as cp
+
+    return cp.block_manifest(_table(spark, sf, "documents"), ctx_tokens=256)
+
+
+def q_anchor_domains(spark, sf):
+    """Inbound-link domain aggregation (r10 s2): the extract_links
+    fixture markup, absolute hrefs bucketed by lowercased registered
+    domain, one keyed aggregate (corpus.anchor_domains)."""
+    from eventstore_spark.operators import corpus as cp
+
+    d = _table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body><p>intro</p><a class="x" href="https://s'),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(".com/a/"), F.col("doc_id").cast("string"),
+            F.lit('">link '), (F.col("doc_id") % 5).cast("string"),
+            F.lit("</a><p>"), F.col("text"),
+            F.lit('</p><a href="/rel/'), (F.col("doc_id") % 7).cast("string"),
+            F.lit('" rel="nofollow">rel link</a></body></html>'),
+        ).alias("text"),
+    )
+    return cp.anchor_domains(d)
+
+
 def q_ndcg_eval(spark, sf):
     """NDCG@10 of the IVF(nprobe=1) path vs exact brute-force truth
     over the deterministic 1/50 query sample (r10 s2): literal
@@ -2213,6 +2243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": q_extract_links,
         "link_pagerank": q_link_pagerank,
         "ndcg_eval": q_ndcg_eval,
+        "block_manifest": q_block_manifest,
+        "anchor_domains": q_anchor_domains,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3107,4 +3139,17 @@ WHERE p.quality >= 0.3
     )
     sqls["link_pagerank"] = sql_pagerank(_edges_sql, iterations=2)
     sqls["ndcg_eval"] = sim.sql_ndcg_eval(k=10, sample_mod=50)
+    sqls["block_manifest"] = _cp.sql_block_manifest(ctx_tokens=256)
+    _ldocs_cte = (
+        "WITH ldocs AS (SELECT doc_id, "
+        "'<html><body><p>intro</p><a class=\"x\" href=\"https://s' "
+        "|| CAST(doc_id % 10 AS VARCHAR) || '.com/a/' "
+        "|| CAST(doc_id AS VARCHAR) || '\">link ' "
+        "|| CAST(doc_id % 5 AS VARCHAR) || '</a><p>' || text "
+        "|| '</p><a href=\"/rel/' || CAST(doc_id % 7 AS VARCHAR) "
+        "|| '\" rel=\"nofollow\">rel link</a></body></html>' AS text "
+        "FROM documents)"
+    )
+    sqls["anchor_domains"] = _ldocs_cte + _cp.sql_anchor_domains(
+        table="ldocs").replace("\nWITH ", ",\n", 1)
     return sqls

@@ -1697,3 +1697,187 @@ SELECT doc_id, url_norm, host, domain,
        NOT ({bd}) AND NOT ({bp}) AS kept
 FROM normed
 """
+
+
+def block_manifest(docs: DataFrame, ctx_tokens: int = 512,
+                   num_shards: int = 8, seed: str = "pack-v1",
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The per-block read plan a trainer materializes batches from: one
+    row per (shard, block, document) overlap, with the DOC-RELATIVE
+    token slice [tok_from, tok_to) that block consumes — the inverse
+    view of :func:`sequence_pack` (which answers "where does this doc
+    land", this answers "which docs build this block").
+
+    Empty documents contribute a zero-width slice (tok_from = tok_to =
+    0) in the block their offset points at — kept, so the manifest
+    accounts for every input row in both engines identically.
+
+    Scale shape: sequence_pack's keyed-window pass, then one
+    posexplode over each doc's (last_block - first_block + 1) span —
+    output volume is |docs| + |boundary crossings|, linear; grouping
+    the manifest by (shard, block) is a keyed aggregate downstream.
+    """
+    packed = sequence_pack(docs, ctx_tokens, num_shards, seed,
+                           id_col, text_col)
+    c = int(ctx_tokens)
+    exploded = packed.select(
+        "doc_id", "shard", "position", "n_tokens", "tok_start",
+        F.explode(F.expr("sequence(first_block, last_block)")).alias("block"),
+    )
+    return exploded.select(
+        "shard",
+        F.col("block").cast("long").alias("block"),
+        "doc_id", "position", "n_tokens",
+        F.greatest(F.lit(0), (F.col("block") * c - F.col("tok_start")))
+        .cast("long").alias("tok_from"),
+        F.least(F.col("n_tokens"),
+                ((F.col("block") + 1) * c - F.col("tok_start")))
+        .cast("long").alias("tok_to"),
+    )
+
+
+def sql_block_manifest(ctx_tokens: int = 512, num_shards: int = 8,
+                       seed: str = "pack-v1", table: str = "documents",
+                       id_col: str = "doc_id", text_col: str = "text") -> str:
+    inner = sql_sequence_pack(ctx_tokens, num_shards, seed, table,
+                              id_col, text_col)
+    c = int(ctx_tokens)
+    return f"""
+WITH packed AS ({inner}),
+x AS (
+  SELECT doc_id, shard, position, n_tokens, tok_start,
+         unnest(range(first_block, last_block + 1)) AS block
+  FROM packed
+)
+SELECT shard, CAST(block AS BIGINT) AS block, doc_id, position, n_tokens,
+       CAST(greatest(0, block * {c} - tok_start) AS BIGINT) AS tok_from,
+       CAST(least(n_tokens, (block + 1) * {c} - tok_start) AS BIGINT) AS tok_to
+FROM x
+"""
+
+
+def anchor_domains(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Inbound-link aggregation over the anchor stream: for every TARGET
+    domain linked from the corpus's markup, how many links, from how
+    many distinct documents, with how many distinct URLs — the
+    link-popularity table that seeds crawl frontiers and the node-weight
+    input to :func:`eventstore_spark.operators.graph.pagerank`.
+
+    Only absolute http(s) hrefs carry a domain; relative links are
+    counted in the corpus-wide ``_relative`` bucket so the output still
+    accounts for every extracted link.
+
+    Returns (domain, n_links, n_docs, n_urls).
+
+    Scale shape: extract_links' codegen regexp pass, a lowercase host
+    extract, then ONE map-side-combined groupBy domain (count-distincts
+    expand to two-level aggregates, still keyed) — no joins.
+    """
+    from .textops import extract_links
+
+    links = extract_links(docs, id_col=id_col, text_col=text_col)
+    host = F.lower(F.regexp_extract(
+        "href", r"^[Hh][Tt][Tt][Pp][Ss]?://([^/?#:]*)", 1))
+    dom = F.when(
+        host != "",
+        F.regexp_replace(host, r"^www\.", ""),
+    ).otherwise(F.lit("_relative"))
+    return (
+        links.select("doc_id", "href", dom.alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("href").alias("n_urls"),
+        )
+    )
+
+
+def sql_anchor_domains(table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    from .textops import sql_extract_links
+
+    inner = sql_extract_links(table, id_col=id_col, text_col=text_col)
+    host = "lower(regexp_extract(href, '^[Hh][Tt][Tt][Pp][Ss]?://([^/?#:]*)', 1))"
+    return f"""
+WITH links AS ({inner}),
+d AS (
+  SELECT doc_id, href,
+         CASE WHEN {host} <> ''
+              THEN regexp_replace({host}, '^www\\.', '', 'g')
+              ELSE '_relative' END AS domain
+  FROM links
+)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT href) AS BIGINT) AS n_urls
+FROM d GROUP BY domain
+"""
+
+
+def write_packed_corpus(docs: DataFrame, path: str, ctx_tokens: int = 512,
+                        num_shards: int = 8, seed: str = "pack-v1",
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> dict:
+    """Materialize pack-ready training shards: each document joined to
+    its :func:`sequence_pack` placement and written parquet PARTITIONED
+    BY SHARD, rows arriving in position order within each shard's files
+    — the on-disk layout a trainer streams sequentially (shard dir by
+    shard dir) and cuts into ``ctx_tokens`` blocks with the
+    :func:`block_manifest` slice arithmetic. The sink counterpart of
+    ``sources/ingest.py``'s readers: crawl → clean → dedup → pack →
+    THIS → training loop.
+
+    Layout: `<path>/shards/shard=<s>/` with (doc_id, position,
+    tok_start, n_tokens, first_block, last_block, text); plus a one-file
+    `<path>/summary` table (shard, n_docs, n_tokens, n_blocks) written
+    for manifest checks.
+
+    Scale shape: the placement pass is sequence_pack's keyed window;
+    the write repartitions BY SHARD (one task per shard writes one
+    sorted run — sortWithinPartitions, no global sort) and the join
+    back to the text is doc_id-keyed. At 100 TB pick num_shards ≈
+    cluster cores × small-multiple so shard files stay HDFS-block
+    sized.
+    """
+    placed = sequence_pack(docs, ctx_tokens, num_shards, seed,
+                           id_col, text_col)
+    joined = (
+        spread(docs).select(F.col(id_col).alias("doc_id"),
+                            F.col(text_col).alias("text"))
+        .join(placed, "doc_id")
+    )
+    (
+        joined.repartition(num_shards, "shard")
+        .sortWithinPartitions("shard", "position")
+        .write.partitionBy("shard").mode("overwrite")
+        .parquet(f"{path}/shards")
+    )
+    summary = (
+        placed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            (F.max("last_block") + 1).alias("n_blocks"),
+        )
+    )
+    summary.coalesce(1).write.mode("overwrite").parquet(f"{path}/summary")
+    spark = docs.sparkSession
+    tot = spark.read.parquet(f"{path}/summary").agg(
+        F.sum("n_docs"), F.sum("n_tokens")).first()
+    return {"path": path, "num_shards": num_shards,
+            "ctx_tokens": ctx_tokens,
+            "n_docs": int(tot[0] or 0), "n_tokens": int(tot[1] or 0)}
+
+
+def read_packed_shard(spark, path: str, shard: int) -> DataFrame:
+    """Read ONE shard of a :func:`write_packed_corpus` layout, in
+    position order — the partition filter prunes every other shard
+    directory (PartitionFilters on the scan), so a trainer task reads
+    exactly its own shard's bytes."""
+    return (
+        spark.read.parquet(f"{path}/shards")
+        .where(F.col("shard") == shard)
+        .orderBy("position")
+    )

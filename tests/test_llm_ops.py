@@ -1691,3 +1691,86 @@ def test_ivfpq_index_roundtrip_matches_oneshot_and_prunes(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(cell" in plan or \
            "PartitionFilters: [(cell" in plan or "cell#" in plan.split(
                "PartitionFilters")[1][:120]
+
+
+# ---------------------------------------------------------------------------
+# Packed-corpus sink (r10 s2)
+# ---------------------------------------------------------------------------
+
+def test_write_packed_corpus_roundtrip_and_prunes(spark, tmp_path):
+    """The shard layout must reproduce sequence_pack's placement exactly
+    (contiguous positions, additive token offsets), its summary must
+    account for every doc/token, and a single-shard read must prune the
+    other shard directories at the scan (PartitionFilters)."""
+    from eventstore_spark.operators.corpus import (read_packed_shard,
+                                                   sequence_pack,
+                                                   write_packed_corpus)
+
+    rows = [(i, " ".join(f"w{j}" for j in range((i * 7) % 23 + 1)))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "packed")
+    info = write_packed_corpus(docs, path, ctx_tokens=32, num_shards=4)
+    assert info["n_docs"] == 60
+    assert info["n_tokens"] == sum((i * 7) % 23 + 1 for i in range(60))
+
+    placed = {r.doc_id: r for r in sequence_pack(
+        docs, ctx_tokens=32, num_shards=4).collect()}
+    seen = 0
+    for shard in range(4):
+        part = read_packed_shard(spark, path, shard).collect()
+        # contiguous positions, additive offsets, placement identical
+        off = 0
+        for pos, r in enumerate(part, start=1):
+            assert r.position == pos
+            assert r.tok_start == off
+            off += r.n_tokens
+            p = placed[r.doc_id]
+            assert (r.shard, r.position, r.tok_start, r.n_tokens) == (
+                p.shard, p.position, p.tok_start, p.n_tokens)
+        seen += len(part)
+    assert seen == 60
+
+    plan = read_packed_shard(spark, path, 2)._jdf.queryExecution(
+        ).executedPlan().toString()
+    assert "PartitionFilters" in plan
+    tail = plan.split("PartitionFilters", 1)[1][:160]
+    assert "shard" in tail
+
+
+def test_block_manifest_tiles_documents_and_blocks(spark):
+    """Per doc: the slices across its blocks must tile [0, n_tokens)
+    contiguously. Per (shard, block): slice widths must sum to exactly
+    ctx_tokens for every block but each shard's last — the invariant
+    that makes the manifest a valid batch read plan."""
+    from eventstore_spark.operators.corpus import block_manifest
+
+    ctx = 16
+    rows = [(i, " ".join(f"w{j}" for j in range((i * 5) % 37)))
+            for i in range(80)]  # includes empty docs (i*5 % 37 == 0)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    man = block_manifest(docs, ctx_tokens=ctx, num_shards=4).collect()
+
+    by_doc: dict[int, list] = {}
+    by_block: dict[tuple, int] = {}
+    last_block: dict[int, int] = {}
+    for r in man:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        by_block[(r.shard, r.block)] = by_block.get(
+            (r.shard, r.block), 0) + (r.tok_to - r.tok_from)
+        last_block[r.shard] = max(last_block.get(r.shard, -1), r.block)
+    assert len(by_doc) == 80
+    for doc_id, parts in by_doc.items():
+        parts.sort(key=lambda r: r.block)
+        n_tokens = parts[0].n_tokens
+        if n_tokens == 0:
+            assert len(parts) == 1
+            assert (parts[0].tok_from, parts[0].tok_to) == (0, 0)
+            continue
+        assert parts[0].tok_from == 0
+        assert parts[-1].tok_to == n_tokens
+        for a, b in zip(parts, parts[1:]):
+            assert a.tok_to == b.tok_from
+    for (shard, block), width in by_block.items():
+        if block != last_block[shard]:
+            assert width == ctx, (shard, block, width)
