@@ -388,6 +388,42 @@ def q_anchor_domains(spark, sf):
     return cp.anchor_domains(d)
 
 
+def q_lexical_profile(spark, sf):
+    """Lexical diversity per doc (r10 s2): TTR, hapax fraction, Shannon
+    token entropy from ONE sorted-array fold — exact BIGINT combination
+    of per-run micro-quantized n·ln n (textops.lexical_profile)."""
+    from eventstore_spark.operators.textops import lexical_profile
+
+    return lexical_profile(_table(spark, sf, "documents"))
+
+
+def q_crawl_frontier(spark, sf):
+    """Seed-expansion frontier (r10 s2): link-target domains minus
+    fetched domains, both derived from the corpus itself — urls cover
+    site0-39.com, links point at site0-59.com, so the frontier is
+    exactly the 20 unfetched targets (corpus.crawl_frontier)."""
+    from eventstore_spark.operators import corpus as cp
+
+    d = _table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS://WWW.Site"))
+            .otherwise(F.lit("http://Blog.site")),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit(".COM"),
+            F.lit("/Articles/Piece-"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<p>intro</p><a href="https://www.site'),
+            (F.col("doc_id") % 60).cast("string"),
+            F.lit('.com/x/'), F.col("doc_id").cast("string"),
+            F.lit('">out '), (F.col("doc_id") % 5).cast("string"),
+            F.lit("</a><p>"), F.col("text"), F.lit("</p>"),
+        ).alias("text"),
+    )
+    return cp.crawl_frontier(d)
+
+
 def q_ndcg_eval(spark, sf):
     """NDCG@10 of the IVF(nprobe=1) path vs exact brute-force truth
     over the deterministic 1/50 query sample (r10 s2): literal
@@ -2245,6 +2281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_eval": q_ndcg_eval,
         "block_manifest": q_block_manifest,
         "anchor_domains": q_anchor_domains,
+        "lexical_profile": q_lexical_profile,
+        "crawl_frontier": q_crawl_frontier,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3152,4 +3190,21 @@ WHERE p.quality >= 0.3
     )
     sqls["anchor_domains"] = _ldocs_cte + _cp.sql_anchor_domains(
         table="ldocs").replace("\nWITH ", ",\n", 1)
+    from eventstore_spark.operators.textops import sql_lexical_profile
+
+    sqls["lexical_profile"] = sql_lexical_profile()
+    _fdocs_cte = (
+        "WITH fdocs AS (SELECT doc_id, "
+        "(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.Site' "
+        "ELSE 'http://Blog.site' END) "
+        "|| CAST(doc_id % 40 AS VARCHAR) || '.COM' "
+        "|| '/Articles/Piece-' || CAST(doc_id AS VARCHAR) AS url, "
+        "'<p>intro</p><a href=\"https://www.site' "
+        "|| CAST(doc_id % 60 AS VARCHAR) || '.com/x/' "
+        "|| CAST(doc_id AS VARCHAR) || '\">out ' "
+        "|| CAST(doc_id % 5 AS VARCHAR) || '</a><p>' || text || '</p>' AS text "
+        "FROM documents)"
+    )
+    sqls["crawl_frontier"] = _fdocs_cte + _cp.sql_crawl_frontier(
+        table="fdocs").replace("\nWITH ", ",\n", 1)
     return sqls

@@ -48,6 +48,10 @@ SECONDARY = [
     "ann_pq",
     "ccnet_buckets",
     "line_dedup",
+    # r10 session-2 additions: the iterative-join and packing paths
+    "link_pagerank",
+    "sequence_pack",
+    "ndcg_eval",
 ]
 
 

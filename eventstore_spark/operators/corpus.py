@@ -1881,3 +1881,46 @@ def read_packed_shard(spark, path: str, shard: int) -> DataFrame:
         .where(F.col("shard") == shard)
         .orderBy("position")
     )
+
+
+def crawl_frontier(docs: DataFrame, url_col: str = "url",
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Next-crawl frontier: domains the corpus LINKS TO but does not yet
+    CONTAIN, ranked by inbound evidence — the seed-expansion step every
+    crawler runs between snapshots (link targets ∖ fetched set). Composes
+    three of the engine's own operators: ``url_normalize`` (what we
+    have), ``textops.extract_links`` + ``anchor_domains`` (what we point
+    at), and a domain-keyed anti-join between them.
+
+    Returns (domain, n_links, n_docs, n_urls) for every unfetched
+    absolute-link target, relative links excluded.
+
+    Scale shape: both sides reduce to domain-keyed aggregates (tiny
+    relative to the corpus) before the anti-join — the join runs on
+    |distinct domains|, never on documents or links.
+    """
+    have = (
+        url_normalize(spread(docs), url_col=url_col, id_col=id_col)
+        .select("domain").where(F.col("domain") != "").distinct()
+    )
+    want = anchor_domains(docs, id_col=id_col, text_col=text_col).where(
+        F.col("domain") != "_relative")
+    return want.join(have, "domain", "left_anti").select(
+        "domain", "n_links", "n_docs", "n_urls")
+
+
+def sql_crawl_frontier(table: str = "documents", url_col: str = "url",
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    have_inner = sql_url_normalize(table, url_col=url_col, id_col=id_col)
+    want_inner = sql_anchor_domains(table, id_col=id_col, text_col=text_col)
+    return f"""
+WITH have AS (
+  SELECT DISTINCT domain FROM ({have_inner}) WHERE domain <> ''
+), want AS ({want_inner})
+SELECT domain, n_links, n_docs, n_urls
+FROM want
+WHERE domain <> '_relative'
+  AND domain NOT IN (SELECT domain FROM have)
+"""

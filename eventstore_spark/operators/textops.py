@@ -1966,3 +1966,124 @@ SELECT doc_id, link_no,
        regexp_extract(tag, '{pat}', 2) AS anchor
 FROM x
 """
+
+
+# ---------------------------------------------------------------------------
+# Lexical profile — r10
+# ---------------------------------------------------------------------------
+
+_LEX_RUN_B = ("IF(acc.run > 1, CAST(round(CAST(acc.run AS DOUBLE) "
+              "* ln(CAST(acc.run AS DOUBLE)) * 1e6) AS BIGINT), "
+              "CAST(0 AS BIGINT))")
+
+_LEX_FOLD = (
+    "aggregate(array_sort(_toks), "
+    "named_struct('prev', '', 'run', CAST(0 AS BIGINT), "
+    "'types', CAST(0 AS BIGINT), 'hapax', CAST(0 AS BIGINT), "
+    "'b', CAST(0 AS BIGINT)), "
+    "(acc, x) -> IF(x = acc.prev, "
+    "named_struct('prev', x, 'run', acc.run + 1, 'types', acc.types, "
+    "'hapax', acc.hapax, 'b', acc.b), "
+    "named_struct('prev', x, 'run', CAST(1 AS BIGINT), "
+    "'types', acc.types + 1, "
+    "'hapax', acc.hapax + IF(acc.run = 1, 1, 0), "
+    f"'b', acc.b + {_LEX_RUN_B})), "
+    "acc -> named_struct('types', acc.types, "
+    "'hapax', acc.hapax + IF(acc.run = 1, 1, 0), "
+    f"'b', acc.b + {_LEX_RUN_B}))"
+)
+
+
+def lexical_profile(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document lexical-diversity signals: type-token ratio, hapax
+    fraction and Shannon TOKEN entropy — the classic lexical-richness
+    probes (Herdan's TTR; entropy per Shannon 1948)
+    that separate natural prose from templated/generated boilerplate
+    at one more level of depth than ``repetition_profile``'s mode
+    counts.
+
+    Determinism: entropy combines as exact BIGINT —
+    ``entropy_micro = round(ln(N)·1e6) − (Σ round(nᵢ·ln nᵢ·1e6)) div N``
+    with one micro-quantized ln per RUN (the ln determinism contract),
+    so no float accumulation order exists to disagree on. Empty
+    documents yield NULL ratios and zero counts in both engines.
+
+    Returns (doc_id, n_tokens, n_types, n_hapax, ttr_micro,
+    hapax_micro, entropy_micro).
+
+    Scale shape: ONE codegen projection pass — the per-doc token counts
+    come from a left fold over the doc's SORTED token array (the
+    repetition_profile _BEST_RUN technique generalized to carry
+    (types, hapax, Σ n ln n)), never an explode + per-token groupBy;
+    zero shuffles, zero UDFs.
+    """
+    staged = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"filter({_spark_tokens_sql(text_col)}, x -> x != '')")
+        .alias("_toks"),
+    )
+    folded = staged.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.expr(_LEX_FOLD).alias("_s"),
+    )
+    nt = F.col("n_tokens")
+    return folded.select(
+        "doc_id", "n_tokens",
+        F.col("_s.types").cast("long").alias("n_types"),
+        F.col("_s.hapax").cast("long").alias("n_hapax"),
+        F.when(nt > 0, F.expr("(_s.types * 1000000) div n_tokens"))
+        .cast("long").alias("ttr_micro"),
+        F.when(nt > 0, F.expr("(_s.hapax * 1000000) div n_tokens"))
+        .cast("long").alias("hapax_micro"),
+        F.when(nt > 0, F.expr(
+            "CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) "
+            "- _s.b div n_tokens"
+        )).cast("long").alias("entropy_micro"),
+    )
+
+
+def _spark_tokens_sql(text_col: str) -> str:
+    """Spark-SQL text form of functions.text.tokens (lower/trim/collapse
+    then split on single spaces) for use inside expr() lambdas."""
+    return (f"split(regexp_replace(trim(lower({text_col})), "
+            "'\\\\s+', ' '), ' ')")
+
+
+def sql_lexical_profile(table: str = "documents", id_col: str = "doc_id",
+                        text_col: str = "text") -> str:
+    toks = X.SQL_TOKENS.format(c=text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id,
+         list_filter({toks}, x -> x <> '') AS toks
+  FROM {table}
+), t AS (
+  SELECT doc_id, unnest(toks) AS token FROM base
+), c AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
+  FROM t GROUP BY doc_id, token
+), p AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_hapax,
+         CAST(sum(n) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(sum(CASE WHEN n > 1 THEN
+             CAST(round(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)) * 1e6)
+                  AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS b
+  FROM c GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_types, 0) AS BIGINT) AS n_types,
+       CAST(COALESCE(p.n_hapax, 0) AS BIGINT) AS n_hapax,
+       CAST(CASE WHEN p.n_tokens > 0
+            THEN (p.n_types * 1000000) // p.n_tokens END AS BIGINT) AS ttr_micro,
+       CAST(CASE WHEN p.n_tokens > 0
+            THEN (p.n_hapax * 1000000) // p.n_tokens END AS BIGINT) AS hapax_micro,
+       CAST(CASE WHEN p.n_tokens > 0
+            THEN CAST(round(ln(CAST(p.n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+                 - p.b // p.n_tokens END AS BIGINT) AS entropy_micro
+FROM base d LEFT JOIN p USING (doc_id)
+"""

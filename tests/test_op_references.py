@@ -1052,3 +1052,36 @@ def test_ndcg_eval_matches_plain_python_reference(spark, int_vecs):
         ppm = (dcg * 1_000_000) // idcg if idcg else 0
         expect[qid] = (len(truth), n_hits, ppm)
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs_strategy)
+def test_lexical_profile_matches_plain_python_reference(spark, token_lists):
+    """TTR / hapax / token entropy recomputed in plain Python: per-run
+    micro-quantized n·ln n, exact integer combination — the engine's
+    sorted-array fold and the oracle's groupBy must both equal this."""
+    from eventstore_spark.operators.textops import lexical_profile
+
+    docs = _mkdocs(spark, token_lists)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_types, r.n_hapax, r.ttr_micro,
+                   r.hapax_micro, r.entropy_micro)
+        for r in lexical_profile(docs).collect()
+    }
+    for i, toks in enumerate(token_lists):
+        tl = [t for t in _py_tokens(" ".join(toks)) if t]
+        n = len(tl)
+        counts: dict[str, int] = {}
+        for t in tl:
+            counts[t] = counts.get(t, 0) + 1
+        types = len(counts)
+        hapax = sum(1 for c in counts.values() if c == 1)
+        b = sum(_rhu(c * math.log(c) * 1e6) for c in counts.values() if c > 1)
+        if n == 0:
+            expect = (0, 0, 0, None, None, None)
+        else:
+            expect = (n, types, hapax, (types * 1_000_000) // n,
+                      (hapax * 1_000_000) // n,
+                      _rhu(math.log(n) * 1e6) - b // n)
+        assert got[i] == expect, (i, got[i], expect)
