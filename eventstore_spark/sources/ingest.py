@@ -186,3 +186,24 @@ def documents_stream_from_jsonl(spark: SparkSession, path: str,
     return r.json(path).withColumn(
         "is_corrupt", F.col("_corrupt_record").isNotNull()
     ).drop("_corrupt_record")
+
+
+def documents_to_jsonl(docs: DataFrame, path: str,
+                       num_shards: int = 32) -> None:
+    """Export the documents contract as sharded JSONL — the interchange
+    format every external tokenizer/trainer accepts, and the exact
+    inverse of :func:`documents_from_jsonl` (a written corpus reads
+    back bit-equal through the same pinned schema).
+
+    Scale shape: one round-robin repartition to ``num_shards`` writer
+    tasks, each streaming `to_json(struct(...))` rows to its own file —
+    JSON serialization is JVM-side codegen, no Python, no collect; at
+    100 TB pick num_shards so files land near block size.
+    """
+    cols = [c for c in docs.columns if c != "is_corrupt"]
+    (
+        docs.select(F.to_json(F.struct(*[F.col(c) for c in cols]))
+                    .alias("value"))
+        .repartition(num_shards)
+        .write.mode("overwrite").text(path)
+    )

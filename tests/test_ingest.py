@@ -123,3 +123,87 @@ def test_documents_stream_from_jsonl_micro_batches(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.where(~got.is_corrupt).count() == 2
     assert got.where(got.is_corrupt).count() == 1  # quarantined, present
+
+
+def test_jsonl_export_roundtrips_through_the_reader(spark, tmp_path):
+    """documents_to_jsonl -> documents_from_jsonl must reproduce the
+    corpus exactly (same rows, no quarantined lines)."""
+    from eventstore_spark.sources.ingest import (documents_from_jsonl,
+                                                 documents_to_jsonl)
+
+    rows = [(i, f'text "quoted" {i}é', "en" if i % 2 else "de",
+             f"src{i % 3}", 10 + i) for i in range(57)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    path = str(tmp_path / "export")
+    documents_to_jsonl(docs, path, num_shards=4)
+
+    # one collect: querying only the corrupt-derived column is the
+    # documented JSON-source limitation (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    back = documents_from_jsonl(spark, path).collect()
+    assert not any(r.is_corrupt for r in back)
+    got = sorted(
+        (r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in back
+    )
+    assert got == sorted(rows)
+
+
+def test_streaming_corpus_pipeline_quality_gate_and_cross_batch_dedup(
+        spark, tmp_path):
+    """End-to-end continuous-ingest pipeline: JSONL shards stream in one
+    file per micro-batch, flow through quarantine, the quality gate and
+    a STATEFUL exact dedup (dropDuplicates on the normalized
+    fingerprint — state spans micro-batches), and land in parquet.
+    A duplicate arriving two batches later and a junk doc must both be
+    dropped; the three good uniques must land exactly once."""
+    import json as _json
+
+    from pyspark.sql import functions as SF
+
+    from eventstore_spark.functions.text import fingerprint, quality_score
+    from eventstore_spark.sources.ingest import documents_stream_from_jsonl
+
+    good1 = ("the quick brown fox jumps over the lazy dog and then the "
+             "dog sleeps while the fox runs into the green forest again")
+    good2 = ("a query engine is built from a scan and a join and a sort "
+             "and the optimizer picks the order of all of the operators")
+    good3 = ("the stream of events flows into the store and the readers "
+             "follow the log while the writers append to the very end")
+    junk = "#### !!!! ????"
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def shard(name, rows):
+        (src / name).write_text("".join(
+            _json.dumps({"doc_id": i, "text": t, "lang": "en",
+                         "source": "s", "n_chars": len(t)}) + "\n"
+            for i, t in rows))
+
+    shard("a.jsonl", [(1, good1), (2, junk)])
+    shard("b.jsonl", [(3, good2)])
+    # duplicate of doc 1 (same text modulo case/whitespace) + one new doc
+    shard("c.jsonl", [(4, "  " + good1.upper() + "  "), (5, good3)])
+
+    stream = documents_stream_from_jsonl(spark, str(src),
+                                         max_files_per_trigger=1)
+    cleaned = (
+        stream.where(~SF.col("is_corrupt"))
+        .where(quality_score(SF.col("text")) >= 0.3)
+        .withColumn("fingerprint", fingerprint(SF.col("text")))
+        .dropDuplicates(["fingerprint"])
+    )
+    out = str(tmp_path / "out")
+    q = (
+        cleaned.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out).collect()
+    by_text = sorted(r.doc_id for r in got)
+    assert 2 not in by_text            # junk gated out
+    assert by_text.count(1) + by_text.count(4) == 1  # cross-batch dedup
+    assert 3 in by_text and 5 in by_text
+    assert len(by_text) == 3
