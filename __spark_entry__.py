@@ -424,6 +424,19 @@ def q_crawl_frontier(spark, sf):
     return cp.crawl_frontier(d)
 
 
+def q_hybrid_rrf(spark, sf):
+    """Hybrid retrieval (r10 s3): BM25 top-50 for a keyword query fused
+    with exact-cosine top-50 neighbors of query vector 7 by Reciprocal
+    Rank Fusion — exact BIGINT 1e6//(60+rank) contributions, ties on
+    doc_id (similarity.hybrid_rrf)."""
+    from eventstore_spark.operators.similarity import hybrid_rrf
+
+    return hybrid_rrf(
+        _table(spark, sf, "documents"), _table(spark, sf, "embeddings"),
+        "hash join stream window dup", 7, k=20, n_each=50,
+    )
+
+
 def q_ndcg_eval(spark, sf):
     """NDCG@10 of the IVF(nprobe=1) path vs exact brute-force truth
     over the deterministic 1/50 query sample (r10 s2): literal
@@ -2283,6 +2296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_domains": q_anchor_domains,
         "lexical_profile": q_lexical_profile,
         "crawl_frontier": q_crawl_frontier,
+        # --- r10 session 3 (tail-positioned: r11-rotation material) ---
+        "hybrid_rrf": q_hybrid_rrf,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3207,4 +3222,6 @@ WHERE p.quality >= 0.3
     )
     sqls["crawl_frontier"] = _fdocs_cte + _cp.sql_crawl_frontier(
         table="fdocs").replace("\nWITH ", ",\n", 1)
+    sqls["hybrid_rrf"] = sim.sql_hybrid_rrf(
+        "hash join stream window dup", 7, k=20, n_each=50)
     return sqls

@@ -1995,3 +1995,94 @@ SELECT q.query_id,
 FROM q LEFT JOIN nt ON q.query_id = nt.query_id
 LEFT JOIN hits h ON q.query_id = h.query_id
 """
+
+
+# -- hybrid retrieval: reciprocal-rank fusion --------------------------------
+
+def hybrid_rrf(docs: DataFrame, embeddings: DataFrame, query_text: str,
+               query_id: int, k: int = 20, n_each: int = 50, k0: int = 60,
+               id_col: str = "doc_id", text_col: str = "text",
+               vec_id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Hybrid lexical+dense retrieval via Reciprocal Rank Fusion
+    (Cormack, Clarke & Buettcher, SIGIR 2009): fuse the BM25 top-``n_each``
+    for ``query_text`` with the exact-cosine top-``n_each`` neighbors of
+    ``query_id``, scoring each doc by
+
+        rrf_micro = Σ_rankings 1_000_000 // (k0 + rank)
+
+    in exact BIGINT floor division, so the DuckDB oracle reproduces the
+    fused scores bit-for-bit. Ties break on doc_id. Docs absent from one
+    ranking contribute 0 from that side; ``lex_rank``/``dense_rank`` are
+    0 for the missing side (never NULL, so the output is total).
+
+    Returns the fused top ``k`` as
+    (doc_id, rrf_micro, lex_rank, dense_rank, rank).
+
+    Plan shape at 100 TB: both input rankings are already top-``n_each``
+    reductions — BM25's corpus pass is scan-shaped (term isin before the
+    tf aggregate, TakeOrdered) and the dense side is whichever ANN
+    strategy produced it (brute force here as the exact baseline; swap
+    ``ivfpq_topk_indexed`` for the production path — the fusion is
+    rank-only so any (vec_id, rank) source composes). The fusion itself
+    touches 2·n_each rows: a union, one tiny groupBy, one TakeOrdered.
+    Nothing corpus-sized flows through the fuse.
+    """
+    from .textops import bm25_search
+
+    lex = bm25_search(docs, query_text, k=n_each,
+                      id_col=id_col, text_col=text_col).select(
+        F.col("doc_id"), F.col("rank").alias("lex_rank"))
+    dense = brute_force_topk(embeddings, [query_id], k=n_each,
+                             id_col=vec_id_col, vec_col=vec_col).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("dense_rank"))
+    both = (
+        lex.select("doc_id", F.col("lex_rank").alias("r"),
+                   F.lit("lex").alias("side"))
+        .unionByName(dense.select("doc_id",
+                                  F.col("dense_rank").alias("r"),
+                                  F.lit("dense").alias("side")))
+    )
+    fused = both.groupBy("doc_id").agg(
+        F.sum(F.expr(f"1000000 div ({int(k0)} + r)")).cast("long").alias("rrf_micro"),
+        F.max(F.when(F.col("side") == "lex", F.col("r"))
+              .otherwise(F.lit(0))).cast("long").alias("lex_rank"),
+        F.max(F.when(F.col("side") == "dense", F.col("r"))
+              .otherwise(F.lit(0))).cast("long").alias("dense_rank"),
+    )
+    w = Window.orderBy(F.col("rrf_micro").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rrf_micro", "lex_rank", "dense_rank", "rank")
+    )
+
+
+def sql_hybrid_rrf(query_text: str, query_id: int, k: int = 20,
+                   n_each: int = 50, k0: int = 60, dim: int = 64,
+                   docs_table: str = "documents",
+                   emb_table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`hybrid_rrf` — composes the BM25 and
+    brute-force oracle CTE chains, then the same BIGINT RRF fold."""
+    from .textops import sql_bm25_search
+
+    lex = sql_bm25_search(query_text, k=n_each, table=docs_table)
+    dense = sql_brute_force_topk([query_id], k=n_each, dim=dim, table=emb_table)
+    return f"""
+WITH lex AS MATERIALIZED ({lex}),
+dense AS MATERIALIZED ({dense}),
+both_sides AS (
+  SELECT doc_id, rank AS r, 'lex' AS side FROM lex
+  UNION ALL
+  SELECT vec_id AS doc_id, rank AS r, 'dense' AS side FROM dense
+), fused AS (
+  SELECT doc_id,
+         CAST(sum(1000000 // ({int(k0)} + r)) AS BIGINT) AS rrf_micro,
+         CAST(max(CASE WHEN side = 'lex' THEN r ELSE 0 END) AS BIGINT) AS lex_rank,
+         CAST(max(CASE WHEN side = 'dense' THEN r ELSE 0 END) AS BIGINT) AS dense_rank
+  FROM both_sides GROUP BY doc_id
+)
+SELECT doc_id, rrf_micro, lex_rank, dense_rank,
+       CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
+FROM fused
+QUALIFY rank <= {int(k)}
+"""

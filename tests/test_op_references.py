@@ -1085,3 +1085,88 @@ def test_lexical_profile_matches_plain_python_reference(spark, token_lists):
                       (hapax * 1_000_000) // n,
                       _rhu(math.log(n) * 1e6) - b // n)
         assert got[i] == expect, (i, got[i], expect)
+
+
+int_vec_strategy = st.lists(
+    st.lists(st.integers(min_value=-8, max_value=8), min_size=4, max_size=4)
+    .filter(lambda v: any(x != 0 for x in v)),
+    min_size=3, max_size=8,
+)
+
+
+def _py_cosine(a: list[int], b: list[int]) -> float:
+    # the exact left folds of functions/vectors.py (double, fixed order)
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot = dot + float(x) * float(y)
+    na = 0.0
+    for x in a:
+        na = na + float(x) * float(x)
+    nb = 0.0
+    for y in b:
+        nb = nb + float(y) * float(y)
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs_strategy, int_vec_strategy)
+def test_hybrid_rrf_matches_plain_python_reference(spark, token_lists, vecs):
+    """Recomputes BOTH input rankings and the RRF fold in plain Python
+    (exact ints for the fusion; the cosine side replays the fixed-order
+    double fold), so a shared-formula bug in the Spark/DuckDB twins
+    cannot hide: the two-engine oracle checks engine parity, this checks
+    the math."""
+    from eventstore_spark.operators.similarity import hybrid_rrf
+
+    n = min(len(token_lists), len(vecs))
+    token_lists, vecs = token_lists[:n], vecs[:n]
+    if n < 2:
+        return
+    k1, b, query, query_id, n_each, k0 = 1.2, 0.75, "alpha gamma", 0, 3, 60
+
+    # -- lexical side: the BM25 reference fold (micro-int scores) --
+    qts = sorted(set(query.split()))
+    dls = {i: len(toks) for i, toks in enumerate(token_lists)}
+    avgdl = sum(dls.values()) / n
+    tf = {}
+    for i, toks in enumerate(token_lists):
+        for t in toks:
+            if t in qts:
+                tf[(i, t)] = tf.get((i, t), 0) + 1
+    dfreq = {t: sum(1 for (_, tt) in tf if tt == t) for t in qts}
+    idf = {t: int(round(math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0) * 1e6))
+           for t in qts if dfreq[t] > 0}
+    scores = {}
+    for (i, t), f in tf.items():
+        scores[i] = scores.get(i, 0) + int(round(
+            idf[t] * (f * (k1 + 1.0))
+            / (f + k1 * (1.0 - b + b * dls[i] / avgdl))))
+    lex_ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:n_each]
+    lex_rank = {doc: r + 1 for r, (doc, _) in enumerate(lex_ranked)}
+
+    # -- dense side: exact cosine top-n_each, self excluded --
+    sims = [(i, _py_cosine(vecs[query_id], v))
+            for i, v in enumerate(vecs) if i != query_id]
+    sims.sort(key=lambda kv: (-kv[1], kv[0]))
+    dense_rank = {doc: r + 1 for r, (doc, _) in enumerate(sims[:n_each])}
+
+    # -- the fusion: exact BIGINT floor division --
+    fused = {}
+    for doc, r in lex_rank.items():
+        fused[doc] = fused.get(doc, 0) + 1_000_000 // (k0 + r)
+    for doc, r in dense_rank.items():
+        fused[doc] = fused.get(doc, 0) + 1_000_000 // (k0 + r)
+    order = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))
+    expected = [(doc, s, lex_rank.get(doc, 0), dense_rank.get(doc, 0), r + 1)
+                for r, (doc, s) in enumerate(order)]
+
+    docs = _mkdocs(spark, token_lists)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int")
+    got = [(r.doc_id, r.rrf_micro, r.lex_rank, r.dense_rank, r.rank)
+           for r in hybrid_rrf(docs, emb, query, query_id,
+                               k=100, n_each=n_each, k0=k0)
+           .orderBy("rank").collect()]
+    assert got == expected

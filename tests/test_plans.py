@@ -231,6 +231,10 @@ BNLJ_OK = {
     # sample-scale audit BY DECLARED DESIGN: the exact-truth side is the
     # brute-force ann_bruteforce shape over the 1/sample_mod query gate
     "ndcg_eval",
+    # composes bm25_search (one-row N/avgdl scalar broadcast) and the
+    # ann_bruteforce shape (ONE query vector broadcast into the cosine
+    # scan); the fusion itself touches only 2·n_each ranked rows
+    "hybrid_rrf",
 }
 
 SF1_DIR = "/root/repo/.localdata/sf1"  # tools/gen_sf.py output
