@@ -230,6 +230,34 @@ def q_url_normalize(spark, sf):
     return cp.url_normalize(d)
 
 
+def q_dedup_url(spark, sf):
+    """URL-exact dedup (r10 s3): deterministic colliding URLs (host from
+    doc_id % 20, path from doc_id % 25, tracking params + fragment
+    noise), canonicalized then deduped keep-lowest-id per url_norm
+    (corpus.dedup_url). One keyed groupBy + one keyed join."""
+    from eventstore_spark.operators import corpus as cp
+
+    d = _table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://Site"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".COM/page-"), (F.col("doc_id") % 25).cast("string"),
+            F.lit("?utm_source=feed&gclid=abc#top"),
+        ).alias("url"),
+    )
+    return cp.dedup_url(d)
+
+
+def q_quality_ensemble(spark, sf):
+    """Gopher + C4 rule sets as one auditable single-scan gate (r10 s3):
+    per doc the sorted array of failed rules, per-filter verdicts, and
+    the combined verdict (textops.quality_ensemble). Zero shuffle."""
+    from eventstore_spark.operators.textops import quality_ensemble
+
+    return quality_ensemble(_table(spark, sf, "documents"),
+                            min_words=15, min_stops=1)
+
+
 def q_dedup_doc_lines(spark, sf):
     """Within-document line dedup (r10): repeated lines inside each doc
     dropped keep-first (Gopher/RefinedWeb in-doc repetition removal) —
@@ -2298,6 +2326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         # --- r10 session 3 (tail-positioned: r11-rotation material) ---
         "hybrid_rrf": q_hybrid_rrf,
+        "dedup_url": q_dedup_url,
+        "quality_ensemble": q_quality_ensemble,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3224,4 +3254,14 @@ WHERE p.quality >= 0.3
         table="fdocs").replace("\nWITH ", ",\n", 1)
     sqls["hybrid_rrf"] = sim.sql_hybrid_rrf(
         "hash join stream window dup", 7, k=20, n_each=50)
+    sqls["dedup_url"] = (
+        "WITH ddocs AS (SELECT doc_id, "
+        "'HTTP://Site' || CAST(doc_id % 20 AS VARCHAR) "
+        "|| '.COM/page-' || CAST(doc_id % 25 AS VARCHAR) "
+        "|| '?utm_source=feed&gclid=abc#top' AS url "
+        "FROM documents)"
+        + _cp.sql_dedup_url(table="ddocs").replace("\nWITH ", ",\n", 1)
+    )
+    sqls["quality_ensemble"] = textops.sql_quality_ensemble(
+        min_words=15, min_stops=1)
     return sqls

@@ -1374,6 +1374,54 @@ FROM normed
 
 
 # ---------------------------------------------------------------------------
+# URL-exact dedup (r10 s3)
+# ---------------------------------------------------------------------------
+
+def dedup_url(docs: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """URL-level exact dedup — the FIRST dedup step of the C4 pipeline
+    (arXiv:1910.10683 §2.1: one page per URL) and of every crawl
+    pipeline that ingests multiple snapshots: canonicalize with
+    :func:`url_normalize`, then keep one doc per ``url_norm``. The
+    keeper is the LOWEST doc_id — the deterministic stand-in for C4's
+    "most recently crawled" (this schema carries no crawl timestamp);
+    ties cannot occur because doc_id is the key.
+
+    Returns one row per input doc: (doc_id, url_norm, keeper_id, kept)
+    — an auditable verdict table (join back on doc_id to filter), not a
+    silent drop.
+
+    Plan shape at 100 TB: url_normalize is a zero-shuffle codegen pass;
+    the keeper table is ONE groupBy min(doc_id) on url_norm (map-side
+    partial combine absorbs per-partition duplicates — multi-snapshot
+    crawls of the same URL usually land in the same ingest batch), and
+    the verdict is one keyed equi-join on url_norm. AQE skew-splits hot
+    URLs. Nothing broadcast, nothing collected.
+    """
+    u = url_normalize(docs, url_col=url_col, id_col=id_col).select(
+        "doc_id", "url_norm")
+    keepers = u.groupBy("url_norm").agg(F.min("doc_id").alias("keeper_id"))
+    return u.join(keepers, "url_norm").select(
+        "doc_id", "url_norm", "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("kept"),
+    )
+
+
+def sql_dedup_url(table: str, url_col: str = "url",
+                  id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`dedup_url` — the url_normalize twin plus
+    a per-url_norm min window (same result as the groupBy+join)."""
+    norm = sql_url_normalize(table, url_col=url_col, id_col=id_col)
+    return f"""
+WITH u AS ({norm})
+SELECT doc_id, url_norm,
+       min(doc_id) OVER (PARTITION BY url_norm) AS keeper_id,
+       doc_id = min(doc_id) OVER (PARTITION BY url_norm) AS kept
+FROM u
+"""
+
+
+# ---------------------------------------------------------------------------
 # Within-document line dedup (r10)
 # ---------------------------------------------------------------------------
 

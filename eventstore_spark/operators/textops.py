@@ -101,6 +101,39 @@ def quality_filter(docs: DataFrame, min_quality: float = 0.3,
 GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def _gopher_stage_cols(c):
+    """The staged (evaluate-once) inputs of the Gopher rules: the token
+    array and the symbol count. Own projection so the split/regexp run
+    once per row (the projection-collapse trap; see functions/text)."""
+    return [
+        F.split(F.trim(c), r"\s+").alias("_t"),
+        (F.regexp_count(c, F.lit(r"[#…]|\.\.\.")).cast("long")).alias("_sym"),
+    ]
+
+
+def _gopher_metric_cols():
+    """The five Gopher §A1.1 per-doc metrics, reading the staged _t/_sym."""
+    return [
+        F.size("_t").cast("long").alias("n_words"),
+        (
+            F.aggregate(F.col("_t"), F.lit(0).cast("long"),
+                        lambda a, x: a + F.length(x)).cast("double")
+            / F.greatest(F.size("_t").cast("double"), F.lit(1.0))
+        ).alias("mean_word_len"),
+        (F.col("_sym").cast("double")
+         / F.greatest(F.size("_t").cast("double"), F.lit(1.0))
+         ).alias("symbol_ratio"),
+        (
+            F.size(F.filter(F.col("_t"),
+                            lambda x: x.rlike("[A-Za-z]"))).cast("double")
+            / F.greatest(F.size("_t").cast("double"), F.lit(1.0))
+        ).alias("alpha_frac"),
+        F.size(F.filter(
+            F.col("_t"), lambda x: F.lower(x).isin(*GOPHER_STOPS)
+        )).cast("long").alias("n_stops"),
+    ]
+
+
 def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text",
                    min_words: int = 50, max_words: int = 100_000,
@@ -121,31 +154,9 @@ def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
     tokens. At 100 TB this is scan-bound, exactly like analyze_documents.
     """
     c = F.col(text_col)
-    toks = F.split(F.trim(c), r"\s+")
     staged = docs.select(
-        F.col(id_col).alias("doc_id"),
-        toks.alias("_t"),
-        (F.regexp_count(c, F.lit(r"[#…]|\.\.\.")).cast("long")).alias("_sym"),
-    ).select(
-        "doc_id",
-        F.size("_t").cast("long").alias("n_words"),
-        (
-            F.aggregate(F.col("_t"), F.lit(0).cast("long"),
-                        lambda a, x: a + F.length(x)).cast("double")
-            / F.greatest(F.size("_t").cast("double"), F.lit(1.0))
-        ).alias("mean_word_len"),
-        (F.col("_sym").cast("double")
-         / F.greatest(F.size("_t").cast("double"), F.lit(1.0))
-         ).alias("symbol_ratio"),
-        (
-            F.size(F.filter(F.col("_t"),
-                            lambda x: x.rlike("[A-Za-z]"))).cast("double")
-            / F.greatest(F.size("_t").cast("double"), F.lit(1.0))
-        ).alias("alpha_frac"),
-        F.size(F.filter(
-            F.col("_t"), lambda x: F.lower(x).isin(*GOPHER_STOPS)
-        )).cast("long").alias("n_stops"),
-    )
+        F.col(id_col).alias("doc_id"), *_gopher_stage_cols(c)
+    ).select("doc_id", *_gopher_metric_cols())
     return staged.withColumn(
         "kept",
         (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
@@ -192,6 +203,25 @@ FROM m
 """
 
 
+def _c4_metric_cols(c, min_line_words: int):
+    """The C4 §2.2 per-doc metrics, computed inline from the raw text
+    column (single projection; the line arrays need no staging because
+    each feeds exactly one output column)."""
+    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
+    is_kept_line = (
+        lambda l: l.rlike('[.!?"]\\s*$')
+        & (F.size(F.split(F.trim(l), r"\s+")) >= min_line_words)
+        & ~F.lower(l).contains("javascript")
+    )
+    return [
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.filter(lines, is_kept_line)).cast("long").alias("kept_lines"),
+        F.regexp_count(c, F.lit("[.!?]")).cast("long").alias("n_sentences"),
+        F.lower(c).contains("lorem ipsum").alias("has_lorem_ipsum"),
+        c.contains("{").alias("has_brace"),
+    ]
+
+
 def c4_quality(docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text",
                min_line_words: int = 3, min_sentences: int = 3) -> DataFrame:
@@ -208,21 +238,8 @@ def c4_quality(docs: DataFrame, id_col: str = "doc_id",
     line rules are one array filter, the document rules are regex counts.
     Scan-bound at 100 TB.
     """
-    c = F.col(text_col)
-    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
-    is_kept_line = (
-        lambda l: l.rlike('[.!?"]\\s*$')
-        & (F.size(F.split(F.trim(l), r"\s+")) >= min_line_words)
-        & ~F.lower(l).contains("javascript")
-    )
-    low = F.lower(c)
     return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(F.filter(lines, is_kept_line)).cast("long").alias("kept_lines"),
-        F.regexp_count(c, F.lit("[.!?]")).cast("long").alias("n_sentences"),
-        low.contains("lorem ipsum").alias("has_lorem_ipsum"),
-        c.contains("{").alias("has_brace"),
+        F.col(id_col).alias("doc_id"), *_c4_metric_cols(F.col(text_col), min_line_words)
     ).withColumn(
         "kept",
         (F.col("n_sentences") >= min_sentences)
@@ -258,6 +275,120 @@ SELECT doc_id, n_lines, kept_lines, n_sentences, has_lorem_ipsum, has_brace,
        (n_sentences >= {min_sentences} AND kept_lines >= 1
         AND NOT has_lorem_ipsum AND NOT has_brace) AS kept
 FROM m
+"""
+
+
+#: (rule name, metric-level predicate builder) — the per-rule gates of
+#: quality_ensemble, each reading the METRIC columns the two named
+#: filters emit. A doc's `failed` array lists every rule it violates.
+_ENSEMBLE_RULES = (
+    ("c4_brace", "has_brace"),
+    ("c4_lines", "kept_lines < 1"),
+    ("c4_lorem", "has_lorem_ipsum"),
+    ("c4_sentences", "n_sentences < {min_sentences}"),
+    ("gopher_alpha", "alpha_frac < {min_alpha_frac}"),
+    ("gopher_stops", "n_stops < {min_stops}"),
+    ("gopher_symbols", "symbol_ratio > {max_symbol_ratio}"),
+    ("gopher_word_len",
+     "mean_word_len < {min_mean_len} OR mean_word_len > {max_mean_len}"),
+    ("gopher_words", "n_words < {min_words} OR n_words > {max_words}"),
+)
+
+
+def quality_ensemble(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     min_words: int = 50, max_words: int = 100_000,
+                     min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                     max_symbol_ratio: float = 0.1,
+                     min_alpha_frac: float = 0.8, min_stops: int = 2,
+                     min_line_words: int = 3,
+                     min_sentences: int = 3) -> DataFrame:
+    """Both canonical named heuristic filters (Gopher §A1.1 + C4 §2.2)
+    as ONE auditable gate: per doc, the sorted array of every rule it
+    fails, the per-filter verdicts, and the combined verdict — the
+    ensemble a production pipeline actually runs, with the audit column
+    ("WHY was this dropped") that per-filter tables only give after a
+    join.
+
+    Returns (doc_id, failed, n_failed, gopher_kept, c4_kept, kept);
+    ``failed`` is lexicographically sorted, empty when kept.
+
+    Plan shape at 100 TB: a SINGLE corpus scan — the Gopher metrics and
+    the C4 metrics are computed in one staged projection (the same
+    expression builders the standalone filters use), the rule array is
+    a flatten of conditional singletons. Zero shuffle, zero UDF, zero
+    joins — unlike composing gopher_quality ⋈ c4_quality, which scans
+    the corpus twice and shuffles both diagnostic tables on doc_id.
+    """
+    c = F.col(text_col)
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), c.alias("_text"),
+        *_gopher_stage_cols(c),
+    )
+    m = staged.select(
+        "doc_id", *_gopher_metric_cols(),
+        *_c4_metric_cols(F.col("_text"), min_line_words),
+    )
+    params = dict(min_words=min_words, max_words=max_words,
+                  min_mean_len=min_mean_len, max_mean_len=max_mean_len,
+                  max_symbol_ratio=max_symbol_ratio,
+                  min_alpha_frac=min_alpha_frac, min_stops=min_stops,
+                  min_sentences=min_sentences)
+    empty = F.array().cast("array<string>")
+    failed = F.flatten(F.array(*[
+        F.when(F.expr(pred.format(**params)), F.array(F.lit(name)))
+        .otherwise(empty)
+        for name, pred in _ENSEMBLE_RULES
+    ]))
+    return m.select("doc_id", failed.alias("failed")).select(
+        "doc_id", "failed",
+        F.size("failed").cast("long").alias("n_failed"),
+        (~F.exists("failed", lambda x: x.startswith("gopher"))).alias("gopher_kept"),
+        (~F.exists("failed", lambda x: x.startswith("c4"))).alias("c4_kept"),
+        (F.size("failed") == 0).alias("kept"),
+    )
+
+
+def sql_quality_ensemble(min_words: int = 50, max_words: int = 100_000,
+                         min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                         max_symbol_ratio: float = 0.1,
+                         min_alpha_frac: float = 0.8, min_stops: int = 2,
+                         min_line_words: int = 3, min_sentences: int = 3,
+                         table: str = "documents",
+                         text_col: str = "text") -> str:
+    """DuckDB oracle for :func:`quality_ensemble` — joins the two
+    filters' own oracle CTEs (engine perf is irrelevant oracle-side)
+    and rebuilds the same rule array from their metric columns."""
+    g = sql_gopher_quality(min_words, max_words, min_mean_len, max_mean_len,
+                           max_symbol_ratio, min_alpha_frac, min_stops,
+                           table=table, text_col=text_col)
+    c4 = sql_c4_quality(min_line_words, min_sentences,
+                        table=table, text_col=text_col)
+    params = dict(min_words=min_words, max_words=max_words,
+                  min_mean_len=min_mean_len, max_mean_len=max_mean_len,
+                  max_symbol_ratio=max_symbol_ratio,
+                  min_alpha_frac=min_alpha_frac, min_stops=min_stops,
+                  min_sentences=min_sentences)
+    cases = ", ".join(
+        f"CASE WHEN {pred.format(**params)} THEN ['{name}'] "
+        "ELSE CAST([] AS VARCHAR[]) END"
+        for name, pred in _ENSEMBLE_RULES
+    )
+    return f"""
+WITH g AS ({g}), c4 AS ({c4}),
+m AS (
+  SELECT g.doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stops,
+         n_lines, kept_lines, n_sentences, has_lorem_ipsum, has_brace
+  FROM g JOIN c4 ON g.doc_id = c4.doc_id
+), f AS (
+  SELECT doc_id, flatten(list_value({cases})) AS failed FROM m
+)
+SELECT doc_id, failed,
+       CAST(len(failed) AS BIGINT) AS n_failed,
+       len(list_filter(failed, u -> u LIKE 'gopher%')) = 0 AS gopher_kept,
+       len(list_filter(failed, u -> u LIKE 'c4%')) = 0 AS c4_kept,
+       len(failed) = 0 AS kept
+FROM f
 """
 
 

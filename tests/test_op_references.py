@@ -1170,3 +1170,75 @@ def test_hybrid_rrf_matches_plain_python_reference(spark, token_lists, vecs):
                                k=100, n_each=n_each, k0=k0)
            .orderBy("rank").collect()]
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(
+        st.lists(st.sampled_from(_WORDS + ["the", "and", "#", "..."]),
+                 min_size=1, max_size=30),
+        st.sampled_from([".", "", "?", " {"]),
+    ),
+    min_size=2, max_size=8,
+))
+def test_quality_ensemble_matches_plain_python_reference(spark, specs):
+    """Recomputes every Gopher/C4 rule and the failed-rules array in
+    plain Python. The per-filter formulas have two-engine oracles; this
+    pins the ENSEMBLE's rule thresholds and array assembly against an
+    independent implementation."""
+    from eventstore_spark.operators.textops import GOPHER_STOPS, quality_ensemble
+
+    mn_w, mn_stop, mn_lw, mn_sent = 5, 1, 3, 2
+    texts = [" ".join(toks) + tail for toks, tail in specs]
+
+    expected = {}
+    for i, text in enumerate(texts):
+        toks = text.strip().split()
+        toks = toks if toks else [""]  # split of "" yields one empty token
+        n_words = len(toks)
+        mean_len = sum(len(t) for t in toks) / max(n_words, 1)
+        import re as _re
+        sym = len(_re.findall(r"[#…]|\.\.\.", text))
+        symbol_ratio = sym / max(n_words, 1)
+        alpha = sum(1 for t in toks if _re.search("[A-Za-z]", t)) / max(n_words, 1)
+        n_stops = sum(1 for t in toks if t.lower() in GOPHER_STOPS)
+        lines = [l for l in text.split("\n") if l.strip() != ""]
+        kept_lines = sum(
+            1 for l in lines
+            if _re.search(r'[.!?"]\s*$', l) and len(l.strip().split()) >= mn_lw
+            and "javascript" not in l.lower())
+        n_sent = len(_re.findall(r"[.!?]", text))
+        failed = []
+        if "{" in text:
+            failed.append("c4_brace")
+        if kept_lines < 1:
+            failed.append("c4_lines")
+        if "lorem ipsum" in text.lower():
+            failed.append("c4_lorem")
+        if n_sent < mn_sent:
+            failed.append("c4_sentences")
+        if alpha < 0.8:
+            failed.append("gopher_alpha")
+        if n_stops < mn_stop:
+            failed.append("gopher_stops")
+        if symbol_ratio > 0.1:
+            failed.append("gopher_symbols")
+        if mean_len < 3.0 or mean_len > 10.0:
+            failed.append("gopher_word_len")
+        if n_words < mn_w or n_words > 100_000:
+            failed.append("gopher_words")
+        expected[i] = (tuple(failed), len(failed),
+                       not any(f.startswith("gopher") for f in failed),
+                       not any(f.startswith("c4") for f in failed),
+                       not failed)
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", 0) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r.doc_id: (tuple(r.failed), r.n_failed, r.gopher_kept,
+                      r.c4_kept, r.kept)
+           for r in quality_ensemble(
+               docs, min_words=mn_w, min_stops=mn_stop,
+               min_line_words=mn_lw, min_sentences=mn_sent).collect()}
+    assert got == expected

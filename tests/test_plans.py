@@ -753,3 +753,37 @@ def test_r10_codegen_ops_have_no_shuffle(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_ensemble_is_single_scan_no_shuffle(spark):
+    """quality_ensemble computes BOTH named rule sets in one staged
+    projection — an Exchange (it would mean the gopher⋈c4 join shape)
+    or a Python eval node is a scale regression: this gate runs over
+    every document of the corpus."""
+    from eventstore_spark.operators.textops import quality_ensemble
+
+    docs = spark.createDataFrame(
+        [(1, "A good line.\nAnother one here.", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    plan = quality_ensemble(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_url_joins_keyed_on_url_norm(spark):
+    """dedup_url's verdict join must be a keyed equi-join on url_norm
+    (broadcast or shuffled) — never a nested loop; and the keeper side
+    must be an aggregate, not a window over the corpus."""
+    from eventstore_spark.operators.corpus import dedup_url
+
+    urls = spark.createDataFrame(
+        [(i, f"http://x{i % 3}.com/p?utm_source=a") for i in range(12)],
+        "doc_id long, url string")
+    df = dedup_url(urls)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[3].keeper_id == 0 and not rows[3].kept
+    assert rows[0].kept and rows[1].kept and rows[2].kept
