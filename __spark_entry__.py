@@ -374,16 +374,7 @@ def q_link_pagerank(spark, sf):
     (graph.pagerank)."""
     from eventstore_spark.operators.graph import pagerank
 
-    d = _table(spark, sf, "documents")
-    e1 = d.select(
-        F.concat(F.lit("d"), (F.col("doc_id") % 37).cast("string")).alias("src"),
-        F.concat(F.lit("d"), ((F.col("doc_id") * 3 + 1) % 37).cast("string")).alias("dst"),
-    )
-    e2 = d.select(
-        F.concat(F.lit("d"), (F.col("doc_id") % 37).cast("string")).alias("src"),
-        F.concat(F.lit("d"), ((F.col("doc_id") * 5 + 2) % 37).cast("string")).alias("dst"),
-    )
-    return pagerank(e1.unionByName(e2), iterations=2)
+    return pagerank(_det_edges(spark, sf), iterations=2)
 
 
 def q_block_manifest(spark, sf):
@@ -463,6 +454,31 @@ def q_hybrid_rrf(spark, sf):
         _table(spark, sf, "documents"), _table(spark, sf, "embeddings"),
         "hash join stream window dup", 7, k=20, n_each=50,
     )
+
+
+def _det_edges(spark, sf):
+    """The deterministic domain graph shared by the graph-op queries:
+    two modular-affine edge families per doc (hubs and cycles) so both
+    in- and out-degrees vary."""
+    d = _table(spark, sf, "documents")
+    e1 = d.select(
+        F.concat(F.lit("d"), (F.col("doc_id") % 37).cast("string")).alias("src"),
+        F.concat(F.lit("d"), ((F.col("doc_id") * 3 + 1) % 37).cast("string")).alias("dst"),
+    )
+    e2 = d.select(
+        F.concat(F.lit("d"), (F.col("doc_id") % 37).cast("string")).alias("src"),
+        F.concat(F.lit("d"), ((F.col("doc_id") * 5 + 2) % 37).cast("string")).alias("dst"),
+    )
+    return e1.union(e2)
+
+
+def q_link_hits(spark, sf):
+    """Fixed-point integer HITS (r10 s3) over the deterministic domain
+    graph: 2 unrolled rounds, exact DECIMAL-safe L1 rescaling per
+    half-round (graph.hits)."""
+    from eventstore_spark.operators.graph import hits
+
+    return hits(_det_edges(spark, sf), iterations=2)
 
 
 def q_ndcg_eval(spark, sf):
@@ -2328,6 +2344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "dedup_url": q_dedup_url,
         "quality_ensemble": q_quality_ensemble,
+        "link_hits": q_link_hits,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3221,6 +3238,9 @@ WHERE p.quality >= 0.3
         "'d' || CAST((doc_id * 5 + 2) % 37 AS VARCHAR) AS dst FROM documents"
     )
     sqls["link_pagerank"] = sql_pagerank(_edges_sql, iterations=2)
+    from eventstore_spark.operators.graph import sql_hits
+
+    sqls["link_hits"] = sql_hits(_edges_sql, iterations=2)
     sqls["ndcg_eval"] = sim.sql_ndcg_eval(k=10, sample_mod=50)
     sqls["block_manifest"] = _cp.sql_block_manifest(ctx_tokens=256)
     _ldocs_cte = (

@@ -147,3 +147,126 @@ def sql_pagerank(edges_sql: str, iterations: int = 2, damping_pct: int = 85,
         prev = f"r{i}"
     body = ",\n".join(ctes)
     return f"WITH {body}\nSELECT node, rank FROM {prev}"
+
+
+def hits(edges: DataFrame, iterations: int = 2, base: int = 1_000_000,
+         src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Fixed-point HITS (Kleinberg 1999, "Authoritative sources in a
+    hyperlinked environment") with ``iterations`` unrolled rounds — the
+    hub/authority complement to :func:`pagerank` for crawl-frontier
+    prioritization (good HUBS are link pages worth re-crawling, good
+    AUTHORITIES are content pages worth keeping).
+
+    Exact integer arithmetic, identical in both engines:
+
+    * edges are DISTINCT (src, dst) with self-loops removed;
+    * hubs start at ``base``;
+    * each round: auth_raw(v) = Σ_{u→v} hub(u), then L1-rescale
+      auth(v) = (auth_raw(v) · base) // Σ auth_raw (floor division, so
+      every auth is in [0, base]); hubs update symmetrically from the
+      rescaled auths. Nodes with no in-edges have auth 0; no out-edges,
+      hub 0.
+    * auth_raw(v)·base is computed in DECIMAL(38,0)/HUGEINT: it can
+      reach |E|·base² ≈ 1e12·|E|, past 2^63 on any real crawl graph,
+      where Spark's non-ANSI BIGINT would wrap silently (the
+      kn_perplexity lesson). Only the final rescaled value (≤ base)
+      returns to BIGINT.
+
+    Returns (node, hub, auth) in parts-per-``base``.
+
+    Scale shape: per half-round ONE keyed join (scores onto the edge
+    list) + one map-side-combined groupBy + a one-row L1 total joined
+    back as a scalar (the allowlisted scalar-subquery broadcast, same
+    as bm25's N/avgdl). No data-sized broadcast, no driver state.
+    """
+    e = (
+        spread(edges)
+        .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    hub = nodes.select("node", F.lit(base).cast("long").alias("score"))
+
+    def _half_round(scores, key_in, key_out):
+        """One HITS half-round: push `scores` along edges from key_in to
+        key_out, then L1-rescale to parts-per-base. The raw-sum table is
+        referenced twice (total + rescale), so lineage is truncated per
+        half-round (localCheckpoint, O(nodes) rows) — without it each
+        half-round DOUBLES the replayed plan (the duplicate_clusters
+        iteration discipline)."""
+        raw = (
+            scores.withColumnRenamed("node", key_in)
+            .join(e, key_in)
+            .groupBy(F.col(key_out).alias("node"))
+            .agg(F.sum("score").alias("raw"))
+            .localCheckpoint(eager=True)
+        )
+        total = raw.agg(F.sum(F.col("raw").cast("decimal(38,0)")).alias("s"))
+        scaled = raw.crossJoin(F.broadcast(total)).select(
+            "node",
+            F.expr(f"CAST((CAST(raw AS DECIMAL(38,0)) * {int(base)}) DIV s "
+                   "AS BIGINT)").alias("score"),
+        )
+        return nodes.join(scaled, "node", "left").select(
+            "node", F.coalesce("score", F.lit(0)).cast("long").alias("score"))
+
+    auth = None
+    for _ in range(iterations):
+        auth = _half_round(hub, "src", "dst")
+        hub = _half_round(auth, "dst", "src")
+    return (
+        hub.withColumnRenamed("score", "hub")
+        .join(auth.withColumnRenamed("score", "auth"), "node")
+        .select("node", "hub", "auth")
+    )
+
+
+def sql_hits(edges_sql: str, iterations: int = 2,
+             base: int = 1_000_000) -> str:
+    """DuckDB oracle for :func:`hits` — the same integer recurrence with
+    the rounds unrolled as CTEs; HUGEINT where Spark uses DECIMAL(38,0)."""
+    b = int(base)
+    ctes = [
+        f"raw_e AS ({edges_sql})",
+        "e AS (SELECT DISTINCT src, dst FROM raw_e WHERE src <> dst)",
+        ("nodes AS (SELECT src AS node FROM e "
+         "UNION SELECT dst AS node FROM e)"),
+        f"h0 AS (SELECT node, CAST({b} AS BIGINT) AS score FROM nodes)",
+    ]
+
+    def half(i, prev, key_in, key_out, out):
+        ctes.append(
+            f"""{out}_raw{i} AS (
+  SELECT e.{key_out} AS node, sum(p.score) AS raw
+  FROM {prev} p JOIN e ON e.{key_in} = p.node
+  GROUP BY e.{key_out}
+)"""
+        )
+        ctes.append(
+            f"""{out}{i} AS (
+  SELECT n.node,
+         CAST(COALESCE(
+           (CAST(r.raw AS HUGEINT) * {b})
+             // (SELECT sum(CAST(raw AS HUGEINT)) FROM {out}_raw{i}),
+           0) AS BIGINT) AS score
+  FROM nodes n LEFT JOIN {out}_raw{i} r ON n.node = r.node
+)"""
+        )
+        return f"{out}{i}"
+
+    hub_prev = "h0"
+    auth_prev = None
+    for i in range(1, iterations + 1):
+        auth_prev = half(i, hub_prev, "src", "dst", "a")
+        hub_prev = half(i, auth_prev, "dst", "src", "h")
+    body = ",\n".join(ctes)
+    return (f"WITH {body}\n"
+            f"SELECT h.node, h.score AS hub, a.score AS auth "
+            f"FROM {hub_prev} h JOIN {auth_prev} a ON h.node = a.node")

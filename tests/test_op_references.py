@@ -1242,3 +1242,44 @@ def test_quality_ensemble_matches_plain_python_reference(spark, specs):
                docs, min_words=mn_w, min_stops=mn_stop,
                min_line_words=mn_lw, min_sentences=mn_sent).collect()}
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                min_size=1, max_size=25))
+def test_hits_matches_plain_python_reference(spark, raw_edges):
+    """Fixed-point integer HITS recomputed in plain Python: distinct
+    edges minus self-loops, hub=base init, per half-round raw sums and
+    (raw*base)//Σraw L1 rescale (exact big-int — Python ints ARE the
+    DECIMAL(38,0) semantics), two rounds."""
+    from eventstore_spark.operators.graph import hits
+
+    base, iters = 1_000_000, 2
+    edges = sorted({(a, b) for a, b in raw_edges if a != b})
+    df = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in raw_edges] or [("x", "x")],
+        "src string, dst string")
+    got = {r.node: (r.hub, r.auth)
+           for r in hits(df, iterations=iters).collect()}
+
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    if not nodes:
+        assert got == {}
+        return
+
+    def half(scores, forward):
+        raw: dict[int, int] = {}
+        for a, b in edges:
+            src_node, dst_node = (a, b) if forward else (b, a)
+            raw[dst_node] = raw.get(dst_node, 0) + scores[src_node]
+        s = sum(raw.values())
+        return {u: (raw[u] * base) // s if u in raw and s > 0 else 0
+                for u in nodes}
+
+    hub = {u: base for u in nodes}
+    auth = None
+    for _ in range(iters):
+        auth = half(hub, True)
+        hub = half(auth, False)
+    assert got == {f"n{u}": (hub[u], auth[u]) for u in nodes}

@@ -235,6 +235,9 @@ BNLJ_OK = {
     # ann_bruteforce shape (ONE query vector broadcast into the cosine
     # scan); the fusion itself touches only 2·n_each ranked rows
     "hybrid_rrf",
+    # ONE-ROW L1-total scalar broadcast per HITS half-round (the bm25
+    # N/avgdl shape); the push joins are keyed
+    "link_hits",
 }
 
 SF1_DIR = "/root/repo/.localdata/sf1"  # tools/gen_sf.py output
@@ -787,3 +790,18 @@ def test_dedup_url_joins_keyed_on_url_norm(spark):
     rows = {r.doc_id: r for r in df.collect()}
     assert rows[3].keeper_id == 0 and not rows[3].kept
     assert rows[0].kept and rows[1].kept and rows[2].kept
+
+
+def test_hits_rounds_are_keyed_joins(spark):
+    """Every HITS half-round must be a keyed join + hash aggregate; the
+    only nested-loop allowed is the ONE-ROW L1-total scalar broadcast
+    (the bm25 N/avgdl shape). No cartesian, no single-partition
+    exchange of node-sized data."""
+    from eventstore_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(f"d{i % 17}", f"d{(3 * i + 1) % 17}") for i in range(400)],
+        "src string, dst string")
+    plan = plan_of(hits(edges, iterations=2))
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
