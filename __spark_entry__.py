@@ -481,6 +481,15 @@ def q_link_hits(spark, sf):
     return hits(_det_edges(spark, sf), iterations=2)
 
 
+def q_pmi_collocations(spark, sf):
+    """Top-50 adjacent-word collocations by micro-quantized PMI over the
+    documents table (r10 s3): exact BIGINT combination of per-count
+    micro-lns, min_count=5 (textops.pmi_collocations)."""
+    from eventstore_spark.operators.textops import pmi_collocations
+
+    return pmi_collocations(_table(spark, sf, "documents"), k=50, min_count=5)
+
+
 def q_ndcg_eval(spark, sf):
     """NDCG@10 of the IVF(nprobe=1) path vs exact brute-force truth
     over the deterministic 1/50 query sample (r10 s2): literal
@@ -2345,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url": q_dedup_url,
         "quality_ensemble": q_quality_ensemble,
         "link_hits": q_link_hits,
+        "pmi_collocations": q_pmi_collocations,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3284,4 +3294,5 @@ WHERE p.quality >= 0.3
     )
     sqls["quality_ensemble"] = textops.sql_quality_ensemble(
         min_words=15, min_stops=1)
+    sqls["pmi_collocations"] = textops.sql_pmi_collocations(k=50, min_count=5)
     return sqls

@@ -514,6 +514,114 @@ LIMIT {k}
 """
 
 
+def pmi_collocations(docs: DataFrame, k: int = 50, min_count: int = 5,
+                     text_col: str = "text") -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual information
+    (Church & Hanks 1990) — the classic corpus-analytics signal for
+    multi-word expressions ("new york", "machine learning"), used to
+    audit tokenizer merge candidates and boilerplate phrases.
+
+      PMI(x,y) = ln( p(x,y) / (p(x)·p(y)) )
+               = ln( c_xy · T² / (B · c_x · c_y) )
+
+    with c_x unigram counts over T total tokens and c_xy adjacent-bigram
+    counts over B total bigrams. Determinism across engines: each ln is
+    micro-quantized separately (round(ln(v)·1e6) AS BIGINT — the
+    zipf_fit/lm_score convention) and combined in exact BIGINT
+    arithmetic: pmi_micro = lm(c_xy) + 2·lm(T) − lm(B) − lm(c_x) −
+    lm(c_y). Bigrams below ``min_count`` are dropped (PMI is noise at
+    singleton counts). Ties break on (w1, w2).
+
+    Returns the top ``k`` as (w1, w2, n_pair, pmi_micro).
+
+    Plan shape at 100 TB: both count tables are explode→groupBy with
+    map-side partial combine (vocabulary-sized, not corpus-sized); the
+    two unigram lookups are keyed equi-joins onto the FILTERED bigram
+    table (AQE broadcasts the survivors when small); T and B are one-row
+    aggregates cross-joined as scalars (the allowlisted bm25 shape);
+    top-k is TakeOrderedAndProject. The corpus is scanned twice (unigram
+    + bigram streams) — fusable in principle, but each scan stays
+    scan-shaped with no wide intermediate.
+    """
+    staged = spread(docs).select(X.tokens(F.col(text_col)).alias("_toks"))
+    uni = (
+        staged.select(F.explode("_toks").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    pc = (
+        staged.select(F.explode(F.expr(X.SPARK_SQL_BIGRAMS)).alias("pair"))
+        .where(F.col("pair") != " ")
+        .groupBy("pair").agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    totals = (
+        uni.agg(F.sum("c").alias("T"))
+        .crossJoin(pc.agg(F.sum("n_pair").alias("B")))
+    )
+
+    def lm(c):
+        return F.round(F.log(c.cast("double")) * 1e6).cast("long")
+
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        pc.where(F.col("n_pair") >= min_count)
+        .select(
+            F.substring_index("pair", " ", 1).alias("w1"),
+            F.substring_index("pair", " ", -1).alias("w2"),
+            "n_pair",
+        )
+        .join(u1, "w1").join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", "n_pair",
+            (lm(F.col("n_pair")) + F.lit(2) * lm(F.col("T"))
+             - lm(F.col("B")) - lm(F.col("c1")) - lm(F.col("c2"))
+             ).alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_micro").desc(), "w1", "w2").limit(k)
+
+
+def sql_pmi_collocations(k: int = 50, min_count: int = 5,
+                         table: str = "documents",
+                         text_col: str = "text") -> str:
+    """DuckDB oracle for :func:`pmi_collocations` — same counts, same
+    per-ln micro-quantization, same BIGINT combination."""
+    toks = X.SQL_TOKENS.format(c=text_col)
+
+    def lm(c):
+        return f"CAST(round(ln(CAST({c} AS DOUBLE)) * 1e6) AS BIGINT)"
+
+    return f"""
+WITH base AS (
+  SELECT {toks} AS toks FROM {table}
+), uni AS (
+  SELECT u AS w, CAST(count(*) AS BIGINT) AS c
+  FROM base, unnest(toks) AS z(u) WHERE u <> '' GROUP BY u
+), pc AS (
+  SELECT u AS pair, CAST(count(*) AS BIGINT) AS n_pair
+  FROM base, unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS z(u)
+  WHERE u <> ' ' GROUP BY u
+), scored AS (
+  SELECT split_part(pair, ' ', 1) AS w1, split_part(pair, ' ', 2) AS w2,
+         n_pair
+  FROM pc WHERE n_pair >= {min_count}
+)
+SELECT s.w1, s.w2, s.n_pair,
+       {lm('s.n_pair')} + 2 * {lm('(SELECT sum(c) FROM uni)')}
+         - {lm('(SELECT sum(n_pair) FROM pc)')}
+         - {lm('u1.c')} - {lm('u2.c')} AS pmi_micro
+FROM scored s
+JOIN uni u1 ON s.w1 = u1.w
+JOIN uni u2 ON s.w2 = u2.w
+ORDER BY pmi_micro DESC, s.w1, s.w2
+LIMIT {k}
+"""
+
+
 def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-(source, language) corpus dashboard: doc counts, total tokens,
     high-quality share — the monitoring aggregate a curation pipeline

@@ -1283,3 +1283,37 @@ def test_hits_matches_plain_python_reference(spark, raw_edges):
         auth = half(hub, True)
         hub = half(auth, False)
     assert got == {f"n{u}": (hub[u], auth[u]) for u in nodes}
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs_strategy)
+def test_pmi_collocations_match_plain_python_reference(spark, token_lists):
+    """PMI recomputed in plain Python with the same per-count micro-ln
+    quantization and exact integer combination."""
+    from eventstore_spark.operators.textops import pmi_collocations
+
+    min_count = 2
+
+    def lm(v: int) -> int:
+        return _rhu(math.log(float(v)) * 1e6)
+
+    uni: dict[str, int] = {}
+    pc: dict[tuple[str, str], int] = {}
+    for toks in token_lists:
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            pc[(a, b)] = pc.get((a, b), 0) + 1
+    T, B = sum(uni.values()), sum(pc.values())
+    expected = sorted(
+        ((w1, w2, n,
+          lm(n) + 2 * lm(T) - lm(B) - lm(uni[w1]) - lm(uni[w2]))
+         for (w1, w2), n in pc.items() if n >= min_count),
+        key=lambda r: (-r[3], r[0], r[1]))[:100]
+
+    docs = _mkdocs(spark, token_lists)
+    got = [(r.w1, r.w2, r.n_pair, r.pmi_micro)
+           for r in pmi_collocations(docs, k=100, min_count=min_count)
+           .collect()]
+    assert got == expected

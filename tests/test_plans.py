@@ -238,6 +238,9 @@ BNLJ_OK = {
     # ONE-ROW L1-total scalar broadcast per HITS half-round (the bm25
     # N/avgdl shape); the push joins are keyed
     "link_hits",
+    # ONE-ROW T/B totals cross-joined as scalars (the lsh_recall shape);
+    # the unigram lookups are keyed equi-joins
+    "pmi_collocations",
 }
 
 SF1_DIR = "/root/repo/.localdata/sf1"  # tools/gen_sf.py output
