@@ -481,6 +481,24 @@ def q_link_hits(spark, sf):
     return hits(_det_edges(spark, sf), iterations=2)
 
 
+def q_chat_sft_spans(spark, sf):
+    """SFT chat-template spans (r10 s3): events rendered as alternating
+    user/assistant turns per user stream; per-turn content offsets in
+    the concatenated conversation + assistant-only loss mask
+    (corpus.chat_sft_spans). One conv-keyed window."""
+    from eventstore_spark.operators import corpus as cp
+
+    t = _table(spark, sf, "events").select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.col("event_id").alias("turn_no"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant")).alias("role"),
+        F.concat(F.col("event_type"), F.lit("#"),
+                 (F.col("event_id") % 97).cast("string")).alias("content"),
+    )
+    return cp.chat_sft_spans(t)
+
+
 def q_pmi_collocations(spark, sf):
     """Top-50 adjacent-word collocations by micro-quantized PMI over the
     documents table (r10 s3): exact BIGINT combination of per-count
@@ -2355,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_ensemble": q_quality_ensemble,
         "link_hits": q_link_hits,
         "pmi_collocations": q_pmi_collocations,
+        "chat_sft_spans": q_chat_sft_spans,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3295,4 +3314,11 @@ WHERE p.quality >= 0.3
     sqls["quality_ensemble"] = textops.sql_quality_ensemble(
         min_words=15, min_stops=1)
     sqls["pmi_collocations"] = textops.sql_pmi_collocations(k=50, min_count=5)
+    sqls["chat_sft_spans"] = _cp.sql_chat_sft_spans(
+        "SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id, "
+        "event_id AS turn_no, "
+        "CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, "
+        "event_type || '#' || CAST(event_id % 97 AS VARCHAR) AS content "
+        "FROM events"
+    )
     return sqls

@@ -1972,3 +1972,84 @@ FROM want
 WHERE domain <> '_relative'
   AND domain NOT IN (SELECT domain FROM have)
 """
+
+
+# ---------------------------------------------------------------------------
+# SFT chat rendering: per-turn offsets + loss mask (r10 s3)
+# ---------------------------------------------------------------------------
+
+def chat_sft_spans(turns: DataFrame, loss_roles: tuple[str, ...] = ("assistant",),
+                   conv_col: str = "conv_id", turn_col: str = "turn_no",
+                   role_col: str = "role",
+                   content_col: str = "content") -> DataFrame:
+    """Instruction-tuning data prep: render each conversation with the
+    ``<|role|>content\\n`` chat template and emit, per turn, the exact
+    character span its CONTENT occupies in the concatenated conversation
+    — the loss-mask table an SFT trainer consumes (loss on assistant
+    content only; prompts and role headers masked out). The span
+    arithmetic is what every chat-template tokenizer (HF
+    ``apply_chat_template`` + ``return_assistant_tokens_mask``) does,
+    expressed relationally.
+
+    Returns one row per turn:
+    (conv_id, turn_no, role, piece_len, content_start, content_end,
+    loss) — offsets are 0-based over the rendered conversation, ``loss``
+    marks roles in ``loss_roles``. Reconstruct the full text by
+    concatenating pieces in turn order; slice [content_start,
+    content_end) to get each turn's content back.
+
+    Plan shape at 100 TB: ONE window keyed by conversation id (hash
+    partitioning on conv_col — conversations are small, the window
+    never sees more than one conversation's rows in a frame) computing
+    the running piece-length sum; everything else is per-row length
+    arithmetic in codegen. No join, no global sort, no UDF.
+    """
+    piece_len = (
+        F.length(F.col(role_col)) + F.lit(4)  # <| |>
+        + F.length(F.col(content_col)) + F.lit(1)  # trailing \n
+    ).cast("long")
+    w = (
+        Window.partitionBy(conv_col).orderBy(turn_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(turn_col).cast("long").alias("turn_no"),
+        F.col(role_col).alias("role"),
+        F.length(F.col(content_col)).cast("long").alias("_clen"),
+        piece_len.alias("piece_len"),
+    ).withColumn("_cum", F.sum("piece_len").over(w).cast("long"))
+    content_start = (F.col("_cum") - F.col("piece_len")
+                     + F.length("role") + F.lit(4)).cast("long")
+    return staged.select(
+        "conv_id", "turn_no", "role", "piece_len",
+        content_start.alias("content_start"),
+        (content_start + F.col("_clen")).alias("content_end"),
+        F.col("role").isin(*loss_roles).alias("loss"),
+    )
+
+
+def sql_chat_sft_spans(turns_sql: str,
+                       loss_roles: tuple[str, ...] = ("assistant",)) -> str:
+    """DuckDB oracle for :func:`chat_sft_spans`; ``turns_sql`` yields
+    (conv_id, turn_no, role, content)."""
+    roles = ", ".join(f"'{r}'" for r in loss_roles)
+    return f"""
+WITH t AS ({turns_sql}),
+s AS (
+  SELECT conv_id, CAST(turn_no AS BIGINT) AS turn_no, role,
+         CAST(length(content) AS BIGINT) AS clen,
+         CAST(length(role) + 4 + length(content) + 1 AS BIGINT) AS piece_len
+  FROM t
+), c AS (
+  SELECT conv_id, turn_no, role, clen, piece_len,
+         CAST(sum(piece_len) OVER (PARTITION BY conv_id ORDER BY turn_no
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM s
+)
+SELECT conv_id, turn_no, role, piece_len,
+       CAST(cum - piece_len + length(role) + 4 AS BIGINT) AS content_start,
+       CAST(cum - piece_len + length(role) + 4 + clen AS BIGINT) AS content_end,
+       role IN ({roles}) AS loss
+FROM c
+"""

@@ -1317,3 +1317,40 @@ def test_pmi_collocations_match_plain_python_reference(spark, token_lists):
            for r in pmi_collocations(docs, k=100, min_count=min_count)
            .collect()]
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.integers(0, 2), st.sampled_from(["user", "assistant", "system"]),
+              st.text(alphabet="ab α\n", min_size=0, max_size=12)),
+    min_size=1, max_size=12,
+))
+def test_chat_sft_spans_reconstruct_the_rendered_conversation(spark, raw_turns):
+    """Property: rendering each conversation in plain Python with the
+    <|role|>content\\n template, every turn's [content_start,
+    content_end) slice must give back exactly its content, and `loss`
+    must mark assistant turns. Offsets are CHARACTER offsets (α counts
+    as 1), matching Spark's length() semantics."""
+    from eventstore_spark.operators.corpus import chat_sft_spans
+
+    turns = [(f"c{c}", i, role, content)
+             for i, (c, role, content) in enumerate(raw_turns)]
+    df = spark.createDataFrame(
+        turns, "conv_id string, turn_no long, role string, content string")
+    got = chat_sft_spans(df).collect()
+
+    convs: dict[str, str] = {}
+    by_turn = {}
+    for conv_id, turn_no, role, content in sorted(turns, key=lambda t: (t[0], t[1])):
+        piece = f"<|{role}|>{content}\n"
+        start = len(convs.get(conv_id, ""))
+        convs[conv_id] = convs.get(conv_id, "") + piece
+        by_turn[(conv_id, turn_no)] = (start, piece, content, role)
+
+    assert len(got) == len(turns)
+    for r in got:
+        start, piece, content, role = by_turn[(r.conv_id, r.turn_no)]
+        assert r.piece_len == len(piece)
+        assert convs[r.conv_id][r.content_start:r.content_end] == content
+        assert r.loss == (role == "assistant")

@@ -808,3 +808,19 @@ def test_hits_rounds_are_keyed_joins(spark):
     plan = plan_of(hits(edges, iterations=2))
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_chat_sft_spans_window_partitions_by_conversation(spark):
+    """The running-offset window must hash-partition by conv_id — a
+    SinglePartition window would serialize the whole turn stream
+    through one task (the pack_shards lesson)."""
+    from eventstore_spark.operators.corpus import chat_sft_spans
+
+    turns = spark.createDataFrame(
+        [(f"c{i % 5}", i, "user" if i % 2 == 0 else "assistant", f"t{i}")
+         for i in range(50)],
+        "conv_id string, turn_no long, role string, content string")
+    plan = plan_of(chat_sft_spans(turns))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(conv_id" in plan
