@@ -499,6 +499,17 @@ def q_chat_sft_spans(spark, sf):
     return cp.chat_sft_spans(t)
 
 
+def q_span_dedup_apply(spark, sf):
+    """ExactSubstr removal (r10 s3): duplicated 10-token windows cut
+    everywhere but their first corpus occurrence; returns the rewritten
+    text + removal counts (corpus.span_dedup_apply — the apply twin of
+    span_dedup)."""
+    from eventstore_spark.operators import corpus as cp
+
+    return cp.span_dedup_apply(_table(spark, sf, "documents"),
+                               span_tokens=10, min_copies=2)
+
+
 def q_pmi_collocations(spark, sf):
     """Top-50 adjacent-word collocations by micro-quantized PMI over the
     documents table (r10 s3): exact BIGINT combination of per-count
@@ -2374,6 +2385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hits": q_link_hits,
         "pmi_collocations": q_pmi_collocations,
         "chat_sft_spans": q_chat_sft_spans,
+        "span_dedup_apply": q_span_dedup_apply,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3321,4 +3333,6 @@ WHERE p.quality >= 0.3
         "event_type || '#' || CAST(event_id % 97 AS VARCHAR) AS content "
         "FROM events"
     )
+    sqls["span_dedup_apply"] = _cp.sql_span_dedup_apply(
+        span_tokens=10, min_copies=2)
     return sqls

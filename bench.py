@@ -52,6 +52,13 @@ SECONDARY = [
     "link_pagerank",
     "sequence_pack",
     "ndcg_eval",
+    # r10 session-3 additions
+    "hybrid_rrf",
+    "link_hits",
+    "pmi_collocations",
+    "quality_ensemble",
+    "dedup_url",
+    "chat_sft_spans",
 ]
 
 

@@ -644,6 +644,136 @@ FROM {table} d LEFT JOIN f ON d.{id_col} = f.doc_id
 """
 
 
+def span_dedup_apply(docs: DataFrame, span_tokens: int = 10,
+                     min_copies: int = 2, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """The REMOVAL step of substring-level dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    ExactSubstr): every ``span_tokens``-token window that occurs
+    ``min_copies``+ times in the corpus is CUT from the text everywhere
+    except its first corpus occurrence (lowest (doc_id, position)).
+    ``span_dedup_profile`` is the audit twin; this one rewrites.
+
+    Returns every input doc as (doc_id, n_tokens, n_removed, text_clean)
+    — text_clean is the surviving tokens space-joined, n_removed the
+    count of cut token positions (overlapping duplicated windows count
+    each position once).
+
+    Determinism: window hashes are md5-derived (the span_dedup_profile
+    convention); the kept occurrence is min(struct(doc_id, pos)) —
+    lexicographic, matching the oracle's ORDER BY doc_id, pos.
+
+    Plan shape at 100 TB: tokenize once (staged), windows explode to
+    (doc_id, pos, h) with the zip-chain construction (never slice-in-
+    lambda); ONE groupBy on the short hash (map-side combine) for
+    (copies, keeper); one keyed join back on h (AQE splits hot
+    boilerplate hashes); covered positions aggregate per doc
+    (collect_set + sort — per-doc-bounded); one keyed join onto the
+    staged tokens for the rewrite. The in-doc membership filter is
+    O(doc_len · covered) array arithmetic — bounded by document length,
+    never corpus-sized.
+    """
+    staged = spread(docs).select(
+        F.col(id_col).alias("doc_id"), X.tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
+    m = F.size(toks) - span_tokens + 1
+    grams = F.slice(toks, 1, m)
+    for j in range(1, span_tokens):
+        grams = F.zip_with(grams, F.slice(toks, 1 + j, m),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+    span_hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    spans = (
+        staged.where(F.size("_toks") >= span_tokens)
+        .select("doc_id", F.posexplode(span_hashes).alias("pos0", "h"))
+        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "h")
+    )
+    stats = spans.groupBy("h").agg(
+        F.count(F.lit(1)).alias("copies"),
+        F.min(F.struct("doc_id", "pos")).alias("keeper"),
+    )
+    dup = (
+        spans.join(stats, "h")
+        .where(
+            (F.col("copies") >= min_copies)
+            & ~((F.col("doc_id") == F.col("keeper.doc_id"))
+                & (F.col("pos") == F.col("keeper.pos")))
+        )
+    )
+    covered = dup.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("pos")).alias("_ps"))
+    return (
+        staged.join(covered, "doc_id", "left")
+        .select(
+            "doc_id", "_toks",
+            F.coalesce(
+                F.array_distinct(F.flatten(F.transform(
+                    "_ps",
+                    lambda p: F.sequence(p, p + F.lit(span_tokens - 1))))),
+                F.array().cast("array<long>"),  # pos is long; keep typed
+            ).alias("_cov"),
+        )
+        .select(
+            "doc_id",
+            F.size("_toks").cast("long").alias("n_tokens"),
+            F.size("_cov").cast("long").alias("n_removed"),
+            F.array_join(
+                F.filter("_toks",
+                         lambda x, i: ~F.array_contains(
+                             F.col("_cov"), (i + 1).cast("long"))),
+                " ").alias("text_clean"),
+        )
+    )
+
+
+def sql_span_dedup_apply(span_tokens: int = 10, min_copies: int = 2,
+                         table: str = "documents", id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    """DuckDB oracle for :func:`span_dedup_apply` — same hashes, the
+    keeper picked by ORDER BY (doc_id, pos) (= Spark's min(struct))."""
+    toks = X.SQL_TOKENS.format(c=text_col)
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id, {toks} AS toks FROM {table}
+), s AS (
+  SELECT doc_id, u.p AS pos, u.h AS h
+  FROM t, unnest(list_transform(range(1, len(toks) - {span_tokens} + 2),
+    i -> struct_pack(p := i,
+      h := CAST('0x' || substr(md5(array_to_string(
+             toks[i:i+{span_tokens - 1}], ' ')), 1, 15) AS BIGINT)))) AS z(u)
+  WHERE len(toks) >= {span_tokens}
+), r AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY h) AS copies,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM s
+), cov AS (
+  SELECT doc_id,
+         list_sort(list(DISTINCT pos)) AS ps
+  FROM r WHERE copies >= {min_copies} AND rn > 1
+  GROUP BY doc_id
+), cv AS (
+  SELECT doc_id,
+         list_sort(list_distinct(flatten(list_transform(ps,
+           p -> list_transform(range(p, p + {span_tokens}), x -> CAST(x AS BIGINT)))))) AS cov
+  FROM cov
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(len(cv.cov), 0) AS BIGINT) AS n_removed,
+       COALESCE(array_to_string(
+         list_transform(
+           list_filter(range(1, len(t.toks) + 1),
+             i -> NOT list_contains(COALESCE(cv.cov, []), CAST(i AS BIGINT))),
+           i -> t.toks[i]),
+         ' '), '') AS text_clean
+FROM t LEFT JOIN cv ON t.doc_id = cv.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Per-source document caps (domain caps) and deterministic training order
 # ---------------------------------------------------------------------------

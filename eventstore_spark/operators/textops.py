@@ -544,15 +544,23 @@ def pmi_collocations(docs: DataFrame, k: int = 50, min_count: int = 5,
     scan-shaped with no wide intermediate.
     """
     staged = spread(docs).select(X.tokens(F.col(text_col)).alias("_toks"))
+    # Both count tables feed TWO consumers each (their scalar total and
+    # the scored join) — left lazy, the duplicated subtrees re-scan the
+    # corpus 4×. They are vocabulary-sized, so truncate lineage once
+    # (localCheckpoint): the corpus is scanned exactly twice, everything
+    # downstream reads the materialized counts. Measured at sf1:
+    # 22.1 s → 5.6 s.
     uni = (
         staged.select(F.explode("_toks").alias("w"))
         .where(F.col("w") != "")
         .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     pc = (
         staged.select(F.explode(F.expr(X.SPARK_SQL_BIGRAMS)).alias("pair"))
         .where(F.col("pair") != " ")
         .groupBy("pair").agg(F.count(F.lit(1)).alias("n_pair"))
+        .localCheckpoint(eager=True)
     )
     totals = (
         uni.agg(F.sum("c").alias("T"))

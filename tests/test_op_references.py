@@ -1354,3 +1354,41 @@ def test_chat_sft_spans_reconstruct_the_rendered_conversation(spark, raw_turns):
         assert r.piece_len == len(piece)
         assert convs[r.conv_id][r.content_start:r.content_end] == content
         assert r.loss == (role == "assistant")
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=14),
+    min_size=2, max_size=8,
+))
+def test_span_dedup_apply_matches_plain_python_reference(spark, token_lists):
+    """ExactSubstr removal recomputed in plain Python: duplicated
+    L-token windows, keeper = lexicographic min (doc_id, pos), covered
+    positions cut, text rebuilt. Tiny alphabet so duplicated windows
+    actually occur."""
+    from eventstore_spark.operators.corpus import span_dedup_apply
+
+    L, min_copies = 3, 2
+    occ: dict[tuple, list] = {}
+    for d, toks in enumerate(token_lists):
+        for p in range(len(toks) - L + 1):
+            occ.setdefault(tuple(toks[p:p + L]), []).append((d, p + 1))
+    expected = {}
+    covered: dict[int, set] = {}
+    for gram, places in occ.items():
+        if len(places) >= min_copies:
+            keeper = min(places)
+            for d, p in places:
+                if (d, p) != keeper:
+                    covered.setdefault(d, set()).update(range(p, p + L))
+    for d, toks in enumerate(token_lists):
+        cov = covered.get(d, set())
+        clean = " ".join(t for i, t in enumerate(toks, start=1) if i not in cov)
+        expected[d] = (len(toks), len(cov), clean)
+
+    docs = _mkdocs(spark, token_lists)
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+           for r in span_dedup_apply(docs, span_tokens=L,
+                                     min_copies=min_copies).collect()}
+    assert got == expected

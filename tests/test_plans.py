@@ -824,3 +824,15 @@ def test_chat_sft_spans_window_partitions_by_conversation(spark):
     assert "Window" in plan
     assert "SinglePartition" not in plan
     assert "hashpartitioning(conv_id" in plan
+
+
+def test_span_dedup_apply_join_is_keyed_on_hash(parquet_docs):
+    """The window-stats join must be a keyed equi-join on the span hash
+    and the rewrite join keyed on doc_id — no cartesian, no nested
+    loop, no single-partition exchange."""
+    from eventstore_spark.operators.corpus import span_dedup_apply
+
+    plan = plan_of(span_dedup_apply(parquet_docs, span_tokens=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
