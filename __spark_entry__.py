@@ -499,6 +499,25 @@ def q_chat_sft_spans(spark, sf):
     return cp.chat_sft_spans(t)
 
 
+def q_scalar_quantize(spark, sf):
+    """SQ8 embedding compression (r10 s3): per-dim min/max stats row
+    broadcast over the scan, int8 codes + micro-exact reconstruction
+    error per vector (similarity.scalar_quantize)."""
+    from eventstore_spark.operators.similarity import scalar_quantize
+
+    return scalar_quantize(_table(spark, sf, "embeddings"), bits=8)
+
+
+def q_hard_negatives(spark, sf):
+    """Hard-negative mining (r10 s3): top-5 most-similar DIFFERENT-label
+    vectors per query from the exact top-50 neighborhood — the DPR
+    contrastive-training miner (similarity.hard_negatives)."""
+    from eventstore_spark.operators.similarity import hard_negatives
+
+    return hard_negatives(_table(spark, sf, "embeddings"),
+                          ANN_QUERY_IDS, k=5, pool=50)
+
+
 def q_span_dedup_apply(spark, sf):
     """ExactSubstr removal (r10 s3): duplicated 10-token windows cut
     everywhere but their first corpus occurrence; returns the rewritten
@@ -2386,6 +2405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "chat_sft_spans": q_chat_sft_spans,
         "span_dedup_apply": q_span_dedup_apply,
+        "hard_negatives": q_hard_negatives,
+        "scalar_quantize": q_scalar_quantize,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3335,4 +3356,6 @@ WHERE p.quality >= 0.3
     )
     sqls["span_dedup_apply"] = _cp.sql_span_dedup_apply(
         span_tokens=10, min_copies=2)
+    sqls["hard_negatives"] = sim.sql_hard_negatives(ANN_QUERY_IDS, k=5, pool=50)
+    sqls["scalar_quantize"] = sim.sql_scalar_quantize(bits=8)
     return sqls

@@ -2086,3 +2086,202 @@ SELECT doc_id, rrf_micro, lex_rank, dense_rank,
 FROM fused
 QUALIFY rank <= {int(k)}
 """
+
+
+# -- hard-negative mining for contrastive training ---------------------------
+
+def hard_negatives(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+                   pool: int = 50, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Mine hard negatives for contrastive/retriever training (DPR,
+    Karpukhin et al. 2020 §3.2; SimCSE; every embedding-model recipe):
+    for each query, the top-``k`` most-similar vectors whose LABEL
+    DIFFERS from the query's — maximally confusable non-matches, the
+    examples that actually move a contrastive loss.
+
+    Semantics: rank the query's exact-cosine top-``pool`` neighborhood
+    (self excluded), keep rows with ``label != query_label``, re-rank
+    1..k by (sim desc, vec_id). ``pool`` bounds how deep the miner looks
+    — negatives below it are not "hard" by definition.
+
+    Returns (query_id, vec_id, neg_rank, pool_rank, sim, label).
+
+    Plan shape at 100 TB: inherits the dense search's shape — here the
+    exact brute-force baseline (query set broadcast over one corpus
+    scan, per-query TakeOrdered); swap the IVFADC index for the
+    production path, the mining is a filter + re-rank over the top-pool
+    rows (|queries|·pool rows, nothing corpus-sized) either way.
+    """
+    labels = embeddings.select(F.col(id_col).alias("vec_id"),
+                               F.col(label_col).alias("label"))
+    qlab = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("qlabel"))
+    nn = brute_force_topk(embeddings, query_ids, k=pool,
+                          id_col=id_col, vec_col=vec_col)
+    cand = (
+        nn.join(labels.hint("shuffle_hash"), "vec_id")
+        .join(F.broadcast(qlab), "query_id")
+        .where(F.col("label") != F.col("qlabel"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("neg_rank") <= k)
+        .select("query_id", "vec_id", "neg_rank",
+                F.col("rank").alias("pool_rank"), "sim", "label")
+    )
+
+
+def sql_hard_negatives(query_ids: list[int], k: int = 5, pool: int = 50,
+                       dim: int = 64, table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`hard_negatives` — composes the
+    brute-force oracle with the label filter and re-rank."""
+    ids = ", ".join(str(i) for i in query_ids)
+    nn = sql_brute_force_topk(query_ids, k=pool, dim=dim, table=table)
+    return f"""
+WITH nn AS MATERIALIZED ({nn}),
+cand AS (
+  SELECT nn.query_id, nn.vec_id, nn.rank AS pool_rank, nn.sim, c.label
+  FROM nn
+  JOIN {table} c ON c.vec_id = nn.vec_id
+  JOIN {table} q ON q.vec_id = nn.query_id
+  WHERE c.label <> q.label AND nn.query_id IN ({ids})
+)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, vec_id) AS BIGINT) AS neg_rank,
+       pool_rank, sim, label
+FROM cand
+QUALIFY neg_rank <= {int(k)}
+"""
+
+
+# -- scalar quantization (int8 embedding compression) ------------------------
+
+def scalar_quantize(embeddings: DataFrame, bits: int = 8,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension scalar quantization of an embedding column to
+    ``bits``-bit integer codes (the SQ8 compression every production
+    vector store offers — FAISS ScalarQuantizer, 4× smaller than
+    float32 with ~no recall loss at 8 bits), plus the per-vector
+    reconstruction error so the compression is auditable.
+
+      code_d    = clamp(floor((x_d − min_d) · L / (max_d − min_d)), 0, L−1)
+      dequant_d = min_d + (code_d + 0.5) · (max_d − min_d) / L,  L = 2^bits
+      err       = Σ_d (x_d − dequant_d)²   (micro-rounded)
+
+    Degenerate dimensions (max == min) code to 0 and reconstruct
+    exactly. All float steps are fixed-order double arithmetic (the
+    cosine-fold convention), so codes AND err_micro are bit-identical
+    in the DuckDB oracle.
+
+    Returns (vec_id, codes array<int>, err_micro).
+
+    Plan shape at 100 TB: per-dim min/max is ONE explode→groupBy(dim)
+    aggregate (D groups, map-side combined) collapsed to a single
+    two-array row — broadcast back over the scan (the allowlisted
+    one-row scalar shape). Quantization + error are zip folds in
+    codegen; no corpus shuffle, no UDF, nothing collected.
+    """
+    levels = 1 << bits
+    base = spread(embeddings).select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    dims = (
+        base.select(F.posexplode("_v").alias("d", "x"))
+        .groupBy("d").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    stats = dims.agg(
+        F.transform(F.sort_array(F.collect_list(F.struct("d", "mn"))),
+                    lambda s: s["mn"]).alias("mins"),
+        F.transform(F.sort_array(F.collect_list(F.struct("d", "mx"))),
+                    lambda s: s["mx"]).alias("maxs"),
+    )
+    qd = base.crossJoin(F.broadcast(stats))
+    rng = F.zip_with("mins", "maxs", lambda a, b: b - a)
+    coded = qd.select(
+        "vec_id", "_v", "mins",
+        rng.alias("_rng"),
+    ).select(
+        "vec_id", "_v", "mins", "_rng",
+        F.zip_with(
+            F.zip_with("_v", "mins", lambda x, mn: x - mn),
+            "_rng",
+            lambda delta, r: F.when(
+                r > 0.0,
+                F.least(F.lit(levels - 1),
+                        F.greatest(F.lit(0),
+                                   F.floor(delta * levels / r).cast("int"))),
+            ).otherwise(F.lit(0)),
+        ).alias("codes"),
+    )
+    # the error term needs (x, mn, rng, code) per dim at once — more
+    # than binary zips compose without reassociating the float ops — so
+    # fold over the index instead; every operand is a STAGED column
+    # attribute, so subscripts don't re-evaluate upstream expressions
+    # (the derived-array trap doesn't apply to bound attributes)
+    def _diff(i):
+        return (
+            F.element_at(F.col("_v"), i)
+            - (F.element_at(F.col("mins"), i)
+               + F.when(
+                   F.element_at(F.col("_rng"), i) > 0.0,
+                   (F.element_at(F.col("codes"), i).cast("double") + 0.5)
+                   * F.element_at(F.col("_rng"), i) / levels,
+               ).otherwise(F.lit(0.0)))
+        )
+
+    err = F.aggregate(
+        F.sequence(F.lit(1), F.size("_v")),
+        F.lit(0.0),
+        lambda acc, i: acc + _diff(i) * _diff(i),
+    )
+    return coded.select(
+        "vec_id", "codes",
+        F.round(err * 1e6).cast("long").alias("err_micro"),
+    )
+
+
+def sql_scalar_quantize(bits: int = 8, dim: int = 64,
+                        table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`scalar_quantize` — same stats row, same
+    clamp/floor, same fixed-order error fold."""
+    levels = 1 << bits
+    return f"""
+WITH dims AS (
+  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+            max(CAST(embedding[i] AS DOUBLE)) AS mx
+  FROM {table}, unnest(range(1, {dim + 1})) AS z(i)
+  GROUP BY i
+), stats AS (
+  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM dims
+), coded AS (
+  SELECT vec_id,
+         list_transform(range(1, {dim + 1}), i -> CAST(embedding[i] AS DOUBLE)) AS v,
+         s.mins AS mins,
+         list_transform(range(1, {dim + 1}), i -> s.maxs[i] - s.mins[i]) AS rng
+  FROM {table}, stats s
+), c2 AS (
+  SELECT vec_id, v, mins, rng,
+         list_transform(range(1, {dim + 1}),
+           i -> CASE WHEN rng[i] > 0.0 THEN
+                  least({levels - 1}, greatest(0,
+                    CAST(floor((v[i] - mins[i]) * {levels} / rng[i]) AS INT)))
+                ELSE 0 END) AS codes
+  FROM coded
+)
+SELECT vec_id, codes,
+       CAST(round(list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, {dim + 1}),
+           i -> (v[i] - (mins[i] + CASE WHEN rng[i] > 0.0
+                  THEN (CAST(codes[i] AS DOUBLE) + 0.5) * rng[i] / {levels}
+                  ELSE 0.0 END))
+                * (v[i] - (mins[i] + CASE WHEN rng[i] > 0.0
+                  THEN (CAST(codes[i] AS DOUBLE) + 0.5) * rng[i] / {levels}
+                  ELSE 0.0 END)))),
+         (a, b) -> a + b) * 1e6) AS BIGINT) AS err_micro
+FROM c2
+"""

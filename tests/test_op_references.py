@@ -1392,3 +1392,41 @@ def test_span_dedup_apply_matches_plain_python_reference(spark, token_lists):
            for r in span_dedup_apply(docs, span_tokens=L,
                                      min_copies=min_copies).collect()}
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(int_vec_strategy)
+def test_scalar_quantize_matches_plain_python_reference(spark, vecs):
+    """SQ recomputed in plain Python: per-dim min/max, clamp/floor
+    codes, fixed-order double error fold — codes exact, err_micro
+    exact."""
+    from eventstore_spark.operators.similarity import scalar_quantize
+
+    bits, L = 4, 16  # coarse so rounding actually bites
+    dim = len(vecs[0])
+    mins = [min(float(v[d]) for v in vecs) for d in range(dim)]
+    maxs = [max(float(v[d]) for v in vecs) for d in range(dim)]
+    rng = [maxs[d] - mins[d] for d in range(dim)]
+    expected = {}
+    for i, v in enumerate(vecs):
+        codes = []
+        for d in range(dim):
+            if rng[d] > 0.0:
+                c = int(math.floor((float(v[d]) - mins[d]) * L / rng[d]))
+                codes.append(max(0, min(L - 1, c)))
+            else:
+                codes.append(0)
+        err = 0.0
+        for d in range(dim):
+            dq = mins[d] + ((codes[d] + 0.5) * rng[d] / L if rng[d] > 0.0 else 0.0)
+            diff = float(v[d]) - dq
+            err = err + diff * diff
+        expected[i] = (tuple(codes), _rhu(err * 1e6))
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int")
+    got = {r.vec_id: (tuple(r.codes), r.err_micro)
+           for r in scalar_quantize(emb, bits=bits).collect()}
+    assert got == expected

@@ -241,6 +241,12 @@ BNLJ_OK = {
     # ONE-ROW T/B totals cross-joined as scalars (the lsh_recall shape);
     # the unigram lookups are keyed equi-joins
     "pmi_collocations",
+    # the ann_bruteforce shape (bounded query set broadcast into the
+    # cosine scan) + a |queries|-row label side broadcast
+    "hard_negatives",
+    # ONE-ROW per-dim min/max stats (two D-length arrays) broadcast
+    # back over the scan — the scalar-subquery shape
+    "scalar_quantize",
 }
 
 SF1_DIR = "/root/repo/.localdata/sf1"  # tools/gen_sf.py output
