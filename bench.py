@@ -59,6 +59,9 @@ SECONDARY = [
     "quality_ensemble",
     "dedup_url",
     "chat_sft_spans",
+    "span_dedup_apply",
+    "hard_negatives",
+    "scalar_quantize",
 ]
 
 
