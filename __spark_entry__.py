@@ -499,6 +499,28 @@ def q_chat_sft_spans(spark, sf):
     return cp.chat_sft_spans(t)
 
 
+def q_exact_quantiles(spark, sf):
+    """Distributed EXACT percentiles of l_extendedprice (r10 s3):
+    bucket-histogram rank location + bin-keyed local rank — no global
+    sort, no corpus-wide window, rank = (q·N+99) div 100 exact in both
+    engines (stats.exact_quantiles)."""
+    from eventstore_spark.operators.stats import exact_quantiles
+
+    return exact_quantiles(_table(spark, sf, "lineitem"),
+                           "l_extendedprice", qs=(25, 50, 75, 99))
+
+
+def q_containment_pairs(spark, sf):
+    """Asymmetric containment dedup (r10 s3): doc-in-doc / quote
+    inclusion pairs the resemblance measure misses — exact BIGINT
+    inter·1e6//|A| over trigram shingle sets (dedup.containment_pairs)."""
+    from eventstore_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_table(spark, sf, "documents"),
+                             shingle_n=3, threshold=0.9, min_shingles=10,
+                             warn_df_above=None)
+
+
 def q_scalar_quantize(spark, sf):
     """SQ8 embedding compression (r10 s3): per-dim min/max stats row
     broadcast over the scan, int8 codes + micro-exact reconstruction
@@ -2407,6 +2429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_apply": q_span_dedup_apply,
         "hard_negatives": q_hard_negatives,
         "scalar_quantize": q_scalar_quantize,
+        "containment_pairs": q_containment_pairs,
+        "exact_quantiles": q_exact_quantiles,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3358,4 +3382,10 @@ WHERE p.quality >= 0.3
         span_tokens=10, min_copies=2)
     sqls["hard_negatives"] = sim.sql_hard_negatives(ANN_QUERY_IDS, k=5, pool=50)
     sqls["scalar_quantize"] = sim.sql_scalar_quantize(bits=8)
+    sqls["containment_pairs"] = dd.sql_containment_pairs(
+        shingle_n=3, threshold=0.9, min_shingles=10)
+    from eventstore_spark.operators.stats import sql_exact_quantiles
+
+    sqls["exact_quantiles"] = sql_exact_quantiles(
+        "l_extendedprice", qs=(25, 50, 75, 99))
     return sqls

@@ -576,6 +576,115 @@ FROM shared WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {th
 """
 
 
+def containment_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
+                      shingle_n: int = 3, threshold: float = 0.8,
+                      min_shingles: int = 2, max_df: int | None = None,
+                      warn_df_above: int | None = NGRAM_DF_WARN
+                      ) -> DataFrame:
+    """Exact CONTAINMENT (asymmetric Jaccard, Broder 1997's second
+    resemblance measure) over shingle sets: |A∩B| / |A| — the signal
+    resemblance misses when a short document is wholly quoted inside a
+    long one (boilerplate inclusion, quote-plagiarism, doc-in-doc
+    wrapping): Jaccard of a 50-shingle doc inside a 5000-shingle doc is
+    ~0.01, its containment is 1.0.
+
+    Returns one row per unordered pair sharing ≥ 1 (kept) shingle and
+    clearing the gate: (a, b, inter, cont_a_micro, cont_b_micro) with
+    cont_x = inter·1e6 // |X| (exact BIGINT floor), both docs having
+    ≥ ``min_shingles`` shingles, and max(cont_a, cont_b) ≥ threshold.
+
+    ``max_df`` (opt-in) drops shingles hotter than the cap from the
+    index BEFORE the join — here it changes the measure's UNIVERSE, not
+    just the candidates: sizes and intersections are both computed over
+    the capped shingle space (containment *among the discriminative
+    shingles* — the docstring-documented semantics, coherent because
+    numerator and denominator prune together). The exact default keeps
+    the ngram_jaccard df probe + RuntimeWarning (same Σdf² join bound,
+    same SMJ pin, same AQE skew-split story; see ngram_jaccard_pairs).
+    """
+    base = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sset"),
+    )
+    inv0 = base.select("doc_id", F.explode("sset").alias("s"))
+    if max_df is not None:
+        keep = (
+            inv0.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_df).select("s")
+        )
+        inv0 = inv0.join(keep, "s", "left_semi")
+    # sizes over the (possibly capped) universe; staged so the size agg
+    # runs once — and the df probe shares inv0's lineage
+    sizes = inv0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ssize"))
+    inv = inv0.join(sizes.where(F.col("ssize") >= min_shingles)
+                    .hint("shuffle_hash"), "doc_id")
+    if max_df is None and warn_df_above is not None:
+        prof = (
+            inv0.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+            .agg(F.max("_df").alias("top_df")).first()
+        )
+        if prof and prof.top_df is not None and prof.top_df > warn_df_above:
+            warnings.warn(
+                f"containment_pairs (exact mode): hottest shingle "
+                f"df={prof.top_df} (> {warn_df_above}); the inverted-index "
+                f"self-join is Σdf²-bounded — pass max_df= or use the "
+                f"MinHash/winnowing operators (see ngram_jaccard_pairs).",
+                RuntimeWarning, stacklevel=2,
+            )
+    shared = (
+        inv.alias("x")
+        .join(inv.alias("y").hint("merge"), "s")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"),
+                 F.col("x.ssize").alias("na"), F.col("y.ssize").alias("nb"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    thr = int(round(threshold * 1e6))
+    return (
+        shared.select(
+            "a", "b", "inter",
+            F.expr("(inter * 1000000) div na").cast("long").alias("cont_a_micro"),
+            F.expr("(inter * 1000000) div nb").cast("long").alias("cont_b_micro"),
+        )
+        .where(F.greatest("cont_a_micro", "cont_b_micro") >= thr)
+    )
+
+
+def sql_containment_pairs(shingle_n: int = 3, threshold: float = 0.8,
+                          min_shingles: int = 2, max_df: int | None = None,
+                          table: str = "documents") -> str:
+    sh = sql_shingles("text", shingle_n)
+    thr = int(round(threshold * 1e6))
+    cap = (f"), keep AS (SELECT s FROM (SELECT s, count(*) AS df FROM inv0 "
+           f"GROUP BY s) WHERE df <= {max_df}"
+           ") , inv1 AS (SELECT i.doc_id, i.s FROM inv0 i JOIN keep k ON i.s = k.s"
+           ) if max_df is not None else ""
+    src = "inv1" if max_df is not None else "inv0"
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_distinct({sh}) AS sset FROM {table}
+), inv0 AS (
+  SELECT doc_id, unnest(sset) AS s FROM base{cap}
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS ssize FROM {src} GROUP BY doc_id
+), inv AS (
+  SELECT i.doc_id, i.s, z.ssize
+  FROM {src} i JOIN sizes z ON i.doc_id = z.doc_id
+  WHERE z.ssize >= {min_shingles}
+), shared AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, x.ssize AS na, y.ssize AS nb,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT a, b, inter,
+       CAST((inter * 1000000) // na AS BIGINT) AS cont_a_micro,
+       CAST((inter * 1000000) // nb AS BIGINT) AS cont_b_micro
+FROM shared
+WHERE greatest((inter * 1000000) // na, (inter * 1000000) // nb) >= {thr}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Duplicate clustering (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------

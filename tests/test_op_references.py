@@ -1430,3 +1430,58 @@ def test_scalar_quantize_matches_plain_python_reference(spark, vecs):
     got = {r.vec_id: (tuple(r.codes), r.err_micro)
            for r in scalar_quantize(emb, bits=bits).collect()}
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs_strategy)
+def test_containment_pairs_match_plain_python_reference(spark, token_lists):
+    """Containment recomputed in plain Python over the same shingle
+    sets: inter·1e6//|X| floor division, unordered pairs, both-side
+    gates."""
+    from eventstore_spark.operators.dedup import containment_pairs
+
+    n_sh, thr_micro, min_sh = 2, 500_000, 2
+    ssets = {i: set(_py_shingles(" ".join(toks), n_sh))
+             for i, toks in enumerate(token_lists)}
+    expected = {}
+    ids = sorted(ssets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            if len(ssets[a]) < min_sh or len(ssets[b]) < min_sh:
+                continue
+            inter = len(ssets[a] & ssets[b])
+            if inter == 0:
+                continue
+            ca = inter * 1_000_000 // len(ssets[a])
+            cb = inter * 1_000_000 // len(ssets[b])
+            if max(ca, cb) >= thr_micro:
+                expected[(a, b)] = (inter, ca, cb)
+
+    docs = _mkdocs(spark, token_lists)
+    got = {(r.a, r.b): (r.inter, r.cont_a_micro, r.cont_b_micro)
+           for r in containment_pairs(docs, shingle_n=n_sh, threshold=0.5,
+                                      min_shingles=min_sh,
+                                      warn_df_above=None).collect()}
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=60))
+def test_exact_quantiles_match_plain_python_reference(spark, values):
+    """Exact percentiles recomputed in plain Python: sort, pick rank
+    (q·N+99)//100 (1-based). Small bucket count so multiple values land
+    per bin and the two-phase rank actually exercises bin offsets."""
+    from eventstore_spark.operators.stats import exact_quantiles
+
+    qs = (1, 25, 50, 75, 99, 100)
+    s = sorted(float(x) for x in values)
+    n = len(s)
+    expected = {q: s[max(1, (q * n + 99) // 100) - 1] for q in qs}
+
+    df = spark.createDataFrame([(float(x),) for x in values], "x double")
+    got = {r.q_pct: r.value
+           for r in exact_quantiles(df, "x", qs=qs, buckets=7).collect()}
+    assert got == expected

@@ -247,6 +247,9 @@ BNLJ_OK = {
     # ONE-ROW per-dim min/max stats (two D-length arrays) broadcast
     # back over the scan — the scalar-subquery shape
     "scalar_quantize",
+    # ONE-ROW min/max/N scalar broadcast over the scan + bounded
+    # (≤ buckets-row / ≤ |qs|-row) histogram-offset broadcasts
+    "exact_quantiles",
 }
 
 SF1_DIR = "/root/repo/.localdata/sf1"  # tools/gen_sf.py output
