@@ -62,6 +62,8 @@ SECONDARY = [
     "span_dedup_apply",
     "hard_negatives",
     "scalar_quantize",
+    "containment_pairs",
+    "exact_quantiles",
 ]
 
 
