@@ -521,6 +521,17 @@ def q_containment_pairs(spark, sf):
                              warn_df_above=None)
 
 
+def q_dedup_edit_verify(spark, sf):
+    """Edit-distance near-dup verification (r10 s4): MinHash-LSH
+    candidates scored by Levenshtein over ASCII-projected 256-char
+    prefixes — the order-sensitive verifier Jaccard can't express
+    (dedup.edit_verify_pairs)."""
+    from eventstore_spark.operators.dedup import edit_verify_pairs
+
+    return edit_verify_pairs(_table(spark, sf, "documents"),
+                             prefix_chars=256, min_sim_ppm=600_000)
+
+
 def q_scalar_quantize(spark, sf):
     """SQ8 embedding compression (r10 s3): per-dim min/max stats row
     broadcast over the scan, int8 codes + micro-exact reconstruction
@@ -2431,6 +2442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_quantize": q_scalar_quantize,
         "containment_pairs": q_containment_pairs,
         "exact_quantiles": q_exact_quantiles,
+        # --- r10 session 4 (tail-positioned: r11-rotation material) ---
+        "dedup_edit_verify": q_dedup_edit_verify,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3388,4 +3401,6 @@ WHERE p.quality >= 0.3
 
     sqls["exact_quantiles"] = sql_exact_quantiles(
         "l_extendedprice", qs=(25, 50, 75, 99))
+    sqls["dedup_edit_verify"] = dd.sql_edit_verify_pairs(
+        prefix_chars=256, min_sim_ppm=600_000)
     return sqls

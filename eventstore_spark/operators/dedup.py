@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1457,4 +1457,142 @@ SELECT n_true, n_found, n_missed,
        CASE WHEN n_true = 0 THEN 1000000
             ELSE (n_found * 1000000) // n_true END AS recall_micro
 FROM nt, nf, nm
+"""
+
+
+# ---------------------------------------------------------------------------
+# edit-distance verification of LSH candidates
+# ---------------------------------------------------------------------------
+
+def _ascii_prefix(text: Column, prefix_chars: int) -> Column:
+    """Normalized text projected to printable ASCII (every codepoint
+    outside 0x20-0x7E becomes '?'), then capped at ``prefix_chars``.
+
+    The projection is the cross-engine contract: Spark's ``levenshtein``
+    counts codepoints while DuckDB's counts UTF-8 bytes, so they only
+    agree on pure-ASCII input. Both regex engines (Java, RE2) are
+    codepoint-aware, so each non-ASCII codepoint maps to exactly one
+    '?' and the projected strings are byte-identical."""
+    from ..functions.text import normalize
+    return F.substring(
+        F.regexp_replace(normalize(text), "[^ -~]", "?"), 1, prefix_chars)
+
+
+def edit_verify_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
+                      num_hashes: int = 9, bands: int = 3, shingle_n: int = 3,
+                      prefix_chars: int = 256,
+                      min_sim_ppm: int = 600_000) -> DataFrame:
+    """Near-duplicate pairs verified by EDIT DISTANCE instead of Jaccard:
+    MinHash-LSH banding proposes candidates, then each pair is scored by
+    Levenshtein distance over an ASCII-projected, ``prefix_chars``-capped
+    prefix of the normalized text. Returns (a, b, dist, sim_ppm) with
+    sim_ppm = (maxlen - dist) * 1e6 div maxlen  >= ``min_sim_ppm``
+    (empty-vs-empty prefixes score 1e6).
+
+    Why a second verifier: shingle Jaccard is order-insensitive and blind
+    to small in-place edits clustered in one region; edit similarity is
+    the standard fuzzy-match metric for template/boilerplate families
+    (e.g. Suárez et al., OSCAR pipeline) and catches transposition-style
+    rewrites Jaccard over-scores.
+
+    Plan shape at 100 TB:
+
+    * candidate generation is the minhash banding equi-join — never
+      all-pairs; the banded (doc_id, band, bh) table is cached, feeding
+      exactly the two self-join branches.
+    * the verify step re-fetches ONLY the bounded prefix column (≤
+      ``prefix_chars`` bytes/row after ASCII projection) keyed by id.
+      Scan stats for that side are honest (plain bounded string, not an
+      array expansion), so Catalyst's broadcast decision is safe at
+      every scale — unlike the shingle-set fetch in
+      :func:`minhash_lsh_pairs`, which is pinned shuffle-hash.
+    * ``levenshtein`` is JVM whole-stage-codegen; worst case per pair is
+      O(prefix_chars²) on a bounded input — a constant, not a function
+      of document length.
+
+    Reference parity note: the reference engine has no fuzzy dedup; this
+    extends the training-data-pipeline surface (SURVEY §2 dedup family).
+    """
+    rows = num_hashes // bands
+    docs = spread(docs)
+    sigs = minhash_signature(docs, id_col, text_col, num_hashes,
+                             shingle_n).drop("shingles")
+    # feeds the two self-join branches below — materialize once
+    banded = _band_rows(sigs, bands, rows).cache()
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bh"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    pref = docs.select(F.col(id_col).alias("doc_id"),
+                       _ascii_prefix(F.col(text_col), prefix_chars).alias("p"))
+    return (
+        cand.join(pref.withColumnRenamed("doc_id", "a")
+                      .withColumnRenamed("p", "pa"), "a")
+        .join(pref.withColumnRenamed("doc_id", "b")
+                  .withColumnRenamed("p", "pb"), "b")
+        .withColumn("dist", F.levenshtein("pa", "pb").cast("long"))
+        .withColumn("m", F.greatest(F.length("pa"), F.length("pb")).cast("long"))
+        .withColumn(
+            "sim_ppm",
+            F.when(F.col("m") == 0, F.lit(1_000_000).cast("long"))
+            .otherwise(F.expr("((m - dist) * 1000000) div m")))
+        .where(F.col("sim_ppm") >= min_sim_ppm)
+        .select("a", "b", "dist", "sim_ppm")
+    )
+
+
+def sql_edit_verify_pairs(num_hashes: int = 9, bands: int = 3,
+                          shingle_n: int = 3, prefix_chars: int = 256,
+                          min_sim_ppm: int = 600_000,
+                          table: str = "documents") -> str:
+    """DuckDB oracle reproducing edit_verify_pairs exactly (the ASCII
+    projection makes byte-level and codepoint-level levenshtein agree)."""
+    from ..functions.text import SQL_NORMALIZE
+    rows = num_hashes // bands
+    sh = sql_shingles("text", shingle_n)
+    norm = SQL_NORMALIZE.format(c="text")
+    sig_elems = ", ".join(
+        f"list_min(list_transform(h, x -> (x * {_mh_a(i)} + {_mh_b(i)}) % {MINHASH_P}))"
+        for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, md5({parts}) AS bh FROM sigs".format(
+            j=j,
+            parts=" || '|' || ".join(
+                f"CAST(sig[{j * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for j in range(bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {sh} AS sh,
+         substr(regexp_replace({norm}, '[^ -~]', '?', 'g'), 1, {prefix_chars}) AS p
+  FROM {table}
+), hashed AS (
+  SELECT doc_id, p,
+         list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS h
+  FROM base
+), sigs AS (
+  SELECT doc_id, p, [{sig_elems}] AS sig FROM hashed
+), banded AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+), scored AS (
+  SELECT c.a, c.b,
+         CAST(levenshtein(sa.p, sb.p) AS BIGINT) AS dist,
+         CAST(greatest(len(sa.p), len(sb.p)) AS BIGINT) AS m
+  FROM cand c JOIN sigs sa ON c.a = sa.doc_id JOIN sigs sb ON c.b = sb.doc_id
+)
+SELECT a, b, dist,
+       CASE WHEN m = 0 THEN 1000000
+            ELSE ((m - dist) * 1000000) // m END AS sim_ppm
+FROM scored
+WHERE (CASE WHEN m = 0 THEN 1000000
+            ELSE ((m - dist) * 1000000) // m END) >= {min_sim_ppm}
 """

@@ -1485,3 +1485,68 @@ def test_exact_quantiles_match_plain_python_reference(spark, values):
     got = {r.q_pct: r.value
            for r in exact_quantiles(df, "x", qs=qs, buckets=7).collect()}
     assert got == expected
+
+
+def _py_lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+# mixed vocabulary including non-ASCII tokens to exercise the projection
+_EDIT_WORDS = _WORDS + ["café", "naïve", "日本", "a~z"]
+
+edit_docs_strategy = st.lists(
+    st.lists(st.sampled_from(_EDIT_WORDS), min_size=1, max_size=12),
+    min_size=2, max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edit_docs_strategy)
+def test_edit_verify_pairs_matches_plain_python_reference(spark, token_lists):
+    """Full-pipeline reference: minhash sigs -> banding -> candidates ->
+    ASCII-projected prefix levenshtein, all recomputed in plain Python."""
+    from eventstore_spark.operators.dedup import (MINHASH_P, _mh_a, _mh_b,
+                                                  edit_verify_pairs)
+
+    num_hashes, bands, shingle_n, prefix = 9, 3, 3, 256
+    rows_per_band = num_hashes // bands
+    sigs = {}
+    for i, toks in enumerate(token_lists):
+        hs = [_h32(s) for s in _py_shingles(" ".join(toks), shingle_n)]
+        sigs[i] = [min((h * _mh_a(j) + _mh_b(j)) % MINHASH_P for h in hs)
+                   for j in range(num_hashes)]
+    bh = {
+        i: [hashlib.md5("|".join(
+            str(x) for x in sigs[i][j * rows_per_band:(j + 1) * rows_per_band]
+        ).encode()).hexdigest() for j in range(bands)]
+        for i in sigs
+    }
+    proj = {
+        i: "".join(ch if " " <= ch <= "~" else "?"
+                   for ch in _py_norm(" ".join(toks)))[:prefix]
+        for i, toks in enumerate(token_lists)
+    }
+    expected = set()
+    for a in sigs:
+        for b in sigs:
+            if a < b and any(bh[a][j] == bh[b][j] for j in range(bands)):
+                d = _py_lev(proj[a], proj[b])
+                m = max(len(proj[a]), len(proj[b]))
+                sim = 1_000_000 if m == 0 else ((m - d) * 1_000_000) // m
+                expected.add((a, b, d, sim))
+
+    docs = _mkdocs(spark, token_lists)
+    got = {(r.a, r.b, r.dist, r.sim_ppm)
+           for r in edit_verify_pairs(docs, prefix_chars=prefix,
+                                      min_sim_ppm=0).collect()}
+    assert got == expected
