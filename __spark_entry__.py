@@ -532,6 +532,17 @@ def q_dedup_edit_verify(spark, sf):
                              prefix_chars=256, min_sim_ppm=600_000)
 
 
+def q_dedup_bloom(spark, sf):
+    """Cross-snapshot Bloom dedup (r10 s4): history fingerprints folded
+    into a bounded broadcastable bit-position table; the new batch is
+    probed scan-side and only Bloom-positive docs reach the exact
+    verify join (dedup.bloom_dedup_incremental)."""
+    from eventstore_spark.operators.dedup import bloom_dedup_incremental
+
+    return bloom_dedup_incremental(_table(spark, sf, "documents"),
+                                   split_mod=3, m_bits=8192, k=4)
+
+
 def q_scalar_quantize(spark, sf):
     """SQ8 embedding compression (r10 s3): per-dim min/max stats row
     broadcast over the scan, int8 codes + micro-exact reconstruction
@@ -2444,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": q_exact_quantiles,
         # --- r10 session 4 (tail-positioned: r11-rotation material) ---
         "dedup_edit_verify": q_dedup_edit_verify,
+        "dedup_bloom": q_dedup_bloom,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3403,4 +3415,6 @@ WHERE p.quality >= 0.3
         "l_extendedprice", qs=(25, 50, 75, 99))
     sqls["dedup_edit_verify"] = dd.sql_edit_verify_pairs(
         prefix_chars=256, min_sim_ppm=600_000)
+    sqls["dedup_bloom"] = dd.sql_bloom_dedup_incremental(
+        split_mod=3, m_bits=8192, k=4)
     return sqls

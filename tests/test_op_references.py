@@ -1550,3 +1550,41 @@ def test_edit_verify_pairs_matches_plain_python_reference(spark, token_lists):
            for r in edit_verify_pairs(docs, prefix_chars=prefix,
                                       min_sim_ppm=0).collect()}
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs_strategy)
+def test_bloom_dedup_matches_plain_python_reference(spark, token_lists):
+    """m_bits=64 forces real false positives; the reference recomputes
+    fingerprints, bit positions, filter membership and the exact verdict
+    in plain Python. Also pins the no-false-negative law."""
+    from eventstore_spark.operators.dedup import bloom_dedup_incremental
+
+    split_mod, m_bits, k = 3, 64, 4
+
+    def fp_of(toks):
+        return hashlib.md5(_py_norm(" ".join(toks)).encode()).hexdigest()
+
+    def positions(fp):
+        return [int(hashlib.md5(f"bf{j}|{fp}".encode()).hexdigest()[:8], 16)
+                % m_bits for j in range(k)]
+
+    hist_fps = {fp_of(t) for i, t in enumerate(token_lists)
+                if i % split_mod != 0}
+    filt = {p for fp in hist_fps for p in positions(fp)}
+    expected = {}
+    for i, t in enumerate(token_lists):
+        if i % split_mod != 0:
+            continue
+        fp = fp_of(t)
+        maybe = all(p in filt for p in positions(fp))
+        expected[i] = (maybe, fp in hist_fps if maybe else False)
+
+    docs = _mkdocs(spark, token_lists)
+    got = {r.doc_id: (r.maybe_dup, r.is_dup)
+           for r in bloom_dedup_incremental(
+               docs, split_mod=split_mod, m_bits=m_bits, k=k).collect()}
+    assert got == expected
+    for maybe, is_dup in got.values():
+        assert maybe or not is_dup  # is_dup implies maybe_dup
