@@ -543,6 +543,15 @@ def q_dedup_bloom(spark, sf):
                                    split_mod=3, m_bits=8192, k=4)
 
 
+def q_overlap_eval(spark, sf):
+    """Token-F1 + ROUGE-2 recall over (even, odd) doc pairs (r10 s4):
+    keyed (pair, term) count joins, scan-side sizes, exact BIGINT
+    floor-micro ratios (textops.token_overlap_eval)."""
+    from eventstore_spark.operators.textops import token_overlap_eval
+
+    return token_overlap_eval(_table(spark, sf, "documents"))
+
+
 def q_scalar_quantize(spark, sf):
     """SQ8 embedding compression (r10 s3): per-dim min/max stats row
     broadcast over the scan, int8 codes + micro-exact reconstruction
@@ -2456,6 +2465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r10 session 4 (tail-positioned: r11-rotation material) ---
         "dedup_edit_verify": q_dedup_edit_verify,
         "dedup_bloom": q_dedup_bloom,
+        "overlap_eval": q_overlap_eval,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3417,4 +3427,7 @@ WHERE p.quality >= 0.3
         prefix_chars=256, min_sim_ppm=600_000)
     sqls["dedup_bloom"] = dd.sql_bloom_dedup_incremental(
         split_mod=3, m_bits=8192, k=4)
+    from eventstore_spark.operators.textops import sql_token_overlap_eval
+
+    sqls["overlap_eval"] = sql_token_overlap_eval()
     return sqls

@@ -2334,3 +2334,149 @@ SELECT d.doc_id,
                  - p.b // p.n_tokens END AS BIGINT) AS entropy_micro
 FROM base d LEFT JOIN p USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# generation/reference overlap eval (token F1 + ROUGE-2 recall)
+# ---------------------------------------------------------------------------
+
+def token_overlap_eval(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Token-overlap evaluation of candidate/reference text pairs:
+    SQuAD-style token F1 (Rajpurkar et al. 2016) plus ROUGE-2 recall
+    (Lin 2004) — the standard lexical metrics for scoring generated
+    text, summarization and distillation outputs at corpus scale.
+
+    Pairing rule (self-contained on one table): candidate = every even
+    ``id``, reference = ``id + 1`` where it exists.
+
+    Per pair, with multiset token counts tf:
+      overlap  = Σ_t min(tf_cand(t), tf_ref(t))
+      p_ppm    = overlap·1e6 div n_cand,  r_ppm = overlap·1e6 div n_ref
+      f1_ppm   = 2·overlap·1e6 div (n_cand + n_ref)
+      rouge2_r_ppm = bigram_overlap·1e6 div (n_ref − 1)   [0 if n_ref < 2]
+
+    All ratios are exact BIGINT floor-micro — identical in both engines.
+
+    Plan shape at 100 TB:
+
+    * token/bigram count streams are explode → groupBy keyed on
+      (pair, term) with map-side partial combine; the overlap joins are
+      keyed INNER equi-joins (a term missing on either side contributes
+      min(...) = 0, so no outer join is needed).
+    * per-doc sizes are computed SCAN-SIDE from the token array length —
+      no explode, no aggregate — and pairs form by one keyed equi-join.
+    * no token array ever crosses a join; the corpus is scanned once per
+      count stream (the pmi_collocations trade: each scan stays
+      scan-shaped with full column pruning, no wide intermediate).
+
+    Reference parity note: the reference engine has no text-eval
+    surface; this extends the training-data-pipeline components
+    (SURVEY §2 eval family, next to ndcg_eval/knn_eval).
+    """
+    docs = spread(docs)
+    toks = X.tokens(F.col(text_col))
+
+    def side(pred, pid_expr):
+        return (docs.where(pred)
+                .select(pid_expr.alias("pid"), toks.alias("_toks")))
+
+    is_cand = F.col(id_col) % 2 == 0
+    cand = side(is_cand, F.col(id_col))
+    ref = side(~is_cand, F.col(id_col) - 1)
+
+    def counts(df, gram_expr):
+        return (df.select("pid", F.explode(gram_expr).alias("t"))
+                .where((F.col("t") != "") & (F.col("t") != " "))
+                .groupBy("pid", "t").agg(F.count(F.lit(1)).alias("c")))
+
+    def overlap(a, b, out):
+        return (a.join(b.withColumnRenamed("c", "c2"), ["pid", "t"])
+                .groupBy("pid")
+                .agg(F.sum(F.least("c", "c2")).alias(out)))
+
+    uni = F.col("_toks")
+    big = F.expr(X.SPARK_SQL_BIGRAMS)
+    ov1 = overlap(counts(cand, uni), counts(ref, uni), "ov")
+    ov2 = overlap(counts(cand, big), counts(ref, big), "ov2")
+
+    nsize = F.size(F.filter(F.col("_toks"), lambda t: t != "")).cast("long")
+    sizes = (
+        cand.select("pid", nsize.alias("n_cand"))
+        .join(ref.select("pid", nsize.alias("n_ref")), "pid")
+    )
+    return (
+        sizes.join(ov1, "pid", "left").join(ov2, "pid", "left")
+        .select(
+            F.col("pid").alias("cand_id"),
+            (F.col("pid") + 1).alias("ref_id"),
+            F.coalesce("ov", F.lit(0)).cast("long").alias("overlap"),
+            "n_cand", "n_ref",
+            F.expr("CASE WHEN n_cand = 0 THEN 0 "
+                   "ELSE coalesce(ov, 0) * 1000000 div n_cand END")
+            .cast("long").alias("p_ppm"),
+            F.expr("CASE WHEN n_ref = 0 THEN 0 "
+                   "ELSE coalesce(ov, 0) * 1000000 div n_ref END")
+            .cast("long").alias("r_ppm"),
+            F.expr("CASE WHEN n_cand + n_ref = 0 THEN 0 "
+                   "ELSE 2 * coalesce(ov, 0) * 1000000 div (n_cand + n_ref) END")
+            .cast("long").alias("f1_ppm"),
+            F.expr("CASE WHEN n_ref < 2 THEN 0 "
+                   "ELSE coalesce(ov2, 0) * 1000000 div (n_ref - 1) END")
+            .cast("long").alias("rouge2_r_ppm"),
+        )
+    )
+
+
+def sql_token_overlap_eval(table: str = "documents", id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    """DuckDB oracle reproducing token_overlap_eval exactly."""
+    toks = X.SQL_TOKENS.format(c=text_col)
+    return f"""
+WITH cand AS (
+  SELECT {id_col} AS pid, {toks} AS toks FROM {table} WHERE {id_col} % 2 = 0
+), ref AS (
+  SELECT {id_col} - 1 AS pid, {toks} AS toks FROM {table} WHERE {id_col} % 2 <> 0
+), cu AS (
+  SELECT pid, t, CAST(count(*) AS BIGINT) AS c
+  FROM cand, unnest(toks) AS z(t) WHERE t <> '' GROUP BY pid, t
+), ru AS (
+  SELECT pid, t, CAST(count(*) AS BIGINT) AS c
+  FROM ref, unnest(toks) AS z(t) WHERE t <> '' GROUP BY pid, t
+), cb AS (
+  SELECT pid, t, CAST(count(*) AS BIGINT) AS c
+  FROM cand, unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS z(t)
+  WHERE t <> ' ' GROUP BY pid, t
+), rb AS (
+  SELECT pid, t, CAST(count(*) AS BIGINT) AS c
+  FROM ref, unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS z(t)
+  WHERE t <> ' ' GROUP BY pid, t
+), ov1 AS (
+  SELECT cu.pid, sum(least(cu.c, ru.c)) AS ov
+  FROM cu JOIN ru ON cu.pid = ru.pid AND cu.t = ru.t GROUP BY cu.pid
+), ov2 AS (
+  SELECT cb.pid, sum(least(cb.c, rb.c)) AS ov2
+  FROM cb JOIN rb ON cb.pid = rb.pid AND cb.t = rb.t GROUP BY cb.pid
+), sizes AS (
+  SELECT c.pid,
+         CAST(len(list_filter(c.toks, t -> t <> '')) AS BIGINT) AS n_cand,
+         CAST(len(list_filter(r.toks, t -> t <> '')) AS BIGINT) AS n_ref
+  FROM cand c JOIN ref r ON c.pid = r.pid
+)
+SELECT s.pid AS cand_id, s.pid + 1 AS ref_id,
+       CAST(coalesce(ov1.ov, 0) AS BIGINT) AS overlap,
+       s.n_cand, s.n_ref,
+       CAST(CASE WHEN s.n_cand = 0 THEN 0
+            ELSE coalesce(ov1.ov, 0) * 1000000 // s.n_cand END AS BIGINT) AS p_ppm,
+       CAST(CASE WHEN s.n_ref = 0 THEN 0
+            ELSE coalesce(ov1.ov, 0) * 1000000 // s.n_ref END AS BIGINT) AS r_ppm,
+       CAST(CASE WHEN s.n_cand + s.n_ref = 0 THEN 0
+            ELSE 2 * coalesce(ov1.ov, 0) * 1000000
+                 // (s.n_cand + s.n_ref) END AS BIGINT) AS f1_ppm,
+       CAST(CASE WHEN s.n_ref < 2 THEN 0
+            ELSE coalesce(ov2.ov2, 0) * 1000000 // (s.n_ref - 1) END AS BIGINT)
+         AS rouge2_r_ppm
+FROM sizes s LEFT JOIN ov1 ON s.pid = ov1.pid LEFT JOIN ov2 ON s.pid = ov2.pid
+"""

@@ -1588,3 +1588,40 @@ def test_bloom_dedup_matches_plain_python_reference(spark, token_lists):
     assert got == expected
     for maybe, is_dup in got.values():
         assert maybe or not is_dup  # is_dup implies maybe_dup
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs_strategy)
+def test_token_overlap_eval_matches_plain_python_reference(spark, token_lists):
+    """Multiset token-F1 and ROUGE-2 recall recomputed in plain Python
+    (collections.Counter), exact floor-micro arithmetic."""
+    from collections import Counter
+
+    from eventstore_spark.operators.textops import token_overlap_eval
+
+    expected = {}
+    by_id = {i: toks for i, toks in enumerate(token_lists)}
+    for cid in by_id:
+        if cid % 2 != 0 or cid + 1 not in by_id:
+            continue
+        c, r = by_id[cid], by_id[cid + 1]
+        ov = sum((Counter(c) & Counter(r)).values())
+        cb = [f"{a} {b}" for a, b in zip(c, c[1:])]
+        rb = [f"{a} {b}" for a, b in zip(r, r[1:])]
+        ov2 = sum((Counter(cb) & Counter(rb)).values())
+        nc, nr = len(c), len(r)
+        expected[cid] = (
+            ov,
+            nc, nr,
+            0 if nc == 0 else ov * 1_000_000 // nc,
+            0 if nr == 0 else ov * 1_000_000 // nr,
+            0 if nc + nr == 0 else 2 * ov * 1_000_000 // (nc + nr),
+            0 if nr < 2 else ov2 * 1_000_000 // (nr - 1),
+        )
+
+    docs = _mkdocs(spark, token_lists)
+    got = {r.cand_id: (r.overlap, r.n_cand, r.n_ref, r.p_ppm, r.r_ppm,
+                       r.f1_ppm, r.rouge2_r_ppm)
+           for r in token_overlap_eval(docs).collect()}
+    assert got == expected
