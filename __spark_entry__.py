@@ -552,6 +552,16 @@ def q_overlap_eval(spark, sf):
     return token_overlap_eval(_table(spark, sf, "documents"))
 
 
+def q_embedding_pca(spark, sf):
+    """Fixed-point power-iteration PCA (r10 s4): top principal-component
+    coordinate per embedding; per round one literal-coefficient codegen
+    scan + a dim-row DECIMAL(38,0) aggregate — only dim-row tables reach
+    the driver (similarity.pca_power_scores)."""
+    from eventstore_spark.operators.similarity import pca_power_scores
+
+    return pca_power_scores(_table(spark, sf, "embeddings"), iterations=3)
+
+
 def q_scalar_quantize(spark, sf):
     """SQ8 embedding compression (r10 s3): per-dim min/max stats row
     broadcast over the scan, int8 codes + micro-exact reconstruction
@@ -2466,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit_verify": q_dedup_edit_verify,
         "dedup_bloom": q_dedup_bloom,
         "overlap_eval": q_overlap_eval,
+        "embedding_pca": q_embedding_pca,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3430,4 +3441,7 @@ WHERE p.quality >= 0.3
     from eventstore_spark.operators.textops import sql_token_overlap_eval
 
     sqls["overlap_eval"] = sql_token_overlap_eval()
+    from eventstore_spark.operators.similarity import sql_pca_power_scores
+
+    sqls["embedding_pca"] = sql_pca_power_scores(iterations=3)
     return sqls

@@ -2285,3 +2285,150 @@ SELECT vec_id, codes,
          (a, b) -> a + b) * 1e6) AS BIGINT) AS err_micro
 FROM c2
 """
+
+
+# ---------------------------------------------------------------------------
+# power-iteration PCA (top principal component scores)
+# ---------------------------------------------------------------------------
+
+def pca_power_scores(embeddings: DataFrame, iterations: int = 3,
+                     base: int = 1_000_000, dim: int = 64,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """First-principal-component coordinate of every embedding via
+    fixed-point POWER ITERATION (Mises & Pollaczek-Geiringer 1929; the
+    PCA step of embedding whitening / ABTT, Mu & Viswanath ICLR 2018).
+    Returns (vec_id, pc1) where pc1 = (q − c)·v — the projection of the
+    centered integer vector onto the converged direction.
+
+    Exact integer arithmetic, identical in both engines:
+
+    * vectors quantize at IVF_SCALE (floor, the shared quantizer);
+    * the mean c is the per-dim FLOOR of sum/count;
+    * each round computes w = Σ_rows y·(y·v) (i.e. AᵀA·v) with the
+      row-sum in DECIMAL(38,0)/HUGEINT — |w| reaches n·dim·scale²·base,
+      past 2^63 on any real corpus (the kn_perplexity overflow class);
+    * v rescales by L∞: v_d = floor(w_d·base / L), L = max|w_d| — no
+      sqrt, so no float enters the recurrence (if L = 0, a degenerate
+      all-identical corpus, v carries over unchanged);
+    * floor division on possibly-negative numerators uses Python's //
+      driver-side and the euclid-mod emulation
+      ``(x - ((x % m) + m) % m) // m`` in DuckDB (the kmeans-mean
+      convention; DuckDB's bare ``//`` truncates).
+
+    Plan shape at 100 TB: per round ONE codegen scan computes the
+    per-row dot s against LITERAL c/v arrays (no join, no shuffle — the
+    PQ-LUT shape) plus one posexplode → groupBy(d) partial-agg whose
+    result is ``dim`` rows; only those dim-row tables reach the driver
+    (the accepted k-means/BPE model-collection pattern). The output
+    projection is a pure scan with literal coefficients.
+
+    Reference parity note: the reference engine has no linear-algebra
+    surface; this extends the embedding-pipeline components (SURVEY §2,
+    next to kmeans/PQ/SQ).
+    """
+    q = (
+        spread(embeddings)
+        .select(F.col(id_col).alias("vec_id"),
+                F.expr(_quantize_sql(vec_col)).alias("q"))
+        .cache()
+    )
+    try:
+        sums = (
+            q.select(F.posexplode("q").alias("d", "x"))
+            .groupBy("d")
+            .agg(F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_d = {int(r["d"]): (int(r["s"]), int(r["n"])) for r in sums}
+        if not by_d:
+            return q.select("vec_id", F.lit(0).cast("long").alias("pc1"))
+        c = [by_d[d][0] // by_d[d][1] for d in range(dim)]
+        c_arr = _int_lit_array(c)
+
+        v = [int(base)] * dim
+        for _ in range(iterations):
+            s_sql = " + ".join(
+                f"(element_at(q, {j + 1}) - {c[j]}L) * {v[j]}L"
+                for j in range(dim)
+            )
+            w_rows = (
+                q.select(F.expr(s_sql).alias("s"),
+                         F.posexplode("q").alias("d", "x"))
+                .groupBy("d")
+                .agg(F.sum(
+                    F.expr(f"CAST(x - element_at({c_arr}, d + 1) "
+                           f"AS DECIMAL(38,0)) * s")).alias("w"))
+                .collect()
+            )
+            w = {int(r["d"]): int(r["w"]) for r in w_rows}
+            L = max(abs(w[d]) for d in range(dim))
+            if L == 0:
+                break
+            v = [(w[d] * base) // L for d in range(dim)]
+
+        out_sql = " + ".join(
+            f"(element_at(q, {j + 1}) - {c[j]}L) * {v[j]}L"
+            for j in range(dim)
+        )
+        return q.select("vec_id", F.expr(out_sql).cast("long").alias("pc1"))
+    finally:
+        q.unpersist()
+
+
+def sql_pca_power_scores(iterations: int = 3, base: int = 1_000_000,
+                         dim: int = 64, table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`pca_power_scores` — the same integer
+    recurrence with the rounds unrolled as materialized CTEs."""
+    b = int(base)
+
+    def fdiv(x: str, m: str) -> str:
+        return f"(({x}) - ((({x}) % ({m})) + ({m})) % ({m})) // ({m})"
+
+    def dot(vtab: str) -> str:
+        return (f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> (z.q[i] - c.c[i]) * {vtab}.v[i]))")
+
+    ctes = [
+        f"""qz AS MATERIALIZED (
+  SELECT vec_id, list_transform({'embedding'},
+    x -> CAST(floor(CAST(x AS DOUBLE) * {IVF_SCALE}.0) AS HUGEINT)) AS q
+  FROM {table}
+)""",
+        f"""st AS MATERIALIZED (
+  SELECT [{", ".join(f"sum(q[{j + 1}])" for j in range(dim))}] AS s,
+         CAST(count(*) AS HUGEINT) AS n
+  FROM qz
+)""",
+        f"""c AS MATERIALIZED (
+  SELECT list_transform(range(1, {dim + 1}),
+    i -> {fdiv('s[i]', 'n')}) AS c
+  FROM st
+)""",
+        f"""v0 AS (SELECT list_transform(range(1, {dim + 1}),
+    i -> CAST({b} AS HUGEINT)) AS v)""",
+    ]
+    for t in range(iterations):
+        ctes.append(f"""s{t} AS MATERIALIZED (
+  SELECT z.vec_id, z.q, {dot(f'v{t}')} AS s
+  FROM qz z CROSS JOIN c CROSS JOIN v{t}
+)""")
+        ctes.append(f"""w{t} AS MATERIALIZED (
+  SELECT [{", ".join(f"sum((r.q[{j + 1}] - c.c[{j + 1}]) * r.s)"
+                     for j in range(dim))}] AS w
+  FROM s{t} r CROSS JOIN c
+)""")
+        ctes.append(f"""l{t} AS (
+  SELECT w, list_max(list_transform(w, x -> abs(x))) AS L FROM w{t}
+)""")
+        ctes.append(f"""v{t + 1} AS (
+  SELECT CASE WHEN L = 0 THEN (SELECT v FROM v{t})
+         ELSE list_transform(w, x -> {fdiv(f'x * {b}', 'L')}) END AS v
+  FROM l{t}
+)""")
+    body = ",\n".join(ctes)
+    return (f"WITH {body}\n"
+            f"SELECT z.vec_id, CAST({dot(f'v{iterations}')} "
+            f"AS BIGINT) AS pc1\n"
+            f"FROM qz z CROSS JOIN c CROSS JOIN v{iterations}")

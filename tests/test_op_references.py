@@ -1625,3 +1625,46 @@ def test_token_overlap_eval_matches_plain_python_reference(spark, token_lists):
                        r.f1_ppm, r.rouge2_r_ppm)
            for r in token_overlap_eval(docs).collect()}
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.lists(st.integers(-100, 100), min_size=8, max_size=8),
+    min_size=2, max_size=10))
+def test_pca_power_matches_plain_python_reference(spark, int_vecs):
+    """Quantize -> floor-mean center -> 3 power rounds (DECIMAL row sums,
+    L-inf rescale by floor division) -> projection, all recomputed in
+    exact plain-Python integers."""
+    import numpy as np
+
+    from eventstore_spark.operators.similarity import (IVF_SCALE,
+                                                       pca_power_scores)
+
+    dim, base, iters = 8, 1_000_000, 3
+    vecs = [[x / 100.0 for x in v] for v in int_vecs]
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    qv = {i: [int(math.floor(float(np.float32(x)) * IVF_SCALE)) for x in v]
+          for i, v in rows}
+    n = len(qv)
+    c = [sum(qv[i][d] for i in qv) // n for d in range(dim)]
+    y = {i: [qv[i][d] - c[d] for d in range(dim)] for i in qv}
+    v = [base] * dim
+    for _ in range(iters):
+        w = [0] * dim
+        for i in y:
+            s = sum(y[i][d] * v[d] for d in range(dim))
+            for d in range(dim):
+                w[d] += y[i][d] * s
+        L = max(abs(x) for x in w)
+        if L == 0:
+            break
+        v = [(w[d] * base) // L for d in range(dim)]
+    expected = {i: sum(y[i][d] * v[d] for d in range(dim)) for i in y}
+
+    got = {r.vec_id: r.pc1
+           for r in pca_power_scores(emb, iterations=iters, base=base,
+                                     dim=dim).collect()}
+    assert got == expected
