@@ -562,6 +562,17 @@ def q_embedding_pca(spark, sf):
     return pca_power_scores(_table(spark, sf, "embeddings"), iterations=3)
 
 
+def q_source_drift_ks(spark, sf):
+    """Exact two-sample KS drift statistic between per-language length
+    distributions (r10 s4): corpus collapses to (group, value) counts in
+    one map-side aggregate; ECDFs are pair-keyed windows over
+    aggregate-sized data (stats.ks_drift)."""
+    from eventstore_spark.operators.stats import ks_drift
+
+    return ks_drift(_table(spark, sf, "documents"),
+                    group_col="lang", value_col="n_chars")
+
+
 def q_scalar_quantize(spark, sf):
     """SQ8 embedding compression (r10 s3): per-dim min/max stats row
     broadcast over the scan, int8 codes + micro-exact reconstruction
@@ -2477,6 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bloom": q_dedup_bloom,
         "overlap_eval": q_overlap_eval,
         "embedding_pca": q_embedding_pca,
+        "source_drift_ks": q_source_drift_ks,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3444,4 +3456,8 @@ WHERE p.quality >= 0.3
     from eventstore_spark.operators.similarity import sql_pca_power_scores
 
     sqls["embedding_pca"] = sql_pca_power_scores(iterations=3)
+    from eventstore_spark.operators.stats import sql_ks_drift
+
+    sqls["source_drift_ks"] = sql_ks_drift(group_col="lang",
+                                           value_col="n_chars")
     return sqls

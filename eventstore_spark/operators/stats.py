@@ -122,3 +122,119 @@ SELECT r.q_pct, min(sel.v) AS value
 FROM r JOIN sel ON sel.rn = r.rk
 GROUP BY r.q_pct
 """
+
+
+def ks_drift(df: DataFrame, group_col: str = "lang",
+             value_col: str = "n_chars") -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between every pair
+    of groups' value distributions — the standard drift test for "did
+    this source/snapshot change shape?" monitoring of ingest pipelines
+    (Massey 1951; corpus drift audits à la data cards).
+
+    For groups a, b with counts n_a, n_b and step ECDFs F_a, F_b:
+      D = max_x |F_a(x) − F_b(x)|
+        = max_x |cum_a(x)·n_b − cum_b(x)·n_a| / (n_a·n_b)
+    evaluated at every observed value of either group (the step points —
+    where the max must occur). Returned as (g_a, g_b, n_a, n_b, ks_ppm)
+    with ks_ppm the exact BIGINT floor of D·1e6; the cross-product
+    cum·n reaches n²≈1e24 at corpus scale, so it is computed in
+    DECIMAL(38,0)/HUGEINT (the kn_perplexity overflow class).
+
+    Plan shape at 100 TB:
+
+    * the corpus collapses to (group, value) counts in ONE map-side
+      combined aggregate — everything downstream is aggregate-sized
+      (≤ groups × distinct-values rows), never corpus-sized.
+    * pair expansion joins those counts onto the bounded group-pair
+      table (S² rows for S groups; sources/langs are dozens, not
+      millions) — a broadcast join by construction.
+    * the running ECDFs are ONE window per (pair) ordered by value —
+      partition size = distinct values of the pair, bounded by value
+      cardinality (document lengths, scores), not corpus size.
+
+    Reference parity note: the reference engine has no distribution
+    tests; this extends the corpus-analytics surface (SURVEY §2, next
+    to exact_quantiles/zipf_fit).
+    """
+    base = spread(df).select(F.col(group_col).alias("g"),
+                             F.col(value_col).cast("long").alias("x"))
+    cnts = base.groupBy("g", "x").agg(F.count(F.lit(1)).alias("c"))
+    totals = cnts.groupBy("g").agg(F.sum("c").alias("n"))
+
+    g = totals.select("g", "n")
+    pairs = (
+        g.select(F.col("g").alias("ga"), F.col("n").alias("na"))
+        .join(g.select(F.col("g").alias("gb"), F.col("n").alias("nb")),
+              F.col("ga") < F.col("gb"))
+    )
+    side_a = (
+        pairs.join(cnts.withColumnRenamed("g", "ga"), "ga")
+        .select("ga", "gb", "na", "nb", "x",
+                F.col("c").alias("ca"), F.lit(0).alias("cb"))
+    )
+    side_b = (
+        pairs.join(cnts.withColumnRenamed("g", "gb"), "gb")
+        .select("ga", "gb", "na", "nb", "x",
+                F.lit(0).alias("ca"), F.col("c").alias("cb"))
+    )
+    grid = (
+        side_a.unionByName(side_b)
+        .groupBy("ga", "gb", "na", "nb", "x")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    w = (Window.partitionBy("ga", "gb").orderBy("x")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    stepped = grid.select(
+        "ga", "gb", "na", "nb",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    return (
+        stepped
+        .withColumn(
+            "diff",
+            F.expr("abs(CAST(cum_a AS DECIMAL(38,0)) * nb "
+                   "- CAST(cum_b AS DECIMAL(38,0)) * na)"))
+        .groupBy(F.col("ga").alias("g_a"), F.col("gb").alias("g_b"),
+                 F.col("na").alias("n_a"), F.col("nb").alias("n_b"))
+        .agg(F.expr("CAST((max(diff) * 1000000) "
+                    "DIV (CAST(max(na) AS DECIMAL(38,0)) * max(nb)) "
+                    "AS BIGINT)").alias("ks_ppm"))
+    )
+
+
+def sql_ks_drift(group_col: str = "lang", value_col: str = "n_chars",
+                 table: str = "documents") -> str:
+    """DuckDB oracle for :func:`ks_drift` — definitional: full ECDF join
+    at every step point, HUGEINT cross-products."""
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS g, CAST({value_col} AS BIGINT) AS x FROM {table}
+), cnts AS (
+  SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY g, x
+), totals AS (
+  SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cnts GROUP BY g
+), pairs AS (
+  SELECT a.g AS ga, a.n AS na, b.g AS gb, b.n AS nb
+  FROM totals a JOIN totals b ON a.g < b.g
+), grid AS (
+  SELECT p.ga, p.gb, p.na, p.nb, c.x,
+         sum(CASE WHEN c.g = p.ga THEN c.c ELSE 0 END) AS ca,
+         sum(CASE WHEN c.g = p.gb THEN c.c ELSE 0 END) AS cb
+  FROM pairs p JOIN cnts c ON c.g = p.ga OR c.g = p.gb
+  GROUP BY p.ga, p.gb, p.na, p.nb, c.x
+), stepped AS (
+  SELECT ga, gb, na, nb,
+         sum(ca) OVER (PARTITION BY ga, gb ORDER BY x
+                       ROWS UNBOUNDED PRECEDING) AS cum_a,
+         sum(cb) OVER (PARTITION BY ga, gb ORDER BY x
+                       ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM grid
+)
+SELECT ga AS g_a, gb AS g_b, na AS n_a, nb AS n_b,
+       CAST((max(abs(CAST(cum_a AS HUGEINT) * nb
+                     - CAST(cum_b AS HUGEINT) * na)) * 1000000)
+            // (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT) AS ks_ppm
+FROM stepped
+GROUP BY ga, gb, na, nb
+"""

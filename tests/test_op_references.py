@@ -1668,3 +1668,40 @@ def test_pca_power_matches_plain_python_reference(spark, int_vecs):
            for r in pca_power_scores(emb, iterations=iters, base=base,
                                      dim=dim).collect()}
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.sampled_from(["g0", "g1", "g2"]), st.integers(0, 20)),
+    min_size=2, max_size=30))
+def test_ks_drift_matches_plain_python_reference(spark, rows):
+    """Two-sample KS recomputed definitionally: ECDFs evaluated at every
+    observed step point, exact integer cross-products."""
+    from eventstore_spark.operators.stats import ks_drift
+
+    groups = {}
+    for g, x in rows:
+        groups.setdefault(g, []).append(x)
+    expected = {}
+    names = sorted(groups)
+    for ai in range(len(names)):
+        for bi in range(ai + 1, len(names)):
+            ga, gb = names[ai], names[bi]
+            va, vb = sorted(groups[ga]), sorted(groups[gb])
+            na, nb = len(va), len(vb)
+            xs = sorted(set(va) | set(vb))
+            best = 0
+            for x in xs:
+                ca = sum(1 for v in va if v <= x)
+                cb = sum(1 for v in vb if v <= x)
+                best = max(best, abs(ca * nb - cb * na))
+            expected[(ga, gb)] = (na, nb, best * 1_000_000 // (na * nb))
+
+    df = spark.createDataFrame(
+        [(i, "t", g, "s", x) for i, (g, x) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {(r.g_a, r.g_b): (r.n_a, r.n_b, r.ks_ppm)
+           for r in ks_drift(df, group_col="lang",
+                             value_col="n_chars").collect()}
+    assert got == expected
