@@ -573,6 +573,16 @@ def q_source_drift_ks(spark, sf):
                     group_col="lang", value_col="n_chars")
 
 
+def q_tokenizer_fertility(spark, sf):
+    """Per-language BPE fertility / compression audit (r10 s4): one
+    shuffle-free codegen tokenization scan with the trained merge table
+    inlined as literals, then a languages-sized groupBy
+    (textops.tokenizer_fertility)."""
+    from eventstore_spark.operators.textops import tokenizer_fertility
+
+    return tokenizer_fertility(_table(spark, sf, "documents"), merges=4)
+
+
 def q_scalar_quantize(spark, sf):
     """SQ8 embedding compression (r10 s3): per-dim min/max stats row
     broadcast over the scan, int8 codes + micro-exact reconstruction
@@ -2489,6 +2499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_eval": q_overlap_eval,
         "embedding_pca": q_embedding_pca,
         "source_drift_ks": q_source_drift_ks,
+        "tokenizer_fertility": q_tokenizer_fertility,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3460,4 +3471,7 @@ WHERE p.quality >= 0.3
 
     sqls["source_drift_ks"] = sql_ks_drift(group_col="lang",
                                            value_col="n_chars")
+    from eventstore_spark.operators.textops import sql_tokenizer_fertility
+
+    sqls["tokenizer_fertility"] = sql_tokenizer_fertility(merges=4)
     return sqls

@@ -1369,6 +1369,17 @@ def sql_bpe_train(merges: int = 3, table: str = "documents",
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
 
 
+def _bpe_word_symbols(w: Column, merge_table: list[tuple[str, str]]) -> Column:
+    """Per-word BPE symbols: char split + the chained greedy merge folds
+    (shared by bpe_apply and tokenizer_fertility)."""
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+    )
+    for a, b in merge_table:
+        syms = _bpe_merge_fold(syms, F.lit(a), F.lit(b))
+    return syms
+
+
 def bpe_apply(docs: DataFrame, merges: int = 4, id_col: str = "doc_id",
               text_col: str = "text",
               merge_table: list[tuple[str, str]] | None = None) -> DataFrame:
@@ -1398,31 +1409,24 @@ def bpe_apply(docs: DataFrame, merges: int = 4, id_col: str = "doc_id",
             .orderBy("step").collect()
         ]
 
-    def word_symbols(w: Column) -> Column:
-        syms = F.transform(
-            F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
-        )
-        for a, b in merge_table:
-            syms = _bpe_merge_fold(syms, F.lit(a), F.lit(b))
-        return syms
-
     toks = F.filter(X.tokens(F.col(text_col)), lambda t: t != "")
     return spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).cast("long").alias("n_words"),
         F.aggregate(
-            F.transform(toks, lambda w: F.size(word_symbols(w))),
+            F.transform(
+                toks, lambda w: F.size(_bpe_word_symbols(w, merge_table))),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("n_bpe_tokens"),
     )
 
 
-def sql_bpe_apply(merges: int = 4, table: str = "documents",
-                  id_col: str = "doc_id", text_col: str = "text") -> str:
-    """DuckDB oracle: re-derives the merge table with ``sql_bpe_train``'s
-    CTE chain (the oracle trains its own model, trained-IVF style), then
-    applies the identical chained folds per word."""
+def _sql_bpe_inference_parts(merges: int, table: str, text_col: str,
+                             extra_doc_cols: str = "") -> tuple[str, str]:
+    """(with_body, syms_expr) shared by sql_bpe_apply and
+    sql_tokenizer_fertility: the training CTE chain + merge-table row +
+    per-doc word lists, and the chained per-word fold expression."""
     toks = X.SQL_TOKENS.format(c=text_col)
     sep1, sep2 = "chr(1)", "chr(2)"
 
@@ -1453,12 +1457,24 @@ def sql_bpe_apply(merges: int = 4, table: str = "documents",
         f"b{i}.la AS la{i}, b{i}.lb AS lb{i}" for i in range(1, merges + 1)
     )
     merge_tables = ", ".join(f"b{i}" for i in range(1, merges + 1))
-    return f"""WITH {train_ctes},
+    extra = f", {extra_doc_cols}" if extra_doc_cols else ""
+    with_body = f"""{train_ctes},
 m AS (SELECT {merge_cols} FROM {merge_tables}),
 docs_w AS (
-  SELECT {id_col} AS doc_id, list_filter({toks}, t -> t <> '') AS ws
+  SELECT list_filter({toks}, t -> t <> '') AS ws{extra}
   FROM {table}
-)
+)"""
+    return with_body, syms
+
+
+def sql_bpe_apply(merges: int = 4, table: str = "documents",
+                  id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB oracle: re-derives the merge table with ``sql_bpe_train``'s
+    CTE chain (the oracle trains its own model, trained-IVF style), then
+    applies the identical chained folds per word."""
+    with_body, syms = _sql_bpe_inference_parts(
+        merges, table, text_col, extra_doc_cols=f"{id_col} AS doc_id")
+    return f"""WITH {with_body}
 SELECT d.doc_id,
        CAST(len(d.ws) AS BIGINT) AS n_words,
        CAST(list_sum(list_transform(d.ws, w -> len({syms}))) AS BIGINT)
@@ -2479,4 +2495,101 @@ SELECT s.pid AS cand_id, s.pid + 1 AS ref_id,
             ELSE coalesce(ov2.ov2, 0) * 1000000 // (s.n_ref - 1) END AS BIGINT)
          AS rouge2_r_ppm
 FROM sizes s LEFT JOIN ov1 ON s.pid = ov1.pid LEFT JOIN ov2 ON s.pid = ov2.pid
+"""
+
+
+def tokenizer_fertility(docs: DataFrame, merges: int = 4,
+                        group_col: str = "lang", text_col: str = "text",
+                        merge_table: list[tuple[str, str]] | None = None
+                        ) -> DataFrame:
+    """Per-group tokenizer-quality audit of a trained BPE table:
+    FERTILITY (subword tokens per word — Rust et al. ACL 2021, "How Good
+    is Your Tokenizer?") and chars-per-token compression. The standard
+    check that a tokenizer trained on one mixture doesn't tax another
+    language with 3× the sequence length.
+
+    Returns per group (``group_col`` value, usually language):
+      (lang, n_docs, n_words, n_chars, n_bpe_tokens,
+       fertility_ppm      = n_bpe_tokens·1e6 div n_words,
+       chars_per_tok_ppm  = n_chars·1e6 div n_bpe_tokens)
+    with ·1e6 products in DECIMAL(38,0)/HUGEINT (corpus-level token
+    counts overflow BIGINT·1e6 at the 100-TB target — the kn_perplexity
+    class) and 0 on empty denominators.
+
+    Scale shape: tokenization is the :func:`bpe_apply` codegen fold —
+    ONE shuffle-free scan with the merge table inlined as literals —
+    followed by a single map-side-combined groupBy over ``group_col``
+    (cardinality = languages). Training collects only ``merges`` driver
+    rows (the trained-IVF pattern).
+    """
+    if merge_table is None:
+        merge_table = [
+            (r["left_sym"], r["right_sym"])
+            for r in bpe_train(docs, merges=merges, text_col=text_col)
+            .orderBy("step").collect()
+        ]
+    toks = F.filter(X.tokens(F.col(text_col)), lambda t: t != "")
+    per_doc = spread(docs).select(
+        F.col(group_col).alias("lang"),
+        F.size(toks).cast("long").alias("w"),
+        F.aggregate(F.transform(toks, F.length),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("ch"),
+        F.aggregate(
+            F.transform(
+                toks, lambda t: F.size(_bpe_word_symbols(t, merge_table))),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("tk"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("w").alias("n_words"),
+             F.sum("ch").alias("n_chars"),
+             F.sum("tk").alias("n_bpe_tokens"))
+        .select(
+            "lang", "n_docs", "n_words", "n_chars", "n_bpe_tokens",
+            F.expr("CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT) "
+                   "ELSE CAST(CAST(n_bpe_tokens AS DECIMAL(38,0)) * 1000000 "
+                   "DIV n_words AS BIGINT) END").alias("fertility_ppm"),
+            F.expr("CASE WHEN n_bpe_tokens = 0 THEN CAST(0 AS BIGINT) "
+                   "ELSE CAST(CAST(n_chars AS DECIMAL(38,0)) * 1000000 "
+                   "DIV n_bpe_tokens AS BIGINT) END")
+            .alias("chars_per_tok_ppm"),
+        )
+    )
+
+
+def sql_tokenizer_fertility(merges: int = 4, group_col: str = "lang",
+                            table: str = "documents",
+                            text_col: str = "text") -> str:
+    """DuckDB oracle for :func:`tokenizer_fertility` — same trained
+    merge-table CTE chain, same folds, same HUGEINT ratio arithmetic."""
+    with_body, syms = _sql_bpe_inference_parts(
+        merges, table, text_col, extra_doc_cols=f"{group_col} AS lang")
+    return f"""WITH {with_body},
+per_doc AS (
+  SELECT d.lang,
+         CAST(len(d.ws) AS BIGINT) AS w,
+         CAST(coalesce(list_sum(list_transform(d.ws, t -> len(t))), 0)
+              AS BIGINT) AS ch,
+         CAST(coalesce(list_sum(list_transform(d.ws, w -> len({syms}))), 0)
+              AS BIGINT) AS tk
+  FROM docs_w d, m
+), g AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS n_words,
+         CAST(sum(ch) AS BIGINT) AS n_chars,
+         CAST(sum(tk) AS BIGINT) AS n_bpe_tokens
+  FROM per_doc GROUP BY lang
+)
+SELECT lang, n_docs, n_words, n_chars, n_bpe_tokens,
+       CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(CAST(n_bpe_tokens AS HUGEINT) * 1000000 // n_words
+                      AS BIGINT) END AS fertility_ppm,
+       CASE WHEN n_bpe_tokens = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(CAST(n_chars AS HUGEINT) * 1000000 // n_bpe_tokens
+                      AS BIGINT) END AS chars_per_tok_ppm
+FROM g
 """

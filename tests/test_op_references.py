@@ -1705,3 +1705,55 @@ def test_ks_drift_matches_plain_python_reference(spark, rows):
            for r in ks_drift(df, group_col="lang",
                              value_col="n_chars").collect()}
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de"]),
+        st.lists(st.sampled_from(["ab", "aab", "abab", "ba", "b", "aa"]),
+                 min_size=1, max_size=8)),
+    min_size=2, max_size=6))
+def test_tokenizer_fertility_matches_plain_python_reference(spark, rows):
+    """Same plain-Python BPE trainer/applier as the bpe test, aggregated
+    per language with exact floor-micro ratios."""
+    from eventstore_spark.operators.textops import tokenizer_fertility
+
+    merges = 3
+    wc: dict[str, int] = {}
+    for _, toks in rows:
+        for w in toks:
+            wc[w] = wc.get(w, 0) + 1
+    syms = {w: list(w) for w in wc}
+    for _ in range(merges):
+        pairs: dict[str, int] = {}
+        for w, ss in syms.items():
+            for x, y in zip(ss, ss[1:]):
+                pairs[f"{x} {y}"] = pairs.get(f"{x} {y}", 0) + wc[w]
+        if not pairs:
+            break
+        pair, _cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        a, b = pair.split(" ", 1)
+        syms = {w: _bpe_merge_py(ss, a, b) for w, ss in syms.items()}
+
+    agg: dict[str, list[int]] = {}
+    for lang, toks in rows:
+        g = agg.setdefault(lang, [0, 0, 0, 0])
+        g[0] += 1
+        g[1] += len(toks)
+        g[2] += sum(len(w) for w in toks)
+        g[3] += sum(len(syms[w]) for w in toks)
+    expected = {
+        lang: (d, w, ch, tk,
+               0 if w == 0 else tk * 1_000_000 // w,
+               0 if tk == 0 else ch * 1_000_000 // tk)
+        for lang, (d, w, ch, tk) in agg.items()
+    }
+
+    docs = _mkdocs(spark, [toks for _, toks in rows],
+                   langs=[lang for lang, _ in rows])
+    got = {r.lang: (r.n_docs, r.n_words, r.n_chars, r.n_bpe_tokens,
+                    r.fertility_ppm, r.chars_per_tok_ppm)
+           for r in tokenizer_fertility(docs, merges=merges).collect()}
+    assert got == expected
