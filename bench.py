@@ -64,6 +64,13 @@ SECONDARY = [
     "scalar_quantize",
     "containment_pairs",
     "exact_quantiles",
+    # r10 session-4 additions
+    "dedup_edit_verify",
+    "dedup_bloom",
+    "overlap_eval",
+    "embedding_pca",
+    "source_drift_ks",
+    "tokenizer_fertility",
 ]
 
 

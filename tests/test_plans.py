@@ -250,6 +250,10 @@ BNLJ_OK = {
     # ONE-ROW min/max/N scalar broadcast over the scan + bounded
     # (≤ buckets-row / ≤ |qs|-row) histogram-offset broadcasts
     "exact_quantiles",
+    # the group-pair inequality join runs over the per-group TOTALS
+    # table (rows = number of languages/sources, dozens by construction)
+    # — a bounded-side BNLJ; everything corpus-sized is aggregated first
+    "source_drift_ks",
 }
 
 SF1_DIR = "/root/repo/.localdata/sf1"  # tools/gen_sf.py output
@@ -846,3 +850,62 @@ def test_span_dedup_apply_join_is_keyed_on_hash(parquet_docs):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_bloom_probe_never_shuffles_the_new_batch(parquet_docs):
+    """The Bloom probe must be k independent broadcast joins against the
+    bounded position table — the new batch stays scan-side. A
+    hashpartitioning exchange on doc_id would mean the probe degraded
+    to an explode+groupBy (the shuffle the operator exists to avoid);
+    the only legitimate exchanges are the filter build's (pos) and the
+    exact-verify side's (fp)."""
+    from eventstore_spark.operators.dedup import bloom_dedup_incremental
+
+    plan = plan_of(bloom_dedup_incremental(parquet_docs, m_bits=256, k=4))
+    assert "hashpartitioning(doc_id" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ks_drift_windows_are_pair_keyed(parquet_docs):
+    """The ECDF running sums must window over (pair) keys — never a
+    SinglePartition window — and everything past the first aggregate is
+    aggregate-sized. (The window's clustering is satisfied by the
+    pair-joined count streams' existing partitioning, so no extra
+    exchange appears; the windowspec itself is the contract.)"""
+    from eventstore_spark.operators.stats import ks_drift
+
+    df = ks_drift(parquet_docs, group_col="lang", value_col="n_chars")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(ga" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_pca_scoring_is_a_pure_scan(parquet_docs, spark):
+    """After training, the pc1 projection must be a literal-coefficient
+    codegen scan: no join, no exchange, no window at scoring time (the
+    PQ-ADC shape)."""
+    from eventstore_spark.operators.similarity import pca_power_scores
+
+    rows = [(i, [((i * 7 + j) % 13 - 6) / 10.0 for j in range(8)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = plan_of(pca_power_scores(emb, iterations=2, dim=8))
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_edit_verify_fetch_carries_only_bounded_prefixes(parquet_docs):
+    """The verify joins must fetch the capped ASCII prefix, never the
+    shingle arrays (whose mis-sized stats caused the r9 broadcast OOM
+    class); candidates come from banded equi-joins only."""
+    from eventstore_spark.operators.dedup import edit_verify_pairs
+
+    df = edit_verify_pairs(parquet_docs, prefix_chars=64, min_sim_ppm=0)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+    # the shingle/signature arrays exist only below the banding; the
+    # verify fetch projects the prefix column
+    assert "substring(regexp_replace" in plan or "substring" in plan
