@@ -583,6 +583,15 @@ def q_tokenizer_fertility(spark, sf):
     return tokenizer_fertility(_table(spark, sf, "documents"), merges=4)
 
 
+def q_weighted_sample(spark, sf):
+    """Exact-k weighted sampling without replacement (r10 s4):
+    Efraimidis-Spirakis keys in exact integers, one codegen pass into
+    TakeOrdered(k) (corpus.weighted_sample)."""
+    import eventstore_spark.operators.corpus as cp
+
+    return cp.weighted_sample(_table(spark, sf, "documents"), k=100)
+
+
 def q_scalar_quantize(spark, sf):
     """SQ8 embedding compression (r10 s3): per-dim min/max stats row
     broadcast over the scan, int8 codes + micro-exact reconstruction
@@ -2500,6 +2509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": q_embedding_pca,
         "source_drift_ks": q_source_drift_ks,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "weighted_sample": q_weighted_sample,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3474,4 +3484,5 @@ WHERE p.quality >= 0.3
     from eventstore_spark.operators.textops import sql_tokenizer_fertility
 
     sqls["tokenizer_fertility"] = sql_tokenizer_fertility(merges=4)
+    sqls["weighted_sample"] = cp.sql_weighted_sample(k=100)
     return sqls

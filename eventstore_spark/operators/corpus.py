@@ -2184,3 +2184,79 @@ SELECT conv_id, turn_no, role, piece_len,
        role IN ({roles}) AS loss
 FROM c
 """
+
+
+def weighted_sample(docs: DataFrame, k: int = 100,
+                    weight_col: str = "n_chars", salt: str = "aes-v1",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Exact-size-k weighted sampling WITHOUT replacement via the
+    Efraimidis-Spirakis A-ES key method (IPL 2006) — the standard way to
+    draw a fixed-budget mixture sample where inclusion probability is
+    proportional to a weight (token count, quality score) rather than
+    uniform; :func:`quality_sample`'s Bernoulli gate keeps a RANDOM-SIZED
+    sample, this keeps exactly k.
+
+    A-ES ranks by u^(1/w) (u uniform per doc). We rank by the monotone
+    equivalent −ln(u)/w, integer-exactly:
+
+      u        = (h + 1) / 2^32,  h = first 8 md5 hex digits of
+                 salt|doc_id (the quality_sample coin convention)
+      lnm      = round(ln(u)·1e6)                 (one quantized ln —
+                 the zipf/pmi ln-determinism contract; ≤ 0 always)
+      key      = ((−lnm)·1e6) div w               (non-negative BIGINT
+                 floor-division, identical in both engines)
+
+    and keep the k SMALLEST keys (ties → doc_id). Weights must be
+    positive; non-positive-weight rows are excluded.
+
+    Returns (doc_id, weight, key) for the selected k.
+
+    Scale shape at 100 TB: ONE codegen projection pass (hash + ln +
+    integer div, no UDF) into TakeOrderedAndProject(k) — per-partition
+    top-k heaps and a driver merge of k·partitions rows; the corpus
+    never shuffles and nothing corpus-sized is sorted.
+
+    Reference parity note: the reference engine has no sampling surface;
+    this extends the selection family (SURVEY §2, next to
+    quality_sample/stratified_sample/source_temperature_sample).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"),
+                                   F.col(id_col).cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    u = (h + 1) / F.lit(float(2 ** 32))
+    lnm = F.round(F.log(u) * 1e6).cast("long")
+    return (
+        spread(docs)
+        .select(F.col(id_col).alias("doc_id"),
+                F.col(weight_col).cast("long").alias("weight"),
+                lnm.alias("_lnm"))
+        .where(F.col("weight") > 0)
+        .select("doc_id", "weight",
+                F.expr("((-_lnm) * 1000000) div weight").alias("key"))
+        .orderBy("key", "doc_id")
+        .limit(k)
+    )
+
+
+def sql_weighted_sample(k: int = 100, weight_col: str = "n_chars",
+                        salt: str = "aes-v1", table: str = "documents",
+                        id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`weighted_sample` — same hash, same
+    quantized ln, same non-negative integer key."""
+    return f"""
+WITH keyed AS (
+  SELECT {id_col} AS doc_id,
+         CAST({weight_col} AS BIGINT) AS weight,
+         CAST(round(ln((CAST('0x' || substr(md5('{salt}|' ||
+             CAST({id_col} AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+             / 4294967296.0) * 1e6) AS BIGINT) AS lnm
+  FROM {table}
+  WHERE CAST({weight_col} AS BIGINT) > 0
+)
+SELECT doc_id, weight, ((-lnm) * 1000000) // weight AS key
+FROM keyed
+ORDER BY key, doc_id
+LIMIT {k}
+"""

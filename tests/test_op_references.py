@@ -1757,3 +1757,28 @@ def test_tokenizer_fertility_matches_plain_python_reference(spark, rows):
                     r.fertility_ppm, r.chars_per_tok_ppm)
            for r in tokenizer_fertility(docs, merges=merges).collect()}
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(1, 500), min_size=1, max_size=40), st.integers(1, 10))
+def test_weighted_sample_matches_plain_python_reference(spark, weights, k):
+    """A-ES keys recomputed in plain Python: md5-uniform, quantized ln,
+    non-negative integer floor-division, k smallest with id tie-break."""
+    from eventstore_spark.operators.corpus import weighted_sample
+
+    salt = "aes-v1"
+    keyed = []
+    for i, w in enumerate(weights):
+        h = int(hashlib.md5(f"{salt}|{i}".encode()).hexdigest()[:8], 16)
+        u = (h + 1) / 4294967296.0
+        lnm = _rhu(math.log(u) * 1e6)
+        keyed.append((((-lnm) * 1_000_000) // w, i, w))
+    expected = [(i, w, key) for key, i, w in sorted(keyed)[:k]]
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", w) for i, w in enumerate(weights)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = [(r.doc_id, r.weight, r.key)
+           for r in weighted_sample(docs, k=k).collect()]
+    assert got == expected
