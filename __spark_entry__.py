@@ -592,6 +592,15 @@ def q_weighted_sample(spark, sf):
     return cp.weighted_sample(_table(spark, sf, "documents"), k=100)
 
 
+def q_rp_project(spark, sf):
+    """JL sparse random projection 64 -> 16 dims (r10 s4): plan-time
+    literal sign chains over the staged quantized array, one codegen
+    pass, exact BIGINT output (similarity.rp_project)."""
+    from eventstore_spark.operators.similarity import rp_project
+
+    return rp_project(_table(spark, sf, "embeddings"), d_out=16, dim=64)
+
+
 def q_scalar_quantize(spark, sf):
     """SQ8 embedding compression (r10 s3): per-dim min/max stats row
     broadcast over the scan, int8 codes + micro-exact reconstruction
@@ -2510,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_drift_ks": q_source_drift_ks,
         "tokenizer_fertility": q_tokenizer_fertility,
         "weighted_sample": q_weighted_sample,
+        "rp_project": q_rp_project,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3485,4 +3495,7 @@ WHERE p.quality >= 0.3
 
     sqls["tokenizer_fertility"] = sql_tokenizer_fertility(merges=4)
     sqls["weighted_sample"] = cp.sql_weighted_sample(k=100)
+    from eventstore_spark.operators.similarity import sql_rp_project
+
+    sqls["rp_project"] = sql_rp_project(d_out=16, dim=64)
     return sqls

@@ -71,6 +71,8 @@ SECONDARY = [
     "embedding_pca",
     "source_drift_ks",
     "tokenizer_fertility",
+    "weighted_sample",
+    "rp_project",
 ]
 
 

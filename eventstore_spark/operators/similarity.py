@@ -2432,3 +2432,85 @@ def sql_pca_power_scores(iterations: int = 3, base: int = 1_000_000,
             f"SELECT z.vec_id, CAST({dot(f'v{iterations}')} "
             f"AS BIGINT) AS pc1\n"
             f"FROM qz z CROSS JOIN c CROSS JOIN v{iterations}")
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sparse random projection
+# ---------------------------------------------------------------------------
+
+def _rp_signs(j: int, dim: int) -> list[int]:
+    """Deterministic sparse Achlioptas column: dim d gets +1 / −1 each
+    with prob 1/6 and 0 with prob 2/3, from md5("rp|j|d") mod 6 —
+    computed driver-side so both engines inline identical constants."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"rp|{j}|{d}".encode()).hexdigest()[:8], 16) % 6
+        out.append(1 if h == 0 else (-1 if h == 1 else 0))
+    return out
+
+
+def rp_project(embeddings: DataFrame, d_out: int = 16, dim: int = 64,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with the sparse
+    sign matrix of Achlioptas (JCSS 2003): proj_j = Σ_d s(j,d)·q_d with
+    s ∈ {−1, 0, +1} (2/3 of entries zero), over the IVF_SCALE-quantized
+    integer vector — so the output is EXACT BIGINT in both engines (the
+    constant √(3/d_out) JL scale factor is omitted: downstream distance
+    comparisons are scale-free).
+
+    The JL preconditioner for everything that follows: brute-force/IVF
+    ANN, k-means and near-dup cosine all run ~dim/d_out cheaper on the
+    projected table at bounded distortion (ε for d_out = O(ln n/ε²)).
+
+    Returns (vec_id, proj array<bigint> of length ``d_out``).
+
+    Scale shape at 100 TB: the sign matrix is d_out×dim plan-time
+    LITERALS — each output dim compiles to an add/subtract chain over
+    the quantized components (the lsh_bucket expression idiom, one
+    parsed F.expr). ONE codegen projection pass: no join, no shuffle,
+    no UDF, nothing collected.
+    """
+    sums = []
+    for j in range(d_out):
+        terms = "CAST(0 AS BIGINT)"
+        for d, sg in enumerate(_rp_signs(j, dim)):
+            if sg > 0:
+                terms += f" + _q[{d}]"
+            elif sg < 0:
+                terms += f" - _q[{d}]"
+        sums.append(terms)
+    arr = "array({})".format(", ".join(sums))
+    # stage the quantized array ONCE — referencing the transform inline
+    # per term would re-evaluate it per element (the r9 lambda-body
+    # re-evaluation trap)
+    return (
+        spread(embeddings)
+        .select(F.col(id_col).alias("vec_id"),
+                F.expr(_quantize_sql(vec_col)).alias("_q"))
+        .select("vec_id", F.expr(arr).alias("proj"))
+    )
+
+
+def sql_rp_project(d_out: int = 16, dim: int = 64,
+                   table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`rp_project` — identical literal sign
+    chains over the same quantized components (1-based indexing)."""
+    qz = (f"list_transform(embedding, "
+          f"x -> CAST(floor(CAST(x AS DOUBLE) * {IVF_SCALE}.0) AS BIGINT))")
+    sums = []
+    for j in range(d_out):
+        terms = "CAST(0 AS BIGINT)"
+        for d, sg in enumerate(_rp_signs(j, dim)):
+            if sg > 0:
+                terms += f" + q[{d + 1}]"
+            elif sg < 0:
+                terms += f" - q[{d + 1}]"
+        sums.append(terms)
+    arr = "[{}]".format(", ".join(sums))
+    return f"""
+WITH qz AS (SELECT vec_id, {qz} AS q FROM {table})
+SELECT vec_id, {arr} AS proj FROM qz
+"""

