@@ -601,6 +601,16 @@ def q_rp_project(spark, sf):
     return rp_project(_table(spark, sf, "embeddings"), d_out=16, dim=64)
 
 
+def q_kcenter_select(spark, sf):
+    """Greedy k-center diverse selection (r10 s4): farthest-first
+    traversal in exact integer L2^2; per round one literal-chain codegen
+    scan + TakeOrdered(1), only the kxdim chosen matrix reaches the
+    driver (similarity.kcenter_select)."""
+    from eventstore_spark.operators.similarity import kcenter_select
+
+    return kcenter_select(_table(spark, sf, "embeddings"), k=8)
+
+
 def q_scalar_quantize(spark, sf):
     """SQ8 embedding compression (r10 s3): per-dim min/max stats row
     broadcast over the scan, int8 codes + micro-exact reconstruction
@@ -2520,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "weighted_sample": q_weighted_sample,
         "rp_project": q_rp_project,
+        "kcenter_select": q_kcenter_select,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3498,4 +3509,7 @@ WHERE p.quality >= 0.3
     from eventstore_spark.operators.similarity import sql_rp_project
 
     sqls["rp_project"] = sql_rp_project(d_out=16, dim=64)
+    from eventstore_spark.operators.similarity import sql_kcenter_select
+
+    sqls["kcenter_select"] = sql_kcenter_select(k=8, dim=64)
     return sqls

@@ -73,6 +73,7 @@ SECONDARY = [
     "tokenizer_fertility",
     "weighted_sample",
     "rp_project",
+    "kcenter_select",
 ]
 
 

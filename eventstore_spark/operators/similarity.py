@@ -2514,3 +2514,127 @@ def sql_rp_project(d_out: int = 16, dim: int = 64,
 WITH qz AS (SELECT vec_id, {qz} AS q FROM {table})
 SELECT vec_id, {arr} AS proj FROM qz
 """
+
+
+# ---------------------------------------------------------------------------
+# greedy k-center diverse selection
+# ---------------------------------------------------------------------------
+
+def kcenter_select(embeddings: DataFrame, k: int = 8, dim: int = 64,
+                   id_col: str = "vec_id", vec_col: str = "embedding"
+                   ) -> DataFrame:
+    """Greedy k-center (farthest-first traversal, Gonzalez 1985; the
+    2-approximation to the k-center cover) — the standard diverse
+    exemplar selector for coresets and "cover the embedding space with
+    k prototypes" data pruning, complementing SemDeDup's
+    remove-the-redundant direction with keep-the-diverse.
+
+    Seed = the vector with the LOWEST id; each of the k−1 remaining
+    rounds picks the vector FARTHEST (exact integer squared L2 over the
+    IVF_SCALE-quantized components; ties → lowest id) from its nearest
+    already-chosen center. Returns every vector's assignment to its
+    nearest selected center: (vec_id, center_id, d2) — max(d2) is the
+    cover radius², the selection-quality number.
+
+    Exactness: d2 = Σ (q_d − c_d)² ≤ dim·(2·scale·|x|)² ≈ 4e15 at unit
+    norms — BIGINT-safe; ALL comparisons are integer, so argmax/argmin
+    (with id tie-breaks) are bit-identical in both engines.
+
+    Plan shape at 100 TB: per round ONE codegen scan computes min-dist
+    to the chosen set as a LITERAL expression chain (the PQ-LUT shape —
+    no join, no shuffle) and TakeOrdered(1) picks the farthest point;
+    the driver holds only the k×dim chosen matrix (the trained-IVF
+    model-collection pattern). Final assignment is one more literal
+    scan. k rounds = k scans, embarrassingly scan-bound.
+
+    Reference parity note: the reference engine has no selection
+    surface; extends the embedding-pipeline family (SURVEY §2, next to
+    kmeans/semantic_dedup).
+    """
+    q = (
+        spread(embeddings)
+        .select(F.col(id_col).alias("vec_id"),
+                F.expr(_quantize_sql(vec_col)).alias("q"))
+        .cache()
+    )
+    try:
+        first = q.orderBy("vec_id").limit(1).collect()
+        if not first:
+            return q.select("vec_id", F.lit(0).cast("long").alias("center_id"),
+                            F.lit(0).cast("long").alias("d2"))
+        chosen = [(int(first[0]["vec_id"]), [int(x) for x in first[0]["q"]])]
+
+        def d2_sql(c: list[int]) -> str:
+            return " + ".join(
+                f"(element_at(q, {j + 1}) - {c[j]}L) "
+                f"* (element_at(q, {j + 1}) - {c[j]}L)"
+                for j in range(dim))
+
+        for _ in range(k - 1):
+            mind = " , ".join(f"({d2_sql(c)})" for _, c in chosen)
+            far = (
+                q.select("vec_id", "q",
+                         F.expr(f"least({mind})" if len(chosen) > 1
+                                else mind).alias("md"))
+                .orderBy(F.col("md").desc(), "vec_id")
+                .limit(1)
+                .collect()
+            )
+            r = far[0]
+            if int(r["md"]) == 0:
+                break  # every point already coincides with a center
+            chosen.append((int(r["vec_id"]), [int(x) for x in r["q"]]))
+
+        structs = ", ".join(
+            f"named_struct('d2', CAST({d2_sql(c)} AS BIGINT), "
+            f"'cid', CAST({cid}L AS BIGINT))"
+            for cid, c in chosen)
+        best = f"array_min(array({structs}))"
+        return q.select(
+            "vec_id",
+            F.expr(f"{best}.cid").alias("center_id"),
+            F.expr(f"{best}.d2").alias("d2"),
+        )
+    finally:
+        q.unpersist()
+
+
+def sql_kcenter_select(k: int = 8, dim: int = 64,
+                       table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`kcenter_select` — the same greedy rounds
+    unrolled as CTEs; struct-min assignment mirrors the Spark
+    array_min(named_struct) tie-break (d2, then center id)."""
+    qz = (f"list_transform(embedding, "
+          f"x -> CAST(floor(CAST(x AS DOUBLE) * {IVF_SCALE}.0) AS BIGINT))")
+
+    def d2(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+
+    ctes = [
+        f"qz AS MATERIALIZED (SELECT vec_id, {qz} AS q FROM {table})",
+        "c0 AS MATERIALIZED (SELECT vec_id AS cid, q AS cq FROM qz "
+        "ORDER BY vec_id LIMIT 1)",
+        "ch0 AS (SELECT * FROM c0)",
+    ]
+    for t in range(1, k):
+        ctes.append(f"""md{t} AS MATERIALIZED (
+  SELECT z.vec_id, z.q, min({d2('z.q', 'c.cq')}) AS md
+  FROM qz z CROSS JOIN ch{t - 1} c GROUP BY z.vec_id, z.q
+)""")
+        ctes.append(f"""c{t} AS MATERIALIZED (
+  SELECT vec_id AS cid, q AS cq FROM md{t}
+  WHERE md > 0
+  ORDER BY md DESC, vec_id LIMIT 1
+)""")
+        ctes.append(f"ch{t} AS (SELECT * FROM ch{t - 1} "
+                    f"UNION ALL SELECT * FROM c{t})")
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT vec_id, CAST(cid AS BIGINT) AS center_id, CAST(d2 AS BIGINT) AS d2
+FROM (
+  SELECT z.vec_id, c.cid, {d2('z.q', 'c.cq')} AS d2
+  FROM qz z CROSS JOIN ch{k - 1} c
+)
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+"""

@@ -1815,3 +1815,46 @@ def test_rp_project_matches_plain_python_reference(spark, int_vecs):
     got = {r.vec_id: tuple(r.proj)
            for r in rp_project(emb, d_out=d_out, dim=dim).collect()}
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.lists(st.integers(-100, 100), min_size=8, max_size=8),
+    min_size=1, max_size=12))
+def test_kcenter_select_matches_plain_python_reference(spark, int_vecs):
+    """Farthest-first traversal recomputed in plain Python: lowest-id
+    seed, exact integer L2^2, argmax with lowest-id tie-break, stop on
+    md=0; assignment tie-breaks on lowest center id."""
+    import numpy as np
+
+    from eventstore_spark.operators.similarity import (IVF_SCALE,
+                                                       kcenter_select)
+
+    dim, k = 8, 3
+    vecs = [[x / 100.0 for x in v] for v in int_vecs]
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    qv = {i: [int(math.floor(float(np.float32(x)) * IVF_SCALE)) for x in v]
+          for i, v in rows}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    chosen = [(0, qv[0])]
+    for _ in range(k - 1):
+        best = max(((min(d2(qv[i], c) for _, c in chosen), -i), i)
+                   for i in qv)
+        (md, _), vid = best
+        if md == 0:
+            break
+        chosen.append((vid, qv[vid]))
+    expected = {}
+    for i in qv:
+        d, cid = min((d2(qv[i], c), cid) for cid, c in chosen)
+        expected[i] = (cid, d)
+
+    got = {r.vec_id: (r.center_id, r.d2)
+           for r in kcenter_select(emb, k=k, dim=dim).collect()}
+    assert got == expected
