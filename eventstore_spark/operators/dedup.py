@@ -1731,3 +1731,73 @@ SELECT pr.doc_id, pr.maybe_dup,
             THEN coalesce(h.fp IS NOT NULL, FALSE) ELSE FALSE END AS is_dup
 FROM probed pr LEFT JOIN hist_fps h ON pr.maybe_dup AND pr.fp = h.fp
 """
+
+
+def build_bloom_index(docs: DataFrame, path: str, id_col="doc_id",
+                      text_col="text", m_bits: int = 8192,
+                      k: int = 4) -> dict:
+    """Persist a Bloom filter over a corpus's fingerprints as the
+    snapshot's dedup artifact: distinct bit positions at
+    ``<path>/positions`` plus exact fingerprints at ``<path>/fps`` (the
+    verify side). The production shape of
+    :func:`bloom_dedup_incremental`'s history fold — build once per
+    snapshot, probe every later batch against it, APPEND each accepted
+    batch's rows (mode=append; the probe reads positions DISTINCT, so
+    appended duplicates only cost storage until a compaction rewrite).
+
+    (m_bits, k) are part of the artifact contract — probe with the same
+    values used to build (they determine the bit positions)."""
+    base = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint(F.col(text_col)).alias("fp"))
+    (base.select(F.explode(_bloom_positions(F.col("fp"), k, m_bits))
+                 .alias("pos"))
+     .distinct()
+     .write.mode("append").parquet(f"{path}/positions"))
+    base.select("fp").distinct().write.mode("append").parquet(f"{path}/fps")
+    return {"path": path, "m_bits": m_bits, "k": k,
+            "docs_indexed": base.count()}
+
+
+def bloom_probe_indexed(new_docs: DataFrame, spark, path: str,
+                        id_col="doc_id", text_col="text",
+                        m_bits: int = 8192, k: int = 4) -> DataFrame:
+    """Probe a NEW batch against a persisted Bloom index: returns
+    (doc_id, maybe_dup, is_dup) with the same semantics/plan shape as
+    :func:`bloom_dedup_incremental` — k broadcast position joins keep
+    the batch scan-side; only Bloom-positive docs touch the exact
+    fingerprint table. The positions read is DISTINCT-deduped (append
+    layout) and still ≤ m_bits rows by construction."""
+    positions = (
+        spark.read.parquet(f"{path}/positions").distinct().cache()
+    )
+    hist_fps = (
+        spark.read.parquet(f"{path}/fps").distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    new = spread(new_docs).select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint(F.col(text_col)).alias("fp"))
+    pos_cols = _bloom_positions(F.col("fp"), k, m_bits)
+    probed = new.select(
+        "doc_id", "fp",
+        *[pos_cols[j].alias(f"pos{j}") for j in range(k)])
+    for j in range(k):
+        side = positions.select(F.col("pos").alias(f"pos{j}"),
+                                F.lit(1).alias(f"hit{j}"))
+        probed = probed.join(F.broadcast(side), f"pos{j}", "left")
+    probed = probed.select(
+        "doc_id", "fp",
+        functools.reduce(
+            lambda a, b: a & b,
+            [F.coalesce(F.col(f"hit{j}"), F.lit(0)) == 1 for j in range(k)],
+        ).alias("maybe_dup"))
+    flagged = (
+        probed.where("maybe_dup")
+        .join(hist_fps, "fp", "left")
+        .select("doc_id", "maybe_dup",
+                F.coalesce("dup", F.lit(False)).alias("is_dup"))
+    )
+    clear = probed.where(~F.col("maybe_dup")).select(
+        "doc_id", "maybe_dup", F.lit(False).alias("is_dup"))
+    return flagged.unionByName(clear)

@@ -1774,3 +1774,37 @@ def test_block_manifest_tiles_documents_and_blocks(spark):
     for (shard, block), width in by_block.items():
         if block != last_block[shard]:
             assert width == ctx, (shard, block, width)
+
+
+def test_bloom_index_roundtrip_and_append(spark, docs, tmp_path_factory):
+    """Persisted-Bloom equivalence: probing a new batch against the
+    stored index must equal the one-shot operator's history fold, the
+    no-false-negative law must hold, and APPENDING a batch must make its
+    duplicates visible to later probes."""
+    idx = str(tmp_path_factory.mktemp("bloomidx") / "index")
+    hist = docs.where("doc_id % 3 != 0")
+    new = docs.where("doc_id % 3 = 0")
+
+    stats = dd.build_bloom_index(hist, idx, m_bits=512, k=4)
+    assert stats["docs_indexed"] == hist.count()
+
+    got = {r.doc_id: (r.maybe_dup, r.is_dup)
+           for r in dd.bloom_probe_indexed(new, spark, idx,
+                                           m_bits=512, k=4).collect()}
+    one_shot = {r.doc_id: (r.maybe_dup, r.is_dup)
+                for r in dd.bloom_dedup_incremental(
+                    docs, split_mod=3, m_bits=512, k=4).collect()}
+    assert got == one_shot
+    for maybe, is_dup in got.values():
+        assert maybe or not is_dup
+
+    # doc 6 is a normalized dup of docs 1/2 (history side) — exact hit
+    assert got[6] == (True, True)
+
+    # append the new batch; re-probing IT must now flag every doc as an
+    # exact dup of itself
+    dd.build_bloom_index(new, idx, m_bits=512, k=4)
+    again = {r.doc_id: (r.maybe_dup, r.is_dup)
+             for r in dd.bloom_probe_indexed(new, spark, idx,
+                                             m_bits=512, k=4).collect()}
+    assert all(v == (True, True) for v in again.values())
