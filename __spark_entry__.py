@@ -611,6 +611,22 @@ def q_kcenter_select(spark, sf):
     return kcenter_select(_table(spark, sf, "embeddings"), k=8)
 
 
+def q_auc_eval(spark, sf):
+    """Exact ROC-AUC with tie correction (r10 s4): does embedding dim 1
+    separate even from odd labels — per-score-value counts, one bounded
+    window, HUGEINT Mann-Whitney combination (stats.auc_eval)."""
+    from pyspark.sql import functions as FF
+
+    from eventstore_spark.operators.stats import auc_eval
+
+    emb = _table(spark, sf, "embeddings").select(
+        FF.expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000.0) "
+                "AS BIGINT)").alias("score"),
+        (FF.col("label") % 2 == 1).alias("is_odd"),
+    )
+    return auc_eval(emb, "score", "is_odd")
+
+
 def q_scalar_quantize(spark, sf):
     """SQ8 embedding compression (r10 s3): per-dim min/max stats row
     broadcast over the scan, int8 codes + micro-exact reconstruction
@@ -2531,6 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "rp_project": q_rp_project,
         "kcenter_select": q_kcenter_select,
+        "auc_eval": q_auc_eval,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3512,4 +3529,9 @@ WHERE p.quality >= 0.3
     from eventstore_spark.operators.similarity import sql_kcenter_select
 
     sqls["kcenter_select"] = sql_kcenter_select(k=8, dim=64)
+    from eventstore_spark.operators.stats import sql_auc_eval
+
+    sqls["auc_eval"] = sql_auc_eval(
+        score_sql="floor(CAST(embedding[1] AS DOUBLE) * 1000000.0)",
+        label_sql="label % 2 = 1", table="embeddings")
     return sqls

@@ -74,6 +74,7 @@ SECONDARY = [
     "weighted_sample",
     "rp_project",
     "kcenter_select",
+    "auc_eval",
 ]
 
 

@@ -238,3 +238,85 @@ SELECT ga AS g_a, gb AS g_b, na AS n_a, nb AS n_b,
 FROM stepped
 GROUP BY ga, gb, na, nb
 """
+
+
+def auc_eval(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC-AUC of a score against a binary label — the
+    Mann-Whitney U statistic with the standard tie correction (ties
+    count half), the metric every quality/contamination classifier gate
+    is judged by.
+
+      AUC = [Σ_pos #neg_below + ½·#neg_tied] / (n_pos·n_neg)
+
+    computed exactly: per distinct score value v with pos_v/neg_v
+    counts, contribution = pos_v·(2·cumneg_below(v) + neg_v); AUC in
+    ppm = Σ·1e6 div (2·n_pos·n_neg), all in DECIMAL(38,0)/HUGEINT
+    (n_pos·n_neg ≈ n² passes 2^63 at corpus scale — the kn_perplexity
+    overflow class). Returns ONE row (n_pos, n_neg, auc_ppm); NULL
+    auc_ppm when either class is empty.
+
+    Plan shape at 100 TB: the corpus collapses to per-score-value
+    (pos, neg) counts in ONE map-side-combined aggregate; the running
+    negative count is a window over DISTINCT SCORE VALUES (bounded by
+    score cardinality — quantized scores, not corpus size); the final
+    sum is a one-row aggregate. Nothing corpus-sized is sorted,
+    windowed or joined.
+
+    Reference parity note: no eval surface in the reference engine;
+    extends the eval family (SURVEY §2, next to knn_eval/ndcg_eval/
+    overlap_eval).
+    """
+    base = spread(df).select(
+        F.col(score_col).cast("long").alias("s"),
+        F.col(label_col).cast("boolean").alias("y"))
+    cnts = base.groupBy("s").agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("nn"))
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    stepped = cnts.select(
+        "np", "nn", (F.sum("nn").over(w) - F.col("nn")).alias("below"))
+    return (
+        stepped
+        .agg(F.sum("np").alias("n_pos"), F.sum("nn").alias("n_neg"),
+             F.sum(F.expr(
+                 "CAST(np AS DECIMAL(38,0)) * (2 * below + nn)")).alias("u2"))
+        .select(
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.col("n_neg").cast("long").alias("n_neg"),
+            F.expr("CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL "
+                   "ELSE CAST((u2 * 1000000) "
+                   "DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) "
+                   "AS BIGINT) END").alias("auc_ppm"))
+    )
+
+
+def sql_auc_eval(score_sql: str, label_sql: str, table: str) -> str:
+    """DuckDB oracle for :func:`auc_eval` — same per-value counts,
+    running sum and HUGEINT combination."""
+    return f"""
+WITH base AS (
+  SELECT CAST({score_sql} AS BIGINT) AS s,
+         CAST({label_sql} AS BOOLEAN) AS y
+  FROM {table}
+), cnts AS (
+  SELECT s,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+  FROM base GROUP BY s
+), stepped AS (
+  SELECT np, nn,
+         sum(nn) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - nn AS below
+  FROM cnts
+), agg AS (
+  SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+         sum(CAST(np AS HUGEINT) * (2 * below + nn)) AS u2
+  FROM stepped
+)
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+            ELSE CAST((u2 * 1000000)
+                      // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) END
+         AS auc_ppm
+FROM agg
+"""

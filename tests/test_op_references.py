@@ -1858,3 +1858,28 @@ def test_kcenter_select_matches_plain_python_reference(spark, int_vecs):
     got = {r.vec_id: (r.center_id, r.d2)
            for r in kcenter_select(emb, k=k, dim=dim).collect()}
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(-5, 5), st.booleans()),
+                min_size=1, max_size=40))
+def test_auc_eval_matches_plain_python_reference(spark, rows):
+    """Tie-corrected Mann-Whitney AUC recomputed definitionally: every
+    (pos, neg) pair scored 2/1/0 for above/tied/below, exact floor
+    micro."""
+    from eventstore_spark.operators.stats import auc_eval
+
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    if pos and neg:
+        u2 = sum(2 if p > n else (1 if p == n else 0)
+                 for p in pos for n in neg)
+        exp_auc = (u2 * 1_000_000) // (2 * len(pos) * len(neg))
+    else:
+        exp_auc = None
+
+    df = spark.createDataFrame(rows, "s long, y boolean")
+    r = auc_eval(df, "s", "y").collect()[0]
+    assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+    assert r.auc_ppm == exp_auc
