@@ -627,6 +627,16 @@ def q_auc_eval(spark, sf):
     return auc_eval(emb, "score", "is_odd")
 
 
+def q_events_rate_anomaly(spark, sf):
+    """Hourly event-rate anomaly vs a 24h trailing baseline (r10 s4):
+    one map-side hour aggregate + a bounded trailing window, exact
+    DECIMAL/HUGEINT relative deviation (stats.rate_anomaly)."""
+    from eventstore_spark.operators.stats import rate_anomaly
+
+    return rate_anomaly(_table(spark, sf, "events"), ts_col="ts",
+                        trailing=24, threshold_ppm=500_000)
+
+
 def q_scalar_quantize(spark, sf):
     """SQ8 embedding compression (r10 s3): per-dim min/max stats row
     broadcast over the scan, int8 codes + micro-exact reconstruction
@@ -2548,6 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_project": q_rp_project,
         "kcenter_select": q_kcenter_select,
         "auc_eval": q_auc_eval,
+        "events_rate_anomaly": q_events_rate_anomaly,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3534,4 +3545,8 @@ WHERE p.quality >= 0.3
     sqls["auc_eval"] = sql_auc_eval(
         score_sql="floor(CAST(embedding[1] AS DOUBLE) * 1000000.0)",
         label_sql="label % 2 = 1", table="embeddings")
+    from eventstore_spark.operators.stats import sql_rate_anomaly
+
+    sqls["events_rate_anomaly"] = sql_rate_anomaly(
+        ts_col="ts", trailing=24, threshold_ppm=500_000)
     return sqls

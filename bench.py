@@ -75,6 +75,7 @@ SECONDARY = [
     "rp_project",
     "kcenter_select",
     "auc_eval",
+    "events_rate_anomaly",
 ]
 
 

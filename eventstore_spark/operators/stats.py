@@ -320,3 +320,90 @@ SELECT n_pos, n_neg,
          AS auc_ppm
 FROM agg
 """
+
+
+def rate_anomaly(df: DataFrame, ts_col: str = "ts", trailing: int = 24,
+                 threshold_ppm: int = 500_000) -> DataFrame:
+    """Hourly event-rate anomaly detection against a trailing baseline —
+    the ops-monitoring pass over an ingest/event stream ("did traffic
+    deviate >50% from the last day's average this hour?").
+
+    Per hour h with count n and the previous ``trailing`` OBSERVED
+    hours' total s over m hours:
+
+      dev_ppm    = |n·m − s| · 1e6 div s      (relative deviation from
+                                               the trailing mean, exact
+                                               BIGINT via DECIMAL —
+                                               n·m·1e6 passes 2^63 at
+                                               real event rates)
+      is_anomaly = dev_ppm ≥ threshold_ppm AND m = trailing (warm-up
+                   hours never flag)
+
+    Returns (hour, n, trailing_n, trailing_hours, dev_ppm, is_anomaly).
+
+    Plan shape at 100 TB: the stream collapses to per-hour counts in
+    ONE map-side-combined aggregate; the trailing window runs over
+    DISTINCT HOURS — bounded by the time range (a decade is ~9e4
+    rows), never by event volume. The window is deliberately
+    unpartitioned: its input is bounded by construction (the
+    exact_quantiles offsets precedent).
+
+    Reference parity note: the reference engine exposes no analytics
+    over event rates; extends the events-analytics family (SURVEY §2,
+    next to events_hourly/events_funnel/user_sessions).
+    """
+    hours = (
+        spread(df)
+        .select(F.date_trunc("hour", F.col(ts_col)).alias("hour"))
+        .groupBy("hour").agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("hour").rowsBetween(-trailing, -1)
+    stepped = hours.select(
+        "hour", "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long").alias("trailing_n"),
+        F.count("n").over(w).cast("long").alias("trailing_hours"),
+    )
+    return stepped.select(
+        "hour", "n", "trailing_n", "trailing_hours",
+        F.expr("CASE WHEN trailing_n = 0 THEN NULL "
+               "ELSE CAST(abs(CAST(n AS DECIMAL(38,0)) * trailing_hours "
+               "- trailing_n) * 1000000 DIV trailing_n AS BIGINT) END")
+        .alias("dev_ppm"),
+    ).withColumn(
+        "is_anomaly",
+        F.expr(f"coalesce(dev_ppm >= {int(threshold_ppm)} "
+               f"AND trailing_hours = {int(trailing)}, false)"),
+    )
+
+
+def sql_rate_anomaly(ts_col: str = "ts", trailing: int = 24,
+                     threshold_ppm: int = 500_000,
+                     table: str = "events") -> str:
+    """DuckDB oracle for :func:`rate_anomaly` — same hour counts,
+    trailing frame and HUGEINT deviation."""
+    return f"""
+WITH hours AS (
+  SELECT date_trunc('hour', {ts_col}) AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM {table} GROUP BY 1
+), stepped AS (
+  SELECT hour, n,
+         CAST(coalesce(sum(n) OVER (ORDER BY hour
+              ROWS BETWEEN {trailing} PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS trailing_n,
+         CAST(count(n) OVER (ORDER BY hour
+              ROWS BETWEEN {trailing} PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS trailing_hours
+  FROM hours
+)
+SELECT hour, n, trailing_n, trailing_hours,
+       CASE WHEN trailing_n = 0 THEN NULL
+            ELSE CAST(abs(CAST(n AS HUGEINT) * trailing_hours - trailing_n)
+                      * 1000000 // trailing_n AS BIGINT) END AS dev_ppm,
+       coalesce((CASE WHEN trailing_n = 0 THEN NULL
+            ELSE CAST(abs(CAST(n AS HUGEINT) * trailing_hours - trailing_n)
+                      * 1000000 // trailing_n AS BIGINT) END)
+            >= {int(threshold_ppm)}
+            AND trailing_hours = {int(trailing)}, FALSE) AS is_anomaly
+FROM stepped
+"""

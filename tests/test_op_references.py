@@ -1883,3 +1883,41 @@ def test_auc_eval_matches_plain_python_reference(spark, rows):
     r = auc_eval(df, "s", "y").collect()[0]
     assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
     assert r.auc_ppm == exp_auc
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(0, 5), min_size=1, max_size=30),
+       st.integers(2, 5))
+def test_rate_anomaly_matches_plain_python_reference(spark, perhour, trailing):
+    """Trailing-mean deviation recomputed definitionally over a dense
+    hour sequence with per-hour event counts (hours with 0 events do
+    not exist as rows — the trailing frame skips them)."""
+    import datetime
+
+    from eventstore_spark.operators.stats import rate_anomaly
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h, cnt in enumerate(perhour):
+        for _ in range(cnt):
+            rows.append((eid, t0 + datetime.timedelta(hours=h, minutes=7)))
+            eid += 1
+    if not rows:
+        return
+    observed = [(h, c) for h, c in enumerate(perhour) if c > 0]
+    expected = {}
+    for i, (h, n) in enumerate(observed):
+        window = observed[max(0, i - trailing):i]
+        s = sum(c for _, c in window)
+        m = len(window)
+        dev = None if s == 0 else abs(n * m - s) * 1_000_000 // s
+        flag = bool(dev is not None and dev >= 500_000 and m == trailing)
+        expected[t0 + datetime.timedelta(hours=h)] = (n, s, m, dev, flag)
+
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = {r.hour: (r.n, r.trailing_n, r.trailing_hours, r.dev_ppm,
+                    r.is_anomaly)
+           for r in rate_anomaly(df, trailing=trailing).collect()}
+    assert got == expected
