@@ -637,6 +637,19 @@ def q_events_rate_anomaly(spark, sf):
                         trailing=24, threshold_ppm=500_000)
 
 
+def q_langid_prf(spark, sf):
+    """Per-class precision/recall/F1 of the n-gram lang-ID heuristic
+    against gold labels (r10 s4): one (gold, pred) map-side aggregate,
+    everything downstream classes-sized (stats.classification_prf over
+    functions.text.lang_id)."""
+    from eventstore_spark.functions.text import lang_id
+    from eventstore_spark.operators.stats import classification_prf
+
+    preds = _table(spark, sf, "documents").select(
+        F.col("lang").alias("gold"), lang_id(F.col("text")).alias("pred"))
+    return classification_prf(preds, "gold", "pred")
+
+
 def q_scalar_quantize(spark, sf):
     """SQ8 embedding compression (r10 s3): per-dim min/max stats row
     broadcast over the scan, int8 codes + micro-exact reconstruction
@@ -2559,6 +2572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_select": q_kcenter_select,
         "auc_eval": q_auc_eval,
         "events_rate_anomaly": q_events_rate_anomaly,
+        "langid_prf": q_langid_prf,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3549,4 +3563,8 @@ WHERE p.quality >= 0.3
 
     sqls["events_rate_anomaly"] = sql_rate_anomaly(
         ts_col="ts", trailing=24, threshold_ppm=500_000)
+    from eventstore_spark.operators.stats import sql_classification_prf
+
+    sqls["langid_prf"] = sql_classification_prf(
+        gold_sql="lang", pred_sql=sql_lang_id("text"), table="documents")
     return sqls

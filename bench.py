@@ -76,6 +76,7 @@ SECONDARY = [
     "kcenter_select",
     "auc_eval",
     "events_rate_anomaly",
+    "langid_prf",
 ]
 
 

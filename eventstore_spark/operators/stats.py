@@ -407,3 +407,89 @@ SELECT hour, n, trailing_n, trailing_hours,
             AND trailing_hours = {int(trailing)}, FALSE) AS is_anomaly
 FROM stepped
 """
+
+
+def classification_prf(df: DataFrame, gold_col: str = "gold",
+                       pred_col: str = "pred") -> DataFrame:
+    """Per-class precision / recall / F1 from (gold, pred) label pairs —
+    the summary layer over a confusion matrix (langid_eval emits one);
+    the number a pipeline gate is actually tuned on.
+
+    Exact ppm arithmetic: p = tp·1e6 div pred_n, r = tp·1e6 div gold_n,
+    f1 = 2·tp·1e6 div (pred_n + gold_n) (the harmonic mean computed
+    from raw counts so no intermediate rounding compounds); zero
+    denominators yield 0. Classes = union of gold and pred labels.
+    Counts ride DECIMAL(38,0)/HUGEINT past the ·1e6 overflow line.
+
+    Plan shape at 100 TB: ONE map-side-combined (gold, pred) count
+    aggregate collapses the corpus; everything downstream is
+    |classes|²-sized — two keyed re-aggregations and one outer join on
+    the class key.
+
+    Reference parity note: extends the eval family (SURVEY §2, next to
+    langid_eval/auc_eval/knn_eval).
+    """
+    cm = (spread(df)
+          .select(F.col(gold_col).alias("gold"), F.col(pred_col).alias("pred"))
+          .groupBy("gold", "pred").agg(F.count(F.lit(1)).alias("n")))
+    tp = (cm.where(F.col("gold") == F.col("pred"))
+          .select(F.col("gold").alias("label"), F.col("n").alias("tp")))
+    gold_n = cm.groupBy(F.col("gold").alias("label")).agg(
+        F.sum("n").alias("gold_n"))
+    pred_n = cm.groupBy(F.col("pred").alias("label")).agg(
+        F.sum("n").alias("pred_n"))
+    return (
+        gold_n.join(pred_n, "label", "full")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce("gold_n", F.lit(0)).cast("long").alias("gold_n"),
+            F.coalesce("pred_n", F.lit(0)).cast("long").alias("pred_n"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+        .select(
+            "label", "gold_n", "pred_n", "tp",
+            F.expr("CASE WHEN pred_n = 0 THEN 0 ELSE CAST(CAST(tp AS "
+                   "DECIMAL(38,0)) * 1000000 DIV pred_n AS BIGINT) END")
+            .alias("precision_ppm"),
+            F.expr("CASE WHEN gold_n = 0 THEN 0 ELSE CAST(CAST(tp AS "
+                   "DECIMAL(38,0)) * 1000000 DIV gold_n AS BIGINT) END")
+            .alias("recall_ppm"),
+            F.expr("CASE WHEN gold_n + pred_n = 0 THEN 0 ELSE "
+                   "CAST(2 * CAST(tp AS DECIMAL(38,0)) * 1000000 "
+                   "DIV (gold_n + pred_n) AS BIGINT) END").alias("f1_ppm"),
+        )
+    )
+
+
+def sql_classification_prf(gold_sql: str, pred_sql: str, table: str) -> str:
+    """DuckDB oracle for :func:`classification_prf`."""
+    return f"""
+WITH cm AS (
+  SELECT {gold_sql} AS gold, {pred_sql} AS pred,
+         CAST(count(*) AS BIGINT) AS n
+  FROM {table} GROUP BY 1, 2
+), tp AS (
+  SELECT gold AS label, n AS tp FROM cm WHERE gold = pred
+), gn AS (SELECT gold AS label, CAST(sum(n) AS BIGINT) AS gold_n
+          FROM cm GROUP BY gold),
+pn AS (SELECT pred AS label, CAST(sum(n) AS BIGINT) AS pred_n
+       FROM cm GROUP BY pred),
+j AS (
+  SELECT coalesce(gn.label, pn.label) AS label,
+         coalesce(gold_n, 0) AS gold_n, coalesce(pred_n, 0) AS pred_n
+  FROM gn FULL JOIN pn ON gn.label = pn.label
+)
+SELECT j.label, j.gold_n, j.pred_n,
+       CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
+       CAST(CASE WHEN j.pred_n = 0 THEN 0
+            ELSE CAST(coalesce(tp.tp, 0) AS HUGEINT) * 1000000 // j.pred_n
+            END AS BIGINT) AS precision_ppm,
+       CAST(CASE WHEN j.gold_n = 0 THEN 0
+            ELSE CAST(coalesce(tp.tp, 0) AS HUGEINT) * 1000000 // j.gold_n
+            END AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN j.gold_n + j.pred_n = 0 THEN 0
+            ELSE 2 * CAST(coalesce(tp.tp, 0) AS HUGEINT) * 1000000
+                 // (j.gold_n + j.pred_n) END AS BIGINT) AS f1_ppm
+FROM j LEFT JOIN tp ON j.label = tp.label
+"""

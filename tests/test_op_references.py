@@ -1921,3 +1921,32 @@ def test_rate_anomaly_matches_plain_python_reference(spark, perhour, trailing):
                     r.is_anomaly)
            for r in rate_anomaly(df, trailing=trailing).collect()}
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.sampled_from("abc"), st.sampled_from("abd")),
+                min_size=1, max_size=40))
+def test_classification_prf_matches_plain_python_reference(spark, pairs):
+    """Per-class P/R/F1 recomputed definitionally from raw pair counts,
+    exact floor-micro, classes = union of gold and pred."""
+    from eventstore_spark.operators.stats import classification_prf
+
+    labels = {g for g, _ in pairs} | {p for _, p in pairs}
+    expected = {}
+    for lab in labels:
+        tp = sum(1 for g, p in pairs if g == lab and p == lab)
+        gn = sum(1 for g, _ in pairs if g == lab)
+        pn = sum(1 for _, p in pairs if p == lab)
+        expected[lab] = (
+            gn, pn, tp,
+            0 if pn == 0 else tp * 1_000_000 // pn,
+            0 if gn == 0 else tp * 1_000_000 // gn,
+            0 if gn + pn == 0 else 2 * tp * 1_000_000 // (gn + pn),
+        )
+
+    df = spark.createDataFrame(pairs, "gold string, pred string")
+    got = {r.label: (r.gold_n, r.pred_n, r.tp, r.precision_ppm,
+                     r.recall_ppm, r.f1_ppm)
+           for r in classification_prf(df).collect()}
+    assert got == expected
