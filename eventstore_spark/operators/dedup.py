@@ -1768,11 +1768,16 @@ def bloom_probe_indexed(new_docs: DataFrame, spark, path: str,
     the batch scan-side; only Bloom-positive docs touch the exact
     fingerprint table. The positions read is DISTINCT-deduped (append
     layout) and still ≤ m_bits rows by construction."""
+    # project BEFORE distinct: the streaming layout adds an epoch
+    # partition column, and a distinct over (pos, epoch) would leave
+    # duplicate positions that multiply the probe join's rows
     positions = (
-        spark.read.parquet(f"{path}/positions").distinct().cache()
+        spark.read.parquet(f"{path}/positions")
+        .select("pos").distinct().cache()
     )
     hist_fps = (
-        spark.read.parquet(f"{path}/fps").distinct()
+        spark.read.parquet(f"{path}/fps")
+        .select("fp").distinct()
         .withColumn("dup", F.lit(True))
     )
     new = spread(new_docs).select(
@@ -1801,3 +1806,78 @@ def bloom_probe_indexed(new_docs: DataFrame, spark, path: str,
     clear = probed.where(~F.col("maybe_dup")).select(
         "doc_id", "maybe_dup", F.lit(False).alias("is_dup"))
     return flagged.unionByName(clear)
+
+
+def streaming_bloom_dedup(stream: DataFrame, spark, index_path: str,
+                          out_path: str, checkpoint: str,
+                          id_col="doc_id", text_col="text",
+                          m_bits: int = 8192, k: int = 4):
+    """Continuous EXACT dedup over a document stream against a persisted
+    Bloom index: each micro-batch probes the filter (k broadcast
+    position joins — the batch never shuffles), only Bloom-POSITIVE
+    docs touch the exact fingerprint table, survivors append to
+    ``out_path`` and fold their positions + fingerprints into the index
+    for the next batch. The streaming twin of
+    :func:`bloom_probe_indexed`, with `streaming_minhash_dedup`'s
+    exactly-once discipline: foreachBatch is at-least-once, so every
+    write is keyed by ``epoch_id`` with mode=overwrite (a replayed
+    batch rewrites its own epoch directories — idempotent).
+
+    First-seen-wins: within a batch, the lowest id of each fingerprint
+    survives; across batches, anything already indexed is dropped.
+    State is the persisted index, not the state store — the horizon is
+    the whole corpus, and the hot-loop membership test is a bounded
+    bitset rather than a corpus-sized keyed store.
+    """
+    def _fold(batch_df, epoch_id):
+        batch_df = batch_df.persist()
+        probed = survivors = None
+        try:
+            if batch_df.isEmpty():
+                return
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(
+                f"{index_path}/positions")
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            base = spread(batch_df).select(
+                F.col(id_col).alias("doc_id"),
+                fingerprint(F.col(text_col)).alias("fp"))
+            if bool(fs.exists(jpath)):
+                probed = bloom_probe_indexed(
+                    batch_df, spark, index_path, id_col, text_col,
+                    m_bits, k).persist()
+                cross_dups = probed.where("is_dup").select("doc_id")
+            else:
+                cross_dups = base.limit(0).select("doc_id")
+            # within-batch exact dedup: lowest id per fingerprint wins
+            wmin = Window.partitionBy("fp")
+            batch_keep = (
+                base.withColumn("_min", F.min("doc_id").over(wmin))
+                .where(F.col("doc_id") == F.col("_min"))
+                .select("doc_id", "fp")
+            )
+            survivors = (
+                batch_keep.join(cross_dups, "doc_id", "left_anti").persist())
+            keep_ids = survivors.select(F.col("doc_id").alias("_keep_id"))
+            (batch_df.join(keep_ids,
+                           batch_df[id_col] == F.col("_keep_id"), "left_semi")
+             .write.mode("overwrite")
+             .parquet(f"{out_path}/epoch={int(epoch_id)}"))
+            (survivors
+             .select(F.explode(_bloom_positions(F.col("fp"), k, m_bits))
+                     .alias("pos"))
+             .distinct()
+             .write.mode("overwrite")
+             .parquet(f"{index_path}/positions/epoch={int(epoch_id)}"))
+            (survivors.select("fp").distinct()
+             .write.mode("overwrite")
+             .parquet(f"{index_path}/fps/epoch={int(epoch_id)}"))
+        finally:
+            for df in (probed, survivors, batch_df):
+                if df is not None:
+                    df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1355,3 +1355,50 @@ def test_streaming_minhash_neardup_flags_candidates_across_batches(spark, tmp_pa
         assert owners == {1}
     finally:
         q.stop()
+
+
+def test_streaming_bloom_dedup_across_batches(spark, tmp_path):
+    """EXACT dedup over a stream via the persisted Bloom index: batch 1
+    seeds the filter; batch 2 loses its exact dup of an indexed doc
+    (modulo normalization) and its within-batch dup (lowest id wins),
+    keeps the new doc; the filter grows by the survivors only."""
+    import pandas as pd
+
+    from eventstore_spark.operators.dedup import streaming_bloom_dedup
+
+    base = "the quick brown fox jumps over the lazy dog"
+    src = tmp_path / "bdocs_in"
+    src.mkdir()
+    pd.DataFrame(
+        [(1, base), (2, "another unrelated document")],
+        columns=["doc_id", "text"],
+    ).to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = streaming_bloom_dedup(
+        stream, spark,
+        index_path=str(tmp_path / "bidx"),
+        out_path=str(tmp_path / "bout"),
+        checkpoint=str(tmp_path / "bck"),
+        m_bits=512, k=4,
+    )
+    try:
+        q.processAllAvailable()
+        ids = {r.doc_id for r in spark.read.parquet(str(tmp_path / "bout")).collect()}
+        assert ids == {1, 2}
+        pd.DataFrame(
+            [
+                (3, "  The QUICK brown fox jumps over the lazy dog  "),  # exact dup of 1 mod normalization
+                (4, "genuinely new content in the second batch"),
+                (5, "genuinely new content in the second batch"),        # within-batch dup of 4
+            ],
+            columns=["doc_id", "text"],
+        ).to_parquet(src / "b2.parquet", coerce_timestamps="us")
+        q.processAllAvailable()
+        ids = {r.doc_id for r in spark.read.parquet(str(tmp_path / "bout")).collect()}
+        assert ids == {1, 2, 4}, f"bloom stream dedup wrong: {ids}"
+        # the filter holds exactly the survivors' fingerprints
+        n_fps = spark.read.parquet(str(tmp_path / "bidx" / "fps")) \
+            .select("fp").distinct().count()
+        assert n_fps == 3
+    finally:
+        q.stop()
