@@ -650,6 +650,15 @@ def q_langid_prf(spark, sf):
     return classification_prf(preds, "gold", "pred")
 
 
+def q_percentile_rank(spark, sf):
+    """Exact per-doc percentile rank of n_chars (r10 s4): bucket-offset
+    distributed rank — per-value counts, bounded offsets window,
+    value-keyed tie window, no global sort (stats.percentile_rank)."""
+    from eventstore_spark.operators.stats import percentile_rank
+
+    return percentile_rank(_table(spark, sf, "documents"), "n_chars")
+
+
 def q_scalar_quantize(spark, sf):
     """SQ8 embedding compression (r10 s3): per-dim min/max stats row
     broadcast over the scan, int8 codes + micro-exact reconstruction
@@ -2573,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_eval": q_auc_eval,
         "events_rate_anomaly": q_events_rate_anomaly,
         "langid_prf": q_langid_prf,
+        "percentile_rank": q_percentile_rank,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3567,4 +3577,7 @@ WHERE p.quality >= 0.3
 
     sqls["langid_prf"] = sql_classification_prf(
         gold_sql="lang", pred_sql=sql_lang_id("text"), table="documents")
+    from eventstore_spark.operators.stats import sql_percentile_rank
+
+    sqls["percentile_rank"] = sql_percentile_rank("n_chars")
     return sqls

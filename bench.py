@@ -77,6 +77,7 @@ SECONDARY = [
     "auc_eval",
     "events_rate_anomaly",
     "langid_prf",
+    "percentile_rank",
 ]
 
 

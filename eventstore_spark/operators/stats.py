@@ -493,3 +493,79 @@ SELECT j.label, j.gold_n, j.pred_n,
                  // (j.gold_n + j.pred_n) END AS BIGINT) AS f1_ppm
 FROM j LEFT JOIN tp ON j.label = tp.label
 """
+
+
+def percentile_rank(df: DataFrame, value_col: str,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Exact percentile rank of every row's value — the normalization
+    primitive for fusing heterogeneous per-doc signals (quality scores,
+    perplexities, dup counts) onto one [0, 1e6] scale before gating or
+    mixing (the CCNet-bucket move, generalized to a per-row rank).
+
+    rank = position in the ascending (value, id) order (ids break ties,
+    so the rank is total and reproducible); pct_ppm =
+    (rank − 1)·1e6 div (N − 1) (0 when N = 1) — exact BIGINT via
+    DECIMAL(38,0) (rank·1e6 brushes 2^63 at 1e13 rows).
+
+    Returns (doc_id, value, rank, pct_ppm).
+
+    Plan shape at 100 TB (the exact_quantiles / ccnet_buckets scheme —
+    NO global sort, NO corpus-wide window):
+
+    * one map-side aggregate collapses the corpus to per-value counts;
+      cumulative offsets run over DISTINCT VALUES (bounded by value
+      cardinality — quantized scores, lengths — never corpus size; the
+      deliberately-unpartitioned window of the exact_quantiles
+      precedent).
+    * each row's rank = its value's offset + a row_number inside a
+      window KEYED by value (partition size = that value's tie count).
+    * N is a one-row scalar broadcast (the bm25 N/avgdl shape).
+
+    Reference parity note: extends the selection/analytics family
+    (SURVEY §2, next to ccnet_buckets/exact_quantiles).
+    """
+    base = spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(value_col).cast("long").alias("v")).where(
+        F.col("v").isNotNull())
+    cnts = base.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    woff = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)
+    # cumulative offsets over distinct values — bounded by construction
+    offs = cnts.select(
+        "v", (F.sum("c").over(woff) - F.col("c")).alias("lo"))
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+    wv = Window.partitionBy("v").orderBy("doc_id")
+    return (
+        base.join(offs, "v")
+        .withColumn("rank", (F.col("lo") + F.row_number().over(wv))
+                    .cast("long"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", F.col("v").alias("value"), "rank",
+            F.expr("CASE WHEN n <= 1 THEN CAST(0 AS BIGINT) "
+                   "ELSE CAST(CAST(rank - 1 AS DECIMAL(38,0)) * 1000000 "
+                   "DIV (n - 1) AS BIGINT) END").alias("pct_ppm"))
+    )
+
+
+def sql_percentile_rank(value_col: str, id_col: str = "doc_id",
+                        table: str = "documents") -> str:
+    """DuckDB oracle for :func:`percentile_rank` — definitional global
+    (value, id) rank; the bucketed plan is the Spark deliverable."""
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, CAST({value_col} AS BIGINT) AS v
+  FROM {table} WHERE {value_col} IS NOT NULL
+), ranked AS (
+  SELECT doc_id, v,
+         CAST(row_number() OVER (ORDER BY v, doc_id) AS BIGINT) AS rank,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM base
+)
+SELECT doc_id, v AS value, rank,
+       CASE WHEN n <= 1 THEN CAST(0 AS BIGINT)
+            ELSE CAST(CAST(rank - 1 AS HUGEINT) * 1000000 // (n - 1)
+                      AS BIGINT) END AS pct_ppm
+FROM ranked
+"""

@@ -1950,3 +1950,26 @@ def test_classification_prf_matches_plain_python_reference(spark, pairs):
                      r.recall_ppm, r.f1_ppm)
            for r in classification_prf(df).collect()}
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(0, 6), min_size=1, max_size=30))
+def test_percentile_rank_matches_plain_python_reference(spark, values):
+    """Total (value, id) rank and floor-micro percentile recomputed by a
+    plain sort."""
+    from eventstore_spark.operators.stats import percentile_rank
+
+    order = sorted((v, i) for i, v in enumerate(values))
+    n = len(values)
+    expected = {}
+    for pos, (v, i) in enumerate(order, start=1):
+        pct = 0 if n <= 1 else (pos - 1) * 1_000_000 // (n - 1)
+        expected[i] = (v, pos, pct)
+
+    df = spark.createDataFrame(
+        [(i, "t", "en", "s", v) for i, v in enumerate(values)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r.doc_id: (r.value, r.rank, r.pct_ppm)
+           for r in percentile_rank(df, "n_chars").collect()}
+    assert got == expected
