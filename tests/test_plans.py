@@ -254,6 +254,9 @@ BNLJ_OK = {
     # table (rows = number of languages/sources, dozens by construction)
     # — a bounded-side BNLJ; everything corpus-sized is aggregated first
     "source_drift_ks",
+    # ONE-ROW total-count scalar broadcast over the ranked stream (the
+    # bm25 N/avgdl shape); the offsets join is keyed on the value
+    "percentile_rank",
 }
 
 SF1_DIR = "/root/repo/.localdata/sf1"  # tools/gen_sf.py output
