@@ -659,6 +659,15 @@ def q_percentile_rank(spark, sf):
     return percentile_rank(_table(spark, sf, "documents"), "n_chars")
 
 
+def q_mad_outliers(spark, sf):
+    """Robust MAD outlier flags on document length (r10 s4): two exact
+    bucket-histogram medians as one-row scalar broadcasts, then a pure
+    scan fence — no global sort (stats.mad_outliers)."""
+    from eventstore_spark.operators.stats import mad_outliers
+
+    return mad_outliers(_table(spark, sf, "documents"), "n_chars")
+
+
 def q_scalar_quantize(spark, sf):
     """SQ8 embedding compression (r10 s3): per-dim min/max stats row
     broadcast over the scan, int8 codes + micro-exact reconstruction
@@ -2583,6 +2592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rate_anomaly": q_events_rate_anomaly,
         "langid_prf": q_langid_prf,
         "percentile_rank": q_percentile_rank,
+        "mad_outliers": q_mad_outliers,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3580,4 +3590,7 @@ WHERE p.quality >= 0.3
     from eventstore_spark.operators.stats import sql_percentile_rank
 
     sqls["percentile_rank"] = sql_percentile_rank("n_chars")
+    from eventstore_spark.operators.stats import sql_mad_outliers
+
+    sqls["mad_outliers"] = sql_mad_outliers("n_chars")
     return sqls

@@ -78,6 +78,7 @@ SECONDARY = [
     "events_rate_anomaly",
     "langid_prf",
     "percentile_rank",
+    "mad_outliers",
 ]
 
 

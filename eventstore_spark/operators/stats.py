@@ -569,3 +569,73 @@ SELECT doc_id, v AS value, rank,
                       AS BIGINT) END AS pct_ppm
 FROM ranked
 """
+
+
+def mad_outliers(df: DataFrame, value_col: str, id_col: str = "doc_id",
+                 k_ppm: int = 3_000_000, buckets: int = 1024) -> DataFrame:
+    """Robust outlier flags via median absolute deviation (Hampel 1974;
+    the data-card standard for "flag docs whose length/score is wildly
+    off" without the mean/stddev's sensitivity to the outliers
+    themselves):
+
+      med  = exact lower median of value        (rank (50·N+99) div 100)
+      mad  = exact lower median of |value−med|
+      flag = |value−med|·1e6 > k_ppm·mad        (k_ppm=3e6 ≈ the classic
+                                                 3-MAD fence; all BIGINT)
+
+    Returns one row per input row: (doc_id, value, dev, is_outlier).
+    Caveat inherent to MAD: if ≥ half the values are identical, mad = 0
+    and every deviating row flags — that's the estimator, not a bug.
+
+    Plan shape at 100 TB: both medians come from
+    :func:`exact_quantiles`'s bucket-histogram rank location (one scan +
+    bounded windows each — never a global sort); med/mad ride back as
+    ONE-ROW scalar broadcasts (the bm25 N/avgdl shape); the flag pass is
+    pure scan arithmetic.
+
+    Reference parity note: extends the corpus-analytics family
+    (SURVEY §2, next to exact_quantiles/ks_drift).
+    """
+    base = spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(value_col).cast("long").alias("v")).where(
+        F.col("v").isNotNull())
+    med = (exact_quantiles(base, "v", qs=(50,), buckets=buckets)
+           .select(F.col("value").cast("long").alias("med")))
+    dev = (base.crossJoin(F.broadcast(med))
+           .withColumn("dev", F.abs(F.col("v") - F.col("med"))))
+    mad = (exact_quantiles(dev, "dev", qs=(50,), buckets=buckets)
+           .select(F.col("value").cast("long").alias("mad")))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select("doc_id", F.col("v").alias("value"), "dev",
+                (F.col("dev") * 1_000_000 > F.lit(int(k_ppm)) * F.col("mad"))
+                .alias("is_outlier"))
+    )
+
+
+def sql_mad_outliers(value_col: str, id_col: str = "doc_id",
+                     k_ppm: int = 3_000_000,
+                     table: str = "documents") -> str:
+    """DuckDB oracle for :func:`mad_outliers` — definitional global
+    ranks for both medians, same BIGINT fence."""
+    return f"""
+WITH v AS (
+  SELECT {id_col} AS doc_id, CAST({value_col} AS BIGINT) AS v
+  FROM {table} WHERE {value_col} IS NOT NULL
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+medr AS (
+  SELECT v AS med FROM (
+    SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v
+  ), n WHERE rn = (50 * n.n + 99) // 100
+), dev AS (
+  SELECT doc_id, v, abs(v - med) AS dev FROM v, medr
+), madr AS (
+  SELECT dev AS mad FROM (
+    SELECT dev, row_number() OVER (ORDER BY dev) AS rn FROM dev
+  ), n WHERE rn = (50 * n.n + 99) // 100
+)
+SELECT doc_id, v AS value, dev,
+       dev * 1000000 > {int(k_ppm)} * mad AS is_outlier
+FROM dev, madr
+"""

@@ -1973,3 +1973,27 @@ def test_percentile_rank_matches_plain_python_reference(spark, values):
     got = {r.doc_id: (r.value, r.rank, r.pct_ppm)
            for r in percentile_rank(df, "n_chars").collect()}
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(0, 50), min_size=1, max_size=30))
+def test_mad_outliers_matches_plain_python_reference(spark, values):
+    """Lower-median MAD fence recomputed by plain sorts, including the
+    mad=0 degenerate case."""
+    from eventstore_spark.operators.stats import mad_outliers
+
+    n = len(values)
+    rk = (50 * n + 99) // 100
+    med = sorted(values)[rk - 1]
+    devs = [abs(v - med) for v in values]
+    mad = sorted(devs)[rk - 1]
+    expected = {i: (v, abs(v - med), abs(v - med) * 1_000_000 > 3_000_000 * mad)
+                for i, v in enumerate(values)}
+
+    df = spark.createDataFrame(
+        [(i, "t", "en", "s", v) for i, v in enumerate(values)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r.doc_id: (r.value, r.dev, r.is_outlier)
+           for r in mad_outliers(df, "n_chars", buckets=7).collect()}
+    assert got == expected

@@ -257,6 +257,9 @@ BNLJ_OK = {
     # ONE-ROW total-count scalar broadcast over the ranked stream (the
     # bm25 N/avgdl shape); the offsets join is keyed on the value
     "percentile_rank",
+    # TWO one-row median scalar broadcasts (med, mad) + exact_quantiles'
+    # own bounded histogram-offset broadcasts — all scalar-subquery shape
+    "mad_outliers",
 }
 
 SF1_DIR = "/root/repo/.localdata/sf1"  # tools/gen_sf.py output
