@@ -668,6 +668,15 @@ def q_mad_outliers(spark, sf):
     return mad_outliers(_table(spark, sf, "documents"), "n_chars")
 
 
+def q_group_weighted_sample(spark, sf):
+    """Exact-k-per-language weighted sample (r10 s4): A-ES integer keys
+    ranked by ONE group-keyed window — the mixture-construction
+    primitive (corpus.group_weighted_sample)."""
+    import eventstore_spark.operators.corpus as cp
+
+    return cp.group_weighted_sample(_table(spark, sf, "documents"), k=20)
+
+
 def q_scalar_quantize(spark, sf):
     """SQ8 embedding compression (r10 s3): per-dim min/max stats row
     broadcast over the scan, int8 codes + micro-exact reconstruction
@@ -2593,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_prf": q_langid_prf,
         "percentile_rank": q_percentile_rank,
         "mad_outliers": q_mad_outliers,
+        "group_weighted_sample": q_group_weighted_sample,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3593,4 +3603,5 @@ WHERE p.quality >= 0.3
     from eventstore_spark.operators.stats import sql_mad_outliers
 
     sqls["mad_outliers"] = sql_mad_outliers("n_chars")
+    sqls["group_weighted_sample"] = cp.sql_group_weighted_sample(k=20)
     return sqls

@@ -79,6 +79,7 @@ SECONDARY = [
     "langid_prf",
     "percentile_rank",
     "mad_outliers",
+    "group_weighted_sample",
 ]
 
 

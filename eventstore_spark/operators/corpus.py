@@ -2260,3 +2260,77 @@ FROM keyed
 ORDER BY key, doc_id
 LIMIT {k}
 """
+
+
+def group_weighted_sample(docs: DataFrame, k: int = 20,
+                          group_col: str = "lang",
+                          weight_col: str = "n_chars",
+                          salt: str = "aes-v1",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Exact-k-PER-GROUP weighted sampling without replacement — the
+    mixture-construction primitive ("k docs per language/source, drawn
+    proportional to weight"): :func:`weighted_sample`'s A-ES integer
+    keys, selected by a window KEYED on the group instead of a global
+    top-k. Same key contract (md5-uniform, quantized ln, non-negative
+    floor-div; ties → doc_id); non-positive weights excluded.
+
+    Returns (group, doc_id, weight, key, rk) for the ≤ k winners per
+    group (rk = 1..k within the group).
+
+    Plan shape at 100 TB: ONE codegen projection pass (hash + ln +
+    integer div), then ONE window partitioned by the group — partition
+    size = that group's rows, the natural parallelism unit; no global
+    sort, no shuffle beyond the group key. (For a single
+    pathological mega-group, fall back to :func:`weighted_sample` on
+    that group's slice — the global TakeOrdered shape.)
+
+    Reference parity note: extends the selection family (SURVEY §2,
+    next to weighted_sample/stratified_sample/per_source_cap).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"),
+                                   F.col(id_col).cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    u = (h + 1) / F.lit(float(2 ** 32))
+    lnm = F.round(F.log(u) * 1e6).cast("long")
+    keyed = (
+        spread(docs)
+        .select(F.col(group_col).alias("grp"),
+                F.col(id_col).alias("doc_id"),
+                F.col(weight_col).cast("long").alias("weight"),
+                lnm.alias("_lnm"))
+        .where(F.col("weight") > 0)
+        .select("grp", "doc_id", "weight",
+                F.expr("((-_lnm) * 1000000) div weight").alias("key"))
+    )
+    w = Window.partitionBy("grp").orderBy("key", "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )
+
+
+def sql_group_weighted_sample(k: int = 20, group_col: str = "lang",
+                              weight_col: str = "n_chars",
+                              salt: str = "aes-v1",
+                              table: str = "documents",
+                              id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`group_weighted_sample`."""
+    return f"""
+WITH keyed AS (
+  SELECT {group_col} AS grp, {id_col} AS doc_id,
+         CAST({weight_col} AS BIGINT) AS weight,
+         CAST(round(ln((CAST('0x' || substr(md5('{salt}|' ||
+             CAST({id_col} AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+             / 4294967296.0) * 1e6) AS BIGINT) AS lnm
+  FROM {table}
+  WHERE CAST({weight_col} AS BIGINT) > 0
+), ranked AS (
+  SELECT grp, doc_id, weight, ((-lnm) * 1000000) // weight AS key,
+         CAST(row_number() OVER (PARTITION BY grp
+              ORDER BY ((-lnm) * 1000000) // weight, doc_id) AS BIGINT) AS rk
+  FROM keyed
+)
+SELECT grp, doc_id, weight, key, rk FROM ranked WHERE rk <= {int(k)}
+"""

@@ -1997,3 +1997,32 @@ def test_mad_outliers_matches_plain_python_reference(spark, values):
     got = {r.doc_id: (r.value, r.dev, r.is_outlier)
            for r in mad_outliers(df, "n_chars", buckets=7).collect()}
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.sampled_from(["en", "de"]), st.integers(1, 300)),
+                min_size=1, max_size=40), st.integers(1, 5))
+def test_group_weighted_sample_matches_plain_python_reference(spark, rows, k):
+    """Per-group A-ES selection recomputed in plain Python: same keys as
+    weighted_sample, ranked within each group."""
+    from eventstore_spark.operators.corpus import group_weighted_sample
+
+    salt = "aes-v1"
+    per_group: dict[str, list] = {}
+    for i, (g, w) in enumerate(rows):
+        h = int(hashlib.md5(f"{salt}|{i}".encode()).hexdigest()[:8], 16)
+        lnm = _rhu(math.log((h + 1) / 4294967296.0) * 1e6)
+        per_group.setdefault(g, []).append(
+            (((-lnm) * 1_000_000) // w, i, w))
+    expected = {}
+    for g, items in per_group.items():
+        for rk, (key, i, w) in enumerate(sorted(items)[:k], start=1):
+            expected[i] = (g, w, key, rk)
+
+    docs = spark.createDataFrame(
+        [(i, "t", g, "s", w) for i, (g, w) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r.doc_id: (r.grp, r.weight, r.key, r.rk)
+           for r in group_weighted_sample(docs, k=k).collect()}
+    assert got == expected

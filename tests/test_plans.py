@@ -858,6 +858,17 @@ def test_span_dedup_apply_join_is_keyed_on_hash(parquet_docs):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_group_weighted_sample_window_is_group_keyed(parquet_docs):
+    """The per-group rank must window on the group key — never a
+    SinglePartition window (the pack_shards lesson)."""
+    from eventstore_spark.operators.corpus import group_weighted_sample
+
+    plan = plan_of(group_weighted_sample(parquet_docs, k=3))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(grp" in plan
+
+
 def test_bloom_probe_never_shuffles_the_new_batch(parquet_docs):
     """The Bloom probe must be k independent broadcast joins against the
     bounded position table — the new batch stays scan-side. A
