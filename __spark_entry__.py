@@ -677,6 +677,15 @@ def q_group_weighted_sample(spark, sf):
     return cp.group_weighted_sample(_table(spark, sf, "documents"), k=20)
 
 
+def q_concentration_report(spark, sf):
+    """Source-concentration audit (r10 s4): exact HHI + Gini of the
+    per-source count distribution — one map-side aggregate, G-row
+    window, one-row output (stats.concentration_report)."""
+    from eventstore_spark.operators.stats import concentration_report
+
+    return concentration_report(_table(spark, sf, "documents"), "source")
+
+
 def q_scalar_quantize(spark, sf):
     """SQ8 embedding compression (r10 s3): per-dim min/max stats row
     broadcast over the scan, int8 codes + micro-exact reconstruction
@@ -2603,6 +2612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_rank": q_percentile_rank,
         "mad_outliers": q_mad_outliers,
         "group_weighted_sample": q_group_weighted_sample,
+        "concentration_report": q_concentration_report,
     }
     # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
     # that have NEVER had a driver-green row come first, then the six
@@ -3604,4 +3614,7 @@ WHERE p.quality >= 0.3
 
     sqls["mad_outliers"] = sql_mad_outliers("n_chars")
     sqls["group_weighted_sample"] = cp.sql_group_weighted_sample(k=20)
+    from eventstore_spark.operators.stats import sql_concentration_report
+
+    sqls["concentration_report"] = sql_concentration_report("source")
     return sqls

@@ -80,6 +80,7 @@ SECONDARY = [
     "percentile_rank",
     "mad_outliers",
     "group_weighted_sample",
+    "concentration_report",
 ]
 
 

@@ -639,3 +639,79 @@ SELECT doc_id, v AS value, dev,
        dev * 1000000 > {int(k_ppm)} * mad AS is_outlier
 FROM dev, madr
 """
+
+
+def concentration_report(df: DataFrame, group_col: str = "source"
+                         ) -> DataFrame:
+    """Corpus concentration over a categorical key (source/domain/lang)
+    — the mixture-audit number pair: Herfindahl-Hirschman index and the
+    Gini coefficient of the group-size distribution ("is the corpus a
+    handful of domains in a trench coat?" — the C4/Dolma data-card
+    staple).
+
+    For group counts n_1..n_G (ascending) with N = Σn, rank i = 1..G:
+
+      hhi_ppm  = Σ n_g² · 1e6 div N²
+      gini_ppm = (2·Σ i·n_i − (G+1)·N) · 1e6 div (G·N)
+
+    both exact in DECIMAL(38,0)/HUGEINT (n² and N² pass 2^63 at corpus
+    scale). Returns ONE row (n_groups, n_rows, hhi_ppm, gini_ppm).
+
+    Plan shape at 100 TB: the corpus collapses to per-group counts in
+    ONE map-side aggregate; the rank window and both sums run over G
+    rows (groups are dozens-to-thousands by construction — the bounded
+    unpartitioned-window precedent); output is one row.
+
+    Reference parity note: extends the corpus-analytics family
+    (SURVEY §2, next to source_mixture/kmv_distinct/zipf_fit).
+    """
+    cnts = (spread(df)
+            .groupBy(F.col(group_col).alias("g"))
+            .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy("n", "g")
+    ranked = cnts.select(
+        "n", F.row_number().over(w).cast("long").alias("i"))
+    return (
+        ranked.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n").alias("n_rows"),
+            F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * n")).alias("sq"),
+            F.sum(F.expr("CAST(i AS DECIMAL(38,0)) * n")).alias("iw"),
+        )
+        .select(
+            F.col("n_groups").cast("long").alias("n_groups"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.expr("CAST(sq * 1000000 DIV (CAST(n_rows AS DECIMAL(38,0)) "
+                   "* n_rows) AS BIGINT)").alias("hhi_ppm"),
+            F.expr("CAST((2 * iw - (n_groups + 1) "
+                   "* CAST(n_rows AS DECIMAL(38,0))) * 1000000 "
+                   "DIV (CAST(n_groups AS DECIMAL(38,0)) * n_rows) "
+                   "AS BIGINT)").alias("gini_ppm"),
+        )
+    )
+
+
+def sql_concentration_report(group_col: str = "source",
+                             table: str = "documents") -> str:
+    """DuckDB oracle for :func:`concentration_report`."""
+    return f"""
+WITH cnts AS (
+  SELECT {group_col} AS g, CAST(count(*) AS BIGINT) AS n
+  FROM {table} GROUP BY 1
+), ranked AS (
+  SELECT n, CAST(row_number() OVER (ORDER BY n, g) AS BIGINT) AS i
+  FROM cnts
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         sum(CAST(n AS HUGEINT) * n) AS sq,
+         sum(CAST(i AS HUGEINT) * n) AS iw
+  FROM ranked
+)
+SELECT n_groups, n_rows,
+       CAST(sq * 1000000 // (CAST(n_rows AS HUGEINT) * n_rows) AS BIGINT)
+         AS hhi_ppm,
+       CAST((2 * iw - (n_groups + 1) * CAST(n_rows AS HUGEINT)) * 1000000
+            // (CAST(n_groups AS HUGEINT) * n_rows) AS BIGINT) AS gini_ppm
+FROM agg
+"""

@@ -2026,3 +2026,29 @@ def test_group_weighted_sample_matches_plain_python_reference(spark, rows, k):
     got = {r.doc_id: (r.grp, r.weight, r.key, r.rk)
            for r in group_weighted_sample(docs, k=k).collect()}
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.sampled_from(["s0", "s1", "s2", "s3"]),
+                min_size=1, max_size=40))
+def test_concentration_report_matches_plain_python_reference(spark, groups):
+    """HHI and Gini recomputed definitionally from sorted group counts,
+    exact floor-micro; uniform counts give gini 0, single group gives
+    hhi 1e6."""
+    from collections import Counter
+
+    from eventstore_spark.operators.stats import concentration_report
+
+    cnt = Counter(groups)
+    ns = [n for _, n in sorted(cnt.items(), key=lambda kv: (kv[1], kv[0]))]
+    G, N = len(ns), sum(ns)
+    hhi = sum(n * n for n in ns) * 1_000_000 // (N * N)
+    gini = ((2 * sum(i * n for i, n in enumerate(ns, 1)) - (G + 1) * N)
+            * 1_000_000 // (G * N))
+
+    df = spark.createDataFrame(
+        [(i, "t", "en", g, 1) for i, g in enumerate(groups)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    r = concentration_report(df, "source").collect()[0]
+    assert (r.n_groups, r.n_rows, r.hhi_ppm, r.gini_ppm) == (G, N, hhi, gini)
