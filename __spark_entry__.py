@@ -2614,39 +2614,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_weighted_sample": q_group_weighted_sample,
         "concentration_report": q_concentration_report,
     }
-    # Round-10 rotation (VERDICT r9 task #1): the 24 session-2/3 operators
-    # that have NEVER had a driver-green row come first, then the six
-    # operators NEW this round (never sampled either), then the three
-    # entries last driver-sampled in r7 (they sat at positions 51-53 of
-    # the r9 head, just outside the window), then the 17 longest-unsampled
-    # r8-block entries — exactly 50. Every never-sampled entry is in the
-    # window, and the six r8-block entries displaced by the new ops were
-    # driver-green in r8, so the r8+r9+r10 union still covers the whole
-    # registry driver-green.
+    # Round-11 rotation (VERDICT r10 task #1): the 37 operators added
+    # after the r10 sample window froze (sessions 2-4 of r10) have never
+    # had a driver-green row — they come first, then the 13
+    # longest-unsampled entries (all last driver-sampled in r8, in
+    # registry order) — exactly 50. With this window green, the
+    # r8+r9+r10+r11 union covers the entire registry driver-certified.
     head = [
-        # -- the 24 never-driver-sampled (local-oracle green r9) --
-        "c4_quality", "dsir_select", "quality_sample",
-        "contamination_semantic", "ccnet_buckets", "kmv_distinct",
-        "bpe_train", "bpe_apply", "boilerplate_ngrams", "bm25_search",
-        "winnowing_neardup", "ann_pq", "heavy_hitters", "line_dedup",
-        "lsh_calibration", "kn_perplexity", "kmeans_clusters",
-        "lsh_recall", "knn_eval", "clean_text", "hashed_doc_vectors",
-        "text_neardup_hashed", "winnowing_fingerprints",
-        "leakage_safe_split",
-        # -- new in r10 (never driver-sampled) --
-        "y5_custom_property", "html_extract", "url_normalize",
-        "dedup_doc_lines", "ann_ivfpq", "source_temperature_sample",
-        # -- last driver-sampled in r7 --
-        "readability", "ann_ivf", "embedding_neardup",
-        # -- last driver-sampled in r8 (oldest 17 of that block) --
-        "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
-        "tpch_q9_product_profit", "tpch_q11_nation_value",
-        "tpch_q12_ship_delay", "tpch_q16_supplier_count",
-        "tpch_q19_discounted_revenue", "tpch_q20_excess_suppliers",
-        "tpch_q21_late_supplier", "tpch_q22_global_sales_opportunity",
-        "text_analyze", "text_quality_histogram", "dedup_exact",
-        "dedup_minhash_pairs", "dedup_simhash", "dedup_simhash_pairs",
-        "dedup_ngram_jaccard",
+        # -- the 37 never-driver-sampled (local-oracle green r10) --
+        "sequence_pack", "blocklist_filter", "zipf_fit", "extract_links",
+        "link_pagerank", "ndcg_eval", "block_manifest", "anchor_domains",
+        "lexical_profile", "crawl_frontier", "hybrid_rrf", "dedup_url",
+        "quality_ensemble", "link_hits", "pmi_collocations",
+        "chat_sft_spans", "span_dedup_apply", "hard_negatives",
+        "scalar_quantize", "containment_pairs", "exact_quantiles",
+        "dedup_edit_verify", "dedup_bloom", "overlap_eval",
+        "embedding_pca", "source_drift_ks", "tokenizer_fertility",
+        "weighted_sample", "rp_project", "kcenter_select", "auc_eval",
+        "events_rate_anomaly", "langid_prf", "percentile_rank",
+        "mad_outliers", "group_weighted_sample", "concentration_report",
+        # -- last driver-sampled in r8 (oldest 13, registry order) --
+        "dedup_clusters", "token_vocabulary", "lm_score", "langid_eval",
+        "tpch_q6", "source_mixture", "contamination_exact",
+        "chunk_documents", "classifier_score", "span_dedup",
+        "per_source_cap", "training_order", "knn_classify",
     ]
     return {**{n: q[n] for n in head},
             **{n: fn for n, fn in q.items() if n not in set(head)}}
