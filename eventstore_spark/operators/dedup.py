@@ -1613,9 +1613,80 @@ def _bloom_positions(fp: Column, k: int, m_bits: int) -> Column:
     ])
 
 
+def _bloom_probe_plan(new: DataFrame, positions: DataFrame,
+                      hist_fps: DataFrame, k: int, m_bits: int,
+                      max_broadcast_positions: int | None = None
+                      ) -> DataFrame:
+    """Shared Bloom probe plan over ``new`` (doc_id, fp) against a
+    position table and an exact fingerprint table.
+
+    Two plan shapes, chosen by MEASURING the position table (the
+    `guarded_broadcast` discipline — count, never assume):
+
+    * within the bound: k independent broadcast joins, one per hash
+      function — the new batch stays scan-side with zero shuffle.
+    * above the bound (the 1e12-key regime where the position table is
+      TBs: PLANS.md §"Round-10 session-4"): one position-keyed shuffle
+      join over the exploded probe positions, partial-aggregated back
+      per doc. The batch shuffles once on pos — the honest plan when
+      the filter itself no longer fits an executor broadcast.
+
+    ``positions`` must be caller-persisted when reused (it is consumed
+    by the count and then by the join(s)).
+    """
+    from eventstore_spark.plans import join_strategy
+
+    if max_broadcast_positions is None:
+        # read at call time so tests can lower the bound and drive the
+        # fallback without materializing millions of positions
+        max_broadcast_positions = join_strategy.DEFAULT_MAX_BROADCAST_ROWS
+    hist_fps = hist_fps.select("fp").withColumn("dup", F.lit(True))
+    pos_cols = _bloom_positions(F.col("fp"), k, m_bits)
+    if positions.count() <= max_broadcast_positions:
+        probed = new.select(
+            "doc_id", "fp",
+            *[pos_cols[j].alias(f"pos{j}") for j in range(k)])
+        for j in range(k):
+            side = positions.select(F.col("pos").alias(f"pos{j}"),
+                                    F.lit(1).alias(f"hit{j}"))
+            probed = probed.join(F.broadcast(side), f"pos{j}", "left")
+        probed = probed.select(
+            "doc_id", "fp",
+            functools.reduce(
+                lambda a, b: a & b,
+                [F.coalesce(F.col(f"hit{j}"), F.lit(0)) == 1
+                 for j in range(k)],
+            ).alias("maybe_dup"))
+    else:
+        # range/hash-partitioned probe: explode the k probe positions
+        # (duplicates kept — ALL k must hit, so min(hit) is exact even
+        # when two hash functions land on the same bit), join keyed on
+        # pos with a pinned hash join, fold back per doc map-side-first
+        exploded = new.select("doc_id", "fp",
+                              F.explode(pos_cols).alias("pos"))
+        side = positions.select("pos", F.lit(1).alias("hit"))
+        probed = (
+            exploded.join(side.hint("shuffle_hash"), "pos", "left")
+            .groupBy("doc_id", "fp")
+            .agg((F.min(F.coalesce(F.col("hit"), F.lit(0))) == 1)
+                 .alias("maybe_dup"))
+        )
+    flagged = (
+        probed.where("maybe_dup")
+        .join(hist_fps, "fp", "left")
+        .select("doc_id", "maybe_dup",
+                F.coalesce("dup", F.lit(False)).alias("is_dup"))
+    )
+    clear = probed.where(~F.col("maybe_dup")).select(
+        "doc_id", "maybe_dup", F.lit(False).alias("is_dup"))
+    return flagged.unionByName(clear)
+
+
 def bloom_dedup_incremental(docs: DataFrame, id_col="doc_id",
                             text_col="text", split_mod: int = 3,
-                            m_bits: int = 8192, k: int = 4) -> DataFrame:
+                            m_bits: int = 8192, k: int = 4,
+                            max_broadcast_positions: int | None = None
+                            ) -> DataFrame:
     """Incremental exact dedup of a NEW batch against an existing corpus
     via a Bloom filter over history fingerprints (Bloom 1970; the
     cross-snapshot dedup pattern of CommonCrawl-scale pipelines).
@@ -1646,8 +1717,12 @@ def bloom_dedup_incremental(docs: DataFrame, id_col="doc_id",
     Sizing: fill ≈ 1 - exp(-k·n/m); FP rate ≈ fill^k. m_bits is the
     knob — 10 bits/key at k=4 gives ~1.2% FPs regardless of corpus
     size; at 1e12 keys the filter is ~1.2 TB split across partitioned
-    position ranges, probed with a range-partitioned join instead of a
-    single broadcast (same relational shape, keyed by pos-range).
+    position ranges, probed with a position-keyed shuffle join instead
+    of a single broadcast. That fallback is IMPLEMENTED, not assumed:
+    the position table is counted (`guarded_broadcast` discipline) and
+    above ``max_broadcast_positions`` (default
+    ``join_strategy.DEFAULT_MAX_BROADCAST_ROWS``) the probe switches to
+    the exploded keyed join in :func:`_bloom_probe_plan`.
 
     Reference parity note: the reference engine has no corpus dedup;
     this extends the training-data-pipeline surface (SURVEY §2 dedup
@@ -1670,35 +1745,13 @@ def bloom_dedup_incremental(docs: DataFrame, id_col="doc_id",
         .distinct()
         .cache()
     )
-    hist_fps = hist.select("fp").distinct().withColumn("dup", F.lit(True))
+    hist_fps = hist.select("fp").distinct()
 
-    # probe = k independent broadcast joins (one per hash function), NOT
-    # explode + groupBy: the new batch stays scan-side with zero shuffle;
-    # each join's build side is the same bounded position table.
-    pos_cols = _bloom_positions(F.col("fp"), k, m_bits)
-    probed = new.select(
-        "doc_id", "fp",
-        *[pos_cols[j].alias(f"pos{j}") for j in range(k)])
-    for j in range(k):
-        side = positions.select(F.col("pos").alias(f"pos{j}"),
-                                F.lit(1).alias(f"hit{j}"))
-        probed = probed.join(F.broadcast(side), f"pos{j}", "left")
-    probed = probed.select(
-        "doc_id", "fp",
-        functools.reduce(
-            lambda a, b: a & b,
-            [F.coalesce(F.col(f"hit{j}"), F.lit(0)) == 1 for j in range(k)],
-        ).alias("maybe_dup"))
     # only Bloom-positive docs reach the exact verify join; negatives are
     # exact non-dups by the no-false-negative guarantee
-    flagged = (
-        probed.where("maybe_dup")
-        .join(hist_fps, "fp", "left")
-        .select("doc_id", "maybe_dup", F.coalesce("dup", F.lit(False)).alias("is_dup"))
-    )
-    clear = probed.where(~F.col("maybe_dup")).select(
-        "doc_id", "maybe_dup", F.lit(False).alias("is_dup"))
-    return flagged.unionByName(clear)
+    return _bloom_probe_plan(new.select("doc_id", "fp"), positions,
+                             hist_fps, k, m_bits,
+                             max_broadcast_positions)
 
 
 def sql_bloom_dedup_incremental(split_mod: int = 3, m_bits: int = 8192,
@@ -1746,66 +1799,81 @@ def build_bloom_index(docs: DataFrame, path: str, id_col="doc_id",
     appended duplicates only cost storage until a compaction rewrite).
 
     (m_bits, k) are part of the artifact contract — probe with the same
-    values used to build (they determine the bit positions)."""
+    values used to build (they determine the bit positions).
+
+    Layout: both sides are written under an ``epoch=-1`` partition
+    subdirectory — the SAME partitioned layout
+    :func:`streaming_bloom_dedup` appends its per-micro-batch
+    ``epoch=N`` directories to. A built index is therefore directly
+    usable as a stream's ``index_path`` seed: Spark partition discovery
+    sees one homogeneous epoch-partitioned tree (mixing root-level data
+    files with epoch= dirs is rejected as conflicting structures).
+    Stream epochs are >= 0, so the build sentinel never collides and is
+    never excluded by a replayed batch's own-epoch filter."""
     base = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         fingerprint(F.col(text_col)).alias("fp"))
     (base.select(F.explode(_bloom_positions(F.col("fp"), k, m_bits))
                  .alias("pos"))
      .distinct()
-     .write.mode("append").parquet(f"{path}/positions"))
-    base.select("fp").distinct().write.mode("append").parquet(f"{path}/fps")
+     .write.mode("append").parquet(f"{path}/positions/epoch=-1"))
+    (base.select("fp").distinct()
+     .write.mode("append").parquet(f"{path}/fps/epoch=-1"))
     return {"path": path, "m_bits": m_bits, "k": k,
             "docs_indexed": base.count()}
 
 
+def _bloom_index_part(spark, part_path: str, col: str,
+                      exclude_epoch: int | None = None) -> DataFrame:
+    """Read one side (positions | fps) of a persisted Bloom index as a
+    distinct single-column table. ``exclude_epoch`` drops rows written
+    under that ``epoch=`` partition — the replay-idempotency filter: a
+    replayed micro-batch must not probe its OWN prior write, or every
+    first-attempt survivor matches its own fingerprint and the batch
+    silently dedups itself to nothing. Projection happens BEFORE the
+    distinct so the epoch partition column never multiplies positions.
+
+    The path is refreshed first: the index is append-only across
+    probes/micro-batches, and a prior probe's cached read of the same
+    path would otherwise be served stale (CacheManager matches the
+    canonicalized plan, not the current file listing)."""
+    spark.catalog.refreshByPath(part_path)
+    df = spark.read.parquet(part_path)
+    if exclude_epoch is not None and "epoch" in df.columns:
+        df = df.where(F.col("epoch") != int(exclude_epoch))
+    return df.select(col).distinct()
+
+
 def bloom_probe_indexed(new_docs: DataFrame, spark, path: str,
                         id_col="doc_id", text_col="text",
-                        m_bits: int = 8192, k: int = 4) -> DataFrame:
+                        m_bits: int = 8192, k: int = 4,
+                        exclude_epoch: int | None = None,
+                        positions: DataFrame | None = None,
+                        max_broadcast_positions: int | None = None
+                        ) -> DataFrame:
     """Probe a NEW batch against a persisted Bloom index: returns
     (doc_id, maybe_dup, is_dup) with the same semantics/plan shape as
     :func:`bloom_dedup_incremental` — k broadcast position joins keep
-    the batch scan-side; only Bloom-positive docs touch the exact
-    fingerprint table. The positions read is DISTINCT-deduped (append
-    layout) and still ≤ m_bits rows by construction."""
-    # project BEFORE distinct: the streaming layout adds an epoch
-    # partition column, and a distinct over (pos, epoch) would leave
-    # duplicate positions that multiply the probe join's rows
-    positions = (
-        spark.read.parquet(f"{path}/positions")
-        .select("pos").distinct().cache()
-    )
-    hist_fps = (
-        spark.read.parquet(f"{path}/fps")
-        .select("fp").distinct()
-        .withColumn("dup", F.lit(True))
-    )
+    the batch scan-side (position-keyed shuffle join above
+    ``max_broadcast_positions``: see :func:`_bloom_probe_plan`); only
+    Bloom-positive docs touch the exact fingerprint table.
+
+    ``exclude_epoch`` drops index rows written under that ``epoch=``
+    partition from BOTH sides (the streaming replay-idempotency
+    filter). ``positions`` lets the caller pass a pre-loaded,
+    caller-persisted position table so its cache lifetime is managed
+    alongside the caller's other per-batch caches — a long-running
+    stream must not accumulate one cached copy per micro-batch; when
+    None, it is loaded and cached here (one-shot batch use)."""
+    if positions is None:
+        positions = _bloom_index_part(
+            spark, f"{path}/positions", "pos", exclude_epoch).cache()
+    hist_fps = _bloom_index_part(spark, f"{path}/fps", "fp", exclude_epoch)
     new = spread(new_docs).select(
         F.col(id_col).alias("doc_id"),
         fingerprint(F.col(text_col)).alias("fp"))
-    pos_cols = _bloom_positions(F.col("fp"), k, m_bits)
-    probed = new.select(
-        "doc_id", "fp",
-        *[pos_cols[j].alias(f"pos{j}") for j in range(k)])
-    for j in range(k):
-        side = positions.select(F.col("pos").alias(f"pos{j}"),
-                                F.lit(1).alias(f"hit{j}"))
-        probed = probed.join(F.broadcast(side), f"pos{j}", "left")
-    probed = probed.select(
-        "doc_id", "fp",
-        functools.reduce(
-            lambda a, b: a & b,
-            [F.coalesce(F.col(f"hit{j}"), F.lit(0)) == 1 for j in range(k)],
-        ).alias("maybe_dup"))
-    flagged = (
-        probed.where("maybe_dup")
-        .join(hist_fps, "fp", "left")
-        .select("doc_id", "maybe_dup",
-                F.coalesce("dup", F.lit(False)).alias("is_dup"))
-    )
-    clear = probed.where(~F.col("maybe_dup")).select(
-        "doc_id", "maybe_dup", F.lit(False).alias("is_dup"))
-    return flagged.unionByName(clear)
+    return _bloom_probe_plan(new, positions, hist_fps, k, m_bits,
+                             max_broadcast_positions)
 
 
 def streaming_bloom_dedup(stream: DataFrame, spark, index_path: str,
@@ -1821,7 +1889,17 @@ def streaming_bloom_dedup(stream: DataFrame, spark, index_path: str,
     :func:`bloom_probe_indexed`, with `streaming_minhash_dedup`'s
     exactly-once discipline: foreachBatch is at-least-once, so every
     write is keyed by ``epoch_id`` with mode=overwrite (a replayed
-    batch rewrites its own epoch directories — idempotent).
+    batch rewrites its own epoch directories — idempotent). Replay
+    idempotency requires one more filter the minhash twin gets for
+    free from its same-doc-id pair exclusion: the index is read with
+    ``exclude_epoch=epoch_id``, so a batch replayed AFTER its index
+    write (crash between write and checkpoint commit) does not probe
+    its own fingerprints, match itself, and silently dedup the whole
+    batch to nothing — it recomputes the same survivors.
+
+    The index may be pre-seeded by :func:`build_bloom_index` (its
+    ``epoch=-1`` layout is the same partitioned tree this stream
+    appends to).
 
     First-seen-wins: within a batch, the lowest id of each fingerprint
     survives; across batches, anything already indexed is dropped.
@@ -1831,7 +1909,7 @@ def streaming_bloom_dedup(stream: DataFrame, spark, index_path: str,
     """
     def _fold(batch_df, epoch_id):
         batch_df = batch_df.persist()
-        probed = survivors = None
+        probed = survivors = positions = None
         try:
             if batch_df.isEmpty():
                 return
@@ -1842,9 +1920,18 @@ def streaming_bloom_dedup(stream: DataFrame, spark, index_path: str,
                 F.col(id_col).alias("doc_id"),
                 fingerprint(F.col(text_col)).alias("fp"))
             if bool(fs.exists(jpath)):
+                # exclude_epoch + caller-owned positions cache: the
+                # replayed batch must not see its own prior write, and
+                # the per-batch cache must die with the batch (not
+                # accumulate one copy per micro-batch for the life of
+                # the stream)
+                positions = _bloom_index_part(
+                    spark, f"{index_path}/positions", "pos",
+                    exclude_epoch=int(epoch_id)).persist()
                 probed = bloom_probe_indexed(
                     batch_df, spark, index_path, id_col, text_col,
-                    m_bits, k).persist()
+                    m_bits, k, exclude_epoch=int(epoch_id),
+                    positions=positions).persist()
                 cross_dups = probed.where("is_dup").select("doc_id")
             else:
                 cross_dups = base.limit(0).select("doc_id")
@@ -1872,7 +1959,7 @@ def streaming_bloom_dedup(stream: DataFrame, spark, index_path: str,
              .write.mode("overwrite")
              .parquet(f"{index_path}/fps/epoch={int(epoch_id)}"))
         finally:
-            for df in (probed, survivors, batch_df):
+            for df in (probed, survivors, positions, batch_df):
                 if df is not None:
                     df.unpersist()
 

@@ -1808,3 +1808,32 @@ def test_bloom_index_roundtrip_and_append(spark, docs, tmp_path_factory):
              for r in dd.bloom_probe_indexed(new, spark, idx,
                                              m_bits=512, k=4).collect()}
     assert all(v == (True, True) for v in again.values())
+
+
+def test_bloom_fallback_join_matches_broadcast_path(spark, docs, tmp_path_factory):
+    """Above max_broadcast_positions the probe switches from k broadcast
+    joins to one position-keyed shuffle join (the 1e12-key regime where
+    the filter no longer fits a broadcast) — results must be identical
+    bit-for-bit, including duplicate-position docs (ALL k hashes must
+    hit even when two land on the same bit)."""
+    want = {r.doc_id: (r.maybe_dup, r.is_dup)
+            for r in dd.bloom_dedup_incremental(
+                docs, split_mod=3, m_bits=512, k=4).collect()}
+    got = {r.doc_id: (r.maybe_dup, r.is_dup)
+           for r in dd.bloom_dedup_incremental(
+               docs, split_mod=3, m_bits=512, k=4,
+               max_broadcast_positions=0).collect()}
+    assert got == want
+
+    idx = str(tmp_path_factory.mktemp("bloomfb") / "index")
+    hist = docs.where("doc_id % 3 != 0")
+    new = docs.where("doc_id % 3 = 0")
+    dd.build_bloom_index(hist, idx, m_bits=512, k=4)
+    want = {r.doc_id: (r.maybe_dup, r.is_dup)
+            for r in dd.bloom_probe_indexed(new, spark, idx,
+                                            m_bits=512, k=4).collect()}
+    got = {r.doc_id: (r.maybe_dup, r.is_dup)
+           for r in dd.bloom_probe_indexed(
+               new, spark, idx, m_bits=512, k=4,
+               max_broadcast_positions=0).collect()}
+    assert got == want

@@ -926,3 +926,53 @@ def test_edit_verify_fetch_carries_only_bounded_prefixes(parquet_docs):
     # the shingle/signature arrays exist only below the banding; the
     # verify fetch projects the prefix column
     assert "substring(regexp_replace" in plan or "substring" in plan
+
+
+def test_bloom_oversized_positions_never_broadcast(parquet_docs):
+    """When the position table exceeds the measured broadcast bound, the
+    probe must plan as ONE position-keyed hash join over the exploded
+    probe positions — no broadcast of the oversized table (the
+    guarded_broadcast OOM class), no k-join pos0..posk aliases, no
+    Cartesian anywhere."""
+    from eventstore_spark.operators.dedup import bloom_dedup_incremental
+
+    plan = plan_of(bloom_dedup_incremental(
+        parquet_docs, m_bits=256, k=4, max_broadcast_positions=0))
+    assert "pos0" not in plan          # the broadcast path's join aliases
+    assert "hashpartitioning(pos" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_percentile_rank_offsets_window_is_bucket_keyed(parquet_docs):
+    """The per-distinct-value cumulative must run inside a window KEYED
+    by the range bucket — an unpartitioned v-ordered window is a
+    corpus-sized single task the moment the value column is continuous
+    (micro-quantized scores). The only unpartitioned window allowed is
+    the ≤1024-row bucket cumulative (the exact_quantiles precedent)."""
+    import re
+
+    from eventstore_spark.operators.stats import percentile_rank
+
+    plan = percentile_rank(parquet_docs, "n_chars") \
+        ._jdf.queryExecution().executedPlan().toString()
+    # offsets window partitioned by bucket, ordered by value
+    assert re.search(r"windowspecdefinition\(_b#\d+, v#\d+L ASC", plan)
+    # no unpartitioned window ordered directly by the value column
+    assert not re.search(r"windowspecdefinition\(v#\d+L ASC", plan)
+
+
+def test_auc_eval_offsets_window_is_bucket_keyed(parquet_docs, spark):
+    """Same contract for auc_eval's running negative count: bucket-keyed
+    cumulative, never an unpartitioned window over distinct scores."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from eventstore_spark.operators.stats import auc_eval
+
+    df = parquet_docs.withColumn("lab", F.col("doc_id") % 2 == 0)
+    plan = auc_eval(df, "n_chars", "lab") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"windowspecdefinition\(_b#\d+, s#\d+L ASC", plan)
+    assert not re.search(r"windowspecdefinition\(s#\d+L ASC", plan)

@@ -1402,3 +1402,193 @@ def test_streaming_bloom_dedup_across_batches(spark, tmp_path):
         assert n_fps == 3
     finally:
         q.stop()
+
+
+def _replay_last_batch(checkpoint: str):
+    """Simulate the at-least-once crash window: drop the newest commit
+    marker so the restarted query re-executes that micro-batch (offsets
+    exist, commit doesn't — exactly the state after a crash between the
+    foreachBatch writes and the checkpoint commit)."""
+    import os
+    commits = os.path.join(checkpoint, "commits")
+    newest = max(int(f) for f in os.listdir(commits) if not f.startswith("."))
+    os.remove(os.path.join(commits, str(newest)))
+    # also drop Hadoop LocalFS's hidden checksum twin — a stale .N.crc
+    # makes the replayed commit write fail as a (spurious) concurrent
+    # checkpoint modification
+    crc = os.path.join(commits, f".{newest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    return newest
+
+
+def test_streaming_bloom_dedup_replay_idempotent(spark, tmp_path):
+    """Crash-recovery soak (the reference's checkpoint discipline,
+    ProjectionCheckpoint.cs:19,83): a batch replayed AFTER its index
+    write but BEFORE the checkpoint commit must recompute the SAME
+    survivors. Without the exclude_epoch filter the replay probes its
+    own prior write, every survivor matches its own fingerprint, and
+    the mode=overwrite rewrite silently wipes the whole epoch — no
+    lost docs, no duplicated docs."""
+    import pandas as pd
+
+    from eventstore_spark.operators.dedup import streaming_bloom_dedup
+
+    base = "the quick brown fox jumps over the lazy dog"
+    src = tmp_path / "rbdocs_in"
+    src.mkdir()
+    pd.DataFrame(
+        [(1, base), (2, "another unrelated document"),
+         (3, base.upper())],  # within-batch dup of 1 (normalized)
+        columns=["doc_id", "text"],
+    ).to_parquet(src / "b1.parquet", coerce_timestamps="us")
+
+    def start():
+        stream = spark.readStream.schema(
+            "doc_id long, text string").parquet(str(src))
+        return streaming_bloom_dedup(
+            stream, spark,
+            index_path=str(tmp_path / "rbidx"),
+            out_path=str(tmp_path / "rbout"),
+            checkpoint=str(tmp_path / "rbck"),
+            m_bits=512, k=4,
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids = {r.doc_id for r in spark.read.parquet(str(tmp_path / "rbout")).collect()}
+    assert ids == {1, 2}
+
+    # crash window: index epoch=0 is on disk, commit 0 is not
+    assert _replay_last_batch(str(tmp_path / "rbck")) == 0
+    q = start()
+    try:
+        q.processAllAvailable()
+        ids = {r.doc_id
+               for r in spark.read.parquet(str(tmp_path / "rbout")).collect()}
+        assert ids == {1, 2}, f"replayed batch lost/duplicated docs: {ids}"
+        n_fps = spark.read.parquet(str(tmp_path / "rbidx" / "fps")) \
+            .select("fp").distinct().count()
+        assert n_fps == 2
+        # and the stream still dedups the NEXT batch against the index
+        pd.DataFrame(
+            [(4, base), (5, "fresh content for the post-replay batch")],
+            columns=["doc_id", "text"],
+        ).to_parquet(src / "b2.parquet", coerce_timestamps="us")
+        q.processAllAvailable()
+        ids = {r.doc_id
+               for r in spark.read.parquet(str(tmp_path / "rbout")).collect()}
+        assert ids == {1, 2, 5}, f"post-replay dedup wrong: {ids}"
+    finally:
+        q.stop()
+
+
+def test_streaming_minhash_dedup_replay_idempotent(spark, tmp_path):
+    """Same crash window for the minhash twin: its replay safety comes
+    from the pair join's same-doc-id exclusion (a survivor never pairs
+    with its own indexed signature) — pin that it actually holds
+    end-to-end across a forced restart-replay."""
+    import pandas as pd
+
+    from eventstore_spark.operators.dedup import streaming_minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    other = "completely different text about spark query engines and columnar files"
+    src = tmp_path / "rmdocs_in"
+    src.mkdir()
+    pd.DataFrame(
+        [(1, base), (2, other)], columns=["doc_id", "text"]
+    ).to_parquet(src / "b1.parquet", coerce_timestamps="us")
+
+    def start():
+        stream = spark.readStream.schema(
+            "doc_id long, text string").parquet(str(src))
+        return streaming_minhash_dedup(
+            stream, spark,
+            index_path=str(tmp_path / "rmidx"),
+            out_path=str(tmp_path / "rmout"),
+            checkpoint=str(tmp_path / "rmck"),
+            threshold=0.4,
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _replay_last_batch(str(tmp_path / "rmck")) == 0
+    q = start()
+    try:
+        q.processAllAvailable()
+        ids = {r.doc_id
+               for r in spark.read.parquet(str(tmp_path / "rmout")).collect()}
+        assert ids == {1, 2}, f"replayed batch lost/duplicated docs: {ids}"
+        idx_ids = {r.doc_id for r in spark.read.parquet(
+            str(tmp_path / "rmidx" / "sets")).collect()}
+        assert idx_ids == {1, 2}
+        pd.DataFrame(
+            [(3, base.replace("quick", "slow")),  # near-dup of indexed 1
+             (4, "genuinely new content never before seen in any batch")],
+            columns=["doc_id", "text"],
+        ).to_parquet(src / "b2.parquet", coerce_timestamps="us")
+        q.processAllAvailable()
+        ids = {r.doc_id
+               for r in spark.read.parquet(str(tmp_path / "rmout")).collect()}
+        assert ids == {1, 2, 4}, f"post-replay near-dedup wrong: {ids}"
+    finally:
+        q.stop()
+
+
+def test_streaming_bloom_dedup_seeded_from_built_index(spark, tmp_path):
+    """build_bloom_index output is a valid stream seed: its epoch=-1
+    layout matches the stream's epoch-partitioned appends, so partition
+    discovery stays homogeneous and the first micro-batch dedups
+    against the pre-built corpus."""
+    import pandas as pd
+
+    from eventstore_spark.operators.dedup import (
+        build_bloom_index, streaming_bloom_dedup)
+
+    base = "the quick brown fox jumps over the lazy dog"
+    idx = str(tmp_path / "sbidx")
+    hist = spark.createDataFrame(
+        [(100, base), (101, "history only content")],
+        "doc_id long, text string")
+    build_bloom_index(hist, idx, m_bits=512, k=4)
+
+    src = tmp_path / "sbdocs_in"
+    src.mkdir()
+    pd.DataFrame(
+        [(1, base),                       # exact dup of seeded 100
+         (2, "brand new streaming doc")],
+        columns=["doc_id", "text"],
+    ).to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = streaming_bloom_dedup(
+        stream, spark,
+        index_path=idx,
+        out_path=str(tmp_path / "sbout"),
+        checkpoint=str(tmp_path / "sbck"),
+        m_bits=512, k=4,
+    )
+    try:
+        q.processAllAvailable()
+        ids = {r.doc_id
+               for r in spark.read.parquet(str(tmp_path / "sbout")).collect()}
+        assert ids == {2}, f"seeded-index dedup wrong: {ids}"
+        # second batch: partition discovery must accept the mixed
+        # build(-1)/stream(0,1) epochs and keep deduping
+        pd.DataFrame(
+            [(3, "brand NEW streaming doc"),  # dup of epoch-0 survivor 2
+             (4, "another fresh document")],
+            columns=["doc_id", "text"],
+        ).to_parquet(src / "b2.parquet", coerce_timestamps="us")
+        q.processAllAvailable()
+        ids = {r.doc_id
+               for r in spark.read.parquet(str(tmp_path / "sbout")).collect()}
+        assert ids == {2, 4}, f"post-seed second batch wrong: {ids}"
+    finally:
+        q.stop()
