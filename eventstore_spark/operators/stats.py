@@ -124,6 +124,48 @@ GROUP BY r.q_pct
 """
 
 
+def _value_offsets(cnts: DataFrame, value: str = "v", cnt: str = "c",
+                   buckets: int = 1024) -> DataFrame:
+    """Exclusive running sum of ``cnt`` in ascending ``value`` order over
+    a per-distinct-value count table, added as column ``lo`` (other
+    columns pass through).
+
+    TWO-LEVEL, never a single unpartitioned window over the distinct
+    values: "distinct values are few" holds for quantized scores and
+    lengths but the API accepts any long-castable column — feed a
+    micro-quantized continuous score (the repo's own 1e6-ppm
+    convention) and distinct count approaches corpus size, turning the
+    one-partition window into a corpus-sized single-task sort (the
+    sized-by-assumption class guarded_broadcast was built to kill).
+    Scheme (the exact_quantiles bucket-histogram move):
+
+    * level 1 — values bin into ``buckets`` ranges (min/max is a one-row
+      scalar broadcast; bin arithmetic in DECIMAL(38,0), exact for the
+      full BIGINT range); bucket totals cumulate over ≤ ``buckets``
+      rows — bounded by CONSTRUCTION, the only unpartitioned window.
+    * level 2 — per-value offsets cumulate inside a window KEYED by
+      bucket (~distinct/buckets values each); lo = bucket_lo + local.
+    """
+    stats = cnts.agg(F.min(value).alias("_mn"), F.max(value).alias("_mx"))
+    binned = cnts.crossJoin(F.broadcast(stats)).withColumn(
+        "_b",
+        F.expr(f"CAST((CAST({value} AS DECIMAL(38,0)) - _mn) * {int(buckets)} "
+               f"DIV (CAST(_mx AS DECIMAL(38,0)) - _mn + 1) AS INT)"))
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    boffs = (binned.groupBy("_b").agg(F.sum(cnt).alias("_bc"))
+             .select("_b", (F.sum("_bc").over(wb) - F.col("_bc"))
+                     .alias("_blo")))
+    wv = (Window.partitionBy("_b").orderBy(value)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        binned.join(F.broadcast(boffs), "_b")
+        .withColumn("lo", (F.col("_blo") + F.sum(cnt).over(wv) - F.col(cnt))
+                    .cast("long"))
+        .drop("_b", "_mn", "_mx", "_blo")
+    )
+
+
 def ks_drift(df: DataFrame, group_col: str = "lang",
              value_col: str = "n_chars") -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic between every pair
@@ -257,10 +299,11 @@ def auc_eval(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
 
     Plan shape at 100 TB: the corpus collapses to per-score-value
     (pos, neg) counts in ONE map-side-combined aggregate; the running
-    negative count is a window over DISTINCT SCORE VALUES (bounded by
-    score cardinality — quantized scores, not corpus size); the final
-    sum is a one-row aggregate. Nothing corpus-sized is sorted,
-    windowed or joined.
+    negative count uses :func:`_value_offsets`'s TWO-LEVEL scheme —
+    bucket-keyed windows plus one ≤1024-row bucket cumulative — so it
+    stays distributed even when the score column is continuous and
+    distinct values approach corpus size; the final sum is a one-row
+    aggregate. Nothing corpus-sized is sorted, windowed or joined.
 
     Reference parity note: no eval surface in the reference engine;
     extends the eval family (SURVEY §2, next to knn_eval/ndcg_eval/
@@ -272,10 +315,8 @@ def auc_eval(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     cnts = base.groupBy("s").agg(
         F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("np"),
         F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("nn"))
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding,
-                                        Window.currentRow)
-    stepped = cnts.select(
-        "np", "nn", (F.sum("nn").over(w) - F.col("nn")).alias("below"))
+    stepped = _value_offsets(cnts, value="s", cnt="nn").select(
+        "np", "nn", F.col("lo").alias("below"))
     return (
         stepped
         .agg(F.sum("np").alias("n_pos"), F.sum("nn").alias("n_neg"),
@@ -513,10 +554,10 @@ def percentile_rank(df: DataFrame, value_col: str,
     NO global sort, NO corpus-wide window):
 
     * one map-side aggregate collapses the corpus to per-value counts;
-      cumulative offsets run over DISTINCT VALUES (bounded by value
-      cardinality — quantized scores, lengths — never corpus size; the
-      deliberately-unpartitioned window of the exact_quantiles
-      precedent).
+      cumulative offsets use :func:`_value_offsets`'s TWO-LEVEL scheme
+      (bucket-keyed windows + one ≤1024-row bucket cumulative), exact
+      and distributed even when the value column is continuous and
+      distinct values approach corpus size.
     * each row's rank = its value's offset + a row_number inside a
       window KEYED by value (partition size = that value's tie count).
     * N is a one-row scalar broadcast (the bm25 N/avgdl shape).
@@ -529,11 +570,7 @@ def percentile_rank(df: DataFrame, value_col: str,
         F.col(value_col).cast("long").alias("v")).where(
         F.col("v").isNotNull())
     cnts = base.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
-    woff = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
-                                           Window.currentRow)
-    # cumulative offsets over distinct values — bounded by construction
-    offs = cnts.select(
-        "v", (F.sum("c").over(woff) - F.col("c")).alias("lo"))
+    offs = _value_offsets(cnts, value="v", cnt="c").select("v", "lo")
     n = base.agg(F.count(F.lit(1)).alias("n"))
     wv = Window.partitionBy("v").orderBy("doc_id")
     return (
