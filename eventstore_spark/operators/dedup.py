@@ -1507,9 +1507,16 @@ def edit_verify_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
       array expansion), so Catalyst's broadcast decision is safe at
       every scale — unlike the shingle-set fetch in
       :func:`minhash_lsh_pairs`, which is pinned shuffle-hash.
-    * ``levenshtein`` is JVM whole-stage-codegen; worst case per pair is
-      O(prefix_chars²) on a bounded input — a constant, not a function
-      of document length.
+    * ``levenshtein`` is JVM whole-stage-codegen and BAND-LIMITED
+      (Ukkonen): the largest distance any surviving pair can have is
+      thr = prefix_chars·(1e6 − min_sim_ppm) div 1e6 (sim_ppm ≥
+      min_sim_ppm ⟺ dist ≤ m·(1e6 − min_sim_ppm) div 1e6 ≤ thr since
+      m ≤ prefix_chars), so the distance is computed with that
+      threshold — O(thr·prefix) per pair instead of O(prefix²), and
+      most candidate pairs are FAR apart, exiting early. Pairs beyond
+      the band return −1 and are dropped; they could never pass the
+      similarity gate, so the output is bit-identical to the unbanded
+      form (pinned by test).
 
     Reference parity note: the reference engine has no fuzzy dedup; this
     extends the training-data-pipeline surface (SURVEY §2 dedup family).
@@ -1529,12 +1536,16 @@ def edit_verify_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
     )
     pref = docs.select(F.col(id_col).alias("doc_id"),
                        _ascii_prefix(F.col(text_col), prefix_chars).alias("p"))
+    # Ukkonen band: no surviving pair can have dist above this, so pairs
+    # beyond it (-1) are exactly the pairs the sim gate would drop
+    thr = max(1, (prefix_chars * (1_000_000 - min_sim_ppm)) // 1_000_000)
     return (
         cand.join(pref.withColumnRenamed("doc_id", "a")
                       .withColumnRenamed("p", "pa"), "a")
         .join(pref.withColumnRenamed("doc_id", "b")
                   .withColumnRenamed("p", "pb"), "b")
-        .withColumn("dist", F.levenshtein("pa", "pb").cast("long"))
+        .withColumn("dist", F.levenshtein("pa", "pb", thr).cast("long"))
+        .where(F.col("dist") >= 0)
         .withColumn("m", F.greatest(F.length("pa"), F.length("pb")).cast("long"))
         .withColumn(
             "sim_ppm",
