@@ -18,11 +18,28 @@ point of failure") is what Spark's streaming checkpoints already solve;
 the manager here only persists settings and routes lifecycle calls.
 
 Sinks in this container: ``parquet`` (a real exactly-once file sink —
-the stand-in for any external system), ``memory`` (tests/queries), and a
+the stand-in for any external system), ``memory`` (tests/queries), a
 ``foreach_batch`` seam taking a Python callable — the integration point
-where kafka/http/mongo producers plug in (network sinks are not
-available here; the seam is the documented boundary, like the codec
-seam in operators/multimodal.py).
+where kafka/mongo producers plug in — and two NAMED managed sinks with
+the reference's settings shape (connectors/sinks/):
+
+* ``http-sink`` (sinks/http.md): each record's data posted individually
+  as a JSON body to ``url`` (with ``{stream}`` / ``{event-type}`` /
+  ``{schema-subject}`` template parameters), ``method`` default POST,
+  ``defaultHeaders``, Basic/Bearer authentication, and a bounded-retry
+  resilience loop (features.md §Resilience, collapsed to
+  attempts×delay). Delivery is the reference's contract — sequential,
+  in subscription order, at-least-once (its delivery guarantee too);
+  throughput is bounded by the endpoint, not the plan, so records
+  stream through the driver ordered by log_position rather than
+  fanning out per-partition and losing the order.
+* ``serilog-sink`` (sinks/serilog.md): one structured JSON log line per
+  record to a file (the File output; Console via ``console=true``).
+
+``ConnectorSettings.from_reference`` parses the reference's flat
+Create-request settings dict (``instanceTypeName``,
+``subscription:filter:*``, sink-specific keys) into this class, so a
+reference connector definition drops in unchanged.
 """
 
 from __future__ import annotations
@@ -62,6 +79,40 @@ class ConnectorSettings:
     # the reference's base64-encoded function. Transformed records get
     # `"IsTransformed": true` merged into their metadata JSON.
     transform: dict | None = None        # {column: sql_expression}
+
+    @classmethod
+    def from_reference(cls, settings: dict) -> "ConnectorSettings":
+        """Parse the reference's flat Create-request ``settings`` dict
+        (manage.md Create / settings.md Sink Options) — e.g.::
+
+            {"instanceTypeName": "http-sink",
+             "url": "https://api.example.com/{stream}",
+             "subscription:filter:scope": "stream",
+             "subscription:filter:filterType": "streamId",
+             "subscription:filter:expression": "example-stream"}
+
+        ``instanceTypeName`` routes to the named sink; every key that is
+        not a subscription/transformer option passes through as a sink
+        option (each sink documents its own keys, as the reference's
+        individual sink pages do)."""
+        s = dict(settings)
+        inst = s.pop("instanceTypeName")
+        sink = {"http-sink": "http", "serilog-sink": "serilog",
+                "parquet-sink": "parquet"}.get(inst, inst)
+        scope = s.pop("subscription:filter:scope", None)
+        ft = s.pop("subscription:filter:filterType", None)
+        expr = s.pop("subscription:filter:expression", None)
+        if scope == "unspecified":
+            scope = None
+        if ft == "unspecified":
+            ft = None
+        return cls(
+            sink=sink,
+            sink_options=s,
+            filter_scope=scope,
+            filter_type=ft,
+            filter_expression=expr,
+        )
 
     def predicate(self):
         """The filter as ONE Catalyst predicate (pushed into the scan).
@@ -110,6 +161,104 @@ def _apply_transform(src: DataFrame, transform: dict) -> DataFrame:
         .otherwise(F.lit('{"IsTransformed":true}'))
     )
     return src.withColumn("metadata", marked)
+
+
+def _kebab(name: str) -> str:
+    """CamelCase → lowercase-with-hyphens (http.md Template Parameters:
+    "the event's schema subject, converted to lowercase with hyphens")."""
+    import re
+    return re.sub(r"(?<=[a-z0-9])(?=[A-Z])", "-", name or "").lower()
+
+
+def _http_sink_fold(options: dict):
+    """foreachBatch fold for the ``http-sink`` instance type
+    (sinks/http.md): each record's data is sent INDIVIDUALLY as a JSON
+    request body (no batching — the reference's delivery shape) to the
+    templated URL, in subscription order (log_position), with
+    defaultHeaders + Basic/Bearer auth and a bounded retry loop
+    (features.md §Resilience). At-least-once, matching the reference's
+    guarantee: a crash mid-batch replays the whole micro-batch.
+
+    Records stream through the driver via toLocalIterator — deliberate:
+    sequential ordered HTTP delivery is single-consumer by contract, so
+    a per-partition fan-out would only buy disorder. The endpoint, not
+    the plan, is the throughput ceiling (as in the reference, where one
+    server-side consumer posts serially)."""
+    import base64
+    import time
+    import urllib.request
+
+    url_tmpl = options["url"]
+    method = options.get("method", "POST")
+    headers = {}
+    for pair in options.get("defaultHeaders", "").split(";"):
+        if ":" in pair:
+            k, v = pair.split(":", 1)
+            headers[k.strip()] = v.strip()
+    auth = options.get("authentication:method", "None")
+    if auth == "Basic":
+        cred = (options.get("authentication:basic:username", "") + ":" +
+                options.get("authentication:basic:password", ""))
+        headers["Authorization"] = (
+            "Basic " + base64.b64encode(cred.encode()).decode())
+    elif auth == "Bearer":
+        headers["Authorization"] = (
+            "Bearer " + options.get("authentication:bearer:token", ""))
+    attempts = int(options.get("resilience:maxAttempts", 3))
+    delay_ms = int(options.get("resilience:delayMs", 1000))
+    if str(options.get("resilience:enabled", "true")).lower() == "false":
+        attempts = 1
+
+    def _fold(batch_df, epoch_id):
+        rows = (batch_df
+                .orderBy("log_position")
+                .select("stream_id", "event_type", "event_number", "data")
+                .toLocalIterator())
+        for r in rows:
+            subject = _kebab(r.event_type)
+            url = (url_tmpl
+                   .replace("{stream}", r.stream_id or "")
+                   .replace("{event-type}", subject)
+                   .replace("{schema-subject}", subject))
+            body = (r.data or "").encode()
+            req = urllib.request.Request(url, data=body, method=method)
+            req.add_header("Content-Type", "application/json")
+            for k, v in headers.items():
+                req.add_header(k, v)
+            for attempt in range(attempts):
+                try:
+                    with urllib.request.urlopen(req, timeout=30):
+                        break
+                except Exception:
+                    if attempt + 1 >= attempts:
+                        raise
+                    time.sleep(delay_ms / 1000.0)
+
+    return _fold
+
+
+def _serilog_sink_fold(options: dict):
+    """foreachBatch fold for the ``serilog-sink`` instance type
+    (sinks/serilog.md): one structured JSON log line per record about
+    the connector and record details, appended to ``path`` (the File
+    output); ``console=true`` echoes each line (the Console output)."""
+    path = options["path"]
+    console = str(options.get("console", "false")).lower() == "true"
+
+    def _fold(batch_df, epoch_id):
+        lines = (batch_df
+                 .orderBy("log_position")
+                 .select(F.to_json(F.struct(
+                     "stream_id", "event_number", "event_type",
+                     "log_position", "data")).alias("j"))
+                 .toLocalIterator())
+        with open(path, "a") as fh:
+            for r in lines:
+                fh.write(r.j + "\n")
+                if console:
+                    print(r.j)
+
+    return _fold
 
 
 class ConnectorManager:
@@ -188,6 +337,10 @@ class ConnectorManager:
             q = w.format("memory").queryName(
                 st.sink_options.get("table", f"connector_{name}")
             ).start()
+        elif st.sink == "http":
+            q = w.foreachBatch(_http_sink_fold(st.sink_options)).start()
+        elif st.sink == "serilog":
+            q = w.foreachBatch(_serilog_sink_fold(st.sink_options)).start()
         elif st.sink == "foreach_batch":
             if foreach_batch is None:
                 raise ValueError(

@@ -1592,3 +1592,157 @@ def test_streaming_bloom_dedup_seeded_from_built_index(spark, tmp_path):
         assert ids == {2, 4}, f"post-seed second batch wrong: {ids}"
     finally:
         q.stop()
+
+
+def test_http_sink_connector_delivers_events(spark, tmp_path):
+    """http-sink parity (connectors/sinks/http.md): each record's data
+    posted individually as a JSON body to the templated URL, in
+    subscription order, with default headers and Basic auth; created
+    from the reference's flat settings shape via from_reference."""
+    import http.server
+    import threading
+
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.streaming.connectors import ConnectorSettings
+
+    received = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            received.append({
+                "path": self.path,
+                "body": body.decode(),
+                "auth": self.headers.get("Authorization"),
+                "hdr": self.headers.get("X-Pipeline"),
+            })
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+
+    try:
+        eng = EventStoreEngine(spark, str(tmp_path / "store"))
+        for i in range(3):
+            eng.append("order-1",
+                       [ProposedEvent("OrderPlaced", json.dumps({"i": i}))])
+        eng.append("user-1", [ProposedEvent("Seen", '{"x": 1}')])
+
+        cm = eng.connectors
+        # the reference's Create-request settings dict, verbatim shape
+        cm.create("push-http", ConnectorSettings.from_reference({
+            "instanceTypeName": "http-sink",
+            "url": f"http://127.0.0.1:{port}/{{stream}}/{{event-type}}",
+            "defaultHeaders": "X-Pipeline: es-spark",
+            "authentication:method": "Basic",
+            "authentication:basic:username": "u",
+            "authentication:basic:password": "p",
+            "subscription:filter:scope": "stream",
+            "subscription:filter:filterType": "prefix",
+            "subscription:filter:expression": "order-",
+        }))
+        q = cm.start("push-http")
+        try:
+            q.processAllAvailable()
+        finally:
+            cm.stop("push-http")
+
+        assert len(received) == 3
+        # template params: {stream} verbatim, {event-type} kebab-cased
+        assert all(r["path"] == "/order-1/order-placed" for r in received)
+        # ordered individual bodies = the event data JSONs
+        assert [json.loads(r["body"])["i"] for r in received] == [0, 1, 2]
+        assert all(r["hdr"] == "es-spark" for r in received)
+        import base64
+        want = "Basic " + base64.b64encode(b"u:p").decode()
+        assert all(r["auth"] == want for r in received)
+
+        # checkpointed delivery: restart posts only the delta
+        eng.append("order-1", [ProposedEvent("OrderPlaced", '{"i": 9}')])
+        q = cm.start("push-http")
+        try:
+            q.processAllAvailable()
+        finally:
+            cm.stop("push-http")
+        assert [json.loads(r["body"])["i"] for r in received] == [0, 1, 2, 9]
+    finally:
+        srv.shutdown()
+
+
+def test_http_sink_retries_then_raises(spark, tmp_path):
+    """Resilience (connectors/features.md): a failing endpoint is
+    retried maxAttempts times, then the batch fails (and would replay —
+    at-least-once, the reference's guarantee)."""
+    import http.server
+    import threading
+
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.streaming.connectors import ConnectorSettings
+
+    hits = []
+
+    class Failing(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            self.rfile.read(int(self.headers["Content-Length"]))
+            hits.append(1)
+            self.send_response(503)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Failing)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    try:
+        eng = EventStoreEngine(spark, str(tmp_path / "store"))
+        eng.append("order-1", [ProposedEvent("Placed", '{"i": 0}')])
+        cm = eng.connectors
+        cm.create("flaky", ConnectorSettings.from_reference({
+            "instanceTypeName": "http-sink",
+            "url": f"http://127.0.0.1:{port}/",
+            "resilience:maxAttempts": "3",
+            "resilience:delayMs": "10",
+        }))
+        q = cm.start("flaky")
+        import pytest as _pytest
+        with _pytest.raises(Exception):
+            q.processAllAvailable()
+        cm.stop("flaky")
+        assert len(hits) == 3
+    finally:
+        srv.shutdown()
+
+
+def test_serilog_sink_connector_logs_records(spark, tmp_path):
+    """serilog-sink parity (connectors/sinks/serilog.md File output):
+    one structured JSON log line per record, in subscription order."""
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.streaming.connectors import ConnectorSettings
+
+    eng = EventStoreEngine(spark, str(tmp_path / "store"))
+    for i in range(3):
+        eng.append("audit-1", [ProposedEvent("Did", json.dumps({"i": i}))])
+    log_file = str(tmp_path / "connector.log")
+    cm = eng.connectors
+    cm.create("logger", ConnectorSettings.from_reference({
+        "instanceTypeName": "serilog-sink",
+        "path": log_file,
+        "subscription:filter:scope": "stream",
+        "subscription:filter:filterType": "streamId",
+        "subscription:filter:expression": "audit-1",
+    }))
+    q = cm.start("logger")
+    try:
+        q.processAllAvailable()
+    finally:
+        cm.stop("logger")
+    lines = [json.loads(line) for line in open(log_file)]
+    assert [ln["event_number"] for ln in lines] == [0, 1, 2]
+    assert all(ln["stream_id"] == "audit-1" and ln["event_type"] == "Did"
+               for ln in lines)
