@@ -87,7 +87,32 @@ def _ts_col(arr):
     return pa.array(arr, type=pa.timestamp("us"))
 
 
-def generate(sf: float, out: str, seed: int = 42):
+ZIPF_VOCAB = 50_000
+ZIPF_S = 1.1
+
+
+def _zipf_sampler(rng):
+    """Token sampler with rank-frequency ~ 1/rank^1.1 over a 50k vocab —
+    the natural-language word-frequency model (Zipf 1949; the
+    zipf_df_probe parameters). The sf tables' 31-word uniform vocab
+    under-represents hot-term skew: document frequency of stop-word-like
+    tokens grows ∝ corpus size on real text, which is what stresses
+    inverted-index ops (bm25/pmi/winnowing/jaccard). Vectorized inverse-
+    CDF sampling (searchsorted over the cumulative), not rng.choice(p=)
+    which is O(vocab) per draw."""
+    ranks = np.arange(1, ZIPF_VOCAB + 1, dtype=np.float64)
+    p = ranks ** -ZIPF_S
+    p /= p.sum()
+    cum = np.cumsum(p)
+    words = np.array([f"w{i}" for i in range(ZIPF_VOCAB)])
+
+    def sample(k: int) -> np.ndarray:
+        return words[np.searchsorted(cum, rng.random(k))]
+
+    return sample
+
+
+def generate(sf: float, out: str, seed: int = 42, zipf: bool = False):
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(seed)
     k = sf / 0.1  # multiplier vs the driver's sf0.1 shape
@@ -186,8 +211,21 @@ def generate(sf: float, out: str, seed: int = 42):
     }))
 
     # documents: vocab text, ~4% near-dups (1-3 word edits of an earlier
-    # doc) + ~0.2% exact dups — the dup structure the dedup operators need
+    # doc) + ~0.2% exact dups — the dup structure the dedup operators need.
+    # --zipf swaps the 31-word uniform vocab for the Zipfian sampler
+    # (same length/dup structure) so text-op walks see natural hot-term
+    # document-frequency skew.
     vocab = np.array(VOCAB)
+    if zipf:
+        zsample = _zipf_sampler(rng)
+        fresh_words = zsample
+        def edit_word():
+            return str(zsample(1)[0])
+    else:
+        def fresh_words(k):
+            return vocab[rng.integers(0, len(vocab), k)]
+        def edit_word():
+            return vocab[int(rng.integers(0, len(vocab)))]
     texts: list[str] = []
     for i in range(n_docs):
         r = rng.random()
@@ -197,12 +235,11 @@ def generate(sf: float, out: str, seed: int = 42):
         if i > 10 and r < 0.04:
             words = texts[int(rng.integers(0, i))].split()
             for _ in range(int(rng.integers(1, 4))):
-                words[int(rng.integers(0, len(words)))] = \
-                    vocab[int(rng.integers(0, len(vocab)))]
+                words[int(rng.integers(0, len(words)))] = edit_word()
             texts.append(" ".join(words))
             continue
         n_words = int(rng.integers(9, 116))
-        texts.append(" ".join(vocab[rng.integers(0, len(vocab), n_words)]))
+        texts.append(" ".join(fresh_words(n_words)))
     _write(out, "documents", pa.table({
         "doc_id": np.arange(n_docs, dtype=np.int64),
         "text": pa.array(texts),
@@ -231,9 +268,11 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--zipf", action="store_true",
+                    help="Zipfian (natural-statistics) document text")
     a = ap.parse_args()
     out = a.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".localdata", f"sf{a.sf:g}")
-    print(f"generating sf={a.sf} -> {out}")
-    generate(a.sf, out)
+        ".localdata", f"sf{a.sf:g}" + ("z" if a.zipf else ""))
+    print(f"generating sf={a.sf}{' (zipf text)' if a.zipf else ''} -> {out}")
+    generate(a.sf, out, zipf=a.zipf)
