@@ -627,6 +627,24 @@ def q_auc_eval(spark, sf):
     return auc_eval(emb, "score", "is_odd")
 
 
+def q_events_asof(spark, sf):
+    """As-of enrichment (new r11): every purchase event picks up the
+    same user's most recent prior-or-simultaneous view value via the
+    union-window as-of join (operators/temporal.py) — ONE shuffle on
+    user_id, no join node, no range explosion. Reference side is
+    pre-aggregated unique per (user_id, ts) so tie-breaking is
+    engine-independent (DuckDB's native ASOF JOIN is the oracle)."""
+    from eventstore_spark.operators.temporal import asof_join
+
+    ev = _table(spark, sf, "events")
+    probe = ev.where("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts", "value")
+    ref = (ev.where("event_type = 'view'")
+           .groupBy("user_id", "ts")
+           .agg(F.max("value").alias("view_value")))
+    return asof_join(probe, ref, ["user_id"], "ts", "ts", ["view_value"])
+
+
 def q_events_rate_anomaly(spark, sf):
     """Hourly event-rate anomaly vs a 24h trailing baseline (r10 s4):
     one map-side hour aggregate + a bounded trailing window, exact
@@ -2613,6 +2631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "group_weighted_sample": q_group_weighted_sample,
         "concentration_report": q_concentration_report,
+        # --- new in r11 (tail-positioned: r12-rotation material) ---
+        "events_asof": q_events_asof,
     }
     # Round-11 rotation (VERDICT r10 task #1): the 37 operators added
     # after the r10 sample window froze (sessions 2-4 of r10) have never
@@ -3608,4 +3628,7 @@ WHERE p.quality >= 0.3
     from eventstore_spark.operators.stats import sql_concentration_report
 
     sqls["concentration_report"] = sql_concentration_report("source")
+    from eventstore_spark.operators.temporal import sql_asof_events
+
+    sqls["events_asof"] = sql_asof_events()
     return sqls

@@ -2052,3 +2052,38 @@ def test_concentration_report_matches_plain_python_reference(spark, groups):
         "doc_id long, text string, lang string, source string, n_chars long")
     r = concentration_report(df, "source").collect()[0]
     assert (r.n_groups, r.n_rows, r.hhi_ppm, r.gini_ppm) == (G, N, hhi, gini)
+
+
+def test_asof_join_matches_plain_python_reference(spark):
+    """as-of join recomputed definitionally: for each probe row, linear
+    scan for the max reference ts <= probe ts per key (inclusive ties,
+    NULL when nothing precedes) — merge_asof backward semantics."""
+    from eventstore_spark.operators.temporal import asof_join
+
+    probe_rows = [  # (key, ts, pid)
+        (1, 10, 100), (1, 20, 101), (1, 20, 102), (1, 5, 103),
+        (2, 7, 200), (2, 50, 201),
+        (3, 3, 300),                       # key with no reference at all
+    ]
+    ref_rows = [    # (key, ts, val)
+        (1, 10, "a"), (1, 15, "b"), (1, 19, "c"),
+        (2, 7, "x"), (2, 8, "y"),
+    ]
+    probe = spark.createDataFrame(probe_rows, "k long, ts long, pid long")
+    ref = spark.createDataFrame(ref_rows, "k long, ts long, val string")
+    got = {r.pid: (r.ts_ref, r.val_ref)
+           for r in asof_join(probe, ref, ["k"], "ts", "ts", ["val"]).collect()}
+
+    want = {}
+    for k, pts, pid in probe_rows:
+        best = None
+        for rk, rts, val in ref_rows:
+            if rk == k and rts <= pts and (best is None or rts > best[0]):
+                best = (rts, val)
+        want[pid] = best if best else (None, None)
+    assert got == want
+    # spot checks: inclusive tie (pid 100 -> ts 10), latest-below
+    # (pid 101/102 -> ts 19), nothing-precedes NULL (pid 103, 300)
+    assert got[100] == (10, "a")
+    assert got[101] == (19, "c")
+    assert got[103] == (None, None)

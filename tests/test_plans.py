@@ -976,3 +976,27 @@ def test_auc_eval_offsets_window_is_bucket_keyed(parquet_docs, spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"windowspecdefinition\(_b#\d+, s#\d+L ASC", plan)
     assert not re.search(r"windowspecdefinition\(s#\d+L ASC", plan)
+
+
+def test_asof_join_has_no_join_node(spark, tmp_path_factory):
+    """The as-of join must plan as union + ONE key-partitioned window —
+    no join node of any kind (the naive range-join form is a
+    BroadcastNestedLoop that explodes per key), one shuffle on the key."""
+    from eventstore_spark.operators.temporal import asof_join
+
+    path = str(tmp_path_factory.mktemp("asof") / "ev")
+    spark.createDataFrame(
+        [(i % 7, i, float(i), "purchase" if i % 3 == 0 else "view")
+         for i in range(100)],
+        "user_id long, ts long, value double, event_type string",
+    ).write.mode("overwrite").parquet(path)
+    ev = spark.read.parquet(path)
+    probe = ev.where("event_type = 'purchase'").select("user_id", "ts", "value")
+    ref = ev.where("event_type = 'view'").select(
+        "user_id", "ts", F.col("value").alias("v"))
+    plan = asof_join(probe, ref, ["user_id"], "ts", "ts", ["v"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
