@@ -645,6 +645,34 @@ def q_events_asof(spark, sf):
     return asof_join(probe, ref, ["user_id"], "ts", "ts", ["view_value"])
 
 
+def q_events_interval_join(spark, sf):
+    """Sliding-window counts via the binned interval join (new r11):
+    3-hour windows at hourly starts × error events — each event lands
+    in ~3 windows through a plain (bin) EQUI-join (never a
+    BroadcastNestedLoop range join), then the exact range filter and a
+    per-window count (operators/temporal.interval_join)."""
+    from eventstore_spark.operators.temporal import interval_join
+
+    HOUR_US = 3_600_000_000
+    ev = _table(spark, sf, "events").where("event_type = 'error'")
+    # TZ-free epoch micros: ts is TIMESTAMP_NTZ and unix_micros/casts
+    # would shift by the session timezone; DuckDB's epoch_us is TZ-free
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    pts = ev.select(
+        "event_id",
+        F.expr(f"timestampdiff(MICROSECOND, {epoch}, ts)").alias("tsu"))
+    iv = (ev.select(F.expr(
+              f"timestampdiff(MICROSECOND, {epoch}, date_trunc('hour', ts))")
+              .alias("lo"))
+          .distinct()
+          .select("lo", (F.col("lo") + 3 * HOUR_US).alias("hi"),
+                  F.col("lo").alias("win_start")))
+    joined = interval_join(pts, iv, [], "tsu", "lo", "hi",
+                           bin_width=HOUR_US)
+    return joined.groupBy("win_start").agg(
+        F.count(F.lit(1)).alias("n_events"))
+
+
 def q_events_rate_anomaly(spark, sf):
     """Hourly event-rate anomaly vs a 24h trailing baseline (r10 s4):
     one map-side hour aggregate + a bounded trailing window, exact
@@ -2633,6 +2661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concentration_report": q_concentration_report,
         # --- new in r11 (tail-positioned: r12-rotation material) ---
         "events_asof": q_events_asof,
+        "events_interval_join": q_events_interval_join,
     }
     # Round-11 rotation (VERDICT r10 task #1): the 37 operators added
     # after the r10 sample window froze (sessions 2-4 of r10) have never
@@ -3631,4 +3660,17 @@ WHERE p.quality >= 0.3
     from eventstore_spark.operators.temporal import sql_asof_events
 
     sqls["events_asof"] = sql_asof_events()
+    sqls["events_interval_join"] = """
+WITH ev AS (
+  SELECT epoch_us(ts) AS tsu,
+         epoch_us(date_trunc('hour', ts)) AS hour_lo
+  FROM events WHERE event_type = 'error'
+), iv AS (
+  SELECT lo, lo + 10800000000 AS hi, lo AS win_start
+  FROM (SELECT DISTINCT hour_lo AS lo FROM ev)
+)
+SELECT iv.win_start, CAST(count(*) AS BIGINT) AS n_events
+FROM iv JOIN ev ON ev.tsu >= iv.lo AND ev.tsu < iv.hi
+GROUP BY iv.win_start
+"""
     return sqls

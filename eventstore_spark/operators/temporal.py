@@ -114,3 +114,58 @@ SELECT p.user_id, p.ts, p.event_id, p.value,
 FROM probe p ASOF LEFT JOIN ref r
   ON p.user_id = r.user_id AND p.ts >= r.ts
 """
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  key_cols: list[str] | None = None,
+                  point_ts: str = "ts", lo_col: str = "lo",
+                  hi_col: str = "hi", bin_width: int | None = None,
+                  interval_cols: list[str] | None = None) -> DataFrame:
+    """Join point rows to every interval containing them
+    (``lo <= ts < hi``, optionally also matching ``key_cols``) — the
+    second temporal primitive (events × maintenance windows, docs ×
+    crawl campaigns, trades × halts).
+
+    Catalyst plans a raw range predicate as BroadcastNestedLoopJoin
+    when the interval side is big — per-row interval scans. The
+    distributed form bins time: every interval explodes to its
+    overlapping ``bin_width`` bins via ``sequence()`` (cost =
+    interval_length/bin_width rows — the knob trades replication for
+    probe selectivity), points map to exactly ONE bin, and the join is
+    a plain (key, bin) EQUI-join Catalyst shuffles or broadcasts like
+    any other, followed by the exact range filter — the classic
+    time-bucket range-join decomposition, expressed with open-source
+    primitives.
+
+    ``bin_width`` must exceed 0 and defaults to a heuristic from the
+    interval side when None (max interval length — every interval then
+    spans <= 2 bins). Timestamps may be any integral type (cast epochs
+    first; the events registry query uses unix_micros).
+    """
+    key_cols = key_cols or []
+    if interval_cols is None:
+        interval_cols = [c for c in intervals.columns
+                         if c not in key_cols + [lo_col, hi_col]]
+    points, intervals = spread(points), spread(intervals)
+    if bin_width is None:
+        mx = intervals.agg(
+            F.max(F.col(hi_col) - F.col(lo_col)).alias("m")).collect()[0].m
+        bin_width = max(int(mx or 1), 1)
+    binned_iv = intervals.select(
+        *key_cols, lo_col, hi_col, *interval_cols,
+        # BIGINT div, not floor(double /): epoch-micro magnitudes sit
+        # near the double 2^53 precision line
+        F.explode(F.sequence(
+            F.expr(f"CAST({lo_col} AS BIGINT) div {int(bin_width)}"),
+            # hi is exclusive: the last covered instant is hi-1
+            F.expr(f"CAST({hi_col} - 1 AS BIGINT) div {int(bin_width)}"),
+        )).alias("_bin"))
+    binned_pt = points.withColumn(
+        "_bin", F.expr(f"CAST({point_ts} AS BIGINT) div {int(bin_width)}"))
+    out = (
+        binned_pt.join(binned_iv, key_cols + ["_bin"])
+        .where((F.col(point_ts) >= F.col(lo_col))
+               & (F.col(point_ts) < F.col(hi_col)))
+        .drop("_bin")
+    )
+    return out

@@ -2087,3 +2087,27 @@ def test_asof_join_matches_plain_python_reference(spark):
     assert got[100] == (10, "a")
     assert got[101] == (19, "c")
     assert got[103] == (None, None)
+
+
+def test_interval_join_matches_plain_python_reference(spark):
+    """interval join recomputed definitionally: nested loop over
+    (point, interval) with lo <= ts < hi — including multi-match points,
+    zero-match points (absent), and bin-boundary edges."""
+    from eventstore_spark.operators.temporal import interval_join
+
+    pts = [(1, 0), (2, 5), (3, 10), (4, 15), (5, 99)]       # (pid, ts)
+    ivs = [(10, 0, 10), (11, 5, 15), (12, 10, 11), (13, 40, 50)]  # (iid, lo, hi)
+    points = spark.createDataFrame(pts, "pid long, ts long")
+    intervals = spark.createDataFrame(ivs, "iid long, lo long, hi long")
+    for bw in (1, 3, 10, 100):
+        got = {(r.pid, r.iid)
+               for r in interval_join(points, intervals, [], "ts",
+                                      "lo", "hi", bin_width=bw).collect()}
+        want = {(pid, iid) for pid, ts in pts
+                for iid, lo, hi in ivs if lo <= ts < hi}
+        assert got == want, f"bin_width={bw}: {got} != {want}"
+    # heuristic bin width (max interval length) agrees too
+    got = {(r.pid, r.iid)
+           for r in interval_join(points, intervals, [], "ts",
+                                  "lo", "hi").collect()}
+    assert got == want

@@ -1000,3 +1000,26 @@ def test_asof_join_has_no_join_node(spark, tmp_path_factory):
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(user_id" in plan
     assert "SinglePartition" not in plan
+
+
+def test_interval_join_is_an_equi_join(spark, tmp_path_factory):
+    """The binned interval join must plan as a plain equi-join on the
+    bin key — never the BroadcastNestedLoopJoin Catalyst produces for a
+    raw range predicate."""
+    from eventstore_spark.operators.temporal import interval_join
+
+    base = str(tmp_path_factory.mktemp("iv"))
+    spark.createDataFrame(
+        [(i, i * 7 % 1000) for i in range(500)], "pid long, ts long"
+    ).write.mode("overwrite").parquet(base + "/pts")
+    spark.createDataFrame(
+        [(i, i * 10, i * 10 + 25) for i in range(100)],
+        "iid long, lo long, hi long",
+    ).write.mode("overwrite").parquet(base + "/ivs")
+    df = interval_join(spark.read.parquet(base + "/pts"),
+                       spark.read.parquet(base + "/ivs"),
+                       [], "ts", "lo", "hi", bin_width=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_bin" in plan  # the equi-join key
