@@ -81,6 +81,9 @@ SECONDARY = [
     "mad_outliers",
     "group_weighted_sample",
     "concentration_report",
+    # r11 additions: the temporal joins
+    "events_asof",
+    "events_interval_join",
 ]
 
 
