@@ -673,6 +673,18 @@ def q_events_interval_join(spark, sf):
         F.count(F.lit(1)).alias("n_events"))
 
 
+def q_events_skew_report(spark, sf):
+    """Shuffle-skew audit (new r11): per-key-column hot-key profile of
+    the events table (user_id near-uniform, event_type 5 keys — the
+    two ends of the skew spectrum), exact quantiles of the
+    count-per-key table via the bucket-histogram scheme
+    (stats.skew_report)."""
+    from eventstore_spark.operators.stats import skew_report
+
+    return skew_report(_table(spark, sf, "events"),
+                       ["user_id", "event_type"])
+
+
 def q_events_rate_anomaly(spark, sf):
     """Hourly event-rate anomaly vs a 24h trailing baseline (r10 s4):
     one map-side hour aggregate + a bounded trailing window, exact
@@ -2662,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r11 (tail-positioned: r12-rotation material) ---
         "events_asof": q_events_asof,
         "events_interval_join": q_events_interval_join,
+        "events_skew_report": q_events_skew_report,
     }
     # Round-11 rotation (VERDICT r10 task #1): the 37 operators added
     # after the r10 sample window froze (sessions 2-4 of r10) have never
@@ -3660,6 +3673,9 @@ WHERE p.quality >= 0.3
     from eventstore_spark.operators.temporal import sql_asof_events
 
     sqls["events_asof"] = sql_asof_events()
+    from eventstore_spark.operators.stats import sql_skew_report
+
+    sqls["events_skew_report"] = sql_skew_report(["user_id", "event_type"])
     sqls["events_interval_join"] = """
 WITH ev AS (
   SELECT epoch_us(ts) AS tsu,

@@ -81,9 +81,10 @@ SECONDARY = [
     "mad_outliers",
     "group_weighted_sample",
     "concentration_report",
-    # r11 additions: the temporal joins
+    # r11 additions: the temporal joins + skew diagnostics
     "events_asof",
     "events_interval_join",
+    "events_skew_report",
 ]
 
 

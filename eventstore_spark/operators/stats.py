@@ -752,3 +752,90 @@ SELECT n_groups, n_rows,
             // (CAST(n_groups AS HUGEINT) * n_rows) AS BIGINT) AS gini_ppm
 FROM agg
 """
+
+
+def skew_report(df: DataFrame, key_cols: list[str],
+                buckets: int = 1024) -> DataFrame:
+    """Key-distribution audit for shuffle-skew diagnosis — the question
+    to ask BEFORE a 100-TB groupBy/join stalls on two straggler tasks:
+    how hot is the hottest key of each candidate shuffle column?
+
+    One row per audited column:
+
+      key_col, n_rows, n_keys, max_count, p50_count, p99_count,
+      top_share_ppm  = max_count·1e6 div n_rows      (hottest key's mass)
+      skew_x_ppm     = max_count·n_keys·1e6 div n_rows (max/mean, ppm —
+                       1e6 = perfectly uniform)
+      suggested_salt = greatest(1, max_count·n_keys div n_rows)
+                       (salt shards to bring the hottest key down to
+                        ~mean size — the standard skew-join remedy)
+
+    Exact, aggregate-sized: per column one map-side keyed count, a
+    one-row stats aggregate, and :func:`exact_quantiles` over the
+    count-per-key table (bucket-histogram rank — the count table itself
+    can be corpus-sized when keys are near-unique, so no global sort
+    and no unpartitioned window touches it). DECIMAL(38,0) products.
+
+    Reference parity note: operational diagnostics, no reference
+    analog; next to concentration_report (SURVEY §2 stats family).
+    """
+    out = None
+    base = spread(df)
+    for col in key_cols:
+        cnts = base.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).alias("c"))
+        stats = cnts.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("c").cast("long").alias("max_count"),
+            F.sum("c").cast("long").alias("n_rows"))
+        q = (exact_quantiles(cnts, "c", qs=(50, 99), buckets=buckets)
+             .agg(F.max(F.when(F.col("q_pct") == 50, F.col("value")))
+                  .cast("long").alias("p50_count"),
+                  F.max(F.when(F.col("q_pct") == 99, F.col("value")))
+                  .cast("long").alias("p99_count")))
+        row = (stats.crossJoin(F.broadcast(q)).select(
+            F.lit(col).alias("key_col"),
+            "n_rows", "n_keys", "max_count", "p50_count", "p99_count",
+            F.expr("CAST(CAST(max_count AS DECIMAL(38,0)) * 1000000 "
+                   "DIV n_rows AS BIGINT)").alias("top_share_ppm"),
+            F.expr("CAST(CAST(max_count AS DECIMAL(38,0)) * n_keys "
+                   "* 1000000 DIV n_rows AS BIGINT)").alias("skew_x_ppm"),
+            F.expr("GREATEST(CAST(1 AS BIGINT), "
+                   "CAST(CAST(max_count AS DECIMAL(38,0)) * n_keys "
+                   "DIV n_rows AS BIGINT))").alias("suggested_salt"),
+        ))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def sql_skew_report(key_cols: list[str], table: str = "events") -> str:
+    """DuckDB oracle for :func:`skew_report` — definitional global-rank
+    quantiles of the per-key counts, same BIGINT rank arithmetic."""
+    parts = []
+    for col in key_cols:
+        parts.append(f"""
+SELECT '{col}' AS key_col, n_rows, n_keys, max_count, p50_count,
+       p99_count,
+       CAST(CAST(max_count AS HUGEINT) * 1000000 // n_rows AS BIGINT)
+         AS top_share_ppm,
+       CAST(CAST(max_count AS HUGEINT) * n_keys * 1000000 // n_rows
+         AS BIGINT) AS skew_x_ppm,
+       greatest(CAST(1 AS BIGINT),
+                CAST(CAST(max_count AS HUGEINT) * n_keys // n_rows
+                     AS BIGINT)) AS suggested_salt
+FROM (
+  WITH c AS (SELECT {col} AS k, CAST(count(*) AS BIGINT) AS c
+             FROM {table} GROUP BY 1),
+  s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(c) AS BIGINT) AS max_count,
+               CAST(sum(c) AS BIGINT) AS n_rows FROM c),
+  r AS (SELECT c, CAST(row_number() OVER (ORDER BY c) AS BIGINT) AS rn
+        FROM c)
+  SELECT s.n_keys, s.max_count, s.n_rows,
+         (SELECT min(c) FROM r WHERE rn = (50 * s.n_keys + 99) // 100)
+           AS p50_count,
+         (SELECT min(c) FROM r WHERE rn = (99 * s.n_keys + 99) // 100)
+           AS p99_count
+  FROM s
+)""")
+    return " UNION ALL ".join(parts)

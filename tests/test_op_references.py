@@ -2111,3 +2111,27 @@ def test_interval_join_matches_plain_python_reference(spark):
            for r in interval_join(points, intervals, [], "ts",
                                   "lo", "hi").collect()}
     assert got == want
+
+
+def test_skew_report_matches_plain_python_reference(spark):
+    """skew report recomputed definitionally: counts per key, max/sum,
+    rank-(q·N+99)//100 quantiles of the sorted counts, floor-micro
+    ratios — including a deliberately hot key."""
+    from eventstore_spark.operators.stats import skew_report
+
+    rows = [(i, "hot" if i % 3 else f"k{i}") for i in range(90)]
+    df = spark.createDataFrame(rows, "a long, b string")
+    got = {r.key_col: r.asDict() for r in skew_report(df, ["b"]).collect()}
+
+    from collections import Counter
+    cnt = Counter(b for _, b in rows)
+    cs = sorted(cnt.values())
+    n_keys, n_rows, mx = len(cs), sum(cs), max(cs)
+    def qv(q):
+        return cs[(q * n_keys + 99) // 100 - 1]
+    g = got["b"]
+    assert (g["n_rows"], g["n_keys"], g["max_count"]) == (n_rows, n_keys, mx)
+    assert g["p50_count"] == qv(50) and g["p99_count"] == qv(99)
+    assert g["top_share_ppm"] == mx * 1_000_000 // n_rows
+    assert g["skew_x_ppm"] == mx * n_keys * 1_000_000 // n_rows
+    assert g["suggested_salt"] == max(1, mx * n_keys // n_rows)

@@ -257,6 +257,13 @@ BNLJ_OK = {
     # ONE-ROW total-count scalar broadcast over the ranked stream (the
     # bm25 N/avgdl shape); the offsets join is keyed on the value
     "percentile_rank",
+    # r11: _value_offsets' ONE-ROW min/max scalar broadcast (the
+    # exact_quantiles bin-assignment shape) — the offsets windows
+    # themselves are bucket-keyed, pinned by their own plan gate
+    "auc_eval",
+    # r11: per-column ONE-ROW stats × ONE-ROW quantile-pivot scalar
+    # cross joins (composes exact_quantiles — same whitelisted shape)
+    "events_skew_report",
     # TWO one-row median scalar broadcasts (med, mad) + exact_quantiles'
     # own bounded histogram-offset broadcasts — all scalar-subquery shape
     "mad_outliers",
