@@ -40,20 +40,26 @@ from ..schema import spread
 def asof_join(probe: DataFrame, reference: DataFrame, key_cols: list[str],
               probe_ts: str = "ts", ref_ts: str = "ts",
               ref_value_cols: list[str] | None = None,
-              suffix: str = "_ref") -> DataFrame:
+              suffix: str = "_ref",
+              direction: str = "backward") -> DataFrame:
     """For each ``probe`` row, attach the most recent ``reference`` row
     with the same ``key_cols`` and ``ref_ts`` <= ``probe_ts``
-    (inclusive; backward direction — the merge_asof/ASOF JOIN default).
+    (inclusive; ``direction="backward"`` — the merge_asof/ASOF JOIN
+    default), or with ``direction="forward"`` the EARLIEST reference
+    row with ``ref_ts`` >= ``probe_ts`` (inclusive) — the same
+    union-window plan scanning time in the opposite order.
 
     Returns all probe columns plus ``<ts><suffix>`` (the matched
-    reference timestamp, NULL when no reference row precedes) and
-    ``<col><suffix>`` for every ``ref_value_cols`` entry.
+    reference timestamp, NULL when no reference row precedes/follows)
+    and ``<col><suffix>`` for every ``ref_value_cols`` entry.
 
     The reference side should be unique per (key, ts) — pre-aggregate
     it otherwise; with duplicates the carried value is the lexically
     last at that timestamp, which is engine-dependent in every as-of
     implementation (DuckDB included).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown as-of direction {direction!r}")
     if ref_value_cols is None:
         ref_value_cols = [c for c in reference.columns
                           if c not in key_cols and c != ref_ts]
@@ -80,7 +86,12 @@ def asof_join(probe: DataFrame, reference: DataFrame, key_cols: list[str],
         F.col(ref_ts).alias("_rts"),
         *[F.col(c).alias(f"_rv_{c}") for c in ref_value_cols],
     )
-    w = (Window.partitionBy(*key_cols).orderBy("_ts", "_side")
+    # backward scans time ascending; forward scans descending — either
+    # way reference rows sort before probe rows at equal timestamps, so
+    # the equal-ts match stays inclusive
+    ts_order = (F.col("_ts").asc() if direction == "backward"
+                else F.col("_ts").desc())
+    w = (Window.partitionBy(*key_cols).orderBy(ts_order, F.col("_side"))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = p.unionByName(r).select(
         "*",

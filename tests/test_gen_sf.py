@@ -92,3 +92,26 @@ def test_generation_is_deterministic(tmp_path):
     ta = pq.read_table(os.path.join(a, "orders.parquet"))
     tb = pq.read_table(os.path.join(b, "orders.parquet"))
     assert ta.equals(tb)
+
+
+def test_zipf_text_has_natural_df_skew(tmp_path):
+    """--zipf documents: rank-frequency skew (hot head token in most
+    docs, long tail of rare tokens) while dup structure survives."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from gen_sf import generate
+
+    out = str(tmp_path / "sfz")
+    generate(0.02, out, zipf=True)
+    texts = pq.read_table(f"{out}/documents.parquet").column("text").to_pylist()
+    df = Counter()
+    for t in texts:
+        df.update(set(t.split()))
+    n = len(texts)
+    # the head token is near-stop-word hot; the tail is long
+    assert df.most_common(1)[0][1] > 0.8 * n
+    assert sum(1 for c in df.values() if c == 1) > 1000
+    # exact dups still exist (the 0.2% layer)
+    assert len(set(texts)) < n

@@ -2135,3 +2135,30 @@ def test_skew_report_matches_plain_python_reference(spark):
     assert g["top_share_ppm"] == mx * 1_000_000 // n_rows
     assert g["skew_x_ppm"] == mx * n_keys * 1_000_000 // n_rows
     assert g["suggested_salt"] == max(1, mx * n_keys // n_rows)
+
+
+def test_asof_join_forward_matches_plain_python_reference(spark):
+    """forward as-of: earliest reference ts >= probe ts per key,
+    inclusive ties, NULL when nothing follows."""
+    from eventstore_spark.operators.temporal import asof_join
+
+    probe_rows = [(1, 10, 100), (1, 16, 101), (1, 25, 102),
+                  (2, 9, 200), (3, 1, 300)]
+    ref_rows = [(1, 10, "a"), (1, 15, "b"), (1, 19, "c"), (2, 8, "x")]
+    probe = spark.createDataFrame(probe_rows, "k long, ts long, pid long")
+    ref = spark.createDataFrame(ref_rows, "k long, ts long, val string")
+    got = {r.pid: (r.ts_ref, r.val_ref)
+           for r in asof_join(probe, ref, ["k"], "ts", "ts", ["val"],
+                              direction="forward").collect()}
+    want = {}
+    for k, pts, pid in probe_rows:
+        best = None
+        for rk, rts, val in ref_rows:
+            if rk == k and rts >= pts and (best is None or rts < best[0]):
+                best = (rts, val)
+        want[pid] = best if best else (None, None)
+    assert got == want
+    assert got[100] == (10, "a")       # inclusive tie
+    assert got[101] == (19, "c")       # earliest-above
+    assert got[102] == (None, None)    # nothing follows
+    assert got[200] == (None, None)    # key 2's only ref is below
