@@ -2448,6 +2448,20 @@ def q_classifier_score(spark, sf):
     return textops.classifier_score(_table(spark, sf, "documents"))
 
 
+def q_classifier_train_apply(spark, sf):
+    """TRAINED quality gate end-to-end (new r11): NB log-count-ratio
+    weights (NBSVM, Wang & Manning 2012) fit on a 2/3 training slice
+    (label: lang = 'en'), then every document scored through the
+    literal-LUT zero-shuffle fold — the trained-model seam
+    classifier_score documents (textops.train_nb_classifier +
+    classifier_apply)."""
+    docs = _table(spark, sf, "documents")
+    labeled = docs.withColumn("y", F.col("lang") == "en")
+    model = textops.train_nb_classifier(
+        labeled.where("doc_id % 3 != 0"), "y", n_buckets=1024)
+    return textops.classifier_apply(docs, model, n_buckets=1024)
+
+
 def q_span_dedup(spark, sf):
     """Token-span duplication profile (Lee et al. substring dedup signal):
     per-doc duplicated-window counts via hash-keyed equi-join
@@ -2675,6 +2689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_interval_join": q_events_interval_join,
         "events_skew_report": q_events_skew_report,
+        "classifier_train_apply": q_classifier_train_apply,
     }
     # Round-11 rotation (VERDICT r10 task #1): the 37 operators added
     # after the r10 sample window froze (sessions 2-4 of r10) have never
@@ -3676,6 +3691,9 @@ WHERE p.quality >= 0.3
     from eventstore_spark.operators.stats import sql_skew_report
 
     sqls["events_skew_report"] = sql_skew_report(["user_id", "event_type"])
+    sqls["classifier_train_apply"] = textops.sql_train_apply_nb_classifier(
+        label_sql="lang = 'en'", train_pred="doc_id % 3 != 0",
+        n_buckets=1024)
     sqls["events_interval_join"] = """
 WITH ev AS (
   SELECT epoch_us(ts) AS tsu,

@@ -85,6 +85,7 @@ SECONDARY = [
     "events_asof",
     "events_interval_join",
     "events_skew_report",
+    "classifier_train_apply",
 ]
 
 

@@ -1054,6 +1054,185 @@ FROM feats
 """
 
 
+def _clf_staged(docs: DataFrame, id_col: str, text_col: str,
+                extra: tuple = ()):
+    """Shared unigram+bigram feature staging of the hashed classifier
+    family (the classifier_score feature space — a trained model and
+    the md5 stand-in score through identical features)."""
+    return spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        X.tokens(F.col(text_col)).alias("_toks"),
+        *[F.col(c) for c in extra],
+    ).withColumn(
+        "_feats",
+        F.expr(
+            "filter(concat(_toks, " + X.SPARK_SQL_BIGRAMS + "), t -> t <> '')"
+        ),
+    )
+
+
+_CLF_BUCKET = ("CAST(conv(substring(md5(concat('{salt}|', t)), 1, 8), 16, 10)"
+               " AS BIGINT) % {nb}")
+_SQL_CLF_BUCKET = ("CAST('0x' || substr(md5('{salt}|' || t), 1, 8) AS BIGINT)"
+                   " % {nb}")
+
+
+def train_nb_classifier(docs: DataFrame, label_col: str,
+                        n_buckets: int = 4096, salt: str = "clf-v1",
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """TRAIN the hashed linear classifier: multinomial Naive-Bayes
+    log-count-ratio weights (the NBSVM trick, Wang & Manning 2012 —
+    the standard strong baseline a fastText-style quality gate starts
+    from) over classifier_score's exact feature space (unigrams +
+    adjacent bigrams, md5-hashed into ``n_buckets``).
+
+    weight_micro[b] = lnq(pos_c+1) − lnq(T_pos+nb)
+                    − lnq(neg_c+1) + lnq(T_neg+nb)
+
+    with lnq the repo's per-ln micro-quantization (round(ln(int)·1e6)
+    AS BIGINT — integer arguments only, the pmi_collocations
+    determinism convention), pos_c/neg_c the per-bucket feature counts
+    of each class, T the class totals. Returns the model as a TABLE:
+    (bucket, weight_micro) for every observed bucket, plus two
+    sentinel rows — bucket −1 = bias (micro-quantized class-prior
+    log-ratio over document counts) and bucket −2 = the unseen-bucket
+    default (the +1 smoothing mass). A model-as-table round-trips
+    through parquet and the DuckDB oracle unchanged.
+
+    Plan shape at 100 TB: ONE explode + map-side-combined keyed count
+    (the corpus collapses to ≤ n_buckets rows before anything else),
+    one one-row totals aggregate broadcast back over the bucket table,
+    one one-row doc-prior aggregate. Nothing corpus-sized shuffles
+    twice; training is a single pass.
+    """
+    staged = _clf_staged(docs, id_col, text_col,
+                         extra=(label_col,)).withColumn(
+        "_y", F.col(label_col).cast("boolean"))
+    bucket = _CLF_BUCKET.format(salt=salt, nb=int(n_buckets))
+    ex = staged.select("_y", F.explode("_feats").alias("t")) \
+        .select("_y", F.expr(bucket).alias("bucket"))
+    cnt = ex.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("pos_c"),
+        F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("neg_c"))
+    tot = cnt.agg(F.sum("pos_c").alias("tp"), F.sum("neg_c").alias("tn"))
+    prior = staged.agg(
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("nn"))
+
+    def lnq(expr: str) -> str:
+        return f"CAST(round(ln(CAST({expr} AS DOUBLE)) * 1e6) AS BIGINT)"
+
+    nb = int(n_buckets)
+    weights = cnt.crossJoin(F.broadcast(tot)).selectExpr(
+        "CAST(bucket AS BIGINT) AS bucket",
+        f"{lnq('pos_c + 1')} - {lnq(f'tp + {nb}')} "
+        f"- {lnq('neg_c + 1')} + {lnq(f'tn + {nb}')} AS weight_micro")
+    bias = prior.selectExpr(
+        "CAST(-1 AS BIGINT) AS bucket",
+        f"{lnq('np + 1')} - {lnq('nn + 1')} AS weight_micro")
+    default = tot.selectExpr(
+        "CAST(-2 AS BIGINT) AS bucket",
+        f"{lnq(f'tn + {nb}')} - {lnq(f'tp + {nb}')} AS weight_micro")
+    return weights.unionByName(bias).unionByName(default)
+
+
+def classifier_apply(docs: DataFrame, model: DataFrame,
+                     n_buckets: int = 4096, salt: str = "clf-v1",
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Score documents with a TRAINED (bucket, weight_micro) model —
+    the seam classifier_score documents ("a trained model plugs in
+    ... with the identical plan shape"). The model is collected
+    (≤ n_buckets + 2 rows, bounded by CONSTRUCTION — the bucket-model
+    convention) into a LITERAL weight array, so scoring is the same
+    zero-shuffle codegen fold as classifier_score: one exact BIGINT
+    aggregate over the feature array per document, the PQ/IVFADC
+    literal-LUT shape. Returns (doc_id, n_features, logit_micro,
+    label) — classifier_score's exact schema.
+    """
+    nb = int(n_buckets)
+    rows = {int(r.bucket): int(r.weight_micro) for r in model.collect()}
+    bias = rows.get(-1, 0)
+    default = rows.get(-2, 0)
+    lut = ", ".join(str(rows.get(b, default)) for b in range(nb))
+    staged = _clf_staged(docs, id_col, text_col)
+    bucket = _CLF_BUCKET.format(salt=salt, nb=nb)
+    logit = (
+        f"aggregate(_feats, CAST({bias} AS BIGINT), "
+        f"(acc, t) -> acc + element_at(array({lut}), CAST(({bucket}) + 1 AS INT)))"
+    )
+    return staged.select(
+        "doc_id",
+        F.size("_feats").cast("long").alias("n_features"),
+        F.expr(logit).alias("logit_micro"),
+        (F.expr(logit) > 0).alias("label"),
+    )
+
+
+def sql_train_apply_nb_classifier(label_sql: str, train_pred: str,
+                                  n_buckets: int = 4096,
+                                  salt: str = "clf-v1",
+                                  table: str = "documents",
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text") -> str:
+    """DuckDB oracle for train_nb_classifier ∘ classifier_apply: same
+    hashing, same per-ln micro-quantization, scoring via a left join
+    to the weight table with the unseen default coalesced in."""
+    toks = X.SQL_TOKENS.format(c=text_col)
+    bigrams = (
+        "CASE WHEN len(toks) < 2 THEN [] ELSE "
+        "list_transform(range(2, len(toks) + 1), i -> toks[i-1] || ' ' || toks[i]) END"
+    )
+    b = _SQL_CLF_BUCKET.format(salt=salt, nb=int(n_buckets))
+    nb = int(n_buckets)
+
+    def lnq(expr: str) -> str:
+        return f"CAST(round(ln(CAST({expr} AS DOUBLE)) * 1e6) AS BIGINT)"
+
+    return f"""
+WITH staged AS (
+  SELECT {id_col} AS doc_id, ({label_sql}) AS y, {toks} AS toks FROM {table}
+), feats AS (
+  SELECT doc_id, y, list_filter(toks || ({bigrams}), t -> t <> '') AS f
+  FROM staged
+), trainex AS (
+  SELECT y, {b} AS bucket
+  FROM (SELECT y, unnest(f) AS t FROM feats WHERE {train_pred})
+), cnt AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos_c,
+         CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg_c
+  FROM trainex GROUP BY bucket
+), tot AS (
+  SELECT CAST(sum(pos_c) AS BIGINT) AS tp, CAST(sum(neg_c) AS BIGINT) AS tn
+  FROM cnt
+), w AS (
+  SELECT bucket,
+         {lnq('pos_c + 1')} - {lnq(f'tp + {nb}')}
+         - {lnq('neg_c + 1')} + {lnq(f'tn + {nb}')} AS wm
+  FROM cnt, tot
+), prior AS (
+  SELECT {lnq('sum(CASE WHEN y THEN 1 ELSE 0 END) + 1')}
+         - {lnq('sum(CASE WHEN y THEN 0 ELSE 1 END) + 1')} AS bias
+  FROM staged WHERE {train_pred}
+), dflt AS (
+  SELECT {lnq(f'tn + {nb}')} - {lnq(f'tp + {nb}')} AS dw FROM tot
+), scored AS (
+  SELECT e.doc_id, sum(coalesce(w.wm, dflt.dw)) AS s
+  FROM (SELECT doc_id, {b} AS bucket
+        FROM (SELECT doc_id, unnest(f) AS t FROM feats)) e
+  LEFT JOIN w ON e.bucket = w.bucket, dflt
+  GROUP BY e.doc_id
+)
+SELECT f.doc_id,
+       CAST(len(f.f) AS BIGINT) AS n_features,
+       CAST(prior.bias + coalesce(scored.s, 0) AS BIGINT) AS logit_micro,
+       (prior.bias + coalesce(scored.s, 0)) > 0 AS label
+FROM feats f LEFT JOIN scored ON f.doc_id = scored.doc_id, prior
+"""
+
+
 def readability(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Readability profiling for corpus curation: per-document word /

@@ -2162,3 +2162,62 @@ def test_asof_join_forward_matches_plain_python_reference(spark):
     assert got[101] == (19, "c")       # earliest-above
     assert got[102] == (None, None)    # nothing follows
     assert got[200] == (None, None)    # key 2's only ref is below
+
+
+def test_nb_classifier_train_apply_matches_plain_python_reference(spark):
+    """NB log-count-ratio training + literal-LUT scoring recomputed
+    definitionally in Python: same md5 bucketing, same per-ln
+    micro-quantization, same +1 smoothing and unseen-bucket default."""
+    import hashlib
+    import math
+
+    from eventstore_spark.operators.textops import (
+        classifier_apply, train_nb_classifier)
+
+    rows = [
+        (1, "good clean text about spark queries", True),
+        (2, "good text with clean words and spark", True),
+        (3, "spam spam buy now cheap pills", False),
+        (4, "cheap pills buy spam now", False),
+        (5, "clean spark queries about text", True),
+        (6, "now buy cheap spam pills fast", False),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    NB, SALT = 64, "clf-v1"
+    model = train_nb_classifier(docs, "y", n_buckets=NB, salt=SALT)
+    got = {r.doc_id: (r.n_features, r.logit_micro, r.label)
+           for r in classifier_apply(docs, model, n_buckets=NB,
+                                     salt=SALT).collect()}
+
+    def bucket(t):
+        return int(hashlib.md5(f"{SALT}|{t}".encode()).hexdigest()[:8],
+                   16) % NB
+
+    def feats(text):
+        toks = text.lower().split()
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def lnq(v):
+        return int(round(math.log(v) * 1e6))
+
+    from collections import Counter
+    pos, neg = Counter(), Counter()
+    npos = nneg = 0
+    for _, text, y in rows:
+        if y:
+            npos += 1
+        else:
+            nneg += 1
+        for t in feats(text):
+            (pos if y else neg)[bucket(t)] += 1
+    tp, tn = sum(pos.values()), sum(neg.values())
+    w = {b: lnq(pos[b] + 1) - lnq(tp + NB) - lnq(neg[b] + 1) + lnq(tn + NB)
+         for b in set(pos) | set(neg)}
+    default = lnq(tn + NB) - lnq(tp + NB)
+    bias = lnq(npos + 1) - lnq(nneg + 1)
+    for did, text, y in rows:
+        fs = feats(text)
+        logit = bias + sum(w.get(bucket(t), default) for t in fs)
+        assert got[did] == (len(fs), logit, logit > 0), did
+        # the trained gate actually separates the two classes here
+        assert (logit > 0) == y, did

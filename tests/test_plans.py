@@ -1030,3 +1030,24 @@ def test_interval_join_is_an_equi_join(spark, tmp_path_factory):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "_bin" in plan  # the equi-join key
+
+
+def test_classifier_apply_scoring_is_a_literal_lut_fold(parquet_docs):
+    """Scoring with a TRAINED model must stay the zero-shuffle codegen
+    fold classifier_score established: the collected model becomes a
+    literal weight array, so the apply plan has NO join and NO exchange
+    beyond the source scan (the PQ/IVFADC literal-LUT shape)."""
+    from eventstore_spark.operators.textops import (
+        classifier_apply, train_nb_classifier)
+
+    from pyspark.sql import functions as F
+
+    labeled = parquet_docs.withColumn("y", F.col("doc_id") % 2 == 0)
+    model = train_nb_classifier(labeled, "y", n_buckets=128)
+    plan = plan_of(classifier_apply(parquet_docs, model, n_buckets=128))
+    assert "Join" not in plan
+    # the only exchange allowed is spread()'s round-robin fan-out; any
+    # keyed or single-partition exchange means scoring stopped being a
+    # pure scan
+    assert "hashpartitioning" not in plan
+    assert "SinglePartition" not in plan
