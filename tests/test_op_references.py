@@ -2221,3 +2221,24 @@ def test_nb_classifier_train_apply_matches_plain_python_reference(spark):
         assert got[did] == (len(fs), logit, logit > 0), did
         # the trained gate actually separates the two classes here
         assert (logit > 0) == y, did
+
+
+def test_interval_join_with_keys_matches_plain_python_reference(spark):
+    """keyed interval join: the bin equi-join extends to (key, bin), so
+    a point only matches intervals of ITS key — including two keys with
+    overlapping time ranges."""
+    from eventstore_spark.operators.temporal import interval_join
+
+    pts = [(1, "a", 5), (2, "a", 12), (3, "b", 5), (4, "b", 40)]
+    ivs = [(10, "a", 0, 10), (11, "a", 10, 20),
+           (12, "b", 0, 10), (13, "c", 0, 100)]
+    points = spark.createDataFrame(pts, "pid long, k string, ts long")
+    intervals = spark.createDataFrame(ivs, "iid long, k string, lo long, hi long")
+    got = {(r.pid, r.iid)
+           for r in interval_join(points, intervals, ["k"], "ts",
+                                  "lo", "hi", bin_width=4).collect()}
+    want = {(pid, iid) for pid, pk, ts in pts
+            for iid, ik, lo, hi in ivs if pk == ik and lo <= ts < hi}
+    assert got == want
+    assert (3, 10) not in got          # same time range, other key
+    assert not any(iid == 13 for _, iid in got)  # key with no points
