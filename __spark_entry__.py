@@ -251,11 +251,17 @@ def q_dedup_url(spark, sf):
 def q_quality_ensemble(spark, sf):
     """Gopher + C4 rule sets as one auditable single-scan gate (r10 s3):
     per doc the sorted array of failed rules, per-filter verdicts, and
-    the combined verdict (textops.quality_ensemble). Zero shuffle."""
+    the combined verdict (textops.quality_ensemble). Zero shuffle.
+
+    Registry boundary (r12): ``failed`` serialized to a '|'-joined
+    string — the driver's canonicalizer hashes pandas object columns
+    and cannot sort raw lists (CORRECTNESS_r11 ERR). Library users get
+    the native array from the operator itself."""
     from eventstore_spark.operators.textops import quality_ensemble
 
-    return quality_ensemble(_table(spark, sf, "documents"),
-                            min_words=15, min_stops=1)
+    out = quality_ensemble(_table(spark, sf, "documents"),
+                           min_words=15, min_stops=1)
+    return out.withColumn("failed", F.array_join("failed", "|"))
 
 
 def q_dedup_doc_lines(spark, sf):
@@ -595,10 +601,17 @@ def q_weighted_sample(spark, sf):
 def q_rp_project(spark, sf):
     """JL sparse random projection 64 -> 16 dims (r10 s4): plan-time
     literal sign chains over the staged quantized array, one codegen
-    pass, exact BIGINT output (similarity.rp_project)."""
+    pass, exact BIGINT output (similarity.rp_project).
+
+    Registry boundary (r12): ``proj`` is serialized to a ','-joined
+    string for the driver's canonicalizer (see q_quality_ensemble);
+    the operator keeps its native array<bigint> return."""
     from eventstore_spark.operators.similarity import rp_project
 
-    return rp_project(_table(spark, sf, "embeddings"), d_out=16, dim=64)
+    out = rp_project(_table(spark, sf, "embeddings"), d_out=16, dim=64)
+    return out.withColumn(
+        "proj",
+        F.array_join(F.transform("proj", lambda x: x.cast("string")), ","))
 
 
 def q_kcenter_select(spark, sf):
@@ -747,10 +760,17 @@ def q_concentration_report(spark, sf):
 def q_scalar_quantize(spark, sf):
     """SQ8 embedding compression (r10 s3): per-dim min/max stats row
     broadcast over the scan, int8 codes + micro-exact reconstruction
-    error per vector (similarity.scalar_quantize)."""
+    error per vector (similarity.scalar_quantize).
+
+    Registry boundary (r12): ``codes`` serialized to a ','-joined
+    string for the driver's canonicalizer (see q_quality_ensemble);
+    the operator keeps its native array<int> return."""
     from eventstore_spark.operators.similarity import scalar_quantize
 
-    return scalar_quantize(_table(spark, sf, "embeddings"), bits=8)
+    out = scalar_quantize(_table(spark, sf, "embeddings"), bits=8)
+    return out.withColumn(
+        "codes",
+        F.array_join(F.transform("codes", lambda x: x.cast("string")), ","))
 
 
 def q_hard_negatives(spark, sf):
@@ -2691,30 +2711,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_skew_report": q_events_skew_report,
         "classifier_train_apply": q_classifier_train_apply,
     }
-    # Round-11 rotation (VERDICT r10 task #1): the 37 operators added
-    # after the r10 sample window froze (sessions 2-4 of r10) have never
-    # had a driver-green row — they come first, then the 13
-    # longest-unsampled entries (all last driver-sampled in r8, in
-    # registry order) — exactly 50. With this window green, the
-    # r8+r9+r10+r11 union covers the entire registry driver-certified.
+    # Round-12 rotation (VERDICT r11 tasks #1/#2): first the 4 operators
+    # added after the r11 window froze (never driver-sampled) and the 3
+    # array-output queries whose CORRECTNESS_r11 rows ERR'd in the
+    # driver's canonicalizer (now serialized driver-hashable — they need
+    # the hard green), then the 20 r8-stale entries and the first 23 of
+    # the r9-stale block (registry order) — exactly 50. With this window
+    # green, every registry entry has a driver-green row in the r9-r12
+    # union and the whole registry is driver-certified.
     head = [
-        # -- the 37 never-driver-sampled (local-oracle green r10) --
-        "sequence_pack", "blocklist_filter", "zipf_fit", "extract_links",
-        "link_pagerank", "ndcg_eval", "block_manifest", "anchor_domains",
-        "lexical_profile", "crawl_frontier", "hybrid_rrf", "dedup_url",
-        "quality_ensemble", "link_hits", "pmi_collocations",
-        "chat_sft_spans", "span_dedup_apply", "hard_negatives",
-        "scalar_quantize", "containment_pairs", "exact_quantiles",
-        "dedup_edit_verify", "dedup_bloom", "overlap_eval",
-        "embedding_pca", "source_drift_ks", "tokenizer_fertility",
-        "weighted_sample", "rp_project", "kcenter_select", "auc_eval",
-        "events_rate_anomaly", "langid_prf", "percentile_rank",
-        "mad_outliers", "group_weighted_sample", "concentration_report",
-        # -- last driver-sampled in r8 (oldest 13, registry order) --
-        "dedup_clusters", "token_vocabulary", "lm_score", "langid_eval",
-        "tpch_q6", "source_mixture", "contamination_exact",
-        "chunk_documents", "classifier_score", "span_dedup",
-        "per_source_cap", "training_order", "knn_classify",
+        # -- never driver-sampled (new in r11; local-oracle green) --
+        "events_asof", "events_interval_join", "events_skew_report",
+        "classifier_train_apply",
+        # -- driver-red in r11 (array outputs, serialized r12) --
+        "quality_ensemble", "scalar_quantize", "rp_project",
+        # -- last driver-sampled in r8 (20, registry order) --
+        "tfidf_keywords", "stratified_sample", "select_corpus",
+        "bpe_pair_counts", "corpus_stats", "repetition_profile",
+        "pii_redact", "pack_shards", "contamination_overlap",
+        "cluster_survivors", "token_stats", "doc_fingerprint_rolling",
+        "multimodal_features", "media_sniff", "media_dedup",
+        "media_frames", "media_chunks", "ann_bruteforce", "rag_retrieve",
+        "ann_lsh",
+        # -- last driver-sampled in r9 (oldest 23, registry order) --
+        "ngram_novelty", "source_overlap", "payload_profile",
+        "embedding_outliers", "events_cohort_retention", "events_funnel",
+        "tpch_q7_nation_volume", "tpch_q8_market_share",
+        "tpch_q15_top_supplier", "tpch_q17_small_quantity",
+        "tpch_q18_large_orders", "tpch_q13_custdist", "semantic_dedup",
+        "gopher_quality", "s1_read_event", "s1_read_event_last",
+        "s2_read_stream_forward", "s3_read_stream_backward",
+        "s4_read_all_forward", "s4_read_all_backward",
+        "s5_read_all_filtered", "s5_read_all_filtered_backward",
+        "f_filter_agg",
     ]
     return {**{n: q[n] for n in head},
             **{n: fn for n, fn in q.items() if n not in set(head)}}
@@ -3618,8 +3647,16 @@ WHERE p.quality >= 0.3
         "FROM documents)"
         + _cp.sql_dedup_url(table="ddocs").replace("\nWITH ", ",\n", 1)
     )
-    sqls["quality_ensemble"] = textops.sql_quality_ensemble(
-        min_words=15, min_stops=1)
+    # registry boundary (r12): serialize the array columns exactly as the
+    # Spark side does — the driver's canonicalizer cannot hash raw lists.
+    # DuckDB's array_to_string returns NULL for an empty list where
+    # Spark's array_join returns '', hence the coalesce.
+    sqls["quality_ensemble"] = (
+        "SELECT doc_id, coalesce(array_to_string(failed, '|'), '') AS failed,"
+        " n_failed, gopher_kept, c4_kept, kept FROM ("
+        + textops.sql_quality_ensemble(min_words=15, min_stops=1)
+        + ") _qe"
+    )
     sqls["pmi_collocations"] = textops.sql_pmi_collocations(k=50, min_count=5)
     sqls["chat_sft_spans"] = _cp.sql_chat_sft_spans(
         "SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id, "
@@ -3631,7 +3668,10 @@ WHERE p.quality >= 0.3
     sqls["span_dedup_apply"] = _cp.sql_span_dedup_apply(
         span_tokens=10, min_copies=2)
     sqls["hard_negatives"] = sim.sql_hard_negatives(ANN_QUERY_IDS, k=5, pool=50)
-    sqls["scalar_quantize"] = sim.sql_scalar_quantize(bits=8)
+    sqls["scalar_quantize"] = (
+        "SELECT vec_id, array_to_string(codes, ',') AS codes, err_micro "
+        "FROM (" + sim.sql_scalar_quantize(bits=8) + ") _sq"
+    )
     sqls["containment_pairs"] = dd.sql_containment_pairs(
         shingle_n=3, threshold=0.9, min_shingles=10)
     from eventstore_spark.operators.stats import sql_exact_quantiles
@@ -3658,7 +3698,10 @@ WHERE p.quality >= 0.3
     sqls["weighted_sample"] = cp.sql_weighted_sample(k=100)
     from eventstore_spark.operators.similarity import sql_rp_project
 
-    sqls["rp_project"] = sql_rp_project(d_out=16, dim=64)
+    sqls["rp_project"] = (
+        "SELECT vec_id, array_to_string(proj, ',') AS proj "
+        "FROM (" + sql_rp_project(d_out=16, dim=64) + ") _rp"
+    )
     from eventstore_spark.operators.similarity import sql_kcenter_select
 
     sqls["kcenter_select"] = sql_kcenter_select(k=8, dim=64)

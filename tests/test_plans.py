@@ -400,6 +400,44 @@ def test_sf1_join_heavy_plans_degrade_to_keyed_smj_not_bnlj(spark):
                 spark.conf.set(k, v)
 
 
+def test_registry_outputs_are_driver_hashable(spark):
+    """Measurement-surface lint (r12, VERDICT r11 #1): the driver's
+    correctness harness canonicalizes each queries() result with a raw
+    pandas sort_values + value hash, which dies on list/dict cells
+    ("unhashable type: 'list'" — the CORRECTNESS_r11 ERR on
+    quality_ensemble/scalar_quantize/rp_project). Every registry output
+    column must therefore be scalar all the way down: no ArrayType /
+    MapType anywhere in any queries() schema. Operators may keep native
+    array returns for library users; the q_* registry wrapper is where
+    serialization (array_join / to_json / explode) happens."""
+    import os
+
+    import pytest as _pytest
+
+    from pyspark.sql.types import ArrayType, DataType, MapType, StructType
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        _pytest.skip("driver testdata not present")
+    import __spark_entry__ as entry
+
+    def has_nested(dt: DataType) -> bool:
+        if isinstance(dt, (ArrayType, MapType)):
+            return True
+        if isinstance(dt, StructType):
+            return any(has_nested(f.dataType) for f in dt.fields)
+        return False
+
+    offenders = {}
+    for name, fn in sorted(entry.queries().items()):
+        schema = fn(spark, sf_dir).schema
+        bad = [f.name for f in schema.fields if has_nested(f.dataType)]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"array/map output columns break the driver canonicalizer: {offenders}")
+
+
 def test_bucketed_log_makes_stream_keyed_work_shuffle_free(spark, parquet_events, tmp_path_factory):
     """bucket_log publishes the log hash-clustered on stream_id; every
     stream-keyed pass after it — aggregation, log-to-log join, and the
