@@ -124,50 +124,77 @@ GROUP BY r.q_pct
 """
 
 
-def _value_offsets(cnts: DataFrame, value: str = "v", cnt: str = "c",
-                   buckets: int = 1024) -> DataFrame:
-    """Exclusive running sum of ``cnt`` in ascending ``value`` order over
-    a per-distinct-value count table, added as column ``lo`` (other
-    columns pass through).
+def _keyed_value_offsets(cnts: DataFrame, value: str,
+                         cnt_cols: tuple[str, ...], keys: tuple[str, ...] = (),
+                         buckets: int = 1024) -> DataFrame:
+    """Exclusive running sums of each ``cnt_cols`` column in ascending
+    ``value`` order WITHIN each ``keys`` group over a per-distinct-value
+    count table, added as columns ``lo_<cnt>`` (other columns pass
+    through).
 
-    TWO-LEVEL, never a single unpartitioned window over the distinct
-    values: "distinct values are few" holds for quantized scores and
-    lengths but the API accepts any long-castable column — feed a
+    TWO-LEVEL, never a single per-key window over the distinct values:
+    "distinct values are few" holds for quantized scores and lengths
+    but the API accepts any long-castable column — feed a
     micro-quantized continuous score (the repo's own 1e6-ppm
     convention) and distinct count approaches corpus size, turning the
-    one-partition window into a corpus-sized single-task sort (the
-    sized-by-assumption class guarded_broadcast was built to kill).
-    Scheme (the exact_quantiles bucket-histogram move):
+    one-partition-per-key window into a corpus-sized single-task sort
+    (the sized-by-assumption class guarded_broadcast was built to
+    kill). Scheme (the exact_quantiles bucket-histogram move):
 
-    * level 1 — values bin into ``buckets`` ranges (min/max is a one-row
-      scalar broadcast; bin arithmetic in DECIMAL(38,0), exact for the
-      full BIGINT range); bucket totals cumulate over ≤ ``buckets``
-      rows — bounded by CONSTRUCTION, the only unpartitioned window.
+    * level 1 — values bin into ``buckets`` GLOBAL ranges (min/max is a
+      one-row scalar broadcast; bin arithmetic in DECIMAL(38,0), exact
+      for the full BIGINT range); bucket totals cumulate over
+      ≤ ``buckets`` rows per key — bounded by CONSTRUCTION.
     * level 2 — per-value offsets cumulate inside a window KEYED by
-      bucket (~distinct/buckets values each); lo = bucket_lo + local.
+      (keys, bucket) (~distinct/buckets values each);
+      lo = key's bucket_lo + local.
+
+    Concentration caveat (ADVICE r11): the bins are EQUI-WIDTH over the
+    global [min, max] — one extreme outlier (a Long.MAX sentinel)
+    collapses every real value into a single bucket and level 2
+    degenerates to the per-key sort this scheme exists to avoid. Callers
+    whose value domain can carry sentinels should pre-filter them or
+    raise ``buckets``; both public wrappers (percentile_rank, auc_eval,
+    ks_drift) expose the knob.
     """
+    kl = list(keys)
     stats = cnts.agg(F.min(value).alias("_mn"), F.max(value).alias("_mx"))
     binned = cnts.crossJoin(F.broadcast(stats)).withColumn(
         "_b",
         F.expr(f"CAST((CAST({value} AS DECIMAL(38,0)) - _mn) * {int(buckets)} "
                f"DIV (CAST(_mx AS DECIMAL(38,0)) - _mn + 1) AS INT)"))
-    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding,
-                                          Window.currentRow)
-    boffs = (binned.groupBy("_b").agg(F.sum(cnt).alias("_bc"))
-             .select("_b", (F.sum("_bc").over(wb) - F.col("_bc"))
-                     .alias("_blo")))
-    wv = (Window.partitionBy("_b").orderBy(value)
+    wb = ((Window.partitionBy(*kl) if kl else Window)
+          .orderBy("_b")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (
-        binned.join(F.broadcast(boffs), "_b")
-        .withColumn("lo", (F.col("_blo") + F.sum(cnt).over(wv) - F.col(cnt))
-                    .cast("long"))
-        .drop("_b", "_mn", "_mx", "_blo")
-    )
+    boffs = (
+        binned.groupBy(*kl, "_b")
+        .agg(*[F.sum(c).alias(f"_bc_{c}") for c in cnt_cols])
+        .select(*kl, "_b",
+                *[(F.sum(f"_bc_{c}").over(wb) - F.col(f"_bc_{c}"))
+                  .alias(f"_blo_{c}") for c in cnt_cols]))
+    wv = (Window.partitionBy(*kl, "_b").orderBy(value)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # unkeyed boffs is ≤buckets rows — always broadcastable; keyed boffs
+    # is keys×buckets (aggregate-sized, not corpus-sized) — plain keyed
+    # equi-join, AQE may still broadcast it when small
+    out = binned.join(F.broadcast(boffs) if not kl else boffs, kl + ["_b"])
+    for c in cnt_cols:
+        out = out.withColumn(
+            f"lo_{c}",
+            (F.col(f"_blo_{c}") + F.sum(c).over(wv) - F.col(c)).cast("long"))
+    return out.drop("_b", "_mn", "_mx", *[f"_blo_{c}" for c in cnt_cols])
+
+
+def _value_offsets(cnts: DataFrame, value: str = "v", cnt: str = "c",
+                   buckets: int = 1024) -> DataFrame:
+    """Unkeyed single-count form of :func:`_keyed_value_offsets` — the
+    exclusive running sum lands in column ``lo``."""
+    return (_keyed_value_offsets(cnts, value, (cnt,), buckets=buckets)
+            .withColumnRenamed(f"lo_{cnt}", "lo"))
 
 
 def ks_drift(df: DataFrame, group_col: str = "lang",
-             value_col: str = "n_chars") -> DataFrame:
+             value_col: str = "n_chars", buckets: int = 1024) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic between every pair
     of groups' value distributions — the standard drift test for "did
     this source/snapshot change shape?" monitoring of ingest pipelines
@@ -190,9 +217,13 @@ def ks_drift(df: DataFrame, group_col: str = "lang",
     * pair expansion joins those counts onto the bounded group-pair
       table (S² rows for S groups; sources/langs are dozens, not
       millions) — a broadcast join by construction.
-    * the running ECDFs are ONE window per (pair) ordered by value —
-      partition size = distinct values of the pair, bounded by value
-      cardinality (document lengths, scores), not corpus size.
+    * the running ECDFs use :func:`_keyed_value_offsets`' TWO-LEVEL
+      scheme keyed by (g_a, g_b) — bucket-keyed windows plus a
+      ≤ ``buckets``-row per-pair bucket cumulative — so a pair's ECDF
+      stays distributed even when the value column is continuous
+      (micro-quantized scores: distinct values ≈ corpus size). The r11
+      form (ONE window per pair ordered by value) was the last
+      sized-by-assumption window in the repo; killed r12.
 
     Reference parity note: the reference engine has no distribution
     tests; this extends the corpus-analytics surface (SURVEY §2, next
@@ -224,12 +255,12 @@ def ks_drift(df: DataFrame, group_col: str = "lang",
         .groupBy("ga", "gb", "na", "nb", "x")
         .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
     )
-    w = (Window.partitionBy("ga", "gb").orderBy("x")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    stepped = grid.select(
+    offs = _keyed_value_offsets(grid, "x", ("ca", "cb"),
+                                keys=("ga", "gb"), buckets=buckets)
+    stepped = offs.select(
         "ga", "gb", "na", "nb",
-        F.sum("ca").over(w).alias("cum_a"),
-        F.sum("cb").over(w).alias("cum_b"),
+        (F.col("lo_ca") + F.col("ca")).alias("cum_a"),
+        (F.col("lo_cb") + F.col("cb")).alias("cum_b"),
     )
     return (
         stepped
@@ -282,7 +313,8 @@ GROUP BY ga, gb, na, nb
 """
 
 
-def auc_eval(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+def auc_eval(df: DataFrame, score_col: str, label_col: str,
+             buckets: int = 1024) -> DataFrame:
     """Exact ROC-AUC of a score against a binary label — the
     Mann-Whitney U statistic with the standard tie correction (ties
     count half), the metric every quality/contamination classifier gate
@@ -304,6 +336,9 @@ def auc_eval(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     stays distributed even when the score column is continuous and
     distinct values approach corpus size; the final sum is a one-row
     aggregate. Nothing corpus-sized is sorted, windowed or joined.
+    ``buckets`` sizes the equi-width level-1 histogram — raise it when
+    the score domain is heavily concentrated (e.g. carries sentinel
+    extremes; see the caveat on :func:`_keyed_value_offsets`).
 
     Reference parity note: no eval surface in the reference engine;
     extends the eval family (SURVEY §2, next to knn_eval/ndcg_eval/
@@ -315,7 +350,8 @@ def auc_eval(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     cnts = base.groupBy("s").agg(
         F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("np"),
         F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("nn"))
-    stepped = _value_offsets(cnts, value="s", cnt="nn").select(
+    stepped = _value_offsets(cnts, value="s", cnt="nn",
+                             buckets=buckets).select(
         "np", "nn", F.col("lo").alias("below"))
     return (
         stepped
@@ -537,7 +573,8 @@ FROM j LEFT JOIN tp ON j.label = tp.label
 
 
 def percentile_rank(df: DataFrame, value_col: str,
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    buckets: int = 1024) -> DataFrame:
     """Exact percentile rank of every row's value — the normalization
     primitive for fusing heterogeneous per-doc signals (quality scores,
     perplexities, dup counts) onto one [0, 1e6] scale before gating or
@@ -555,9 +592,11 @@ def percentile_rank(df: DataFrame, value_col: str,
 
     * one map-side aggregate collapses the corpus to per-value counts;
       cumulative offsets use :func:`_value_offsets`'s TWO-LEVEL scheme
-      (bucket-keyed windows + one ≤1024-row bucket cumulative), exact
-      and distributed even when the value column is continuous and
-      distinct values approach corpus size.
+      (bucket-keyed windows + one ≤``buckets``-row bucket cumulative),
+      exact and distributed even when the value column is continuous
+      and distinct values approach corpus size; raise ``buckets`` for
+      heavily concentrated domains (sentinel extremes — see the caveat
+      on :func:`_keyed_value_offsets`).
     * each row's rank = its value's offset + a row_number inside a
       window KEYED by value (partition size = that value's tie count).
     * N is a one-row scalar broadcast (the bm25 N/avgdl shape).
@@ -570,7 +609,8 @@ def percentile_rank(df: DataFrame, value_col: str,
         F.col(value_col).cast("long").alias("v")).where(
         F.col("v").isNotNull())
     cnts = base.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
-    offs = _value_offsets(cnts, value="v", cnt="c").select("v", "lo")
+    offs = _value_offsets(cnts, value="v", cnt="c",
+                          buckets=buckets).select("v", "lo")
     n = base.agg(F.count(F.lit(1)).alias("n"))
     wv = Window.partitionBy("v").orderBy("doc_id")
     return (

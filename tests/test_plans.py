@@ -1023,6 +1023,29 @@ def test_auc_eval_offsets_window_is_bucket_keyed(parquet_docs, spark):
     assert not re.search(r"windowspecdefinition\(s#\d+L ASC", plan)
 
 
+def test_ks_drift_ecdf_window_is_bucket_keyed(parquet_docs):
+    """The per-pair ECDF cumulative must run inside a window KEYED by
+    (pair, range bucket) — the r11 form (one window per pair ordered by
+    the raw value) was a corpus-sized single task per pair the moment
+    the value column is continuous (micro-quantized scores with few
+    groups). Same contract as percentile_rank/auc_eval, keyed."""
+    import re
+
+    from eventstore_spark.operators.stats import ks_drift
+
+    plan = ks_drift(parquet_docs, "lang", "n_chars") \
+        ._jdf.queryExecution().executedPlan().toString()
+    # ECDF window partitioned by (ga, gb, _b), ordered by the value
+    assert re.search(
+        r"windowspecdefinition\(ga#\d+, gb#\d+, _b#\d+, x#\d+L ASC", plan)
+    # never a per-pair window ordered over the unbounded value set
+    assert not re.search(
+        r"windowspecdefinition\(ga#\d+, gb#\d+, x#\d+L ASC", plan)
+    # level-1 bucket cumulative is keyed by the pair (≤buckets rows each)
+    assert re.search(
+        r"windowspecdefinition\(ga#\d+, gb#\d+, _b#\d+ ASC", plan)
+
+
 def test_asof_join_has_no_join_node(spark, tmp_path_factory):
     """The as-of join must plan as union + ONE key-partitioned window —
     no join node of any kind (the naive range-join form is a
