@@ -152,12 +152,20 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     interval side when None (max interval length — every interval then
     spans <= 2 bins). Timestamps may be any integral type (cast epochs
     first; the events registry query uses unix_micros).
+
+    Malformed intervals (``hi <= lo`` — empty or inverted) are dropped
+    before the explode: they can match no point, but ``sequence(lo_bin,
+    hi_bin)`` steps BACKWARD when hi_bin < lo_bin, so one inverted
+    interval would otherwise silently explode into |hi_bin − lo_bin|
+    bins that only the final range filter discards — a cost blowup, not
+    a correctness one (ADVICE r11).
     """
     key_cols = key_cols or []
     if interval_cols is None:
         interval_cols = [c for c in intervals.columns
                          if c not in key_cols + [lo_col, hi_col]]
     points, intervals = spread(points), spread(intervals)
+    intervals = intervals.where(F.col(hi_col) > F.col(lo_col))
     if bin_width is None:
         mx = intervals.agg(
             F.max(F.col(hi_col) - F.col(lo_col)).alias("m")).collect()[0].m

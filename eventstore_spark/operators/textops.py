@@ -1162,12 +1162,15 @@ def classifier_apply(docs: DataFrame, model: DataFrame,
         f"aggregate(_feats, CAST({bias} AS BIGINT), "
         f"(acc, t) -> acc + element_at(array({lut}), CAST(({bucket}) + 1 AS INT)))"
     )
+    # instantiate the n_buckets-literal LUT fold ONCE and derive label
+    # from the bound column — two inline copies doubled the ~8k-literal
+    # expression and leaned on codegen CSE, risking the interpreted
+    # fallback at large n_buckets (ADVICE r11)
     return staged.select(
         "doc_id",
         F.size("_feats").cast("long").alias("n_features"),
         F.expr(logit).alias("logit_micro"),
-        (F.expr(logit) > 0).alias("label"),
-    )
+    ).withColumn("label", F.col("logit_micro") > 0)
 
 
 def sql_train_apply_nb_classifier(label_sql: str, train_pred: str,

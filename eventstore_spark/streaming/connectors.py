@@ -94,7 +94,18 @@ class ConnectorSettings:
         ``instanceTypeName`` routes to the named sink; every key that is
         not a subscription/transformer option passes through as a sink
         option (each sink documents its own keys, as the reference's
-        individual sink pages do)."""
+        individual sink pages do).
+
+        ``transformer:enabled`` + ``transformer:function``
+        (settings.md:40-41; manage.md spells them ``transformer:Enabled``
+        — matched case-insensitively) populate :attr:`transform`. The
+        reference's function payload is base64 JS ``transform(record)``;
+        the Spark-first translation is a base64 JSON object
+        ``{column: SQL expression}`` evaluated by Catalyst (see the
+        :attr:`transform` note above). Unknown ``transformer:*`` keys
+        are rejected rather than silently landing in sink_options
+        (ADVICE r11); a function is required when enabled, per
+        settings.md."""
         s = dict(settings)
         inst = s.pop("instanceTypeName")
         sink = {"http-sink": "http", "serilog-sink": "serilog",
@@ -106,12 +117,33 @@ class ConnectorSettings:
             scope = None
         if ft == "unspecified":
             ft = None
+        t_enabled, t_fn = False, None
+        for k in [k for k in s if k.lower().startswith("transformer:")]:
+            sub = k.split(":", 1)[1].lower()
+            v = s.pop(k)
+            if sub == "enabled":
+                t_enabled = str(v).lower() == "true"
+            elif sub == "function":
+                t_fn = v
+            else:
+                raise ValueError(f"unknown transformer setting {k!r}")
+        transform = None
+        if t_enabled:
+            if not t_fn:
+                raise ValueError(
+                    "transformer:function is required when "
+                    "transformer:enabled is true (settings.md)")
+            import base64 as _b64
+            import json as _json
+
+            transform = _json.loads(_b64.b64decode(t_fn))
         return cls(
             sink=sink,
             sink_options=s,
             filter_scope=scope,
             filter_type=ft,
             filter_expression=expr,
+            transform=transform,
         )
 
     def predicate(self):
@@ -186,6 +218,8 @@ def _http_sink_fold(options: dict):
     server-side consumer posts serially)."""
     import base64
     import time
+    import urllib.error
+    import urllib.parse
     import urllib.request
 
     url_tmpl = options["url"]
@@ -216,10 +250,14 @@ def _http_sink_fold(options: dict):
                 .toLocalIterator())
         for r in rows:
             subject = _kebab(r.event_type)
+            # template values are URL-encoded: stream ids may carry
+            # '/', '?', '#', spaces — raw substitution would change the
+            # URL structure (ADVICE r11)
+            quote = lambda v: urllib.parse.quote(v, safe="")  # noqa: E731
             url = (url_tmpl
-                   .replace("{stream}", r.stream_id or "")
-                   .replace("{event-type}", subject)
-                   .replace("{schema-subject}", subject))
+                   .replace("{stream}", quote(r.stream_id or ""))
+                   .replace("{event-type}", quote(subject))
+                   .replace("{schema-subject}", quote(subject)))
             body = (r.data or "").encode()
             req = urllib.request.Request(url, data=body, method=method)
             req.add_header("Content-Type", "application/json")
@@ -229,7 +267,18 @@ def _http_sink_fold(options: dict):
                 try:
                     with urllib.request.urlopen(req, timeout=30):
                         break
+                except urllib.error.HTTPError as e:
+                    # 4xx (except 429) is permanent: retrying burns
+                    # maxAttempts×delay per record and then replays the
+                    # batch, amplifying at-least-once duplicates
+                    # (ADVICE r11) — fail fast; retry 5xx/429 only
+                    if 400 <= e.code < 500 and e.code != 429:
+                        raise
+                    if attempt + 1 >= attempts:
+                        raise
+                    time.sleep(delay_ms / 1000.0)
                 except Exception:
+                    # network-level errors (URLError, timeout) retry
                     if attempt + 1 >= attempts:
                         raise
                     time.sleep(delay_ms / 1000.0)

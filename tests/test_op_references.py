@@ -2113,6 +2113,35 @@ def test_interval_join_matches_plain_python_reference(spark):
     assert got == want
 
 
+def test_interval_join_drops_malformed_intervals_before_explode(spark):
+    """hi <= lo intervals (empty or inverted) must cost NOTHING: Spark's
+    sequence(lo_bin, hi_bin) steps backward when hi_bin < lo_bin, so an
+    unguarded inverted interval silently explodes into |hi_bin − lo_bin|
+    bins the range filter then discards (ADVICE r11). The guard filters
+    them pre-explode; results match the definitional semantics (such an
+    interval contains no point)."""
+    from eventstore_spark.operators.temporal import interval_join
+
+    pts = [(1, 5), (2, 500_000)]
+    # one good interval, one empty (hi == lo), one wildly inverted —
+    # unguarded, the inverted one alone would explode to ~1M bins at
+    # bin_width=1
+    ivs = [(10, 0, 10), (11, 5, 5), (12, 1_000_000, 0)]
+    points = spark.createDataFrame(pts, "pid long, ts long")
+    intervals = spark.createDataFrame(ivs, "iid long, lo long, hi long")
+    df = interval_join(points, intervals, [], "ts", "lo", "hi",
+                       bin_width=1)
+    assert {(r.pid, r.iid) for r in df.collect()} == {(1, 10)}
+    # and the guard is in the PLAN as an intervals-side filter BEFORE
+    # the generate (explode), not a post-hoc range filter
+    import re
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    m = re.search(r"\(hi#\d+L? > lo#\d+L?\)", plan)
+    assert m, plan
+    assert plan.index("Generate explode") < m.start(), plan
+
+
 def test_skew_report_matches_plain_python_reference(spark):
     """skew report recomputed definitionally: counts per key, max/sum,
     rank-(q·N+99)//100 quantiles of the sorted counts, floor-micro

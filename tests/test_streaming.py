@@ -1719,6 +1719,134 @@ def test_http_sink_retries_then_raises(spark, tmp_path):
         srv.shutdown()
 
 
+def test_http_sink_4xx_fails_fast_without_retries(spark, tmp_path):
+    """A permanent 4xx client error must NOT burn maxAttempts×delay per
+    record before failing the batch (ADVICE r11): urllib raises
+    HTTPError for it, and retrying a 400 only amplifies at-least-once
+    replay duplicates. Retries stay for 5xx/429/network errors (pinned
+    by test_http_sink_retries_then_raises, which uses 503)."""
+    import http.server
+    import threading
+
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.streaming.connectors import ConnectorSettings
+
+    hits = []
+
+    class Rejecting(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            self.rfile.read(int(self.headers["Content-Length"]))
+            hits.append(1)
+            self.send_response(400)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Rejecting)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    try:
+        eng = EventStoreEngine(spark, str(tmp_path / "store"))
+        eng.append("order-1", [ProposedEvent("Placed", '{"i": 0}')])
+        cm = eng.connectors
+        cm.create("reject", ConnectorSettings.from_reference({
+            "instanceTypeName": "http-sink",
+            "url": f"http://127.0.0.1:{port}/",
+            "resilience:maxAttempts": "5",
+            "resilience:delayMs": "10",
+        }))
+        q = cm.start("reject")
+        import pytest as _pytest
+        with _pytest.raises(Exception):
+            q.processAllAvailable()
+        cm.stop("reject")
+        assert len(hits) == 1, f"4xx was retried: {len(hits)} hits"
+    finally:
+        srv.shutdown()
+
+
+def test_http_sink_url_encodes_template_values(spark):
+    """Template substitutions are URL-encoded (ADVICE r11): a stream id
+    carrying '/', '?', '#' or spaces must not change the URL structure.
+    Exercises the fold directly with a crafted batch."""
+    import http.server
+    import threading
+
+    from eventstore_spark.streaming.connectors import _http_sink_fold
+
+    received = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            received.append(self.path)
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    try:
+        batch = spark.createDataFrame(
+            [("a/b c?d#e", "Type", 0, '{"x":1}', 0)],
+            "stream_id string, event_type string, event_number long, "
+            "data string, log_position long")
+        fold = _http_sink_fold(
+            {"url": f"http://127.0.0.1:{port}/hook/{{stream}}"})
+        fold(batch, 0)
+        assert received == ["/hook/a%2Fb%20c%3Fd%23e"], received
+    finally:
+        srv.shutdown()
+
+
+def test_connector_settings_parse_transformer_keys():
+    """from_reference parses transformer:enabled/function (settings.md
+    40-41; manage.md's capitalized spelling too) into the transform
+    field — base64 JSON {column: SQL expr}, the Spark-first stand-in for
+    the reference's base64 JS — instead of silently passing them to the
+    sink (ADVICE r11). Unknown transformer:* keys and
+    enabled-without-function are rejected."""
+    import base64
+
+    import pytest as _pytest
+
+    from eventstore_spark.streaming.connectors import ConnectorSettings
+
+    payload = base64.b64encode(
+        b'{"data": "upper(data)"}').decode()
+    s = ConnectorSettings.from_reference({
+        "instanceTypeName": "serilog-sink",
+        "path": "/tmp/x.log",
+        "transformer:Enabled": "true",
+        "transformer:Function": payload,
+    })
+    assert s.transform == {"data": "upper(data)"}
+    assert "transformer:Enabled" not in s.sink_options
+    assert s.sink_options == {"path": "/tmp/x.log"}
+
+    # disabled → no transform, keys still consumed
+    s2 = ConnectorSettings.from_reference({
+        "instanceTypeName": "serilog-sink", "path": "/tmp/x.log",
+        "transformer:enabled": "false", "transformer:function": payload,
+    })
+    assert s2.transform is None and s2.sink_options == {"path": "/tmp/x.log"}
+
+    with _pytest.raises(ValueError, match="required"):
+        ConnectorSettings.from_reference({
+            "instanceTypeName": "serilog-sink", "path": "/tmp/x.log",
+            "transformer:enabled": "true",
+        })
+    with _pytest.raises(ValueError, match="unknown transformer"):
+        ConnectorSettings.from_reference({
+            "instanceTypeName": "serilog-sink", "path": "/tmp/x.log",
+            "transformer:timeout": "5",
+        })
+
+
 def test_serilog_sink_connector_logs_records(spark, tmp_path):
     """serilog-sink parity (connectors/sinks/serilog.md File output):
     one structured JSON log line per record, in subscription order."""
