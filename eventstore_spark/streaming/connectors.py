@@ -35,6 +35,28 @@ the reference's settings shape (connectors/sinks/):
   fanning out per-partition and losing the order.
 * ``serilog-sink`` (sinks/serilog.md): one structured JSON log line per
   record to a file (the File output; Console via ``console=true``).
+* ``kafka-sink`` (sinks/kafka.md): produce each record to ``topic`` with
+  the partition key extracted per ``partitionKeyExtraction:*``
+  (stream / streamSuffix / headers / PartitionKey — computed as ONE
+  Catalyst column, never per-row Python), ``defaultHeaders`` stamped on
+  every message, ``waitForBrokerAck`` toggling per-message durability.
+* ``rabbit-mq-sink`` (sinks/rabbitmq.md): publish each record's data to
+  ``exchange:name``/``exchange:type`` under ``routingKey``.
+* ``mongo-db-sink`` (sinks/mongo.md): insert each record as a document
+  into ``database``/``collection`` in ``batching:batchSize`` chunks,
+  ``_id`` generated per ``documentId:source``/``:expression`` (the same
+  extraction mechanism as the kafka partition key, per the two docs).
+
+No broker/cluster exists in this container, so the kafka / rabbitmq /
+mongo folds deliver to a FILE-BACKED spool (required extra option
+``spool:dir``, clearly not a reference setting): one JSONL line per
+message carrying exactly what the real client send would carry (topic /
+exchange / collection, extracted key, payload, headers). The contract
+under test — settings parsing, key extraction, serialization, ordering,
+checkpointed restart-without-duplicates — is the part that lives in
+this repo either way; swapping the spool append for a
+``kafka-python`` / ``pika`` / ``pymongo`` client call (or Spark's own
+``format("kafka")`` writer) changes no plan and no test semantics.
 
 ``ConnectorSettings.from_reference`` parses the reference's flat
 Create-request settings dict (``instanceTypeName``,
@@ -109,6 +131,8 @@ class ConnectorSettings:
         s = dict(settings)
         inst = s.pop("instanceTypeName")
         sink = {"http-sink": "http", "serilog-sink": "serilog",
+                "kafka-sink": "kafka", "rabbit-mq-sink": "rabbitmq",
+                "mongo-db-sink": "mongo",
                 "parquet-sink": "parquet"}.get(inst, inst)
         scope = s.pop("subscription:filter:scope", None)
         ft = s.pop("subscription:filter:filterType", None)
@@ -310,6 +334,175 @@ def _serilog_sink_fold(options: dict):
     return _fold
 
 
+def _key_extraction_col(source: str | None, expression: str | None):
+    """Partition-key / document-id extraction as ONE Catalyst column —
+    kafka.md §Partitioning and mongo.md §Document ID describe the SAME
+    mechanism with the same sources, so both sinks share it (and it
+    stays JVM-side codegen, never per-row Python):
+
+    * ``recordId`` — the record's unique id (mongo's default).
+    * ``partitionKey`` — the record's partition key; stream identity in
+      this engine (kafka's default).
+    * ``stream`` — the stream id, optionally regex-extracted
+      (first capture group) via ``expression``.
+    * ``streamSuffix`` — the part after the last hyphen ("if the stream
+      is named user-123, the key would be 123").
+    * ``headers`` — ``expression`` lists header keys; their values from
+      the record metadata are concatenated with '-'
+      ("key1,key2" → "value1-value2").
+    """
+    s = source or "recordId"
+    s = s[0].lower() + s[1:]  # docs spell the default 'PartitionKey'
+    if s == "recordId":
+        return F.col("event_id")
+    if s == "partitionKey":
+        return F.col("stream_id")
+    if s == "stream":
+        if expression:
+            return F.regexp_extract("stream_id", expression, 1)
+        return F.col("stream_id")
+    if s == "streamSuffix":
+        return F.substring_index("stream_id", "-", -1)
+    if s == "headers":
+        keys = [k.strip() for k in (expression or "").split(",")
+                if k.strip()]
+        if not keys:
+            raise ValueError(
+                "headers key-extraction requires a comma-separated key "
+                "list in the expression (kafka.md/mongo.md examples)")
+        return F.concat_ws(
+            "-", *[F.get_json_object("metadata", f"$.{k}") for k in keys])
+    raise ValueError(f"unknown key-extraction source {source!r}")
+
+
+def _spool_append(path: str, lines: list[str], fsync_each: bool) -> None:
+    """Append JSONL messages to the file-backed broker spool.
+    ``fsync_each`` models waitForBrokerAck: per-message durability vs
+    buffered best-effort throughput."""
+    with open(path, "a") as fh:
+        for ln in lines:
+            fh.write(ln + "\n")
+            if fsync_each:
+                fh.flush()
+                os.fsync(fh.fileno())
+
+
+def _kafka_sink_fold(options: dict):
+    """foreachBatch fold for the ``kafka-sink`` instance type
+    (sinks/kafka.md): each record's data produced to ``topic`` with the
+    partition key from ``partitionKeyExtraction:*`` (default: the
+    record's PartitionKey = stream id; disabled extraction falls back to
+    the same) and ``defaultHeaders`` on every message. waitForBrokerAck
+    (default true) → per-message durability in the spool stand-in.
+
+    The message frame (topic, key, value, headers) is EXACTLY what
+    Spark's own ``format("kafka")`` writer consumes — pointing this
+    connector at a real broker is a one-line swap of the spool append
+    for that writer (or a client produce), with the key extraction,
+    ordering and checkpointing unchanged."""
+    topic = options["topic"]  # required (kafka.md)
+    spool = options["spool:dir"]
+    headers = {}
+    for pair in options.get("defaultHeaders", "").split(";"):
+        if ":" in pair:
+            k, v = pair.split(":", 1)
+            headers[k.strip()] = v.strip()
+    if str(options.get("partitionKeyExtraction:enabled",
+                       "false")).lower() == "true":
+        key_col = _key_extraction_col(
+            options.get("partitionKeyExtraction:source", "partitionKey"),
+            options.get("partitionKeyExtraction:expression"))
+    else:
+        key_col = F.col("stream_id")
+    ack = str(options.get("waitForBrokerAck", "true")).lower() == "true"
+
+    def _fold(batch_df, epoch_id):
+        msgs = (batch_df
+                .orderBy("log_position")
+                .select(F.to_json(F.struct(
+                    F.lit(topic).alias("topic"),
+                    key_col.alias("key"),
+                    F.col("data").alias("value"),
+                    F.lit(json.dumps(headers, sort_keys=True))
+                    .alias("headers"),
+                )).alias("j"))
+                .toLocalIterator())
+        os.makedirs(spool, exist_ok=True)
+        _spool_append(os.path.join(spool, f"{topic}.jsonl"),
+                      [r.j for r in msgs], fsync_each=ack)
+
+    return _fold
+
+
+def _rabbitmq_sink_fold(options: dict):
+    """foreachBatch fold for the ``rabbit-mq-sink`` instance type
+    (sinks/rabbitmq.md): each record's data published to
+    ``exchange:name`` (required) of ``exchange:type`` (required,
+    doc-default fanout) under ``routingKey`` (default ""). RabbitMQ's
+    own retry mechanism replaces resilience:* per the doc — the fold
+    does no retry loop of its own. waitForBrokerAck defaults FALSE here
+    (the rabbitmq.md default, opposite of kafka's)."""
+    exchange = options["exchange:name"]
+    ex_type = options.get("exchange:type", "fanout")
+    routing_key = options.get("routingKey", "")
+    spool = options["spool:dir"]
+    ack = str(options.get("waitForBrokerAck", "false")).lower() == "true"
+
+    def _fold(batch_df, epoch_id):
+        msgs = (batch_df
+                .orderBy("log_position")
+                .select(F.to_json(F.struct(
+                    F.lit(exchange).alias("exchange"),
+                    F.lit(ex_type).alias("exchange_type"),
+                    F.lit(routing_key).alias("routing_key"),
+                    F.col("data").alias("body"),
+                )).alias("j"))
+                .toLocalIterator())
+        os.makedirs(spool, exist_ok=True)
+        _spool_append(os.path.join(spool, f"{exchange}.jsonl"),
+                      [r.j for r in msgs], fsync_each=ack)
+
+    return _fold
+
+
+def _mongo_sink_fold(options: dict):
+    """foreachBatch fold for the ``mongo-db-sink`` instance type
+    (sinks/mongo.md): each record serialized as a document into
+    ``database``/``collection`` (both required), ``_id`` generated per
+    ``documentId:source``/``:expression`` (default recordId), inserted
+    in ``batching:batchSize`` chunks (default 1000 — insert_many's
+    shape; batchTimeoutMs is meaningless against a file and ignored).
+    The BSON document is stood in by its JSON rendering."""
+    database = options["database"]
+    collection = options["collection"]
+    spool = options["spool:dir"]
+    id_col = _key_extraction_col(options.get("documentId:source"),
+                                 options.get("documentId:expression"))
+    batch_size = max(int(options.get("batching:batchSize", 1000)), 1)
+
+    def _fold(batch_df, epoch_id):
+        docs = (batch_df
+                .orderBy("log_position")
+                .select(F.to_json(F.struct(
+                    id_col.alias("_id"),
+                    F.col("stream_id"), F.col("event_number"),
+                    F.col("event_type"), F.col("data"), F.col("metadata"),
+                )).alias("j"))
+                .toLocalIterator())
+        os.makedirs(spool, exist_ok=True)
+        path = os.path.join(spool, f"{database}.{collection}.jsonl")
+        chunk: list[str] = []
+        for r in docs:
+            chunk.append(r.j)
+            if len(chunk) >= batch_size:
+                _spool_append(path, chunk, fsync_each=True)
+                chunk = []
+        if chunk:
+            _spool_append(path, chunk, fsync_each=True)
+
+    return _fold
+
+
 class ConnectorManager:
     """Create/Start/Stop/Reset/Reconfigure/Rename/Delete/List — the
     management surface of connectors/manage.md over streaming queries.
@@ -390,6 +583,12 @@ class ConnectorManager:
             q = w.foreachBatch(_http_sink_fold(st.sink_options)).start()
         elif st.sink == "serilog":
             q = w.foreachBatch(_serilog_sink_fold(st.sink_options)).start()
+        elif st.sink == "kafka":
+            q = w.foreachBatch(_kafka_sink_fold(st.sink_options)).start()
+        elif st.sink == "rabbitmq":
+            q = w.foreachBatch(_rabbitmq_sink_fold(st.sink_options)).start()
+        elif st.sink == "mongo":
+            q = w.foreachBatch(_mongo_sink_fold(st.sink_options)).start()
         elif st.sink == "foreach_batch":
             if foreach_batch is None:
                 raise ValueError(

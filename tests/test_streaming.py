@@ -1874,3 +1874,177 @@ def test_serilog_sink_connector_logs_records(spark, tmp_path):
     assert [ln["event_number"] for ln in lines] == [0, 1, 2]
     assert all(ln["stream_id"] == "audit-1" and ln["event_type"] == "Did"
                for ln in lines)
+
+
+def test_kafka_sink_connector_produces_with_partition_key(spark, tmp_path):
+    """kafka-sink parity (connectors/sinks/kafka.md): records produced
+    to ``topic`` in subscription order with the partition key extracted
+    per partitionKeyExtraction:* — here the stream-regex source from the
+    doc's own example ("^(.*)_data$") — and defaultHeaders stamped on
+    every message. Settings dict is the reference Create-request shape
+    verbatim plus the spool:dir stand-in. Restart delivers only the
+    delta (checkpointed, no duplicates)."""
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.streaming.connectors import ConnectorSettings
+
+    eng = EventStoreEngine(spark, str(tmp_path / "store"))
+    for i in range(3):
+        eng.append("customers_data",
+                   [ProposedEvent("CustomerAdded", json.dumps({"i": i}))])
+    spool = str(tmp_path / "kafka")
+    cm = eng.connectors
+    cm.create("push-kafka", ConnectorSettings.from_reference({
+        "instanceTypeName": "kafka-sink",
+        "topic": "customers",
+        "bootstrapServers": "localhost:9092",
+        "defaultHeaders": "X-Origin: es-spark",
+        "partitionKeyExtraction:enabled": "true",
+        "partitionKeyExtraction:source": "stream",
+        "partitionKeyExtraction:expression": "^(.*)_data$",
+        "subscription:filter:scope": "stream",
+        "subscription:filter:filterType": "prefix",
+        "subscription:filter:expression": "customers",
+        "waitForBrokerAck": "true",
+        "spool:dir": spool,
+    }))
+    q = cm.start("push-kafka")
+    try:
+        q.processAllAvailable()
+    finally:
+        cm.stop("push-kafka")
+    msgs = [json.loads(line) for line in open(f"{spool}/customers.jsonl")]
+    assert len(msgs) == 3
+    assert all(m["topic"] == "customers" for m in msgs)
+    # the doc's regex example: stream name captured up to _data
+    assert all(m["key"] == "customers" for m in msgs)
+    assert [json.loads(m["value"])["i"] for m in msgs] == [0, 1, 2]
+    assert all(json.loads(m["headers"]) == {"X-Origin": "es-spark"}
+               for m in msgs)
+
+    # checkpointed restart: only the new record is produced
+    eng.append("customers_data", [ProposedEvent("CustomerAdded", '{"i":9}')])
+    q = cm.start("push-kafka")
+    try:
+        q.processAllAvailable()
+    finally:
+        cm.stop("push-kafka")
+    msgs = [json.loads(line) for line in open(f"{spool}/customers.jsonl")]
+    assert [json.loads(m["value"])["i"] for m in msgs] == [0, 1, 2, 9]
+
+
+def test_rabbitmq_sink_connector_publishes_to_exchange(spark, tmp_path):
+    """rabbit-mq-sink parity (connectors/sinks/rabbitmq.md): each
+    record's data published to exchange:name/exchange:type under
+    routingKey, in subscription order; created from the quickstart's
+    settings shape verbatim."""
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.streaming.connectors import ConnectorSettings
+
+    eng = EventStoreEngine(spark, str(tmp_path / "store"))
+    for i in range(3):
+        eng.append("example-stream",
+                   [ProposedEvent("Placed", json.dumps({"i": i}))])
+    spool = str(tmp_path / "rabbit")
+    cm = eng.connectors
+    cm.create("push-rabbit", ConnectorSettings.from_reference({
+        "instanceTypeName": "rabbit-mq-sink",
+        "exchange:name": "example-exchange",
+        "exchange:type": "direct",
+        "routingKey": "my-routing-key",
+        "subscription:filter:scope": "stream",
+        "subscription:filter:filterType": "streamId",
+        "subscription:filter:expression": "example-stream",
+        "spool:dir": spool,
+    }))
+    q = cm.start("push-rabbit")
+    try:
+        q.processAllAvailable()
+    finally:
+        cm.stop("push-rabbit")
+    msgs = [json.loads(line)
+            for line in open(f"{spool}/example-exchange.jsonl")]
+    assert [json.loads(m["body"])["i"] for m in msgs] == [0, 1, 2]
+    assert all(m["exchange"] == "example-exchange"
+               and m["exchange_type"] == "direct"
+               and m["routing_key"] == "my-routing-key" for m in msgs)
+
+
+def test_mongo_sink_connector_inserts_documents(spark, tmp_path):
+    """mongo-db-sink parity (connectors/sinks/mongo.md): records
+    serialized as documents into database/collection with _id generated
+    per documentId:source — here streamSuffix ("if the stream is named
+    user-123, the document ID would be 123") — plus batching:batchSize
+    chunking and checkpointed restart-without-duplicates."""
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.streaming.connectors import ConnectorSettings
+
+    eng = EventStoreEngine(spark, str(tmp_path / "store"))
+    for i in range(5):
+        eng.append("user-123",
+                   [ProposedEvent("Seen", json.dumps({"i": i}))])
+    spool = str(tmp_path / "mongo")
+    cm = eng.connectors
+    cm.create("push-mongo", ConnectorSettings.from_reference({
+        "instanceTypeName": "mongo-db-sink",
+        "connectionString": "mongodb://127.0.0.1:27020",
+        "database": "sampleDB",
+        "collection": "sampleCollection",
+        "documentId:source": "streamSuffix",
+        "batching:batchSize": "2",
+        "subscription:filter:scope": "stream",
+        "subscription:filter:filterType": "streamId",
+        "subscription:filter:expression": "user-123",
+        "spool:dir": spool,
+    }))
+    q = cm.start("push-mongo")
+    try:
+        q.processAllAvailable()
+    finally:
+        cm.stop("push-mongo")
+    path = f"{spool}/sampleDB.sampleCollection.jsonl"
+    docs = [json.loads(line) for line in open(path)]
+    assert len(docs) == 5
+    assert all(d["_id"] == "123" for d in docs)  # streamSuffix of user-123
+    assert [json.loads(d["data"])["i"] for d in docs] == [0, 1, 2, 3, 4]
+    assert all(d["event_type"] == "Seen" for d in docs)
+
+    # restart: delta only
+    eng.append("user-123", [ProposedEvent("Seen", '{"i": 9}')])
+    q = cm.start("push-mongo")
+    try:
+        q.processAllAvailable()
+    finally:
+        cm.stop("push-mongo")
+    docs = [json.loads(line) for line in open(path)]
+    assert [json.loads(d["data"])["i"] for d in docs] == [0, 1, 2, 3, 4, 9]
+
+
+def test_mongo_sink_document_id_from_headers(spark, tmp_path):
+    """documentId:source=headers (mongo.md §Document ID): the expression
+    lists metadata keys whose values concatenate with '-' — the doc's
+    own key1,key2 → value1-value2 example."""
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.streaming.connectors import ConnectorSettings
+
+    eng = EventStoreEngine(spark, str(tmp_path / "store"))
+    eng.append("h-1", [ProposedEvent(
+        "E", '{"x": 1}', metadata='{"key1": "value1", "key2": "value2"}')])
+    spool = str(tmp_path / "mongo")
+    cm = eng.connectors
+    cm.create("push-mongo-h", ConnectorSettings.from_reference({
+        "instanceTypeName": "mongo-db-sink",
+        "database": "db", "collection": "c",
+        "documentId:source": "headers",
+        "documentId:expression": "key1,key2",
+        "subscription:filter:scope": "stream",
+        "subscription:filter:filterType": "streamId",
+        "subscription:filter:expression": "h-1",
+        "spool:dir": spool,
+    }))
+    q = cm.start("push-mongo-h")
+    try:
+        q.processAllAvailable()
+    finally:
+        cm.stop("push-mongo-h")
+    docs = [json.loads(line) for line in open(f"{spool}/db.c.jsonl")]
+    assert [d["_id"] for d in docs] == ["value1-value2"]
