@@ -143,3 +143,55 @@ def test_randomized_deletion_sequences_keep_views_identical(
         if "$deleted" in doc:
             assert d.endswith("@" + "$$" + doc["$o"]) or "@" in d
     eng.close()
+
+
+def test_visible_events_composes_with_asof_join(spark):
+    """VERDICT r11 #8: the temporal ops read raw frames — tombstone /
+    truncation visibility comes from visible_events UPSTREAM. Pin the
+    composition: a tombstoned reference stream contributes nothing to
+    as-of enrichment, a $tb-truncated prefix stops matching, and the
+    surviving reference rows still enrich correctly."""
+    from datetime import datetime
+
+    from eventstore_spark.operators.temporal import asof_join
+
+    def ts(h):
+        return datetime(2024, 1, 1, h)
+
+    ref_rows = [
+        # price stream for key 'a': prices 10 @1h (event 0), 20 @5h (1)
+        (1, "price-a", "price", 0, "pa0", "Px", '{"p": 10}', None, ts(1), True),
+        (2, "price-a", "price", 1, "pa1", "Px", '{"p": 20}', None, ts(5), True),
+        # price stream for key 'b': 99 @1h — stream gets tombstoned
+        (3, "price-b", "price", 0, "pb0", "Px", '{"p": 99}', None, ts(1), True),
+    ]
+    ref_events = spark.createDataFrame(ref_rows, EVENTS_SCHEMA)
+    md = _md(spark, [
+        ("price-a", None, None, 1, False),   # $tb=1: hides the 10 @1h
+        ("price-b", None, None, None, True),  # tombstoned: hides all
+    ])
+    vis = visible_events(ref_events, md)
+    ref = vis.select(
+        F.substring_index("stream_id", "-", -1).alias("k"),
+        F.col("created").alias("ts"),
+        F.get_json_object("data", "$.p").cast("long").alias("price"))
+    probe = spark.createDataFrame(
+        [("a", ts(3)), ("a", ts(6)), ("b", ts(2))], "k string, ts timestamp")
+
+    got = {(r.k, r.ts.hour): r.price_ref
+           for r in asof_join(probe, ref, ["k"], "ts", "ts",
+                              ["price"]).collect()}
+    # a@3h: the 10 @1h is $tb-truncated away -> no match (raw would be 10)
+    # a@6h: the surviving 20 @5h enriches
+    # b@2h: the whole stream is tombstoned -> no match (raw would be 99)
+    assert got == {("a", 3): None, ("a", 6): 20, ("b", 2): None}
+
+    # the same composition WITHOUT visibility proves the test bites
+    raw = ref_events.select(
+        F.substring_index("stream_id", "-", -1).alias("k"),
+        F.col("created").alias("ts"),
+        F.get_json_object("data", "$.p").cast("long").alias("price"))
+    raw_got = {(r.k, r.ts.hour): r.price_ref
+               for r in asof_join(probe, raw, ["k"], "ts", "ts",
+                                  ["price"]).collect()}
+    assert raw_got == {("a", 3): 10, ("a", 6): 20, ("b", 2): 99}
