@@ -686,6 +686,59 @@ def q_events_interval_join(spark, sf):
         F.count(F.lit(1)).alias("n_events"))
 
 
+def q_events_overlap_join(spark, sf):
+    """Interval×interval overlap (new r12): per-user DAILY activity
+    spans × 3-hour outage windows around error events — the binned
+    equi-join with join-local pair dedup (each overlapping pair kept
+    only in its overlap-start bin), never a BroadcastNestedLoop range
+    join (operators/temporal.overlap_join); output = per (user, day)
+    count of outage windows the user's activity touched."""
+    from eventstore_spark.operators.temporal import overlap_join
+
+    HOUR_US = 3_600_000_000
+    ev = _table(spark, sf, "events")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    spans = (
+        ev.select(
+            "user_id",
+            F.expr(f"timestampdiff(MICROSECOND, {epoch}, "
+                   "date_trunc('day', ts))").alias("day"),
+            F.expr(f"timestampdiff(MICROSECOND, {epoch}, ts)").alias("tsu"))
+        .groupBy("user_id", "day")
+        .agg(F.min("tsu").alias("lo"), (F.max("tsu") + 1).alias("hi")))
+    outages = (
+        ev.where("event_type = 'error'")
+        .select(F.expr(f"timestampdiff(MICROSECOND, {epoch}, "
+                       "date_trunc('hour', ts))").alias("lo"))
+        .distinct()
+        .select("lo", (F.col("lo") + 3 * HOUR_US).alias("hi")))
+    j = overlap_join(spans, outages, [], "lo", "hi", "lo", "hi",
+                     bin_width=3 * HOUR_US)
+    return j.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_windows"))
+
+
+def q_events_resample(spark, sf):
+    """Regular-grid LOCF downsampling (new r12): every user's latest
+    event value at every 6-hour grid instant — grid = one explode over
+    the distinct-users aggregate, carry = the as-of union-window (no
+    join node, ONE shuffle on user_id); the feature-table builder
+    (operators/temporal.resample). Reference side pre-aggregated unique
+    per (user, ts) so the carry is engine-independent."""
+    from eventstore_spark.operators.temporal import resample
+
+    HOUR_US = 3_600_000_000
+    ev = _table(spark, sf, "events")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    obs = (
+        ev.select(
+            "user_id",
+            F.expr(f"timestampdiff(MICROSECOND, {epoch}, ts)").alias("tsu"),
+            "value")
+        .groupBy("user_id", "tsu").agg(F.max("value").alias("value")))
+    return resample(obs, ["user_id"], "tsu", ["value"], step=6 * HOUR_US)
+
+
 def q_events_skew_report(spark, sf):
     """Shuffle-skew audit (new r11): per-key-column hot-key profile of
     the events table (user_id near-uniform, event_type 5 keys — the
@@ -2710,16 +2763,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": q_events_interval_join,
         "events_skew_report": q_events_skew_report,
         "classifier_train_apply": q_classifier_train_apply,
+        # --- new in r12 ---
+        "events_overlap_join": q_events_overlap_join,
+        "events_resample": q_events_resample,
     }
-    # Round-12 rotation (VERDICT r11 tasks #1/#2): first the 4 operators
-    # added after the r11 window froze (never driver-sampled) and the 3
-    # array-output queries whose CORRECTNESS_r11 rows ERR'd in the
-    # driver's canonicalizer (now serialized driver-hashable — they need
-    # the hard green), then the 20 r8-stale entries and the first 23 of
-    # the r9-stale block (registry order) — exactly 50. With this window
-    # green, every registry entry has a driver-green row in the r9-r12
-    # union and the whole registry is driver-certified.
+    # Round-12 rotation (VERDICT r11 tasks #1/#2): first the 6
+    # never-driver-sampled operators (2 new in r12, 4 added after the
+    # r11 window froze) and the 3 array-output queries whose
+    # CORRECTNESS_r11 rows ERR'd in the driver's canonicalizer (now
+    # serialized driver-hashable — they need the hard green), then the
+    # 20 r8-stale entries and the first 21 of the r9-stale block
+    # (registry order) — exactly 50. With this window green, every
+    # registry entry has a driver-green row in the r9-r12 union and the
+    # whole registry is driver-certified.
     head = [
+        # -- never driver-sampled (new in r12) --
+        "events_overlap_join", "events_resample",
         # -- never driver-sampled (new in r11; local-oracle green) --
         "events_asof", "events_interval_join", "events_skew_report",
         "classifier_train_apply",
@@ -2733,7 +2792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features", "media_sniff", "media_dedup",
         "media_frames", "media_chunks", "ann_bruteforce", "rag_retrieve",
         "ann_lsh",
-        # -- last driver-sampled in r9 (oldest 23, registry order) --
+        # -- last driver-sampled in r9 (oldest 21, registry order) --
         "ngram_novelty", "source_overlap", "payload_profile",
         "embedding_outliers", "events_cohort_retention", "events_funnel",
         "tpch_q7_nation_volume", "tpch_q8_market_share",
@@ -2742,8 +2801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality", "s1_read_event", "s1_read_event_last",
         "s2_read_stream_forward", "s3_read_stream_backward",
         "s4_read_all_forward", "s4_read_all_backward",
-        "s5_read_all_filtered", "s5_read_all_filtered_backward",
-        "f_filter_agg",
+        "s5_read_all_filtered",
     ]
     return {**{n: q[n] for n in head},
             **{n: fn for n, fn in q.items() if n not in set(head)}}
@@ -3749,5 +3807,46 @@ WITH ev AS (
 SELECT iv.win_start, CAST(count(*) AS BIGINT) AS n_events
 FROM iv JOIN ev ON ev.tsu >= iv.lo AND ev.tsu < iv.hi
 GROUP BY iv.win_start
+"""
+    # definitional two-sided range join (engine perf irrelevant
+    # oracle-side; the binned equi-join is the Spark deliverable)
+    sqls["events_overlap_join"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS tsu,
+         epoch_us(date_trunc('day', ts)) AS day,
+         epoch_us(date_trunc('hour', ts)) AS hour_lo, event_type
+  FROM events
+), spans AS (
+  SELECT user_id, day, min(tsu) AS lo, max(tsu) + 1 AS hi
+  FROM ev GROUP BY user_id, day
+), outages AS (
+  SELECT lo, lo + 10800000000 AS hi
+  FROM (SELECT DISTINCT hour_lo AS lo FROM ev WHERE event_type = 'error')
+)
+SELECT s.user_id, s.day, CAST(count(*) AS BIGINT) AS n_windows
+FROM spans s JOIN outages o ON s.lo < o.hi AND o.lo < s.hi
+GROUP BY s.user_id, s.day
+"""
+    # grid × ASOF LEFT JOIN — DuckDB's native as-of is the carry oracle;
+    # the aligned-up first grid point and inclusive >= mirror resample()
+    sqls["events_resample"] = """
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) AS tsu, max(value) AS value
+  FROM events GROUP BY user_id, tsu
+), b AS (
+  SELECT ((min(tsu) + 21599999999) // 21600000000) * 21600000000 AS g0,
+         max(tsu) AS mx
+  FROM obs
+), grid AS (
+  SELECT u.user_id, CAST(g.grid_ts AS BIGINT) AS grid_ts
+  FROM (SELECT DISTINCT user_id FROM obs) u
+  CROSS JOIN (
+    SELECT unnest(range((SELECT g0 FROM b), (SELECT mx FROM b) + 1,
+                        21600000000)) AS grid_ts
+  ) g
+)
+SELECT g.user_id, g.grid_ts, o.tsu AS tsu_ref, o.value AS value_ref
+FROM grid g ASOF LEFT JOIN obs o
+  ON g.user_id = o.user_id AND g.grid_ts >= o.tsu
 """
     return sqls

@@ -188,3 +188,123 @@ def interval_join(points: DataFrame, intervals: DataFrame,
         .drop("_bin")
     )
     return out
+
+
+def overlap_join(left: DataFrame, right: DataFrame,
+                 key_cols: list[str] | None = None,
+                 left_lo: str = "lo", left_hi: str = "hi",
+                 right_lo: str = "lo", right_hi: str = "hi",
+                 bin_width: int | None = None,
+                 suffix: str = "_r") -> DataFrame:
+    """Join interval rows to every OVERLAPPING interval on the other
+    side (half-open: ``a.lo < b.hi AND b.lo < a.hi``, optionally also
+    matching ``key_cols``) — the third temporal primitive (sessions ×
+    outages, campaigns × campaigns, trades × halt windows), completing
+    the family with :func:`asof_join` (point→latest) and
+    :func:`interval_join` (point ∈ interval).
+
+    The naive relational form is the same BroadcastNestedLoop range
+    join; the distributed form bins time like :func:`interval_join`,
+    with the interval×interval twist that an overlapping pair can share
+    MANY bins — the join would duplicate the pair once per shared bin.
+    De-dup is exact and join-local (no distinct shuffle): every
+    overlapping pair shares the bin containing ``greatest(a.lo, b.lo)``
+    (the overlap's start), so the join keeps a pair only in THAT bin —
+    each pair survives exactly once, by construction.
+
+    Cost = Σ length/bin_width rows per SIDE (both sides explode);
+    ``bin_width`` trades replication against selectivity and defaults
+    to the max interval length across both sides (≤2 bins per row).
+    Malformed (hi <= lo) intervals drop pre-explode on both sides.
+    Right-side columns are suffixed with ``suffix`` where they collide.
+    """
+    key_cols = key_cols or []
+    left, right = spread(left), spread(right)
+    left = left.where(F.col(left_hi) > F.col(left_lo))
+    right = right.where(F.col(right_hi) > F.col(right_lo))
+    if bin_width is None:
+        mx = left.agg(F.max(F.col(left_hi) - F.col(left_lo))
+                      .alias("m")).unionAll(
+            right.agg(F.max(F.col(right_hi) - F.col(right_lo))
+                      .alias("m"))).agg(F.max("m").alias("m")
+                                        ).collect()[0].m
+        bin_width = max(int(mx or 1), 1)
+    bw = int(bin_width)
+
+    def _binned(df, lo, hi):
+        return df.withColumn("_bin", F.explode(F.sequence(
+            F.expr(f"CAST({lo} AS BIGINT) div {bw}"),
+            F.expr(f"CAST({hi} - 1 AS BIGINT) div {bw}"))))
+
+    rb = _binned(right, right_lo, right_hi)
+    clash = [c for c in rb.columns
+             if c in set(left.columns) and c not in key_cols + ["_bin"]]
+    rb = rb.select(*key_cols, "_bin",
+                   *[F.col(c).alias(f"{c}{suffix}" if c in clash else c)
+                     for c in rb.columns if c not in key_cols + ["_bin"]])
+    r_lo = f"{right_lo}{suffix}" if right_lo in clash else right_lo
+    r_hi = f"{right_hi}{suffix}" if right_hi in clash else right_hi
+    lb = _binned(left, left_lo, left_hi)
+    return (
+        lb.join(rb, key_cols + ["_bin"])
+        .where((F.col(left_lo) < F.col(r_hi))
+               & (F.col(r_lo) < F.col(left_hi))
+               # keep each overlapping pair ONLY in its overlap-start
+               # bin — exact join-local de-dup, no distinct shuffle
+               & (F.col("_bin")
+                  == F.expr(f"CAST(greatest({left_lo}, {r_lo}) AS BIGINT) "
+                            f"div {bw}")))
+        .drop("_bin")
+    )
+
+
+def resample(reference: DataFrame, key_cols: list[str],
+             ref_ts: str = "ts",
+             value_cols: list[str] | None = None,
+             step: int = 1, start: int | None = None,
+             end: int | None = None,
+             suffix: str = "_ref") -> DataFrame:
+    """Regularize an irregular per-key time series onto a fixed grid
+    with last-observation-carried-forward (the kdb/pandas
+    ``resample``/``asfreq`` + ``ffill`` shape): one output row per
+    (key, grid_ts) for grid_ts in [start, end] stepping ``step``,
+    carrying the most recent reference row at-or-before that instant
+    (NULL before the first observation) — the feature-table builder for
+    "state of every entity at every hour".
+
+    ``start``/``end`` default to the GLOBAL min/max of ``ref_ts`` (one
+    scalar aggregate), so every key shares one aligned grid — the shape
+    downstream joins want. Timestamps are integral (cast epochs first).
+
+    Plan shape at 100 TB: the grid is |keys| × |steps| rows built by
+    ONE explode over the distinct-keys aggregate (never a cross join
+    node); the carry is :func:`asof_join`'s union-window — ONE shuffle
+    on the key, no join node, no per-grid-point probe. Grid size is the
+    declared output size; pick ``step`` accordingly (that knob is the
+    operator's entire cost model).
+    """
+    reference = spread(reference)
+    if value_cols is None:
+        value_cols = [c for c in reference.columns
+                      if c not in key_cols and c != ref_ts]
+    if start is None or end is None:
+        bounds = reference.agg(
+            F.min(F.col(ref_ts).cast("long")).alias("mn"),
+            F.max(F.col(ref_ts).cast("long")).alias("mx")).collect()[0]
+        start = int(bounds.mn) if start is None else int(start)
+        end = int(bounds.mx) if end is None else int(end)
+    step = max(int(step), 1)
+    # align the first grid point up to a multiple of step so every run
+    # over the same data lands on the same grid regardless of start
+    grid = (
+        reference.select(*key_cols).distinct()
+        .withColumn("grid_ts", F.explode(F.sequence(
+            F.lit(((start + step - 1) // step) * step).cast("long"),
+            F.lit(int(end)).cast("long"),
+            F.lit(step).cast("long"))))
+    )
+    ref = reference.select(*key_cols,
+                           F.col(ref_ts).cast("long").alias(ref_ts),
+                           *value_cols)
+    return asof_join(grid, ref, key_cols, "grid_ts", ref_ts,
+                     value_cols, suffix=suffix)

@@ -2142,6 +2142,75 @@ def test_interval_join_drops_malformed_intervals_before_explode(spark):
     assert plan.index("Generate explode") < m.start(), plan
 
 
+def test_overlap_join_matches_plain_python_reference(spark):
+    """interval×interval overlap recomputed definitionally: nested loop
+    with a.lo < b.hi AND b.lo < a.hi (half-open) — including touching
+    intervals (NO overlap), containment, identical intervals, and
+    multi-shared-bin pairs that must survive exactly ONCE."""
+    from eventstore_spark.operators.temporal import overlap_join
+
+    lv = [(1, 0, 10), (2, 5, 15), (3, 20, 21), (4, 0, 100)]  # (lid, lo, hi)
+    rv = [(10, 9, 12), (11, 15, 20), (12, 21, 30), (13, 0, 100),
+          (14, 50, 50), (15, 60, 40)]                        # (rid, lo, hi)
+    left = spark.createDataFrame(lv, "lid long, lo long, hi long")
+    right = spark.createDataFrame(rv, "rid long, lo long, hi long")
+    want = {(lid, rid) for lid, llo, lhi in lv
+            for rid, rlo, rhi in rv
+            if lhi > llo and rhi > rlo and llo < rhi and rlo < lhi}
+    for bw in (1, 3, 10, 1000):
+        rows = overlap_join(left, right, [], "lo", "hi", "lo", "hi",
+                            bin_width=bw).collect()
+        got = [(r.lid, r.rid) for r in rows]
+        assert sorted(got) == sorted(want), f"bin_width={bw}"
+        assert len(got) == len(set(got)), f"bin_width={bw}: duplicates"
+    # heuristic bin width agrees
+    got = {(r.lid, r.rid)
+           for r in overlap_join(left, right, [], "lo", "hi",
+                                 "lo", "hi").collect()}
+    assert got == want
+
+
+def test_overlap_join_keyed_matches_plain_python_reference(spark):
+    """Keyed overlap: pairs must also share the key."""
+    from eventstore_spark.operators.temporal import overlap_join
+
+    lv = [("a", 1, 0, 10), ("b", 2, 0, 10)]
+    rv = [("a", 10, 5, 6), ("b", 11, 20, 30)]
+    left = spark.createDataFrame(lv, "k string, lid long, lo long, hi long")
+    right = spark.createDataFrame(rv, "k string, rid long, lo long, hi long")
+    got = {(r.k, r.lid, r.rid)
+           for r in overlap_join(left, right, ["k"], "lo", "hi",
+                                 "lo", "hi", bin_width=4).collect()}
+    assert got == {("a", 1, 10)}
+
+
+def test_resample_matches_plain_python_locf(spark):
+    """Regular-grid LOCF recomputed definitionally: for every (key,
+    grid point) the latest observation at-or-before it — including
+    pre-first-observation NULLs, exact-grid-hit inclusivity, and the
+    grid alignment (first point rounded UP to a step multiple)."""
+    from eventstore_spark.operators.temporal import resample
+
+    obs = [("a", 3, 30.0), ("a", 10, 31.0), ("a", 17, 29.0),
+           ("b", 5, 7.0)]
+    ref = spark.createDataFrame(obs, "k string, ts long, v double")
+    out = resample(ref, ["k"], "ts", ["v"], step=5)
+    got = {(r.k, r.grid_ts): (r.ts_ref, r.v_ref) for r in out.collect()}
+
+    def locf(k, t):
+        prior = [(ts, v) for kk, ts, v in obs if kk == k and ts <= t]
+        return max(prior) if prior else (None, None)
+
+    # global bounds 3..17 -> aligned grid 5,10,15 for BOTH keys
+    want = {(k, t): locf(k, t) for k in ("a", "b") for t in (5, 10, 15)}
+    assert got == want
+    # explicit bounds override; exact-hit at ts=10 is inclusive
+    out2 = resample(ref, ["k"], "ts", ["v"], step=10, start=0, end=20)
+    got2 = {(r.k, r.grid_ts): r.v_ref for r in out2.collect()}
+    assert got2[("a", 10)] == 31.0 and got2[("a", 0)] is None
+    assert got2[("b", 20)] == 7.0
+
+
 def test_skew_report_matches_plain_python_reference(spark):
     """skew report recomputed definitionally: counts per key, max/sum,
     rank-(q·N+99)//100 quantiles of the sorted counts, floor-micro

@@ -1093,6 +1093,50 @@ def test_interval_join_is_an_equi_join(spark, tmp_path_factory):
     assert "_bin" in plan  # the equi-join key
 
 
+def test_overlap_join_is_an_equi_join(spark, tmp_path_factory):
+    """The binned interval×interval overlap join must plan as a plain
+    equi-join on the bin key — never BroadcastNestedLoop/Cartesian (the
+    raw two-sided range predicate's plan)."""
+    from eventstore_spark.operators.temporal import overlap_join
+
+    base = str(tmp_path_factory.mktemp("ov"))
+    spark.createDataFrame(
+        [(i, i * 10, i * 10 + 30) for i in range(200)],
+        "lid long, lo long, hi long",
+    ).write.mode("overwrite").parquet(base + "/l")
+    spark.createDataFrame(
+        [(i, i * 13, i * 13 + 20) for i in range(150)],
+        "rid long, lo long, hi long",
+    ).write.mode("overwrite").parquet(base + "/r")
+    df = overlap_join(spark.read.parquet(base + "/l"),
+                      spark.read.parquet(base + "/r"),
+                      [], "lo", "hi", "lo", "hi", bin_width=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_bin" in plan  # the equi-join key
+
+
+def test_resample_grid_carry_has_no_join_node(spark, tmp_path_factory):
+    """resample = grid explode + the as-of union-window carry: the plan
+    must contain NO join node (the grid is built by explode over the
+    distinct-keys aggregate, never a cross join; the carry is the
+    asof_join window) and shuffle only on the key."""
+    from eventstore_spark.operators.temporal import resample
+
+    path = str(tmp_path_factory.mktemp("rs") / "obs")
+    spark.createDataFrame(
+        [(i % 9, i * 3, float(i)) for i in range(300)],
+        "k long, ts long, v double",
+    ).write.mode("overwrite").parquet(path)
+    df = resample(spark.read.parquet(path), ["k"], "ts", ["v"], step=50)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(k" in plan
+    assert "SinglePartition" not in plan
+
+
 def test_classifier_apply_scoring_is_a_literal_lut_fold(parquet_docs):
     """Scoring with a TRAINED model must stay the zero-shuffle codegen
     fold classifier_score established: the collected model becomes a
