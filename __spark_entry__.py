@@ -792,6 +792,64 @@ def q_mad_outliers(spark, sf):
     return mad_outliers(_table(spark, sf, "documents"), "n_chars")
 
 
+def q_classifier_calibration(spark, sf):
+    """Reliability bins of a normalized score (new r12): the CCNet-style
+    composition — percentile_rank normalizes n_chars onto [0, 1e6], the
+    calibration table audits it against lang=='en' per decile; one
+    map-side ≤bins-group aggregate after the rank
+    (stats.calibration_curve ∘ stats.percentile_rank)."""
+    from eventstore_spark.operators.stats import (calibration_curve,
+                                                  percentile_rank)
+
+    docs = _table(spark, sf, "documents")
+    pr = percentile_rank(docs, "n_chars")
+    scored = pr.join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("y")), "doc_id")
+    return calibration_curve(scored, "pct_ppm", "y", bins=10)
+
+
+def q_classifier_pr_curve(spark, sf):
+    """Precision/recall sweep at 20 exact score quantiles (new r12):
+    does embedding dim 1 separate even from odd labels — the auc_eval
+    pairing, now as a full operating-point table; per-value counts +
+    two-level below-offsets + a ≤20-row threshold equi-join, never a
+    points× rescan (stats.pr_curve)."""
+    from eventstore_spark.operators.stats import pr_curve
+
+    emb = _table(spark, sf, "embeddings").select(
+        F.expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000.0) "
+               "AS BIGINT)").alias("score"),
+        (F.col("label") % 2 == 1).alias("is_odd"),
+    )
+    return pr_curve(emb, "score", "is_odd", points=20)
+
+
+def q_score_winsorize(spark, sf):
+    """Winsorization of document length at exact p1/p99 (new r12): the
+    bucket-histogram bounds as a one-row scalar broadcast onto a single
+    clamp scan — the outlier treatment before mixture weights
+    (stats.winsorize)."""
+    from eventstore_spark.operators.stats import winsorize
+
+    return winsorize(_table(spark, sf, "documents"), "n_chars")
+
+
+def q_events_rollup(spark, sf):
+    """CUBE rollup over (event_type, hour-of-day) (new r12): counts +
+    cent-exact value sums at every aggregation level with grouping_id —
+    Catalyst's Expand operator (one scan replicated per grouping set,
+    map-side combined), the OLAP summary surface."""
+    ev = _table(spark, sf, "events")
+    return (
+        ev.select("event_type", F.hour("ts").cast("long").alias("hr"),
+                  F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"))
+        .cube("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("c").alias("value_cents"),
+             F.grouping_id().cast("long").alias("gid"))
+    )
+
+
 def q_group_weighted_sample(spark, sf):
     """Exact-k-per-language weighted sample (r10 s4): A-ES integer keys
     ranked by ONE group-keyed window — the mixture-construction
@@ -2766,19 +2824,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r12 ---
         "events_overlap_join": q_events_overlap_join,
         "events_resample": q_events_resample,
+        "classifier_calibration": q_classifier_calibration,
+        "classifier_pr_curve": q_classifier_pr_curve,
+        "score_winsorize": q_score_winsorize,
+        "events_rollup": q_events_rollup,
     }
-    # Round-12 rotation (VERDICT r11 tasks #1/#2): first the 6
-    # never-driver-sampled operators (2 new in r12, 4 added after the
+    # Round-12 rotation (VERDICT r11 tasks #1/#2): first the 10
+    # never-driver-sampled operators (6 new in r12, 4 added after the
     # r11 window froze) and the 3 array-output queries whose
     # CORRECTNESS_r11 rows ERR'd in the driver's canonicalizer (now
     # serialized driver-hashable — they need the hard green), then the
-    # 20 r8-stale entries and the first 21 of the r9-stale block
+    # 20 r8-stale entries and the first 17 of the r9-stale block
     # (registry order) — exactly 50. With this window green, every
     # registry entry has a driver-green row in the r9-r12 union and the
     # whole registry is driver-certified.
     head = [
         # -- never driver-sampled (new in r12) --
         "events_overlap_join", "events_resample",
+        "classifier_calibration", "classifier_pr_curve",
+        "score_winsorize", "events_rollup",
         # -- never driver-sampled (new in r11; local-oracle green) --
         "events_asof", "events_interval_join", "events_skew_report",
         "classifier_train_apply",
@@ -2792,16 +2856,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features", "media_sniff", "media_dedup",
         "media_frames", "media_chunks", "ann_bruteforce", "rag_retrieve",
         "ann_lsh",
-        # -- last driver-sampled in r9 (oldest 21, registry order) --
+        # -- last driver-sampled in r9 (oldest 17, registry order) --
         "ngram_novelty", "source_overlap", "payload_profile",
         "embedding_outliers", "events_cohort_retention", "events_funnel",
         "tpch_q7_nation_volume", "tpch_q8_market_share",
         "tpch_q15_top_supplier", "tpch_q17_small_quantity",
         "tpch_q18_large_orders", "tpch_q13_custdist", "semantic_dedup",
         "gopher_quality", "s1_read_event", "s1_read_event_last",
-        "s2_read_stream_forward", "s3_read_stream_backward",
-        "s4_read_all_forward", "s4_read_all_backward",
-        "s5_read_all_filtered",
+        "s2_read_stream_forward",
     ]
     return {**{n: q[n] for n in head},
             **{n: fn for n, fn in q.items() if n not in set(head)}}
@@ -3848,5 +3910,32 @@ WITH obs AS (
 SELECT g.user_id, g.grid_ts, o.tsu AS tsu_ref, o.value AS value_ref
 FROM grid g ASOF LEFT JOIN obs o
   ON g.user_id = o.user_id AND g.grid_ts >= o.tsu
+"""
+    from eventstore_spark.operators.stats import (sql_calibration_curve,
+                                                  sql_pr_curve,
+                                                  sql_winsorize)
+
+    # the percentile_rank normalization inlined as the scored table
+    _ranked = (
+        "(SELECT (lang = 'en') AS y, "
+        "CASE WHEN count(*) OVER () <= 1 THEN CAST(0 AS BIGINT) ELSE "
+        "CAST((row_number() OVER (ORDER BY n_chars, doc_id) - 1) "
+        "* 1000000 // (count(*) OVER () - 1) AS BIGINT) END AS s "
+        "FROM documents WHERE n_chars IS NOT NULL) scored"
+    )
+    sqls["classifier_calibration"] = sql_calibration_curve(
+        score_sql="s", label_sql="y", table=_ranked, bins=10)
+    sqls["classifier_pr_curve"] = sql_pr_curve(
+        score_sql="floor(CAST(embedding[1] AS DOUBLE) * 1000000.0)",
+        label_sql="label % 2 = 1", table="embeddings", points=20)
+    sqls["score_winsorize"] = sql_winsorize("n_chars")
+    sqls["events_rollup"] = """
+SELECT event_type, CAST(hr AS BIGINT) AS hr,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(c) AS BIGINT) AS value_cents,
+       CAST(GROUPING(event_type) * 2 + GROUPING(hr) AS BIGINT) AS gid
+FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(round(value * 100) AS BIGINT) AS c FROM events)
+GROUP BY CUBE (event_type, hr)
 """
     return sqls

@@ -879,3 +879,236 @@ FROM (
   FROM s
 )""")
     return " UNION ALL ".join(parts)
+
+
+def calibration_curve(df: DataFrame, score_col: str, label_col: str,
+                      bins: int = 10) -> DataFrame:
+    """Reliability diagram of a [0, 1e6]-ppm confidence score against a
+    binary outcome — the standard "is the classifier's confidence
+    honest?" audit (Expected Calibration Error's per-bin table) run
+    before trusting a quality/contamination gate's scores as sampling
+    weights.
+
+    Scores bin into ``bins`` equal ppm ranges (out-of-range scores
+    clamp into the end bins); per bin: count, exact mean score and
+    positive rate, both in ppm (sums in DECIMAL(38,0) — n·1e6 passes
+    2^63 at corpus scale, the kn_perplexity overflow class).
+
+    Returns (bin, n, mean_score_ppm, pos_ppm), one row per non-empty
+    bin. ECE = Σ n_b·|mean_b − pos_b| / N is one trivial aggregate on
+    top — emitted per-bin so the caller sees WHERE the miscalibration
+    lives.
+
+    Plan shape at 100 TB: ONE map-side-combined aggregate over ≤
+    ``bins`` groups. Nothing else.
+
+    Reference parity note: no eval surface in the reference; extends
+    the eval family (SURVEY §2, next to auc_eval/langid_prf).
+    """
+    base = spread(df).select(
+        F.col(score_col).cast("long").alias("s"),
+        F.col(label_col).cast("boolean").alias("y"),
+    ).where(F.col("s").isNotNull())
+    nb = int(bins)
+    b = F.greatest(
+        F.lit(0),
+        F.least(F.lit(nb - 1),
+                F.expr(f"CAST(s * {nb} DIV 1000000 AS INT)")))
+    return (
+        base.groupBy(b.cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(sum(CAST(s AS DECIMAL(38,0))) DIV count(*) "
+                   "AS BIGINT)").alias("mean_score_ppm"),
+            F.expr("CAST(sum(CASE WHEN y THEN CAST(1 AS DECIMAL(38,0)) "
+                   "ELSE 0 END) * 1000000 DIV count(*) AS BIGINT)")
+            .alias("pos_ppm"))
+    )
+
+
+def sql_calibration_curve(score_sql: str, label_sql: str, table: str,
+                          bins: int = 10) -> str:
+    """DuckDB oracle for :func:`calibration_curve` — same clamp, bin
+    and HUGEINT ratios."""
+    nb = int(bins)
+    return f"""
+WITH base AS (
+  SELECT CAST({score_sql} AS BIGINT) AS s,
+         CAST({label_sql} AS BOOLEAN) AS y
+  FROM {table}
+  WHERE ({score_sql}) IS NOT NULL
+)
+SELECT CAST(greatest(0, least({nb - 1}, s * {nb} // 1000000)) AS BIGINT)
+         AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(s AS HUGEINT)) // count(*) AS BIGINT)
+         AS mean_score_ppm,
+       CAST(sum(CASE WHEN y THEN CAST(1 AS HUGEINT) ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS pos_ppm
+FROM base GROUP BY 1
+"""
+
+
+def pr_curve(df: DataFrame, score_col: str, label_col: str,
+             points: int = 20, buckets: int = 1024) -> DataFrame:
+    """Precision/recall sweep of a score against a binary label at
+    ``points`` exact score-quantile thresholds (ranks q·N div 100 for
+    q = 100/points, 2·100/points, …, 100 of the ASCENDING score order;
+    predicted-positive ⟺ score >= threshold) — the operating-point
+    picker for a trained gate, complementing :func:`auc_eval`'s single
+    number.
+
+    Returns (q_pct, threshold, n_pred, tp, precision_ppm, recall_ppm);
+    duplicate thresholds (quantiles colliding on few distinct scores)
+    emit duplicate rows — deterministic in both engines.
+
+    Plan shape at 100 TB: the corpus collapses to per-score-value
+    (pos, neg) counts in ONE map-side aggregate; exclusive below-counts
+    come from :func:`_keyed_value_offsets`' two-level scheme (so
+    cum(score >= t) = total − below(t) with NO descending re-sort);
+    thresholds are :func:`exact_quantiles`' bounded histogram output
+    (≤ ``points`` rows) equi-joined back by value. Nothing corpus-sized
+    is sorted, windowed, or replicated — the threshold sweep costs ONE
+    tiny join, not points× scans.
+    """
+    base = spread(df).select(
+        F.col(score_col).cast("long").alias("s"),
+        F.col(label_col).cast("boolean").alias("y"),
+    ).where(F.col("s").isNotNull())
+    pts = max(int(points), 1)
+    qs = tuple(sorted({(i * 100) // pts for i in range(1, pts + 1)} - {0}))
+    th = exact_quantiles(base, "s", qs=qs, buckets=buckets).select(
+        "q_pct", F.col("value").cast("long").alias("s"))
+    cnts = base.groupBy("s").agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("nn"))
+    offs = _keyed_value_offsets(cnts, "s", ("np", "nn"), buckets=buckets)
+    tot = cnts.agg(F.sum("np").alias("n_pos"),
+                   F.sum(F.col("np") + F.col("nn")).alias("n_all"))
+    return (
+        offs.join(F.broadcast(th), "s")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "q_pct",
+            F.col("s").alias("threshold"),
+            (F.col("n_all") - F.col("lo_np") - F.col("lo_nn"))
+            .cast("long").alias("n_pred"),
+            (F.col("n_pos") - F.col("lo_np")).cast("long").alias("tp"))
+        .crossJoin(F.broadcast(tot.select("n_pos")))
+        .select(
+            "q_pct", "threshold", "n_pred", "tp",
+            F.expr("CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 DIV n_pred "
+                   "AS BIGINT)").alias("precision_ppm"),
+            F.expr("CASE WHEN n_pos = 0 THEN NULL ELSE "
+                   "CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 DIV n_pos "
+                   "AS BIGINT) END").alias("recall_ppm"))
+    )
+
+
+def sql_pr_curve(score_sql: str, label_sql: str, table: str,
+                 points: int = 20) -> str:
+    """DuckDB oracle for :func:`pr_curve` — definitional: rank-picked
+    thresholds, then a thresholds × per-value-counts range aggregate
+    (engine perf irrelevant oracle-side)."""
+    pts = max(int(points), 1)
+    qs = sorted({(i * 100) // pts for i in range(1, pts + 1)} - {0})
+    qvals = ", ".join(f"({q})" for q in qs)
+    return f"""
+WITH base AS (
+  SELECT CAST({score_sql} AS BIGINT) AS s,
+         CAST({label_sql} AS BOOLEAN) AS y
+  FROM {table}
+  WHERE ({score_sql}) IS NOT NULL
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM base
+), r AS (
+  SELECT q.q AS q_pct, (q.q * n.n_all + 99) // 100 AS rk
+  FROM (VALUES {qvals}) q(q), n
+), sel AS (
+  SELECT s, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS rn FROM base
+), th AS (
+  SELECT r.q_pct, min(sel.s) AS threshold
+  FROM r JOIN sel ON sel.rn = r.rk GROUP BY r.q_pct
+)
+SELECT th.q_pct, th.threshold,
+       CAST(count(*) FILTER (WHERE b.s >= th.threshold) AS BIGINT)
+         AS n_pred,
+       CAST(count(*) FILTER (WHERE b.s >= th.threshold AND b.y)
+            AS BIGINT) AS tp,
+       CAST(CAST(count(*) FILTER (WHERE b.s >= th.threshold AND b.y)
+                 AS HUGEINT) * 1000000
+            // count(*) FILTER (WHERE b.s >= th.threshold) AS BIGINT)
+         AS precision_ppm,
+       CASE WHEN (SELECT n_pos FROM n) = 0 THEN NULL ELSE
+         CAST(CAST(count(*) FILTER (WHERE b.s >= th.threshold AND b.y)
+                   AS HUGEINT) * 1000000
+              // (SELECT n_pos FROM n) AS BIGINT) END AS recall_ppm
+FROM th CROSS JOIN base b
+GROUP BY th.q_pct, th.threshold
+"""
+
+
+def winsorize(df: DataFrame, value_col: str, id_col: str = "doc_id",
+              p_lo: int = 1, p_hi: int = 99,
+              buckets: int = 1024) -> DataFrame:
+    """Clamp a numeric column to its exact [p_lo, p_hi] percentile range
+    (Winsorization — the standard outlier treatment before computing
+    means/mixture weights over heavy-tailed signals like document
+    lengths or duplicate counts; complements :func:`mad_outliers`'
+    flag-don't-touch report).
+
+    Returns (doc_id, value, winsorized) — every row, with the clamp
+    applied; rank definition = :func:`exact_quantiles`' (q·N+99) div
+    100, so both engines pick identical bounds.
+
+    Plan shape at 100 TB: exact_quantiles' bounded histogram pass for
+    the two bounds (never a global sort), collapsed to a ONE-ROW scalar
+    broadcast onto a single clamp scan. Two scans total.
+    """
+    q = exact_quantiles(df, value_col, qs=(int(p_lo), int(p_hi)),
+                        buckets=buckets)
+    bounds = q.agg(
+        F.min(F.when(F.col("q_pct") == int(p_lo), F.col("value")))
+        .alias("_qlo"),
+        F.min(F.when(F.col("q_pct") == int(p_hi), F.col("value")))
+        .alias("_qhi"))
+    base = spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(value_col).cast("double").alias("value"))
+    return (
+        base.crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id", "value",
+            F.when(F.col("value").isNull(), F.lit(None).cast("double"))
+            .otherwise(F.least(F.greatest(F.col("value"), F.col("_qlo")),
+                               F.col("_qhi"))).alias("winsorized"))
+    )
+
+
+def sql_winsorize(value_col: str, id_col: str = "doc_id",
+                  p_lo: int = 1, p_hi: int = 99,
+                  table: str = "documents") -> str:
+    """DuckDB oracle for :func:`winsorize` — definitional global-rank
+    bounds, same clamp."""
+    return f"""
+WITH v AS (
+  SELECT CAST({value_col} AS DOUBLE) AS v FROM {table}
+  WHERE {value_col} IS NOT NULL
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+sel AS (
+  SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS rn FROM v
+), bounds AS (
+  SELECT
+    (SELECT min(v) FROM sel, n WHERE rn = ({int(p_lo)} * n.n + 99) // 100)
+      AS qlo,
+    (SELECT min(v) FROM sel, n WHERE rn = ({int(p_hi)} * n.n + 99) // 100)
+      AS qhi
+)
+SELECT {id_col} AS doc_id, CAST({value_col} AS DOUBLE) AS value,
+       CASE WHEN {value_col} IS NULL THEN NULL
+            ELSE least(greatest(CAST({value_col} AS DOUBLE), b.qlo), b.qhi)
+       END AS winsorized
+FROM {table} CROSS JOIN bounds b
+"""

@@ -2142,6 +2142,75 @@ def test_interval_join_drops_malformed_intervals_before_explode(spark):
     assert plan.index("Generate explode") < m.start(), plan
 
 
+def test_calibration_curve_matches_plain_python_reference(spark):
+    """Reliability bins recomputed definitionally: clamp to [0, bins-1],
+    exact integer-div mean score and positive rate per bin — including
+    out-of-range scores (clamped into end bins) and a bin with one row."""
+    from eventstore_spark.operators.stats import calibration_curve
+
+    rows = [(-50_000, True), (0, False), (120_000, True), (155_000, False),
+            (999_999, True), (1_000_000, True), (2_000_000, False),
+            (500_000, True)]
+    df = spark.createDataFrame(rows, "s long, y boolean")
+    got = {r.bin: (r.n, r.mean_score_ppm, r.pos_ppm)
+           for r in calibration_curve(df, "s", "y", bins=10).collect()}
+
+    from collections import defaultdict
+    byb = defaultdict(list)
+    for s, y in rows:
+        byb[max(0, min(9, s * 10 // 1_000_000))].append((s, y))
+    want = {b: (len(v), sum(s for s, _ in v) // len(v),
+                sum(1 for _, y in v if y) * 1_000_000 // len(v))
+            for b, v in byb.items()}
+    assert got == want
+
+
+def test_pr_curve_matches_plain_python_reference(spark):
+    """P/R sweep recomputed definitionally: thresholds at ranks
+    (q·N+99)//100 of the ascending order, predicted-positive = s >= t,
+    integer-div ppm ratios — including tied scores and a 100% threshold."""
+    from eventstore_spark.operators.stats import pr_curve
+
+    rows = [(i * 7 % 50, i % 3 == 0) for i in range(60)]
+    df = spark.createDataFrame(rows, "s long, y boolean")
+    got = {(r.q_pct, r.threshold): (r.n_pred, r.tp, r.precision_ppm,
+                                    r.recall_ppm)
+           for r in pr_curve(df, "s", "y", points=4).collect()}
+
+    svals = sorted(s for s, _ in rows)
+    n, p = len(rows), sum(1 for _, y in rows if y)
+    want = {}
+    for q in (25, 50, 75, 100):
+        t = svals[(q * n + 99) // 100 - 1]
+        pred = [(s, y) for s, y in rows if s >= t]
+        tp = sum(1 for _, y in pred if y)
+        want[(q, t)] = (len(pred), tp,
+                        tp * 1_000_000 // len(pred),
+                        tp * 1_000_000 // p)
+    assert got == want
+
+
+def test_winsorize_matches_plain_python_reference(spark):
+    """Winsorization recomputed definitionally: bounds at ranks
+    (p·N+99)//100, clamp, NULLs pass through as NULL."""
+    from eventstore_spark.operators.stats import winsorize
+
+    vals = [float(v) for v in
+            [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 1000, -500]]
+    rows = [(i, v) for i, v in enumerate(vals)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars double")
+    got = {r.doc_id: r.winsorized
+           for r in winsorize(df, "n_chars", p_lo=10, p_hi=90).collect()}
+
+    sv = sorted(vals)
+    n = len(sv)
+    qlo = sv[(10 * n + 99) // 100 - 1]
+    qhi = sv[(90 * n + 99) // 100 - 1]
+    for i, v in enumerate(vals):
+        assert got[i] == min(max(v, qlo), qhi), (i, v, qlo, qhi)
+    assert got[99] is None
+
+
 def test_overlap_join_matches_plain_python_reference(spark):
     """interval×interval overlap recomputed definitionally: nested loop
     with a.lo < b.hi AND b.lo < a.hi (half-open) — including touching

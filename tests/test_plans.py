@@ -267,6 +267,15 @@ BNLJ_OK = {
     # TWO one-row median scalar broadcasts (med, mad) + exact_quantiles'
     # own bounded histogram-offset broadcasts — all scalar-subquery shape
     "mad_outliers",
+    # r12: percentile_rank's whitelisted one-row N broadcast composed
+    # under the calibration bin aggregate — same scalar-subquery shape
+    "classifier_calibration",
+    # r12: exact_quantiles' bounded histogram-offset broadcasts (the
+    # threshold table) + two one-row totals broadcasts
+    "classifier_pr_curve",
+    # r12: exact_quantiles' offsets + the ONE-ROW (qlo, qhi) bounds
+    # broadcast onto the clamp scan
+    "score_winsorize",
 }
 
 SF1_DIR = "/root/repo/.localdata/sf1"  # tools/gen_sf.py output
