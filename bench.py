@@ -86,6 +86,13 @@ SECONDARY = [
     "events_interval_join",
     "events_skew_report",
     "classifier_train_apply",
+    # r12 additions: temporal family completion + eval/robust-stats
+    "events_overlap_join",
+    "events_resample",
+    "classifier_calibration",
+    "classifier_pr_curve",
+    "score_winsorize",
+    "events_rollup",
 ]
 
 
