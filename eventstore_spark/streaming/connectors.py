@@ -101,6 +101,14 @@ class ConnectorSettings:
     # the reference's base64-encoded function. Transformed records get
     # `"IsTransformed": true` merged into their metadata JSON.
     transform: dict | None = None        # {column: sql_expression}
+    # subscription:initialPosition (settings.md): where a consumer
+    # starts when there is NO prior checkpoint — 'latest' (the
+    # reference's default; resolved to the log tail at first start and
+    # persisted so Reset replays from the same place) or 'earliest'.
+    # The direct-constructor default stays 'earliest' (the batch-
+    # friendly choice existing callers rely on); from_reference applies
+    # the reference's 'latest' default.
+    initial_position: str = "earliest"
 
     @classmethod
     def from_reference(cls, settings: dict) -> "ConnectorSettings":
@@ -137,6 +145,11 @@ class ConnectorSettings:
         scope = s.pop("subscription:filter:scope", None)
         ft = s.pop("subscription:filter:filterType", None)
         expr = s.pop("subscription:filter:expression", None)
+        ip = s.pop("subscription:initialPosition", "latest")
+        if ip not in ("latest", "earliest"):
+            raise ValueError(
+                f"unknown subscription:initialPosition {ip!r} (settings.md: "
+                "latest | earliest)")
         if scope == "unspecified":
             scope = None
         if ft == "unspecified":
@@ -168,6 +181,7 @@ class ConnectorSettings:
             filter_type=ft,
             filter_expression=expr,
             transform=transform,
+            initial_position=ip,
         )
 
     def predicate(self):
@@ -559,10 +573,35 @@ class ConnectorManager:
         not serialize into settings.json — the reference's equivalent is
         the sink plugin assembly, resolved at start time)."""
         st = self.view_settings(name)
+        fp = st.from_position
+        if st.initial_position == "latest" and not fp:
+            # settings.md: 'latest' = start at the log tail when there is
+            # no prior checkpoint. Resolved ONCE and persisted next to
+            # the settings, so Reset (which deletes the checkpoint)
+            # replays "from the connector's start position" — the same
+            # tail — rather than re-resolving to a newer one.
+            sp_file = os.path.join(self._dir(name), "start_position")
+            if os.path.exists(sp_file):
+                with open(sp_file) as fh:
+                    fp = int(fh.read().strip())
+            else:
+                from ..schema import EVENTS_SCHEMA
+
+                tail = (self.spark.read.schema(EVENTS_SCHEMA)
+                        .parquet(self.log_path)
+                        .agg(F.max("log_position").alias("m"))
+                        .collect()[0].m)
+                fp = int(tail) + 1 if tail is not None else 0
+                with open(sp_file, "w") as fh:
+                    fh.write(str(fp))
+        # settings.md filter-expression note: scope specified with NO
+        # filter -> consume $all INCLUDING system events; scope
+        # unspecified -> $all excluding system events (the default)
         src = subscribe_all(
             self.spark, self.log_path,
-            from_position=st.from_position,
-            apply_default_filter=st.filter_type is None,
+            from_position=fp,
+            apply_default_filter=(st.filter_type is None
+                                  and st.filter_scope is None),
         )
         pred = st.predicate()
         if pred is not None:

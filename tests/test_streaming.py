@@ -1636,6 +1636,7 @@ def test_http_sink_connector_delivers_events(spark, tmp_path):
         cm = eng.connectors
         # the reference's Create-request settings dict, verbatim shape
         cm.create("push-http", ConnectorSettings.from_reference({
+            "subscription:initialPosition": "earliest",
             "instanceTypeName": "http-sink",
             "url": f"http://127.0.0.1:{port}/{{stream}}/{{event-type}}",
             "defaultHeaders": "X-Pipeline: es-spark",
@@ -1704,6 +1705,7 @@ def test_http_sink_retries_then_raises(spark, tmp_path):
         eng.append("order-1", [ProposedEvent("Placed", '{"i": 0}')])
         cm = eng.connectors
         cm.create("flaky", ConnectorSettings.from_reference({
+            "subscription:initialPosition": "earliest",
             "instanceTypeName": "http-sink",
             "url": f"http://127.0.0.1:{port}/",
             "resilience:maxAttempts": "3",
@@ -1751,6 +1753,7 @@ def test_http_sink_4xx_fails_fast_without_retries(spark, tmp_path):
         eng.append("order-1", [ProposedEvent("Placed", '{"i": 0}')])
         cm = eng.connectors
         cm.create("reject", ConnectorSettings.from_reference({
+            "subscription:initialPosition": "earliest",
             "instanceTypeName": "http-sink",
             "url": f"http://127.0.0.1:{port}/",
             "resilience:maxAttempts": "5",
@@ -1819,6 +1822,7 @@ def test_connector_settings_parse_transformer_keys():
     payload = base64.b64encode(
         b'{"data": "upper(data)"}').decode()
     s = ConnectorSettings.from_reference({
+        "subscription:initialPosition": "earliest",
         "instanceTypeName": "serilog-sink",
         "path": "/tmp/x.log",
         "transformer:Enabled": "true",
@@ -1830,6 +1834,7 @@ def test_connector_settings_parse_transformer_keys():
 
     # disabled → no transform, keys still consumed
     s2 = ConnectorSettings.from_reference({
+        "subscription:initialPosition": "earliest",
         "instanceTypeName": "serilog-sink", "path": "/tmp/x.log",
         "transformer:enabled": "false", "transformer:function": payload,
     })
@@ -1837,11 +1842,13 @@ def test_connector_settings_parse_transformer_keys():
 
     with _pytest.raises(ValueError, match="required"):
         ConnectorSettings.from_reference({
+            "subscription:initialPosition": "earliest",
             "instanceTypeName": "serilog-sink", "path": "/tmp/x.log",
             "transformer:enabled": "true",
         })
     with _pytest.raises(ValueError, match="unknown transformer"):
         ConnectorSettings.from_reference({
+            "subscription:initialPosition": "earliest",
             "instanceTypeName": "serilog-sink", "path": "/tmp/x.log",
             "transformer:timeout": "5",
         })
@@ -1859,6 +1866,7 @@ def test_serilog_sink_connector_logs_records(spark, tmp_path):
     log_file = str(tmp_path / "connector.log")
     cm = eng.connectors
     cm.create("logger", ConnectorSettings.from_reference({
+        "subscription:initialPosition": "earliest",
         "instanceTypeName": "serilog-sink",
         "path": log_file,
         "subscription:filter:scope": "stream",
@@ -1894,6 +1902,7 @@ def test_kafka_sink_connector_produces_with_partition_key(spark, tmp_path):
     spool = str(tmp_path / "kafka")
     cm = eng.connectors
     cm.create("push-kafka", ConnectorSettings.from_reference({
+        "subscription:initialPosition": "earliest",
         "instanceTypeName": "kafka-sink",
         "topic": "customers",
         "bootstrapServers": "localhost:9092",
@@ -1947,6 +1956,7 @@ def test_rabbitmq_sink_connector_publishes_to_exchange(spark, tmp_path):
     spool = str(tmp_path / "rabbit")
     cm = eng.connectors
     cm.create("push-rabbit", ConnectorSettings.from_reference({
+        "subscription:initialPosition": "earliest",
         "instanceTypeName": "rabbit-mq-sink",
         "exchange:name": "example-exchange",
         "exchange:type": "direct",
@@ -1985,6 +1995,7 @@ def test_mongo_sink_connector_inserts_documents(spark, tmp_path):
     spool = str(tmp_path / "mongo")
     cm = eng.connectors
     cm.create("push-mongo", ConnectorSettings.from_reference({
+        "subscription:initialPosition": "earliest",
         "instanceTypeName": "mongo-db-sink",
         "connectionString": "mongodb://127.0.0.1:27020",
         "database": "sampleDB",
@@ -2032,6 +2043,7 @@ def test_mongo_sink_document_id_from_headers(spark, tmp_path):
     spool = str(tmp_path / "mongo")
     cm = eng.connectors
     cm.create("push-mongo-h", ConnectorSettings.from_reference({
+        "subscription:initialPosition": "earliest",
         "instanceTypeName": "mongo-db-sink",
         "database": "db", "collection": "c",
         "documentId:source": "headers",
@@ -2048,3 +2060,102 @@ def test_mongo_sink_document_id_from_headers(spark, tmp_path):
         cm.stop("push-mongo-h")
     docs = [json.loads(line) for line in open(f"{spool}/db.c.jsonl")]
     assert [d["_id"] for d in docs] == ["value1-value2"]
+
+
+def test_connector_initial_position_latest(spark, tmp_path):
+    """subscription:initialPosition=latest (settings.md, the reference's
+    default): with no prior checkpoint the connector starts at the log
+    TAIL — pre-existing events are never delivered, later appends are.
+    The resolved tail persists next to the settings, so Reset (which
+    deletes the checkpoint) replays from the SAME start position
+    (manage.md Reset: "from the connector's start position")."""
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.streaming.connectors import ConnectorSettings
+
+    eng = EventStoreEngine(spark, str(tmp_path / "store"))
+    for i in range(3):
+        eng.append("hist-1", [ProposedEvent("Old", json.dumps({"i": i}))])
+    out = str(tmp_path / "out")
+    cm = eng.connectors
+    settings = ConnectorSettings.from_reference({
+        "instanceTypeName": "parquet-sink",
+        "path": out,
+        "subscription:filter:scope": "stream",
+        "subscription:filter:filterType": "prefix",
+        "subscription:filter:expression": "hist-",
+    })
+    assert settings.initial_position == "latest"  # the reference default
+    cm.create("tail", settings)
+    q = cm.start("tail")
+    try:
+        q.processAllAvailable()
+    finally:
+        cm.stop("tail")
+
+    def types():
+        try:
+            df = spark.read.parquet(out)
+        except Exception:
+            return []
+        return sorted(r.event_type for r in df.collect())
+
+    assert types() == []  # the 3 pre-existing events never delivered
+
+    eng.append("hist-1", [ProposedEvent("New", '{"i": 9}')])
+    q = cm.start("tail")
+    try:
+        q.processAllAvailable()
+    finally:
+        cm.stop("tail")
+    assert types() == ["New"]
+
+    # Reset replays from the persisted start position: "New" again (the
+    # parquet sink rewrites from the checkpointless start), never "Old"
+    cm.reset("tail")
+    q = cm.start("tail")
+    try:
+        q.processAllAvailable()
+    finally:
+        cm.stop("tail")
+    assert "Old" not in set(types()) and "New" in set(types())
+
+
+def test_connector_scope_without_filter_includes_system_events(
+        spark, tmp_path):
+    """settings.md filter-expression note: scope SPECIFIED with an empty
+    filter consumes $all INCLUDING system events; scope unspecified
+    consumes $all EXCLUDING them (the default). Metadata writes create
+    '$$'-streams, which the default filter hides."""
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.streaming.connectors import ConnectorSettings
+
+    eng = EventStoreEngine(spark, str(tmp_path / "store"))
+    eng.append("user-1", [ProposedEvent("Seen", '{"x": 1}')])
+    eng.set_stream_metadata("user-1", max_count=5)  # -> $$user-1 event
+    cm = eng.connectors
+
+    def run(name, settings_dict):
+        s = ConnectorSettings.from_reference(settings_dict)
+        s.sink = "memory"
+        s.sink_options["table"] = name
+        cm.create(name, s)
+        q = cm.start(name)
+        try:
+            q.processAllAvailable()
+        finally:
+            cm.stop(name)
+        return {r.stream_id
+                for r in spark.sql(f"SELECT stream_id FROM {name}").collect()}
+
+    default = run("conn_nosys", {
+        "instanceTypeName": "memory-sink",
+        "subscription:initialPosition": "earliest",
+    })
+    assert default == {"user-1"}  # system streams hidden by default
+
+    with_sys = run("conn_sys", {
+        "instanceTypeName": "memory-sink",
+        "subscription:initialPosition": "earliest",
+        "subscription:filter:scope": "stream",
+    })
+    assert "user-1" in with_sys and "$$user-1" in with_sys
