@@ -735,9 +735,14 @@ def concentration_report(df: DataFrame, group_col: str = "source"
     scale). Returns ONE row (n_groups, n_rows, hhi_ppm, gini_ppm).
 
     Plan shape at 100 TB: the corpus collapses to per-group counts in
-    ONE map-side aggregate; the rank window and both sums run over G
-    rows (groups are dozens-to-thousands by construction — the bounded
-    unpartitioned-window precedent); output is one row.
+    ONE map-side aggregate; the Gini rank runs TWO-LEVEL (the
+    _keyed_value_offsets scheme — ≤1024-bucket histogram cumulative +
+    row_number inside bucket-keyed windows ordered (n, g)), never one
+    unpartitioned window over all G groups: "groups are few" holds for
+    sources/langs but the API takes any column, and a near-unique group
+    key (url, doc hash) drives G to corpus size — the sized-by-
+    assumption class killed for percentile_rank/auc_eval (r11) and
+    ks_drift (r12). Output is one row.
 
     Reference parity note: extends the corpus-analytics family
     (SURVEY §2, next to source_mixture/kmv_distinct/zipf_fit).
@@ -745,9 +750,21 @@ def concentration_report(df: DataFrame, group_col: str = "source"
     cnts = (spread(df)
             .groupBy(F.col(group_col).alias("g"))
             .agg(F.count(F.lit(1)).alias("n")))
-    w = Window.orderBy("n", "g")
-    ranked = cnts.select(
-        "n", F.row_number().over(w).cast("long").alias("i"))
+    gstats = cnts.agg(F.min("n").alias("_mn"), F.max("n").alias("_mx"))
+    binned = cnts.crossJoin(F.broadcast(gstats)).withColumn(
+        "_b",
+        F.expr("CAST((CAST(n AS DECIMAL(38,0)) - _mn) * 1024 "
+               "DIV (CAST(_mx AS DECIMAL(38,0)) - _mn + 1) AS INT)"))
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    boffs = (binned.groupBy("_b").agg(F.count(F.lit(1)).alias("_bc"))
+             .select("_b", (F.sum("_bc").over(wb) - F.col("_bc"))
+                     .alias("_blo")))
+    wv = Window.partitionBy("_b").orderBy("n", "g")
+    ranked = (
+        binned.join(F.broadcast(boffs), "_b")
+        .select("n", (F.col("_blo") + F.row_number().over(wv))
+                .cast("long").alias("i")))
     return (
         ranked.agg(
             F.count(F.lit(1)).alias("n_groups"),

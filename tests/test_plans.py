@@ -1032,6 +1032,25 @@ def test_auc_eval_offsets_window_is_bucket_keyed(parquet_docs, spark):
     assert not re.search(r"windowspecdefinition\(s#\d+L ASC", plan)
 
 
+def test_concentration_gini_rank_window_is_bucket_keyed(parquet_docs):
+    """concentration_report's Gini rank (i of group g in ascending
+    (n, g) order) must run inside bucket-keyed windows — a near-unique
+    group key (url, doc hash) drives G to corpus size, the same
+    sized-by-assumption class killed for percentile_rank/auc_eval (r11)
+    and ks_drift (r12)."""
+    import re
+
+    from eventstore_spark.operators.stats import concentration_report
+
+    plan = concentration_report(parquet_docs, "source") \
+        ._jdf.queryExecution().executedPlan().toString()
+    # rank window partitioned by bucket, ordered (n, g)
+    assert re.search(
+        r"windowspecdefinition\(_b#\d+, n#\d+L ASC.*?g#\d+ ASC", plan)
+    # never an unpartitioned window ordered directly over the counts
+    assert not re.search(r"windowspecdefinition\(n#\d+L ASC", plan)
+
+
 def test_ks_drift_ecdf_window_is_bucket_keyed(parquet_docs):
     """The per-pair ECDF cumulative must run inside a window KEYED by
     (pair, range bucket) — the r11 form (one window per pair ordered by
