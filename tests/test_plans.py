@@ -276,6 +276,9 @@ BNLJ_OK = {
     # r12: exact_quantiles' offsets + the ONE-ROW (qlo, qhi) bounds
     # broadcast onto the clamp scan
     "score_winsorize",
+    # r12: the Gini rank's ONE-ROW group-count min/max scalar broadcast
+    # (the two-level bucket scheme's bin-assignment row)
+    "concentration_report",
 }
 
 SF1_DIR = "/root/repo/.localdata/sf1"  # tools/gen_sf.py output
@@ -939,17 +942,22 @@ def test_bloom_probe_never_shuffles_the_new_batch(parquet_docs):
 
 
 def test_ks_drift_windows_are_pair_keyed(parquet_docs):
-    """The ECDF running sums must window over (pair) keys — never a
-    SinglePartition window — and everything past the first aggregate is
-    aggregate-sized. (The window's clustering is satisfied by the
-    pair-joined count streams' existing partitioning, so no extra
-    exchange appears; the windowspec itself is the contract.)"""
+    """Every ECDF window must carry the (ga, gb) pair keys — never a
+    SinglePartition window over the count stream. (r12 note: the
+    two-level rework added a ONE-ROW global min/max aggregate for bin
+    assignment, which necessarily plans a SinglePartition exchange over
+    one row — so the contract is now windowspec-level: no windowspec
+    without the pair keys. The bucket-keyed shape itself is pinned by
+    test_ks_drift_ecdf_window_is_bucket_keyed.)"""
+    import re
+
     from eventstore_spark.operators.stats import ks_drift
 
     df = ks_drift(parquet_docs, group_col="lang", value_col="n_chars")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "windowspecdefinition(ga" in plan
-    assert "SinglePartition" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    assert all(s.startswith("ga#") for s in specs), specs
 
 
 def test_pca_scoring_is_a_pure_scan(parquet_docs, spark):
