@@ -296,13 +296,20 @@ def resample(reference: DataFrame, key_cols: list[str],
     step = max(int(step), 1)
     # align the first grid point up to a multiple of step so every run
     # over the same data lands on the same grid regardless of start
-    grid = (
-        reference.select(*key_cols).distinct()
-        .withColumn("grid_ts", F.explode(F.sequence(
-            F.lit(((start + step - 1) // step) * step).cast("long"),
+    g0 = ((int(start) + step - 1) // step) * step
+    keys = reference.select(*key_cols).distinct()
+    if g0 > int(end):
+        # no grid point falls inside [start, end] (span shorter than one
+        # step) — an empty grid, NOT sequence(g0, end): Spark's sequence
+        # throws "Illegal sequence boundaries" when start > stop with a
+        # positive step (caught by the hypothesis walk)
+        grid = keys.withColumn(
+            "grid_ts", F.lit(None).cast("long")).where(F.lit(False))
+    else:
+        grid = keys.withColumn("grid_ts", F.explode(F.sequence(
+            F.lit(g0).cast("long"),
             F.lit(int(end)).cast("long"),
             F.lit(step).cast("long"))))
-    )
     ref = reference.select(*key_cols,
                            F.col(ref_ts).cast("long").alias(ref_ts),
                            *value_cols)

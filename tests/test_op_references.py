@@ -2409,3 +2409,79 @@ def test_interval_join_with_keys_matches_plain_python_reference(spark):
     assert got == want
     assert (3, 10) not in got          # same time range, other key
     assert not any(iid == 13 for _, iid in got)  # key with no points
+
+
+def test_overlap_join_hypothesis_random_intervals(spark):
+    """Property: for RANDOM interval sets and bin widths, overlap_join
+    equals the definitional nested loop with no duplicate pairs. The
+    shrunk counterexample space covers touching endpoints, containment,
+    zero-length and inverted intervals, and bin-boundary alignment."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from eventstore_spark.operators.temporal import overlap_join
+
+    iv = st.tuples(st.integers(0, 60), st.integers(0, 60))
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(ls=st.lists(iv, min_size=1, max_size=8),
+           rs=st.lists(iv, min_size=1, max_size=8),
+           bw=st.integers(1, 70))
+    def run(ls, rs, bw):
+        lv = [(i, lo, hi) for i, (lo, hi) in enumerate(ls)]
+        rv = [(i, lo, hi) for i, (lo, hi) in enumerate(rs)]
+        left = spark.createDataFrame(lv, "lid long, lo long, hi long")
+        right = spark.createDataFrame(rv, "rid long, lo long, hi long")
+        got = [(r.lid, r.rid)
+               for r in overlap_join(left, right, [], "lo", "hi",
+                                     "lo", "hi", bin_width=bw).collect()]
+        want = {(lid, rid) for lid, llo, lhi in lv
+                for rid, rlo, rhi in rv
+                if lhi > llo and rhi > rlo and llo < rhi and rlo < lhi}
+        assert sorted(got) == sorted(want)
+        assert len(got) == len(set(got))
+
+    run()
+
+
+def test_resample_hypothesis_random_series(spark):
+    """Property: for RANDOM per-key observation sets, steps and bounds,
+    resample equals the plain-Python aligned-grid LOCF."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from eventstore_spark.operators.temporal import resample
+
+    obs_s = st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]),
+                  st.integers(0, 50), st.integers(-5, 5)),
+        min_size=1, max_size=12)
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(obs=obs_s, step=st.integers(1, 20))
+    def run(obs, step):
+        # reference side must be unique per (key, ts): keep max value
+        uniq = {}
+        for k, t, v in obs:
+            uniq[(k, t)] = max(uniq.get((k, t), v), v)
+        rows = [(k, t, v) for (k, t), v in sorted(uniq.items())]
+        ref = spark.createDataFrame(rows, "k string, ts long, v long")
+        got = {(r.k, r.grid_ts): (r.ts_ref, r.v_ref)
+               for r in resample(ref, ["k"], "ts", ["v"],
+                                 step=step).collect()}
+
+        lo = min(t for _, t, _ in rows)
+        hi = max(t for _, t, _ in rows)
+        g0 = ((lo + step - 1) // step) * step
+        keys = sorted({k for k, _, _ in rows})
+        want = {}
+        for k in keys:
+            for t in range(g0, hi + 1, step):
+                prior = [(ts, v) for kk, ts, v in rows
+                         if kk == k and ts <= t]
+                want[(k, t)] = max(prior) if prior else (None, None)
+        assert got == want
+
+    run()
