@@ -198,6 +198,53 @@ def sessionize(
     )
 
 
+def streaming_interval_enrich(
+    probe: DataFrame,
+    reference: DataFrame,
+    key: str = "stream_id",
+    ts_col: str = "created",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+    ref_cols: list[str] | None = None,
+    suffix: str = "_ref",
+) -> DataFrame:
+    """Stream-stream time-interval enrichment: every probe event joins
+    each reference event of the same ``key`` whose timestamp falls in
+    ``[probe_ts − lookback, probe_ts]`` — the live sibling of the batch
+    :func:`~eventstore_spark.operators.temporal.interval_join` family
+    (fraud checks against recent activity, purchase × recent views).
+
+    Pure Structured Streaming built-ins: both sides carry watermarks and
+    the join condition is key-equality plus the time range, which Spark
+    executes as a watermarked stream-stream join — state for reference
+    rows older than ``watermark + lookback`` is dropped automatically,
+    which is what bounds join-state memory at 100 TB/day rates (the
+    documented state-store story; no custom state code). Inner join:
+    probe rows with no reference match in-range are absent (Spark emits
+    unmatched outer rows only at watermark expiry — use leftOuter
+    downstream when completeness matters more than latency).
+
+    Returns the probe columns plus every ``ref_cols`` column suffixed
+    with ``suffix`` (default: the reference's payload value and its
+    timestamp).
+    """
+    if ref_cols is None:
+        ref_cols = ["event_id", ts_col]
+    p = probe.withWatermark(ts_col, watermark).alias("p")
+    r = (reference.select(
+            F.col(key).alias("_rk"),
+            F.col(ts_col).alias("_rts"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in ref_cols])
+         .withWatermark("_rts", watermark).alias("r"))
+    cond = (
+        (F.col(f"p.{key}") == F.col("r._rk"))
+        & (F.col("r._rts") <= F.col(f"p.{ts_col}"))
+        & (F.col("r._rts")
+           >= F.col(f"p.{ts_col}") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return p.join(r, cond, "inner").drop("_rk", "_rts")
+
+
 def start_to_memory(sub: DataFrame, name: str, checkpoint_location: str | None = None,
                     available_now: bool = False):
     """Run a subscription into an in-memory sink (tests / long-poll reads:

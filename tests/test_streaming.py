@@ -2159,3 +2159,68 @@ def test_connector_scope_without_filter_includes_system_events(
         "subscription:filter:scope": "stream",
     })
     assert "user-1" in with_sys and "$$user-1" in with_sys
+
+
+def test_streaming_interval_enrich_joins_recent_reference(spark, tmp_path):
+    """Stream-stream time-interval enrichment (streaming_interval_enrich):
+    each probe event joins same-key reference events within the lookback
+    window [probe_ts - 1h, probe_ts] — inclusive at both edges, nothing
+    older, nothing later, never across keys. Pure watermarked
+    stream-stream join (state auto-expired by Spark); delivered across
+    TWO micro-batches to exercise cross-batch join state."""
+    from datetime import datetime
+
+    from eventstore_spark.schema import EVENTS_SCHEMA
+    from eventstore_spark.streaming.subscriptions import (
+        streaming_interval_enrich)
+
+    def ts(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    probe_dir = str(tmp_path / "probe")
+    ref_dir = str(tmp_path / "ref")
+    # batch 1 of the reference stream: views at 10:00 (u1, u2)
+    spark.createDataFrame([
+        (1, "u1", None, 0, "v1", "view", '{"p": 10}', None, ts(10), True),
+        (2, "u2", None, 0, "v2", "view", '{"p": 77}', None, ts(10), True),
+    ], EVENTS_SCHEMA).write.mode("append").parquet(ref_dir)
+    # probes: 11:00 u1 (inclusive 1h edge -> matches v1),
+    #         12:00 u1 (10:00 is 2h old -> no match),
+    #         13:00 u2 (3h old -> no match)
+    spark.createDataFrame([
+        (3, "u1", None, 0, "p1", "purchase", '{"x":1}', None, ts(11), True),
+        (4, "u1", None, 1, "p2", "purchase", '{"x":2}', None, ts(12), True),
+        (5, "u2", None, 0, "p3", "purchase", '{"x":3}', None, ts(13), True),
+    ], EVENTS_SCHEMA).write.mode("append").parquet(probe_dir)
+
+    probe = spark.readStream.schema(EVENTS_SCHEMA).parquet(probe_dir)
+    ref = spark.readStream.schema(EVENTS_SCHEMA).parquet(ref_dir)
+    joined = streaming_interval_enrich(probe, ref, key="stream_id",
+                                       lookback="1 hour")
+    q = (joined.select("event_id", "stream_id", "created", "event_id_ref",
+                       "created_ref")
+         .writeStream.outputMode("append").format("memory")
+         .queryName("iv_enrich")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+        got = {(r.event_id, r.event_id_ref)
+               for r in spark.sql("SELECT * FROM iv_enrich").collect()}
+        assert got == {("p1", "v1")}, got
+
+        # batch 2: a fresh view at 12:30 enriches a later purchase at
+        # 13:00 (same key), proving cross-batch reference state
+        spark.createDataFrame([
+            (6, "u1", None, 1, "v3", "view", '{"p": 20}', None,
+             ts(12, 30), True),
+        ], EVENTS_SCHEMA).write.mode("append").parquet(ref_dir)
+        spark.createDataFrame([
+            (7, "u1", None, 2, "p4", "purchase", '{"x":4}', None,
+             ts(13), True),
+        ], EVENTS_SCHEMA).write.mode("append").parquet(probe_dir)
+        q.processAllAvailable()
+        got = {(r.event_id, r.event_id_ref)
+               for r in spark.sql("SELECT * FROM iv_enrich").collect()}
+        assert got == {("p1", "v1"), ("p4", "v3")}, got
+    finally:
+        q.stop()
