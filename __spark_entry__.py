@@ -834,6 +834,36 @@ def q_score_winsorize(spark, sf):
     return winsorize(_table(spark, sf, "documents"), "n_chars")
 
 
+def q_snapshot_diff(spark, sf):
+    """Snapshot content diff (new r12): documents vs a deterministically
+    perturbed next crawl (doc_id%11 dropped, doc_id%7 edited, doc_id%13
+    re-added under new ids) — md5 identity, ONE keyed full-outer join,
+    per-id added/removed/changed/unchanged (corpus.snapshot_diff)."""
+    from eventstore_spark.operators.corpus import snapshot_diff
+
+    docs = _table(spark, sf, "documents")
+    new = (
+        docs.where("doc_id % 11 != 0")
+        .select("doc_id",
+                F.when(F.col("doc_id") % 7 == 0,
+                       F.concat(F.col("text"), F.lit(" [edited]")))
+                .otherwise(F.col("text")).alias("text"))
+        .unionByName(
+            docs.where("doc_id % 13 = 0")
+            .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")))
+    return snapshot_diff(docs, new)
+
+
+def q_source_lang_mi(spark, sf):
+    """Column-level mutual information source×lang in exact micro-nats
+    (new r12): cell counts + broadcast marginals, per-cell micro-rounded
+    ln (the pmi_collocations determinism convention), one-row output
+    (corpus.association_mi)."""
+    from eventstore_spark.operators.corpus import association_mi
+
+    return association_mi(_table(spark, sf, "documents"), "source", "lang")
+
+
 def q_events_rollup(spark, sf):
     """CUBE rollup over (event_type, hour-of-day) (new r12): counts +
     cent-exact value sums at every aggregation level with grouping_id —
@@ -2828,13 +2858,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_pr_curve": q_classifier_pr_curve,
         "score_winsorize": q_score_winsorize,
         "events_rollup": q_events_rollup,
+        "snapshot_diff": q_snapshot_diff,
+        "source_lang_mi": q_source_lang_mi,
     }
-    # Round-12 rotation (VERDICT r11 tasks #1/#2): first the 10
-    # never-driver-sampled operators (6 new in r12, 4 added after the
+    # Round-12 rotation (VERDICT r11 tasks #1/#2): first the 12
+    # never-driver-sampled operators (8 new in r12, 4 added after the
     # r11 window froze) and the 3 array-output queries whose
     # CORRECTNESS_r11 rows ERR'd in the driver's canonicalizer (now
     # serialized driver-hashable — they need the hard green), then the
-    # 20 r8-stale entries and the first 17 of the r9-stale block
+    # 20 r8-stale entries and the first 15 of the r9-stale block
     # (registry order) — exactly 50. With this window green, every
     # registry entry has a driver-green row in the r9-r12 union and the
     # whole registry is driver-certified.
@@ -2843,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_overlap_join", "events_resample",
         "classifier_calibration", "classifier_pr_curve",
         "score_winsorize", "events_rollup",
+        "snapshot_diff", "source_lang_mi",
         # -- never driver-sampled (new in r11; local-oracle green) --
         "events_asof", "events_interval_join", "events_skew_report",
         "classifier_train_apply",
@@ -2856,14 +2889,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features", "media_sniff", "media_dedup",
         "media_frames", "media_chunks", "ann_bruteforce", "rag_retrieve",
         "ann_lsh",
-        # -- last driver-sampled in r9 (oldest 17, registry order) --
+        # -- last driver-sampled in r9 (oldest 15, registry order) --
         "ngram_novelty", "source_overlap", "payload_profile",
         "embedding_outliers", "events_cohort_retention", "events_funnel",
         "tpch_q7_nation_volume", "tpch_q8_market_share",
         "tpch_q15_top_supplier", "tpch_q17_small_quantity",
         "tpch_q18_large_orders", "tpch_q13_custdist", "semantic_dedup",
-        "gopher_quality", "s1_read_event", "s1_read_event_last",
-        "s2_read_stream_forward",
+        "gopher_quality", "s1_read_event",
     ]
     return {**{n: q[n] for n in head},
             **{n: fn for n, fn in q.items() if n not in set(head)}}
@@ -3929,6 +3961,19 @@ FROM grid g ASOF LEFT JOIN obs o
         score_sql="floor(CAST(embedding[1] AS DOUBLE) * 1000000.0)",
         label_sql="label % 2 = 1", table="embeddings", points=20)
     sqls["score_winsorize"] = sql_winsorize("n_chars")
+    from eventstore_spark.operators.corpus import (sql_association_mi,
+                                                   sql_snapshot_diff)
+
+    sqls["snapshot_diff"] = sql_snapshot_diff(
+        old_sql="SELECT doc_id, text FROM documents",
+        new_sql=(
+            "SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+            "THEN text || ' [edited]' ELSE text END AS text "
+            "FROM documents WHERE doc_id % 11 != 0 "
+            "UNION ALL "
+            "SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+            "WHERE doc_id % 13 = 0"))
+    sqls["source_lang_mi"] = sql_association_mi("source", "lang")
     sqls["events_rollup"] = """
 SELECT event_type, CAST(hr AS BIGINT) AS hr,
        CAST(count(*) AS BIGINT) AS n,

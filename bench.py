@@ -93,6 +93,8 @@ SECONDARY = [
     "classifier_pr_curve",
     "score_winsorize",
     "events_rollup",
+    "snapshot_diff",
+    "source_lang_mi",
 ]
 
 

@@ -2334,3 +2334,144 @@ WITH keyed AS (
 )
 SELECT grp, doc_id, weight, key, rk FROM ranked WHERE rk <= {int(k)}
 """
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Content diff between two corpus snapshots: per document id,
+    ``added`` (only in new), ``removed`` (only in old), ``changed``
+    (both, different content) or ``unchanged`` — the incremental-ingest
+    audit every snapshot-to-snapshot pipeline runs before deciding what
+    to re-process ("what did this crawl actually change?").
+
+    Content identity is md5 of the text (the repo's exact-dedup hash
+    convention), so the diff never compares full documents — each side
+    collapses to (id, hash) at scan time before the join.
+
+    Returns (doc_id, status), one row per id present in either side.
+
+    Plan shape at 100 TB: two pruned scans (id + hash only — column
+    pruning drops the text after the md5) into ONE keyed full-outer
+    sort-merge join; no window, no skew surface beyond id uniqueness.
+
+    Reference parity note: the reference diffs snapshots by log
+    position (catch-up from a checkpoint); content-level diffing is
+    part of the pipeline-analytics surface (SURVEY §2, next to
+    dedup_exact / contamination_exact).
+    """
+    oh = spread(old).select(F.col(id_col).alias("doc_id"),
+                            F.md5(F.col(text_col)).alias("_ho"))
+    nh = spread(new).select(F.col(id_col).alias("doc_id"),
+                            F.md5(F.col(text_col)).alias("_hn"))
+    status = (
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") == F.col("_hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed")))
+    return (oh.join(nh, "doc_id", "full_outer")
+            .select("doc_id", status.alias("status")))
+
+
+def sql_snapshot_diff(old_sql: str, new_sql: str,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """DuckDB oracle for :func:`snapshot_diff` — same md5 identity,
+    same full-outer classification."""
+    return f"""
+WITH o AS (
+  SELECT {id_col} AS doc_id, md5({text_col}) AS ho FROM ({old_sql}) _o
+), n AS (
+  SELECT {id_col} AS doc_id, md5({text_col}) AS hn FROM ({new_sql}) _n
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.ho IS NULL THEN 'added'
+            WHEN n.hn IS NULL THEN 'removed'
+            WHEN o.ho = n.hn THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
+def association_mi(df: DataFrame, a_col: str = "source",
+                   b_col: str = "lang") -> DataFrame:
+    """Mutual information between two categorical corpus columns in
+    exact micro-nats — "how much does source determine language?" — the
+    data-card association stat behind stratification decisions (if
+    MI ≈ H, stratifying by one covers the other; if MI ≈ 0, stratify
+    both). Token-level association is :func:`~eventstore_spark.
+    operators.textops.pmi_collocations`; this is the column-level
+    sibling, with the same determinism convention: each ln of an exact
+    integer ratio micro-rounds separately, so DuckDB reproduces the sum
+    bit-for-bit.
+
+      MI_micro = Σ_{a,b} n_ab · round(ln(n_ab·N / (n_a·n_b)) · 1e6)
+                 DIV N
+
+    Returns ONE row (n, n_a, n_b, n_cells, mi_micro) where n_a/n_b are
+    the distinct counts of each column.
+
+    Plan shape at 100 TB: the corpus collapses to (a, b) cell counts in
+    ONE map-side aggregate; marginals are two aggregate-sized groupBys
+    joined back onto the cells (broadcast — cells bound marginals);
+    output is one row. All BIGINT/DECIMAL(38,0); n_ab·N ≤ N² needs the
+    HUGEINT class inside the ln argument (computed as DOUBLE ratio of
+    exact integers — ln is the only float, micro-rounded immediately).
+    """
+    base = spread(df).select(F.col(a_col).alias("a"),
+                             F.col(b_col).alias("b"))
+    cells = base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nab"))
+    ma = cells.groupBy("a").agg(F.sum("nab").alias("na"))
+    mb = cells.groupBy("b").agg(F.sum("nab").alias("nb"))
+    tot = cells.agg(F.sum("nab").alias("n"))
+    term = (
+        cells.join(F.broadcast(ma), "a").join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nab", "n",
+            F.expr("CAST(round(ln((CAST(nab AS DOUBLE) * n) "
+                   "/ (CAST(na AS DOUBLE) * nb)) * 1e6) AS BIGINT)")
+            .alias("t_micro"))
+    )
+    return (
+        term.agg(
+            F.max("n").alias("_n"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(F.expr("CAST(nab AS DECIMAL(38,0)) * t_micro"))
+            .alias("_s"))
+        .crossJoin(F.broadcast(
+            base.agg(F.countDistinct("a").alias("n_a"),
+                     F.countDistinct("b").alias("n_b"))))
+        .select(
+            F.col("_n").cast("long").alias("n"),
+            "n_a", "n_b",
+            F.col("n_cells").cast("long").alias("n_cells"),
+            F.expr("CAST(_s DIV _n AS BIGINT)").alias("mi_micro"))
+    )
+
+
+def sql_association_mi(a_col: str = "source", b_col: str = "lang",
+                       table: str = "documents") -> str:
+    """DuckDB oracle for :func:`association_mi` — same cells, same
+    per-cell micro-rounded ln, same HUGEINT combination."""
+    return f"""
+WITH base AS (
+  SELECT {a_col} AS a, {b_col} AS b FROM {table}
+), cells AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS nab FROM base GROUP BY a, b
+), ma AS (SELECT a, CAST(sum(nab) AS BIGINT) AS na FROM cells GROUP BY a),
+mb AS (SELECT b, CAST(sum(nab) AS BIGINT) AS nb FROM cells GROUP BY b),
+tot AS (SELECT CAST(sum(nab) AS BIGINT) AS n FROM cells),
+term AS (
+  SELECT nab, n,
+         CAST(round(ln((CAST(nab AS DOUBLE) * n)
+              / (CAST(na AS DOUBLE) * nb)) * 1e6) AS BIGINT) AS t_micro
+  FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       (SELECT CAST(count(DISTINCT a) AS BIGINT) FROM base) AS n_a,
+       (SELECT CAST(count(DISTINCT b) AS BIGINT) FROM base) AS n_b,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(CAST(nab AS HUGEINT) * t_micro) // max(n) AS BIGINT)
+         AS mi_micro
+FROM term
+"""

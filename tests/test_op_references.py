@@ -2485,3 +2485,51 @@ def test_resample_hypothesis_random_series(spark):
         assert got == want
 
     run()
+
+
+def test_snapshot_diff_matches_plain_python_reference(spark):
+    """Snapshot diff recomputed definitionally: per id present in either
+    side, added/removed/changed/unchanged by content equality."""
+    from eventstore_spark.operators.corpus import snapshot_diff
+
+    old = [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    new = [(2, "b"), (3, "C!"), (5, "e")]
+    odf = spark.createDataFrame(old, "doc_id long, text string")
+    ndf = spark.createDataFrame(new, "doc_id long, text string")
+    got = {r.doc_id: r.status
+           for r in snapshot_diff(odf, ndf).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed",
+                   4: "removed", 5: "added"}
+
+
+def test_association_mi_matches_plain_python_reference(spark):
+    """Column-level MI recomputed definitionally with the same per-cell
+    micro-rounded ln — including an independent pair (MI ≈ 0) and a
+    perfectly dependent one (MI = H)."""
+    import math
+
+    from collections import Counter
+
+    from eventstore_spark.operators.corpus import association_mi
+
+    rows = [("s1", "en"), ("s1", "en"), ("s1", "de"),
+            ("s2", "en"), ("s2", "de"), ("s2", "de"), ("s2", "de")]
+    df = spark.createDataFrame(rows, "source string, lang string")
+    got = association_mi(df, "source", "lang").collect()[0]
+
+    cells = Counter(rows)
+    na = Counter(a for a, _ in rows)
+    nb = Counter(b for _, b in rows)
+    n = len(rows)
+    want = sum(
+        nab * round(math.log((nab * n) / (na[a] * nb[b])) * 1e6)
+        for (a, b), nab in cells.items()) // n
+    assert (got.n, got.n_a, got.n_b, got.n_cells) == (7, 2, 2, 4)
+    assert got.mi_micro == want
+
+    # perfect dependence: MI = H(b) (ln 2 with a 50/50 split)
+    dep = spark.createDataFrame(
+        [("s1", "en"), ("s1", "en"), ("s2", "de"), ("s2", "de")],
+        "source string, lang string")
+    mi = association_mi(dep, "source", "lang").collect()[0].mi_micro
+    assert mi == round(math.log(2) * 1e6)

@@ -279,6 +279,9 @@ BNLJ_OK = {
     # r12: the Gini rank's ONE-ROW group-count min/max scalar broadcast
     # (the two-level bucket scheme's bin-assignment row)
     "concentration_report",
+    # r12: association_mi's ONE-ROW total-count and distinct-count
+    # broadcasts onto the aggregate-sized cell table
+    "source_lang_mi",
 }
 
 SF1_DIR = "/root/repo/.localdata/sf1"  # tools/gen_sf.py output
