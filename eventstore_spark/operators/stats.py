@@ -983,10 +983,12 @@ def pr_curve(df: DataFrame, score_col: str, label_col: str,
     (pos, neg) counts in ONE map-side aggregate; exclusive below-counts
     come from :func:`_keyed_value_offsets`' two-level scheme (so
     cum(score >= t) = total − below(t) with NO descending re-sort);
-    thresholds are :func:`exact_quantiles`' bounded histogram output
-    (≤ ``points`` rows) equi-joined back by value. Nothing corpus-sized
-    is sorted, windowed, or replicated — the threshold sweep costs ONE
-    tiny join, not points× scans.
+    thresholds are picked DIRECTLY from those offsets — rank rk lands
+    on the unique value whose (lo, lo+cnt] interval contains it, via a
+    broadcast of the ≤ ``points`` target-rank rows. Nothing corpus-sized
+    is sorted, windowed, or replicated, the base table is scanned once,
+    and the rank→value pick is pure BIGINT (no DOUBLE round-trip — a
+    |score| > 2^53 threshold is matched exactly, ADVICE r12).
     """
     base = spread(df).select(
         F.col(score_col).cast("long").alias("s"),
@@ -994,24 +996,32 @@ def pr_curve(df: DataFrame, score_col: str, label_col: str,
     ).where(F.col("s").isNotNull())
     pts = max(int(points), 1)
     qs = tuple(sorted({(i * 100) // pts for i in range(1, pts + 1)} - {0}))
-    th = exact_quantiles(base, "s", qs=qs, buckets=buckets).select(
-        "q_pct", F.col("value").cast("long").alias("s"))
     cnts = base.groupBy("s").agg(
         F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("np"),
         F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("nn"))
     offs = _keyed_value_offsets(cnts, "s", ("np", "nn"), buckets=buckets)
     tot = cnts.agg(F.sum("np").alias("n_pos"),
                    F.sum(F.col("np") + F.col("nn")).alias("n_all"))
+    targets = (
+        tot.select(
+            F.explode(F.array(*[F.lit(int(q)) for q in qs])).alias("q_pct"),
+            "n_pos", "n_all")
+        .select("q_pct", "n_pos", "n_all",
+                F.expr("(q_pct * n_all + 99) div 100").cast("long")
+                .alias("_rk"))
+    )
     return (
-        offs.join(F.broadcast(th), "s")
-        .crossJoin(F.broadcast(tot))
+        offs.crossJoin(F.broadcast(targets))
+        .where((F.col("lo_np") + F.col("lo_nn") < F.col("_rk"))
+               & (F.col("_rk") <= F.col("lo_np") + F.col("lo_nn")
+                  + F.col("np") + F.col("nn")))
         .select(
             "q_pct",
             F.col("s").alias("threshold"),
             (F.col("n_all") - F.col("lo_np") - F.col("lo_nn"))
             .cast("long").alias("n_pred"),
-            (F.col("n_pos") - F.col("lo_np")).cast("long").alias("tp"))
-        .crossJoin(F.broadcast(tot.select("n_pos")))
+            (F.col("n_pos") - F.col("lo_np")).cast("long").alias("tp"),
+            "n_pos")
         .select(
             "q_pct", "threshold", "n_pred", "tp",
             F.expr("CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 DIV n_pred "

@@ -291,8 +291,15 @@ def resample(reference: DataFrame, key_cols: list[str],
         bounds = reference.agg(
             F.min(F.col(ref_ts).cast("long")).alias("mn"),
             F.max(F.col(ref_ts).cast("long")).alias("mx")).collect()[0]
-        start = int(bounds.mn) if start is None else int(start)
-        end = int(bounds.mx) if end is None else int(end)
+        if bounds.mn is None or bounds.mx is None:
+            # empty reference with defaulted bounds: no grid to build —
+            # return the empty result (same contract as the rest of the
+            # temporal family on empty input), not int(None) (ADVICE r12)
+            start = end = 0
+            reference = reference.where(F.lit(False))
+        else:
+            start = int(bounds.mn) if start is None else int(start)
+            end = int(bounds.mx) if end is None else int(end)
     step = max(int(step), 1)
     # align the first grid point up to a multiple of step so every run
     # over the same data lands on the same grid regardless of start

@@ -66,6 +66,7 @@ reference connector definition drops in unchanged.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -348,7 +349,8 @@ def _serilog_sink_fold(options: dict):
     return _fold
 
 
-def _key_extraction_col(source: str | None, expression: str | None):
+def _key_extraction_col(source: str | None, expression: str | None,
+                        default: str = "recordId"):
     """Partition-key / document-id extraction as ONE Catalyst column —
     kafka.md §Partitioning and mongo.md §Document ID describe the SAME
     mechanism with the same sources, so both sinks share it (and it
@@ -365,7 +367,10 @@ def _key_extraction_col(source: str | None, expression: str | None):
       the record metadata are concatenated with '-'
       ("key1,key2" → "value1-value2").
     """
-    s = source or "recordId"
+    # blank/whitespace source = unset → the sink's documented default
+    # (not s[0] on "" → IndexError; ADVICE r12)
+    s = source.strip() if isinstance(source, str) else source
+    s = s or default
     s = s[0].lower() + s[1:]  # docs spell the default 'PartitionKey'
     if s == "recordId":
         return F.col("event_id")
@@ -424,8 +429,9 @@ def _kafka_sink_fold(options: dict):
     if str(options.get("partitionKeyExtraction:enabled",
                        "false")).lower() == "true":
         key_col = _key_extraction_col(
-            options.get("partitionKeyExtraction:source", "partitionKey"),
-            options.get("partitionKeyExtraction:expression"))
+            options.get("partitionKeyExtraction:source"),
+            options.get("partitionKeyExtraction:expression"),
+            default="partitionKey")
     else:
         key_col = F.col("stream_id")
     ack = str(options.get("waitForBrokerAck", "true")).lower() == "true"
@@ -653,8 +659,22 @@ class ConnectorManager:
                       ignore_errors=True)
 
     def reconfigure(self, name: str, settings: ConnectorSettings) -> None:
+        """Replace the connector's settings (manage.md Reconfigure).
+
+        If the new settings change where the subscription STARTS
+        (``initial_position`` / ``from_position``), the previously
+        resolved-and-persisted start position is discarded so the next
+        start re-resolves under the NEW settings (ADVICE r12: a stale
+        tail resolved under the old settings must not survive a start
+        reconfiguration). Sink-only reconfigurations keep it — Reset
+        still replays from the connector's original start, and the live
+        resume position lives in the checkpoint either way."""
         self.stop(name)
-        self.view_settings(name)  # must exist
+        old = self.view_settings(name)  # must exist
+        if (old.initial_position != settings.initial_position
+                or old.from_position != settings.from_position):
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(self._dir(name), "start_position"))
         with open(self._settings_file(name), "w") as fh:
             json.dump(asdict(settings), fh)
 

@@ -2190,6 +2190,41 @@ def test_pr_curve_matches_plain_python_reference(spark):
     assert got == want
 
 
+def test_pr_curve_exact_beyond_double_precision(spark):
+    """Thresholds are picked in pure BIGINT (ADVICE r12): scores past
+    2^53 — where a DOUBLE round-trip collapses adjacent values — must
+    still produce one output row per quantile with the exact threshold
+    value, not silently drop rows on a mismatched equi-join."""
+    from eventstore_spark.operators.stats import pr_curve
+
+    base = 1 << 60
+    # adjacent BIGINTs at 2^60: double rounds them to the same value
+    rows = [(base + i, i % 2 == 0) for i in range(8)]
+    df = spark.createDataFrame(rows, "s long, y boolean")
+    got = {r.q_pct: (r.threshold, r.n_pred, r.tp)
+           for r in pr_curve(df, "s", "y", points=4).collect()}
+
+    svals = sorted(s for s, _ in rows)
+    n, want = len(rows), {}
+    for q in (25, 50, 75, 100):
+        t = svals[(q * n + 99) // 100 - 1]
+        pred = [(s, y) for s, y in rows if s >= t]
+        want[q] = (t, len(pred), sum(1 for _, y in pred if y))
+    assert got == want
+
+
+def test_resample_empty_reference_default_bounds(spark):
+    """Empty reference with defaulted start/end returns the empty
+    result (the family's empty-input contract), not int(None)
+    (ADVICE r12)."""
+    from eventstore_spark.operators.temporal import resample
+
+    ref = spark.createDataFrame([], "k string, ts long, v double")
+    out = resample(ref, ["k"], "ts", ["v"], step=5)
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "grid_ts", "ts_ref", "v_ref"}
+
+
 def test_winsorize_matches_plain_python_reference(spark):
     """Winsorization recomputed definitionally: bounds at ranks
     (p·N+99)//100, clamp, NULLs pass through as NULL."""

@@ -2120,6 +2120,70 @@ def test_connector_initial_position_latest(spark, tmp_path):
     assert "Old" not in set(types()) and "New" in set(types())
 
 
+def test_key_extraction_blank_source_uses_sink_default(spark):
+    """Empty/whitespace ``*:source`` settings mean 'unset' and fall back
+    to the sink's documented default instead of raising IndexError on
+    s[0] (ADVICE r12); genuinely unknown sources still raise the
+    ValueError."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from eventstore_spark.streaming.connectors import _key_extraction_col
+
+    for src in ("", "   ", None):
+        assert str(_key_extraction_col(src, None)) == str(F.col("event_id"))
+        assert (str(_key_extraction_col(src, None, default="partitionKey"))
+                == str(F.col("stream_id")))
+    with _pytest.raises(ValueError, match="key-extraction source"):
+        _key_extraction_col("bogus", None)
+
+
+def test_connector_reconfigure_start_position(spark, tmp_path):
+    """Reconfiguring the subscription START (initial_position /
+    from_position) discards the persisted resolved tail so the next
+    start re-resolves under the NEW settings; a sink-only
+    reconfiguration keeps it (ADVICE r12)."""
+    import os
+
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.streaming.connectors import ConnectorSettings
+
+    eng = EventStoreEngine(spark, str(tmp_path / "store"))
+    eng.append("rc-1", [ProposedEvent("Old", '{"i": 0}')])
+    cm = eng.connectors
+    mk = lambda path, ip: ConnectorSettings.from_reference({
+        "instanceTypeName": "parquet-sink", "path": path,
+        "subscription:initialPosition": ip,
+    })
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    cm.create("rc", mk(out1, "latest"))
+    q = cm.start("rc")
+    try:
+        q.processAllAvailable()
+    finally:
+        cm.stop("rc")
+    sp = os.path.join(cm._dir("rc"), "start_position")
+    assert os.path.exists(sp)  # latest resolved and persisted
+
+    # sink-only change: the resolved start position survives
+    cm.reconfigure("rc", mk(out2, "latest"))
+    assert os.path.exists(sp)
+
+    # start-config change: the stale resolved tail is discarded
+    cm.reconfigure("rc", mk(out2, "earliest"))
+    assert not os.path.exists(sp)
+
+    # earliest now really delivers from the log head after a reset
+    cm.reset("rc")
+    q = cm.start("rc")
+    try:
+        q.processAllAvailable()
+    finally:
+        cm.stop("rc")
+    assert sorted(r.event_type
+                  for r in spark.read.parquet(out2).collect()) == ["Old"]
+
+
 def test_connector_scope_without_filter_includes_system_events(
         spark, tmp_path):
     """settings.md filter-expression note: scope SPECIFIED with an empty
