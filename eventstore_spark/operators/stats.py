@@ -50,22 +50,35 @@ def exact_quantiles(df: DataFrame, value_col: str,
     The value itself is compared, never arithmetically combined, so
     DOUBLE columns are exact across engines. Bin assignment is internal
     (any binning yields the same final answer); only the rank
-    definition is part of the contract.
+    definition is part of the contract. The bin bounds are the
+    approximate [1/buckets, 1−1/buckets] quantiles (one
+    ``percentile_approx`` sketch in the same stats aggregate, r13) with
+    under/overflow buckets at the edges — equi-width over the raw
+    [min, max] lets one sentinel outlier collapse every real value into
+    a single bin, turning the phase-2 re-rank into a corpus-sized
+    single-task sort.
     """
+    buckets = max(int(buckets), 3)
+    frac = 1.0 / buckets
     v = spread(df).select(F.col(value_col).cast("double").alias("v")).where(
         F.col("v").isNotNull())
-    stats = v.agg(F.min("v").alias("mn"), F.max("v").alias("mx"),
-                  F.count(F.lit(1)).alias("n"))
+    stats = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("v", [frac, 1.0 - frac], 10000).alias("qb"),
+    ).select("n", F.element_at("qb", 1).alias("qlo"),
+             F.element_at("qb", 2).alias("qhi"))
     binned = v.crossJoin(F.broadcast(stats)).select(
         "v",
-        F.when(
-            F.col("mx") > F.col("mn"),
+        F.when(F.col("v") < F.col("qlo"), F.lit(0))
+        .when(F.col("v") > F.col("qhi"), F.lit(buckets - 1))
+        .when(
+            F.col("qhi") > F.col("qlo"),
             F.least(
-                F.lit(buckets - 1),
-                F.floor((F.col("v") - F.col("mn")) * buckets
-                        / (F.col("mx") - F.col("mn"))).cast("int"),
-            ),
-        ).otherwise(F.lit(0)).alias("b"),
+                F.lit(buckets - 3),
+                F.floor((F.col("v") - F.col("qlo")) * (buckets - 2)
+                        / (F.col("qhi") - F.col("qlo"))).cast("int"),
+            ) + 1,
+        ).otherwise(F.lit(1)).alias("b"),
         "n",
     )
     hist = binned.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
@@ -149,20 +162,35 @@ def _keyed_value_offsets(cnts: DataFrame, value: str,
       (keys, bucket) (~distinct/buckets values each);
       lo = key's bucket_lo + local.
 
-    Concentration caveat (ADVICE r11): the bins are EQUI-WIDTH over the
-    global [min, max] — one extreme outlier (a Long.MAX sentinel)
-    collapses every real value into a single bucket and level 2
-    degenerates to the per-key sort this scheme exists to avoid. Callers
-    whose value domain can carry sentinels should pre-filter them or
-    raise ``buckets``; both public wrappers (percentile_rank, auc_eval,
-    ks_drift) expose the knob.
+    Rank-robust bounds (r13, closing ADVICE r11's concentration
+    caveat): the interior bins are equi-width over the APPROXIMATE
+    [1/buckets, 1−1/buckets] quantiles of the distinct values (one
+    ``percentile_approx`` sketch in the same one-row stats aggregate —
+    no extra pass), with dedicated under/overflow buckets 0 and
+    buckets−1. A Long.MAX sentinel — or any extreme-tail outlier —
+    lands in an edge bucket and costs only itself; equi-width over the
+    raw [min, max] would collapse EVERY real value into one bucket and
+    degenerate level 2 into the per-key single-task sort this scheme
+    exists to kill. Bounds only steer bin balance, never the answer:
+    any monotone binning yields identical offsets, so the sketch's
+    approximation (and its run-to-run merge-order variance) is
+    invisible in the output.
     """
     kl = list(keys)
-    stats = cnts.agg(F.min(value).alias("_mn"), F.max(value).alias("_mx"))
+    buckets = max(int(buckets), 3)
+    frac = 1.0 / buckets
+    stats = cnts.agg(
+        F.percentile_approx(value, [frac, 1.0 - frac], 10000).alias("_qb")
+    ).select(F.element_at("_qb", 1).alias("_qlo"),
+             F.element_at("_qb", 2).alias("_qhi"))
     binned = cnts.crossJoin(F.broadcast(stats)).withColumn(
         "_b",
-        F.expr(f"CAST((CAST({value} AS DECIMAL(38,0)) - _mn) * {int(buckets)} "
-               f"DIV (CAST(_mx AS DECIMAL(38,0)) - _mn + 1) AS INT)"))
+        F.expr(f"CASE WHEN {value} < _qlo THEN 0 "
+               f"WHEN {value} > _qhi THEN {int(buckets) - 1} "
+               f"ELSE CAST((CAST({value} AS DECIMAL(38,0)) - _qlo) "
+               f"* {int(buckets) - 2} "
+               f"DIV (CAST(_qhi AS DECIMAL(38,0)) - _qlo + 1) AS INT) + 1 "
+               f"END"))
     wb = ((Window.partitionBy(*kl) if kl else Window)
           .orderBy("_b")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -182,7 +210,7 @@ def _keyed_value_offsets(cnts: DataFrame, value: str,
         out = out.withColumn(
             f"lo_{c}",
             (F.col(f"_blo_{c}") + F.sum(c).over(wv) - F.col(c)).cast("long"))
-    return out.drop("_b", "_mn", "_mx", *[f"_blo_{c}" for c in cnt_cols])
+    return out.drop("_b", "_qlo", "_qhi", *[f"_blo_{c}" for c in cnt_cols])
 
 
 def _value_offsets(cnts: DataFrame, value: str = "v", cnt: str = "c",
@@ -336,9 +364,9 @@ def auc_eval(df: DataFrame, score_col: str, label_col: str,
     stays distributed even when the score column is continuous and
     distinct values approach corpus size; the final sum is a one-row
     aggregate. Nothing corpus-sized is sorted, windowed or joined.
-    ``buckets`` sizes the equi-width level-1 histogram — raise it when
-    the score domain is heavily concentrated (e.g. carries sentinel
-    extremes; see the caveat on :func:`_keyed_value_offsets`).
+    ``buckets`` sizes the level-1 histogram (quantile-bounded bins,
+    robust to sentinel extremes — see :func:`_keyed_value_offsets`);
+    raise it when N/buckets rows per bucket is still too many.
 
     Reference parity note: no eval surface in the reference engine;
     extends the eval family (SURVEY §2, next to knn_eval/ndcg_eval/
@@ -594,9 +622,9 @@ def percentile_rank(df: DataFrame, value_col: str,
       cumulative offsets use :func:`_value_offsets`'s TWO-LEVEL scheme
       (bucket-keyed windows + one ≤``buckets``-row bucket cumulative),
       exact and distributed even when the value column is continuous
-      and distinct values approach corpus size; raise ``buckets`` for
-      heavily concentrated domains (sentinel extremes — see the caveat
-      on :func:`_keyed_value_offsets`).
+      and distinct values approach corpus size; bins are quantile-
+      bounded (robust to sentinel extremes — see
+      :func:`_keyed_value_offsets`).
     * each row's rank = its value's offset + a row_number inside a
       window KEYED by value (partition size = that value's tie count).
     * N is a one-row scalar broadcast (the bm25 N/avgdl shape).
@@ -750,11 +778,20 @@ def concentration_report(df: DataFrame, group_col: str = "source"
     cnts = (spread(df)
             .groupBy(F.col(group_col).alias("g"))
             .agg(F.count(F.lit(1)).alias("n")))
-    gstats = cnts.agg(F.min("n").alias("_mn"), F.max("n").alias("_mx"))
+    # quantile-bounded bins (the _keyed_value_offsets r13 scheme): one
+    # mega-group — a sentinel-sized count — lands in the overflow bucket
+    # alone instead of collapsing every real count into one bucket
+    gstats = cnts.agg(
+        F.percentile_approx("n", [1.0 / 1024, 1.0 - 1.0 / 1024], 10000)
+        .alias("_qb")
+    ).select(F.element_at("_qb", 1).alias("_qlo"),
+             F.element_at("_qb", 2).alias("_qhi"))
     binned = cnts.crossJoin(F.broadcast(gstats)).withColumn(
         "_b",
-        F.expr("CAST((CAST(n AS DECIMAL(38,0)) - _mn) * 1024 "
-               "DIV (CAST(_mx AS DECIMAL(38,0)) - _mn + 1) AS INT)"))
+        F.expr("CASE WHEN n < _qlo THEN 0 WHEN n > _qhi THEN 1023 "
+               "ELSE CAST((CAST(n AS DECIMAL(38,0)) - _qlo) * 1022 "
+               "DIV (CAST(_qhi AS DECIMAL(38,0)) - _qlo + 1) AS INT) + 1 "
+               "END"))
     wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding,
                                           Window.currentRow)
     boffs = (binned.groupBy("_b").agg(F.count(F.lit(1)).alias("_bc"))

@@ -1487,6 +1487,32 @@ def test_exact_quantiles_match_plain_python_reference(spark, values):
     assert got == expected
 
 
+def test_offsets_exact_under_sentinel_outlier(spark):
+    """A Long.MAX sentinel among ordinary values must not disturb the
+    exact answers of the offsets/quantiles family (the r13 quantile-
+    bounded bins put it in the overflow bucket alone; correctness is
+    binning-independent either way — this pins it)."""
+    from eventstore_spark.operators.stats import (exact_quantiles,
+                                                  percentile_rank)
+
+    vals = list(range(1, 200)) + [(1 << 63) - 1]
+    s = sorted(vals)
+    n = len(s)
+    qs = (1, 50, 99, 100)
+    df = spark.createDataFrame(
+        [(i, "t", "en", "s", v) for i, v in enumerate(vals)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got_q = {r.q_pct: r.value
+             for r in exact_quantiles(df, "n_chars", qs=qs).collect()}
+    assert got_q == {q: float(s[(q * n + 99) // 100 - 1]) for q in qs}
+
+    order = sorted((v, i) for i, v in enumerate(vals))
+    expected = {i: pos for pos, (v, i) in enumerate(order, start=1)}
+    got_r = {r.doc_id: r.rank
+             for r in percentile_rank(df, "n_chars").collect()}
+    assert got_r == expected
+
+
 def _py_lev(a: str, b: str) -> int:
     if len(a) < len(b):
         a, b = b, a

@@ -247,7 +247,7 @@ BNLJ_OK = {
     # ONE-ROW per-dim min/max stats (two D-length arrays) broadcast
     # back over the scan — the scalar-subquery shape
     "scalar_quantize",
-    # ONE-ROW min/max/N scalar broadcast over the scan + bounded
+    # ONE-ROW N/quantile-bounds scalar broadcast over the scan + bounded
     # (≤ buckets-row / ≤ |qs|-row) histogram-offset broadcasts
     "exact_quantiles",
     # the group-pair inequality join runs over the per-group TOTALS
@@ -947,8 +947,9 @@ def test_bloom_probe_never_shuffles_the_new_batch(parquet_docs):
 def test_ks_drift_windows_are_pair_keyed(parquet_docs):
     """Every ECDF window must carry the (ga, gb) pair keys — never a
     SinglePartition window over the count stream. (r12 note: the
-    two-level rework added a ONE-ROW global min/max aggregate for bin
-    assignment, which necessarily plans a SinglePartition exchange over
+    two-level rework added a ONE-ROW global bin-bounds aggregate
+    (quantile bounds since r13), which necessarily plans a
+    SinglePartition exchange over
     one row — so the contract is now windowspec-level: no windowspec
     without the pair keys. The bucket-keyed shape itself is pinned by
     test_ks_drift_ecdf_window_is_bucket_keyed.)"""
