@@ -127,6 +127,23 @@ FROM probe p ASOF LEFT JOIN ref r
 """
 
 
+def _p99_bin_width(lengths: DataFrame) -> int:
+    """Default time-bin width for the binned range joins: ~p99 of the
+    interval lengths (one tiny aggregate over a single ``len`` column).
+
+    The r12 default was the MAX length ("every interval spans ≤2
+    bins") — which lets ONE pathological year-long interval among 3-h
+    windows inflate the bin for EVERY row, destroying probe
+    selectivity: all points in a year-wide bin join against all
+    intervals in it per key. At p99 the outlier costs only ITSELF extra
+    replication (length/p99 exploded rows — long intervals already
+    explode across bins by design) while 99% of intervals still span
+    ≤2 bins (VERDICT r12 task #3)."""
+    r = lengths.agg(
+        F.percentile_approx("len", 0.99, 10000).alias("p")).collect()[0]
+    return max(int(r.p or 1), 1)
+
+
 def interval_join(points: DataFrame, intervals: DataFrame,
                   key_cols: list[str] | None = None,
                   point_ts: str = "ts", lo_col: str = "lo",
@@ -148,10 +165,12 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     time-bucket range-join decomposition, expressed with open-source
     primitives.
 
-    ``bin_width`` must exceed 0 and defaults to a heuristic from the
-    interval side when None (max interval length — every interval then
-    spans <= 2 bins). Timestamps may be any integral type (cast epochs
-    first; the events registry query uses unix_micros).
+    ``bin_width`` must exceed 0 and defaults to ~p99 of the interval
+    lengths when None (:func:`_p99_bin_width`: typical intervals span
+    ≤2 bins; a rare long outlier explodes across more bins and costs
+    only itself, instead of a max-length default destroying every
+    point's bin selectivity). Timestamps may be any integral type (cast
+    epochs first; the events registry query uses unix_micros).
 
     Malformed intervals (``hi <= lo`` — empty or inverted) are dropped
     before the explode: they can match no point, but ``sequence(lo_bin,
@@ -167,9 +186,8 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     points, intervals = spread(points), spread(intervals)
     intervals = intervals.where(F.col(hi_col) > F.col(lo_col))
     if bin_width is None:
-        mx = intervals.agg(
-            F.max(F.col(hi_col) - F.col(lo_col)).alias("m")).collect()[0].m
-        bin_width = max(int(mx or 1), 1)
+        bin_width = _p99_bin_width(intervals.select(
+            (F.col(hi_col).cast("long") - F.col(lo_col)).alias("len")))
     binned_iv = intervals.select(
         *key_cols, lo_col, hi_col, *interval_cols,
         # BIGINT div, not floor(double /): epoch-micro magnitudes sit
@@ -214,7 +232,9 @@ def overlap_join(left: DataFrame, right: DataFrame,
 
     Cost = Σ length/bin_width rows per SIDE (both sides explode);
     ``bin_width`` trades replication against selectivity and defaults
-    to the max interval length across both sides (≤2 bins per row).
+    to ~p99 of the interval lengths across both sides
+    (:func:`_p99_bin_width` — a rare long interval costs itself extra
+    bins instead of widening every row's bin).
     Malformed (hi <= lo) intervals drop pre-explode on both sides.
     Right-side columns are suffixed with ``suffix`` where they collide.
     """
@@ -223,12 +243,12 @@ def overlap_join(left: DataFrame, right: DataFrame,
     left = left.where(F.col(left_hi) > F.col(left_lo))
     right = right.where(F.col(right_hi) > F.col(right_lo))
     if bin_width is None:
-        mx = left.agg(F.max(F.col(left_hi) - F.col(left_lo))
-                      .alias("m")).unionAll(
-            right.agg(F.max(F.col(right_hi) - F.col(right_lo))
-                      .alias("m"))).agg(F.max("m").alias("m")
-                                        ).collect()[0].m
-        bin_width = max(int(mx or 1), 1)
+        bin_width = _p99_bin_width(
+            left.select((F.col(left_hi).cast("long") - F.col(left_lo))
+                        .alias("len"))
+            .unionAll(right.select(
+                (F.col(right_hi).cast("long") - F.col(right_lo))
+                .alias("len"))))
     bw = int(bin_width)
 
     def _binned(df, lo, hi):

@@ -2314,6 +2314,39 @@ def test_overlap_join_keyed_matches_plain_python_reference(spark):
     assert got == {("a", 1, 10)}
 
 
+def test_default_bin_width_bounds_outlier_fanout(spark):
+    """The default bin width is ~p99 of the interval lengths (VERDICT
+    r12 task #3): ONE year-long outlier among 3-hour windows must keep
+    the default at the 3-hour scale — the outlier explodes across
+    ~length/p99 bins and costs itself, instead of a max-length default
+    widening EVERY point's bin to a year. Results are bin-width
+    independent (pinned against an explicit bin_width run)."""
+    from eventstore_spark.operators.temporal import (_p99_bin_width,
+                                                     interval_join)
+
+    H = 3_600
+    iv = [(i, i * 10 * H, i * 10 * H + 3 * H) for i in range(200)]
+    iv.append((999, 0, 365 * 24 * H))  # the year-long outlier
+    intervals = spark.createDataFrame(iv, "iv_id long, lo long, hi long")
+    from pyspark.sql import functions as F
+    bw = _p99_bin_width(intervals.select(
+        (F.col("hi") - F.col("lo")).alias("len")))
+    assert bw == 3 * H  # p99 of 200×3h + one year = the 3h mode
+
+    pts = spark.createDataFrame(
+        [(j, j * 7 * H) for j in range(300)], "pt_id long, ts long")
+    got = {(r.pt_id, r.iv_id)
+           for r in interval_join(pts, intervals, []).collect()}
+    want = {(r.pt_id, r.iv_id)
+            for r in interval_join(pts, intervals, [],
+                                   bin_width=24 * H).collect()}
+    assert got == want
+    # definitional check against the nested-loop answer
+    naive = {(p, i) for p, t in [(r.pt_id, r.ts) for r in pts.collect()]
+             for i, lo, hi in iv if lo <= t < hi}
+    assert got == naive
+
+
 def test_resample_matches_plain_python_locf(spark):
     """Regular-grid LOCF recomputed definitionally: for every (key,
     grid point) the latest observation at-or-before it — including
