@@ -41,7 +41,8 @@ def asof_join(probe: DataFrame, reference: DataFrame, key_cols: list[str],
               probe_ts: str = "ts", ref_ts: str = "ts",
               ref_value_cols: list[str] | None = None,
               suffix: str = "_ref",
-              direction: str = "backward") -> DataFrame:
+              direction: str = "backward",
+              slice: int | None = None) -> DataFrame:
     """For each ``probe`` row, attach the most recent ``reference`` row
     with the same ``key_cols`` and ``ref_ts`` <= ``probe_ts``
     (inclusive; ``direction="backward"`` — the merge_asof/ASOF JOIN
@@ -57,6 +58,31 @@ def asof_join(probe: DataFrame, reference: DataFrame, key_cols: list[str],
     it otherwise; with duplicates the carried value is the lexically
     last at that timestamp, which is engine-dependent in every as-of
     implementation (DuckDB included).
+
+    ``slice`` (hot-key mitigation, VERDICT r12 task #4): by default a
+    key's ENTIRE history sorts in ONE task's window — the documented
+    sessionization bound, fine until a hot key carries a corpus-scale
+    share (diagnose with :func:`~eventstore_spark.operators.stats.
+    skew_report`: ``top_share_ppm`` ≈ the fraction of the whole input
+    one task will sort). Pass a positive time-slice width (same units
+    as the timestamps, which must be integral) to salt the window by
+    ``floor(ts / slice)``:
+
+    * phase 1 — the same union-window fold, partitioned by
+      (key, slice): exact for every probe whose match is in its own
+      slice; a hot key now spreads over history/slice tasks.
+    * phase 2 — each (key, slice)'s END-of-slice carry values (per
+      column, last non-null — matching the unsalted per-column LOCF
+      semantics) roll forward across slices in ONE window per key over
+      ≤ 2·slices-per-key marker rows (aggregate-sized, never
+      row-sized).
+    * phase 3 — probes with no within-slice match take the carry-in of
+      their slice via one keyed equi-join on (key, slice), coalesced
+      per column.
+
+    Identical results to the unsalted form by construction (hypothesis-
+    pinned); cost is two extra aggregate-sized shuffles, so leave
+    ``slice=None`` unless skew_report flags a hot key.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown as-of direction {direction!r}")
@@ -91,19 +117,96 @@ def asof_join(probe: DataFrame, reference: DataFrame, key_cols: list[str],
     # the equal-ts match stays inclusive
     ts_order = (F.col("_ts").asc() if direction == "backward"
                 else F.col("_ts").desc())
-    w = (Window.partitionBy(*key_cols).orderBy(ts_order, F.col("_side"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = p.unionByName(r).select(
+    if slice is None:
+        w = (Window.partitionBy(*key_cols).orderBy(ts_order, F.col("_side"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        carried = p.unionByName(r).select(
+            "*",
+            F.last("_rts", ignorenulls=True).over(w)
+            .alias(f"{ref_ts}{suffix}"),
+            *[F.last(f"_rv_{c}", ignorenulls=True).over(w)
+              .alias(f"{c}{suffix}") for c in ref_value_cols],
+        )
+        return (
+            carried.where(F.col("_side") == 1)
+            .select(*key_cols, F.col("_ts").alias(probe_ts), *payload,
+                    f"{ref_ts}{suffix}",
+                    *[f"{c}{suffix}" for c in ref_value_cols])
+        )
+
+    # --- salted two-phase form ---
+    sl = int(slice)
+    if sl <= 0:
+        raise ValueError("slice must be a positive time-slice width")
+    # exact floor division for any BIGINT ts (pmod is non-negative)
+    u = p.unionByName(r).withColumn(
+        "_slice",
+        F.expr(f"CAST((CAST(_ts AS BIGINT) - pmod(CAST(_ts AS BIGINT), "
+               f"{sl})) DIV {sl} AS BIGINT)"))
+    # phase 1: the union-window fold inside each (key, slice)
+    w1 = (Window.partitionBy(*key_cols, "_slice")
+          .orderBy(ts_order, F.col("_side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    within = u.select(
         "*",
-        F.last("_rts", ignorenulls=True).over(w).alias(f"{ref_ts}{suffix}"),
-        *[F.last(f"_rv_{c}", ignorenulls=True).over(w)
-          .alias(f"{c}{suffix}") for c in ref_value_cols],
+        F.last("_rts", ignorenulls=True).over(w1).alias("_w_rts"),
+        *[F.last(f"_rv_{c}", ignorenulls=True).over(w1).alias(f"_w_{c}")
+          for c in ref_value_cols],
     )
+    # phase 2a: each (key, slice)'s end-of-slice carry — per column the
+    # last non-null over the WHOLE slice (matches the unsalted
+    # per-column LOCF semantics); one row per (key, slice) with a ref
+    w_edge = (Window.partitionBy(*key_cols, "_slice").orderBy(ts_order)
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    edge = (
+        u.where(F.col("_side") == 0)
+        .select(*key_cols, "_slice",
+                F.last("_rts", ignorenulls=True).over(w_edge)
+                .alias("_e_rts"),
+                *[F.last(f"_rv_{c}", ignorenulls=True).over(w_edge)
+                  .alias(f"_e_{c}") for c in ref_value_cols])
+        .dropDuplicates(key_cols + ["_slice"])
+    )
+    # phase 2b: roll the edges forward across slices — probe-slice
+    # markers (side 0) pick up only STRICTLY earlier slices' edges
+    # (side 1 sorts after at the same slice; same-slice refs were
+    # phase 1's job); ≤ 2·slices-per-key rows per window
+    pmark = (
+        u.where(F.col("_side") == 1)
+        .select(*key_cols, "_slice").distinct()
+        .select(*key_cols, "_slice", F.lit(0).alias("_sside"),
+                F.lit(None).cast(reference.schema[ref_ts].dataType)
+                .alias("_e_rts"),
+                *[F.lit(None).cast(reference.schema[c].dataType)
+                  .alias(f"_e_{c}") for c in ref_value_cols])
+    )
+    rmark = edge.select(*key_cols, "_slice", F.lit(1).alias("_sside"),
+                        "_e_rts", *[f"_e_{c}" for c in ref_value_cols])
+    sl_order = (F.col("_slice").asc() if direction == "backward"
+                else F.col("_slice").desc())
+    w2 = (Window.partitionBy(*key_cols)
+          .orderBy(sl_order, F.col("_sside"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carry = (
+        pmark.unionByName(rmark).select(
+            *key_cols, "_slice", "_sside",
+            F.last("_e_rts", ignorenulls=True).over(w2).alias("_c_rts"),
+            *[F.last(f"_e_{c}", ignorenulls=True).over(w2)
+              .alias(f"_c_{c}") for c in ref_value_cols])
+        .where(F.col("_sside") == 0)
+        .drop("_sside")
+    )
+    # phase 3: probes missing a within-slice match take the carry-in;
+    # carry is aggregate-sized (distinct probe (key, slice)) — a keyed
+    # equi-join AQE may broadcast
     return (
-        carried.where(F.col("_side") == 1)
+        within.where(F.col("_side") == 1)
+        .join(carry, key_cols + ["_slice"], "left")
         .select(*key_cols, F.col("_ts").alias(probe_ts), *payload,
-                f"{ref_ts}{suffix}",
-                *[f"{c}{suffix}" for c in ref_value_cols])
+                F.coalesce("_w_rts", "_c_rts").alias(f"{ref_ts}{suffix}"),
+                *[F.coalesce(f"_w_{c}", f"_c_{c}").alias(f"{c}{suffix}")
+                  for c in ref_value_cols])
     )
 
 

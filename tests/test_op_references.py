@@ -2115,6 +2115,41 @@ def test_asof_join_matches_plain_python_reference(spark):
     assert got[103] == (None, None)
 
 
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(-20, 120)),
+             min_size=1, max_size=25),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(-20, 120),
+                       st.integers(0, 9)),
+             min_size=0, max_size=25),
+    st.sampled_from([1, 3, 7, 50, 1000]),
+    st.sampled_from(["backward", "forward"]),
+)
+def test_asof_join_salted_equals_unsalted(spark, probe_rows, ref_rows,
+                                          sl, direction):
+    """The time-slice-salted two-phase form must return EXACTLY the
+    unsalted union-window's rows for any data, slice width, and
+    direction — including negative timestamps (floor slicing), keys
+    whose match is many slices back, and keys with no reference at all
+    (VERDICT r12 task #4)."""
+    from eventstore_spark.operators.temporal import asof_join
+
+    # unique (key, ts) on the reference side — the documented contract
+    ref_rows = list({(k, t): (k, t, v) for k, t, v in ref_rows}.values())
+    probe = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(probe_rows)],
+        "k long, ts long, pid long")
+    ref = spark.createDataFrame(ref_rows, "k long, ts long, v long")
+    base = {r.pid: (r.ts_ref, r.v_ref)
+            for r in asof_join(probe, ref, ["k"], "ts", "ts", ["v"],
+                               direction=direction).collect()}
+    salted = {r.pid: (r.ts_ref, r.v_ref)
+              for r in asof_join(probe, ref, ["k"], "ts", "ts", ["v"],
+                                 direction=direction, slice=sl).collect()}
+    assert salted == base
+
+
 def test_interval_join_matches_plain_python_reference(spark):
     """interval join recomputed definitionally: nested loop over
     (point, interval) with lo <= ts < hi — including multi-match points,
