@@ -1942,7 +1942,12 @@ def q_events_funnel(spark, sf):
 
 
 def q_user_sessions(spark, sf):
-    """Sessionization: 30-min inactivity gap, per user."""
+    """Sessionization: 30-min inactivity gap, per user. A gap of
+    EXACTLY 30 min stays in the SAME session (new session iff
+    gap > 30 min, strictly) — the same tie rule ``session_window``
+    implements (touching windows merge), so the streaming twin
+    (streaming.sessionize) finalizes identical sessions on the same
+    closed data (pinned by the cross-twin test, r13)."""
     ev = load_envelope(spark, sf)
     w = Window.partitionBy("stream_id").orderBy("created", "event_id")
     gap = F.unix_micros(F.col("created")) - F.unix_micros(F.lag("created").over(w))

@@ -189,8 +189,13 @@ def sessionize(
     finalizes a session and frees its state).
 
     Returns (session struct(start, end), ``by``, n_events) — the
-    streaming analog of the batch ``user_sessions`` query. Run with
-    outputMode("append") to get only FINALIZED sessions."""
+    streaming analog of the batch ``user_sessions`` query, with the
+    SAME tie rule: a gap of exactly ``gap`` merges (session_window
+    merges touching windows = the batch query's strict gap > test), so
+    both twins produce identical sessions on the same closed data —
+    pinned by the cross-twin test, including a session spanning a
+    micro-batch boundary (r13). Run with outputMode("append") to get
+    only FINALIZED sessions."""
     return (
         sub.withWatermark("created", watermark)
         .groupBy(F.session_window("created", gap).alias("session"), F.col(by))

@@ -721,6 +721,99 @@ def test_streaming_sessionization_merges_and_splits(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_sessions_span_batches_and_match_batch(spark, tmp_path):
+    """The streaming twin finalizes sessions IDENTICAL to the batch
+    user_sessions semantics on the same closed data (VERDICT r12 task
+    #5): a session whose events arrive across a micro-batch boundary
+    merges into ONE finalized session, an EXACTLY-30-min gap MERGES in
+    both engines (session_window merges touching windows = the batch
+    query's strict gap > 30 min), and the per-user (n_sessions,
+    n_events) rollup of the finalized stream equals the batch
+    lag-window answer."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from eventstore_spark.streaming.subscriptions import sessionize
+
+    def ts(h, m=0):
+        return dt.datetime(2026, 8, 13, h, m)
+
+    GAP_S = 1800
+    rows = [
+        # u-1: one session spanning the batch boundary (9:00-9:50);
+        # the exact-30-min tie at 10:20 MERGES (strict >), then a
+        # 31-min gap at 10:51 splits
+        ("u-1", ts(9, 0)), ("u-1", ts(9, 10)),            # batch 1
+        ("u-1", ts(9, 25)), ("u-1", ts(9, 50)),           # batch 2
+        ("u-1", ts(10, 20)),                              # tie: 30m after 9:50
+        ("u-1", ts(10, 51)),                              # 31m -> new session
+        # u-2: two clear sessions, one per batch
+        ("u-2", ts(9, 5)),                                # batch 1
+        ("u-2", ts(12, 0)), ("u-2", ts(12, 10)),          # batch 2
+    ]
+    batch1, batch2 = rows[:2] + rows[6:7], rows[2:6] + rows[7:]
+    cols = ["log_position", "stream_id", "event_type", "created"]
+    src = tmp_path / "sess2_in"
+    src.mkdir()
+    for i, chunk in enumerate((batch1, batch2)):
+        pd.DataFrame(
+            [(j, u, "click", t) for j, (u, t) in enumerate(chunk)],
+            columns=cols,
+        ).to_parquet(src / f"b{i}.parquet", coerce_timestamps="us")
+
+    stream = (
+        spark.readStream
+        .option("maxFilesPerTrigger", 1)   # one micro-batch per file
+        .schema("log_position long, stream_id string, "
+                "event_type string, created timestamp")
+        .parquet(str(src)))
+    out = sessionize(stream, gap="30 minutes", watermark="0 seconds")
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName("sess2")
+         .option("checkpointLocation", str(tmp_path / "sess2ck"))
+         .start())
+    try:
+        q.processAllAvailable()
+        # finalize every open session: advance the watermark far ahead
+        pd.DataFrame([(99, "u-9", "click", ts(23, 0))], columns=cols) \
+            .to_parquet(src / "b9.parquet", coerce_timestamps="us")
+        q.processAllAvailable()
+        sess = [r for r in spark.sql(
+            "SELECT stream_id, session.start AS s, session.end AS e, "
+            "n_events FROM sess2").collect() if r.stream_id != "u-9"]
+    finally:
+        q.stop()
+
+    got = sorted((r.stream_id, r.s.hour, r.s.minute, r.n_events)
+                 for r in sess)
+    assert got == [
+        ("u-1", 9, 0, 5),    # merged ACROSS the boundary + the tie
+        ("u-1", 10, 51, 1),  # the 31-min gap split
+        ("u-2", 9, 5, 1),
+        ("u-2", 12, 0, 2),
+    ]
+
+    # per-user rollup of the finalized stream == the batch lag-window
+    # semantics (new session iff no predecessor or gap >= 30 min)
+    from collections import defaultdict
+    per_user = defaultdict(list)
+    for u, t in rows:
+        per_user[u].append(t)
+    want = {}
+    for u, tss in per_user.items():
+        tss.sort()
+        n_sess = 1 + sum(
+            1 for a, b in zip(tss, tss[1:])
+            if (b - a).total_seconds() > GAP_S)
+        want[u] = (n_sess, len(tss))
+    stream_rollup = defaultdict(lambda: [0, 0])
+    for r in sess:
+        stream_rollup[r.stream_id][0] += 1
+        stream_rollup[r.stream_id][1] += r.n_events
+    assert {u: tuple(v) for u, v in stream_rollup.items()} == want
+
+
 def test_streaming_minhash_dedup_across_batches(spark, tmp_path):
     """NEAR-dup filtering over a stream: batch 1 seeds the index; batch 2
     loses its near-dup of an indexed doc and its within-batch dup, keeps
