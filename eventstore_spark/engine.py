@@ -1400,8 +1400,22 @@ class EventStoreEngine:
                 "$ProjectionDeleted", json.dumps({"name": name}),
             )])
         if delete_emitted_streams:
-            for sid in self._emitted_streams(name):
+            emitted = self._emitted_streams(name)
+            for sid in emitted:
                 self.writer.soft_delete(sid)
+            if emitted and not self.writer.read_only:
+                # streams.md §-emittedstreams-checkpoint: once tracked
+                # emitted streams have been deleted, record how far the
+                # deletion got (the reference checkpoints the tracker's
+                # deletion progress so a crashed delete resumes)
+                head = (self.events().agg(F.max("log_position")).first()[0]
+                        or 0)
+                self.writer.append(
+                    f"$projections-{name}-emittedstreams-checkpoint",
+                    [ProposedEvent("$ProjectionCheckpoint", json.dumps(
+                        {"deletedUpTo": int(head),
+                         "deletedStreams": len(emitted)}))],
+                )
         if delete_checkpoint_stream:
             self.writer.soft_delete(f"$projections-{name}-checkpoint")
         self._drop_projection_state(name)
@@ -1580,7 +1594,57 @@ class EventStoreEngine:
                 "metadata string, event_id string",
             )
         )
+        self._write_projection_bookkeeping(name, mp)
         return mp.last_result
+
+    def _write_projection_bookkeeping(self, name: str, mp) -> None:
+        """streams.md bookkeeping-stream parity (streams.md:243-265,
+        r13): after a batch run,
+
+        * ``$projections-<name>-partitions`` — one ``$partition`` event
+          per partition of a PARTITIONED projection (partitionBy /
+          foreachStream). Deterministic per-partition event ids make
+          re-runs append only newly seen partitions (append_df's
+          (stream_id, event_id) dedupe).
+        * ``$projections-<name>-order`` — when ``reorderEvents`` is on,
+          the reorder buffer's replay ordering as ``$>`` link events in
+          (created, log_position) order (P19's ordering contract,
+          EventReorderingReaderSubscription.cs). Source order rides
+          append_df's (source_log_position, emit_seq) numbering as
+          (created-µs, log_position) — no driver-side sort. Cost is one
+          link row per SOURCE event, the reference's own cost for the
+          ordering stream, and only when the option is on.
+        """
+        from .plans.reader_strategy import source_predicate
+        from .projections.dsl import validate_reorder
+
+        spec = mp.spec
+        if (spec.by_stream or spec.partition_col is not None
+                or getattr(spec, "partition_fn", None) is not None):
+            parts = mp.last_result.states.select(
+                F.lit(f"$projections-{name}-partitions").alias("stream_id"),
+                F.lit("$partition").alias("event_type"),
+                F.col("partition").alias("data"),
+                F.lit(None).cast("string").alias("metadata"),
+                F.concat_ws("-", F.lit("prt"), F.lit(name),
+                            F.col("partition")).alias("event_id"),
+            )
+            self.writer.append_df(parts)
+        if validate_reorder(spec):
+            links = self.events().where(source_predicate(spec)).select(
+                F.lit(f"$projections-{name}-order").alias("stream_id"),
+                F.lit("$>").alias("event_type"),
+                F.concat_ws("@", F.col("event_number").cast("string"),
+                            F.col("stream_id")).alias("data"),
+                F.lit(None).cast("string").alias("metadata"),
+                F.concat_ws("-", F.lit("ord"), F.lit(name),
+                            F.col("log_position").cast("string"))
+                .alias("event_id"),
+                F.unix_micros(F.col("created"))
+                .alias("source_log_position"),
+                F.col("log_position").alias("emit_seq"),
+            )
+            self.writer.append_df(links)
 
     def _projection_state_dir(self, name: str) -> str:
         # underscore prefix → invisible to Spark's file listing of the log

@@ -577,7 +577,22 @@ class ConnectorManager:
         """Start the connector's streaming query. ``foreach_batch`` is
         required when the sink type is ``foreach_batch`` (callables do
         not serialize into settings.json — the reference's equivalent is
-        the sink plugin assembly, resolved at start time)."""
+        the sink plugin assembly, resolved at start time).
+
+        CUSTOM-SINK CONTRACT (the reference's custom-connector plugin
+        surface, Spark-first): create the connector with any
+        ``instanceTypeName`` not claimed by a named sink (it routes
+        through as the sink name; ``foreach_batch`` is the canonical
+        choice) — every non-``subscription:``/``transformer:`` setting
+        passes through verbatim to ``sink_options``, where the sink
+        author reads it back via ``view_settings(name).sink_options``
+        to parameterize the fold (endpoints, credentials references,
+        templates). The fold receives each micro-batch as
+        ``(batch_df, epoch_id)`` with the full event envelope, AFTER
+        the subscription filter/transform; the connector's streaming
+        checkpoint makes restarts exactly-once (a restarted connector
+        re-invokes the fold only for undelivered batches). Pinned by
+        test_custom_sink_contract."""
         st = self.view_settings(name)
         fp = st.from_position
         if st.initial_position == "latest" and not fp:

@@ -361,6 +361,86 @@ def test_partitioned_result_streams(spark, tmp_path):
     eng.close()
 
 
+def test_projection_bookkeeping_streams(spark, tmp_path):
+    """streams.md:243-265 bookkeeping parity (r13): a partitioned
+    projection materializes $projections-<name>-partitions (one
+    $partition event per partition), a reorderEvents projection
+    materializes $projections-<name>-order ($> links in the
+    (created, log_position) replay order), both are idempotent across
+    re-runs and survive an engine restart, and deleting tracked
+    emitted streams writes $projections-<name>-emittedstreams-checkpoint."""
+    from datetime import datetime
+
+    from eventstore_spark.engine import EventStoreEngine
+    from eventstore_spark.writer import ProposedEvent
+
+    store = str(tmp_path / "bkstore")
+    eng = EventStoreEngine(spark, store)
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    # commit order inverts sens-b's created order (the P19 scenario)
+    eng.writer.append("sens-a", [ProposedEvent("M", '{"v": 1}')],
+                      created=t(0))
+    eng.writer.append("sens-b", [ProposedEvent("M", '{"v": 2}')],
+                      created=t(3))
+    eng.writer.append("sens-a", [ProposedEvent("M", '{"v": 3}')],
+                      created=t(2))
+    eng.writer.append("sens-b", [ProposedEvent("M", '{"v": 4}')],
+                      created=t(1))
+
+    spec = (Projection.from_streams("sens-a", "sens-b", name="bk")
+            .foreach_stream()
+            .when({"$init": lambda: {"n": 0},
+                   "$any": lambda s, e: {"n": s["n"] + 1}})
+            .options(reorderEvents=True, processingLag=500))
+    eng.create_projection(spec, mode="onetime")
+    eng.run_projection("bk")
+
+    parts = eng.read_stream("$projections-bk-partitions").collect()
+    assert sorted(r.data for r in parts) == ["sens-a", "sens-b"]
+    assert {r.event_type for r in parts} == {"$partition"}
+
+    order = eng.read_stream("$projections-bk-order").collect()
+    assert [r.event_type for r in order] == ["$>"] * 4
+    # replay order = (created, log_position), NOT commit order
+    assert [r.data for r in order] == [
+        "0@sens-a", "1@sens-b", "1@sens-a", "0@sens-b"]
+
+    # idempotent re-run: deterministic ids dedupe, nothing doubles
+    eng.run_projection("bk")
+    assert eng.read_stream("$projections-bk-partitions").count() == 2
+    assert eng.read_stream("$projections-bk-order").count() == 4
+    eng.close()
+
+    # restart: the bookkeeping streams are IN the log, not process state
+    eng2 = EventStoreEngine(spark, store)
+    assert eng2.read_stream("$projections-bk-partitions").count() == 2
+    assert [r.data
+            for r in eng2.read_stream("$projections-bk-order").collect()
+            ] == ["0@sens-a", "1@sens-b", "1@sens-a", "0@sens-b"]
+
+    # emittedstreams-checkpoint: written once tracked emitted streams
+    # have been deleted (streams.md §emittedstreams-checkpoint)
+    def h(s, e, ctx):
+        ctx.emit("bk-out", "E", {"v": e["body"]["v"]})
+        return s
+
+    spec2 = (Projection.from_streams("sens-a", "sens-b", name="bk2")
+             .when({"$init": lambda: {}, "$any": h}))
+    eng2.create_projection(spec2, mode="onetime", emit_enabled=True)
+    eng2.run_projection("bk2")
+    assert eng2.read_stream("bk-out").count() == 4
+    eng2.delete_projection("bk2", delete_emitted_streams=True)
+    ck = eng2.read_stream(
+        "$projections-bk2-emittedstreams-checkpoint").collect()
+    assert len(ck) == 1 and ck[0].event_type == "$ProjectionCheckpoint"
+    body = json.loads(ck[0].data)
+    assert body["deletedStreams"] == 1 and body["deletedUpTo"] > 0
+    eng2.close()
+
+
 def test_reorder_buffer_folds_by_timestamp(spark):
     """P19 reorder buffer (EventReorderingReaderSubscription.cs:15-88):
     fromStreams + options(reorderEvents, processingLag) replays the
