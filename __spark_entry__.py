@@ -864,6 +864,56 @@ def q_source_lang_mi(spark, sf):
     return association_mi(_table(spark, sf, "documents"), "source", "lang")
 
 
+def q_source_lang_chi2(spark, sf):
+    """Pearson chi-square independence test source×lang (new r13):
+    per-cell micro-rounded terms + a PURE-DECIMAL closed-form empty-cell
+    sum (no contingency grid is ever materialized), Cramér's V derived
+    from the rounded chi2, one-row output (stats.chi2_independence) —
+    the hypothesis-test sibling of source_lang_mi."""
+    from eventstore_spark.operators.stats import chi2_independence
+
+    return chi2_independence(_table(spark, sf, "documents"),
+                             "source", "lang")
+
+
+def q_classifier_brier(spark, sf):
+    """Exact Brier score of the percentile_rank-normalized length score
+    against lang=='en' (new r13): one map-side integer aggregate — the
+    single-number companion of classifier_calibration on the SAME
+    scored table (stats.brier_score ∘ stats.percentile_rank)."""
+    from eventstore_spark.operators.stats import brier_score, percentile_rank
+
+    docs = _table(spark, sf, "documents")
+    pr = percentile_rank(docs, "n_chars")
+    scored = pr.join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("y")), "doc_id")
+    return brier_score(scored, "pct_ppm", "y")
+
+
+def q_events_sessions_detail(spark, sf):
+    """Per-SESSION rows of the 30-min-gap sessionization (new r13): the
+    batch twin of streaming sessionize and the detail view
+    user_sessions rolls up — two key-partitioned windows + one map-side
+    groupBy (operators/temporal.session_spans)."""
+    from eventstore_spark.operators.temporal import session_spans
+
+    ev = _table(spark, sf, "events").select(
+        F.col("user_id").alias("k"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"))
+    return session_spans(ev, ["k"], "tsu", gap=1800 * 1_000_000)
+
+
+def q_cluster_balanced_sample(spark, sf):
+    """Cluster-balanced selection (new r13): ≤20 vectors per trained
+    k-means cell in deterministic (md5, id) hash order — the
+    diversity-preserving mixture sampler over the SAME quantizer as
+    ann_ivf/semantic_dedup (similarity.cluster_balanced_sample)."""
+    from eventstore_spark.operators.similarity import cluster_balanced_sample
+
+    return cluster_balanced_sample(_table(spark, sf, "embeddings"),
+                                   k_per_cell=20)
+
+
 def q_events_rollup(spark, sf):
     """CUBE rollup over (event_type, hour-of-day) (new r12): counts +
     cent-exact value sums at every aggregation level with grouping_id —
@@ -2865,6 +2915,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "snapshot_diff": q_snapshot_diff,
         "source_lang_mi": q_source_lang_mi,
+        # --- new in r13 ---
+        "source_lang_chi2": q_source_lang_chi2,
+        "classifier_brier": q_classifier_brier,
+        "events_sessions_detail": q_events_sessions_detail,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
     }
     # Round-12 rotation (VERDICT r11 tasks #1/#2): first the 12
     # never-driver-sampled operators (8 new in r12, 4 added after the
@@ -3979,6 +4034,19 @@ FROM grid g ASOF LEFT JOIN obs o
             "SELECT doc_id + 1000000 AS doc_id, text FROM documents "
             "WHERE doc_id % 13 = 0"))
     sqls["source_lang_mi"] = sql_association_mi("source", "lang")
+    from eventstore_spark.operators.stats import (sql_brier_score,
+                                                  sql_chi2_independence)
+    from eventstore_spark.operators.temporal import sql_session_spans
+    from eventstore_spark.operators.similarity import (
+        sql_cluster_balanced_sample)
+
+    sqls["source_lang_chi2"] = sql_chi2_independence("source", "lang")
+    sqls["classifier_brier"] = sql_brier_score(
+        score_sql="s", label_sql="y", table=_ranked)
+    sqls["events_sessions_detail"] = sql_session_spans(
+        key_sql="user_id", ts_sql="epoch_us(ts)", table="events")
+    sqls["cluster_balanced_sample"] = sql_cluster_balanced_sample(
+        k_per_cell=20)
     sqls["events_rollup"] = """
 SELECT event_type, CAST(hr AS BIGINT) AS hr,
        CAST(count(*) AS BIGINT) AS n,

@@ -95,6 +95,11 @@ SECONDARY = [
     "events_rollup",
     "snapshot_diff",
     "source_lang_mi",
+    # r13 additions: stats/eval + session detail + cluster sampler
+    "source_lang_chi2",
+    "classifier_brier",
+    "events_sessions_detail",
+    "cluster_balanced_sample",
 ]
 
 

@@ -2638,3 +2638,62 @@ FROM (
 )
 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
 """
+
+
+def cluster_balanced_sample(embeddings: DataFrame, k_per_cell: int = 20,
+                            n_centroids: int = 16, iters: int = 2,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Cluster-balanced corpus selection: up to ``k_per_cell`` vectors
+    from EVERY k-means cell, picked by a deterministic hash order — the
+    diversity-preserving sampler of cluster-aware curation (SemDeDup /
+    DoReMi-style mixtures flatten the cluster-size distribution instead
+    of letting the head topic dominate the sample; Abbas et al. 2023,
+    arXiv:2303.09540 §cluster-balanced baselines).
+
+    Rank within a cell is (md5(vec_id), vec_id) — the engine's standard
+    engine-portable deterministic gate (the quality_sample/knn_eval
+    convention), so re-runs and the DuckDB oracle pick the SAME rows.
+    Returns (vec_id, cell, rk) for the selected rows, rk = 1..k in hash
+    order.
+
+    Plan shape at 100 TB: cell assignment is ONE literal-inlined
+    codegen projection (the trained integer quantizer — no shuffle,
+    no join); the per-cell rank is a window KEYED by cell over
+    (hash, id) — cell-sized partitions, the accepted IVF-path bound
+    (cells ≈ corpus/n_centroids; raise n_centroids with N) — and the
+    vectors themselves never shuffle (only (vec_id, cell) does).
+    """
+    base = spread(embeddings).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    cents_i = train_ivf_centroids(embeddings, n_centroids, iters,
+                                  id_col, vec_col)
+    scored = _int_scored_sql(_quantize_sql("vec"), cents_i)
+    assigned = base.select(
+        "vec_id",
+        F.expr(f"-array_max({scored}).nid").cast("long").alias("cell"))
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    return (
+        assigned.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= int(k_per_cell))
+        .select("vec_id", "cell", "rk")
+    )
+
+
+def sql_cluster_balanced_sample(k_per_cell: int = 20, n_centroids: int = 16,
+                                iters: int = 2, dim: int = 64,
+                                table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`cluster_balanced_sample` — the SHARED
+    trained-quantizer CTE chain (the exact same cells as
+    ann_ivf/semantic_dedup/kmeans_clusters), same (md5, id) rank."""
+    ctes = _sql_trained_assigned_ctes(n_centroids, dim, table, iters)
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT vec_id, cell,
+       CAST(row_number() OVER (PARTITION BY cell
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+FROM assigned
+QUALIFY rk <= {int(k_per_cell)}
+"""

@@ -1176,3 +1176,161 @@ SELECT {id_col} AS doc_id, CAST({value_col} AS DOUBLE) AS value,
        END AS winsorized
 FROM {table} CROSS JOIN bounds b
 """
+
+
+def chi2_independence(df: DataFrame, a_col: str = "source",
+                      b_col: str = "lang") -> DataFrame:
+    """Exact-integer Pearson chi-square test of independence between
+    two categorical columns — the hypothesis-test sibling of
+    :func:`~eventstore_spark.operators.corpus.association_mi` (is the
+    source × language association statistically real, and how strong
+    per Cramér's V?). Standard corpus-audit stat (data cards; Pearson
+    1900).
+
+    Determinism convention (the association_mi/pmi one): every cell's
+    term enters as exact BIGINT/DECIMAL integers with ONE double
+    division micro-rounded immediately, so DuckDB reproduces the sum
+    bit-for-bit:
+
+      t_micro(a,b) = round((nab·N − na·nb)² / (na·nb·N) · 1e6)   [DOUBLE
+                     only inside the round; all inputs exact integers]
+
+    Empty cells (observed 0, expected > 0) contribute Σ e = N − Σ_obs e
+    in closed form — (N² − Σ_obs na·nb)·1e6 DIV N, PURE DECIMAL(38,0)
+    integer arithmetic (N ≤ 1e12 keeps N²·1e6 ≤ 1e30 < 10^38) — so the
+    full contingency grid is never materialized and no cross join of
+    the marginals exists in the plan.
+
+    Returns ONE row (n, n_a, n_b, dof, chi2_micro, cramers_v_micro);
+    cramers_v derives from the already-rounded chi2 (deterministic by
+    construction).
+
+    Plan shape at 100 TB: ONE map-side cell aggregate; marginals are
+    aggregate-sized groupBys broadcast back onto the cells; one-row
+    output. Same shape as association_mi.
+    """
+    base = spread(df).select(F.col(a_col).alias("a"),
+                             F.col(b_col).alias("b"))
+    cells = base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nab"))
+    ma = cells.groupBy("a").agg(F.sum("nab").alias("na"))
+    mb = cells.groupBy("b").agg(F.sum("nab").alias("nb"))
+    tot = cells.agg(F.sum("nab").alias("n"))
+    term = (
+        cells.join(F.broadcast(ma), "a").join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.expr("CAST(na AS DECIMAL(38,0)) * nb").alias("ee"),
+            F.expr(
+                "CAST(round(((CAST(nab AS DOUBLE) * n - CAST(na AS DOUBLE)"
+                " * nb) * (CAST(nab AS DOUBLE) * n - CAST(na AS DOUBLE)"
+                " * nb)) / (CAST(na AS DOUBLE) * nb * n) * 1e6) AS BIGINT)"
+            ).alias("t_micro"))
+    )
+    return (
+        term.agg(F.max("n").alias("_n"),
+                 F.sum("t_micro").alias("_obs"),
+                 F.sum("ee").alias("_s"))
+        .crossJoin(F.broadcast(
+            base.agg(F.countDistinct("a").alias("n_a"),
+                     F.countDistinct("b").alias("n_b"))))
+        .select(
+            F.col("_n").cast("long").alias("n"), "n_a", "n_b",
+            ((F.col("n_a") - 1) * (F.col("n_b") - 1)).cast("long")
+            .alias("dof"),
+            F.expr("CAST(_obs + (CAST(_n AS DECIMAL(38,0)) * _n - _s) "
+                   "* 1000000 DIV _n AS BIGINT)").alias("chi2_micro"))
+        .withColumn(
+            "cramers_v_micro",
+            F.expr("CASE WHEN dof = 0 THEN 0 ELSE CAST(round(sqrt("
+                   "(CAST(chi2_micro AS DOUBLE) / 1e6) / (CAST(n AS DOUBLE)"
+                   " * least(n_a - 1, n_b - 1))) * 1e6) AS BIGINT) END"))
+    )
+
+
+def sql_chi2_independence(a_col: str = "source", b_col: str = "lang",
+                          table: str = "documents") -> str:
+    """DuckDB oracle for :func:`chi2_independence` — same cells, same
+    per-cell micro-rounded term, same closed-form empty-cell sum."""
+    return f"""
+WITH base AS (
+  SELECT {a_col} AS a, {b_col} AS b FROM {table}
+), cells AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS nab FROM base GROUP BY a, b
+), ma AS (SELECT a, CAST(sum(nab) AS BIGINT) AS na FROM cells GROUP BY a),
+mb AS (SELECT b, CAST(sum(nab) AS BIGINT) AS nb FROM cells GROUP BY b),
+tot AS (SELECT CAST(sum(nab) AS BIGINT) AS n FROM cells),
+term AS (
+  SELECT n, CAST(na AS HUGEINT) * nb AS ee,
+         CAST(round(((CAST(nab AS DOUBLE) * n - CAST(na AS DOUBLE) * nb)
+              * (CAST(nab AS DOUBLE) * n - CAST(na AS DOUBLE) * nb))
+              / (CAST(na AS DOUBLE) * nb * n) * 1e6) AS BIGINT) AS t_micro
+  FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+), agg AS (
+  SELECT CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(t_micro) AS HUGEINT) AS obs,
+         CAST(sum(ee) AS HUGEINT) AS s
+  FROM term
+), dims AS (
+  SELECT CAST(count(DISTINCT a) AS BIGINT) AS n_a,
+         CAST(count(DISTINCT b) AS BIGINT) AS n_b
+  FROM base
+)
+SELECT n, n_a, n_b,
+       CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+       CAST(obs + (CAST(n AS HUGEINT) * n - s) * 1000000 // n AS BIGINT)
+         AS chi2_micro,
+       CASE WHEN (n_a - 1) * (n_b - 1) = 0 THEN 0 ELSE
+         CAST(round(sqrt((CAST(obs + (CAST(n AS HUGEINT) * n - s)
+              * 1000000 // n AS DOUBLE) / 1e6)
+              / (CAST(n AS DOUBLE) * least(n_a - 1, n_b - 1))) * 1e6)
+              AS BIGINT) END AS cramers_v_micro
+FROM agg CROSS JOIN dims
+"""
+
+
+def brier_score(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact Brier score of a calibrated probability score (ppm-scaled,
+    the repo's 1e6 convention) against a binary label — mean squared
+    error of the forecast, the single-number companion of
+    :func:`calibration_curve` (Brier 1950; the standard "is the gate's
+    probability a probability" audit before thresholding a corpus).
+
+      brier_micro = Σ (p_ppm − y·1e6)² DIV (n · 1e6)
+
+    PURE integer: the squared residual is ≤ 1e12 per row, the DECIMAL
+    (38,0) sum holds 1e12 rows with 26 digits to spare, and the final
+    integer division floors identically in both engines. Returns ONE
+    row (n, n_pos, brier_micro).
+
+    Plan shape at 100 TB: one map-side aggregate over the scan — no
+    join, no window, no shuffle beyond the final one-row combine.
+    """
+    base = spread(df).select(
+        F.col(score_col).cast("long").alias("p"),
+        F.col(label_col).cast("boolean").cast("long").alias("y"),
+    ).where(F.col("p").isNotNull() & F.col("y").isNotNull())
+    return base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.expr("CAST(sum(CAST(p - y * 1000000 AS DECIMAL(38,0)) "
+               "* (p - y * 1000000)) DIV (count(1) * 1000000) AS BIGINT)")
+        .alias("brier_micro"))
+
+
+def sql_brier_score(score_sql: str, label_sql: str, table: str) -> str:
+    """DuckDB oracle for :func:`brier_score` — same integer floor."""
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN CAST({label_sql} AS BOOLEAN) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pos,
+       CAST(sum(CAST(CAST({score_sql} AS BIGINT)
+                - (CASE WHEN CAST({label_sql} AS BOOLEAN) THEN 1 ELSE 0 END)
+                * 1000000 AS HUGEINT)
+                * (CAST({score_sql} AS BIGINT)
+                - (CASE WHEN CAST({label_sql} AS BOOLEAN) THEN 1 ELSE 0 END)
+                * 1000000))
+            // (count(*) * 1000000) AS BIGINT) AS brier_micro
+FROM {table}
+WHERE ({score_sql}) IS NOT NULL AND ({label_sql}) IS NOT NULL
+"""

@@ -230,6 +230,74 @@ FROM probe p ASOF LEFT JOIN ref r
 """
 
 
+def session_spans(df: DataFrame, key_cols: list[str], ts_col: str = "ts",
+                  gap: int = 1_800_000_000) -> DataFrame:
+    """Per-SESSION rows of the inactivity-gap sessionization: one row
+    per (key, session) with the session's start, last-event time and
+    event count — the batch twin of the streaming
+    :func:`~eventstore_spark.streaming.subscriptions.sessionize`
+    operator, sharing its tie rule (a gap of EXACTLY ``gap`` merges;
+    a new session starts only when the gap is STRICTLY greater — the
+    same semantics as Spark's ``session_window``, which merges touching
+    windows), and the detail view the per-key ``user_sessions`` rollup
+    summarizes.
+
+    ``gap`` and ``ts_col`` are in the same integral units (epoch
+    micros for the events registry query). Returns
+    (key_cols..., session_start, session_last, n_events).
+
+    Plan shape at 100 TB: two windows keyed by the session key (the
+    lag mark + the running new-session sum) then ONE map-side-combined
+    groupBy on (key, session) — a key's history sorts in one task, the
+    sessionization bound accepted since r7 (hot keys: pre-split by the
+    salted asof_join's time-slice argument first, or sessionize the
+    slices and merge).
+    """
+    base = spread(df).select(*key_cols,
+                             F.col(ts_col).cast("long").alias("_ts"))
+    w = Window.partitionBy(*key_cols).orderBy("_ts")
+    marked = base.withColumn(
+        "_new",
+        F.when(F.lag("_ts").over(w).isNull()
+               | (F.col("_ts") - F.lag("_ts").over(w) > int(gap)),
+               1).otherwise(0))
+    ws = (Window.partitionBy(*key_cols).orderBy("_ts", "_new")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sess = marked.withColumn("_sess", F.sum("_new").over(ws))
+    return (
+        sess.groupBy(*key_cols, "_sess")
+        .agg(F.min("_ts").alias("session_start"),
+             F.max("_ts").alias("session_last"),
+             F.count(F.lit(1)).alias("n_events"))
+        .drop("_sess")
+    )
+
+
+def sql_session_spans(key_sql: str, ts_sql: str, table: str,
+                      gap: int = 1_800_000_000) -> str:
+    """DuckDB oracle for :func:`session_spans` — the same lag mark +
+    running sum + group, definitionally."""
+    return f"""
+WITH base AS (
+  SELECT {key_sql} AS k, CAST({ts_sql} AS BIGINT) AS ts FROM {table}
+), marked AS (
+  SELECT k, ts,
+         CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > {int(gap)}
+              THEN 1 ELSE 0 END AS new_s
+  FROM base WINDOW w AS (PARTITION BY k ORDER BY ts)
+), sess AS (
+  SELECT k, ts,
+         SUM(new_s) OVER (PARTITION BY k ORDER BY ts, new_s
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT k, CAST(min(ts) AS BIGINT) AS session_start,
+       CAST(max(ts) AS BIGINT) AS session_last,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY k, sid
+"""
+
+
 def _p99_bin_width(lengths: DataFrame) -> int:
     """Default time-bin width for the binned range joins: ~p99 of the
     interval lengths (one tiny aggregate over a single ``len`` column).

@@ -2662,3 +2662,90 @@ def test_association_mi_matches_plain_python_reference(spark):
         "source string, lang string")
     mi = association_mi(dep, "source", "lang").collect()[0].mi_micro
     assert mi == round(math.log(2) * 1e6)
+
+
+def test_session_spans_matches_plain_python_reference(spark):
+    """Per-session rows recomputed definitionally: sort per key, split
+    on gap > G strictly (the session_window tie rule), report
+    (start, last, count) — including an exact-gap tie that merges."""
+    from eventstore_spark.operators.temporal import session_spans
+
+    G = 100
+    rows = [("a", 0), ("a", 50), ("a", 150), ("a", 251), ("a", 300),
+            ("b", 10)]
+    df = spark.createDataFrame(rows, "k string, ts long")
+    got = {(r.k, r.session_start): (r.session_last, r.n_events)
+           for r in session_spans(df, ["k"], "ts", gap=G).collect()}
+    # a: 0,50,150 one session (gaps 50, 100=tie merges); 251 splits
+    # (gap 101); 300 joins it
+    assert got == {("a", 0): (150, 3), ("a", 251): (300, 2),
+                   ("b", 10): (10, 1)}
+
+
+def test_chi2_independence_matches_plain_python_reference(spark):
+    """Chi-square recomputed definitionally over the FULL contingency
+    grid (incl. empty cells) with the same per-cell micro-rounding and
+    the closed-form empty-cell sum."""
+    import math
+
+    from eventstore_spark.operators.stats import chi2_independence
+
+    rows = [("s1", "en")] * 5 + [("s1", "fr")] * 1 + [("s2", "en")] * 2 \
+        + [("s2", "de")] * 4 + [("s3", "de")] * 3
+    df = spark.createDataFrame(rows, "source string, lang string")
+    r = chi2_independence(df, "source", "lang").collect()[0]
+
+    from collections import Counter
+    cells = Counter(rows)
+    na = Counter(a for a, _ in rows)
+    nb = Counter(b for _, b in rows)
+    n = len(rows)
+    obs = sum(
+        round(((o * n - na[a] * nb[b]) ** 2) / (na[a] * nb[b] * n) * 1e6)
+        for (a, b), o in cells.items())
+    s = sum(na[a] * nb[b] for (a, b) in cells)
+    chi2 = obs + (n * n - s) * 1_000_000 // n
+    assert (r.n, r.n_a, r.n_b, r.dof) == (n, 3, 3, 4)
+    assert r.chi2_micro == chi2
+    assert r.cramers_v_micro == round(
+        math.sqrt((chi2 / 1e6) / (n * 2)) * 1e6)
+
+
+def test_brier_score_matches_plain_python_reference(spark):
+    """Brier recomputed definitionally: floor(Σ(p_ppm − y·1e6)² /
+    (n·1e6)); NULL scores/labels excluded."""
+    from eventstore_spark.operators.stats import brier_score
+
+    rows = [(900_000, True), (100_000, False), (500_000, True),
+            (0, False), (1_000_000, True), (None, True), (300_000, None)]
+    df = spark.createDataFrame(rows, "p long, y boolean")
+    r = brier_score(df, "p", "y").collect()[0]
+    vals = [(p, y) for p, y in rows if p is not None and y is not None]
+    sq = sum((p - int(y) * 1_000_000) ** 2 for p, y in vals)
+    assert (r.n, r.n_pos) == (len(vals), 3)
+    assert r.brier_micro == sq // (len(vals) * 1_000_000)
+
+
+def test_cluster_balanced_sample_caps_every_cell(spark):
+    """Every cell contributes at most k rows, ranks are 1..k dense in
+    (md5, id) order, and the selection is a subset of the cell
+    assignment the shared quantizer produces."""
+    from eventstore_spark.operators.similarity import (
+        cluster_balanced_sample, kmeans_clusters)
+
+    rows = [(i, [((i * 13 + j * 7) % 23 - 11) / 11.0 for j in range(8)])
+            for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cluster_balanced_sample(emb, k_per_cell=5, n_centroids=4,
+                                  iters=1).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell, []).append(r.rk)
+    assert by_cell, "no cells selected"
+    for cell, rks in by_cell.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 5
+    # cluster profile over the same quantizer agrees on the cell set
+    prof = {r.cell for r in kmeans_clusters(emb, n_centroids=4,
+                                            iters=1).collect()}
+    assert set(by_cell) <= prof

@@ -282,6 +282,13 @@ BNLJ_OK = {
     # r12: association_mi's ONE-ROW total-count and distinct-count
     # broadcasts onto the aggregate-sized cell table
     "source_lang_mi",
+    # r13: chi2's ONE-ROW total-count and distinct-count broadcasts
+    # onto the aggregate-sized cell table (the association_mi shape)
+    "source_lang_chi2",
+    # r13: percentile_rank's whitelisted one-row N broadcast composed
+    # under the one-row Brier aggregate (the classifier_calibration
+    # shape)
+    "classifier_brier",
 }
 
 SF1_DIR = "/root/repo/.localdata/sf1"  # tools/gen_sf.py output
