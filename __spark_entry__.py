@@ -914,6 +914,34 @@ def q_cluster_balanced_sample(spark, sf):
                                    k_per_cell=20)
 
 
+def q_token_entropy(spark, sf):
+    """Per-doc Shannon entropy of the token distribution in exact
+    micro-nats (new r13): explode → map-side (doc, token) counts →
+    keyed totals join → per-type micro-rounded ln, the pmi determinism
+    convention (textops.token_entropy) — the diversity signal next to
+    repetition_profile."""
+    from eventstore_spark.operators.textops import token_entropy
+
+    return token_entropy(_table(spark, sf, "documents"))
+
+
+def q_events_twa(spark, sf):
+    """Per-user time-weighted average event value in cent-micros (new
+    r13): ONE key-partitioned lead window + a map-side groupBy, exact
+    DECIMAL area with the sign-safe floor
+    (operators/temporal.time_weighted_average)."""
+    from eventstore_spark.operators.temporal import time_weighted_average
+
+    ev = _table(spark, sf, "events").select(
+        F.col("user_id").alias("k"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    # unique per (key, ts): keep the max at timestamp collisions (the
+    # asof_join pre-aggregation contract)
+    ev = ev.groupBy("k", "tsu").agg(F.max("cents").alias("cents"))
+    return time_weighted_average(ev, ["k"], "tsu", "cents")
+
+
 def q_events_rollup(spark, sf):
     """CUBE rollup over (event_type, hour-of-day) (new r12): counts +
     cent-exact value sums at every aggregation level with grouping_id —
@@ -2920,6 +2948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_brier": q_classifier_brier,
         "events_sessions_detail": q_events_sessions_detail,
         "cluster_balanced_sample": q_cluster_balanced_sample,
+        "token_entropy": q_token_entropy,
+        "events_twa": q_events_twa,
     }
     # Round-12 rotation (VERDICT r11 tasks #1/#2): first the 12
     # never-driver-sampled operators (8 new in r12, 4 added after the
@@ -4047,6 +4077,15 @@ FROM grid g ASOF LEFT JOIN obs o
         key_sql="user_id", ts_sql="epoch_us(ts)", table="events")
     sqls["cluster_balanced_sample"] = sql_cluster_balanced_sample(
         k_per_cell=20)
+    from eventstore_spark.operators.textops import sql_token_entropy
+    from eventstore_spark.operators.temporal import (
+        sql_time_weighted_average)
+
+    sqls["token_entropy"] = sql_token_entropy()
+    sqls["events_twa"] = sql_time_weighted_average(
+        key_sql="user_id", ts_sql="epoch_us(ts)", value_sql="value_c",
+        table=("(SELECT user_id, ts, max(round(value * 100)) AS value_c "
+               "FROM events GROUP BY user_id, ts) pre"))
     sqls["events_rollup"] = """
 SELECT event_type, CAST(hr AS BIGINT) AS hr,
        CAST(count(*) AS BIGINT) AS n,

@@ -513,3 +513,83 @@ def resample(reference: DataFrame, key_cols: list[str],
                            *value_cols)
     return asof_join(grid, ref, key_cols, "grid_ts", ref_ts,
                      value_cols, suffix=suffix)
+
+
+def time_weighted_average(df: DataFrame, key_cols: list[str],
+                          ts_col: str = "ts",
+                          value_col: str = "value") -> DataFrame:
+    """Exact time-weighted average of an irregular per-key series over
+    its observed span, with last-observation-carried-forward between
+    observations (kdb's ``twa``; the standard sensor/price aggregate a
+    plain ``avg`` gets wrong when sampling is irregular):
+
+      twa_micro = floor(Σ_{i<n} v_i · (t_{i+1} − t_i) · 1e6
+                        / (t_n − t_1))
+
+    All arithmetic is DECIMAL(38,0)-exact on integral inputs (cast
+    value to a scaled integer first — the cents convention); the floor
+    is sign-safe (the kmeans_clusters correction), identical in both
+    engines for negative values. A key with a single observation (or
+    zero span) returns its last value · 1e6. The series should be
+    unique per (key, ts) — pre-aggregate otherwise (the asof_join
+    contract).
+
+    Returns (key_cols..., t_first, t_last, n_obs, twa_micro).
+
+    Plan shape at 100 TB: ONE key-partitioned window (the lead) + one
+    map-side-combined groupBy — the sessionization bound; hot keys
+    time-slice first (see asof_join's ``slice``).
+    """
+    base = spread(df).select(*key_cols,
+                             F.col(ts_col).cast("long").alias("_ts"),
+                             F.col(value_col).cast("long").alias("_v"))
+    w = Window.partitionBy(*key_cols).orderBy("_ts")
+    stepped = base.withColumn("_nxt", F.lead("_ts").over(w))
+    return (
+        stepped.groupBy(*key_cols)
+        .agg(F.min("_ts").alias("t_first"),
+             F.max("_ts").alias("t_last"),
+             F.count(F.lit(1)).alias("n_obs"),
+             F.expr("sum(CAST(_v AS DECIMAL(38,0)) * (_nxt - _ts))")
+             .alias("_area"),
+             F.expr("max_by(_v, _ts)").alias("_last_v"))
+        .select(
+            *key_cols, "t_first", "t_last", "n_obs",
+            F.expr(
+                "CASE WHEN t_last > t_first THEN "
+                "CAST((_area * 1000000 - ((((_area * 1000000) % "
+                "(t_last - t_first)) + (t_last - t_first)) % "
+                "(t_last - t_first))) / (t_last - t_first) AS BIGINT) "
+                "ELSE CAST(_last_v AS BIGINT) * 1000000 END")
+            .alias("twa_micro"))
+    )
+
+
+def sql_time_weighted_average(key_sql: str, ts_sql: str, value_sql: str,
+                              table: str) -> str:
+    """DuckDB oracle for :func:`time_weighted_average` — same lead,
+    same sign-safe exact floor."""
+    return f"""
+WITH base AS (
+  SELECT {key_sql} AS k, CAST({ts_sql} AS BIGINT) AS ts,
+         CAST({value_sql} AS BIGINT) AS v
+  FROM {table}
+), stepped AS (
+  SELECT k, ts, v, lead(ts) OVER (PARTITION BY k ORDER BY ts) AS nxt
+  FROM base
+), g AS (
+  SELECT k, CAST(min(ts) AS BIGINT) AS t_first,
+         CAST(max(ts) AS BIGINT) AS t_last,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(sum(CAST(v AS HUGEINT) * (nxt - ts)) AS HUGEINT) AS area,
+         CAST(max_by(v, ts) AS BIGINT) AS last_v
+  FROM stepped GROUP BY k
+)
+SELECT k, t_first, t_last, n_obs,
+       CASE WHEN t_last > t_first THEN
+         CAST((area * 1000000 - ((((area * 1000000) % (t_last - t_first))
+              + (t_last - t_first)) % (t_last - t_first)))
+              // (t_last - t_first) AS BIGINT)
+       ELSE last_v * 1000000 END AS twa_micro
+FROM g
+"""

@@ -2749,3 +2749,61 @@ def test_cluster_balanced_sample_caps_every_cell(spark):
     prof = {r.cell for r in kmeans_clusters(emb, n_centroids=4,
                                             iters=1).collect()}
     assert set(by_cell) <= prof
+
+
+def test_token_entropy_matches_plain_python_reference(spark):
+    """Entropy recomputed definitionally with the same per-type
+    micro-rounded ln — including a zero-entropy single-token doc and a
+    uniform-distribution doc."""
+    from eventstore_spark.operators.textops import token_entropy
+
+    docs = [
+        (1, "spam spam spam spam"),             # zero entropy
+        (2, "a b c d"),                         # uniform: ln(4)
+        (3, "x x y z"),                         # mixed
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_types, r.entropy_micro)
+           for r in token_entropy(df).collect()}
+
+    import math
+    from collections import Counter
+    want = {}
+    for did, text in docs:
+        cnt = Counter(text.split())
+        n = sum(cnt.values())
+        s = sum(c * round(math.log(c / n) * 1e6) for c in cnt.values())
+        want[did] = (n, len(cnt), (-s) // n)
+    assert got == want
+    assert got[1][2] == 0
+    assert abs(got[2][2] - round(math.log(4) * 1e6)) <= 1
+
+
+def test_time_weighted_average_matches_plain_python_reference(spark):
+    """TWA recomputed definitionally: Σ v·Δt / span with LOCF, floor in
+    micro units — including a negative-area key (sign-safe floor), a
+    single-observation key, and irregular spacing."""
+    from eventstore_spark.operators.temporal import time_weighted_average
+
+    rows = [("a", 0, 10), ("a", 10, 30), ("a", 40, 0),
+            ("b", 5, -7), ("b", 8, -3),
+            ("c", 99, 42)]
+    df = spark.createDataFrame(rows, "k string, ts long, v long")
+    got = {r.k: (r.t_first, r.t_last, r.n_obs, r.twa_micro)
+           for r in time_weighted_average(df, ["k"], "ts", "v").collect()}
+
+    import math
+    want = {}
+    for k in ("a", "b", "c"):
+        pts = sorted((t, v) for kk, t, v in rows if kk == k)
+        span = pts[-1][0] - pts[0][0]
+        if span == 0:
+            twa = pts[-1][1] * 1_000_000
+        else:
+            area = sum(v * (pts[i + 1][0] - t)
+                       for i, (t, v) in enumerate(pts[:-1]))
+            twa = math.floor(area * 1_000_000 / span)
+        want[k] = (pts[0][0], pts[-1][0], len(pts), twa)
+    assert got == want
+    assert got["c"][3] == 42_000_000   # single observation
+    assert got["b"][3] == -7_000_000   # negative area: (-7·3)/3 exact
