@@ -2951,41 +2951,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "events_twa": q_events_twa,
     }
-    # Round-12 rotation (VERDICT r11 tasks #1/#2): first the 12
-    # never-driver-sampled operators (8 new in r12, 4 added after the
-    # r11 window froze) and the 3 array-output queries whose
-    # CORRECTNESS_r11 rows ERR'd in the driver's canonicalizer (now
-    # serialized driver-hashable — they need the hard green), then the
-    # 20 r8-stale entries and the first 15 of the r9-stale block
-    # (registry order) — exactly 50. With this window green, every
-    # registry entry has a driver-green row in the r9-r12 union and the
-    # whole registry is driver-certified.
+    # Round-13 rotation (VERDICT r12 task #1): the 35 entries whose
+    # latest driver sample is round 9 (the exact set computed from the
+    # CORRECTNESS_r1..r12 union — the s/f/y readers, the P-projection
+    # queries, the classic TPC-H trio and the events/orders analytics),
+    # then the 6 operators new in r13 (never driver-sampled), then 9 of
+    # the once-ever-sampled r10 entries — exactly 50. With this window
+    # green, every registry entry's latest driver sample is within
+    # r10-r13 (nothing older than three rounds).
     head = [
-        # -- never driver-sampled (new in r12) --
-        "events_overlap_join", "events_resample",
-        "classifier_calibration", "classifier_pr_curve",
-        "score_winsorize", "events_rollup",
-        "snapshot_diff", "source_lang_mi",
-        # -- never driver-sampled (new in r11; local-oracle green) --
-        "events_asof", "events_interval_join", "events_skew_report",
-        "classifier_train_apply",
-        # -- driver-red in r11 (array outputs, serialized r12) --
-        "quality_ensemble", "scalar_quantize", "rp_project",
-        # -- last driver-sampled in r8 (20, registry order) --
-        "tfidf_keywords", "stratified_sample", "select_corpus",
-        "bpe_pair_counts", "corpus_stats", "repetition_profile",
-        "pii_redact", "pack_shards", "contamination_overlap",
-        "cluster_survivors", "token_stats", "doc_fingerprint_rolling",
-        "multimodal_features", "media_sniff", "media_dedup",
-        "media_frames", "media_chunks", "ann_bruteforce", "rag_retrieve",
-        "ann_lsh",
-        # -- last driver-sampled in r9 (oldest 15, registry order) --
-        "ngram_novelty", "source_overlap", "payload_profile",
-        "embedding_outliers", "events_cohort_retention", "events_funnel",
-        "tpch_q7_nation_volume", "tpch_q8_market_share",
-        "tpch_q15_top_supplier", "tpch_q17_small_quantity",
-        "tpch_q18_large_orders", "tpch_q13_custdist", "semantic_dedup",
-        "gopher_quality", "s1_read_event",
+        # -- last driver-sampled in r9 (all 35, registry order) --
+        "s1_read_event_last", "s2_read_stream_forward",
+        "s3_read_stream_backward", "s4_read_all_forward",
+        "s4_read_all_backward", "s5_read_all_filtered",
+        "s5_read_all_filtered_backward", "f_filter_agg",
+        "y1_streams", "y2_by_category", "y3_stream_by_category",
+        "y4_by_event_type", "y5_by_correlation_id", "link_resolution",
+        "sys_ce_read", "sys_et_read", "retention_visibility",
+        "p2_from_streams", "p6_fold_balance", "p12_result_stream",
+        "p7_partition_by", "p9_bistate", "p8_stream_stats",
+        "p15_emit_hot", "p16_linkto",
+        "tpch_q1", "tpch_q3", "tpch_q5_region_revenue",
+        "tpch_q14_promo", "tpch_q10_returns", "supplier_volume",
+        "top_order_per_customer", "monthly_revenue", "events_hourly",
+        "user_sessions",
+        # -- never driver-sampled (new in r13) --
+        "source_lang_chi2", "classifier_brier", "events_sessions_detail",
+        "cluster_balanced_sample", "token_entropy", "events_twa",
+        # -- sampled only once ever (r10), oldest 9 in registry order --
+        "c4_quality", "dsir_select", "quality_sample",
+        "contamination_semantic", "ccnet_buckets", "kmv_distinct",
+        "bpe_train", "bpe_apply", "boilerplate_ngrams",
     ]
     return {**{n: q[n] for n in head},
             **{n: fn for n, fn in q.items() if n not in set(head)}}
