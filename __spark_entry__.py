@@ -914,17 +914,6 @@ def q_cluster_balanced_sample(spark, sf):
                                    k_per_cell=20)
 
 
-def q_token_entropy(spark, sf):
-    """Per-doc Shannon entropy of the token distribution in exact
-    micro-nats (new r13): explode → map-side (doc, token) counts →
-    keyed totals join → per-type micro-rounded ln, the pmi determinism
-    convention (textops.token_entropy) — the diversity signal next to
-    repetition_profile."""
-    from eventstore_spark.operators.textops import token_entropy
-
-    return token_entropy(_table(spark, sf, "documents"))
-
-
 def q_events_twa(spark, sf):
     """Per-user time-weighted average event value in cent-micros (new
     r13): ONE key-partitioned lead window + a map-side groupBy, exact
@@ -2948,7 +2937,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_brier": q_classifier_brier,
         "events_sessions_detail": q_events_sessions_detail,
         "cluster_balanced_sample": q_cluster_balanced_sample,
-        "token_entropy": q_token_entropy,
         "events_twa": q_events_twa,
     }
     # Round-13 rotation (VERDICT r12 task #1): the 35 entries whose
@@ -2977,11 +2965,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions",
         # -- never driver-sampled (new in r13) --
         "source_lang_chi2", "classifier_brier", "events_sessions_detail",
-        "cluster_balanced_sample", "token_entropy", "events_twa",
+        "cluster_balanced_sample", "events_twa",
         # -- sampled only once ever (r10), oldest 9 in registry order --
         "c4_quality", "dsir_select", "quality_sample",
         "contamination_semantic", "ccnet_buckets", "kmv_distinct",
         "bpe_train", "bpe_apply", "boilerplate_ngrams",
+        "bm25_search",
     ]
     return {**{n: q[n] for n in head},
             **{n: fn for n, fn in q.items() if n not in set(head)}}
@@ -4073,11 +4062,9 @@ FROM grid g ASOF LEFT JOIN obs o
         key_sql="user_id", ts_sql="epoch_us(ts)", table="events")
     sqls["cluster_balanced_sample"] = sql_cluster_balanced_sample(
         k_per_cell=20)
-    from eventstore_spark.operators.textops import sql_token_entropy
     from eventstore_spark.operators.temporal import (
         sql_time_weighted_average)
 
-    sqls["token_entropy"] = sql_token_entropy()
     sqls["events_twa"] = sql_time_weighted_average(
         key_sql="user_id", ts_sql="epoch_us(ts)", value_sql="value_c",
         table=("(SELECT user_id, ts, max(round(value * 100)) AS value_c "

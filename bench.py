@@ -100,7 +100,6 @@ SECONDARY = [
     "classifier_brier",
     "events_sessions_detail",
     "cluster_balanced_sample",
-    "token_entropy",
     "events_twa",
 ]
 

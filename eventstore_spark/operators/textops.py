@@ -2790,76 +2790,3 @@ SELECT lang, n_docs, n_words, n_chars, n_bpe_tokens,
 FROM g
 """
 
-
-def token_entropy(docs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
-    """Per-document Shannon entropy of the whitespace-token distribution
-    in exact micro-nats — the diversity signal quality filters pair with
-    :func:`repetition_profile`: near-zero entropy = a few tokens
-    repeated (boilerplate, keyword stuffing), high entropy = diverse
-    vocabulary (Gopher/C4-class heuristics use both tails).
-
-      entropy_micro = −(Σ_t cnt_t · round(ln(cnt_t / n) · 1e6)) DIV n
-
-    per-token-type micro-rounded ln (the pmi/association_mi determinism
-    convention: the ONLY float is one ln of an exact integer ratio,
-    rounded immediately), so DuckDB reproduces every row bit-for-bit.
-    Tokenization is the engine's shared :func:`functions.text.tokens`
-    normalization. Returns (doc_id, n_tokens, n_types, entropy_micro);
-    empty docs are absent.
-
-    Plan shape at 100 TB: explode → ONE map-side (doc, token) count
-    aggregate (partial agg absorbs the explode), per-doc totals are a
-    second aggregate joined back KEYED on doc_id (both sides
-    aggregate-sized), one final per-doc combine. No windows, nothing
-    corpus² — the token_vocabulary shape with a per-doc key.
-    """
-    toks = spread(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(X.tokens(F.col(text_col))).alias("t"),
-    ).where(F.col("t") != "")
-    cnt = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
-    tot = cnt.groupBy("doc_id").agg(
-        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_types"))
-    return (
-        cnt.join(tot, "doc_id")
-        .select(
-            "doc_id", "n", "n_types",
-            F.expr("CAST(c AS DECIMAL(38,0)) "
-                   "* CAST(round(ln(CAST(c AS DOUBLE) / n) * 1e6) "
-                   "AS BIGINT)").alias("term"))
-        .groupBy("doc_id")
-        .agg(F.max("n").cast("long").alias("n_tokens"),
-             F.max("n_types").cast("long").alias("n_types"),
-             F.expr("CAST(-sum(term) DIV max(n) AS BIGINT)")
-             .alias("entropy_micro"))
-    )
-
-
-def sql_token_entropy(table: str = "documents",
-                      text_col: str = "text") -> str:
-    """DuckDB oracle for :func:`token_entropy` — same tokens, same
-    per-type micro-rounded ln, same integer combination."""
-    toks = X.SQL_TOKENS.format(c=text_col)
-    return f"""
-WITH t AS (
-  SELECT doc_id, unnest({toks}) AS tok FROM {table}
-), cnt AS (
-  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
-  FROM t WHERE tok <> '' GROUP BY doc_id, tok
-), tot AS (
-  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
-         CAST(count(*) AS BIGINT) AS n_types
-  FROM cnt GROUP BY doc_id
-), term AS (
-  SELECT c.doc_id, n, n_types,
-         CAST(c.c AS HUGEINT)
-           * CAST(round(ln(CAST(c.c AS DOUBLE) / n) * 1e6) AS BIGINT)
-           AS term
-  FROM cnt c JOIN tot USING (doc_id)
-)
-SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
-       CAST(max(n_types) AS BIGINT) AS n_types,
-       CAST(-sum(term) // max(n) AS BIGINT) AS entropy_micro
-FROM term GROUP BY doc_id
-"""

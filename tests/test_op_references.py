@@ -2751,34 +2751,6 @@ def test_cluster_balanced_sample_caps_every_cell(spark):
     assert set(by_cell) <= prof
 
 
-def test_token_entropy_matches_plain_python_reference(spark):
-    """Entropy recomputed definitionally with the same per-type
-    micro-rounded ln — including a zero-entropy single-token doc and a
-    uniform-distribution doc."""
-    from eventstore_spark.operators.textops import token_entropy
-
-    docs = [
-        (1, "spam spam spam spam"),             # zero entropy
-        (2, "a b c d"),                         # uniform: ln(4)
-        (3, "x x y z"),                         # mixed
-    ]
-    df = spark.createDataFrame(docs, "doc_id long, text string")
-    got = {r.doc_id: (r.n_tokens, r.n_types, r.entropy_micro)
-           for r in token_entropy(df).collect()}
-
-    import math
-    from collections import Counter
-    want = {}
-    for did, text in docs:
-        cnt = Counter(text.split())
-        n = sum(cnt.values())
-        s = sum(c * round(math.log(c / n) * 1e6) for c in cnt.values())
-        want[did] = (n, len(cnt), (-s) // n)
-    assert got == want
-    assert got[1][2] == 0
-    assert abs(got[2][2] - round(math.log(4) * 1e6)) <= 1
-
-
 def test_time_weighted_average_matches_plain_python_reference(spark):
     """TWA recomputed definitionally: Σ v·Δt / span with LOCF, floor in
     micro units — including a negative-area key (sign-safe floor), a
