@@ -914,6 +914,30 @@ def q_cluster_balanced_sample(spark, sf):
                                    k_per_cell=20)
 
 
+def q_length_deciles(spark, sf):
+    """Exact equal-frequency deciles of document length (new r13):
+    distributed NTILE(10) — percentile_rank's two-level rank + a
+    one-row N broadcast, no global sort (stats.quantile_bucket)."""
+    from eventstore_spark.operators.stats import quantile_bucket
+
+    return quantile_bucket(_table(spark, sf, "documents"), "n_chars",
+                           k=10)
+
+
+def q_source_psi(spark, sf):
+    """Population Stability Index of the source distribution between
+    the corpus and a synthetic next crawl (every doc_id % 7 == 0
+    dropped) (new r13): add-one-smoothed shares over the category
+    union, per-cell micro-rounded ln, exact DECIMAL combination,
+    one-row output (stats.psi_drift) — the categorical drift gate next
+    to source_drift_ks and snapshot_diff."""
+    from eventstore_spark.operators.stats import psi_drift
+
+    docs = _table(spark, sf, "documents")
+    return psi_drift(docs, docs.where(F.col("doc_id") % 7 != 0),
+                     "source")
+
+
 def q_events_twa(spark, sf):
     """Per-user time-weighted average event value in cent-micros (new
     r13): ONE key-partitioned lead window + a map-side groupBy, exact
@@ -2938,6 +2962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions_detail": q_events_sessions_detail,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "events_twa": q_events_twa,
+        "length_deciles": q_length_deciles,
+        "source_psi": q_source_psi,
     }
     # Round-13 rotation (VERDICT r12 task #1): the 35 entries whose
     # latest driver sample is round 9 (the exact set computed from the
@@ -2966,11 +2992,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-sampled (new in r13) --
         "source_lang_chi2", "classifier_brier", "events_sessions_detail",
         "cluster_balanced_sample", "events_twa",
+        "length_deciles", "source_psi",
         # -- sampled only once ever (r10), oldest 9 in registry order --
         "c4_quality", "dsir_select", "quality_sample",
         "contamination_semantic", "ccnet_buckets", "kmv_distinct",
-        "bpe_train", "bpe_apply", "boilerplate_ngrams",
-        "bm25_search",
+        "bpe_train", "bpe_apply",
     ]
     return {**{n: q[n] for n in head},
             **{n: fn for n, fn in q.items() if n not in set(head)}}
@@ -4069,6 +4095,13 @@ FROM grid g ASOF LEFT JOIN obs o
         key_sql="user_id", ts_sql="epoch_us(ts)", value_sql="value_c",
         table=("(SELECT user_id, ts, max(round(value * 100)) AS value_c "
                "FROM events GROUP BY user_id, ts) pre"))
+    from eventstore_spark.operators.stats import (sql_psi_drift,
+                                                  sql_quantile_bucket)
+
+    sqls["length_deciles"] = sql_quantile_bucket("n_chars", k=10)
+    sqls["source_psi"] = sql_psi_drift(
+        old_sql="SELECT source FROM documents",
+        new_sql="SELECT source FROM documents WHERE doc_id % 7 != 0")
     sqls["events_rollup"] = """
 SELECT event_type, CAST(hr AS BIGINT) AS hr,
        CAST(count(*) AS BIGINT) AS n,

@@ -101,6 +101,8 @@ SECONDARY = [
     "events_sessions_detail",
     "cluster_balanced_sample",
     "events_twa",
+    "length_deciles",
+    "source_psi",
 ]
 
 

@@ -1334,3 +1334,149 @@ SELECT CAST(count(*) AS BIGINT) AS n,
 FROM {table}
 WHERE ({score_sql}) IS NOT NULL AND ({label_sql}) IS NOT NULL
 """
+
+
+def quantile_bucket(df: DataFrame, value_col: str, k: int = 10,
+                    id_col: str = "doc_id",
+                    buckets: int = 1024) -> DataFrame:
+    """Exact equal-frequency bucket (distributed NTILE(k)) of every
+    row — the feature-pipeline binning primitive (CCNet thirds,
+    decile mixing) as a first-class operator: bucket sizes differ by
+    at most one, ties broken by id so the assignment is total and
+    engine-reproducible.
+
+      bucket = (rank − 1) · k DIV N + 1,  rank from the ascending
+      (value, id) order
+
+    which is exactly SQL NTILE(k) over that order. Returns
+    (doc_id, value, rank, bucket).
+
+    Plan shape at 100 TB: :func:`percentile_rank`'s two-level
+    distributed rank (no global sort, no corpus-wide window) + ONE
+    one-row N scalar broadcast — nothing new shuffles.
+    """
+    ranked = percentile_rank(df, value_col, id_col=id_col,
+                             buckets=buckets)
+    n = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "value", "rank",
+            F.expr(f"CAST((CAST(rank AS DECIMAL(38,0)) - 1) * {int(k)} "
+                   f"DIV _n + 1 AS BIGINT)").alias("bucket"))
+    )
+
+
+def sql_quantile_bucket(value_col: str, k: int = 10,
+                        table: str = "documents",
+                        id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`quantile_bucket` — native NTILE over
+    the same total (value, id) order."""
+    return f"""
+SELECT {id_col} AS doc_id, CAST({value_col} AS BIGINT) AS value,
+       CAST(row_number() OVER w AS BIGINT) AS rank,
+       CAST(ntile({int(k)}) OVER w AS BIGINT) AS bucket
+FROM {table}
+WHERE {value_col} IS NOT NULL
+WINDOW w AS (ORDER BY {value_col}, {id_col})
+"""
+
+
+def psi_drift(df_old: DataFrame, df_new: DataFrame,
+              group_col: str = "source") -> DataFrame:
+    """Exact-integer Population Stability Index between two snapshots'
+    distributions of a categorical column — THE production drift gate
+    for ingest monitoring (credit-risk lineage; "PSI < 0.1 stable,
+    0.1-0.25 drifting, > 0.25 shifted"), complementing
+    :func:`ks_drift` (continuous two-sample) and
+    :func:`~eventstore_spark.operators.corpus.snapshot_diff`
+    (per-id content diff):
+
+      PSI = Σ_i (p_i − q_i) · ln(p_i / q_i)
+
+    with add-one (Laplace) smoothing over the category UNION — p_i =
+    (a_i + 1)/(Na + C), q_i = (b_i + 1)/(Nb + C) — so categories
+    present on only one side contribute finitely and deterministically.
+    Determinism convention (association_mi/chi2): each cell's ln is
+    ONE double of an exact integer ratio, micro-rounded immediately;
+    the share difference combines as exact DECIMAL(38,0):
+
+      psi_micro = Σ ((a_i+1)·(Nb+C) − (b_i+1)·(Na+C)) · t_micro
+                  DIV ((Na+C) · (Nb+C))
+      t_micro   = round(ln((a_i+1)·(Nb+C) / ((b_i+1)·(Na+C))) · 1e6)
+
+    Returns ONE row (n_old, n_new, n_categories, psi_micro).
+
+    Plan shape at 100 TB: each snapshot collapses to per-category
+    counts in ONE map-side aggregate; the union is a keyed full-outer
+    join of two aggregate-sized tables; totals are a one-row scalar
+    broadcast; output is one row. The snapshot_diff/association_mi
+    shape.
+    """
+    a = (spread(df_old).select(F.col(group_col).alias("g"))
+         .groupBy("g").agg(F.count(F.lit(1)).alias("a")))
+    b = (spread(df_new).select(F.col(group_col).alias("g"))
+         .groupBy("g").agg(F.count(F.lit(1)).alias("b")))
+    cells = (a.join(b, "g", "full_outer")
+             .select("g", F.coalesce("a", F.lit(0)).alias("a"),
+                     F.coalesce("b", F.lit(0)).alias("b")))
+    tot = cells.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"),
+                    F.count(F.lit(1)).alias("c"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "na", "nb", "c",
+            F.expr(
+                "(CAST(a AS DECIMAL(38,0)) + 1) * (nb + c) "
+                "- (CAST(b AS DECIMAL(38,0)) + 1) * (na + c)"
+            ).alias("d"),
+            F.expr(
+                "CAST(round(ln((CAST(a AS DOUBLE) + 1) * (nb + c) "
+                "/ ((CAST(b AS DOUBLE) + 1) * (na + c))) * 1e6) AS BIGINT)"
+            ).alias("t_micro"))
+        .agg(F.max("na").cast("long").alias("n_old"),
+             F.max("nb").cast("long").alias("n_new"),
+             F.max("c").cast("long").alias("n_categories"),
+             F.expr(
+                 "CAST(sum(d * t_micro) DIV ((max(na) + max(c)) "
+                 "* CAST(max(nb) + max(c) AS DECIMAL(38,0))) AS BIGINT)"
+             ).alias("psi_micro"))
+    )
+
+
+def sql_psi_drift(old_sql: str, new_sql: str,
+                  group_col: str = "source") -> str:
+    """DuckDB oracle for :func:`psi_drift` — same smoothing, same
+    per-cell micro-rounded ln, same exact combination."""
+    return f"""
+WITH a AS (
+  SELECT {group_col} AS g, CAST(count(*) AS BIGINT) AS a
+  FROM ({old_sql}) GROUP BY 1
+), b AS (
+  SELECT {group_col} AS g, CAST(count(*) AS BIGINT) AS b
+  FROM ({new_sql}) GROUP BY 1
+), cells AS (
+  SELECT COALESCE(a.g, b.g) AS g, COALESCE(a.a, 0) AS a,
+         COALESCE(b.b, 0) AS b
+  FROM a FULL OUTER JOIN b ON a.g = b.g
+), tot AS (
+  SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb,
+         CAST(count(*) AS BIGINT) AS c
+  FROM cells
+), term AS (
+  SELECT na, nb, c,
+         (CAST(a AS HUGEINT) + 1) * (nb + c)
+           - (CAST(b AS HUGEINT) + 1) * (na + c) AS d,
+         CAST(round(ln((CAST(a AS DOUBLE) + 1) * (nb + c)
+              / ((CAST(b AS DOUBLE) + 1) * (na + c))) * 1e6) AS BIGINT)
+           AS t_micro
+  FROM cells CROSS JOIN tot
+)
+SELECT CAST(max(na) AS BIGINT) AS n_old,
+       CAST(max(nb) AS BIGINT) AS n_new,
+       CAST(max(c) AS BIGINT) AS n_categories,
+       CAST(sum(d * t_micro)
+            // ((max(na) + max(c)) * CAST(max(nb) + max(c) AS HUGEINT))
+            AS BIGINT) AS psi_micro
+FROM term
+"""

@@ -2779,3 +2779,59 @@ def test_time_weighted_average_matches_plain_python_reference(spark):
     assert got == want
     assert got["c"][3] == 42_000_000   # single observation
     assert got["b"][3] == -7_000_000   # negative area: (-7·3)/3 exact
+
+
+def test_quantile_bucket_matches_plain_python_ntile(spark):
+    """Equal-frequency buckets recomputed definitionally as NTILE(k):
+    sizes differ by at most one, ties broken by id, bucket =
+    (rank−1)·k DIV N + 1 — including N not divisible by k."""
+    from eventstore_spark.operators.stats import quantile_bucket
+
+    rows = [(i, (i * 7) % 5) for i in range(23)]   # heavy ties, N=23
+    df = spark.createDataFrame(
+        [(i, "t", "en", "s", v) for i, v in rows],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r.doc_id: (r.rank, r.bucket)
+           for r in quantile_bucket(df, "n_chars", k=4).collect()}
+
+    order = sorted((v, i) for i, v in rows)
+    n = len(order)
+    want = {i: (pos, (pos - 1) * 4 // n + 1)
+            for pos, (v, i) in enumerate(order, start=1)}
+    assert got == want
+    from collections import Counter
+    sizes = Counter(b for _, b in got.values())
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_psi_drift_matches_plain_python_reference(spark):
+    """PSI recomputed definitionally with the same add-one smoothing
+    over the category union and per-cell micro-rounded ln — including
+    a category present on only one side, and PSI(x, x) == 0."""
+    import math
+
+    from eventstore_spark.operators.stats import psi_drift
+
+    old = ["web"] * 50 + ["books"] * 30 + ["code"] * 20
+    new = ["web"] * 70 + ["books"] * 10 + ["wiki"] * 5
+    df_o = spark.createDataFrame([(s,) for s in old], "source string")
+    df_n = spark.createDataFrame([(s,) for s in new], "source string")
+    r = psi_drift(df_o, df_n, "source").collect()[0]
+
+    from collections import Counter
+    ca, cb = Counter(old), Counter(new)
+    cats = sorted(set(ca) | set(cb))
+    na, nb, c = len(old), len(new), len(cats)
+    s = 0
+    for g in cats:
+        a, b = ca.get(g, 0), cb.get(g, 0)
+        d = (a + 1) * (nb + c) - (b + 1) * (na + c)
+        t = round(math.log((a + 1) * (nb + c)
+                           / ((b + 1) * (na + c))) * 1e6)
+        s += d * t
+    want = s // ((na + c) * (nb + c))
+    assert (r.n_old, r.n_new, r.n_categories) == (na, nb, 4)
+    assert r.psi_micro == want and r.psi_micro > 0
+
+    same = psi_drift(df_o, df_o, "source").collect()[0]
+    assert same.psi_micro == 0

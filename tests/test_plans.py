@@ -289,6 +289,12 @@ BNLJ_OK = {
     # under the one-row Brier aggregate (the classifier_calibration
     # shape)
     "classifier_brier",
+    # r13: percentile_rank's one-row N broadcast + the NTILE pass's own
+    # one-row N broadcast — both scalar-subquery shapes
+    "length_deciles",
+    # r13: ONE-ROW totals broadcast onto the aggregate-sized category
+    # union (the association_mi/chi2 shape)
+    "source_psi",
 }
 
 SF1_DIR = "/root/repo/.localdata/sf1"  # tools/gen_sf.py output
