@@ -471,7 +471,7 @@ def test_group_commit_isolates_per_append_errors(spark, tmp_path):
 
 def test_group_commit_soft_delete_recreate_in_group(spark, tmp_path):
     """The recreate path's metastream write joins the SAME group commit
-    (one file for stream rows + \$tb rewrite)."""
+    (one file for stream rows + $tb rewrite)."""
     path = str(tmp_path / "log")
     w = EventLogWriter(spark, path, group_commit_window_ms=30)
     w.append("s-1", [ProposedEvent("A")])
