@@ -938,6 +938,18 @@ def q_source_psi(spark, sf):
                      "source")
 
 
+def q_length_welch_t(spark, sf):
+    """Welch's t statistic between every language pair's length
+    distributions (new r13): ONE map-side (n, Σx, Σx²) aggregate +
+    the bounded group-pair inequality join (the ks_drift shape), one
+    double expression per output cell micro-rounded at the single
+    rounding site (stats.welch_t) — the parametric drift test next to
+    source_drift_ks and source_psi."""
+    from eventstore_spark.operators.stats import welch_t
+
+    return welch_t(_table(spark, sf, "documents"), "lang", "n_chars")
+
+
 def q_events_twa(spark, sf):
     """Per-user time-weighted average event value in cent-micros (new
     r13): ONE key-partitioned lead window + a map-side groupBy, exact
@@ -2964,6 +2976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_twa": q_events_twa,
         "length_deciles": q_length_deciles,
         "source_psi": q_source_psi,
+        "length_welch_t": q_length_welch_t,
     }
     # Round-13 rotation (VERDICT r12 task #1): the 35 entries whose
     # latest driver sample is round 9 (the exact set computed from the
@@ -2992,11 +3005,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-sampled (new in r13) --
         "source_lang_chi2", "classifier_brier", "events_sessions_detail",
         "cluster_balanced_sample", "events_twa",
-        "length_deciles", "source_psi",
+        "length_deciles", "source_psi", "length_welch_t",
         # -- sampled only once ever (r10), oldest 9 in registry order --
         "c4_quality", "dsir_select", "quality_sample",
         "contamination_semantic", "ccnet_buckets", "kmv_distinct",
-        "bpe_train", "bpe_apply",
+        "bpe_train",
     ]
     return {**{n: q[n] for n in head},
             **{n: fn for n, fn in q.items() if n not in set(head)}}
@@ -4099,6 +4112,9 @@ FROM grid g ASOF LEFT JOIN obs o
                                                   sql_quantile_bucket)
 
     sqls["length_deciles"] = sql_quantile_bucket("n_chars", k=10)
+    from eventstore_spark.operators.stats import sql_welch_t
+
+    sqls["length_welch_t"] = sql_welch_t("lang", "n_chars")
     sqls["source_psi"] = sql_psi_drift(
         old_sql="SELECT source FROM documents",
         new_sql="SELECT source FROM documents WHERE doc_id % 7 != 0")

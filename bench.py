@@ -103,6 +103,7 @@ SECONDARY = [
     "events_twa",
     "length_deciles",
     "source_psi",
+    "length_welch_t",
 ]
 
 

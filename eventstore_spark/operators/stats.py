@@ -1480,3 +1480,108 @@ SELECT CAST(max(na) AS BIGINT) AS n_old,
             AS BIGINT) AS psi_micro
 FROM term
 """
+
+
+def welch_t(df: DataFrame, group_col: str = "lang",
+            value_col: str = "n_chars") -> DataFrame:
+    """Welch's unequal-variance t statistic between every pair of
+    groups' value distributions — the parametric sibling of
+    :func:`ks_drift` (mean-shift drift with a significance-ready
+    statistic; Welch 1947) and the continuous complement of
+    :func:`psi_drift`.
+
+    For groups a, b with counts n, exact integer sums S1 = Σx and
+    S2 = Σx² (DECIMAL(38,0) — x² ≤ 1e12-squared rows still fit):
+
+      mean = S1/n,  var = (n·S2 − S1²) / (n·(n−1))
+      t    = (mean_a − mean_b) / sqrt(var_a/n_a + var_b/n_b)
+      df   = (var_a/n_a + var_b/n_b)² /
+             ((var_a/n_a)²/(n_a−1) + (var_b/n_b)²/(n_b−1))
+
+    Determinism: every double derives from the SAME exact-integer
+    aggregates through the SAME expression text in both engines, and
+    t/df micro-round at the end — one rounding site per output cell.
+    Pairs where either side has n < 2 (variance undefined) are
+    omitted. Returns (g_a, g_b, n_a, n_b, mean_a_micro, mean_b_micro,
+    t_micro, df_micro) for every g_a < g_b.
+
+    Plan shape at 100 TB: the corpus collapses to per-group
+    (n, S1, S2) in ONE map-side aggregate; pair expansion is the
+    bounded inequality join over the per-group TOTALS table (groups
+    are dozens — the ks_drift shape); output is pairs-sized.
+    """
+    g = (spread(df)
+         .select(F.col(group_col).alias("g"),
+                 F.col(value_col).cast("long").alias("x"))
+         .where(F.col("x").isNotNull())
+         .groupBy("g")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("s1"),
+              F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("s2"))
+         .where(F.col("n") >= 2))
+    a = g.select(F.col("g").alias("g_a"), F.col("n").alias("na"),
+                 F.col("s1").alias("s1a"), F.col("s2").alias("s2a"))
+    b = g.select(F.col("g").alias("g_b"), F.col("n").alias("nb"),
+                 F.col("s1").alias("s1b"), F.col("s2").alias("s2b"))
+    stat = (
+        "CAST(s1a AS DOUBLE) / na", "CAST(s1b AS DOUBLE) / nb",
+        "(CAST(na AS DOUBLE) * s2a - CAST(s1a AS DOUBLE) * s1a) "
+        "/ (CAST(na AS DOUBLE) * (na - 1)) / na",
+        "(CAST(nb AS DOUBLE) * s2b - CAST(s1b AS DOUBLE) * s1b) "
+        "/ (CAST(nb AS DOUBLE) * (nb - 1)) / nb",
+    )
+    ma, mb, sea, seb = stat
+    return (
+        a.join(b, F.col("g_a") < F.col("g_b"))
+        .select(
+            "g_a", "g_b",
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.expr(f"CAST(round(({ma}) * 1e6) AS BIGINT)")
+            .alias("mean_a_micro"),
+            F.expr(f"CAST(round(({mb}) * 1e6) AS BIGINT)")
+            .alias("mean_b_micro"),
+            F.expr(
+                f"CAST(round((({ma}) - ({mb})) / sqrt(({sea}) + ({seb}))"
+                f" * 1e6) AS BIGINT)").alias("t_micro"),
+            F.expr(
+                f"CAST(round((({sea}) + ({seb})) * (({sea}) + ({seb}))"
+                f" / ((({sea}) * ({sea})) / (na - 1)"
+                f" + (({seb}) * ({seb})) / (nb - 1)) * 1e6) AS BIGINT)"
+            ).alias("df_micro"))
+    )
+
+
+def sql_welch_t(group_col: str = "lang", value_col: str = "n_chars",
+                table: str = "documents") -> str:
+    """DuckDB oracle for :func:`welch_t` — same exact-integer
+    aggregates, same expression text, same single rounding site."""
+    ma = "CAST(s1a AS DOUBLE) / na"
+    mb = "CAST(s1b AS DOUBLE) / nb"
+    sea = ("(CAST(na AS DOUBLE) * s2a - CAST(s1a AS DOUBLE) * s1a) "
+           "/ (CAST(na AS DOUBLE) * (na - 1)) / na")
+    seb = ("(CAST(nb AS DOUBLE) * s2b - CAST(s1b AS DOUBLE) * s1b) "
+           "/ (CAST(nb AS DOUBLE) * (nb - 1)) / nb")
+    return f"""
+WITH g AS (
+  SELECT {group_col} AS g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST({value_col} AS HUGEINT)) AS HUGEINT) AS s1,
+         CAST(sum(CAST({value_col} AS HUGEINT) * {value_col}) AS HUGEINT)
+           AS s2
+  FROM {table} WHERE {value_col} IS NOT NULL
+  GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT a.g AS g_a, b.g AS g_b,
+       na AS n_a, nb AS n_b,
+       CAST(round(({ma}) * 1e6) AS BIGINT) AS mean_a_micro,
+       CAST(round(({mb}) * 1e6) AS BIGINT) AS mean_b_micro,
+       CAST(round((({ma}) - ({mb})) / sqrt(({sea}) + ({seb})) * 1e6)
+            AS BIGINT) AS t_micro,
+       CAST(round((({sea}) + ({seb})) * (({sea}) + ({seb}))
+            / ((({sea}) * ({sea})) / (na - 1)
+            + (({seb}) * ({seb})) / (nb - 1)) * 1e6) AS BIGINT)
+         AS df_micro
+FROM (SELECT g, n AS na, s1 AS s1a, s2 AS s2a FROM g) a
+JOIN (SELECT g, n AS nb, s1 AS s1b, s2 AS s2b FROM g) b
+  ON a.g < b.g
+"""

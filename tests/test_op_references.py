@@ -2835,3 +2835,41 @@ def test_psi_drift_matches_plain_python_reference(spark):
 
     same = psi_drift(df_o, df_o, "source").collect()[0]
     assert same.psi_micro == 0
+
+
+def test_welch_t_matches_plain_python_reference(spark):
+    """Welch's t and df recomputed definitionally from plain-Python
+    means/variances — including an n=1 group that must be OMITTED and
+    a clearly shifted pair with a negative t in the (a < b) order."""
+    import math
+
+    from eventstore_spark.operators.stats import welch_t
+
+    groups = {"en": [100, 110, 120, 130, 90],
+              "fr": [200, 210, 190, 205],
+              "xx": [42]}  # n < 2: variance undefined -> omitted
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+    got = {(r.g_a, r.g_b): (r.n_a, r.n_b, r.mean_a_micro, r.t_micro,
+                            r.df_micro)
+           for r in welch_t(df, "lang", "n_chars").collect()}
+
+    def stats(vs):
+        n = len(vs)
+        m = sum(vs) / n
+        var = sum((v - m) ** 2 for v in vs) / (n - 1)
+        return n, m, var
+
+    want = {}
+    for ga, gb in [("en", "fr")]:
+        na, ma, va = stats(groups[ga])
+        nb, mb, vb = stats(groups[gb])
+        se = va / na + vb / nb
+        t = (ma - mb) / math.sqrt(se)
+        dof = se * se / ((va / na) ** 2 / (na - 1)
+                         + (vb / nb) ** 2 / (nb - 1))
+        want[(ga, gb)] = (na, nb, round(ma * 1e6), round(t * 1e6),
+                          round(dof * 1e6))
+    assert got == want
+    assert ("en", "xx") not in got and ("fr", "xx") not in got
+    assert got[("en", "fr")][3] < 0  # en mean < fr mean

@@ -295,6 +295,9 @@ BNLJ_OK = {
     # r13: ONE-ROW totals broadcast onto the aggregate-sized category
     # union (the association_mi/chi2 shape)
     "source_psi",
+    # r13: the group-pair inequality join over the per-group TOTALS
+    # table (groups are dozens — the source_drift_ks shape)
+    "length_welch_t",
 }
 
 SF1_DIR = "/root/repo/.localdata/sf1"  # tools/gen_sf.py output
