@@ -2873,3 +2873,65 @@ def test_welch_t_matches_plain_python_reference(spark):
     assert got == want
     assert ("en", "xx") not in got and ("fr", "xx") not in got
     assert got[("en", "fr")][3] < 0  # en mean < fr mean
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 500)),
+                min_size=1, max_size=30),
+       st.sampled_from([1, 7, 50, 100]))
+def test_session_spans_hypothesis_random_series(spark, rows, gap):
+    """Random keyed series: session_spans equals the plain-Python
+    splitter (strict gap > G) for arbitrary data and gap widths,
+    including duplicate timestamps."""
+    from eventstore_spark.operators.temporal import session_spans
+
+    df = spark.createDataFrame(rows, "k long, ts long")
+    got = sorted((r.k, r.session_start, r.session_last, r.n_events)
+                 for r in session_spans(df, ["k"], "ts", gap=gap).collect())
+
+    want = []
+    for k in sorted({k for k, _ in rows}):
+        tss = sorted(t for kk, t in rows if kk == k)
+        start = prev = tss[0]
+        n = 1
+        for t in tss[1:]:
+            if t - prev > gap:
+                want.append((k, start, prev, n))
+                start, n = t, 0
+            prev = t
+            n += 1
+        want.append((k, start, prev, n))
+    assert got == sorted(want)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 300),
+                          st.integers(-50, 50)),
+                min_size=1, max_size=25))
+def test_time_weighted_average_hypothesis(spark, rows):
+    """Random keyed series (unique per (key, ts) — the documented
+    contract): TWA equals the plain-Python floor(Σ v·Δt·1e6 / span),
+    negative values included."""
+    import math
+
+    from eventstore_spark.operators.temporal import time_weighted_average
+
+    rows = list({(k, t): (k, t, v) for k, t, v in rows}.values())
+    df = spark.createDataFrame(rows, "k long, ts long, v long")
+    got = {r.k: (r.t_first, r.t_last, r.n_obs, r.twa_micro)
+           for r in time_weighted_average(df, ["k"], "ts", "v").collect()}
+
+    want = {}
+    for k in {k for k, _, _ in rows}:
+        pts = sorted((t, v) for kk, t, v in rows if kk == k)
+        span = pts[-1][0] - pts[0][0]
+        if span == 0:
+            twa = pts[-1][1] * 1_000_000
+        else:
+            area = sum(v * (pts[i + 1][0] - t)
+                       for i, (t, v) in enumerate(pts[:-1]))
+            twa = math.floor(area * 1_000_000 / span)
+        want[k] = (pts[0][0], pts[-1][0], len(pts), twa)
+    assert got == want
