@@ -35,37 +35,52 @@ def exact_quantiles(df: DataFrame, value_col: str,
 
     Returns (q_pct, value), one row per requested percentile.
 
-    Plan shape at 100 TB:
+    Plan shape at 100 TB — exactly THREE passes over the input, nothing
+    corpus-sized ever sorts globally or collects:
 
-    * phase 1 — one scan builds a ``buckets``-bin histogram (map-side
-      combined groupBy on the bin; min/max/N is a one-row scalar
-      broadcast, the bm25 shape). Cumulative offsets run over ≤
-      ``buckets`` rows — bounded by construction, never corpus-sized.
-    * phase 2 — each target rank lands in exactly one bin; only rows of
-      the hit bins are re-ranked, with a window KEYED by bin (each bin
-      holds ~N/buckets rows — at 1e12 rows and 1024 bins that is still
-      a billion-row bin, so raise ``buckets`` with N; the bin count is
-      the explicit knob trading histogram size for bin width).
+    * pass 1 — the bounds sketch (one ``percentile_approx`` aggregate),
+      shipped as a one-row broadcast; it is evaluated once because both
+      downstream uses consume the SAME broadcast exchange.
+    * pass 2 — one scan builds a ``buckets``-bin histogram (map-side
+      combined groupBy on the bin). Cumulative offsets AND the total N
+      come from one window over ≤ ``buckets`` rows — bounded by
+      construction; N is NOT a separate corpus aggregate (the pre-r13opt
+      form re-scanned the input for it, and again for each of the two
+      uses of the rank→bin hit table — six corpus passes in the
+      physical plan where three suffice, confirmed by plan diff).
+    * pass 3 — each target rank lands in exactly one bin; only rows of
+      the hit bins are re-ranked, with a window KEYED by (bin, target)
+      (each bin holds ~N/buckets rows — at 1e12 rows and 1024 bins that
+      is still a billion-row bin, so raise ``buckets`` with N; the bin
+      count is the explicit knob trading histogram size for bin width).
+      The ≤|qs|-row hit table broadcasts into ONE inner join — the
+      row_number is partitioned by (b, q_pct) so a bin hit by several
+      targets ranks each target's copy independently (identical ranks:
+      the order statistic of a multiset does not depend on tie order).
 
     The value itself is compared, never arithmetically combined, so
     DOUBLE columns are exact across engines. Bin assignment is internal
     (any binning yields the same final answer); only the rank
     definition is part of the contract. The bin bounds are the
     approximate [1/buckets, 1−1/buckets] quantiles (one
-    ``percentile_approx`` sketch in the same stats aggregate, r13) with
-    under/overflow buckets at the edges — equi-width over the raw
-    [min, max] lets one sentinel outlier collapse every real value into
-    a single bin, turning the phase-2 re-rank into a corpus-sized
-    single-task sort.
+    ``percentile_approx`` sketch, r13) with under/overflow buckets at
+    the edges — equi-width over the raw [min, max] lets one sentinel
+    outlier collapse every real value into a single bin, turning the
+    phase-2 re-rank into a corpus-sized single-task sort.
+
+    (r13-opt) No ``spread``: the per-row work here is a cast and one
+    CASE — far below the cost of a round-robin exchange of the corpus,
+    and ``spread`` on a DERIVED input (mad_outliers/skew_report call
+    this on aggregate outputs) is always a pure-overhead exchange
+    because ``inputFiles()`` reports the leaf files of any plan.
     """
     buckets = max(int(buckets), 3)
     frac = 1.0 / buckets
-    v = spread(df).select(F.col(value_col).cast("double").alias("v")).where(
+    v = df.select(F.col(value_col).cast("double").alias("v")).where(
         F.col("v").isNotNull())
     stats = v.agg(
-        F.count(F.lit(1)).alias("n"),
         F.percentile_approx("v", [frac, 1.0 - frac], 10000).alias("qb"),
-    ).select("n", F.element_at("qb", 1).alias("qlo"),
+    ).select(F.element_at("qb", 1).alias("qlo"),
              F.element_at("qb", 2).alias("qhi"))
     binned = v.crossJoin(F.broadcast(stats)).select(
         "v",
@@ -79,34 +94,33 @@ def exact_quantiles(df: DataFrame, value_col: str,
                         / (F.col("qhi") - F.col("qlo"))).cast("int"),
             ) + 1,
         ).otherwise(F.lit(1)).alias("b"),
-        "n",
     )
     hist = binned.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding,
                                         Window.currentRow)
-    # cumulative offsets over <= `buckets` rows — bounded by construction
+    wn = Window.orderBy("b").rowsBetween(Window.unboundedPreceding,
+                                         Window.unboundedFollowing)
+    # cumulative offsets AND total N over <= `buckets` rows — bounded by
+    # construction; deriving N here keeps the corpus subtree out of the
+    # target-rank arithmetic entirely.
     offs = hist.select(
-        "b", "cnt", (F.sum("cnt").over(w) - F.col("cnt")).alias("lo"))
-    targets = (
-        stats.select("n")
-        .select(F.explode(F.array(*[F.lit(int(q)) for q in qs])).alias("q_pct"),
-                "n")
-        .select("q_pct",
-                F.expr("(q_pct * n + 99) div 100").cast("long").alias("rk"))
-    )
+        "b", "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("lo"),
+        F.sum("cnt").over(wn).alias("n"))
     hit = (
-        targets.crossJoin(F.broadcast(offs))
+        offs.select(
+            "b", "cnt", "lo",
+            F.explode(F.array(*[F.lit(int(q)) for q in qs])).alias("q_pct"),
+            "n")
+        .withColumn("rk", F.expr("(q_pct * n + 99) div 100").cast("long"))
         .where((F.col("rk") > F.col("lo"))
                & (F.col("rk") <= F.col("lo") + F.col("cnt")))
         .select("q_pct", "b", (F.col("rk") - F.col("lo")).alias("k"))
     )
-    wb = Window.partitionBy("b").orderBy("v")
-    ranked = (
-        binned.join(F.broadcast(hit.select("b").distinct()), "b", "left_semi")
-        .withColumn("rn", F.row_number().over(wb))
-    )
+    wb = Window.partitionBy("b", "q_pct").orderBy("v")
     return (
-        ranked.join(F.broadcast(hit), "b")
+        binned.join(F.broadcast(hit), "b")
+        .withColumn("rn", F.row_number().over(wb))
         .where(F.col("rn") == F.col("k"))
         .select("q_pct", "v")
         .groupBy("q_pct").agg(F.min("v").alias("value"))
