@@ -2712,11 +2712,23 @@ def tokenizer_fertility(docs: DataFrame, merges: int = 4,
     counts overflow BIGINT·1e6 at the 100-TB target — the kn_perplexity
     class) and 0 on empty denominators.
 
-    Scale shape: tokenization is the :func:`bpe_apply` codegen fold —
-    ONE shuffle-free scan with the merge table inlined as literals —
-    followed by a single map-side-combined groupBy over ``group_col``
-    (cardinality = languages). Training collects only ``merges`` driver
-    rows (the trained-IVF pattern).
+    Scale shape (r13-opt): the corpus collapses to (group, word) counts
+    in ONE map-side-combined explode+groupBy — the only corpus-sized
+    pass — and the chained merge fold (the expensive expression: one
+    ``aggregate`` per trained merge over each word's symbol array) runs
+    ONCE PER DISTINCT (group, word) instead of once per token
+    occurrence; occurrence counts weight the exact integer sums, so
+    Σ_tokens size(syms(tok)) ≡ Σ_vocab cnt·size(syms(w)) by
+    associativity. On Zipfian text the vocabulary is orders of
+    magnitude smaller than the token stream (sf0.1: ~505k occurrences
+    vs ~15k distinct (lang, word) rows — a 34× cut in fold
+    evaluations), and the shuffle moving (group, word) pairs is narrow
+    — the §8 "decide on small rows" trade, here "fold on distinct
+    rows". Per-group totals then aggregate over vocabulary-sized rows;
+    ``n_docs`` comes from a separate lang-column-only scan of the docs
+    table (column-pruned parquet, no text decoded) null-safe-joined to
+    the token sums. Training collects only ``merges`` driver rows (the
+    trained-IVF pattern).
     """
     if merge_table is None:
         merge_table = [
@@ -2725,25 +2737,36 @@ def tokenizer_fertility(docs: DataFrame, merges: int = 4,
             .orderBy("step").collect()
         ]
     toks = F.filter(X.tokens(F.col(text_col)), lambda t: t != "")
-    per_doc = spread(docs).select(
-        F.col(group_col).alias("lang"),
-        F.size(toks).cast("long").alias("w"),
-        F.aggregate(F.transform(toks, F.length),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x).alias("ch"),
-        F.aggregate(
-            F.transform(
-                toks, lambda t: F.size(_bpe_word_symbols(t, merge_table))),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("tk"),
+    vocab = (
+        spread(docs)
+        .select(F.col(group_col).alias("lang"), F.explode(toks).alias("w"))
+        .groupBy("lang", "w").agg(F.count(F.lit(1)).alias("cnt"))
     )
+    sums = (
+        vocab.select(
+            "lang",
+            "cnt",
+            (F.col("cnt") * F.length("w")).alias("ch"),
+            (F.col("cnt")
+             * F.size(_bpe_word_symbols(F.col("w"), merge_table))).alias("tk"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("cnt").cast("long").alias("n_words"),
+             F.sum("ch").cast("long").alias("n_chars"),
+             F.sum("tk").cast("long").alias("n_bpe_tokens"))
+    )
+    ndocs = docs.groupBy(F.col(group_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"))
     return (
-        per_doc.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"),
-             F.sum("w").alias("n_words"),
-             F.sum("ch").alias("n_chars"),
-             F.sum("tk").alias("n_bpe_tokens"))
+        ndocs.join(sums, ndocs.lang.eqNullSafe(sums.lang), "left")
+        .select(
+            ndocs.lang.alias("lang"),
+            "n_docs",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).cast("long")
+            .alias("n_bpe_tokens"),
+        )
         .select(
             "lang", "n_docs", "n_words", "n_chars", "n_bpe_tokens",
             F.expr("CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT) "
