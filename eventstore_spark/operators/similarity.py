@@ -2540,63 +2540,88 @@ def kcenter_select(embeddings: DataFrame, k: int = 8, dim: int = 64,
     norms — BIGINT-safe; ALL comparisons are integer, so argmax/argmin
     (with id tie-breaks) are bit-identical in both engines.
 
-    Plan shape at 100 TB: per round ONE codegen scan computes min-dist
-    to the chosen set as a LITERAL expression chain (the PQ-LUT shape —
-    no join, no shuffle) and TakeOrdered(1) picks the farthest point;
-    the driver holds only the k×dim chosen matrix (the trained-IVF
-    model-collection pattern). Final assignment is one more literal
-    scan. k rounds = k scans, embarrassingly scan-bound.
+    Plan shape at 100 TB (r13-opt): the running nearest-center state
+    (d2, cid) is MAINTAINED as a column — each round folds exactly ONE
+    new center's literal d2 expression into it via a struct `least`
+    (struct order = (d2, cid), so equal distances keep the lowest
+    center id, bit-identical to the old array_min-of-structs
+    assignment) over the previous round's cached frame, and
+    TakeOrdered(1) on the maintained distance picks the farthest
+    point. Total compute is O(k·dim·N): the pre-r13opt form recomputed
+    the FULL min-distance chain to all t chosen centers every round —
+    O(k²·dim·N) — and then paid one more k×dim-term assignment scan at
+    the end; the final round's frame already IS the assignment, so
+    that scan is gone. The driver still holds only the k×dim chosen
+    matrix (the trained-IVF model-collection pattern); each round's
+    cache is evicted as soon as the next round materializes. No
+    ``spread``: quantization is one cast per component, far below a
+    round-robin exchange of the corpus; scan partitioning follows the
+    input.
 
     Reference parity note: the reference engine has no selection
     surface; extends the embedding-pipeline family (SURVEY §2, next to
     kmeans/semantic_dedup).
     """
-    q = (
-        spread(embeddings)
-        .select(F.col(id_col).alias("vec_id"),
-                F.expr(_quantize_sql(vec_col)).alias("q"))
-        .cache()
-    )
-    try:
-        first = q.orderBy("vec_id").limit(1).collect()
-        if not first:
-            return q.select("vec_id", F.lit(0).cast("long").alias("center_id"),
-                            F.lit(0).cast("long").alias("d2"))
-        chosen = [(int(first[0]["vec_id"]), [int(x) for x in first[0]["q"]])]
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(_quantize_sql(vec_col)).alias("q"))
 
-        def d2_sql(c: list[int]) -> str:
-            return " + ".join(
-                f"(element_at(q, {j + 1}) - {c[j]}L) "
-                f"* (element_at(q, {j + 1}) - {c[j]}L)"
-                for j in range(dim))
+    def d2_sql(c: list[int]) -> str:
+        return " + ".join(
+            f"(element_at(q, {j + 1}) - {c[j]}L) "
+            f"* (element_at(q, {j + 1}) - {c[j]}L)"
+            for j in range(dim))
+
+    cached = []
+    try:
+        cur = base.cache()
+        cached.append(cur)
+        first = cur.orderBy("vec_id").limit(1).collect()
+        if not first:
+            return cur.select("vec_id",
+                              F.lit(0).cast("long").alias("center_id"),
+                              F.lit(0).cast("long").alias("d2"))
+        cid0 = int(first[0]["vec_id"])
+        cq0 = [int(x) for x in first[0]["q"]]
+        cur = cur.select(
+            "vec_id", "q",
+            F.struct(
+                F.expr(f"CAST({d2_sql(cq0)} AS BIGINT)").alias("d2"),
+                F.lit(cid0).cast("long").alias("cid"),
+            ).alias("best")).cache()
+        cached.append(cur)
 
         for _ in range(k - 1):
-            mind = " , ".join(f"({d2_sql(c)})" for _, c in chosen)
             far = (
-                q.select("vec_id", "q",
-                         F.expr(f"least({mind})" if len(chosen) > 1
-                                else mind).alias("md"))
-                .orderBy(F.col("md").desc(), "vec_id")
-                .limit(1)
-                .collect()
+                cur.orderBy(F.col("best.d2").desc(), "vec_id")
+                .limit(1).collect()
             )
             r = far[0]
-            if int(r["md"]) == 0:
+            if int(r["best"]["d2"]) == 0:
                 break  # every point already coincides with a center
-            chosen.append((int(r["vec_id"]), [int(x) for x in r["q"]]))
+            cid = int(r["vec_id"])
+            cq = [int(x) for x in r["q"]]
+            cur = cur.select(
+                "vec_id", "q",
+                F.least(
+                    F.col("best"),
+                    F.struct(
+                        F.expr(f"CAST({d2_sql(cq)} AS BIGINT)").alias("d2"),
+                        F.lit(cid).cast("long").alias("cid"),
+                    ),
+                ).alias("best")).cache()
+            cached.append(cur)
+            if len(cached) > 2:  # keep the newest two live, evict the rest
+                cached.pop(0).unpersist()
 
-        structs = ", ".join(
-            f"named_struct('d2', CAST({d2_sql(c)} AS BIGINT), "
-            f"'cid', CAST({cid}L AS BIGINT))"
-            for cid, c in chosen)
-        best = f"array_min(array({structs}))"
-        return q.select(
+        return cur.select(
             "vec_id",
-            F.expr(f"{best}.cid").alias("center_id"),
-            F.expr(f"{best}.d2").alias("d2"),
+            F.col("best.cid").alias("center_id"),
+            F.col("best.d2").alias("d2"),
         )
     finally:
-        q.unpersist()
+        for c in cached:
+            c.unpersist()
 
 
 def sql_kcenter_select(k: int = 8, dim: int = 64,
