@@ -1908,12 +1908,28 @@ def q_supplier_volume(spark, sf):
 
 
 def q_top_order_per_customer(spark, sf):
+    """Top order per customer as a MAP-SIDE-COMBINED max aggregate
+    (r13-opt): max of the (o_totalprice, −o_orderkey) struct is exactly
+    the row_number()=1 row of the (price DESC, orderkey ASC) window —
+    lexicographic struct order, orderkey negated so ties pick the
+    lowest key. The window form shuffled every order row and sorted
+    each partition; the aggregate form partial-aggregates to one struct
+    per customer per map task before the exchange and never sorts
+    (guide: prefer partial aggregation over partition-sort windows)."""
     orders = _table(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    best = F.max(
+        F.struct(
+            F.col("o_totalprice"),
+            (-F.col("o_orderkey")).alias("_nk"),
+        )
+    ).alias("_best")
     return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", "o_totalprice")
+        orders.groupBy("o_custkey").agg(best)
+        .select(
+            "o_custkey",
+            (-F.col("_best._nk")).alias("o_orderkey"),
+            F.col("_best.o_totalprice").alias("o_totalprice"),
+        )
     )
 
 
