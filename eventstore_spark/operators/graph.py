@@ -197,16 +197,20 @@ def hits(edges: DataFrame, iterations: int = 2, base: int = 1_000_000,
     def _half_round(scores, key_in, key_out):
         """One HITS half-round: push `scores` along edges from key_in to
         key_out, then L1-rescale to parts-per-base. The raw-sum table is
-        referenced twice (total + rescale), so lineage is truncated per
-        half-round (localCheckpoint, O(nodes) rows) — without it each
-        half-round DOUBLES the replayed plan (the duplicate_clusters
-        iteration discipline)."""
+        referenced twice (total + rescale), so it is cached per
+        half-round (O(nodes) rows) — without it each half-round DOUBLES
+        the replayed plan. (r13-opt) A LAZY cache, not an eager
+        localCheckpoint: both give single evaluation of the shared
+        subtree, but the eager checkpoint forced one extra blocking job
+        per half-round (4 per run) where the cache materializes inside
+        the one consuming action — and a lost cached partition
+        recomputes where a lost checkpoint fails the job."""
         raw = (
             scores.withColumnRenamed("node", key_in)
             .join(e, key_in)
             .groupBy(F.col(key_out).alias("node"))
             .agg(F.sum("score").alias("raw"))
-            .localCheckpoint(eager=True)
+            .cache()
         )
         total = raw.agg(F.sum(F.col("raw").cast("decimal(38,0)")).alias("s"))
         scaled = raw.crossJoin(F.broadcast(total)).select(
