@@ -277,23 +277,29 @@ def train_ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
             .collect()
         )
         cents = [[int(x) for x in r["qvec"]] for r in seeds]
+        dim = len(cents[0])
         for _ in range(iters):
             assigned = base.withColumn(
                 "cell", F.expr(f"-array_max({_int_scored_sql('qvec', cents)}).nid")
             )
+            # one wide map-side-combined aggregate per round (r13-opt):
+            # the posexplode → groupBy(cell, pos) form pushed dim·N
+            # exploded rows through the aggregate plus a (cell, pos)
+            # exchange to produce what is n_centroids × (dim + 1) cells
             sums = (
-                assigned.select("cell", F.posexplode("qvec").alias("pos", "comp"))
-                .groupBy("cell", "pos")
-                .agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("n"))
+                assigned.groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     *[F.sum(F.element_at("qvec", p + 1)).alias(f"s{p}")
+                       for p in range(dim)])
                 .collect()
             )
-            acc: dict[int, dict[int, tuple]] = {}
-            for r in sums:
-                acc.setdefault(int(r["cell"]), {})[int(r["pos"])] = (
-                    int(r["s"]), int(r["n"]),
-                )
+            acc = {
+                int(r["cell"]): (int(r["n"]),
+                                 [int(r[f"s{p}"]) for p in range(dim)])
+                for r in sums
+            }
             cents = [
-                [acc[c][p][0] // acc[c][p][1] for p in range(len(cents[c]))]
+                [acc[c][1][p] // acc[c][0] for p in range(len(cents[c]))]
                 if c in acc else cents[c]
                 for c in range(len(cents))
             ]
@@ -1115,8 +1121,13 @@ def train_pq_codebooks(embeddings: DataFrame, m: int = 8, k: int = 16,
                 for s in range(m)
             ]
             assigned = base.select("qvec", *cols)
+            # explode ONLY the subspace level (m rows per vector), then
+            # one wide map-side-combined aggregate of the d component
+            # sums per (sub, code) — the former second posexplode pushed
+            # m·d·N rows through the aggregate plus a (sub, code, pos)
+            # exchange to produce what is m·k aggregate cells (r13-opt)
             parts = assigned.select(
-                F.posexplode(
+                F.explode(
                     F.array(*[
                         F.struct(
                             F.lit(s).alias("sub"),
@@ -1125,18 +1136,21 @@ def train_pq_codebooks(embeddings: DataFrame, m: int = 8, k: int = 16,
                         )
                         for s in range(m)
                     ])
-                ).alias("_i", "p")
-            ).select("p.sub", "p.code", F.posexplode("p.sub_v").alias("pos", "comp"))
+                ).alias("p")
+            ).select("p.sub", "p.code", "p.sub_v")
             sums = (
-                parts.groupBy("sub", "code", "pos")
-                .agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("n"))
+                parts.groupBy("sub", "code")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     *[F.sum(F.element_at("sub_v", p + 1)).alias(f"s{p}")
+                       for p in range(d)])
                 .collect()
             )
             acc: dict[tuple, tuple] = {}
             for r in sums:
-                acc[(int(r["sub"]), int(r["code"]), int(r["pos"]))] = (
-                    int(r["s"]), int(r["n"]),
-                )
+                for p in range(d):
+                    acc[(int(r["sub"]), int(r["code"]), p)] = (
+                        int(r[f"s{p}"]), int(r["n"]),
+                    )
             books = [
                 [
                     [
