@@ -193,6 +193,16 @@ def _keyed_value_offsets(cnts: DataFrame, value: str,
     kl = list(keys)
     buckets = max(int(buckets), 3)
     frac = 1.0 / buckets
+    # (r13-opt) The input count table feeds THREE plan branches (the
+    # bounds sketch, the bucket totals, and the final per-value join) —
+    # left lazy, Spark re-evaluates its whole upstream per branch, and
+    # every caller here derives it with a corpus-sized aggregation
+    # (ks_drift's pair grid re-ran SEVEN corpus aggregations end to
+    # end). One lazy cache evaluates it once; it is aggregate-sized
+    # (per-distinct-value counts) and spills to disk if a continuous
+    # column makes it large — still strictly cheaper than recomputing
+    # the corpus aggregation per branch.
+    cnts = cnts.cache()
     stats = cnts.agg(
         F.percentile_approx(value, [frac, 1.0 - frac], 10000).alias("_qb")
     ).select(F.element_at("_qb", 1).alias("_qlo"),
@@ -273,7 +283,10 @@ def ks_drift(df: DataFrame, group_col: str = "lang",
     """
     base = spread(df).select(F.col(group_col).alias("g"),
                              F.col(value_col).cast("long").alias("x"))
-    cnts = base.groupBy("g", "x").agg(F.count(F.lit(1)).alias("c"))
+    # (r13-opt) the (g, x) count table feeds totals AND both pair-join
+    # sides — cache it so the corpus aggregation runs once, not three
+    # times (aggregate-sized; the pmi/minhash shared-subtree discipline)
+    cnts = base.groupBy("g", "x").agg(F.count(F.lit(1)).alias("c")).cache()
     totals = cnts.groupBy("g").agg(F.sum("c").alias("n"))
 
     g = totals.select("g", "n")
