@@ -21,13 +21,26 @@ def get_spark(app_name: str = "eventstore_spark", cpus: int | None = None) -> Sp
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
     master = f"local[{cpus}]" if cpus else "local[*]"
-    shuffle = str(max(cpus, 32))
+    # Shuffle parallelism is SCALE-DEPENDENT, so it is parameterised, not
+    # baked in (r13-opt): the local default max(cpus, 32) keeps the
+    # driver's bench comparable across core counts; a cluster deployment
+    # sets SPARK_GRAFT_SHUFFLE_PARTITIONS to its aggregate-core/input
+    # scale (e.g. 2-4x total cores at 100 TB) and AQE coalesces DOWN to
+    # the advisory partition size at runtime — AQE can merge small
+    # post-shuffle partitions but never split an initial count that was
+    # too low, so the initial number must come from the deployment, not
+    # from a constant tuned for local mode.
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") or str(max(cpus, 32))
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # post-shuffle partitions coalesce toward ~128 MB (guide §2.2's
+        # 100 MB-1 GB band); parallelismFirst stays at its default true,
+        # so tiny local shuffles still spread across cores first
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
