@@ -240,7 +240,12 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in _FEATURES_SCHEMA.fields])
 
-    return media.mapInPandas(run, _FEATURES_SCHEMA)
+    # project to exactly the columns the function reads BEFORE the Python
+    # boundary (r13-opt, guide §4): Spark cannot see inside mapInPandas,
+    # so without the select every media column (metadata struct included)
+    # would cross JVM→Arrow→Python per row
+    return media.select("media_id", "kind", "content").mapInPandas(
+        run, _FEATURES_SCHEMA)
 
 
 def exact_media_dedup(media: DataFrame) -> DataFrame:
@@ -309,7 +314,14 @@ def sample_frames(media: DataFrame,
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in _FRAMES_SCHEMA.fields])
 
-    return media.mapInPandas(run, _FRAMES_SCHEMA)
+    # non-video rows were shipped to Python only to be skipped there —
+    # filter kind JVM-side and prune to the read columns before the
+    # boundary (r13-opt, guide §4); the in-loop guard stays as defense
+    return (
+        media.where((F.col("kind") == "video") & F.col("content").isNotNull())
+        .select("media_id", "kind", "content", "meta")
+        .mapInPandas(run, _FRAMES_SCHEMA)
+    )
 
 
 _CHUNKS_SCHEMA = T.StructType(
@@ -349,7 +361,12 @@ def segment_audio(media: DataFrame, chunk_ms: int = 250) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in _CHUNKS_SCHEMA.fields])
 
-    return media.mapInPandas(run, _CHUNKS_SCHEMA)
+    # same boundary discipline as sample_frames (r13-opt, guide §4)
+    return (
+        media.where((F.col("kind") == "audio") & F.col("content").isNotNull())
+        .select("media_id", "kind", "content", "meta")
+        .mapInPandas(run, _CHUNKS_SCHEMA)
+    )
 
 
 _RESIZED_SCHEMA = T.StructType(
@@ -382,7 +399,12 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                 rows.append((r.media_id, width, height, token, token.hex()[:16]))
             yield pd.DataFrame(rows, columns=[f.name for f in _RESIZED_SCHEMA.fields])
 
-    return media.mapInPandas(run, _RESIZED_SCHEMA)
+    # same boundary discipline as sample_frames (r13-opt, guide §4)
+    return (
+        media.where((F.col("kind") == "image") & F.col("content").isNotNull())
+        .select("media_id", "kind", "content")
+        .mapInPandas(run, _RESIZED_SCHEMA)
+    )
 
 
 # JPEG SOFn marker codes that carry frame dimensions (ITU T.81 B.2.2):
