@@ -76,8 +76,16 @@ def exact_quantiles(df: DataFrame, value_col: str,
     """
     buckets = max(int(buckets), 3)
     frac = 1.0 / buckets
+    # (r13-opt) The projected value column feeds three plan branches
+    # (bounds sketch, histogram, hit-bin re-rank join); left lazy, each
+    # branch re-evaluates the WHOLE upstream — callers hand in derived
+    # corpus aggregations (skew_report's per-key counts) or broadcast-
+    # joined scans (mad_outliers' dev), so that is 3-4 corpus passes
+    # where one suffices. One lazy cache of the single-column
+    # projection (narrowest possible footprint, spills to disk)
+    # evaluates the input exactly once.
     v = df.select(F.col(value_col).cast("double").alias("v")).where(
-        F.col("v").isNotNull())
+        F.col("v").isNotNull()).cache()
     stats = v.agg(
         F.percentile_approx("v", [frac, 1.0 - frac], 10000).alias("qb"),
     ).select(F.element_at("qb", 1).alias("qlo"),
@@ -728,14 +736,19 @@ def mad_outliers(df: DataFrame, value_col: str, id_col: str = "doc_id",
     Reference parity note: extends the corpus-analytics family
     (SURVEY §2, next to exact_quantiles/ks_drift).
     """
+    # (r13-opt) base feeds the med quantile AND the dev construction;
+    # dev feeds the mad quantile AND the output fence. Left lazy the
+    # input re-scanned (and re-spread) once per branch — 7 corpus
+    # passes end to end in the physical plan. Two lazy caches (narrow
+    # (doc_id, v[, dev]) projections) cut that to ONE input scan.
     base = spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.col(value_col).cast("long").alias("v")).where(
-        F.col("v").isNotNull())
+        F.col("v").isNotNull()).cache()
     med = (exact_quantiles(base, "v", qs=(50,), buckets=buckets)
            .select(F.col("value").cast("long").alias("med")))
     dev = (base.crossJoin(F.broadcast(med))
-           .withColumn("dev", F.abs(F.col("v") - F.col("med"))))
+           .withColumn("dev", F.abs(F.col("v") - F.col("med")))).cache()
     mad = (exact_quantiles(dev, "dev", qs=(50,), buckets=buckets)
            .select(F.col("value").cast("long").alias("mad")))
     return (
@@ -891,20 +904,38 @@ def skew_report(df: DataFrame, key_cols: list[str],
                        (salt shards to bring the hottest key down to
                         ~mean size — the standard skew-join remedy)
 
-    Exact, aggregate-sized: per column one map-side keyed count, a
-    one-row stats aggregate, and :func:`exact_quantiles` over the
-    count-per-key table (bucket-histogram rank — the count table itself
-    can be corpus-sized when keys are near-unique, so no global sort
-    and no unpartitioned window touches it). DECIMAL(38,0) products.
+    Exact, aggregate-sized: ONE grouping-sets pass over the corpus
+    yields every column's count-per-key table (r13-opt — previously one
+    keyed corpus aggregate per column), then per column a one-row stats
+    aggregate and :func:`exact_quantiles` over that column's count
+    slice (bucket-histogram rank — the count table itself can be
+    corpus-sized when keys are near-unique, so no global sort and no
+    unpartitioned window touches it). DECIMAL(38,0) products.
 
     Reference parity note: operational diagnostics, no reference
     analog; next to concentration_report (SURVEY §2 stats family).
     """
     out = None
     base = spread(df)
+    # (r13-opt) ONE grouping-sets pass computes every audited column's
+    # per-key count table in a single corpus aggregation (Expand +
+    # map-side combine) instead of one corpus groupBy per column, and
+    # the ≤Σ|keys(col)|-row result is lazily cached: downstream each
+    # column consumes its slice in several plan branches (the stats
+    # aggregate + exact_quantiles), which previously re-ran the corpus
+    # aggregation per branch — 5 corpus passes per column where one
+    # total suffices. Only (grouping_id, count) is cached — the key
+    # values themselves never flow downstream.
+    n = len(key_cols)
+    gid_of = {col: (2 ** n - 1) - 2 ** (n - 1 - i)
+              for i, col in enumerate(key_cols)}
+    cnts_all = (
+        base.groupingSets([[c] for c in key_cols], *key_cols)
+        .agg(F.count(F.lit(1)).alias("c"), F.grouping_id().alias("_gid"))
+        .select("_gid", "c")
+    ).cache()
     for col in key_cols:
-        cnts = base.groupBy(F.col(col).alias("k")).agg(
-            F.count(F.lit(1)).alias("c"))
+        cnts = cnts_all.where(F.col("_gid") == gid_of[col]).select("c")
         stats = cnts.agg(
             F.count(F.lit(1)).cast("long").alias("n_keys"),
             F.max("c").cast("long").alias("max_count"),
