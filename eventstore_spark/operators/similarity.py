@@ -1899,6 +1899,10 @@ def ndcg_eval(embeddings: DataFrame, k: int = 10, sample_mod: int = 50,
     ).cache()
 
     wt = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    # (r13-opt) truth is consumed twice (the hits join and the n_truth
+    # aggregate); left lazy, the |corpus|×|Q| brute-force cosine scan —
+    # the dominant cost of the whole audit — runs TWICE. The cached
+    # result is |Q|·k rows.
     truth = (
         base.crossJoin(F.broadcast(q.select("query_id", "qvec")))
         .where(F.col("vec_id") != F.col("query_id"))
@@ -1906,7 +1910,7 @@ def ndcg_eval(embeddings: DataFrame, k: int = 10, sample_mod: int = 50,
         .withColumn("_r", F.row_number().over(wt))
         .where(F.col("_r") <= k)
         .select("query_id", "vec_id")
-    )
+    ).cache()
     approx = (
         q.hint("shuffle_hash")
         .join(assigned.hint("shuffle_hash"), "cell")
