@@ -474,7 +474,14 @@ def resample(reference: DataFrame, key_cols: list[str],
     declared output size; pick ``step`` accordingly (that knob is the
     operator's entire cost model).
     """
-    reference = spread(reference)
+    # (r13-opt) reference is consumed three times — the bounds
+    # aggregate (an EAGER collect), the distinct-keys grid seed, and
+    # the carry's union side; left lazy each one re-evaluates the whole
+    # upstream (the registry query derives it with a corpus-sized
+    # groupBy — three corpus aggregations where one suffices). One lazy
+    # cache materializes it inside the first action and the other two
+    # consumers read the cache.
+    reference = spread(reference).cache()
     if value_cols is None:
         value_cols = [c for c in reference.columns
                       if c not in key_cols and c != ref_ts]
