@@ -1249,7 +1249,10 @@ def winnowing_neardup(docs: DataFrame, n: int = 3, win: int = 4,
             .where(F.col("_df") <= max_df)
             .select("fp")
         )
-        uniq = uniq.join(keep, "fp", "left_semi")
+        # (r13-opt) the pruned posting list feeds BOTH pair-join sides;
+        # left lazy, the df aggregate + semi-join run twice over the
+        # cached uniq. Cache the (strictly smaller) pruned list too.
+        uniq = uniq.join(keep, "fp", "left_semi").cache()
     a = uniq.select(F.col("doc_id").alias("a"), "fp")
     b = uniq.select(F.col("doc_id").alias("b"), "fp")
     shared = (
