@@ -197,20 +197,25 @@ def hits(edges: DataFrame, iterations: int = 2, base: int = 1_000_000,
     def _half_round(scores, key_in, key_out):
         """One HITS half-round: push `scores` along edges from key_in to
         key_out, then L1-rescale to parts-per-base. The raw-sum table is
-        referenced twice (total + rescale), so it is cached per
+        referenced twice (total + rescale), so it is materialized per
         half-round (O(nodes) rows) — without it each half-round DOUBLES
-        the replayed plan. (r13-opt) A LAZY cache, not an eager
-        localCheckpoint: both give single evaluation of the shared
-        subtree, but the eager checkpoint forced one extra blocking job
-        per half-round (4 per run) where the cache materializes inside
-        the one consuming action — and a lost cached partition
-        recomputes where a lost checkpoint fails the job."""
+        the replayed plan. An EAGER localCheckpoint, deliberately not a
+        lazy cache (r13 measured both): the checkpoint TRUNCATES the
+        logical plan, and that truncation is load-bearing for this
+        chained loop — with a lazy cache the four half-rounds build one
+        deep plan whose per-round broadcast totals each re-optimize
+        their whole upstream at action time (interleaved A/B at sf0.1:
+        cache ~9-34 s per run vs checkpoint ~3.3-6 s; the bench
+        independently showed the cached form at 20 s). The blocking
+        driver job per half-round is the price of keeping planning
+        linear in rounds (guide §3.3: materialize to truncate very
+        large plans)."""
         raw = (
             scores.withColumnRenamed("node", key_in)
             .join(e, key_in)
             .groupBy(F.col(key_out).alias("node"))
             .agg(F.sum("score").alias("raw"))
-            .cache()
+            .localCheckpoint(eager=True)
         )
         total = raw.agg(F.sum(F.col("raw").cast("decimal(38,0)")).alias("s"))
         scaled = raw.crossJoin(F.broadcast(total)).select(

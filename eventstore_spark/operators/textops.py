@@ -546,24 +546,26 @@ def pmi_collocations(docs: DataFrame, k: int = 50, min_count: int = 5,
     staged = spread(docs).select(X.tokens(F.col(text_col)).alias("_toks"))
     # Both count tables feed TWO consumers each (their scalar total and
     # the scored join) — left lazy, the duplicated subtrees re-scan the
-    # corpus 4×. They are vocabulary-sized, so evaluate each once and
-    # reuse: the corpus is scanned exactly twice, everything downstream
-    # reads the materialized counts. Measured at sf1: 22.1 s → 5.6 s
-    # (eager localCheckpoint, r10); (r13-opt) a LAZY cache keeps that
-    # single evaluation but materializes inside the one consuming action
-    # instead of paying two extra blocking driver jobs up front
-    # (interleaved A/B at sf0.1: med 1.41 s → 1.24 s).
+    # corpus 4×. They are vocabulary-sized, so truncate lineage once
+    # (eager localCheckpoint): the corpus is scanned exactly twice,
+    # everything downstream reads the materialized counts. Measured at
+    # sf1: 22.1 s → 5.6 s (r10). A lazy cache was tried and reverted in
+    # r13: warm runs were a wash but the un-truncated plan's broadcast
+    # totals re-optimize their whole upstream at action time (cold run
+    # 23 s vs 3.8 s in the interleaved A/B, and the bench regressed
+    # 2.8 s → 4.5 s) — the checkpoint's plan truncation is the
+    # load-bearing part, as in graph.hits.
     uni = (
         staged.select(F.explode("_toks").alias("w"))
         .where(F.col("w") != "")
         .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     pc = (
         staged.select(F.explode(F.expr(X.SPARK_SQL_BIGRAMS)).alias("pair"))
         .where(F.col("pair") != " ")
         .groupBy("pair").agg(F.count(F.lit(1)).alias("n_pair"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     totals = (
         uni.agg(F.sum("c").alias("T"))
