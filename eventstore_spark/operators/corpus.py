@@ -2419,7 +2419,13 @@ def association_mi(df: DataFrame, a_col: str = "source",
     """
     base = spread(df).select(F.col(a_col).alias("a"),
                              F.col(b_col).alias("b"))
-    cells = base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nab"))
+    # (r13-opt) cells feeds FIVE plan branches (marginals ×2, total,
+    # term join, distinct-count dims — the dims read cells, not base:
+    # distinct a over the cells IS distinct a over the corpus); left
+    # lazy each branch re-ran the corpus aggregation. One lazy cache of
+    # the aggregate-sized cell table = one corpus pass.
+    cells = (base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nab"))
+             .cache())
     ma = cells.groupBy("a").agg(F.sum("nab").alias("na"))
     mb = cells.groupBy("b").agg(F.sum("nab").alias("nb"))
     tot = cells.agg(F.sum("nab").alias("n"))
@@ -2439,8 +2445,8 @@ def association_mi(df: DataFrame, a_col: str = "source",
             F.sum(F.expr("CAST(nab AS DECIMAL(38,0)) * t_micro"))
             .alias("_s"))
         .crossJoin(F.broadcast(
-            base.agg(F.countDistinct("a").alias("n_a"),
-                     F.countDistinct("b").alias("n_b"))))
+            cells.agg(F.countDistinct("a").alias("n_a"),
+                      F.countDistinct("b").alias("n_b"))))
         .select(
             F.col("_n").cast("long").alias("n"),
             "n_a", "n_b",

@@ -571,7 +571,11 @@ def classification_prf(df: DataFrame, gold_col: str = "gold",
     """
     cm = (spread(df)
           .select(F.col(gold_col).alias("gold"), F.col(pred_col).alias("pred"))
-          .groupBy("gold", "pred").agg(F.count(F.lit(1)).alias("n")))
+          .groupBy("gold", "pred").agg(F.count(F.lit(1)).alias("n"))
+          # (r13-opt) cm feeds THREE plan branches (tp, gold_n, pred_n);
+          # left lazy each re-ran the corpus aggregation. One lazy cache
+          # of the |classes|²-sized confusion matrix = one corpus pass.
+          .cache())
     tp = (cm.where(F.col("gold") == F.col("pred"))
           .select(F.col("gold").alias("label"), F.col("n").alias("tp")))
     gold_n = cm.groupBy(F.col("gold").alias("label")).agg(
@@ -667,6 +671,29 @@ def percentile_rank(df: DataFrame, value_col: str,
     Reference parity note: extends the selection/analytics family
     (SURVEY §2, next to ccnet_buckets/exact_quantiles).
     """
+    ranked, n = _pct_ranked(df, value_col, id_col, buckets)
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", F.col("v").alias("value"), "rank",
+            F.expr("CASE WHEN n <= 1 THEN CAST(0 AS BIGINT) "
+                   "ELSE CAST(CAST(rank - 1 AS DECIMAL(38,0)) * 1000000 "
+                   "DIV (n - 1) AS BIGINT) END").alias("pct_ppm"))
+    )
+
+
+def _pct_ranked(df: DataFrame, value_col: str, id_col: str,
+                buckets: int) -> tuple[DataFrame, DataFrame]:
+    """Shared core of :func:`percentile_rank` / :func:`quantile_bucket`:
+    the two-level distributed (value, id) rank plus the one-row N table.
+
+    (r13-opt) N sums the per-value count table — which
+    :func:`_keyed_value_offsets` already caches — instead of
+    re-aggregating the corpus input, and both consumers derive rank AND
+    N from here instead of quantile_bucket re-running the whole ranked
+    subtree for its N (count of rows ≡ Σ per-value counts, exactly).
+    Corpus passes: percentile_rank 3 → 2, quantile_bucket ~5 → 2.
+    """
     base = spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.col(value_col).cast("long").alias("v")).where(
@@ -674,19 +701,13 @@ def percentile_rank(df: DataFrame, value_col: str,
     cnts = base.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
     offs = _value_offsets(cnts, value="v", cnt="c",
                           buckets=buckets).select("v", "lo")
-    n = base.agg(F.count(F.lit(1)).alias("n"))
+    n = cnts.agg(F.sum("c").cast("long").alias("n"))
     wv = Window.partitionBy("v").orderBy("doc_id")
-    return (
+    ranked = (
         base.join(offs, "v")
         .withColumn("rank", (F.col("lo") + F.row_number().over(wv))
-                    .cast("long"))
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id", F.col("v").alias("value"), "rank",
-            F.expr("CASE WHEN n <= 1 THEN CAST(0 AS BIGINT) "
-                   "ELSE CAST(CAST(rank - 1 AS DECIMAL(38,0)) * 1000000 "
-                   "DIV (n - 1) AS BIGINT) END").alias("pct_ppm"))
-    )
+                    .cast("long")))
+    return ranked, n
 
 
 def sql_percentile_rank(value_col: str, id_col: str = "doc_id",
@@ -1269,7 +1290,14 @@ def chi2_independence(df: DataFrame, a_col: str = "source",
     """
     base = spread(df).select(F.col(a_col).alias("a"),
                              F.col(b_col).alias("b"))
-    cells = base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nab"))
+    # (r13-opt) The cell table feeds FIVE plan branches (both marginals,
+    # the total, the term join, and the distinct-count dims — the dims
+    # read cells instead of base: distinct a over the cells IS distinct
+    # a over the corpus); left lazy each branch re-ran the corpus
+    # aggregation. One lazy cache of the aggregate-sized cell table
+    # collapses five corpus passes into one.
+    cells = (base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nab"))
+             .cache())
     ma = cells.groupBy("a").agg(F.sum("nab").alias("na"))
     mb = cells.groupBy("b").agg(F.sum("nab").alias("nb"))
     tot = cells.agg(F.sum("nab").alias("n"))
@@ -1290,8 +1318,8 @@ def chi2_independence(df: DataFrame, a_col: str = "source",
                  F.sum("t_micro").alias("_obs"),
                  F.sum("ee").alias("_s"))
         .crossJoin(F.broadcast(
-            base.agg(F.countDistinct("a").alias("n_a"),
-                     F.countDistinct("b").alias("n_b"))))
+            cells.agg(F.countDistinct("a").alias("n_a"),
+                      F.countDistinct("b").alias("n_b"))))
         .select(
             F.col("_n").cast("long").alias("n"), "n_a", "n_b",
             ((F.col("n_a") - 1) * (F.col("n_b") - 1)).cast("long")
@@ -1413,15 +1441,16 @@ def quantile_bucket(df: DataFrame, value_col: str, k: int = 10,
     distributed rank (no global sort, no corpus-wide window) + ONE
     one-row N scalar broadcast — nothing new shuffles.
     """
-    ranked = percentile_rank(df, value_col, id_col=id_col,
-                             buckets=buckets)
-    n = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    # (r13-opt) rank and N both come from _pct_ranked — previously N
+    # re-aggregated percentile_rank's OUTPUT, re-running the entire
+    # ranked subtree (offsets join + tie window) a second time.
+    ranked, n = _pct_ranked(df, value_col, id_col, buckets)
     return (
         ranked.crossJoin(F.broadcast(n))
         .select(
-            "doc_id", "value", "rank",
+            "doc_id", F.col("v").alias("value"), "rank",
             F.expr(f"CAST((CAST(rank AS DECIMAL(38,0)) - 1) * {int(k)} "
-                   f"DIV _n + 1 AS BIGINT)").alias("bucket"))
+                   f"DIV n + 1 AS BIGINT)").alias("bucket"))
     )
 
 
@@ -1475,9 +1504,14 @@ def psi_drift(df_old: DataFrame, df_new: DataFrame,
          .groupBy("g").agg(F.count(F.lit(1)).alias("a")))
     b = (spread(df_new).select(F.col(group_col).alias("g"))
          .groupBy("g").agg(F.count(F.lit(1)).alias("b")))
+    # (r13-opt) cells feeds the totals aggregate AND the term pass;
+    # left lazy both snapshot aggregations (and their full-outer join)
+    # ran twice. One lazy cache of the aggregate-sized union table =
+    # one pass per snapshot.
     cells = (a.join(b, "g", "full_outer")
              .select("g", F.coalesce("a", F.lit(0)).alias("a"),
-                     F.coalesce("b", F.lit(0)).alias("b")))
+                     F.coalesce("b", F.lit(0)).alias("b"))
+             .cache())
     tot = cells.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"),
                     F.count(F.lit(1)).alias("c"))
     return (
@@ -1576,7 +1610,11 @@ def welch_t(df: DataFrame, group_col: str = "lang",
          .agg(F.count(F.lit(1)).alias("n"),
               F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("s1"),
               F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("s2"))
-         .where(F.col("n") >= 2))
+         .where(F.col("n") >= 2)
+         # (r13-opt) g feeds BOTH sides of the pair inequality join;
+         # left lazy the corpus aggregation ran twice. One lazy cache
+         # of the groups-sized totals table = one corpus pass.
+         .cache())
     a = g.select(F.col("g").alias("g_a"), F.col("n").alias("na"),
                  F.col("s1").alias("s1a"), F.col("s2").alias("s2a"))
     b = g.select(F.col("g").alias("g_b"), F.col("n").alias("nb"),
