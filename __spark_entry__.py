@@ -1550,7 +1550,9 @@ def q_tpch_q15_top_supplier(spark, sf):
     )
     rev = li.groupBy("l_suppkey").agg(F.sum(
         _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
-    ).alias("_rev"))
+    ).alias("_rev")).cache()
+    # (r13-opt) rev feeds the scalar max AND the winners join; left
+    # lazy the quarter's lineitem aggregation ran twice. Supplier-sized.
     top = rev.agg(F.max("_rev").alias("_max"))
     sup = _table(spark, sf, "supplier")
     return (
@@ -1575,7 +1577,10 @@ def q_tpch_q17_small_quantity(spark, sf):
     ).select("p_partkey")
     li = _table(spark, sf, "lineitem").join(
         F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
-    )
+        # (r13-opt) li feeds the per-part average AND the below-average
+        # re-join; left lazy the scan + broadcast join ran twice. The
+        # brand/size filter is selective, so the cached slice is small.
+    ).cache()
     per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
         F.sum(_cents(F.col("l_quantity"))).alias("_sum_q"),
         F.count(F.lit(1)).alias("_n"),
@@ -1633,6 +1638,12 @@ def q_tpch_q2_min_cost_supplier(spark, sf):
         .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .withColumn("_cost", _cents(F.col("l_extendedprice")))
+        # (r13-opt) li feeds the per-part MIN and the argmin join-back;
+        # left lazy the lineitem scan + both broadcast joins ran twice.
+        # The part filter is selective, so the cached slice is a small
+        # fraction of the fact table — strictly cheaper than a second
+        # full scan.
+        .cache()
     )
     per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
         F.min("_cost").alias("_min_cost"))
@@ -1718,6 +1729,9 @@ def q_tpch_q11_nation_value(spark, sf):
         .agg(F.sum(
             _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
         ).alias("_v"))
+        # (r13-opt) rev feeds the scalar total AND the output filter;
+        # left lazy the lineitem aggregation ran twice. Nation-sized.
+        .cache()
     )
     total = rev.agg(F.sum("_v").alias("_total"))
     return (
@@ -2017,10 +2031,15 @@ def q_events_cohort_retention(spark, sf):
     aggregations map-side combine on user_id and the join co-locates on
     the same key (one shuffle, reused)."""
     ev = load_envelope(spark, sf)
-    first = ev.groupBy("stream_id").agg(
-        F.min(F.to_date("created")).alias("cohort_day"))
-    active = ev.select(
-        "stream_id", F.to_date("created").alias("day")).distinct()
+    # (r13-opt) ONE corpus pass: the (user, day) distinct table is the
+    # shared base — first-seen is its per-user MIN (aggregate-sized
+    # input, reuses the same hash partitioning), where previously the
+    # corpus aggregated twice (per-user min + the distinct). Cached so
+    # both consumers read the materialized aggregate.
+    active = (ev.select("stream_id", F.to_date("created").alias("day"))
+              .distinct().cache())
+    first = active.groupBy("stream_id").agg(
+        F.min("day").alias("cohort_day"))
     j = active.join(first, "stream_id")
     return (
         j.groupBy(
@@ -2038,12 +2057,18 @@ def q_events_funnel(spark, sf):
     user-keyed reductions, no window over the full log, no cross join
     (stage counts union into rows, not columns)."""
     ev = load_envelope(spark, sf)
+    # (r13-opt) each stage's first-hit table feeds the NEXT stage's join
+    # AND its own stage count; left lazy, stage k's whole upstream chain
+    # re-ran once per later consumer (t1 evaluated 3x, c2 2x). Lazy
+    # caches on the per-user aggregates (≤ users rows) evaluate each
+    # stage once.
     t1 = ev.where(F.col("event_type") == "view").groupBy("stream_id").agg(
-        F.min("created").alias("_t1"))
+        F.min("created").alias("_t1")).cache()
     c2 = (
         ev.where(F.col("event_type") == "click")
         .join(t1, "stream_id").where(F.col("created") >= F.col("_t1"))
         .groupBy("stream_id").agg(F.min("created").alias("_t2"))
+        .cache()
     )
     c3 = (
         ev.where(F.col("event_type") == "purchase")
