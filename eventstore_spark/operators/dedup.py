@@ -1537,8 +1537,12 @@ def edit_verify_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    pref = docs.select(F.col(id_col).alias("doc_id"),
-                       _ascii_prefix(F.col(text_col), prefix_chars).alias("p"))
+    # feeds both verify-join sides; left lazy, the corpus scan +
+    # normalize + ASCII projection ran once per side — cache the
+    # bounded (id, ≤prefix_chars) projection so it runs once
+    pref = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _ascii_prefix(F.col(text_col), prefix_chars).alias("p")).cache()
     # Ukkonen band: no surviving pair can have dist above this, so pairs
     # beyond it (-1) are exactly the pairs the sim gate would drop
     thr = max(1, (prefix_chars * (1_000_000 - min_sim_ppm)) // 1_000_000)
@@ -1685,15 +1689,22 @@ def _bloom_probe_plan(new: DataFrame, positions: DataFrame,
             .agg((F.min(F.coalesce(F.col("hit"), F.lit(0))) == 1)
                  .alias("maybe_dup"))
         )
-    flagged = (
-        probed.where("maybe_dup")
-        .join(hist_fps, "fp", "left")
+    # ONE fp-keyed left join over the whole probed batch. The previous
+    # shape split positives/negatives into a union, which consumed
+    # `probed` twice — re-scanning and re-fingerprinting the full batch
+    # (text-sized read + normalize + md5 per row) just to keep
+    # negatives out of the verify join. Shipping every row's 16-byte
+    # fingerprint through one join is strictly cheaper than a second
+    # text pass at every scale, and in the shuffle-fallback regime it
+    # halves the probe-side shuffles. `maybe_dup` still gates `is_dup`
+    # (identical output: fp ∈ hist ⟹ all k bits hit ⟹ maybe_dup, so
+    # the conjunction only re-asserts the no-false-negative guarantee).
+    return (
+        probed.join(hist_fps, "fp", "left")
         .select("doc_id", "maybe_dup",
-                F.coalesce("dup", F.lit(False)).alias("is_dup"))
+                (F.col("maybe_dup") & F.coalesce("dup", F.lit(False)))
+                .alias("is_dup"))
     )
-    clear = probed.where(~F.col("maybe_dup")).select(
-        "doc_id", "maybe_dup", F.lit(False).alias("is_dup"))
-    return flagged.unionByName(clear)
 
 
 def bloom_dedup_incremental(docs: DataFrame, id_col="doc_id",
@@ -1720,10 +1731,14 @@ def bloom_dedup_incremental(docs: DataFrame, id_col="doc_id",
       relational form is a ≤ m_bits-row distinct position table
       (bounded by CONSTRUCTION, independent of corpus size), explicitly
       broadcast; the new batch is probed scan-side and never shuffles.
-    * only Bloom-POSITIVE docs (true dups + the ~(fill)^k false
-      positives) reach the exact verify join; Bloom-negative docs skip
-      it by the no-false-negative guarantee. At a 1% positive rate the
-      exact join's probe side shrinks 100x.
+    * the exact verify join ships each new doc's 16-byte fingerprint
+      exactly once; the Bloom verdict gates ``is_dup`` at match time
+      (fp ∈ history ⟹ maybe_dup by the no-false-negative guarantee,
+      so the gate is a re-assertion, not a second source of truth).
+      The r13 restructure: pre-FILTERING the verify join to Bloom
+      positives required evaluating the probed batch twice (a second
+      full text scan + fingerprint pass) — one fingerprint-wide join
+      over all rows is strictly fewer bytes than that second pass.
     * at warehouse scale the position table persists as the snapshot's
       filter artifact and new increments only APPEND positions —
       rebuild is one map-side distinct over history.
@@ -1743,11 +1758,15 @@ def bloom_dedup_incremental(docs: DataFrame, id_col="doc_id",
     family, incremental/streaming column).
     """
     docs = spread(docs)
+    # (doc_id, fp, is_new) feeds three plan branches (filter build,
+    # exact fps, probe batch); left lazy, the corpus scan + normalize +
+    # md5 fingerprint pass ran once per branch — cache the text-free
+    # projection so fingerprints are computed exactly once
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         fingerprint(F.col(text_col)).alias("fp"),
         (F.col(id_col) % split_mod == 0).alias("is_new"),
-    )
+    ).cache()
     hist = base.where(~F.col("is_new"))
     new = base.where("is_new")
 
@@ -1869,8 +1888,9 @@ def bloom_probe_indexed(new_docs: DataFrame, spark, path: str,
     (doc_id, maybe_dup, is_dup) with the same semantics/plan shape as
     :func:`bloom_dedup_incremental` — k broadcast position joins keep
     the batch scan-side (position-keyed shuffle join above
-    ``max_broadcast_positions``: see :func:`_bloom_probe_plan`); only
-    Bloom-positive docs touch the exact fingerprint table.
+    ``max_broadcast_positions``: see :func:`_bloom_probe_plan`); the
+    exact fingerprint join is one fp-keyed pass with the Bloom verdict
+    gating ``is_dup``.
 
     ``exclude_epoch`` drops index rows written under that ``epoch=``
     partition from BOTH sides (the streaming replay-idempotency
