@@ -43,6 +43,17 @@ def get_spark(app_name: str = "eventstore_spark", cpus: int | None = None) -> Sp
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Scan split size is SCALE-DEPENDENT like shuffle parallelism
+        # (guide §6, §2.2): the Spark default 128 MB is right for the
+        # local bench's small inputs, but a 100 TB sequential scan wants
+        # 512 MB-1 GB splits to cut task-scheduling overhead and shrink
+        # the map-task count feeding every shuffle. Parameterised, never
+        # baked in; unset keeps Spark's default so the driver's bench is
+        # untouched.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
