@@ -234,12 +234,22 @@ def minhash_lsh_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
 
     banded = _band_rows(sigs, bands, rows)
 
+    # Dedup candidates on a hash(a) exchange instead of distinct()'s
+    # hash(a, b): partitioning by a alone still co-locates every (a, b)
+    # group (hash(a) satisfies the aggregate's clustering requirement),
+    # and the verify join below probes by a — so the dedup aggregate and
+    # the first verify join share ONE exchange of the candidate table
+    # (guide §2.4, r14-opt: 6 exchanges → 5, identical output verified by
+    # sorted collect). Map-side partial dedup was a no-op here anyway: a
+    # pair's duplicates come from different bands, which the band join
+    # leaves in different (band, bh) partitions.
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bh"])
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
+        .repartition("a")
+        .dropDuplicates(["a", "b"])
     )
 
     # The verify joins re-fetch shingle SETS by id. Catalyst's size
@@ -387,10 +397,16 @@ def simhash_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
             F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"),
             F.col("x.simhash").alias("ha"), F.col("y.simhash").alias("hb"),
         )
-        .distinct()
+        # Verify BEFORE the dedup exchange (guide §2.3 — shuffle fewer
+        # bytes): bit_count is ~free per row, hamming <= max is selective,
+        # and (a, b) determines (ha, hb), so distinct-after-filter equals
+        # the old filter-after-distinct while the exchange now carries
+        # only surviving (a, b, hamming) rows instead of every candidate
+        # with both 8-byte signatures.
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+        .distinct()
     )
     return pairs
 
@@ -543,7 +559,10 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
         .join(capped.alias("y").hint("merge"), "s")
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
+        # hash(a) dedup exchange shared with the verify join's probe side
+        # (guide §2.4) — same alignment as minhash_lsh_pairs, same output
+        .repartition("a")
+        .dropDuplicates(["a", "b"])
     )
     sets = base.select("doc_id", "sset").hint("shuffle_hash")
     sa = sets.select(F.col("doc_id").alias("a"), F.col("sset").alias("seta"))
@@ -835,7 +854,10 @@ def _incremental_pairs(sigs: DataFrame, spark, index_path: str, bands: int,
             F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("a"),
             F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("b"),
         )
-        .distinct()
+        # hash(a) dedup exchange shared with the verify join's probe side
+        # (guide §2.4) — same alignment as minhash_lsh_pairs, same output
+        .repartition("a")
+        .dropDuplicates(["a", "b"])
     )
 
     sets = (
@@ -1320,7 +1342,10 @@ def lsh_calibration(docs: DataFrame, num_hashes: int = 9, bands: int = 3,
         .join(banded.alias("y"), ["band", "bh"])
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
+        # hash(a) dedup exchange shared with the verify join's probe side
+        # (guide §2.4) — same alignment as minhash_lsh_pairs, same output
+        .repartition("a")
+        .dropDuplicates(["a", "b"])
     )
     refetch = sigs.select("doc_id", "sig", "sset").hint("shuffle_hash")
     sa = refetch.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"),
@@ -1535,7 +1560,10 @@ def edit_verify_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
         .join(banded.alias("y"), ["band", "bh"])
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
+        # hash(a) dedup exchange shared with the verify join's probe side
+        # (guide §2.4) — same alignment as minhash_lsh_pairs, same output
+        .repartition("a")
+        .dropDuplicates(["a", "b"])
     )
     # feeds both verify-join sides; left lazy, the corpus scan +
     # normalize + ASCII projection ran once per side — cache the
