@@ -1159,8 +1159,37 @@ def _balance_projection() -> Projection:
 
 
 def q_p6_fold_balance(spark, sf):
-    res = run_batch(_balance_projection(), load_envelope(spark, sf))
-    return res.states_as("n long, cents long").select("partition", "n", "cents")
+    """JVM-native twin of the balance fold (r14-opt, guide §4.1).
+
+    The balance handlers are pure per-event arithmetic (n += 1,
+    cents ±= half-away-from-zero cents of ``value``) with no ctx, no
+    transform/filter chain and no order dependence, so the registry query
+    computes the same states with ONE codegen aggregate instead of
+    shipping every event through the mapInPandas fold. The source is the
+    projection's own ``select_source`` (category = user AND the typed-
+    handler pushdown event_type IN (purchase, error)), so group keys and
+    visible rows are exactly the fold's; the cents expression reproduces
+    ``_cents_py``'s float semantics operation for operation
+    (floor(abs(v)*100 + 0.5) with the sign reattached — IEEE-identical in
+    Python and codegen). Equivalence against the row-at-a-time fold is
+    pinned by tests/test_projections.py::test_p6_vectorized_twin_matches_fold;
+    arbitrary user handlers still run the fold runtime (handler parity is
+    the runtime's contract, not this query's).
+    """
+    from eventstore_spark.plans.reader_strategy import select_source
+
+    src = select_source(load_envelope(spark, sf), _balance_projection())
+    mag = F.floor(F.abs(F.col("value")) * 100.0 + 0.5).cast("long")
+    signed = F.when(F.col("value") >= 0, mag).otherwise(-mag)
+    return (
+        src.groupBy(F.col("stream_id").alias("partition"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", signed).otherwise(-signed)
+            ).cast("long").alias("cents"),
+        )
+    )
 
 
 def q_p12_result_stream(spark, sf):

@@ -520,3 +520,22 @@ def test_reorder_with_column_pruning_keeps_sort_columns(spark):
     st = states_of(run_batch(p, ev))
     assert st["sens-a"]["seq"] == [2, 1]  # timestamp order inside the stream
     assert st["sens-b"]["seq"] == [3]
+
+
+def test_p6_vectorized_twin_matches_fold(spark):
+    """The registry's p6_fold_balance runs a JVM aggregate twin of the
+    balance fold (r14-opt, guide §4.1). Pin bit-identical states against
+    the row-at-a-time mapInPandas fold on real testdata, including the
+    half-away-from-zero cents rounding on negative values."""
+    import __spark_entry__ as entry
+    from __spark_entry__ import _balance_projection, load_envelope
+    from eventstore_spark.projections.runtime import run_batch
+
+    sf = "/root/testdata/sf0.001"
+    fold = (
+        run_batch(_balance_projection(), load_envelope(spark, sf))
+        .states_as("n long, cents long")
+        .select("partition", "n", "cents")
+    )
+    twin = entry.q_p6_fold_balance(spark, sf)
+    assert sorted(map(tuple, fold.collect())) == sorted(map(tuple, twin.collect()))
