@@ -1115,56 +1115,63 @@ def train_pq_codebooks(embeddings: DataFrame, m: int = 8, k: int = 16,
             [[int(x) for x in r["qvec"][s * d:(s + 1) * d]] for r in seeds]
             for s in range(m)
         ]
-        for _ in range(iters):
-            cols = [
-                F.expr(_pq_code_sql("qvec", books[s], s * d + 1, d)).alias(f"c{s}")
-                for s in range(m)
-            ]
-            assigned = base.select("qvec", *cols)
-            # explode ONLY the subspace level (m rows per vector), then
-            # one wide map-side-combined aggregate of the d component
-            # sums per (sub, code) — the former second posexplode pushed
-            # m·d·N rows through the aggregate plus a (sub, code, pos)
-            # exchange to produce what is m·k aggregate cells (r13-opt)
-            parts = assigned.select(
-                F.explode(
-                    F.array(*[
-                        F.struct(
-                            F.lit(s).alias("sub"),
-                            F.col(f"c{s}").alias("code"),
-                            F.slice("qvec", s * d + 1, d).alias("sub_v"),
-                        )
-                        for s in range(m)
-                    ])
-                ).alias("p")
-            ).select("p.sub", "p.code", "p.sub_v")
-            sums = (
-                parts.groupBy("sub", "code")
-                .agg(F.count(F.lit(1)).alias("n"),
-                     *[F.sum(F.element_at("sub_v", p + 1)).alias(f"s{p}")
-                       for p in range(d)])
-                .collect()
-            )
-            acc: dict[tuple, tuple] = {}
-            for r in sums:
-                for p in range(d):
-                    acc[(int(r["sub"]), int(r["code"]), p)] = (
-                        int(r[f"s{p}"]), int(r["n"]),
-                    )
-            books = [
-                [
-                    [
-                        acc[(s, j, p)][0] // acc[(s, j, p)][1]
-                        if (s, j, p) in acc else books[s][j][p]
-                        for p in range(d)
-                    ]
-                    for j in range(k)
-                ]
-                for s in range(m)
-            ]
-        return books
+        return _pq_train_iters(base, books, m, k, iters, d)
     finally:
         base.unpersist()
+
+
+def _pq_train_iters(base, books, m: int, k: int, iters: int, d: int):
+    """The fixed k-means rounds over a prepared (vec_id, qvec) table —
+    one corpus aggregate + collect per round (inherent: round t+1's
+    assignment inlines round t's centroids as literals)."""
+    for _ in range(iters):
+        cols = [
+            F.expr(_pq_code_sql("qvec", books[s], s * d + 1, d)).alias(f"c{s}")
+            for s in range(m)
+        ]
+        assigned = base.select("qvec", *cols)
+        # explode ONLY the subspace level (m rows per vector), then
+        # one wide map-side-combined aggregate of the d component
+        # sums per (sub, code) — the former second posexplode pushed
+        # m·d·N rows through the aggregate plus a (sub, code, pos)
+        # exchange to produce what is m·k aggregate cells (r13-opt)
+        parts = assigned.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.col(f"c{s}").alias("code"),
+                        F.slice("qvec", s * d + 1, d).alias("sub_v"),
+                    )
+                    for s in range(m)
+                ])
+            ).alias("p")
+        ).select("p.sub", "p.code", "p.sub_v")
+        sums = (
+            parts.groupBy("sub", "code")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 *[F.sum(F.element_at("sub_v", p + 1)).alias(f"s{p}")
+                   for p in range(d)])
+            .collect()
+        )
+        acc: dict[tuple, tuple] = {}
+        for r in sums:
+            for p in range(d):
+                acc[(int(r["sub"]), int(r["code"]), p)] = (
+                    int(r[f"s{p}"]), int(r["n"]),
+                )
+        books = [
+            [
+                [
+                    acc[(s, j, p)][0] // acc[(s, j, p)][1]
+                    if (s, j, p) in acc else books[s][j][p]
+                    for p in range(d)
+                ]
+                for j in range(k)
+            ]
+            for s in range(m)
+        ]
+    return books
 
 
 def _pq_code_sql(qvec_sql: str, book: list[list[int]], start: int, d: int) -> str:
@@ -1217,16 +1224,53 @@ def pq_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     with per-query TakeOrderedAndProject: no join, no shuffle, no vector
     reads. |Q|·k result rows total.
     """
-    books = train_pq_codebooks(embeddings, m, n_codes, iters, id_col, vec_col)
-    d = len(books[0][0])
-    codes = pq_encode(embeddings, books, id_col, vec_col).cache()
-    qrows = (
+    # r14-opt: pq_topk used to pay FIVE sequential driver jobs — train's
+    # seed collect + 2 iteration collects over train's own cached base,
+    # then a separate corpus scan to collect the query vectors, then the
+    # scoring action re-scanning the corpus to encode. The train/score
+    # base is the same (vec_id, qvec) projection, so build it ONCE:
+    # the seed and query-vector collects fuse into one job (the rows are
+    # re-sorted driver-side by the exact (md5(id), id) seed key, so seed
+    # order — and therefore every codebook — is unchanged), and the code
+    # table derives from the same base expression. Four jobs, one fewer
+    # corpus pass; bit-identical books/codes by construction.
+    base = (
         spread(embeddings)
-        .where(F.col(id_col).isin(query_ids))
-        .select(F.col(id_col).alias("query_id"),
+        .select(F.col(id_col).alias("vec_id"),
                 F.expr(_quantize_sql(vec_col)).alias("qvec"))
-        .collect()
+        .cache()
     )
+    seed_side = (
+        base.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(n_codes)
+        .withColumn("_seed", F.lit(True))
+    )
+    query_side = (
+        base.where(F.col("vec_id").isin(query_ids))
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .withColumn("_seed", F.lit(False))
+    )
+    rows = seed_side.unionByName(query_side).collect()
+    seeds = sorted((r for r in rows if r["_seed"]), key=lambda r: (r["_h"], r["vec_id"]))
+    qrows = [r.asDict() | {"query_id": r["vec_id"]} for r in rows if not r["_seed"]]
+    dim = len(seeds[0]["qvec"])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    d = dim // m
+    kk = min(n_codes, len(seeds))
+    books = [
+        [[int(x) for x in r["qvec"][s * d:(s + 1) * d]] for r in seeds]
+        for s in range(m)
+    ]
+    books = _pq_train_iters(base, books, m, kk, iters, d)
+    cols = [_pq_code_sql("qvec", books[s], s * d + 1, d) for s in range(m)]
+    codes = base.select(
+        "vec_id", F.expr("array({})".format(", ".join(cols))).alias("codes")
+    ).cache()
+    # the scoring action recomputes base's lineage once into the codes
+    # cache (one corpus pass, same as the old pq_encode scan) instead of
+    # pinning the corpus-sized qvec table for the query's lifetime
+    base.unpersist()
     per_query = []
     for r in sorted(qrows, key=lambda r: r["query_id"]):
         qv = [int(x) for x in r["qvec"]]
