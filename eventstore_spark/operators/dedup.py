@@ -28,12 +28,20 @@ from __future__ import annotations
 import functools
 import warnings
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import fingerprint, shingles, sql_shingles, SQL_FINGERPRINT
 from ..schema import spread
+
+# Storage level for CORPUS-SIZED cached projections (r14-opt, guide §5;
+# same rationale as stats._CORPUS_CACHE): serialized columnar batches
+# instead of the deserialized default, so a corpus-sized cache cannot
+# blow past executor storage and evict mid-query at 100 TB. Aggregate-
+# sized caches (posting lists, candidate tables) keep the default.
+_CORPUS_CACHE = StorageLevel.MEMORY_AND_DISK
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -1570,7 +1578,7 @@ def edit_verify_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
     # bounded (id, ≤prefix_chars) projection so it runs once
     pref = docs.select(
         F.col(id_col).alias("doc_id"),
-        _ascii_prefix(F.col(text_col), prefix_chars).alias("p")).cache()
+        _ascii_prefix(F.col(text_col), prefix_chars).alias("p")).persist(_CORPUS_CACHE)
     # Ukkonen band: no surviving pair can have dist above this, so pairs
     # beyond it (-1) are exactly the pairs the sim gate would drop
     thr = max(1, (prefix_chars * (1_000_000 - min_sim_ppm)) // 1_000_000)
@@ -1794,7 +1802,7 @@ def bloom_dedup_incremental(docs: DataFrame, id_col="doc_id",
         F.col(id_col).alias("doc_id"),
         fingerprint(F.col(text_col)).alias("fp"),
         (F.col(id_col) % split_mod == 0).alias("is_new"),
-    ).cache()
+    ).persist(_CORPUS_CACHE)
     hist = base.where(~F.col("is_new"))
     new = base.where("is_new")
 

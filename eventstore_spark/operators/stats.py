@@ -18,11 +18,20 @@ analytics surface the project brief adds as first-class components.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..schema import spread
+
+# Storage level for CORPUS-SIZED cached projections (r14-opt, guide §5):
+# the default deserialized MEMORY_AND_DISK can exceed executor storage at
+# 100 TB and evict mid-query (recompute storms). Serialized in-memory
+# columnar batches are several x smaller and spill to disk gracefully;
+# aggregate-sized caches keep the plain default — their footprint is
+# bounded by construction and the deserialized form reads faster.
+_CORPUS_CACHE = StorageLevel.MEMORY_AND_DISK
 
 
 def exact_quantiles(df: DataFrame, value_col: str,
@@ -85,7 +94,7 @@ def exact_quantiles(df: DataFrame, value_col: str,
     # projection (narrowest possible footprint, spills to disk)
     # evaluates the input exactly once.
     v = df.select(F.col(value_col).cast("double").alias("v")).where(
-        F.col("v").isNotNull()).cache()
+        F.col("v").isNotNull()).persist(_CORPUS_CACHE)
     stats = v.agg(
         F.percentile_approx("v", [frac, 1.0 - frac], 10000).alias("qb"),
     ).select(F.element_at("qb", 1).alias("qlo"),
@@ -765,11 +774,11 @@ def mad_outliers(df: DataFrame, value_col: str, id_col: str = "doc_id",
     base = spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.col(value_col).cast("long").alias("v")).where(
-        F.col("v").isNotNull()).cache()
+        F.col("v").isNotNull()).persist(_CORPUS_CACHE)
     med = (exact_quantiles(base, "v", qs=(50,), buckets=buckets)
            .select(F.col("value").cast("long").alias("med")))
     dev = (base.crossJoin(F.broadcast(med))
-           .withColumn("dev", F.abs(F.col("v") - F.col("med")))).cache()
+           .withColumn("dev", F.abs(F.col("v") - F.col("med")))).persist(_CORPUS_CACHE)
     mad = (exact_quantiles(dev, "dev", qs=(50,), buckets=buckets)
            .select(F.col("value").cast("long").alias("mad")))
     return (

@@ -39,8 +39,16 @@ def get_spark(app_name: str = "eventstore_spark", cpus: int | None = None) -> Sp
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # post-shuffle partitions coalesce toward ~128 MB (guide §2.2's
         # 100 MB-1 GB band); parallelismFirst stays at its default true,
-        # so tiny local shuffles still spread across cores first
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
+        # so tiny local shuffles still spread across cores first.
+        # Parameterised like the other scale knobs (r14): unset falls
+        # back to 128m. A single-variable interleaved A/B (64m Spark
+        # default vs 128m, tools/_probe_r14a.py) measured NO local delta
+        # on dedup_simhash / tpch_q3 / dedup_minhash_pairs — the r13
+        # simhash regression was not this setting.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "128m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Scan split size is SCALE-DEPENDENT like shuffle parallelism
@@ -48,14 +56,23 @@ def get_spark(app_name: str = "eventstore_spark", cpus: int | None = None) -> Sp
         # local bench's small inputs, but a 100 TB sequential scan wants
         # 512 MB-1 GB splits to cut task-scheduling overhead and shrink
         # the map-task count feeding every shuffle. Parameterised, never
-        # baked in; unset keeps Spark's default so the driver's bench is
-        # untouched.
+        # baked in; unset falls back to the default-equivalent 128m, so
+        # the driver's bench plans are byte-identical.
         .config(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast eligibility is a DEPLOYMENT property (guide §3.1, §9):
+        # 64 MB assumes executors with multi-GB heaps, which holds locally
+        # and on typical warehouse nodes, but a memory-tight deployment
+        # must be able to lower it (and a fat-driver one to raise it)
+        # without code edits. Unset falls back to the same 64m the
+        # constant pinned since r10 — local plans unchanged (r14).
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_AUTO_BROADCAST_BYTES", str(64 * 1024 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -1,7 +1,13 @@
-"""A/B probe: bpe_train per-round cache (r13-opt) vs the old uncached
+"""A/B probe: bpe_train per-round cache (r13-opt §18) vs the old uncached
 fold chain. OLD is a frozen copy of the pre-change loop; NEW is the
 library function. Interleaved reps (guide §1); also asserts the trained
 merge tables are identical row-for-row.
+
+HISTORICAL RECORD (r13 §18 outcome): the per-round cache measured WORSE
+at merges=4 and merges=12 and was REVERTED, so the library bpe_train this
+probe imports is now identical to the frozen OLD chain — re-running it
+compares two identical implementations and cannot reproduce the recorded
+A/B numbers. Kept only to document the methodology and the revert.
 
 Usage: python tools/_probe_r13g.py [sf_dir] [merges] [reps]
 """
