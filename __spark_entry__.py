@@ -28,6 +28,7 @@ from eventstore_spark.schema import (
     ENVELOPE_SQL_CTE,
     MAX_LONG,
     load_envelope,
+    scoped_cache,
 )
 from eventstore_spark.operators.filters import EventFilter
 from eventstore_spark.operators import system_projections as sysproj
@@ -1579,7 +1580,7 @@ def q_tpch_q15_top_supplier(spark, sf):
     )
     rev = li.groupBy("l_suppkey").agg(F.sum(
         _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
-    ).alias("_rev")).cache()
+    ).alias("_rev")).transform(scoped_cache)
     # (r13-opt) rev feeds the scalar max AND the winners join; left
     # lazy the quarter's lineitem aggregation ran twice. Supplier-sized.
     top = rev.agg(F.max("_rev").alias("_max"))
@@ -1609,7 +1610,7 @@ def q_tpch_q17_small_quantity(spark, sf):
         # (r13-opt) li feeds the per-part average AND the below-average
         # re-join; left lazy the scan + broadcast join ran twice. The
         # brand/size filter is selective, so the cached slice is small.
-    ).cache()
+    ).transform(scoped_cache)
     per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
         F.sum(_cents(F.col("l_quantity"))).alias("_sum_q"),
         F.count(F.lit(1)).alias("_n"),
@@ -1672,7 +1673,7 @@ def q_tpch_q2_min_cost_supplier(spark, sf):
         # The part filter is selective, so the cached slice is a small
         # fraction of the fact table — strictly cheaper than a second
         # full scan.
-        .cache()
+        .transform(scoped_cache)
     )
     per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
         F.min("_cost").alias("_min_cost"))
@@ -1760,7 +1761,7 @@ def q_tpch_q11_nation_value(spark, sf):
         ).alias("_v"))
         # (r13-opt) rev feeds the scalar total AND the output filter;
         # left lazy the lineitem aggregation ran twice. Nation-sized.
-        .cache()
+        .transform(scoped_cache)
     )
     total = rev.agg(F.sum("_v").alias("_total"))
     return (
@@ -2066,7 +2067,7 @@ def q_events_cohort_retention(spark, sf):
     # corpus aggregated twice (per-user min + the distinct). Cached so
     # both consumers read the materialized aggregate.
     active = (ev.select("stream_id", F.to_date("created").alias("day"))
-              .distinct().cache())
+              .distinct().transform(scoped_cache))
     first = active.groupBy("stream_id").agg(
         F.min("day").alias("cohort_day"))
     j = active.join(first, "stream_id")
@@ -2092,12 +2093,12 @@ def q_events_funnel(spark, sf):
     # caches on the per-user aggregates (≤ users rows) evaluate each
     # stage once.
     t1 = ev.where(F.col("event_type") == "view").groupBy("stream_id").agg(
-        F.min("created").alias("_t1")).cache()
+        F.min("created").alias("_t1")).transform(scoped_cache)
     c2 = (
         ev.where(F.col("event_type") == "click")
         .join(t1, "stream_id").where(F.col("created") >= F.col("_t1"))
         .groupBy("stream_id").agg(F.min("created").alias("_t2"))
-        .cache()
+        .transform(scoped_cache)
     )
     c3 = (
         ev.where(F.col("event_type") == "purchase")

@@ -37,7 +37,7 @@ from pyspark.sql.window import Window
 
 from ..functions import text as X
 from ..plans.join_strategy import guarded_broadcast
-from ..schema import spread
+from ..schema import spread, scoped_cache
 from .dedup import duplicate_clusters, sql_duplicate_clusters
 from .textops import analyze_documents, sql_analyze_documents
 
@@ -2425,7 +2425,7 @@ def association_mi(df: DataFrame, a_col: str = "source",
     # lazy each branch re-ran the corpus aggregation. One lazy cache of
     # the aggregate-sized cell table = one corpus pass.
     cells = (base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nab"))
-             .cache())
+             .transform(scoped_cache))
     ma = cells.groupBy("a").agg(F.sum("nab").alias("na"))
     mb = cells.groupBy("b").agg(F.sum("nab").alias("nb"))
     tot = cells.agg(F.sum("nab").alias("n"))

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import fingerprint, shingles, sql_shingles, SQL_FINGERPRINT
-from ..schema import spread
+from ..schema import spread, scoped_cache, scoped_persist
 
 # Storage level for CORPUS-SIZED cached projections (r14-opt, guide §5;
 # same rationale as stats._CORPUS_CACHE): serialized columnar batches
@@ -238,7 +238,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
     # tree per branch. At warehouse scale this is a persisted signature
     # table (see build_minhash_index / minhash_pairs_incremental); locally
     # Spark's in-memory columnar cache plays that role.
-    sigs = sigs.withColumn("sset", F.array_distinct("shingles")).drop("shingles").cache()
+    sigs = sigs.withColumn("sset", F.array_distinct("shingles")).drop("shingles").transform(scoped_cache)
 
     banded = _band_rows(sigs, bands, rows)
 
@@ -556,7 +556,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
     # Jaccard itself is verified exactly on re-fetched shingle sets
     # (the minhash verify shape — shuffle-hash pinned: Catalyst
     # under-sizes the array-carrying side, PLANS.md §Second decade).
-    base = base.cache()
+    base = base.transform(scoped_cache)
     keep = (
         inv.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
         .where(F.col("_df") <= max_df).select("s")
@@ -913,7 +913,7 @@ def minhash_pairs_incremental(new_docs: DataFrame, spark, index_path: str,
     internal per-batch variant that unpersists after every micro-batch.
     """
     rows = num_hashes // bands
-    sigs = _sigs_with_sets(new_docs, id_col, text_col, num_hashes, shingle_n).cache()
+    sigs = _sigs_with_sets(new_docs, id_col, text_col, num_hashes, shingle_n).transform(scoped_cache)
     return _incremental_pairs(sigs, spark, index_path, bands, rows, threshold)
 
 
@@ -1041,7 +1041,7 @@ def ngram_novelty(docs: DataFrame, id_col: str = "doc_id",
     shuffles on short keys, never doc×doc. Exact integers; one double
     ratio per row at the end."""
     from ..functions.text import shingles
-    from ..schema import spread
+    from ..schema import spread, scoped_cache, scoped_persist
 
     base = spread(docs).select(
         F.col(id_col).alias("doc_id"),
@@ -1271,7 +1271,7 @@ def winnowing_neardup(docs: DataFrame, n: int = 3, win: int = 4,
     # materialize it once, exactly as minhash_lsh_pairs does with its
     # signature table; at warehouse scale this is the persisted
     # fingerprint index.
-    uniq = wf.select("doc_id", "fp").distinct().cache()
+    uniq = wf.select("doc_id", "fp").distinct().transform(scoped_cache)
     if max_df is not None:
         keep = (
             uniq.groupBy("fp")
@@ -1282,7 +1282,7 @@ def winnowing_neardup(docs: DataFrame, n: int = 3, win: int = 4,
         # (r13-opt) the pruned posting list feeds BOTH pair-join sides;
         # left lazy, the df aggregate + semi-join run twice over the
         # cached uniq. Cache the (strictly smaller) pruned list too.
-        uniq = uniq.join(keep, "fp", "left_semi").cache()
+        uniq = uniq.join(keep, "fp", "left_semi").transform(scoped_cache)
     a = uniq.select(F.col("doc_id").alias("a"), "fp")
     b = uniq.select(F.col("doc_id").alias("b"), "fp")
     shared = (
@@ -1342,7 +1342,7 @@ def lsh_calibration(docs: DataFrame, num_hashes: int = 9, bands: int = 3,
     """
     rows = num_hashes // bands
     sigs = minhash_signature(docs, id_col, text_col, num_hashes, shingle_n)
-    sigs = sigs.withColumn("sset", F.array_distinct("shingles")).drop("shingles").cache()
+    sigs = sigs.withColumn("sset", F.array_distinct("shingles")).drop("shingles").transform(scoped_cache)
 
     banded = _band_rows(sigs, bands, rows)
     cand = (
@@ -1562,7 +1562,7 @@ def edit_verify_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
     sigs = minhash_signature(docs, id_col, text_col, num_hashes,
                              shingle_n).drop("shingles")
     # feeds the two self-join branches below — materialize once
-    banded = _band_rows(sigs, bands, rows).cache()
+    banded = _band_rows(sigs, bands, rows).transform(scoped_cache)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bh"])
@@ -1578,7 +1578,7 @@ def edit_verify_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
     # bounded (id, ≤prefix_chars) projection so it runs once
     pref = docs.select(
         F.col(id_col).alias("doc_id"),
-        _ascii_prefix(F.col(text_col), prefix_chars).alias("p")).persist(_CORPUS_CACHE)
+        _ascii_prefix(F.col(text_col), prefix_chars).alias("p")).transform(scoped_persist(_CORPUS_CACHE))
     # Ukkonen band: no surviving pair can have dist above this, so pairs
     # beyond it (-1) are exactly the pairs the sim gate would drop
     thr = max(1, (prefix_chars * (1_000_000 - min_sim_ppm)) // 1_000_000)
@@ -1802,7 +1802,7 @@ def bloom_dedup_incremental(docs: DataFrame, id_col="doc_id",
         F.col(id_col).alias("doc_id"),
         fingerprint(F.col(text_col)).alias("fp"),
         (F.col(id_col) % split_mod == 0).alias("is_new"),
-    ).persist(_CORPUS_CACHE)
+    ).transform(scoped_persist(_CORPUS_CACHE))
     hist = base.where(~F.col("is_new"))
     new = base.where("is_new")
 
@@ -1812,7 +1812,7 @@ def bloom_dedup_incremental(docs: DataFrame, id_col="doc_id",
         hist.select(F.explode(_bloom_positions(F.col("fp"), k, m_bits))
                     .alias("pos"))
         .distinct()
-        .cache()
+        .transform(scoped_cache)
     )
     hist_fps = hist.select("fp").distinct()
 
@@ -1937,7 +1937,7 @@ def bloom_probe_indexed(new_docs: DataFrame, spark, path: str,
     None, it is loaded and cached here (one-shot batch use)."""
     if positions is None:
         positions = _bloom_index_part(
-            spark, f"{path}/positions", "pos", exclude_epoch).cache()
+            spark, f"{path}/positions", "pos", exclude_epoch).transform(scoped_cache)
     hist_fps = _bloom_index_part(spark, f"{path}/fps", "fp", exclude_epoch)
     new = spread(new_docs).select(
         F.col(id_col).alias("doc_id"),

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import SQL_TOKENS, tokens
+from ..schema import scoped_cache
 from .similarity import _plane_signs
 
 # ---------------------------------------------------------------------------
@@ -136,7 +137,7 @@ def text_neardup_hashed(docs: DataFrame, dim: int = 32, planes: int = 4,
     carries vector rows hints shuffle_hash. For bigger corpora raise
     ``planes`` (buckets grow 2^planes) — candidates stay sub-quadratic.
     """
-    hv = feature_hash_vectors(docs, dim, id_col, text_col).cache()
+    hv = feature_hash_vectors(docs, dim, id_col, text_col).transform(scoped_cache)
 
     aggs, buckets = [], []
     for t in range(tables):

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..schema import spread
+from ..schema import spread, scoped_cache
 
 
 def pagerank(edges: DataFrame, iterations: int = 2, damping_pct: int = 85,
@@ -60,20 +60,20 @@ def pagerank(edges: DataFrame, iterations: int = 2, damping_pct: int = 85,
         .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .cache()
+        .transform(scoped_cache)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .cache()
+        .transform(scoped_cache)
     )
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("rank"))
     r0 = base // n
     teleport = (base * (100 - damping_pct) // 100) // n
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).cache()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).transform(scoped_cache)
 
     # string-key joins (never attribute refs) — e feeds both outdeg and
     # the per-round contribution join, and shared-lineage attribute refs
@@ -184,13 +184,13 @@ def hits(edges: DataFrame, iterations: int = 2, base: int = 1_000_000,
         .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .cache()
+        .transform(scoped_cache)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .cache()
+        .transform(scoped_cache)
     )
     hub = nodes.select("node", F.lit(base).cast("long").alias("score"))
 

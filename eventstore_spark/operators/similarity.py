@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vectors import cosine, spark_sql_cosine, spark_sql_lit_array, sql_cosine
-from ..schema import spread
+from ..schema import spread, scoped_cache
 
 
 def brute_force_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
@@ -475,7 +475,7 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.5,
     # scale this is the persisted cell-assignment table
     assigned = base.withColumn(
         "cell", F.expr(f"-array_max({scored}).nid").cast("long")
-    ).cache()
+    ).transform(scoped_cache)
     x = assigned.select(F.col("vec_id").alias("a_id"),
                         F.col("vec").alias("avec"), "cell")
     y = assigned.select(F.col("vec_id").alias("b_id"),
@@ -652,7 +652,7 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     sig = base
     for t in range(tables):
         sig = sig.withColumn(f"b{t}", lsh_bucket("vec", t, planes, dim))
-    sig = sig.cache()
+    sig = sig.transform(scoped_cache)
 
     banded = sig.select(
         "vec_id",
@@ -1266,7 +1266,7 @@ def pq_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     cols = [_pq_code_sql("qvec", books[s], s * d + 1, d) for s in range(m)]
     codes = base.select(
         "vec_id", F.expr("array({})".format(", ".join(cols))).alias("codes")
-    ).cache()
+    ).transform(scoped_cache)
     # the scoring action recomputes base's lineage once into the codes
     # cache (one corpus pass, same as the old pq_encode scan) instead of
     # pinning the corpus-sized qvec table for the query's lifetime
@@ -1498,7 +1498,7 @@ def knn_eval(embeddings: DataFrame, k: int = 5, sample_mod: int = 10,
     scored = _int_scored_sql(_quantize_sql("vec"), cents_i)
     assigned = base.withColumn(
         "cell", F.expr(f"-array_max({scored}).nid").cast("long")
-    ).cache()
+    ).transform(scoped_cache)
     gate = (
         F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
         .cast("long") % sample_mod == 0
@@ -1606,7 +1606,7 @@ def ivfpq_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     """
     cents, books, base, codes = _ivfpq_model(
         embeddings, n_centroids, m, n_codes, iters, id_col, vec_col)
-    codes = codes.cache()
+    codes = codes.transform(scoped_cache)
     qrows = _ivfpq_query_rows(base, cents, query_ids, nprobe)
     return _ivfpq_score(codes, qrows, cents, books, m, k)
 
@@ -1933,14 +1933,14 @@ def ndcg_eval(embeddings: DataFrame, k: int = 10, sample_mod: int = 50,
     scored = _int_scored_sql(_quantize_sql("vec"), cents_i)
     assigned = base.withColumn(
         "cell", F.expr(f"-array_max({scored}).nid").cast("long")
-    ).cache()
+    ).transform(scoped_cache)
     gate = (
         F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
         .cast("long") % sample_mod == 0
     )
     q = assigned.where(gate).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "cell",
-    ).cache()
+    ).transform(scoped_cache)
 
     wt = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     # (r13-opt) truth is consumed twice (the hits join and the n_truth
@@ -1954,7 +1954,7 @@ def ndcg_eval(embeddings: DataFrame, k: int = 10, sample_mod: int = 50,
         .withColumn("_r", F.row_number().over(wt))
         .where(F.col("_r") <= k)
         .select("query_id", "vec_id")
-    ).cache()
+    ).transform(scoped_cache)
     approx = (
         q.hint("shuffle_hash")
         .join(assigned.hint("shuffle_hash"), "cell")

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..schema import spread
+from ..schema import spread, scoped_cache, scoped_persist
 
 # Storage level for CORPUS-SIZED cached projections (r14-opt, guide §5):
 # the default deserialized MEMORY_AND_DISK can exceed executor storage at
@@ -94,7 +94,7 @@ def exact_quantiles(df: DataFrame, value_col: str,
     # projection (narrowest possible footprint, spills to disk)
     # evaluates the input exactly once.
     v = df.select(F.col(value_col).cast("double").alias("v")).where(
-        F.col("v").isNotNull()).persist(_CORPUS_CACHE)
+        F.col("v").isNotNull()).transform(scoped_persist(_CORPUS_CACHE))
     stats = v.agg(
         F.percentile_approx("v", [frac, 1.0 - frac], 10000).alias("qb"),
     ).select(F.element_at("qb", 1).alias("qlo"),
@@ -219,7 +219,7 @@ def _keyed_value_offsets(cnts: DataFrame, value: str,
     # (per-distinct-value counts) and spills to disk if a continuous
     # column makes it large — still strictly cheaper than recomputing
     # the corpus aggregation per branch.
-    cnts = cnts.cache()
+    cnts = cnts.transform(scoped_cache)
     stats = cnts.agg(
         F.percentile_approx(value, [frac, 1.0 - frac], 10000).alias("_qb")
     ).select(F.element_at("_qb", 1).alias("_qlo"),
@@ -303,7 +303,7 @@ def ks_drift(df: DataFrame, group_col: str = "lang",
     # (r13-opt) the (g, x) count table feeds totals AND both pair-join
     # sides — cache it so the corpus aggregation runs once, not three
     # times (aggregate-sized; the pmi/minhash shared-subtree discipline)
-    cnts = base.groupBy("g", "x").agg(F.count(F.lit(1)).alias("c")).cache()
+    cnts = base.groupBy("g", "x").agg(F.count(F.lit(1)).alias("c")).transform(scoped_cache)
     totals = cnts.groupBy("g").agg(F.sum("c").alias("n"))
 
     g = totals.select("g", "n")
@@ -584,7 +584,7 @@ def classification_prf(df: DataFrame, gold_col: str = "gold",
           # (r13-opt) cm feeds THREE plan branches (tp, gold_n, pred_n);
           # left lazy each re-ran the corpus aggregation. One lazy cache
           # of the |classes|²-sized confusion matrix = one corpus pass.
-          .cache())
+          .transform(scoped_cache))
     tp = (cm.where(F.col("gold") == F.col("pred"))
           .select(F.col("gold").alias("label"), F.col("n").alias("tp")))
     gold_n = cm.groupBy(F.col("gold").alias("label")).agg(
@@ -774,11 +774,11 @@ def mad_outliers(df: DataFrame, value_col: str, id_col: str = "doc_id",
     base = spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.col(value_col).cast("long").alias("v")).where(
-        F.col("v").isNotNull()).persist(_CORPUS_CACHE)
+        F.col("v").isNotNull()).transform(scoped_persist(_CORPUS_CACHE))
     med = (exact_quantiles(base, "v", qs=(50,), buckets=buckets)
            .select(F.col("value").cast("long").alias("med")))
     dev = (base.crossJoin(F.broadcast(med))
-           .withColumn("dev", F.abs(F.col("v") - F.col("med")))).persist(_CORPUS_CACHE)
+           .withColumn("dev", F.abs(F.col("v") - F.col("med")))).transform(scoped_persist(_CORPUS_CACHE))
     mad = (exact_quantiles(dev, "dev", qs=(50,), buckets=buckets)
            .select(F.col("value").cast("long").alias("mad")))
     return (
@@ -963,7 +963,7 @@ def skew_report(df: DataFrame, key_cols: list[str],
         base.groupingSets([[c] for c in key_cols], *key_cols)
         .agg(F.count(F.lit(1)).alias("c"), F.grouping_id().alias("_gid"))
         .select("_gid", "c")
-    ).cache()
+    ).transform(scoped_cache)
     for col in key_cols:
         cnts = cnts_all.where(F.col("_gid") == gid_of[col]).select("c")
         stats = cnts.agg(
@@ -1306,7 +1306,7 @@ def chi2_independence(df: DataFrame, a_col: str = "source",
     # aggregation. One lazy cache of the aggregate-sized cell table
     # collapses five corpus passes into one.
     cells = (base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nab"))
-             .cache())
+             .transform(scoped_cache))
     ma = cells.groupBy("a").agg(F.sum("nab").alias("na"))
     mb = cells.groupBy("b").agg(F.sum("nab").alias("nb"))
     tot = cells.agg(F.sum("nab").alias("n"))
@@ -1520,7 +1520,7 @@ def psi_drift(df_old: DataFrame, df_new: DataFrame,
     cells = (a.join(b, "g", "full_outer")
              .select("g", F.coalesce("a", F.lit(0)).alias("a"),
                      F.coalesce("b", F.lit(0)).alias("b"))
-             .cache())
+             .transform(scoped_cache))
     tot = cells.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"),
                     F.count(F.lit(1)).alias("c"))
     return (
@@ -1623,7 +1623,7 @@ def welch_t(df: DataFrame, group_col: str = "lang",
          # (r13-opt) g feeds BOTH sides of the pair inequality join;
          # left lazy the corpus aggregation ran twice. One lazy cache
          # of the groups-sized totals table = one corpus pass.
-         .cache())
+         .transform(scoped_cache))
     a = g.select(F.col("g").alias("g_a"), F.col("n").alias("na"),
                  F.col("s1").alias("s1a"), F.col("s2").alias("s2a"))
     b = g.select(F.col("g").alias("g_b"), F.col("n").alias("nb"),

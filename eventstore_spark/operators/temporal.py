@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..schema import spread
+from ..schema import spread, scoped_cache
 
 
 def asof_join(probe: DataFrame, reference: DataFrame, key_cols: list[str],
@@ -481,7 +481,7 @@ def resample(reference: DataFrame, key_cols: list[str],
     # groupBy — three corpus aggregations where one suffices). One lazy
     # cache materializes it inside the first action and the other two
     # consumers read the cache.
-    reference = spread(reference).cache()
+    reference = spread(reference).transform(scoped_cache)
     if value_cols is None:
         value_cols = [c for c in reference.columns
                       if c not in key_cols and c != ref_ts]

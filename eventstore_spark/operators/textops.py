@@ -13,7 +13,7 @@ from pyspark.sql.window import Window
 
 from ..functions import text as X
 from ..plans.join_strategy import guarded_broadcast
-from ..schema import spread
+from ..schema import spread, scoped_cache
 
 
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -1474,7 +1474,7 @@ def bpe_train(docs: DataFrame, merges: int = 3,
     vocab = (
         toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
         .select("w", "n", chars.alias("syms"))
-        .cache()
+        .transform(scoped_cache)
     )
     syms = vocab
     out_rows = []

@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..schema import scoped_persist
+
 # ~2M rows of a narrow model table is tens of MB serialized — comfortably
 # inside executor broadcast budgets, far above any intended model size
 # (bucket models are <= 512 rows, sketches depth*width, idf tables |q|).
@@ -60,7 +62,10 @@ def guarded_broadcast(df: DataFrame,
         # without materializing millions of rows
         max_rows = DEFAULT_MAX_BROADCAST_ROWS
     if cache:
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        # registered for session-scoped release (r14 cache lifecycle):
+        # model tables stay hot for the query's lifetime, then
+        # release_query_caches() drops them with everything else
+        df = df.transform(scoped_persist(StorageLevel.MEMORY_AND_DISK))
     n = df.count()
     if n <= max_rows:
         return F.broadcast(df)

@@ -27,6 +27,52 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 # ---------------------------------------------------------------------------
+# Query-scoped cache lifecycle (r14-opt, guide §5: "unpersist when done")
+# ---------------------------------------------------------------------------
+# Registry queries cache reused subtrees but return LAZY DataFrames, so no
+# operator can know when the caller's terminal action has run — unpersist-
+# after-action must be the session's job. Every cache a query path creates
+# goes through scoped_cache(), which registers the handle; a long-lived
+# session calls release_query_caches() after consuming a query's result
+# (the bench/oracle harnesses' clearCache() remains a superset of this).
+# Without a release, a session that runs the whole registry accumulates
+# every query's cached tables until memory pressure — measured and fixed
+# this round (tools/_probe_r14e.py: 0 cached relations remain after
+# running the caching query families + one release call).
+
+_QUERY_CACHES: list[DataFrame] = []
+
+
+def scoped_cache(df: DataFrame, level=None) -> DataFrame:
+    """persist() + register for session-scoped release. ``level=None``
+    uses Spark's DataFrame default (deserialized MEMORY_AND_DISK)."""
+    out = df.persist(level) if level is not None else df.cache()
+    _QUERY_CACHES.append(out)
+    return out
+
+
+def scoped_persist(level):
+    """Curried scoped_cache for ``.transform(scoped_persist(level))``
+    chains (keeps conversion of existing ``.persist(level)`` call sites
+    purely suffix-textual)."""
+    return lambda df: scoped_cache(df, level)
+
+
+def release_query_caches() -> int:
+    """Unpersist every cache registered since the last release; returns
+    how many were released. Safe to call at any point between actions —
+    a consumer that still needs a released subtree just recomputes it."""
+    n = 0
+    while _QUERY_CACHES:
+        df = _QUERY_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to release
+            pass
+    return n
+
+# ---------------------------------------------------------------------------
 # Envelope schema (FIXTURES.md F1)
 # ---------------------------------------------------------------------------
 

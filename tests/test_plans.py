@@ -1212,3 +1212,31 @@ def test_classifier_apply_scoring_is_a_literal_lut_fold(parquet_docs):
     # pure scan
     assert "hashpartitioning" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_release_query_caches_empties_cache_manager(spark):
+    """r14 cache lifecycle: registry queries register every cache through
+    scoped_cache(); release_query_caches() after the terminal action must
+    leave the SQL cache manager empty, so a long-lived session running
+    many queries does not accumulate cached tables (guide §5: unpersist
+    when done)."""
+    import __spark_entry__ as entry
+    from eventstore_spark.schema import release_query_caches
+
+    qs = entry.queries()
+    sf = "/root/testdata/sf0.001"
+
+    def n_persistent() -> int:
+        # other fixtures legitimately hold session-scoped caches; the
+        # contract under test is NO NET GROWTH, not an empty session
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    release_query_caches()  # drop anything a prior test left registered
+    n0 = n_persistent()
+    # one query per caching family: quantiles (stats), LSH dedup (dedup),
+    # entry-level reuse caches (tpch_q2), trained-model path (ann_pq)
+    for name in ["exact_quantiles", "dedup_minhash_pairs",
+                 "tpch_q2_min_cost_supplier", "ann_pq"]:
+        qs[name](spark, sf).write.format("noop").mode("overwrite").save()
+        assert release_query_caches() > 0, f"{name} registered no caches"
+        assert n_persistent() == n0, name
