@@ -11,6 +11,30 @@ from eventstore_spark.session import get_spark  # noqa: E402
 from eventstore_spark.schema import EVENTS_SCHEMA  # noqa: E402
 
 
+def _slow_bases() -> set[str]:
+    """Base nodeids (no parametrize suffix) of the opt-in slow lane,
+    one per line in tests/slow_tests.txt (# comments allowed)."""
+    path = Path(__file__).resolve().parent / "slow_tests.txt"
+    out = set()
+    for line in path.read_text().splitlines():
+        line = line.strip()
+        if line and not line.startswith("#"):
+            out.add(line)
+    return out
+
+
+def pytest_collection_modifyitems(config, items):
+    """Mark the heavy tests `slow` so the default lane (`-m "not slow"`,
+    set in pytest.ini) stays under the driver's time budget. Parametrized
+    variants inherit the mark from their base nodeid."""
+    slow = _slow_bases()
+    marker = pytest.mark.slow
+    for item in items:
+        base = item.nodeid.split("[", 1)[0]
+        if base in slow:
+            item.add_marker(marker)
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("tests", cpus=4)
