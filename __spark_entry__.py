@@ -3049,38 +3049,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_psi": q_source_psi,
         "length_welch_t": q_length_welch_t,
     }
-    # Round-13 rotation (VERDICT r12 task #1): the 35 entries whose
-    # latest driver sample is round 9 (the exact set computed from the
-    # CORRECTNESS_r1..r12 union — the s/f/y readers, the P-projection
-    # queries, the classic TPC-H trio and the events/orders analytics),
-    # then the 6 operators new in r13 (never driver-sampled), then 9 of
-    # the once-ever-sampled r10 entries — exactly 50. With this window
-    # green, every registry entry's latest driver sample is within
-    # r10-r13 (nothing older than three rounds).
+    # Round-14 rotation (VERDICT r13 task #6): every query path
+    # restructured in the r13/r14 optimization sessions that the driver
+    # has not certified post-restructure — the r13 stats/dedup/eval/
+    # media restructures, the entry-level reuse caches, and the r14
+    # exchange-alignment / p6-JVM-twin / pq-fusion / scoped-cache work —
+    # then the stalest never-r12/r13-sampled entries to fill 50.
+    # p6_fold_balance and bpe_train repeat from r13 deliberately: both
+    # were restructured again after that sample froze.
     head = [
-        # -- last driver-sampled in r9 (all 35, registry order) --
-        "s1_read_event_last", "s2_read_stream_forward",
-        "s3_read_stream_backward", "s4_read_all_forward",
-        "s4_read_all_backward", "s5_read_all_filtered",
-        "s5_read_all_filtered_backward", "f_filter_agg",
-        "y1_streams", "y2_by_category", "y3_stream_by_category",
-        "y4_by_event_type", "y5_by_correlation_id", "link_resolution",
-        "sys_ce_read", "sys_et_read", "retention_visibility",
-        "p2_from_streams", "p6_fold_balance", "p12_result_stream",
-        "p7_partition_by", "p9_bistate", "p8_stream_stats",
-        "p15_emit_hot", "p16_linkto",
-        "tpch_q1", "tpch_q3", "tpch_q5_region_revenue",
-        "tpch_q14_promo", "tpch_q10_returns", "supplier_volume",
-        "top_order_per_customer", "monthly_revenue", "events_hourly",
-        "user_sessions",
-        # -- never driver-sampled (new in r13) --
-        "source_lang_chi2", "classifier_brier", "events_sessions_detail",
-        "cluster_balanced_sample", "events_twa",
-        "length_deciles", "source_psi", "length_welch_t",
-        # -- sampled only once ever (r10), oldest 9 in registry order --
-        "c4_quality", "dsir_select", "quality_sample",
-        "contamination_semantic", "ccnet_buckets", "kmv_distinct",
-        "bpe_train",
+        # -- r13 restructures awaiting driver certification --
+        "events_skew_report", "mad_outliers", "score_winsorize",
+        "source_drift_ks", "auc_eval", "events_resample",
+        "winnowing_neardup", "dedup_bloom", "dedup_edit_verify",
+        "tokenizer_fertility", "kcenter_select", "embedding_pca",
+        "ndcg_eval", "tpch_q2_min_cost_supplier", "tpch_q11_nation_value",
+        "tpch_q15_top_supplier", "tpch_q17_small_quantity",
+        "events_funnel", "events_cohort_retention",
+        "media_frames", "media_chunks", "media_sniff", "media_dedup",
+        "multimodal_features",
+        # -- restructured in r14 (exchange alignment, JVM p6 twin,
+        #    pq collect fusion, serialized corpus caches) --
+        "dedup_minhash_pairs", "dedup_simhash_pairs",
+        "dedup_ngram_jaccard", "lsh_calibration", "containment_pairs",
+        "p6_fold_balance", "ann_pq", "ann_ivfpq", "exact_quantiles",
+        # -- cache-lifecycle conversion consumers (scoped_cache /
+        #    guarded_broadcast registration) --
+        "contamination_overlap", "kn_perplexity", "text_neardup_hashed",
+        "bpe_train", "link_pagerank",
+        # -- stalest entries (sampled in neither r12 nor r13), registry
+        #    order --
+        "tpch_q4_order_priority", "tpch_q9_product_profit",
+        "tpch_q12_ship_delay", "tpch_q16_supplier_count",
+        "tpch_q19_discounted_revenue", "tpch_q20_excess_suppliers",
+        "tpch_q21_late_supplier", "tpch_q22_global_sales_opportunity",
+        "text_analyze", "text_quality_histogram", "dedup_exact",
+        "dedup_simhash",
     ]
     return {**{n: q[n] for n in head},
             **{n: fn for n, fn in q.items() if n not in set(head)}}
