@@ -10,10 +10,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from ..functions import text as X
+from ..plans import join_strategy
 from ..plans.join_strategy import guarded_broadcast
-from ..schema import spread, scoped_cache
+from ..schema import spread, scoped_cache, scoped_persist
 
 
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -1954,7 +1956,8 @@ def kn_perplexity(docs: DataFrame, train_source: str = "src0",
         )
 
     tb = bigrams(staged.where(F.col("source") == train_source))
-    c2 = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c2 = (tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+          .transform(scoped_persist(StorageLevel.MEMORY_AND_DISK)))
     h = c2.groupBy("w1").agg(F.sum("c2").alias("c1"),
                              F.count(F.lit(1)).alias("n1f"))
     cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p"))
@@ -1965,12 +1968,29 @@ def kn_perplexity(docs: DataFrame, train_source: str = "src0",
     # the slice, so its broadcast must be guarded by measurement, not by
     # the "train slices are small by design" assumption (the builder-sized
     # edition of the r9 broadcast-OOM class). h/cont are aggregates of c2
-    # and usually far smaller, but they inherit the same growth law.
+    # and inherit the same growth law — but their guard counts ARE
+    # countDistinct(w1)/countDistinct(w2) over c2 (one row per distinct
+    # key by construction), so ONE multi-aggregate job over the cached c2
+    # measures all three sides (r14-opt: three sequential eager guard
+    # jobs → one; A/B med 2.81 → 2.66 s, tools/_probe_r14h.py). h/cont
+    # are no longer persisted — each is consumed exactly once (its
+    # broadcast build) and reads cached c2.
     # btot stays a plain broadcast: 1 row by construction.
+    n_c2, n_h, n_cont = c2.agg(
+        F.count(F.lit(1)), F.countDistinct("w1"), F.countDistinct("w2")
+    ).first()
+
+    def _guard(df, n):
+        # module attribute read at call time — tests (and operator config
+        # passes) lower the bound to drive the fallback path
+        if n <= join_strategy.DEFAULT_MAX_BROADCAST_ROWS:
+            return F.broadcast(df)
+        return df.hint("shuffle_hash")
+
     scored = (
-        eb.join(guarded_broadcast(c2), ["w1", "w2"], "left")
-        .join(guarded_broadcast(h), "w1", "left")
-        .join(guarded_broadcast(cont), "w2", "left")
+        eb.join(_guard(c2, n_c2), ["w1", "w2"], "left")
+        .join(_guard(h, n_h), "w1", "left")
+        .join(_guard(cont, n_cont), "w2", "left")
         .crossJoin(F.broadcast(btot))
         .withColumn("n1p_eff", F.greatest(F.coalesce(F.col("n1p"), F.lit(0)), F.lit(1)))
         # num/den as DECIMAL(38,0): at 100-TB scale B (distinct bigram
