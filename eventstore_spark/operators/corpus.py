@@ -37,7 +37,9 @@ from pyspark.sql.window import Window
 
 from ..functions import text as X
 from ..plans.join_strategy import guarded_broadcast
-from ..schema import spread, scoped_cache
+from pyspark.storagelevel import StorageLevel
+
+from ..schema import spread, scoped_cache, scoped_persist
 from .dedup import duplicate_clusters, sql_duplicate_clusters
 from .textops import analyze_documents, sql_analyze_documents
 
@@ -172,7 +174,13 @@ def pack_shards(docs: DataFrame, budget_tokens: int = 2000, buckets: int = 32,
     """
     base = spread(docs).select(
         F.col(id_col).alias("doc_id"), X.token_count(F.col(text_col)).alias("n_tokens")
-    )
+    ).transform(scoped_persist(StorageLevel.MEMORY_AND_DISK))
+    # (r14-opt, guide §5) base feeds THREE passes — the min/max job, the
+    # per-bucket subtotal job, and the final windowed pass — and each
+    # re-tokenized the full text column when left lazy. One serialized
+    # cache of the narrow (doc_id, n_tokens) projection tokenizes the
+    # corpus once (PySpark MEMORY_AND_DISK = serialized, the corpus-sized
+    # storage-level policy; A/B med 1.15 -> 1.07 s, tools/_probe_r14i.py).
     lo, hi = base.agg(F.min("doc_id"), F.max("doc_id")).first()
     if lo is None:
         return base.select("doc_id", "n_tokens", F.lit(0).cast("long").alias("shard"))
