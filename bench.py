@@ -104,6 +104,10 @@ SECONDARY = [
     "length_deciles",
     "source_psi",
     "length_welch_t",
+    # r14 addition: the shard-packing prefix sum (optimized this round —
+    # base projection cached; tracked so the 3-pass regression class
+    # stays visible)
+    "pack_shards",
 ]
 
 
